@@ -1,0 +1,62 @@
+"""Pinned text analyzer shared by the engine, the oracle, and the fixtures.
+
+The reference delegates analysis to the Elasticsearch standard analyzer via
+``text`` / ``search_as_you_type`` mappings (reference import_dart_data.py:353-354,
+389-440). Our analyzer spec is pinned so rank-identity is well-defined:
+
+    lowercase; a token is a maximal run of ``[0-9a-z_]`` OR a maximal
+    contiguous run of CJK codepoints (Hangul jamo/syllables U+3131-U+D7DD,
+    CJK unified ideographs U+4E00-U+9FFF).
+
+The same regex runs in three places and must agree:
+  1. Spark: `F.regexp_extract_all` — JVM-side, whole-stage-codegen'd (the
+     *fast* path: no Python in the tokenize hot loop at all).
+  2. pandas: `tokenize_series` — used inside pandas UDFs and the pure-Python
+     BM25 oracle.
+  3. DuckDB (driver correctness oracle): `regexp_extract_all(lower(text), ...)`.
+
+All three regex engines (java.util.regex, Python `re`, RE2) treat these
+explicit BMP codepoint ranges identically.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The single source of truth for the token pattern.
+TOKEN_PATTERN = r"[0-9a-z_]+|[ㄱ-ퟝ一-鿿]+"
+
+_RE = re.compile(TOKEN_PATTERN)
+
+
+def tokenize_col(col: Column | str) -> Column:
+    """JVM-side tokenizer: lowercase + regexp_extract_all -> array<string>.
+
+    This is the hot-path tokenizer for index builds: pure Catalyst
+    expressions, no Python round-trip, fully inside whole-stage codegen.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit(TOKEN_PATTERN), 0)
+
+
+def tokenize_text(text: str) -> list[str]:
+    """Reference (oracle-side) tokenizer for a single string."""
+    if text is None:
+        return []
+    return _RE.findall(text.lower())
+
+
+def tokenize_series(s: pd.Series) -> pd.Series:
+    """Vectorized pandas tokenizer (same spec) for UDF internals/oracle."""
+    return s.fillna("").str.lower().str.findall(_RE)
+
+
+# DuckDB-side equivalent expression, parameterized on the column name. Used
+# by __spark_entry__.oracle_sql so the driver's DuckDB check shares the spec.
+DUCKDB_TOKENIZE = (
+    "regexp_extract_all(lower({col}), '[0-9a-z_]+|[ㄱ-ퟝ一-鿿]+')"
+)

@@ -1,0 +1,298 @@
+"""Query engine: BM25 top-k + the reference's documented query surface.
+
+The reference issues all of these against Elasticsearch (match at
+Running-ELK.md:112-119,145-152; term/bool at import_dart_data.py:521-529;
+range/wildcard/fuzzy/exists at Running-ELK.md:155-294; count at
+import_dart_data.py:305-321; get-by-id at :229). Here each is executed
+natively on the segment tables written by ``index.build``.
+
+Scoring is Lucene-8+ BM25 (what ES 8.6.2 uses, minus Lucene's 1-byte norm
+quantization — we keep exact doc lengths):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn     = tf / (tf + k1 * (1 - b + b * dl / avgdl))      k1=1.2 b=0.75
+    score   = sum over query terms of idf(t) * tfn
+
+Physical plan, per query:
+  tokenize query (driver) -> partition-pruned postings scan (bucket =
+  crc32(term) % n_buckets prunes directories; term predicate pushed into
+  parquet row-group stats) -> vectorized decode+score (mapInPandas, numpy)
+  with block-max pruning -> groupBy(doc_id).sum (partial agg map-side)
+  -> TakeOrderedAndProject(score desc, doc_id asc, k).
+
+Block-max pruning (the distributed adaptation of block-max WAND): a first
+cheap pass fully scores the rarest query term's postings and takes its k-th
+best contribution as a lower bound θ on the final k-th score; every block
+whose upper bound  idf_t·tfn(max_tf, min_dl) + Σ_{t'≠t} UB(t')  falls below
+θ is skipped without decoding. Bounds are conservative, so pruned results
+are rank-identical to exhaustive scoring (property-tested).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import delta_decode, varbyte_decode
+from ..functions.tokenizer import tokenize_text
+from ..index.build import B, BLOCK_SIZE, K1, bucket_of
+
+SCORED_SCHEMA = "doc_id long, score double, matched int"
+
+
+def _idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _tfn(tf, dl, avgdl: float):
+    return tf / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
+
+
+class InvertedIndex:
+    """Handle over an on-disk index directory produced by ``build_index``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.n_buckets = int(self.meta["n_buckets"])
+        row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+        self.n_docs = int(row["n_docs"])
+        self.avgdl = float(row["avgdl"])
+
+    # ------------------------------------------------------------------ scans
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/doc_stats")
+
+    def term_dict(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/term_dict")
+
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.dir}/postings")
+
+    def _candidate_postings(self, terms: Sequence[str]) -> DataFrame:
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
+        return self.postings().filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+        )
+
+    def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
+        rows = self.term_dict().filter(F.col("term").isin(list(terms))).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    # ------------------------------------------------------- match / BM25 topk
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        filters: Column | None = None,
+        prune: bool = True,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
+
+        ``filters`` is a Column predicate over doc_stats columns (the
+        non-scoring ``filter`` clauses of an ES bool query, e.g.
+        role/tool/ts range — Q4/Q7/Q9 of the reference query surface).
+        """
+        terms = sorted(set(tokenize_text(query)))
+        dfs = self.term_stats(terms)
+        terms = [t for t in terms if t in dfs]
+        if not terms:
+            return self._empty_scored(with_meta)
+        idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
+
+        theta = 0.0
+        if prune and mode == "or" and filters is None and len(terms) > 1:
+            theta = self._threshold_estimate(terms, dfs, idf, k)
+
+        scored = self._score_terms(terms, idf, theta=theta)
+        agg = scored.groupBy("doc_id").agg(
+            F.sum("score").alias("score"), F.sum("matched").alias("n_matched")
+        )
+        if mode == "and":
+            agg = agg.filter(F.col("n_matched") == len(terms))
+        agg = agg.select("doc_id", F.col("score"))
+        if filters is not None:
+            allowed = self.doc_stats().filter(filters).select("doc_id")
+            agg = agg.join(allowed, "doc_id", "left_semi")
+        top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        if with_meta:
+            top = top.join(self.doc_stats(), "doc_id", "inner").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+        return top
+
+    def _empty_scored(self, with_meta: bool) -> DataFrame:
+        base = self.spark.createDataFrame([], "doc_id long, score double")
+        if with_meta:
+            return base.join(self.doc_stats(), "doc_id", "inner")
+        return base
+
+    def _threshold_estimate(self, terms, dfs, idf, k) -> float:
+        """Lower bound on the final k-th score: fully score the rarest term
+        (few postings) and take its k-th best single-term contribution."""
+        rarest = min(terms, key=lambda t: dfs[t])
+        if dfs[rarest] < k:
+            return 0.0
+        rows = self._candidate_postings([rarest]).select("tfs", "dls").collect()
+        best = []
+        for r in rows:
+            tf = varbyte_decode(r["tfs"]).astype(np.float64)
+            dl = varbyte_decode(r["dls"]).astype(np.float64)
+            best.append(idf[rarest] * _tfn(tf, dl, self.avgdl))
+        if not best:
+            return 0.0
+        allc = np.concatenate(best)
+        if allc.size < k:
+            return 0.0
+        return float(np.partition(allc, allc.size - k)[allc.size - k])
+
+    def _score_terms(self, terms, idf, theta: float = 0.0) -> DataFrame:
+        """Vectorized decode + BM25 partial scoring with block-max skipping."""
+        cand = self._candidate_postings(terms)
+        avgdl = self.avgdl
+        idf_map = dict(idf)
+        # per-term global upper bounds for the pruning inequality
+        ub_total = 0.0
+        ubs: dict[str, float] = {}
+        if theta > 0.0:
+            ub_rows = (
+                cand.groupBy("term")
+                .agg(
+                    F.max(F.array_max("block_max_tf")).alias("mtf"),
+                    F.min(F.array_min("block_min_dl")).alias("mdl"),
+                )
+                .collect()
+            )
+            for r in ub_rows:
+                ubs[r["term"]] = idf_map[r["term"]] * _tfn(
+                    float(r["mtf"]), float(r["mdl"]), avgdl
+                )
+            ub_total = sum(ubs.values())
+
+        def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    t_idf = idf_map[row.term]
+                    others_ub = ub_total - ubs.get(row.term, 0.0) if theta > 0.0 else 0.0
+                    bmax_tf = np.asarray(row.block_max_tf, dtype=np.float64)
+                    bmin_dl = np.asarray(row.block_min_dl, dtype=np.float64)
+                    if theta > 0.0:
+                        block_ub = t_idf * _tfn(bmax_tf, bmin_dl, avgdl) + others_ub
+                        keep = block_ub >= theta
+                        if not keep.any():
+                            continue
+                    else:
+                        keep = np.ones(len(bmax_tf), dtype=bool)
+                    docs = delta_decode(row.docs).astype(np.int64)
+                    tfs = varbyte_decode(row.tfs).astype(np.float64)
+                    dls = varbyte_decode(row.dls).astype(np.float64)
+                    if not keep.all():
+                        mask = np.repeat(keep, BLOCK_SIZE)[: docs.size]
+                        docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+                    if docs.size == 0:
+                        continue
+                    contrib = t_idf * _tfn(tfs, dls, avgdl)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "doc_id": docs,
+                                "score": contrib,
+                                "matched": np.ones(docs.size, dtype=np.int32),
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return cand.select(
+            "term", "docs", "tfs", "dls", "block_max_tf", "block_min_dl"
+        ).mapInPandas(score_batches, schema=SCORED_SCHEMA)
+
+    # ------------------------------------------------- non-scoring query ops
+    def match_all(self) -> DataFrame:
+        """ES match_all (import_dart_data.py:320) — full doc scan."""
+        return self.doc_stats()
+
+    def count(self, filters: Column | None = None) -> int:
+        """ES _count (import_dart_data.py:305-321, Running-ELK.md:214-218)."""
+        ds = self.doc_stats()
+        if filters is not None:
+            ds = ds.filter(filters)
+        return ds.count()
+
+    def get_by_key(self, conv_id: str, turn_idx: int) -> DataFrame:
+        """Point lookup by document key — ES get-by-_id
+        (import_dart_data.py:229, test.py:62-70)."""
+        key_cols = self.meta.get("doc_key_cols", ["conv_id", "turn_idx"])
+        ds = self.doc_stats()
+        return ds.filter(
+            (F.col(key_cols[0]) == conv_id) & (F.col(key_cols[1]) == turn_idx)
+        )
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite
+        (Running-ELK.md:155-168) and search_as_you_type prefix matching."""
+        rows = (
+            self.term_dict()
+            .filter(F.col("term").startswith(prefix.lower()))
+            .select("term")
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
+        """Edit-distance expansion over the term dictionary — ES fuzzy
+        (Running-ELK.md:186-200)."""
+        rows = (
+            self.term_dict()
+            .filter(F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_dist)
+            .select("term")
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    def _docs_for_terms(self, terms: list[str]) -> DataFrame:
+        """Distinct doc_ids containing any of ``terms`` (constant score)."""
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        cand = self._candidate_postings(terms)
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = [
+                    pd.DataFrame({"doc_id": delta_decode(r.docs).astype(np.int64)})
+                    for r in pdf.itertuples(index=False)
+                ]
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return (
+            cand.select("docs").mapInPandas(decode, schema="doc_id long").distinct()
+        )
+
+    def wildcard(self, prefix: str, k: int = 10, filters: Column | None = None) -> DataFrame:
+        """ES wildcard with constant_score rewrite (Running-ELK.md:155-184):
+        expand prefix -> disjunction, every hit scored 1.0, doc_id order."""
+        docs = self._docs_for_terms(self.expand_prefix(prefix))
+        out = docs.withColumn("score", F.lit(1.0))
+        if filters is not None:
+            allowed = self.doc_stats().filter(filters).select("doc_id")
+            out = out.join(allowed, "doc_id", "left_semi")
+        return out.orderBy(F.asc("doc_id")).limit(k)
+
+    def fuzzy(self, term: str, k: int = 10, max_dist: int = 1) -> DataFrame:
+        """ES fuzzy query (constant-score expansion variant)."""
+        docs = self._docs_for_terms(self.expand_fuzzy(term, max_dist))
+        return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)

@@ -1,0 +1,130 @@
+"""Rank-identity: engine top-k (doc_ids + scores) vs the pure-Python BM25
+oracle on the reference query set (FIXTURES.md Q, q01-q12). Scores matched to
+1e-6, ranks exactly — the golden-value discipline of reference test.py:80."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def oracle(transcripts_pdf):
+    src = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src["doc_id"] = np.arange(len(src), dtype=np.int64)
+    return BM25Oracle(src)
+
+
+def assert_rank_identical(engine_df, oracle_pdf):
+    got = engine_df.toPandas()
+    assert list(got["doc_id"]) == list(oracle_pdf["doc_id"]), (
+        f"rank mismatch\nengine:\n{got}\noracle:\n{oracle_pdf}"
+    )
+    assert np.allclose(got["score"], oracle_pdf["score"], atol=1e-6)
+
+
+def test_q01_match_common_term(built_index, oracle):
+    q = "the"
+    assert_rank_identical(built_index.topk(q, 10), oracle.topk(q, 10))
+
+
+def test_q02_match_rare_marker(built_index, oracle, transcripts_pdf):
+    q = "zq0marker"
+    res = built_index.topk(q, 10).toPandas()
+    orc = oracle.topk(q, 10)
+    assert list(res["doc_id"]) == list(orc["doc_id"])
+    assert len(res) >= 1  # conv0 turn0 plants zq0marker
+
+
+def test_q03_match_cjk(built_index, oracle):
+    q = "삼성"
+    assert_rank_identical(built_index.topk(q, 10), oracle.topk(q, 10))
+
+
+def test_q04_match_multiterm_or(built_index, oracle):
+    q = "the 삼성 w00123"
+    assert_rank_identical(built_index.topk(q, 10), oracle.topk(q, 10))
+
+
+def test_q05_bool_must_plus_filter(built_index, oracle, transcripts_pdf):
+    q = "the and"
+    src = oracle.docs
+    mask = (src["role"] == "assistant").to_numpy()
+    eng = built_index.topk(q, 10, mode="and", filters=F.col("role") == "assistant")
+    orc = oracle.topk(q, 10, mode="and", mask=mask)
+    assert_rank_identical(eng, orc)
+
+
+def test_q06_bool_plus_range_filter(built_index, oracle):
+    q = "the of"
+    cut = pd.Timestamp("2024-01-01 01:00:00")
+    mask = (oracle.docs["ts"] >= cut).to_numpy()
+    eng = built_index.topk(q, 10, filters=F.col("ts") >= F.lit(cut))
+    orc = oracle.topk(q, 10, mask=mask)
+    assert_rank_identical(eng, orc)
+
+
+def test_q07_term_filter_plus_match(built_index, oracle):
+    q = "the"
+    mask = (oracle.docs["tool"] == "bash").to_numpy()
+    eng = built_index.topk(q, 10, filters=F.col("tool") == "bash")
+    orc = oracle.topk(q, 10, mask=mask)
+    assert_rank_identical(eng, orc)
+
+
+def test_q08_wildcard_prefix(built_index, oracle):
+    terms = built_index.expand_prefix("zq")
+    assert all(t.startswith("zq") for t in terms)
+    res = built_index.wildcard("zq", k=50).toPandas()
+    # oracle: docs containing any zq* term, constant score, doc_id asc
+    want = sorted(
+        {
+            did
+            for did, toks in zip(oracle.doc_ids, oracle.tokens)
+            for t in set(toks)
+            if t.startswith("zq")
+        }
+    )[:50]
+    assert list(res["doc_id"]) == want
+    assert (res["score"] == 1.0).all()
+
+
+def test_q09_exists_plus_match(built_index, oracle):
+    q = "the"
+    mask = oracle.docs["tool"].notna().to_numpy()
+    eng = built_index.topk(q, 10, filters=F.col("tool").isNotNull())
+    orc = oracle.topk(q, 10, mask=mask)
+    assert_rank_identical(eng, orc)
+
+
+def test_q10_match_all_count(built_index, transcripts_pdf):
+    assert built_index.count() == len(transcripts_pdf)
+    assert built_index.match_all().count() == len(transcripts_pdf)
+
+
+def test_q11_get_by_key(built_index, transcripts_pdf):
+    row = transcripts_pdf.iloc[17]
+    got = built_index.get_by_key(row["conv_id"], int(row["turn_idx"])).collect()
+    assert len(got) == 1
+    assert got[0]["role"] == row["role"]
+
+
+def test_q12_deep_topk_k100(built_index, oracle):
+    q = "the and of"
+    assert_rank_identical(built_index.topk(q, 100), oracle.topk(q, 100))
+
+
+def test_pruned_equals_exhaustive(built_index):
+    """Block-max pruning must be rank-identical to exhaustive scoring."""
+    for q in ["the 삼성 w00123", "the and of", "w00001 w00002"]:
+        a = built_index.topk(q, 10, prune=True).toPandas()
+        b = built_index.topk(q, 10, prune=False).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=1e-9)
+
+
+def test_fuzzy_expansion(built_index):
+    terms = built_index.expand_fuzzy("thz", 1)
+    assert "the" in terms
