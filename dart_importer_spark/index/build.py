@@ -71,8 +71,12 @@ POSTINGS_SCHEMA = (
 )
 
 
-def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
-    """Stable dense doc_id = global rank under ORDER BY (conv_id, turn_idx).
+def assign_doc_ids(
+    df: DataFrame,
+    partitions: int | None = None,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Stable dense doc_id = global rank under ORDER BY key_cols.
 
     Two-pass distributed ranking (no global window):
       1. range-partition + sort within partitions, persist;
@@ -83,8 +87,8 @@ def assign_doc_ids(df: DataFrame, partitions: int | None = None) -> DataFrame:
     if partitions is None:
         partitions = max(8, spark.sparkContext.defaultParallelism)
     ranged = (
-        df.repartitionByRange(partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        df.repartitionByRange(partitions, *key_cols)
+        .sortWithinPartitions(*key_cols)
         .withColumn("_pid", F.spark_partition_id())
     )
     ranged.persist()
@@ -151,8 +155,10 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def _seg_col(conv_id, n_segments: int):
-    return F.pmod(F.crc32(F.encode(conv_id, "utf-8")), F.lit(n_segments)).cast("int")
+def _seg_col(key_col, n_segments: int):
+    return F.pmod(
+        F.crc32(F.encode(key_col.cast("string"), "utf-8")), F.lit(n_segments)
+    ).cast("int")
 
 
 def bucket_of(term: str, n_buckets: int) -> int:
@@ -174,7 +180,7 @@ def build_index(
     transcripts: DataFrame,
     out_dir: str,
     config: BuildConfig | None = None,
-    doc_key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    doc_key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     text_col: str = "text",
     meta_cols: tuple[str, ...] = ("role", "tool", "ts"),
     force: bool = False,
@@ -191,12 +197,13 @@ def build_index(
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    key1, key2 = doc_key_cols
-    base = transcripts.withColumn("seg", _seg_col(F.col(key1), cfg.n_segments))
+    base = transcripts.withColumn(
+        "seg", _seg_col(F.col(doc_key_cols[0]), cfg.n_segments)
+    )
 
     # --- per-segment input fingerprints (order-independent bit_xor) ---
     fp_df = base.groupBy("seg").agg(
-        F.bit_xor(F.xxhash64(key1, key2, text_col)).alias("input_fingerprint"),
+        F.bit_xor(F.xxhash64(*doc_key_cols, text_col)).alias("input_fingerprint"),
         F.count("*").alias("n_docs_in"),
     )
     fingerprints = {r["seg"]: (r["input_fingerprint"], r["n_docs_in"]) for r in fp_df.collect()}
@@ -219,7 +226,7 @@ def build_index(
         return {"built_segments": [], "skipped_segments": sorted(done), "elapsed_sec": time.time() - t0}
 
     # --- doc_id assignment over the FULL corpus (rank must be global) ---
-    docs = assign_doc_ids(base, cfg.doc_id_partitions)
+    docs = assign_doc_ids(base, cfg.doc_id_partitions, key_cols=doc_key_cols)
     docs = docs.withColumn("tokens", tokenize_col(text_col)).withColumn(
         "dl", F.size("tokens").cast("long")
     )
@@ -228,7 +235,17 @@ def build_index(
     build_docs = docs.filter(F.col("seg").isin([int(s) for s in todo]))
 
     # --- doc_stats (metadata + length norms), per rebuilt segment ---
-    stats_cols = ["doc_id", key1, key2, *[c for c in meta_cols if c in transcripts.columns], "dl", "seg"]
+    stats_cols = list(
+        dict.fromkeys(
+            [
+                "doc_id",
+                *doc_key_cols,
+                *[c for c in meta_cols if c in transcripts.columns],
+                "dl",
+                "seg",
+            ]
+        )
+    )
     (
         build_docs.select(*stats_cols)
         .repartition("seg")

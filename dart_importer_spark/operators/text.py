@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path computation is JVM-side (built-in functions over the pinned
+tokenizer's output arrays) so it stays inside whole-stage codegen — no
+Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize_col
+
+# per-language stopword profiles for the n-gram/stopword-hit language-ID
+# heuristic (tiny, broadcast as literals)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans"],
+    "ko": ["삼성", "전자", "재무제표", "분기", "보고서", "감사", "연결", "손익"],
+}
+
+
+def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Whitespace/regex token counting — JVM size(tokenize)."""
+    return df.withColumn(out, F.size(tokenize_col(text_col)).cast("long"))
+
+
+def quality_columns(text_col: str = "text") -> dict[str, Column]:
+    """Quality-scoring signal columns (length / punctuation / stopword
+    ratios). Returned as named expressions so callers can select any subset."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    tokens = tokenize_col(text_col)
+    n_tokens = F.size(tokens)
+    n_alnum = F.length(F.regexp_replace(c, r"[^0-9A-Za-z가-힣一-鿿]", ""))
+    stop = F.array([F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(tokens), stop))
+    mean_tok_len = F.when(
+        n_tokens > 0, n_alnum.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "alnum_ratio": (n_alnum.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")),
+        "stopword_hits": n_stop.cast("long"),
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    cols = quality_columns(text_col)
+    for name, expr in cols.items():
+        if name in df.columns:
+            name = f"q_{name}"
+        df = df.withColumn(name, expr)
+    return df
+
+
+def with_langid(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID: score = |distinct tokens ∩ profile|,
+    argmax over languages, 'und' when nothing matches. Pure JVM arrays."""
+    toks = F.array_distinct(tokenize_col(text_col))
+    scores = []
+    for lang, words in LANG_PROFILES.items():
+        prof = F.array([F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(toks, prof)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out, F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    )
+
+
+def with_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint", k: int = 8
+) -> DataFrame:
+    """Document fingerprint: min-k over rolling 3-token shingle hashes
+    (winnowing-style), packed as sorted array<long>. JVM-only: shingles via
+    transform over token index, xxhash64 per shingle, slice(array_sort)."""
+    toks = tokenize_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    "",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                )
+            ),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.concat_ws("", toks))))
+    return df.withColumn(out, F.slice(F.array_sort(F.array_distinct(shingles)), 1, k))

@@ -97,6 +97,7 @@ class InvertedIndex:
         filters: Column | None = None,
         prune: bool = True,
         with_meta: bool = False,
+        round_scores: int | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
@@ -122,6 +123,10 @@ class InvertedIndex:
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == len(terms))
         agg = agg.select("doc_id", F.col("score"))
+        if round_scores is not None:
+            # stabilizes LIMIT-boundary tie-breaks against an external oracle
+            # whose float summation order differs in the last ulp
+            agg = agg.withColumn("score", F.round("score", round_scores))
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
             agg = agg.join(allowed, "doc_id", "left_semi")
@@ -232,14 +237,14 @@ class InvertedIndex:
             ds = ds.filter(filters)
         return ds.count()
 
-    def get_by_key(self, conv_id: str, turn_idx: int) -> DataFrame:
+    def get_by_key(self, *key_values) -> DataFrame:
         """Point lookup by document key — ES get-by-_id
         (import_dart_data.py:229, test.py:62-70)."""
         key_cols = self.meta.get("doc_key_cols", ["conv_id", "turn_idx"])
         ds = self.doc_stats()
-        return ds.filter(
-            (F.col(key_cols[0]) == conv_id) & (F.col(key_cols[1]) == turn_idx)
-        )
+        for col, val in zip(key_cols, key_values):
+            ds = ds.filter(F.col(col) == val)
+        return ds
 
     def expand_prefix(self, prefix: str) -> list[str]:
         """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite

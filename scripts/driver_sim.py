@@ -1,0 +1,93 @@
+"""Local simulation of the driver's correctness gate: run each
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB over
+the same parquet tables; compare row count, column names, and
+order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from dart_importer_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    if sorted(a.columns) != sorted(b.columns):
+        return f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return f"row counts differ: {len(a)} vs {len(b)}"
+    a, b = normalize(a.copy()), normalize(b.copy())
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            af = pd.to_numeric(av, errors="raise").astype(float)
+            bf = pd.to_numeric(bv, errors="raise").astype(float)
+            if not ((af - bf).abs().fillna(0) <= 1e-9).all():
+                bad = (af - bf).abs() > 1e-9
+                return f"values differ in {c}: {a[bad][c].head(3).tolist()} vs {b[bad][c].head(3).tolist()}"
+        except (ValueError, TypeError):
+            if not (av.astype(str) == bv.astype(str)).all():
+                bad = av.astype(str) != bv.astype(str)
+                return f"values differ in {c}: {av[bad].head(3).tolist()} vs {bv[bad].head(3).tolist()}"
+    return None
+
+
+def main(sf_dir: str):
+    spark = get_spark("driver-sim", cores=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error {str(e)[:200]}")
+            continue
+        err = compare(got, want)
+        if err:
+            failures.append((name, err))
+            print(f"FAIL {name}: {err}")
+        else:
+            print(f"OK   {name} ({len(got)} rows)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    if failures:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
