@@ -1,0 +1,113 @@
+"""Headline benchmark — driver contract.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers both halves of the engine:
+  * the full-text path — inverted-index build over the ``documents`` table
+    plus the transcripts table (north-rule input shape), then BM25 /
+    wildcard / filtered top-k through the segment tables;
+  * the ETL/analytics parity surface (joins, aggregates, top-k sort).
+
+Extra keys (ignored by the schema, useful to the judge): per-phase build
+throughput in turns/sec (the BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from dart_importer_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "ft_match_single",
+    "ft_match_multi",
+    "ft_match_and",
+    "ft_filter_lang",
+    "ft_range_nchars",
+    "ft_deep_topk",
+    "ft_wildcard_prefix",
+    "dd_exact",
+    "sim_bruteforce_cosine",
+    "etl_broadcast_join",
+    "etl_anti_join",
+    "etl_group_agg",
+    "etl_sort_limit",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    # --- index build over documents (timed; queries below hit the cache) ---
+    t0 = time.time()
+    ix = entry._documents_index(spark, SF_DIR)
+    timings["ft_index_build"] = round(time.time() - t0, 4)
+    n_docs = ix.n_docs
+
+    # --- index build over the north-rule transcripts table ---
+    from dart_importer_spark.datagen import generate_transcripts
+    from dart_importer_spark.index.build import BuildConfig, build_index
+
+    tdir = tempfile.mkdtemp(prefix="bench_tidx_")
+    try:
+        tr = generate_transcripts(spark, n_convs=4000)
+        t0 = time.time()
+        metrics = build_index(
+            spark, tr, os.path.join(tdir, "idx"), BuildConfig(n_segments=8, n_buckets=16)
+        )
+        timings["transcripts_index_build"] = round(time.time() - t0, 4)
+        build_turns_per_sec = round(metrics["n_docs"] / timings["transcripts_index_build"], 2)
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+    # --- headline queries (forced with collect) ---
+    qs = entry.queries()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).collect()
+        timings[name] = round(time.time() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+                "n_docs_indexed": n_docs,
+                "build_turns_per_sec": build_turns_per_sec,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
