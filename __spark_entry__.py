@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dart_importer_spark.functions.tokenizer import TOKEN_PATTERN  # noqa: E402
-from dart_importer_spark.operators import dedup, similarity, text as textops  # noqa: E402
+from dart_importer_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    text as textops,
+)
 
 K1, B = 1.2, 0.75
 _INDEX_CACHE: dict[str, str] = {}
@@ -295,6 +300,163 @@ def q_etl_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8: match_all full scan (reference import_dart_data.py:320,473-475,562)
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_all().select("doc_id", "src_id", "lang", "source", "dl")
+
+
+def q_ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6: fuzzy (edit distance <= 1) constant-score expansion
+    # (reference Running-ELK.md:186-200)
+    ix = _documents_index(spark, sf_dir)
+    return ix.fuzzy("tabl", k=100000, max_dist=1).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_delete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q11: delete_by_query + tombstone-aware count
+    # (reference import_dart_data.py:470-477, Running-ELK.md:203-211)
+    import shutil
+    import tempfile
+
+    ix = _documents_index(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="dis_delete_")
+    dst = os.path.join(work, "idx")
+    shutil.copytree(ix.dir, dst)
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    mx = InvertedIndex(spark, dst)
+    n_before = mx.count()
+    n_deleted = mx.delete_by_query(F.col("lang") == "de")
+    n_after = mx.count()
+    return spark.createDataFrame(
+        [(n_before, n_deleted, n_after)],
+        "n_before long, n_deleted long, n_after long",
+    )
+
+
+def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    return textops.with_langid(docs).select("doc_id", "lang_pred")
+
+
+def q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (xxhash64 not reproducible in DuckDB): winnowing-style min-k
+    docs = _load(spark, sf_dir, "documents")
+    return textops.with_fingerprint(docs).select(
+        "doc_id", F.col("fingerprint").cast("array<long>").alias("fingerprint")
+    )
+
+
+def q_dd_near_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash -> LSH banding -> exact n-gram-Jaccard verify, kept at
+    jaccard == 1.0 (identical shingle sets), where LSH recall is exactly 1
+    (identical sets -> identical signatures -> same buckets), so the
+    DuckDB oracle (group by canonical shingle set) is a true equality."""
+    docs = _load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_perm=32)
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=8)
+    verified = dedup.jaccard_verify(docs, pairs, threshold=0.999999)
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (xxhash64-based): SimHash + 4-chunk Hamming<=3 pairing
+    docs = _load(spark, sf_dir, "documents")
+    sim = dedup.simhash(docs)
+    return dedup.simhash_near_dups(sim, max_hamming=3)
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH ANN with multiprobe, exact rerank.
+    Deliberately rows-only (no oracle): ANN recall < 1 by design — the
+    exact-equivalence baseline is sim_bruteforce_cosine; recall-vs-exact is
+    asserted on planted fixtures in tests/test_operators.py."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ann = similarity.LshAnnIndex(emb, n_tables=8, n_planes=10, persist=False)
+    out = ann.topk(list(qvec), k=10, multiprobe=1)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload = utf-8
+    text bytes, kind by doc_id mod 3, duration from n_chars."""
+    docs = _load(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(kind != "image", F.col("n_chars").cast("long") * 10)
+        .otherwise(F.lit(None))
+        .alias("duration_ms"),
+    )
+
+
+def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # video frame-sampling fan-out (sequence/explode, pure JVM)
+    media = _media(spark, sf_dir)
+    return multimodal.frame_sample_plan(media, every_ms=500).select(
+        "media_id", "frame_ts_ms"
+    )
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode+featurize plumbing over binary payloads; the
+    deterministic sha256 fake decoder makes the first feature byte
+    DuckDB-checkable (hex of sha256 byte 0)."""
+    media = _media(spark, sf_dir)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.format_string(
+            "%02x", F.round(F.element_at("feature", 1) * 255).cast("int")
+        ).alias("b0hex"),
+    )
+
+
+def q_etl_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set op: unionByName of two projections
+    r = _load(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.lit("region").alias("src")
+    )
+    n = _load(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"), F.lit("nation").alias("src")
+    )
+    return r.unionByName(n)
+
+
+def q_etl_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # windowed top-n per group (training-pipeline staple beyond the
+    # reference's surface)
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_etl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _load(spark, sf_dir, "events").select("event_type").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text engine (Q1-Q12 of SURVEY.md §2.8) ---
@@ -307,13 +469,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ft_deep_topk": _ft("merge sort", k=100),
         "ft_wildcard_prefix": q_ft_wildcard,
+        "ft_fuzzy": q_ft_fuzzy,
+        "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
+        "ft_delete_count": q_ft_delete_count,
         # --- training-data ops ---
         "tx_token_count": q_tx_token_count,
         "tx_quality": q_tx_quality,
+        "tx_langid": q_tx_langid,
+        "tx_fingerprint": q_tx_fingerprint,
         "dd_exact": q_dd_exact,
+        "dd_near_identical": q_dd_near_identical,
+        "dd_simhash_pairs": q_dd_simhash_pairs,
         "sim_bruteforce_cosine": q_sim_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        # --- multimodal plumbing ---
+        "mm_frame_plan": q_mm_frame_plan,
+        "mm_features": q_mm_features,
         # --- ETL parity (SURVEY.md §2.1-2.7) ---
         "etl_proj_rename": q_etl_proj_rename,
         "etl_filter_eq": q_etl_filter_eq,
@@ -327,11 +500,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_time_frame": q_etl_time_frame,
         "etl_regex_extract": q_etl_regex_extract,
         "etl_json": q_etl_json,
+        "etl_union": q_etl_union,
+        "etl_window_topn": q_etl_window_topn,
+        "etl_distinct": q_etl_distinct,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from dart_importer_spark.operators.text import LANG_PROFILES
+
     tok = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
+    profile_values = ", ".join(
+        "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in words))
+        for lang, words in LANG_PROFILES.items()
+    )
+    shingle_set = f"""
+WITH t AS (SELECT doc_id, {tok} AS lst FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(lst) - 2),
+             i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])))
+         ELSE [array_to_string(lst, ' ')] END AS s
+  FROM t
+),
+keyed AS (SELECT doc_id, array_to_string(s, chr(31)) AS key FROM sh)
+"""
     return {
         "ft_match_single": _bm25_oracle(["data"], 20),
         "ft_match_multi": _bm25_oracle(["spark", "join", "stream"], 20),
@@ -346,6 +541,28 @@ def oracle_sql() -> dict[str, str]:
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM tok WHERE term LIKE 'mer%'
 ORDER BY doc_id ASC LIMIT 50
+""",
+        "ft_fuzzy": _DOCS_CTE
+        + """
+, fz AS (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'tabl') <= 1)
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tok JOIN fz USING (term)
+ORDER BY doc_id ASC LIMIT 100000
+""",
+        "ft_match_all": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, *
+  FROM documents
+)
+SELECT did AS doc_id, doc_id AS src_id, lang, source,
+       len({tok})::BIGINT AS dl
+FROM docs
+""",
+        "ft_delete_count": """
+SELECT count(*) AS n_before,
+       count(*) FILTER (WHERE lang = 'de') AS n_deleted,
+       count(*) FILTER (WHERE lang <> 'de') AS n_after
+FROM documents
 """,
         "ft_count": "SELECT count(*) AS n FROM documents",
         "ft_get_by_id": f"""
@@ -367,6 +584,54 @@ SELECT doc_id,
            ['the','and','of','to','a','in','is','it','you','that']))::BIGINT AS stopword_hits
 FROM documents
 """,
+        "tx_langid": f"""
+WITH t AS (SELECT doc_id, list_distinct({tok}) AS toks FROM documents),
+profiles(lang, words) AS (VALUES {profile_values}),
+hits AS (
+  SELECT doc_id, lang, len(list_intersect(toks, words)) AS h
+  FROM t CROSS JOIN profiles
+),
+best AS (
+  SELECT doc_id, lang, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang DESC) AS rn
+  FROM hits
+)
+SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+""",
+        "dd_near_identical": shingle_set
+        + """
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+""",
+        "mm_frame_plan": """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+""",
+        "mm_features": """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+       strlen(text)::BIGINT AS n_bytes,
+       substr(sha256(text), 1, 2) AS b0hex
+FROM documents
+""",
+        "etl_union": """
+SELECT r_name AS name, 'region' AS src FROM region
+UNION ALL
+SELECT n_name AS name, 'nation' AS src FROM nation
+""",
+        "etl_window_topn": """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+) WHERE rn <= 2
+""",
+        "etl_distinct": "SELECT DISTINCT event_type FROM events",
         "dd_exact": "SELECT min(doc_id) AS rep_id, count(*) AS n_dups FROM documents GROUP BY text",
         "sim_bruteforce_cosine": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

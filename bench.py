@@ -41,12 +41,17 @@ HEADLINE = [
     "ft_range_nchars",
     "ft_deep_topk",
     "ft_wildcard_prefix",
+    "tx_langid",
     "dd_exact",
+    "dd_near_identical",
     "sim_bruteforce_cosine",
+    "sim_ann_lsh",
+    "mm_features",
     "etl_broadcast_join",
     "etl_anti_join",
     "etl_group_agg",
     "etl_sort_limit",
+    "etl_window_topn",
 ]
 
 

@@ -75,6 +75,7 @@ def assign_doc_ids(
     df: DataFrame,
     partitions: int | None = None,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    persisted: list | None = None,
 ) -> DataFrame:
     """Stable dense doc_id = global rank under ORDER BY key_cols.
 
@@ -82,6 +83,11 @@ def assign_doc_ids(
       1. range-partition + sort within partitions, persist;
       2. per-partition counts -> prefix-sum offsets (driver, tiny);
       3. mapInPandas adds offset + running local index (Arrow-vectorized).
+
+    ``persisted`` collects the internal cached DataFrame so the caller can
+    unpersist it — leaking it is not just memory: Spark's CacheManager
+    matches by canonicalized plan, so a later build over the SAME source
+    path would silently reuse the stale cached rows.
     """
     spark = df.sparkSession
     if partitions is None:
@@ -92,6 +98,8 @@ def assign_doc_ids(
         .withColumn("_pid", F.spark_partition_id())
     )
     ranged.persist()
+    if persisted is not None:
+        persisted.append(ranged)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -115,19 +123,14 @@ def assign_doc_ids(
     return ranged.mapInPandas(number, schema=out_schema)
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map encoder for one (seg, term, run) group: sort by doc_id,
-    delta+varbyte pack, emit per-block max_tf / min_dl for block-max bounds.
+def pack_run(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
+    """Encode one sorted posting run into the on-disk field dict.
 
     Block bound validity: tfn(tf, dl) = tf / (tf + k1*(1-b+b*dl/avgdl)) is
     increasing in tf and decreasing in dl, so tfn(max_tf, min_dl) is a
     conservative per-block upper bound for any avgdl — which lets us store
     avgdl-independent metadata and keep segments immutable across merges.
     """
-    pdf = pdf.sort_values("doc_id")
-    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    dls = pdf["dl"].to_numpy(dtype=np.int64)
     n = len(docs)
     nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     pad = nb * BLOCK_SIZE - n
@@ -137,20 +140,34 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
     block_min_dl = np.minimum(
         dl_pad.reshape(nb, BLOCK_SIZE).min(axis=1), np.int64(2**31 - 1)
     ).astype(np.int32)
+    return {
+        "n": n,
+        "min_doc": int(docs[0]),
+        "max_doc": int(docs[-1]),
+        "docs": delta_encode(docs),
+        "tfs": varbyte_encode(tfs),
+        "dls": varbyte_encode(dls),
+        "block_first": docs[::BLOCK_SIZE].tolist(),
+        "block_max_tf": block_max_tf.tolist(),
+        "block_min_dl": block_min_dl.tolist(),
+    }
+
+
+def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map encoder for one (seg, term, run) group: sort by doc_id,
+    delta+varbyte pack, emit per-block max_tf / min_dl for block-max bounds."""
+    pdf = pdf.sort_values("doc_id")
+    fields = pack_run(
+        pdf["doc_id"].to_numpy(dtype=np.int64),
+        pdf["tf"].to_numpy(dtype=np.int64),
+        pdf["dl"].to_numpy(dtype=np.int64),
+    )
     return pd.DataFrame(
         {
             "seg": [int(pdf["seg"].iloc[0])],
             "term": [pdf["term"].iloc[0]],
             "run": [int(pdf["run"].iloc[0])],
-            "n": [n],
-            "min_doc": [int(docs[0])],
-            "max_doc": [int(docs[-1])],
-            "docs": [delta_encode(docs)],
-            "tfs": [varbyte_encode(tfs)],
-            "dls": [varbyte_encode(dls)],
-            "block_first": [docs[::BLOCK_SIZE].tolist()],
-            "block_max_tf": [block_max_tf.tolist()],
-            "block_min_dl": [block_min_dl.tolist()],
+            **{k: [v] for k, v in fields.items()},
         }
     )
 
@@ -226,11 +243,29 @@ def build_index(
         return {"built_segments": [], "skipped_segments": sorted(done), "elapsed_sec": time.time() - t0}
 
     # --- doc_id assignment over the FULL corpus (rank must be global) ---
-    docs = assign_doc_ids(base, cfg.doc_id_partitions, key_cols=doc_key_cols)
+    persisted: list = []
+    try:
+        return _build_segments(
+            spark, base, out_dir, cfg, doc_key_cols, text_col, meta_cols,
+            transcripts, fingerprints, todo, done, persisted, t0,
+        )
+    finally:
+        for h in persisted:
+            h.unpersist()
+
+
+def _build_segments(
+    spark, base, out_dir, cfg, doc_key_cols, text_col, meta_cols,
+    transcripts, fingerprints, todo, done, persisted, t0,
+):
+    docs = assign_doc_ids(
+        base, cfg.doc_id_partitions, key_cols=doc_key_cols, persisted=persisted
+    )
     docs = docs.withColumn("tokens", tokenize_col(text_col)).withColumn(
         "dl", F.size("tokens").cast("long")
     )
     docs = docs.persist()
+    persisted.append(docs)
 
     build_docs = docs.filter(F.col("seg").isin([int(s) for s in todo]))
 
@@ -261,10 +296,12 @@ def build_index(
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     flat = flat.persist()
+    persisted.append(flat)
 
     # --- per-segment partial df (also drives run-salting of hot terms) ---
     seg_df = flat.groupBy("seg", "term").agg(F.count("*").alias("df_p"))
     seg_df.persist()
+    persisted.append(seg_df)
     (
         seg_df.repartition("seg")
         .write.mode("overwrite")
@@ -329,9 +366,6 @@ def build_index(
     )
     spark.createDataFrame(mpdf).coalesce(1).write.mode("append").parquet(f"{out_dir}/manifests")
 
-    docs.unpersist()
-    flat.unpersist()
-    seg_df.unpersist()
     elapsed = time.time() - t0
     return {
         "built_segments": todo,

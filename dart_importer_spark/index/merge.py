@@ -1,0 +1,220 @@
+"""Sorted-merge compaction of index segments (SURVEY.md §7 step 6).
+
+The reference delegates this to Lucene's background segment merging (the
+ES single-shard deployment at reference import_dart_data.py:349 and
+docker-compose.yaml); here it is an explicit, resumable Spark job.
+
+Why compaction matters at 10^12 turns: a build over P input partitions with
+skew-salting leaves each hot term scattered across many small runs (one per
+(seg, run) pair). Query-time cost is proportional to the number of run rows
+touched, so compaction rewrites each term's postings into the minimum number
+of ~target_run-sized runs. Tombstoned documents (see
+``InvertedIndex.delete_by_query``) are physically dropped and global
+statistics (df / N / avgdl) are republished, which is exactly what a Lucene
+merge does with deletes.
+
+Scale design:
+- the merge shuffles only the **encoded blobs** (delta+varbyte compressed),
+  never re-exploded postings — shuffle volume equals compressed index size.
+- one grouped-map task never holds a whole hot term: runs are grouped by
+  ``(term, merge_group)`` where merge_group = min_doc * nmerge / N and
+  nmerge = ceil(df_term / target_run), bounding every task's working set to
+  ~target_run postings regardless of term frequency. Runs that straddle a
+  range boundary only add bounded slop (one source run).
+- output runs need not be globally doc-disjoint: the scorer treats runs as
+  independent chunks and aggregates by doc_id, so correctness is invariant
+  to the physical chunking (property-tested against the uncompacted index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codec import delta_decode, varbyte_decode
+from .build import POSTINGS_SCHEMA, pack_run
+
+MERGED_SEG = -1  # seg id marking post-compaction runs
+
+
+def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    path = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(path):
+        return None
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def compact_index(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    target_run: int | None = None,
+) -> dict:
+    """Compact ``index_dir`` into ``out_dir``: merge runs per term, drop
+    tombstoned docs, republish term_dict / corpus_stats / manifests."""
+    t0 = time.time()
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if target_run is None:
+        target_run = int(meta["target_run"])
+    n_buckets = int(meta["n_buckets"])
+
+    post = spark.read.parquet(f"{index_dir}/postings")
+    doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
+    tomb = _read_tombstones(spark, index_dir)
+    tomb_ids = np.array([], dtype=np.int64)
+    if tomb is not None:
+        # deletes are a small fraction of the corpus between compactions;
+        # a delete set too large to broadcast should be a rebuild instead
+        tomb_ids = np.array(
+            [r["doc_id"] for r in tomb.select("doc_id").distinct().collect()],
+            dtype=np.int64,
+        )
+        doc_stats = doc_stats.join(
+            tomb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    bc_tomb = spark.sparkContext.broadcast(np.sort(tomb_ids))
+
+    n_docs_row = doc_stats.agg(
+        F.count("*").alias("n"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    n_for_range = int(n_docs_row["mx"] or 0) + 1
+
+    # per-term total df decides how many merge ranges the term needs
+    totals = post.groupBy("term").agg(F.sum("n").alias("df_total"))
+    ranged = post.join(totals, "term").withColumn(
+        "nmerge", F.ceil(F.col("df_total") / F.lit(target_run)).cast("long")
+    ).withColumn(
+        "mgrp",
+        (F.col("min_doc") * F.col("nmerge") / F.lit(n_for_range)).cast("int"),
+    )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        dead = bc_tomb.value
+        docs_parts, tf_parts, dl_parts = [], [], []
+        for row in pdf.itertuples(index=False):
+            docs_parts.append(delta_decode(row.docs).astype(np.int64))
+            tf_parts.append(varbyte_decode(row.tfs).astype(np.int64))
+            dl_parts.append(varbyte_decode(row.dls).astype(np.int64))
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tf_parts)
+        dls = np.concatenate(dl_parts)
+        order = np.argsort(docs, kind="stable")
+        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        if dead.size:
+            keep = ~np.isin(docs, dead, assume_unique=False)
+            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        term = pdf["term"].iloc[0]
+        mgrp = int(pdf["mgrp"].iloc[0])
+        out = []
+        for s in range(0, len(docs), target_run):
+            chunk = slice(s, s + target_run)
+            if docs[chunk].size == 0:
+                continue
+            fields = pack_run(docs[chunk], tfs[chunk], dls[chunk])
+            out.append({"seg": MERGED_SEG, "term": term, "run": mgrp, **fields})
+        if not out:
+            return pd.DataFrame(
+                columns=[
+                    "seg", "term", "run", "n", "min_doc", "max_doc",
+                    "docs", "tfs", "dls", "block_first", "block_max_tf",
+                    "block_min_dl",
+                ]
+            )
+        return pd.DataFrame(out)
+
+    merged = ranged.groupBy("term", "mgrp").applyInPandas(
+        merge_group, schema=POSTINGS_SCHEMA
+    )
+    merged = merged.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "seg", "bucket"
+    ).parquet(f"{out_dir}/postings")
+
+    (
+        doc_stats.repartition("seg")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(f"{out_dir}/doc_stats")
+    )
+
+    # republish global stats from the compacted postings (df shrinks when
+    # tombstoned docs are dropped; N/avgdl from the surviving doc_stats)
+    post_out = spark.read.parquet(f"{out_dir}/postings")
+    (
+        post_out.groupBy("term")
+        .agg(F.sum("n").alias("df"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_dict")
+    )
+    ds_out = spark.read.parquet(f"{out_dir}/doc_stats")
+    (
+        ds_out.agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/corpus_stats")
+    )
+
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({**meta, "compacted": True, "target_run": target_run}, f)
+
+    # lineage: compaction manifest row (same table as build manifests)
+    prev = None
+    try:
+        prev = spark.read.parquet(f"{index_dir}/manifests")
+    except Exception:
+        pass
+    n_docs = int(ds_out.count())
+    n_runs = int(post_out.count())
+    row = pd.DataFrame(
+        [
+            (
+                "compact-00000",
+                -1,
+                0,
+                n_docs,
+                0,
+                n_runs,
+                pd.Timestamp.utcnow().tz_localize(None),
+                "committed",
+            )
+        ],
+        columns=[
+            "seg_id", "partition_id", "input_fingerprint", "n_docs",
+            "n_terms", "n_postings", "created_ts", "status",
+        ],
+    )
+    mdf = spark.createDataFrame(row)
+    if prev is not None:
+        mdf = prev.unionByName(mdf)
+    mdf.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/manifests")
+
+    # tombstones are applied, none carry over
+    shutil.rmtree(os.path.join(out_dir, "tombstones"), ignore_errors=True)
+
+    return {
+        "n_docs": n_docs,
+        "n_runs": n_runs,
+        "n_tombstones_dropped": int(tomb_ids.size),
+        "elapsed_sec": time.time() - t0,
+    }

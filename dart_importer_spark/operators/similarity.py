@@ -95,6 +95,7 @@ class LshAnnIndex:
         n_tables: int = 8,
         n_planes: int = 10,
         seed: int = 42,
+        persist: bool = True,
     ):
         self.id_col, self.vec_col = id_col, vec_col
         self.n_tables, self.n_planes, self.seed = n_tables, n_planes, seed
@@ -103,7 +104,12 @@ class LshAnnIndex:
             _hyperplane_sig(vec_col, self.dim, n_planes, seed + 7919 * t).alias(f"sig{t}")
             for t in range(n_tables)
         ]
-        self.table = emb.select("*", *sigs).persist()
+        self.table = emb.select("*", *sigs)
+        if persist:
+            self.table = self.table.persist()
+
+    def unpersist(self) -> None:
+        self.table.unpersist()
 
     def _query_sigs(self, query_vec: list[float]) -> list[int]:
         v = np.asarray(query_vec, dtype=np.float64)

@@ -69,8 +69,26 @@ class InvertedIndex:
         self.avgdl = float(row["avgdl"])
 
     # ------------------------------------------------------------------ scans
+    def _tombstones(self) -> DataFrame | None:
+        """Deleted doc_ids awaiting physical drop at the next compaction —
+        ES-style delete semantics (deleted docs vanish from results at once;
+        df/N/avgdl stay stale until merge, as in Lucene)."""
+        path = os.path.join(self.dir, "tombstones")
+        if not os.path.isdir(path):
+            return None
+        try:
+            return self.spark.read.parquet(path).select("doc_id").distinct()
+        except Exception:
+            return None
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        tomb = self._tombstones()
+        if tomb is None:
+            return df
+        return df.join(tomb, "doc_id", "left_anti")
+
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/doc_stats")
+        return self._live(self.spark.read.parquet(f"{self.dir}/doc_stats"))
 
     def term_dict(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.dir}/term_dict")
@@ -122,7 +140,7 @@ class InvertedIndex:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == len(terms))
-        agg = agg.select("doc_id", F.col("score"))
+        agg = self._live(agg.select("doc_id", F.col("score")))
         if round_scores is not None:
             # stabilizes LIMIT-boundary tie-breaks against an external oracle
             # whose float summation order differs in the last ulp
@@ -283,7 +301,7 @@ class InvertedIndex:
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
-        return (
+        return self._live(
             cand.select("docs").mapInPandas(decode, schema="doc_id long").distinct()
         )
 
@@ -301,3 +319,18 @@ class InvertedIndex:
         """ES fuzzy query (constant-score expansion variant)."""
         docs = self._docs_for_terms(self.expand_fuzzy(term, max_dist))
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
+
+    # ----------------------------------------------------------- mutation ops
+    def delete_by_query(self, filters: Column) -> int:
+        """ES delete_by_query (import_dart_data.py:473-475,
+        Running-ELK.md:203-211): append matching doc_ids to the tombstone
+        table. Deleted docs disappear from every query immediately; the
+        postings bytes are dropped at the next ``merge.compact_index`` (the
+        Lucene merge-applies-deletes model)."""
+        victims = self.doc_stats().filter(filters).select("doc_id")
+        n = victims.count()
+        if n:
+            victims.write.mode("append").parquet(
+                os.path.join(self.dir, "tombstones")
+            )
+        return n

@@ -1,0 +1,140 @@
+"""Unit tests for the training-data operators (dedup / similarity / text /
+multimodal) on small planted fixtures — hermetic, driver-side data."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.operators import dedup, multimodal, similarity
+from dart_importer_spark.operators import text as textops
+
+BASE = (
+    "spark builds distributed indexes over large transcript tables with "
+    "deterministic sharding and careful shuffle placement for scale"
+)
+NEAR = BASE.replace("careful", "cautious")  # one token differs
+OTHER = "an entirely different document about cooking pasta with tomatoes and basil"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR),          # near dup of 0
+        (3, OTHER),
+        (4, "short text"),
+        (5, "der hund und die katze ist nicht ein problem zu haben mit"),
+        (6, "the cat and the dog of it is you that in a house"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["rep_id"]: r["n_dups"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 7
+
+
+def test_minhash_lsh_jaccard_pipeline(docs):
+    sigs = dedup.minhash_signatures(docs, n_perm=32)
+    srows = {r["doc_id"]: tuple(r["sig"]) for r in sigs.collect()}
+    assert srows[0] == srows[1]  # identical text -> identical signature
+    pairs = dedup.minhash_lsh_pairs(sigs, bands=8)
+    cand = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in cand
+    assert (0, 2) in cand or (1, 2) in cand  # near dup shares >=1 band
+    verified = dedup.jaccard_verify(docs, pairs, threshold=0.5)
+    v = {(r["a"], r["b"]): r["jaccard"] for r in verified.collect()}
+    assert v[(0, 1)] == 1.0
+    near_key = (0, 2) if (0, 2) in v else (1, 2)
+    assert 0.5 <= v[near_key] < 1.0
+    assert not any(3 in k or 4 in k for k in v)
+
+
+def test_simhash_near_dups(docs):
+    sim = dedup.simhash(docs)
+    h = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert h[0] == h[1]
+    ham02 = bin(h[0] ^ h[2]).count("1")
+    ham03 = bin(h[0] ^ h[3]).count("1")
+    assert ham02 < ham03  # near dup closer than unrelated
+    pairs = dedup.simhash_near_dups(sim, max_hamming=max(ham02, 1))
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert (0, 2) in got
+
+
+def test_embedding_near_dups_and_ann(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((12, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).astype("float32").tolist()))
+        w = v + rng.standard_normal(16) * 0.01  # planted near-dup partner
+        rows.append((i * 2 + 1, (w / np.linalg.norm(w)).astype("float32").tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    nd = dedup.embedding_near_dups(emb, n_planes=12, threshold=0.99)
+    got = {(r["a"], r["b"]) for r in nd.collect()}
+    planted = {(i * 2, i * 2 + 1) for i in range(12)}
+    assert planted & got  # hyperplane LSH finds (most) planted pairs
+    assert got <= planted | {(a, b) for a in range(24) for b in range(24)}
+
+    # ANN vs brute force on a planted query
+    q = rows[0][1]
+    bf = [r["vec_id"] for r in similarity.brute_force_cosine_topk(emb, q, k=3).collect()]
+    ann = similarity.LshAnnIndex(emb, n_tables=8, n_planes=8, persist=False)
+    got_ann = [r["vec_id"] for r in ann.topk(q, k=3, multiprobe=1).collect()]
+    assert got_ann == bf
+
+
+def test_langid(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in textops.with_langid(docs).collect()}
+    assert out[6] == "en"
+    assert out[5] == "de"
+    assert out[4] == "und"
+
+
+def test_quality_and_token_count(docs):
+    out = textops.with_token_count(docs).filter(F.col("doc_id") == 4).first()
+    assert out["n_tokens"] == 2
+    q = textops.with_quality(docs).filter(F.col("doc_id") == 6).first()
+    assert q["stopword_hits"] >= 5
+    assert 0 < q["alnum_ratio"] <= 1
+
+
+def test_fingerprint_similarity(docs):
+    fp = {r["doc_id"]: tuple(r["fingerprint"]) for r in textops.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]
+    shared_near = len(set(fp[0]) & set(fp[2]))
+    shared_far = len(set(fp[0]) & set(fp[3]))
+    assert shared_near > shared_far
+
+
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.fake_media_df(spark, n=30)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    payloads = {r["media_id"]: r["payload"] for r in media.collect()}
+    for r in feats:
+        want = hashlib.sha256(bytes(payloads[r["media_id"]])).digest()[:16]
+        got = [round(x * 255) for x in r["feature"]]
+        assert got == list(want)
+        assert r["n_bytes"] == len(payloads[r["media_id"]])
+
+    plan = multimodal.frame_sample_plan(media, every_ms=1000)
+    rows = plan.groupBy("media_id").count().collect()
+    durations = {
+        r["media_id"]: r["duration_ms"]
+        for r in media.filter(F.col("kind") == "video").collect()
+    }
+    assert {r["media_id"] for r in rows} == set(durations)
+    for r in rows:
+        d = durations[r["media_id"]]
+        assert r["count"] == (max(d - 1, 0) // 1000) + 1

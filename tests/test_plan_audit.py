@@ -1,0 +1,83 @@
+"""Physical-plan audits: the no-per-row-Python contract (input_hint) and
+scan-level pushdown.
+
+``BatchEvalPython`` in a plan means a row-at-a-time Python UDF leaked into
+the hot path — forbidden everywhere. Python may appear only as Arrow-batched
+nodes (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas). Metadata
+predicates must reach the parquet scan as PushedFilters, and scans must
+prune to the referenced columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dart_importer_spark.operators import dedup, similarity
+from dart_importer_spark.operators import text as textops
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_no_row_python(df):
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_topk_plan_is_arrow_only(built_index):
+    df = built_index.topk("the and of", k=10)
+    assert_no_row_python(df)
+
+
+def test_build_side_expressions_are_jvm(spark, transcripts_df):
+    from dart_importer_spark.functions.tokenizer import tokenize_col
+
+    df = transcripts_df.withColumn("tokens", tokenize_col("text"))
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # tokenizer is pure Catalyst exprs
+    assert "regexp_extract_all" in plan
+
+
+def test_operators_no_row_python(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    assert_no_row_python(dedup.exact_dedup(docs))
+    sigs = dedup.minhash_signatures(docs, n_perm=8)
+    assert_no_row_python(sigs)
+    assert_no_row_python(dedup.minhash_lsh_pairs(sigs, bands=4))
+    assert_no_row_python(dedup.simhash(docs))
+    assert_no_row_python(textops.with_langid(docs))
+    assert_no_row_python(textops.with_quality(docs))
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.6, 0.8])], "vec_id long, embedding array<float>"
+    )
+    assert_no_row_python(similarity.brute_force_cosine_topk(emb, [1.0, 0.0], k=2))
+
+
+def test_metadata_filter_pushdown(built_index):
+    """Non-scoring bool-filter clauses (Q3/Q4) must reach the doc_stats
+    parquet scan as PushedFilters, not post-scan Filter-only."""
+    df = built_index.doc_stats().filter(F.col("role") == "tool").select("doc_id")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(role,tool)" in plan.replace(" ", "").replace("'", "") or (
+        "role" in plan.split("PushedFilters")[1][:200]
+    )
+
+
+def test_postings_scan_prunes_buckets_and_columns(built_index):
+    """A single-term query must prune postings directories by bucket and
+    read only the scoring columns (column pruning -> ReadSchema)."""
+    terms = ["the"]
+    cand = built_index._candidate_postings(terms).select("term", "docs")
+    plan = _plan(cand)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "docs" in read_schema and "tfs" not in read_schema
+    # partition pruning on the bucket directory column
+    assert "bucket" in plan.split("PartitionFilters")[1][:200]
