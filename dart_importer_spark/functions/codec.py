@@ -20,27 +20,56 @@ import numpy as np
 _THRESHOLDS = [1 << (7 * i) for i in range(1, 10)]  # 2^7 .. 2^63
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64/int64 array to LEB128 bytes (vectorized)."""
+def varbyte_encode_ex(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a uint64/int64 array to LEB128 bytes (vectorized), returning
+    the packed bytes AND the per-value byte lengths — the lengths let a
+    caller slice per-group sub-encodings out of one bulk encode.
+
+    Fast path: byte 0 of EVERY value is written with one unmasked scatter;
+    only the (typically tiny, for delta-gap data) subset needing
+    continuation bytes loops further, over shrinking arrays. The earlier
+    formulation masked the FULL array once per byte position, which made
+    encoding the dominant cost of the whole index build.
+    """
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     if arr.size == 0:
-        return b""
-    # exact byte-length per value without float log (safe past 2^53)
+        return b"", np.empty(0, dtype=np.int64)
+    # exact byte-length per value without float log (safe past 2^53);
+    # only run the compares the data actually needs
+    maxv = int(arr.max())
     nbytes = np.ones(arr.shape, dtype=np.int64)
     for t in _THRESHOLDS:
+        if maxv < t:
+            break
         nbytes += arr >= np.uint64(t)
     ends = np.cumsum(nbytes)
     starts = ends - nbytes
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)
-    maxb = int(nbytes.max())
-    for j in range(maxb):
-        mask = nbytes > j
-        idx = starts[mask] + j
-        chunk = (arr[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
-        cont = (nbytes[mask] - 1 > j).astype(np.uint8) << 7
-        out[idx] = chunk.astype(np.uint8) | cont
-    return out.tobytes()
+
+    b0 = (arr & np.uint64(0x7F)).astype(np.uint8)
+    cont = nbytes > 1
+    b0[cont] |= np.uint8(0x80)
+    out[starts] = b0
+
+    idx = np.flatnonzero(cont)
+    vals = arr[idx] >> np.uint64(7)
+    pos = starts[idx] + 1
+    rem = nbytes[idx] - 1
+    while vals.size:
+        byte = (vals & np.uint64(0x7F)).astype(np.uint8)
+        more = rem > 1
+        byte[more] |= np.uint8(0x80)
+        out[pos] = byte
+        vals = vals[more] >> np.uint64(7)
+        pos = pos[more] + 1
+        rem = rem[more] - 1
+    return out.tobytes(), nbytes
+
+
+def varbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64/int64 array to LEB128 bytes (vectorized)."""
+    return varbyte_encode_ex(values)[0]
 
 
 def varbyte_decode(data: bytes) -> np.ndarray:

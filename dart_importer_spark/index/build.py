@@ -26,11 +26,18 @@ Scale design (the 10^12-turn design point):
   vectorized mapInPandas adds offset + local row number. No global window,
   no single-partition bottleneck. The rank is independent of partition
   boundaries, so it is deterministic and resume-safe.
-- the one big shuffle is groupBy(term, doc_id) -> tf, then the grouped-map
-  encode keyed on (seg, term, run). Stopword skew is handled *explicitly*:
-  terms whose per-segment df exceeds ``target_run`` are split into
-  range-disjoint runs (run = doc_id * nruns / N), capping every grouped-map
-  group at ~target_run postings — on top of AQE skew splitting.
+- NO token-level shuffle at all (the Lucene flush-then-merge model made
+  distributed): each doc-range partition sorts and encodes its own posting
+  runs locally (run id = partition id); only the delta+varbyte-compressed
+  blobs shuffle, for directory layout. The raw token stream — the dominant
+  data volume — crosses JVM->Arrow->Python exactly once, memory-local.
+  Stopword skew is bounded *by construction*: a term's run within a
+  partition holds at most that partition's doc count regardless of global
+  df (no salting pre-pass needed), and the encoder chunks groups at
+  ``target_run``. ``merge.compact_index`` consolidates per-partition runs
+  exactly as Lucene background merges consolidate flushed segments; the
+  scorer is correct at any run granularity, so compaction is a pure
+  query-latency optimization.
 - segments (seg = crc32(conv_id) % n_segments) are the resume granularity:
   a failed/partial build re-runs only segments whose manifest row is missing
   or whose input fingerprint changed. Writes use dynamic partition overwrite
@@ -48,8 +55,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codec import delta_encode, varbyte_encode
-from ..functions.tokenizer import tokenize_col
+from ..functions.codec import varbyte_encode_ex
+from ..functions.tokenizer import tokenize_col, tokenize_series
 
 K1 = 1.2
 B = 0.75
@@ -76,6 +83,7 @@ def assign_doc_ids(
     partitions: int | None = None,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     persisted: list | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Stable dense doc_id = global rank under ORDER BY key_cols.
 
@@ -91,7 +99,9 @@ def assign_doc_ids(
     """
     spark = df.sparkSession
     if partitions is None:
-        partitions = max(8, spark.sparkContext.defaultParallelism)
+        # 2x parallelism: two task waves smooth stragglers (with exactly
+        # one wave the slowest partition sets the stage time)
+        partitions = max(8, 2 * spark.sparkContext.defaultParallelism)
     ranged = (
         df.repartitionByRange(partitions, *key_cols)
         .sortWithinPartitions(*key_cols)
@@ -105,6 +115,8 @@ def assign_doc_ids(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if stats_out is not None:
+        stats_out["n_total"] = acc
     bc = spark.sparkContext.broadcast(offsets)
 
     out_schema = df.schema.add("doc_id", "long", False)
@@ -123,53 +135,174 @@ def assign_doc_ids(
     return ranged.mapInPandas(number, schema=out_schema)
 
 
-def pack_run(docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> dict:
-    """Encode one sorted posting run into the on-disk field dict.
+def pack_runs_bulk(
+    docs: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+) -> dict:
+    """Vectorized packing of MANY posting groups at once: one varbyte pass
+    over the whole partition, per-group byte-offset slicing, and
+    ``reduceat`` block metadata. Per-group python cost drops from ~100 us
+    (dozens of small numpy allocations per group) to a few us — decisive
+    when local segment encoding emits one run per (partition, seg, term)
+    and groups average only tens of postings.
 
     Block bound validity: tfn(tf, dl) = tf / (tf + k1*(1-b+b*dl/avgdl)) is
     increasing in tf and decreasing in dl, so tfn(max_tf, min_dl) is a
     conservative per-block upper bound for any avgdl — which lets us store
     avgdl-independent metadata and keep segments immutable across merges.
+
+    Returns columnar lists ready for DataFrame construction.
     """
-    n = len(docs)
-    nb = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
-    pad = nb * BLOCK_SIZE - n
-    tf_pad = np.pad(tfs, (0, pad), constant_values=0)
-    dl_pad = np.pad(dls, (0, pad), constant_values=np.iinfo(np.int64).max)
-    block_max_tf = tf_pad.reshape(nb, BLOCK_SIZE).max(axis=1).astype(np.int32)
-    block_min_dl = np.minimum(
-        dl_pad.reshape(nb, BLOCK_SIZE).min(axis=1), np.int64(2**31 - 1)
+    n_groups = len(starts)
+    gaps = docs.copy()
+    gaps[1:] -= docs[:-1]
+    gaps[starts] = docs[starts]
+    gap_bytes, gap_len = varbyte_encode_ex(gaps)
+    tf_bytes, tf_len = varbyte_encode_ex(tfs)
+    dl_bytes, dl_len = varbyte_encode_ex(dls)
+
+    def offsets(lengths: np.ndarray) -> np.ndarray:
+        o = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=o[1:])
+        return o
+
+    gofs, tofs, dofs = offsets(gap_len), offsets(tf_len), offsets(dl_len)
+
+    sizes = ends - starts
+    nb = (sizes + BLOCK_SIZE - 1) // BLOCK_SIZE
+    nb_ofs = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(nb, out=nb_ofs[1:])
+    total_blocks = int(nb_ofs[-1])
+    grp_rep = np.repeat(np.arange(n_groups), nb)
+    intra = np.arange(total_blocks) - np.repeat(nb_ofs[:-1], nb)
+    bstarts = starts[grp_rep] + intra * BLOCK_SIZE
+    # blocks tile the partition contiguously, so reduceat's [idx_i, idx_i+1)
+    # regions are exactly the blocks
+    bmax_tf = np.maximum.reduceat(tfs, bstarts).astype(np.int32)
+    bmin_dl = np.minimum(
+        np.minimum.reduceat(dls, bstarts), np.int64(2**31 - 1)
     ).astype(np.int32)
-    return {
-        "n": n,
-        "min_doc": int(docs[0]),
-        "max_doc": int(docs[-1]),
-        "docs": delta_encode(docs),
-        "tfs": varbyte_encode(tfs),
-        "dls": varbyte_encode(dls),
-        "block_first": docs[::BLOCK_SIZE].tolist(),
-        "block_max_tf": block_max_tf.tolist(),
-        "block_min_dl": block_min_dl.tolist(),
+    bfirst = docs[bstarts]
+
+    gv, tv, dv = memoryview(gap_bytes), memoryview(tf_bytes), memoryview(dl_bytes)
+    out = {
+        "n": sizes.tolist(),
+        "min_doc": docs[starts].tolist(),
+        "max_doc": docs[ends - 1].tolist(),
+        "docs": [bytes(gv[gofs[s]:gofs[e]]) for s, e in zip(starts, ends)],
+        "tfs": [bytes(tv[tofs[s]:tofs[e]]) for s, e in zip(starts, ends)],
+        "dls": [bytes(dv[dofs[s]:dofs[e]]) for s, e in zip(starts, ends)],
+        "block_first": [
+            bfirst[nb_ofs[i]:nb_ofs[i + 1]].tolist() for i in range(n_groups)
+        ],
+        "block_max_tf": [
+            bmax_tf[nb_ofs[i]:nb_ofs[i + 1]].tolist() for i in range(n_groups)
+        ],
+        "block_min_dl": [
+            bmin_dl[nb_ofs[i]:nb_ofs[i + 1]].tolist() for i in range(n_groups)
+        ],
     }
+    return out
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Grouped-map encoder for one (seg, term, run) group: sort by doc_id,
-    delta+varbyte pack, emit per-block max_tf / min_dl for block-max bounds."""
-    pdf = pdf.sort_values("doc_id")
-    fields = pack_run(
-        pdf["doc_id"].to_numpy(dtype=np.int64),
-        pdf["tf"].to_numpy(dtype=np.int64),
-        pdf["dl"].to_numpy(dtype=np.int64),
-    )
-    return pd.DataFrame(
-        {
-            "seg": [int(pdf["seg"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "run": [int(pdf["run"].iloc[0])],
-            **{k: [v] for k, v in fields.items()},
-        }
-    )
+def _make_doc_encoder(target_run: int):
+    """Partition-level encoder over DOCUMENT rows (seg, doc_id, text).
+
+    The whole token pipeline runs vectorized inside Python: pandas-regex
+    tokenize -> pd.factorize (hash-based term ids) -> np.lexsort by
+    (seg, term, doc) -> run-length tf -> bulk delta+varbyte pack. Compared
+    to exploding tokens JVM-side, Arrow moves the raw text once (~6-8x
+    less volume than 60 token rows per doc), and there is no JVM string
+    sort. Documents are row-atomic, so batches need no carry logic; the
+    partition is processed as one block (memory = the partition's text,
+    which the doc-range partitioning already bounds).
+
+    run id = TaskContext partition id: unique per partition, which is all
+    the scorer needs (runs are independent physical chunks).
+    """
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        run_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+
+        from itertools import chain
+
+        toks = tokenize_series(pdf["text"])
+        dl = toks.str.len().to_numpy(dtype=np.int64)
+        total = int(dl.sum())
+        if total == 0:
+            return
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        codes, uniques = pd.factorize(flat, sort=False)
+        seg_rep = np.repeat(pdf["seg"].to_numpy(dtype=np.int32), dl)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        doc_rep = np.repeat(doc_ids, dl)
+        dl_rep = np.repeat(dl, dl)
+
+        # one composite-key argsort instead of a 3-key lexsort: ~3x less
+        # memory traffic through the sort, which is what the encode stage
+        # is bound by. Bit budget: seg < 2^9, per-partition vocab < 2^25,
+        # partition-local doc ordinal < 2^30 (partition sizing guarantees
+        # far less).
+        local_doc = (doc_rep - doc_ids.min()).astype(np.uint64)
+        key = (
+            (seg_rep.astype(np.uint64) << np.uint64(55))
+            | (codes.astype(np.uint64) << np.uint64(30))
+            | local_doc
+        )
+        order = np.argsort(key, kind="stable")
+        seg_s, code_s, doc_s, dl_s = (
+            seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
+        )
+        n = len(doc_s)
+        # collapse duplicate (seg, term, doc) rows to tf via run-length
+        new_post = np.empty(n, dtype=bool)
+        new_post[0] = True
+        new_post[1:] = (
+            (doc_s[1:] != doc_s[:-1])
+            | (code_s[1:] != code_s[:-1])
+            | (seg_s[1:] != seg_s[:-1])
+        )
+        pstarts = np.flatnonzero(new_post)
+        tfs = np.diff(np.append(pstarts, n)).astype(np.int64)
+        docs = doc_s[pstarts]
+        dls = dl_s[pstarts]
+        segs = seg_s[pstarts]
+        code_p = code_s[pstarts]
+        m = len(docs)
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = (segs[1:] != segs[:-1]) | (code_p[1:] != code_p[:-1])
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], m)
+        if ((ends - starts) > target_run).any():
+            pieces = []
+            for s, e in zip(starts, ends):
+                if e - s > target_run:
+                    pieces.extend(range(s, e, target_run))
+                else:
+                    pieces.append(s)
+            starts = np.asarray(pieces, dtype=np.int64)
+            ends = np.append(starts[1:], m)
+        fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        yield pd.DataFrame(
+            {
+                "seg": segs[starts].astype("int32"),
+                "term": uniques[code_p[starts]],
+                "run": np.full(len(starts), run_id, dtype=np.int32),
+                **fields,
+            }
+        )
+
+    return encode_partition
 
 
 def _seg_col(key_col, n_segments: int):
@@ -258,14 +391,28 @@ def _build_segments(
     spark, base, out_dir, cfg, doc_key_cols, text_col, meta_cols,
     transcripts, fingerprints, todo, done, persisted, t0,
 ):
+    phases: dict[str, float] = {}
+    tp = time.time()
+    assign_stats: dict = {}
     docs = assign_doc_ids(
-        base, cfg.doc_id_partitions, key_cols=doc_key_cols, persisted=persisted
+        base,
+        cfg.doc_id_partitions,
+        key_cols=doc_key_cols,
+        persisted=persisted,
+        stats_out=assign_stats,
     )
-    docs = docs.withColumn("tokens", tokenize_col(text_col)).withColumn(
-        "dl", F.size("tokens").cast("long")
-    )
-    docs = docs.persist()
-    persisted.append(docs)
+    n_total_docs = assign_stats["n_total"]
+    # dl via expression, tokens NOT cached: materializing a 10^8-element
+    # array<string> column into the columnar cache costs far more than
+    # re-running the JVM regex at explode time (measured: caching tokens
+    # made the doc_stats and flat phases memory-bound and killed scaling).
+    # docs itself is NOT cached either — the ranged input is already cached
+    # inside assign_doc_ids and the numbering is deterministic given the
+    # broadcast offsets, so recomputing it for the explode pass is cheaper
+    # than building a second full-corpus columnar cache.
+    docs = docs.withColumn("dl", F.size(tokenize_col(text_col)).cast("long"))
+    phases["assign_doc_ids"] = round(time.time() - tp, 3)
+    tp = time.time()
 
     build_docs = docs.filter(F.col("seg").isin([int(s) for s in todo]))
 
@@ -281,52 +428,34 @@ def _build_segments(
             ]
         )
     )
+    # no repartition("seg") here: partitionBy splits by seg at write time from
+    # whatever partitioning docs already has — an extra shuffle just to get
+    # one-file-per-seg costs more than the files it saves
     (
         build_docs.select(*stats_cols)
-        .repartition("seg")
         .write.mode("overwrite")
         .partitionBy("seg")
         .parquet(f"{out_dir}/doc_stats")
     )
+    phases["doc_stats_write"] = round(time.time() - tp, 3)
+    tp = time.time()
 
-    # --- flat postings (term, doc_id, tf, dl) ---
-    flat = (
-        build_docs.select("seg", "doc_id", "dl", F.explode("tokens").alias("term"))
-        .groupBy("seg", "term", "doc_id")
-        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-    )
-    flat = flat.persist()
-    persisted.append(flat)
-
-    # --- per-segment partial df (also drives run-salting of hot terms) ---
-    seg_df = flat.groupBy("seg", "term").agg(F.count("*").alias("df_p"))
-    seg_df.persist()
-    persisted.append(seg_df)
-    (
-        seg_df.repartition("seg")
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(f"{out_dir}/term_seg_df")
-    )
-
-    n_total_docs = docs.count()
-
-    # --- explicit skew handling: split hot terms into range-disjoint runs ---
-    hot = seg_df.filter(F.col("df_p") > cfg.target_run).withColumn(
-        "nruns", F.ceil(F.col("df_p") / cfg.target_run).cast("int")
-    ).select("seg", "term", "nruns")
-    salted = flat.join(F.broadcast(hot), ["seg", "term"], "left").withColumn(
-        "run",
-        F.when(
-            F.col("nruns").isNull(), F.lit(0)
-        ).otherwise(
-            (F.col("doc_id") * F.col("nruns") / F.lit(n_total_docs)).cast("int")
-        ),
-    )
-
-    # --- grouped-map encode (Arrow batches; numpy inside; no per-row Python) ---
-    encoded = salted.groupBy("seg", "term", "run").applyInPandas(
-        _encode_group, schema=POSTINGS_SCHEMA
+    # --- local segment encode: NO token-level shuffle at all ---
+    # This is the Lucene/ES ingest model made distributed: every doc-range
+    # partition tokenizes, sorts, and encodes ITS OWN posting runs (run id =
+    # partition id), and only the compressed blobs move in a shuffle for
+    # directory layout. The raw token stream (the dominant data volume)
+    # never touches the shuffle system — it crosses JVM->Arrow->Python
+    # exactly once, memory-local.
+    #
+    # Skew: bounded by construction — a term's run within a partition holds
+    # at most that partition's doc count, whatever the term's global df, so
+    # no salting or occurrence pre-pass is needed. The cost is more runs
+    # per term (<= one per partition); ``merge.compact_index`` consolidates
+    # them exactly as Lucene's background merges consolidate flushed
+    # segments, and the scorer is correct at any run granularity.
+    encoded = build_docs.select("seg", "doc_id", F.col(text_col).alias("text")).mapInPandas(
+        _make_doc_encoder(cfg.target_run), schema=POSTINGS_SCHEMA
     )
     encoded = encoded.withColumn(
         "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(cfg.n_buckets)).cast("int")
@@ -337,10 +466,29 @@ def _build_segments(
         .partitionBy("seg", "bucket")
         .parquet(f"{out_dir}/postings")
     )
+    phases["encode_write"] = round(time.time() - tp, 3)
+    tp = time.time()
+
+    # --- exact per-segment df, derived from the encoded postings (tiny:
+    # one row per run) — feeds resume stats and the published term_dict ---
+    built_post = spark.read.parquet(f"{out_dir}/postings").filter(
+        F.col("seg").isin([int(s) for s in todo])
+    )
+    seg_df = built_post.groupBy("seg", "term").agg(F.sum("n").alias("df_p"))
+    seg_df = seg_df.persist()
+    persisted.append(seg_df)
+    (
+        seg_df.repartition("seg")
+        .write.mode("overwrite")
+        .partitionBy("seg")
+        .parquet(f"{out_dir}/term_seg_df")
+    )
 
     # --- publish global term_dict + corpus_stats from per-seg partials ---
-    publish_stats(spark, out_dir)
+    publish_stats(spark, out_dir, cfg.n_buckets)
     _write_meta(out_dir, cfg, doc_key_cols, meta_cols)
+    phases["publish_stats"] = round(time.time() - tp, 3)
+    tp = time.time()
 
     # --- manifests: real lineage (vs the reference's dead code) ---
     seg_metrics = {
@@ -366,10 +514,12 @@ def _build_segments(
     )
     spark.createDataFrame(mpdf).coalesce(1).write.mode("append").parquet(f"{out_dir}/manifests")
 
+    phases["manifests"] = round(time.time() - tp, 3)
     elapsed = time.time() - t0
     return {
         "built_segments": todo,
         "skipped_segments": sorted(done),
+        "phases": phases,
         "n_docs": n_total_docs,
         "elapsed_sec": elapsed,
         "turns_per_sec": n_total_docs / elapsed if elapsed > 0 else None,
@@ -397,13 +547,23 @@ def _write_meta(out_dir: str, cfg: BuildConfig, doc_key_cols, meta_cols) -> None
         )
 
 
-def publish_stats(spark: SparkSession, out_dir: str) -> None:
-    """Derive global term_dict + corpus_stats from per-segment tables."""
+def publish_stats(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
+    """Derive global term_dict + corpus_stats from per-segment tables.
+
+    term_dict is directory-partitioned by the same crc32 term bucket as the
+    postings, so a query's df lookup prunes to the buckets its terms hash
+    to instead of scanning the whole dictionary."""
     seg_df = spark.read.parquet(f"{out_dir}/term_seg_df")
     (
         seg_df.groupBy("term")
         .agg(F.sum("df_p").alias("df"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition("bucket")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
     )
     ds = spark.read.parquet(f"{out_dir}/doc_stats")

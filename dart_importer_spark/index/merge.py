@@ -39,8 +39,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.codec import delta_decode, varbyte_decode
-from .build import POSTINGS_SCHEMA, pack_run
+from ..functions.codec import varbyte_decode
+from .build import POSTINGS_SCHEMA, pack_runs_bulk
 
 MERGED_SEG = -1  # seg id marking post-compaction runs
 
@@ -100,42 +100,94 @@ def compact_index(
         (F.col("min_doc") * F.col("nmerge") / F.lit(n_for_range)).cast("int"),
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_partition(batches) -> "Iterator[pd.DataFrame]":
+        """Partition-level merger, fully vectorized: the partition's run
+        blobs are decoded in ONE varbyte pass over the concatenated byte
+        streams (varbyte is self-delimiting), doc gaps are rebuilt with a
+        segmented cumsum, postings are lexsorted by (group, doc), tombstones
+        dropped, and everything re-packed with ``pack_runs_bulk``. Per-run
+        python overhead ~0: decisive when the local-segment build emits one
+        small run per (partition, term)."""
         dead = bc_tomb.value
-        docs_parts, tf_parts, dl_parts = [], [], []
-        for row in pdf.itertuples(index=False):
-            docs_parts.append(delta_decode(row.docs).astype(np.int64))
-            tf_parts.append(varbyte_decode(row.tfs).astype(np.int64))
-            dl_parts.append(varbyte_decode(row.dls).astype(np.int64))
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tf_parts)
-        dls = np.concatenate(dl_parts)
-        order = np.argsort(docs, kind="stable")
-        docs, tfs, dls = docs[order], tfs[order], dls[order]
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        terms = pdf["term"].to_numpy(dtype=object)
+        mgrps = pdf["mgrp"].to_numpy(dtype=np.int64)
+        n_arr = pdf["n"].to_numpy(dtype=np.int64)
+        n_runs = len(pdf)
+        # run -> merge-group id (runs arrive sorted by (term, mgrp))
+        g_change = np.empty(n_runs, dtype=bool)
+        g_change[0] = True
+        g_change[1:] = (terms[1:] != terms[:-1]) | (mgrps[1:] != mgrps[:-1])
+        grp_run = np.cumsum(g_change) - 1
+        n_groups = int(grp_run[-1]) + 1
+        first_run = np.flatnonzero(g_change)  # first run index of each group
+
+        # bulk decode: one pass over the concatenated streams
+        gaps = varbyte_decode(b"".join(pdf["docs"])).astype(np.int64)
+        tfs = varbyte_decode(b"".join(pdf["tfs"])).astype(np.int64)
+        dls = varbyte_decode(b"".join(pdf["dls"])).astype(np.int64)
+        run_starts = np.zeros(n_runs, dtype=np.int64)
+        np.cumsum(n_arr[:-1], out=run_starts[1:])
+        # segmented cumsum: each run's first gap is its absolute min doc_id
+        csum = np.cumsum(gaps)
+        base = csum[run_starts] - gaps[run_starts]
+        docs = csum - np.repeat(base, n_arr)
+
+        grp_post = np.repeat(grp_run, n_arr)
+        order = np.lexsort((docs, grp_post))
+        docs, tfs, dls, grp_post = (
+            docs[order], tfs[order], dls[order], grp_post[order],
+        )
         if dead.size:
             keep = ~np.isin(docs, dead, assume_unique=False)
-            docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
-        term = pdf["term"].iloc[0]
-        mgrp = int(pdf["mgrp"].iloc[0])
-        out = []
-        for s in range(0, len(docs), target_run):
-            chunk = slice(s, s + target_run)
-            if docs[chunk].size == 0:
-                continue
-            fields = pack_run(docs[chunk], tfs[chunk], dls[chunk])
-            out.append({"seg": MERGED_SEG, "term": term, "run": mgrp, **fields})
-        if not out:
-            return pd.DataFrame(
-                columns=[
-                    "seg", "term", "run", "n", "min_doc", "max_doc",
-                    "docs", "tfs", "dls", "block_first", "block_max_tf",
-                    "block_min_dl",
-                ]
+            docs, tfs, dls, grp_post = (
+                docs[keep], tfs[keep], dls[keep], grp_post[keep],
             )
-        return pd.DataFrame(out)
+        m = len(docs)
+        if m == 0:
+            return
+        change = np.empty(m, dtype=bool)
+        change[0] = True
+        change[1:] = grp_post[1:] != grp_post[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], m)
+        # chunk oversize groups at target_run
+        if ((ends - starts) > target_run).any():
+            pieces = []
+            for s, e in zip(starts, ends):
+                if e - s > target_run:
+                    pieces.extend(range(s, e, target_run))
+                else:
+                    pieces.append(s)
+            starts = np.asarray(pieces, dtype=np.int64)
+            ends = np.append(starts[1:], m)
+        fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        emit_grp = grp_post[starts]
+        emit_run_idx = first_run[emit_grp]
+        yield pd.DataFrame(
+            {
+                "seg": np.full(len(starts), MERGED_SEG, dtype=np.int32),
+                "term": terms[emit_run_idx],
+                "run": mgrps[emit_run_idx].astype(np.int32),
+                **fields,
+            }
+        )
 
-    merged = ranged.groupBy("term", "mgrp").applyInPandas(
-        merge_group, schema=POSTINGS_SCHEMA
+    tot = ranged.agg(
+        F.count("*").alias("runs"), F.sum("n").alias("posts")
+    ).collect()[0]
+    merge_parts = max(
+        2 * spark.sparkContext.defaultParallelism,
+        int(tot["posts"] or 0) // 4_000_000 + 1,
+    )
+    merged = (
+        ranged.repartition(merge_parts, "term", "mgrp")
+        .sortWithinPartitions("term", "mgrp", "min_doc")
+        .select("term", "mgrp", "n", "docs", "tfs", "dls")
+        .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA)
     )
     merged = merged.withColumn(
         "bucket",
@@ -160,7 +212,13 @@ def compact_index(
     (
         post_out.groupBy("term")
         .agg(F.sum("n").alias("df"))
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition("bucket")
         .write.mode("overwrite")
+        .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
     )
     ds_out = spark.read.parquet(f"{out_dir}/doc_stats")

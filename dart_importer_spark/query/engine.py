@@ -103,7 +103,11 @@ class InvertedIndex:
         )
 
     def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
-        rows = self.term_dict().filter(F.col("term").isin(list(terms))).collect()
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
+        td = self.term_dict()
+        if "bucket" in td.columns:  # bucket-partitioned dictionary: prune dirs
+            td = td.filter(F.col("bucket").isin(buckets))
+        rows = td.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
     # ------------------------------------------------------- match / BM25 topk
@@ -116,25 +120,53 @@ class InvertedIndex:
         prune: bool = True,
         with_meta: bool = False,
         round_scores: int | None = None,
+        boosts: dict[str, float] | None = None,
+        offset: int = 0,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
         ``filters`` is a Column predicate over doc_stats columns (the
         non-scoring ``filter`` clauses of an ES bool query, e.g.
         role/tool/ts range — Q4/Q7/Q9 of the reference query surface).
+        ``boosts`` multiplies a term's score contribution (ES ``term`` boost,
+        Running-ELK.md:284-294). ``offset`` skips leading hits (the
+        reference's page_no/page_count pagination, import_dart_data.py:73-76).
         """
         terms = sorted(set(tokenize_text(query)))
-        dfs = self.term_stats(terms)
+        if not terms:
+            return self._empty_scored(with_meta)
+        # one job over the bucket-pruned candidate postings yields df
+        # (= sum of run lengths) AND the per-term block-max upper bounds —
+        # instead of a term_dict scan plus a second bounds pass
+        stat_rows = (
+            self._candidate_postings(terms)
+            .groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.max(F.array_max("block_max_tf")).alias("mtf"),
+                F.min(F.array_min("block_min_dl")).alias("mdl"),
+            )
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in stat_rows}
         terms = [t for t in terms if t in dfs]
         if not terms:
             return self._empty_scored(with_meta)
         idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
+        if boosts:
+            idf = {t: w * float(boosts.get(t, 1.0)) for t, w in idf.items()}
+        ubs = {
+            r["term"]: idf[r["term"]]
+            * _tfn(float(r["mtf"]), float(r["mdl"]), self.avgdl)
+            for r in stat_rows
+            if r["term"] in idf
+        }
 
         theta = 0.0
         if prune and mode == "or" and filters is None and len(terms) > 1:
             theta = self._threshold_estimate(terms, dfs, idf, k)
 
-        scored = self._score_terms(terms, idf, theta=theta)
+        scored = self._score_terms(terms, idf, theta=theta, ubs=ubs)
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"), F.sum("matched").alias("n_matched")
         )
@@ -148,7 +180,10 @@ class InvertedIndex:
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
             agg = agg.join(allowed, "doc_id", "left_semi")
-        top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        top = agg.orderBy(F.desc("score"), F.asc("doc_id"))
+        if offset:
+            top = top.offset(offset)
+        top = top.limit(k)
         if with_meta:
             top = top.join(self.doc_stats(), "doc_id", "inner").orderBy(
                 F.desc("score"), F.asc("doc_id")
@@ -180,28 +215,16 @@ class InvertedIndex:
             return 0.0
         return float(np.partition(allc, allc.size - k)[allc.size - k])
 
-    def _score_terms(self, terms, idf, theta: float = 0.0) -> DataFrame:
+    def _score_terms(
+        self, terms, idf, theta: float = 0.0, ubs: dict[str, float] | None = None
+    ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping."""
         cand = self._candidate_postings(terms)
         avgdl = self.avgdl
         idf_map = dict(idf)
         # per-term global upper bounds for the pruning inequality
-        ub_total = 0.0
-        ubs: dict[str, float] = {}
-        if theta > 0.0:
-            ub_rows = (
-                cand.groupBy("term")
-                .agg(
-                    F.max(F.array_max("block_max_tf")).alias("mtf"),
-                    F.min(F.array_min("block_min_dl")).alias("mdl"),
-                )
-                .collect()
-            )
-            for r in ub_rows:
-                ubs[r["term"]] = idf_map[r["term"]] * _tfn(
-                    float(r["mtf"]), float(r["mdl"]), avgdl
-                )
-            ub_total = sum(ubs.values())
+        ubs = dict(ubs or {})
+        ub_total = sum(ubs.values()) if theta > 0.0 else 0.0
 
         def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -257,9 +280,17 @@ class InvertedIndex:
 
     def get_by_key(self, *key_values) -> DataFrame:
         """Point lookup by document key — ES get-by-_id
-        (import_dart_data.py:229, test.py:62-70)."""
+        (import_dart_data.py:229, test.py:62-70). The first key column
+        determines the segment (crc32 % n_segments), so the scan prunes to
+        one seg=... directory instead of touching every segment."""
+        import zlib
+
         key_cols = self.meta.get("doc_key_cols", ["conv_id", "turn_idx"])
         ds = self.doc_stats()
+        n_segments = int(self.meta.get("n_segments", 0))
+        if n_segments and "seg" in ds.columns:  # compaction preserves seg dirs
+            seg = zlib.crc32(str(key_values[0]).encode("utf-8")) % n_segments
+            ds = ds.filter(F.col("seg") == seg)
         for col, val in zip(key_cols, key_values):
             ds = ds.filter(F.col(col) == val)
         return ds

@@ -128,3 +128,30 @@ def test_pruned_equals_exhaustive(built_index):
 def test_fuzzy_expansion(built_index):
     terms = built_index.expand_fuzzy("thz", 1)
     assert "the" in terms
+
+
+def test_term_boost(built_index, oracle):
+    """ES term boost (Running-ELK.md:284-294): a boosted term's contribution
+    is multiplied; verified against a pandas recombination of single-term
+    oracle scores."""
+    q, boosted = "삼성 w00123", "삼성"
+    a = oracle.scores("삼성").set_index("doc_id")["score"] * 2.0
+    b = oracle.scores("w00123").set_index("doc_id")["score"]
+    want = (
+        a.add(b, fill_value=0.0)
+        .rename("score")
+        .reset_index()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = built_index.topk(q, 10, boosts={boosted: 2.0}).toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-6)
+
+
+def test_offset_pagination(built_index):
+    """O2 pagination (reference page_no/page_count, import_dart_data.py:73-76)."""
+    full = built_index.topk("the and of", 10).toPandas()
+    page2 = built_index.topk("the and of", 5, offset=5).toPandas()
+    assert list(page2["doc_id"]) == list(full["doc_id"][5:])
