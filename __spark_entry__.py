@@ -41,8 +41,10 @@ def _documents_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
+        # format-versioned cache dir: a stale index from an older on-disk
+        # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v2", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
         build_index(
