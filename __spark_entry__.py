@@ -325,18 +325,21 @@ def q_ft_delete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ix = _documents_index(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="dis_delete_")
-    dst = os.path.join(work, "idx")
-    shutil.copytree(ix.dir, dst)
-    from dart_importer_spark.query.engine import InvertedIndex
+    try:
+        dst = os.path.join(work, "idx")
+        shutil.copytree(ix.dir, dst)
+        from dart_importer_spark.query.engine import InvertedIndex
 
-    mx = InvertedIndex(spark, dst)
-    n_before = mx.count()
-    n_deleted = mx.delete_by_query(F.col("lang") == "de")
-    n_after = mx.count()
-    return spark.createDataFrame(
-        [(n_before, n_deleted, n_after)],
-        "n_before long, n_deleted long, n_after long",
-    )
+        mx = InvertedIndex(spark, dst)
+        n_before = mx.count()
+        n_deleted = mx.delete_by_query(F.col("lang") == "de")
+        n_after = mx.count()
+        return spark.createDataFrame(
+            [(n_before, n_deleted, n_after)],
+            "n_before long, n_deleted long, n_after long",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,10 +348,11 @@ def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (xxhash64 not reproducible in DuckDB): winnowing-style min-k
+    # winnowing-style min-k fingerprint, exploded to scalar rows so the gate
+    # can canonicalize, and DuckDB-checkable via the portable md5-60 hash
     docs = _load(spark, sf_dir, "documents")
     return textops.with_fingerprint(docs).select(
-        "doc_id", F.col("fingerprint").cast("array<long>").alias("fingerprint")
+        "doc_id", F.explode("fingerprint").alias("fp_hash")
     )
 
 
@@ -365,10 +369,15 @@ def q_dd_near_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (xxhash64-based): SimHash + 4-chunk Hamming<=3 pairing
+    # SimHash (portable md5-60 token hash) + 4-chunk Hamming<=3 pairing.
+    # The chunk-bucket join is complete for Hamming<=3 (pigeonhole), so the
+    # output equals ALL pairs at distance <=3 — which the DuckDB oracle
+    # recomputes exactly from first principles.
     docs = _load(spark, sf_dir, "documents")
     sim = dedup.simhash(docs)
-    return dedup.simhash_near_dups(sim, max_hamming=3)
+    return dedup.simhash_near_dups(sim, max_hamming=3).select(
+        "a", "b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -509,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from dart_importer_spark.functions.hashing import duckdb_md5_60
+    from dart_importer_spark.operators.dedup import SIMHASH_BITS
     from dart_importer_spark.operators.text import LANG_PROFILES
 
     tok = f"regexp_extract_all(lower(text), '{TOKEN_PATTERN}')"
@@ -529,7 +540,45 @@ sh AS (
 ),
 keyed AS (SELECT doc_id, array_to_string(s, chr(31)) AS key FROM sh)
 """
+    # --- tx_fingerprint: min-k winnowing fingerprint via the portable hash
+    sh3 = duckdb_md5_60("lst[i] || chr(1) || lst[i+1] || chr(1) || lst[i+2]")
+    sh0 = duckdb_md5_60("array_to_string(lst, chr(1))")
+    fingerprint_sql = f"""
+WITH t AS (SELECT doc_id, {tok} AS lst FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) >= 3 THEN
+           list_transform(generate_series(1, len(lst) - 2), i -> {sh3})
+         ELSE [{sh0}] END AS hs
+  FROM t
+),
+fp AS (SELECT doc_id, list_sort(list_distinct(hs))[1:8] AS f FROM sh)
+SELECT doc_id, unnest(f) AS fp_hash FROM fp
+"""
+    # --- dd_simhash_pairs: full SimHash recompute + all pairs at Hamming<=3
+    h60 = duckdb_md5_60("tok")
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    acc = " | ".join(
+        f"(CASE WHEN s{i} > 0 THEN 1::BIGINT << {i} ELSE 0::BIGINT END)"
+        for i in range(SIMHASH_BITS)
+    )
+    simhash_sql = f"""
+WITH tk AS (SELECT doc_id, unnest({tok}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, {h60} AS h FROM tf),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {acc} AS sim FROM bits)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
     return {
+        "tx_fingerprint": fingerprint_sql,
+        "dd_simhash_pairs": simhash_sql,
         "ft_match_single": _bm25_oracle(["data"], 20),
         "ft_match_multi": _bm25_oracle(["spark", "join", "stream"], 20),
         "ft_match_and": _bm25_oracle(["filter", "window"], 20, mode="and"),

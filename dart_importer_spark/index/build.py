@@ -70,6 +70,13 @@ class BuildConfig:
     target_run: int = 1 << 17  # max postings per encoded run (skew cap)
     doc_id_partitions: int | None = None
 
+    def __post_init__(self):
+        # seg occupies 9 bits of the encoder's composite sort key
+        if not (1 <= self.n_segments <= 512):
+            raise ValueError(
+                f"n_segments must be in [1, 512], got {self.n_segments}"
+            )
+
 
 POSTINGS_SCHEMA = (
     "seg int, term string, run int, n long, min_doc long, max_doc long, "
@@ -249,16 +256,23 @@ def _make_doc_encoder(target_run: int):
 
         # one composite-key argsort instead of a 3-key lexsort: ~3x less
         # memory traffic through the sort, which is what the encode stage
-        # is bound by. Bit budget: seg < 2^9, per-partition vocab < 2^25,
-        # partition-local doc ordinal < 2^30 (partition sizing guarantees
-        # far less).
+        # is bound by. Bit budget: seg < 2^9 (asserted in BuildConfig),
+        # per-partition vocab < 2^25, partition-local doc ordinal < 2^30.
+        # Overflowing fields would OR bits across key boundaries and emit a
+        # silently corrupt index, so the bounds are checked here and a
+        # (slower but unconditionally correct) 3-key lexsort takes over for
+        # freak partitions that exceed them.
         local_doc = (doc_rep - doc_ids.min()).astype(np.uint64)
-        key = (
-            (seg_rep.astype(np.uint64) << np.uint64(55))
-            | (codes.astype(np.uint64) << np.uint64(30))
-            | local_doc
-        )
-        order = np.argsort(key, kind="stable")
+        doc_span = int(doc_ids.max() - doc_ids.min())
+        if len(uniques) < (1 << 25) and doc_span < (1 << 30):
+            key = (
+                (seg_rep.astype(np.uint64) << np.uint64(55))
+                | (codes.astype(np.uint64) << np.uint64(30))
+                | local_doc
+            )
+            order = np.argsort(key, kind="stable")
+        else:
+            order = np.lexsort((local_doc, codes, seg_rep))
         seg_s, code_s, doc_s, dl_s = (
             seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
         )

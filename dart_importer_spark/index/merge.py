@@ -44,6 +44,90 @@ from .build import POSTINGS_SCHEMA, pack_runs_bulk
 
 MERGED_SEG = -1  # seg id marking post-compaction runs
 
+EXPLODED_SCHEMA = "term string, mgrp int, doc_id long, tf long, dl long"
+
+
+def _chunk_groups(grp_post: np.ndarray, target_run: int):
+    """Group-change boundaries over a sorted group-id array, with oversize
+    groups chunked at target_run. Returns (starts, ends)."""
+    m = len(grp_post)
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = grp_post[1:] != grp_post[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], m)
+    if ((ends - starts) > target_run).any():
+        pieces = []
+        for s, e in zip(starts, ends):
+            if e - s > target_run:
+                pieces.extend(range(s, e, target_run))
+            else:
+                pieces.append(s)
+        starts = np.asarray(pieces, dtype=np.int64)
+        ends = np.append(starts[1:], m)
+    return starts, ends
+
+
+def _explode_runs(batches) -> "Iterator[pd.DataFrame]":
+    """Decode run blobs to exploded (term, mgrp, doc_id, tf, dl) rows — the
+    fallback compaction input when the tombstone set is too large to
+    broadcast, so deletes can be applied as a distributed anti-join."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        n_arr = pdf["n"].to_numpy(dtype=np.int64)
+        gaps = varbyte_decode(b"".join(pdf["docs"])).astype(np.int64)
+        tfs = varbyte_decode(b"".join(pdf["tfs"])).astype(np.int64)
+        dls = varbyte_decode(b"".join(pdf["dls"])).astype(np.int64)
+        run_starts = np.zeros(len(pdf), dtype=np.int64)
+        np.cumsum(n_arr[:-1], out=run_starts[1:])
+        csum = np.cumsum(gaps)
+        base = csum[run_starts] - gaps[run_starts]
+        docs = csum - np.repeat(base, n_arr)
+        yield pd.DataFrame(
+            {
+                "term": np.repeat(pdf["term"].to_numpy(dtype=object), n_arr),
+                "mgrp": np.repeat(
+                    pdf["mgrp"].to_numpy(dtype=np.int32), n_arr
+                ),
+                "doc_id": docs,
+                "tf": tfs,
+                "dl": dls,
+            }
+        )
+
+
+def _make_exploded_packer(target_run: int):
+    """Re-pack exploded postings (sorted by term, mgrp, doc_id) into runs."""
+
+    def pack(batches) -> "Iterator[pd.DataFrame]":
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        terms = pdf["term"].to_numpy(dtype=object)
+        mgrps = pdf["mgrp"].to_numpy(dtype=np.int64)
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        m = len(docs)
+        g_change = np.empty(m, dtype=bool)
+        g_change[0] = True
+        g_change[1:] = (terms[1:] != terms[:-1]) | (mgrps[1:] != mgrps[:-1])
+        grp = np.cumsum(g_change) - 1
+        starts, ends = _chunk_groups(grp, target_run)
+        fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        yield pd.DataFrame(
+            {
+                "seg": np.full(len(starts), MERGED_SEG, dtype=np.int32),
+                "term": terms[starts],
+                "run": mgrps[starts].astype(np.int32),
+                **fields,
+            }
+        )
+
+    return pack
+
 
 def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     path = os.path.join(index_dir, "tombstones")
@@ -60,10 +144,16 @@ def compact_index(
     index_dir: str,
     out_dir: str,
     target_run: int | None = None,
+    tomb_broadcast_limit: int = 2_000_000,
 ) -> dict:
     """Compact ``index_dir`` into ``out_dir``: merge runs per term, drop
     tombstoned docs, republish term_dict / corpus_stats / manifests."""
     t0 = time.time()
+    if os.path.realpath(out_dir) == os.path.realpath(index_dir):
+        # the merged/doc_stats plans lazily re-read index_dir while writing;
+        # in-place compaction would read its own partial output (or destroy
+        # the only copy on failure)
+        raise ValueError("compact_index: out_dir must differ from index_dir")
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     if target_run is None:
@@ -73,16 +163,21 @@ def compact_index(
     post = spark.read.parquet(f"{index_dir}/postings")
     doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _read_tombstones(spark, index_dir)
-    tomb_ids = np.array([], dtype=np.int64)
+    tomb_df = None
+    tomb_n = 0
     if tomb is not None:
-        # deletes are a small fraction of the corpus between compactions;
-        # a delete set too large to broadcast should be a rebuild instead
+        tomb_df = tomb.select("doc_id").distinct()
+        tomb_n = tomb_df.count()
+        doc_stats = doc_stats.join(tomb_df, "doc_id", "left_anti")
+    # deletes are usually a small fraction of the corpus between compactions
+    # -> broadcast a sorted id array and mask inside the blob merger. Above
+    # the budget, fall back to the exploded anti-join path (shuffles raw
+    # postings once instead of OOMing the driver/executors on the broadcast).
+    use_bc = tomb_n <= tomb_broadcast_limit
+    tomb_ids = np.array([], dtype=np.int64)
+    if tomb_n and use_bc:
         tomb_ids = np.array(
-            [r["doc_id"] for r in tomb.select("doc_id").distinct().collect()],
-            dtype=np.int64,
-        )
-        doc_stats = doc_stats.join(
-            tomb.select("doc_id").distinct(), "doc_id", "left_anti"
+            [r["doc_id"] for r in tomb_df.collect()], dtype=np.int64
         )
     bc_tomb = spark.sparkContext.broadcast(np.sort(tomb_ids))
 
@@ -149,21 +244,7 @@ def compact_index(
         m = len(docs)
         if m == 0:
             return
-        change = np.empty(m, dtype=bool)
-        change[0] = True
-        change[1:] = grp_post[1:] != grp_post[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], m)
-        # chunk oversize groups at target_run
-        if ((ends - starts) > target_run).any():
-            pieces = []
-            for s, e in zip(starts, ends):
-                if e - s > target_run:
-                    pieces.extend(range(s, e, target_run))
-                else:
-                    pieces.append(s)
-            starts = np.asarray(pieces, dtype=np.int64)
-            ends = np.append(starts[1:], m)
+        starts, ends = _chunk_groups(grp_post, target_run)
         fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
         emit_grp = grp_post[starts]
         emit_run_idx = first_run[emit_grp]
@@ -183,12 +264,28 @@ def compact_index(
         2 * spark.sparkContext.defaultParallelism,
         int(tot["posts"] or 0) // 4_000_000 + 1,
     )
-    merged = (
-        ranged.repartition(merge_parts, "term", "mgrp")
-        .sortWithinPartitions("term", "mgrp", "min_doc")
-        .select("term", "mgrp", "n", "docs", "tfs", "dls")
-        .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA)
-    )
+    if tomb_n and not use_bc:
+        # huge delete set: decode to exploded postings, drop dead docs via a
+        # distributed anti-join, re-pack. Shuffle volume = raw postings once
+        # (vs. compressed blobs on the broadcast path) — the price of not
+        # materializing the delete set on every executor.
+        exploded = (
+            ranged.select("term", "mgrp", "n", "docs", "tfs", "dls")
+            .mapInPandas(_explode_runs, schema=EXPLODED_SCHEMA)
+            .join(tomb_df, "doc_id", "left_anti")
+        )
+        merged = (
+            exploded.repartition(merge_parts, "term", "mgrp")
+            .sortWithinPartitions("term", "mgrp", "doc_id")
+            .mapInPandas(_make_exploded_packer(target_run), schema=POSTINGS_SCHEMA)
+        )
+    else:
+        merged = (
+            ranged.repartition(merge_parts, "term", "mgrp")
+            .sortWithinPartitions("term", "mgrp", "min_doc")
+            .select("term", "mgrp", "n", "docs", "tfs", "dls")
+            .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA)
+        )
     merged = merged.withColumn(
         "bucket",
         F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
@@ -205,6 +302,7 @@ def compact_index(
         .partitionBy("seg")
         .parquet(f"{out_dir}/doc_stats")
     )
+    bc_tomb.destroy()  # postings + doc_stats materialized; free executors
 
     # republish global stats from the compacted postings (df shrinks when
     # tombstoned docs are dropped; N/avgdl from the surviving doc_stats)

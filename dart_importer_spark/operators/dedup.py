@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_60
 from ..functions.tokenizer import tokenize_col
 
 
@@ -158,52 +159,70 @@ def jaccard_verify(
     )
 
 
-def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out: str = "simhash"
-) -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes.
+SIMHASH_BITS = 60  # portable md5-based hash yields 60 usable bits
 
-    JVM-only formulation: for each of 64 bits, the bit is 1 iff
-    sum over tokens of tf * sign(bit of xxhash64(token)) > 0. Computed via
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "simhash",
+    n_bits: int = SIMHASH_BITS,
+    hash_fn=md5_60,
+) -> DataFrame:
+    """SimHash over tf-weighted token hashes (n_bits wide, default 60).
+
+    JVM-only formulation: for each bit, the bit is 1 iff
+    sum over tokens of tf * sign(bit of hash(token)) > 0. Computed via
     explode + conditional aggregates on bit masks (one shuffle, no UDF).
+    ``hash_fn`` defaults to the portable md5-based 60-bit hash (DuckDB-
+    reproducible); pass F.xxhash64 with n_bits=64 for max speed.
     """
     ex = (
         df.select(F.col(id_col).alias("_id"), F.explode(tokenize_col(text_col)).alias("tok"))
         .groupBy("_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", hash_fn(F.col("tok")))
     )
     bit_aggs = []
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
         contrib = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
         bit_aggs.append((F.sum(contrib) > 0).cast("long").alias(f"b{i}"))
     bits = ex.groupBy("_id").agg(*bit_aggs)
     acc = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(n_bits):
         acc = acc.bitwiseOR(F.shiftleft(F.col(f"b{i}"), i))
     return bits.select(F.col("_id").alias(id_col), acc.alias(out))
 
 
 def simhash_near_dups(
-    sim: DataFrame, id_col: str = "doc_id", hash_col: str = "simhash", max_hamming: int = 3
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance <= max_hamming, found by the
-    4-table trick: split 64 bits into 4 x 16-bit chunks; any pair within
-    Hamming 3 shares at least one exact chunk -> bucket-join per chunk,
-    then exact popcount verify. No all-pairs comparison."""
+    chunk-table trick: split n_bits into (max_hamming + 1) chunks; a pair
+    within Hamming max_hamming has at least one untouched chunk (pigeonhole)
+    -> bucket-join per chunk, then exact popcount verify. Complete by
+    construction for any max_hamming; no all-pairs comparison."""
+    n_chunks = max_hamming + 1
+    cw = (n_bits + n_chunks - 1) // n_chunks  # chunk width
+    mask = (1 << cw) - 1
     chunks = sim.select(
         id_col,
         hash_col,
         *[
-            F.shiftrightunsigned(F.col(hash_col), 16 * i)
-            .bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col(hash_col), cw * i)
+            .bitwiseAND(F.lit(mask))
             .alias(f"c{i}")
-            for i in range(4)
+            for i in range(n_chunks)
         ],
     )
     pairs = None
-    for i in range(4):
+    for i in range(n_chunks):
         a = chunks.select(
             F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), F.col(f"c{i}").alias("ck")
         )

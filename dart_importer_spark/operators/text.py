@@ -7,9 +7,12 @@ Python in the per-row path.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_60
 from ..functions.tokenizer import tokenize_col
 
 # per-language stopword profiles for the n-gram/stopword-hit language-ID
@@ -79,11 +82,18 @@ def with_langid(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -
 
 
 def with_fingerprint(
-    df: DataFrame, text_col: str = "text", out: str = "fingerprint", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "fingerprint",
+    k: int = 8,
+    hash_fn: Callable[[Column], Column] = md5_60,
 ) -> DataFrame:
     """Document fingerprint: min-k over rolling 3-token shingle hashes
     (winnowing-style), packed as sorted array<long>. JVM-only: shingles via
-    transform over token index, xxhash64 per shingle, slice(array_sort)."""
+    transform over token index, hash per shingle, slice(array_sort).
+    ``hash_fn`` defaults to the portable md5-based 60-bit hash so the output
+    is reproducible in DuckDB (pass F.xxhash64 for max speed when oracle
+    parity is not needed)."""
     toks = tokenize_col(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
@@ -91,7 +101,7 @@ def with_fingerprint(
         n >= 3,
         F.transform(
             idx,
-            lambda i: F.xxhash64(
+            lambda i: hash_fn(
                 F.concat_ws(
                     "",
                     F.element_at(toks, i + 1),
@@ -100,5 +110,5 @@ def with_fingerprint(
                 )
             ),
         ),
-    ).otherwise(F.array(F.xxhash64(F.concat_ws("", toks))))
+    ).otherwise(F.array(hash_fn(F.concat_ws("", toks))))
     return df.withColumn(out, F.slice(F.array_sort(F.array_distinct(shingles)), 1, k))
