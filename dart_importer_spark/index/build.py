@@ -571,6 +571,8 @@ def publish_stats(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
     (
         seg_df.groupBy("term")
         .agg(F.sum("df_p").alias("df"))
+        # tlen feeds the fuzzy-expansion length-band pushdown
+        .withColumn("tlen", F.length("term"))
         .withColumn(
             "bucket",
             F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),

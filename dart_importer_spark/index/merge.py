@@ -310,6 +310,7 @@ def compact_index(
     (
         post_out.groupBy("term")
         .agg(F.sum("n").alias("df"))
+        .withColumn("tlen", F.length("term"))
         .withColumn(
             "bucket",
             F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
@@ -371,6 +372,6 @@ def compact_index(
     return {
         "n_docs": n_docs,
         "n_runs": n_runs,
-        "n_tombstones_dropped": int(tomb_ids.size),
+        "n_tombstones_dropped": int(tomb_n),
         "elapsed_sec": time.time() - t0,
     }

@@ -56,17 +56,36 @@ def _tfn(tf, dl, avgdl: float):
 
 
 class InvertedIndex:
-    """Handle over an on-disk index directory produced by ``build_index``."""
+    """Handle over an on-disk index directory produced by ``build_index``.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    ``id_push_budget`` bounds how many doc_ids (tombstones or bool-filter
+    allow-lists) are collected and broadcast into the scoring kernel; larger
+    sets stay distributed (anti-/semi-join after aggregation) so the driver
+    never materializes unbounded id sets.
+    """
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, id_push_budget: int = 1_000_000
+    ):
         self.spark = spark
         self.dir = index_dir
+        self.id_push_budget = id_push_budget
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_buckets = int(self.meta["n_buckets"])
         row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
         self.n_docs = int(row["n_docs"])
         self.avgdl = float(row["avgdl"])
+
+    def _bounded_ids(self, df: DataFrame | None) -> np.ndarray | None:
+        """Collect a doc_id column as a sorted numpy array iff it fits the
+        push budget; None means 'too big, keep it distributed'."""
+        if df is None:
+            return None
+        rows = df.select("doc_id").take(self.id_push_budget + 1)
+        if len(rows) > self.id_push_budget:
+            return None
+        return np.sort(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
     # ------------------------------------------------------------------ scans
     def _tombstones(self) -> DataFrame | None:
@@ -162,24 +181,45 @@ class InvertedIndex:
             if r["term"] in idf
         }
 
-        theta = 0.0
-        if prune and mode == "or" and filters is None and len(terms) > 1:
-            theta = self._threshold_estimate(terms, dfs, idf, k)
+        # --- doc-id masks, pushed below scoring when they fit the budget ---
+        # ES applies bool filters (and deletes) BEFORE scoring; masking doc
+        # ids inside the decode kernel avoids decoding+scoring postings that
+        # a selective filter would discard, and keeps θ-pruning valid in the
+        # presence of tombstones (dead docs must not inflate θ).
+        dead_ids = self._bounded_ids(self._tombstones())
+        dead_pushed = dead_ids is not None  # None = too many, stay distributed
+        allowed_df = None
+        allowed_ids = None
+        if filters is not None:
+            allowed_df = self.spark.read.parquet(f"{self.dir}/doc_stats").filter(
+                filters
+            ).select("doc_id")
+            allowed_ids = self._bounded_ids(allowed_df)
 
-        scored = self._score_terms(terms, idf, theta=theta, ubs=ubs)
+        need = k + offset  # pruning must preserve ranks up to offset+k
+        theta = 0.0
+        if prune and mode == "or" and len(terms) > 1:
+            theta = self._threshold_estimate(
+                terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df
+            )
+
+        scored = self._score_terms(
+            terms, idf, theta=theta, ubs=ubs, dead=dead_ids, allowed=allowed_ids
+        )
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"), F.sum("matched").alias("n_matched")
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == len(terms))
-        agg = self._live(agg.select("doc_id", F.col("score")))
+        agg = agg.select("doc_id", F.col("score"))
+        if not dead_pushed:
+            agg = self._live(agg)
         if round_scores is not None:
             # stabilizes LIMIT-boundary tie-breaks against an external oracle
             # whose float summation order differs in the last ulp
             agg = agg.withColumn("score", F.round("score", round_scores))
-        if filters is not None:
-            allowed = self.doc_stats().filter(filters).select("doc_id")
-            agg = agg.join(allowed, "doc_id", "left_semi")
+        if filters is not None and allowed_ids is None:
+            agg = agg.join(allowed_df, "doc_id", "left_semi")
         top = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -196,37 +236,66 @@ class InvertedIndex:
             return base.join(self.doc_stats(), "doc_id", "inner")
         return base
 
-    def _threshold_estimate(self, terms, dfs, idf, k) -> float:
-        """Lower bound on the final k-th score: fully score the rarest term
-        (few postings) and take its k-th best single-term contribution."""
+    def _threshold_estimate(
+        self, terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df
+    ) -> float:
+        """Lower bound θ on the final ``need``-th score, computed
+        DISTRIBUTEDLY: fully score the rarest term (fewest postings) through
+        the same masked kernel, take its need-th best single-term
+        contribution via orderBy/limit — at most ``need`` rows ever reach
+        the driver, postings never do. Masks keep θ valid: a tombstoned or
+        filtered-out doc must not inflate θ above the true need-th live
+        score (which would prune blocks holding real top-k docs)."""
         rarest = min(terms, key=lambda t: dfs[t])
-        if dfs[rarest] < k:
+        if dfs[rarest] < need:
             return 0.0
-        rows = self._candidate_postings([rarest]).select("tfs", "dls").collect()
-        best = []
-        for r in rows:
-            tf = varbyte_decode(r["tfs"]).astype(np.float64)
-            dl = varbyte_decode(r["dls"]).astype(np.float64)
-            best.append(idf[rarest] * _tfn(tf, dl, self.avgdl))
-        if not best:
+        scored = self._score_terms(
+            [rarest], {rarest: idf[rarest]}, dead=dead_ids, allowed=allowed_ids
+        )
+        if dead_ids is None:
+            scored = self._live(scored)
+        if allowed_df is not None and allowed_ids is None:
+            scored = scored.join(allowed_df, "doc_id", "left_semi")
+        rows = scored.select("score").orderBy(F.desc("score")).limit(need).collect()
+        if len(rows) < need:
             return 0.0
-        allc = np.concatenate(best)
-        if allc.size < k:
-            return 0.0
-        return float(np.partition(allc, allc.size - k)[allc.size - k])
+        return float(rows[-1]["score"])
 
     def _score_terms(
-        self, terms, idf, theta: float = 0.0, ubs: dict[str, float] | None = None
+        self,
+        terms,
+        idf,
+        theta: float = 0.0,
+        ubs: dict[str, float] | None = None,
+        dead: np.ndarray | None = None,
+        allowed: np.ndarray | None = None,
     ) -> DataFrame:
-        """Vectorized decode + BM25 partial scoring with block-max skipping."""
+        """Vectorized decode + BM25 partial scoring with block-max skipping.
+
+        ``dead`` / ``allowed`` are sorted doc_id arrays broadcast into the
+        kernel: postings for tombstoned (dead) or filtered-out (not in
+        allowed) docs are dropped right after decode, before any scoring or
+        shuffle — the distributed form of ES's filter-before-score."""
         cand = self._candidate_postings(terms)
         avgdl = self.avgdl
         idf_map = dict(idf)
         # per-term global upper bounds for the pruning inequality
         ubs = dict(ubs or {})
         ub_total = sum(ubs.values()) if theta > 0.0 else 0.0
+        sc = self.spark.sparkContext
+        bc_dead = sc.broadcast(dead) if dead is not None and dead.size else None
+        bc_allowed = sc.broadcast(allowed) if allowed is not None else None
+
+        def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+            if not sorted_ids.size:
+                return np.zeros(docs.size, dtype=bool)
+            idx = np.searchsorted(sorted_ids, docs)
+            idx[idx == sorted_ids.size] = 0  # past-the-end can never match [0]
+            return sorted_ids[idx] == docs
 
         def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            dead_ids = bc_dead.value if bc_dead is not None else None
+            allowed_ids = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 outs = []
                 for row in pdf.itertuples(index=False):
@@ -247,6 +316,12 @@ class InvertedIndex:
                     if not keep.all():
                         mask = np.repeat(keep, BLOCK_SIZE)[: docs.size]
                         docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+                    if dead_ids is not None and docs.size:
+                        m = ~_member(docs, dead_ids)
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
+                    if allowed_ids is not None and docs.size:
+                        m = _member(docs, allowed_ids)
+                        docs, tfs, dls = docs[m], tfs[m], dls[m]
                     if docs.size == 0:
                         continue
                     contrib = t_idf * _tfn(tfs, dls, avgdl)
@@ -308,10 +383,21 @@ class InvertedIndex:
 
     def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
         """Edit-distance expansion over the term dictionary — ES fuzzy
-        (Running-ELK.md:186-200)."""
+        (Running-ELK.md:186-200).
+
+        Pruned by the length band |len(term) - len(q)| <= max_dist before
+        levenshtein runs: the band on the stored ``tlen`` column is a plain
+        comparison predicate, so it pushes into the parquet scan (row-group
+        min/max stats) instead of edit-distancing the whole dictionary."""
+        q = term.lower()
+        td = self.term_dict()
+        if "tlen" in td.columns:
+            band = F.col("tlen").between(len(q) - max_dist, len(q) + max_dist)
+        else:  # pre-tlen index layout: still prune before levenshtein
+            band = F.length("term").between(len(q) - max_dist, len(q) + max_dist)
         rows = (
-            self.term_dict()
-            .filter(F.levenshtein(F.col("term"), F.lit(term.lower())) <= max_dist)
+            td.filter(band)
+            .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_dist)
             .select("term")
             .collect()
         )

@@ -111,3 +111,26 @@ def test_delete_then_query_matches_filtered_original(built_index, mutable_index)
             ).collect()
         ]
         assert got == want, q
+
+
+def test_compact_refuses_in_place(spark, mutable_index):
+    with pytest.raises(ValueError, match="out_dir"):
+        compact_index(spark, mutable_index.dir, mutable_index.dir)
+
+
+def test_compaction_oversized_tombstones_anti_join_path(
+    spark, mutable_index, tmp_path
+):
+    """Above the broadcast budget compaction switches to the exploded
+    anti-join path; results must be identical to the broadcast path."""
+    ix = mutable_index
+    n_tool = ix.delete_by_query(F.col("role") == "tool")
+    out_aj = str(tmp_path / "compact_aj")
+    m = compact_index(spark, ix.dir, out_aj, tomb_broadcast_limit=1)
+    assert m["n_tombstones_dropped"] == n_tool
+    out_bc = str(tmp_path / "compact_bc")
+    compact_index(spark, ix.dir, out_bc)
+    a, b = InvertedIndex(spark, out_aj), InvertedIndex(spark, out_bc)
+    assert a.n_docs == b.n_docs
+    for q in QUERIES:
+        assert _topk_rows(a, q) == _topk_rows(b, q), q

@@ -155,3 +155,48 @@ def test_offset_pagination(built_index):
     full = built_index.topk("the and of", 10).toPandas()
     page2 = built_index.topk("the and of", 5, offset=5).toPandas()
     assert list(page2["doc_id"]) == list(full["doc_id"][5:])
+
+
+def test_pruned_topk_after_delete(built_index, spark, tmp_path_factory):
+    """Regression (ADVICE r01): θ must exclude tombstoned docs. After
+    deleting the current top docs, pruned topk must stay rank-identical to
+    exhaustive scoring — a θ inflated by dead postings would skip blocks
+    holding the new live top-k."""
+    import shutil
+
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    work = str(tmp_path_factory.mktemp("deleted") / "idx")
+    shutil.copytree(built_index.dir, work)
+    ix = InvertedIndex(spark, work)
+    q = "the and of"
+    top_before = ix.topk(q, 5, prune=False).toPandas()
+    n = ix.delete_by_query(
+        F.col("doc_id").isin([int(x) for x in top_before["doc_id"]])
+    )
+    assert n == 5
+    a = ix.topk(q, 10, prune=True).toPandas()
+    b = ix.topk(q, 10, prune=False).toPandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert np.allclose(a["score"], b["score"], atol=1e-9)
+    assert not set(a["doc_id"]) & set(top_before["doc_id"])
+
+
+def test_filter_pushdown_reduces_scored_rows(built_index):
+    """Bool filters must mask postings BEFORE scoring (ES filter-first):
+    with a selective allowed-set the scoring kernel emits fewer rows."""
+    ds = built_index.doc_stats().filter(F.col("tool") == "bash").select("doc_id")
+    allowed = np.sort(np.array([r["doc_id"] for r in ds.collect()], dtype=np.int64))
+    assert allowed.size > 0
+    full = built_index._score_terms(["the"], {"the": 1.0}).count()
+    masked = built_index._score_terms(["the"], {"the": 1.0}, allowed=allowed).count()
+    assert masked < full
+    assert masked <= allowed.size
+
+
+def test_offset_with_prune(built_index):
+    """θ must bound the (offset+k)-th rank, not the k-th, or pagination
+    pages past k lose pruned rows."""
+    full = built_index.topk("the and of", 20, prune=False).toPandas()
+    page = built_index.topk("the and of", 5, offset=8, prune=True).toPandas()
+    assert list(page["doc_id"]) == list(full["doc_id"][8:13])
