@@ -44,17 +44,26 @@ def _documents_index(spark: SparkSession, sf_dir: str):
         # format-versioned cache dir: a stale index from an older on-disk
         # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index_v2", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v3", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
+        # opt_tag: a deterministically-nullable column so ES `exists`
+        # semantics (Q7) are non-trivially testable against the oracle
+        docs = docs.withColumn(
+            "opt_tag",
+            F.when(F.col("src_id") % 3 == 0, F.lit(None)).otherwise(F.col("source")),
+        )
         build_index(
             spark,
             docs,
             out,
             BuildConfig(n_segments=4, n_buckets=8),
             doc_key_cols=("src_id",),
-            text_col="text",
-            meta_cols=("lang", "source", "n_chars"),
+            # fielded index: text (primary) + source, plus text's 2-gram
+            # search_as_you_type subfield (reference import_dart_data.py:389-440)
+            text_cols=("text", "source"),
+            shingle_fields=(("text", 2),),
+            meta_cols=("lang", "source", "n_chars", "opt_tag"),
         )
         _INDEX_CACHE[key] = out
     return InvertedIndex(spark, _INDEX_CACHE[key])
@@ -75,8 +84,14 @@ def _bm25_oracle(
     k: int,
     mode: str = "or",
     doc_filter: str | None = None,
+    boosts: dict[str, float] | None = None,
+    offset: int = 0,
+    field: str = "text",
 ) -> str:
-    qlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    boosts = boosts or {}
+    qvals = ", ".join(
+        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in sorted(set(terms))
+    )
     filter_join = (
         f"JOIN docs d ON d.did = tf.did AND ({doc_filter})" if doc_filter else ""
     )
@@ -87,21 +102,21 @@ WITH docs AS (
   FROM documents
 ),
 tok AS (
-  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  SELECT did, unnest(regexp_extract_all(lower({field}), '{TOKEN_PATTERN}')) AS term
   FROM docs
 ),
 tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
 dl AS (
-  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  SELECT did, len(regexp_extract_all(lower({field}), '{TOKEN_PATTERN}'))::DOUBLE AS dl
   FROM docs
 ),
 stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
 dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
-q AS (SELECT unnest([{qlist}]) AS term),
+q(term, boost) AS (VALUES {qvals}),
 scored AS (
   SELECT tf.did AS doc_id,
          sum(
-           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           q.boost * ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
            * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
          ) AS raw_score
   FROM tf
@@ -116,7 +131,7 @@ scored AS (
 SELECT doc_id, round(raw_score, 6) AS score
 FROM scored
 ORDER BY round(raw_score, 6) DESC, doc_id ASC
-LIMIT {k}
+LIMIT {k} OFFSET {offset}
 """
 
 
@@ -342,6 +357,74 @@ def q_ft_delete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_ft_match_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fielded match (reference multi-field mappings import_dart_data.py:389-440,
+    # query Running-ELK.md:145-152): BM25 against the `source` field with its
+    # own df/dl/avgdl statistics
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk("src7", k=20, field="source", round_scores=6)
+
+
+def q_ft_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q2 term boost (Running-ELK.md:284-294)
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk("data merge", k=20, boosts={"data": 2.0}, round_scores=6)
+
+
+def q_ft_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 exists (Running-ELK.md:221-228): non-trivial — opt_tag is NULL for
+    # every third doc by construction
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk(
+        "data", k=20, filters=F.col("opt_tag").isNotNull(), round_scores=6
+    )
+
+
+def q_ft_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2 pagination (reference page_no/page_count, import_dart_data.py:73-76)
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk("merge sort", k=20, offset=10, round_scores=6)
+
+
+def q_ft_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 search_as_you_type, full semantics: complete terms BM25 + last-term
+    # prefix (constant score) + 2-gram shingle subfield BM25, summed
+    # (reference mapping import_dart_data.py:353-354,395-405)
+    ix = _documents_index(spark, sf_dir)
+    return ix.search_as_you_type("merge sor", k=20, round_scores=6)
+
+
+def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 interval-overlap join (reference time_frame date_range overlap,
+    # import_dart_data.py:436-440): events as [ts, ts+2h) intervals x day
+    # windows, range-bucketized equi-join (no nested loop)
+    from dart_importer_spark.operators.intervals import interval_overlap_join
+
+    # cast via timestamp keeps microsecond precision as fractional epoch
+    # seconds (unix_timestamp truncates; TIMESTAMP_NTZ can't cast to double)
+    ev_sec = F.col("ts").cast("timestamp").cast("double")
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id",
+        ev_sec.alias("ev_start"),
+        (ev_sec + 7200.0).alias("ev_end"),
+    )
+    days = spark.createDataFrame(
+        [(d,) for d in range(1, 8)], "day int"
+    ).select(
+        "day",
+        (F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + (F.col("day") - 1) * 86400)
+        .cast("double")
+        .alias("day_start"),
+        (F.unix_timestamp(F.lit("2024-01-01 00:00:00")) + F.col("day") * 86400 - 1)
+        .cast("double")
+        .alias("day_end"),
+    )
+    out = interval_overlap_join(
+        ev, days, "ev_start", "ev_end", "day_start", "day_end", bucket_width=86400.0
+    )
+    return out.select("event_id", "day")
+
+
 def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return textops.with_langid(docs).select("doc_id", "lang_pred")
@@ -481,6 +564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_deep_topk": _ft("merge sort", k=100),
         "ft_wildcard_prefix": q_ft_wildcard,
         "ft_fuzzy": q_ft_fuzzy,
+        "ft_match_field": q_ft_match_field,
+        "ft_boost": q_ft_boost,
+        "ft_exists": q_ft_exists,
+        "ft_offset": q_ft_offset,
+        "ft_sayt": q_ft_sayt,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -514,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_union": q_etl_union,
         "etl_window_topn": q_etl_window_topn,
         "etl_distinct": q_etl_distinct,
+        "etl_interval_join": q_etl_interval_join,
     }
 
 
@@ -576,9 +665,75 @@ SELECT a.doc_id AS a, b.doc_id AS b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
+    # --- ft_sayt: complete-term BM25 (text) + last-term prefix const +
+    # 2-gram shingle-subfield BM25, summed — mirrors engine.search_as_you_type
+    sayt_sql = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tok AS (SELECT did, unnest(lst) AS term FROM t),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+base AS (
+  SELECT tf.did, sum(
+    ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+    * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS sc
+  FROM tf JOIN dft USING (term) JOIN dl ON dl.did = tf.did CROSS JOIN st s
+  WHERE tf.term IN ('merge') GROUP BY tf.did
+),
+pfx AS (SELECT DISTINCT did, 1.0 AS sc FROM tok WHERE term LIKE 'sor%'),
+sh AS (
+  SELECT did, CASE
+    WHEN len(lst) >= 2 THEN list_transform(
+      generate_series(1, len(lst) - 1), i -> lst[i] || chr(31) || lst[i+1])
+    WHEN len(lst) = 1 THEN [lst[1]]
+    ELSE [] END AS g
+  FROM t
+),
+gtok AS (SELECT did, unnest(g) AS term FROM sh),
+gtf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM gtok GROUP BY 1, 2),
+gdl AS (SELECT did, len(g)::DOUBLE AS dl FROM sh),
+gst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM gdl),
+gdft AS (SELECT term, count(*)::DOUBLE AS df FROM gtf GROUP BY 1),
+gram AS (
+  SELECT gtf.did, sum(
+    ln(1 + (s.n - gdft.df + 0.5) / (gdft.df + 0.5))
+    * gtf.tf / (gtf.tf + {K1} * (1 - {B} + {B} * gdl.dl / s.avgdl))) AS sc
+  FROM gtf JOIN gdft USING (term) JOIN gdl ON gdl.did = gtf.did CROSS JOIN gst s
+  WHERE gtf.term IN ('merge' || chr(31) || 'sor') GROUP BY gtf.did
+),
+allsc AS (
+  SELECT did, sc FROM base
+  UNION ALL SELECT did, sc FROM pfx
+  UNION ALL SELECT did, sc FROM gram
+)
+SELECT did AS doc_id, round(sum(sc), 6) AS score
+FROM allsc GROUP BY did
+ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
+"""
     return {
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
+        "ft_match_field": _bm25_oracle(["src7"], 20, field="source"),
+        "ft_boost": _bm25_oracle(["data", "merge"], 20, boosts={"data": 2.0}),
+        "ft_exists": _bm25_oracle(["data"], 20, doc_filter="d.did % 3 <> 0"),
+        "ft_offset": _bm25_oracle(["merge", "sort"], 20, offset=10),
+        "ft_sayt": sayt_sql,
+        "etl_interval_join": """
+WITH days AS (
+  SELECT d AS day,
+         TIMESTAMP '2024-01-01 00:00:00' + (d - 1) * INTERVAL 1 DAY AS ds,
+         TIMESTAMP '2024-01-01 00:00:00' + d * INTERVAL 1 DAY
+           - INTERVAL 1 SECOND AS de
+  FROM generate_series(1, 7) t(d)
+)
+SELECT event_id, day
+FROM events e JOIN days
+  ON e.ts <= days.de AND days.ds <= e.ts + INTERVAL 2 HOUR
+""",
         "ft_match_single": _bm25_oracle(["data"], 20),
         "ft_match_multi": _bm25_oracle(["spark", "join", "stream"], 20),
         "ft_match_and": _bm25_oracle(["filter", "window"], 20, mode="and"),

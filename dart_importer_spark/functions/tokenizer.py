@@ -60,3 +60,38 @@ def tokenize_series(s: pd.Series) -> pd.Series:
 DUCKDB_TOKENIZE = (
     "regexp_extract_all(lower({col}), '[0-9a-z_]+|[ㄱ-ퟝ一-鿿]+')"
 )
+
+# Separator for word-shingle terms (search_as_you_type 2/3-gram subfields).
+# U+001F never appears in tokens (not in TOKEN_PATTERN's charset), so a
+# shingle term can't collide with a plain term or a different split.
+SHINGLE_SEP = "\x1f"
+
+
+def make_shingle_tokenizer(n: int, sep: str = SHINGLE_SEP):
+    """Pandas tokenizer emitting word n-gram shingles: the analyzer of ES
+    search_as_you_type ._2gram/._3gram subfields (reference
+    import_dart_data.py:353-354,395-405). For fewer than n tokens, ES's
+    shingle filter emits the whole (shorter) token run as one shingle;
+    zero tokens emit nothing. Must agree with build._field_dl_col."""
+
+    def shingle(tokens: list[str]) -> list[str]:
+        if not tokens:
+            return []
+        if len(tokens) < n:
+            return [sep.join(tokens)]
+        return [sep.join(tokens[j : j + n]) for j in range(len(tokens) - n + 1)]
+
+    def fn(texts: pd.Series) -> pd.Series:
+        return tokenize_series(texts).map(shingle)
+
+    return fn
+
+
+def shingle_text(text: str, n: int, sep: str = SHINGLE_SEP) -> list[str]:
+    """Driver-side shingle tokenizer (query analysis for shingle fields)."""
+    toks = tokenize_text(text)
+    if not toks:
+        return []
+    if len(toks) < n:
+        return [sep.join(toks)]
+    return [sep.join(toks[j : j + n]) for j in range(len(toks) - n + 1)]

@@ -79,10 +79,12 @@ class BuildConfig:
 
 
 POSTINGS_SCHEMA = (
-    "seg int, term string, run int, n long, min_doc long, max_doc long, "
+    "seg int, field int, term string, run int, n long, min_doc long, max_doc long, "
     "docs binary, tfs binary, dls binary, "
     "block_first array<long>, block_max_tf array<int>, block_min_dl array<int>"
 )
+
+MAX_FIELDS = 8  # joint (field, term) code budget in the encoder sort key
 
 
 def assign_doc_ids(
@@ -215,21 +217,30 @@ def pack_runs_bulk(
     return out
 
 
-def _make_doc_encoder(target_run: int):
-    """Partition-level encoder over DOCUMENT rows (seg, doc_id, text).
+def _make_doc_encoder(target_run: int, n_fields: int = 1, tokenizers=None):
+    """Partition-level encoder over (doc, field) rows (seg, doc_id, field,
+    text) — one input row per indexed field of each document.
 
     The whole token pipeline runs vectorized inside Python: pandas-regex
     tokenize -> pd.factorize (hash-based term ids) -> np.lexsort by
-    (seg, term, doc) -> run-length tf -> bulk delta+varbyte pack. Compared
-    to exploding tokens JVM-side, Arrow moves the raw text once (~6-8x
-    less volume than 60 token rows per doc), and there is no JVM string
-    sort. Documents are row-atomic, so batches need no carry logic; the
+    (seg, field·term, doc) -> run-length tf -> bulk delta+varbyte pack.
+    Compared to exploding tokens JVM-side, Arrow moves the raw text once
+    (~6-8x less volume than 60 token rows per doc), and there is no JVM
+    string sort. Rows are atomic, so batches need no carry logic; the
     partition is processed as one block (memory = the partition's text,
     which the doc-range partitioning already bounds).
+
+    Fields ride inside the factorize code (code2 = term_code * n_fields +
+    field) so the composite sort key needs no extra bits; dl is the
+    per-(doc, field) token count, which is what per-field BM25 norms want.
+    ``tokenizers`` optionally maps field id -> a callable(pd.Series) ->
+    Series[list[str]] (e.g. shingle tokenizers for search_as_you_type
+    subfields); default is the pinned standard tokenizer.
 
     run id = TaskContext partition id: unique per partition, which is all
     the scorer needs (runs are independent physical chunks).
     """
+    tokenizers = tokenizers or {}
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -242,13 +253,24 @@ def _make_doc_encoder(target_run: int):
 
         from itertools import chain
 
-        toks = tokenize_series(pdf["text"])
+        if tokenizers:
+            fid_arr = pdf["field"].to_numpy(dtype=np.int64)
+            toks = tokenize_series(pdf["text"])
+            for fid, fn in tokenizers.items():
+                sel = fid_arr == fid
+                if sel.any():
+                    toks.loc[sel] = fn(pdf["text"][sel])
+        else:
+            toks = tokenize_series(pdf["text"])
         dl = toks.str.len().to_numpy(dtype=np.int64)
         total = int(dl.sum())
         if total == 0:
             return
         flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
         codes, uniques = pd.factorize(flat, sort=False)
+        if n_fields > 1:
+            field_rep = np.repeat(pdf["field"].to_numpy(dtype=np.int64), dl)
+            codes = codes.astype(np.int64) * n_fields + field_rep
         seg_rep = np.repeat(pdf["seg"].to_numpy(dtype=np.int32), dl)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         doc_rep = np.repeat(doc_ids, dl)
@@ -257,14 +279,14 @@ def _make_doc_encoder(target_run: int):
         # one composite-key argsort instead of a 3-key lexsort: ~3x less
         # memory traffic through the sort, which is what the encode stage
         # is bound by. Bit budget: seg < 2^9 (asserted in BuildConfig),
-        # per-partition vocab < 2^25, partition-local doc ordinal < 2^30.
-        # Overflowing fields would OR bits across key boundaries and emit a
-        # silently corrupt index, so the bounds are checked here and a
-        # (slower but unconditionally correct) 3-key lexsort takes over for
-        # freak partitions that exceed them.
+        # per-partition vocab·n_fields < 2^25, partition-local doc ordinal
+        # < 2^30. Overflowing fields would OR bits across key boundaries
+        # and emit a silently corrupt index, so the bounds are checked here
+        # and a (slower but unconditionally correct) 3-key lexsort takes
+        # over for freak partitions that exceed them.
         local_doc = (doc_rep - doc_ids.min()).astype(np.uint64)
         doc_span = int(doc_ids.max() - doc_ids.min())
-        if len(uniques) < (1 << 25) and doc_span < (1 << 30):
+        if len(uniques) * n_fields < (1 << 25) and doc_span < (1 << 30):
             key = (
                 (seg_rep.astype(np.uint64) << np.uint64(55))
                 | (codes.astype(np.uint64) << np.uint64(30))
@@ -277,7 +299,7 @@ def _make_doc_encoder(target_run: int):
             seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
         )
         n = len(doc_s)
-        # collapse duplicate (seg, term, doc) rows to tf via run-length
+        # collapse duplicate (seg, field·term, doc) rows to tf via run-length
         new_post = np.empty(n, dtype=bool)
         new_post[0] = True
         new_post[1:] = (
@@ -307,10 +329,18 @@ def _make_doc_encoder(target_run: int):
             starts = np.asarray(pieces, dtype=np.int64)
             ends = np.append(starts[1:], m)
         fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        emit_code = code_p[starts]
+        if n_fields > 1:
+            emit_term = uniques[emit_code // n_fields]
+            emit_field = (emit_code % n_fields).astype("int32")
+        else:
+            emit_term = uniques[emit_code]
+            emit_field = np.zeros(len(starts), dtype="int32")
         yield pd.DataFrame(
             {
                 "seg": segs[starts].astype("int32"),
-                "term": uniques[code_p[starts]],
+                "field": emit_field,
+                "term": emit_term,
                 "run": np.full(len(starts), run_id, dtype=np.int32),
                 **fields,
             }
@@ -348,8 +378,19 @@ def build_index(
     text_col: str = "text",
     meta_cols: tuple[str, ...] = ("role", "tool", "ts"),
     force: bool = False,
+    text_cols: tuple[str, ...] | None = None,
+    shingle_fields: tuple[tuple[str, int], ...] = (),
 ) -> dict:
     """Build (or resume) the segmented inverted index. Returns build metrics.
+
+    ``text_cols`` indexes MULTIPLE analyzed fields (the reference maps ~10
+    analyzed fields per document, reference import_dart_data.py:389-440) —
+    postings carry a field id, df/avgdl are tracked per field, and queries
+    name the field (``match: {corp_name: ...}``, Running-ELK.md:145-152).
+    Defaults to the single ``text_col``. ``shingle_fields`` adds synthetic
+    word-shingle subfields ((source_col, n) -> field "source_col._ngram"),
+    the search_as_you_type 2/3-gram subfields of the reference mapping
+    (import_dart_data.py:353-354,395-405).
 
     Resume (the working analogue of the reference's skip-if-present logic at
     import_dart_data.py:543-550 and its never-written corp_import_history):
@@ -361,13 +402,22 @@ def build_index(
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
+    fields = list(text_cols) if text_cols else [text_col]
+    field_sources: list[tuple[str, int | None]] = [(f, None) for f in fields]
+    for src, ngram in shingle_fields:
+        fields.append(f"{src}._{ngram}gram")
+        field_sources.append((src, int(ngram)))
+    if len(fields) > MAX_FIELDS:
+        raise ValueError(f"at most {MAX_FIELDS} indexed fields, got {len(fields)}")
+
     base = transcripts.withColumn(
         "seg", _seg_col(F.col(doc_key_cols[0]), cfg.n_segments)
     )
 
     # --- per-segment input fingerprints (order-independent bit_xor) ---
+    src_cols = list(dict.fromkeys(s for s, _ in field_sources))
     fp_df = base.groupBy("seg").agg(
-        F.bit_xor(F.xxhash64(*doc_key_cols, text_col)).alias("input_fingerprint"),
+        F.bit_xor(F.xxhash64(*doc_key_cols, *src_cols)).alias("input_fingerprint"),
         F.count("*").alias("n_docs_in"),
     )
     fingerprints = {r["seg"]: (r["input_fingerprint"], r["n_docs_in"]) for r in fp_df.collect()}
@@ -393,17 +443,31 @@ def build_index(
     persisted: list = []
     try:
         return _build_segments(
-            spark, base, out_dir, cfg, doc_key_cols, text_col, meta_cols,
-            transcripts, fingerprints, todo, done, persisted, t0,
+            spark, base, out_dir, cfg, doc_key_cols, field_sources, fields,
+            meta_cols, transcripts, fingerprints, todo, done, persisted, t0,
         )
     finally:
         for h in persisted:
             h.unpersist()
 
 
+def _field_dl_col(src: str, ngram: int | None):
+    """JVM token/shingle count for a field — must agree exactly with the
+    Python-side tokenizers used in the encoder (feeds per-field avgdl)."""
+    sz = F.size(tokenize_col(src))
+    if ngram is None:
+        return sz.cast("long")
+    return (
+        F.when(sz == 0, F.lit(0))
+        .when(sz < ngram, F.lit(1))
+        .otherwise(sz - (ngram - 1))
+        .cast("long")
+    )
+
+
 def _build_segments(
-    spark, base, out_dir, cfg, doc_key_cols, text_col, meta_cols,
-    transcripts, fingerprints, todo, done, persisted, t0,
+    spark, base, out_dir, cfg, doc_key_cols, field_sources, fields,
+    meta_cols, transcripts, fingerprints, todo, done, persisted, t0,
 ):
     phases: dict[str, float] = {}
     tp = time.time()
@@ -424,7 +488,12 @@ def _build_segments(
     # inside assign_doc_ids and the numbering is deterministic given the
     # broadcast offsets, so recomputing it for the explode pass is cheaper
     # than building a second full-corpus columnar cache.
-    docs = docs.withColumn("dl", F.size(tokenize_col(text_col)).cast("long"))
+    docs = docs.withColumn("dl", _field_dl_col(*field_sources[0]))
+    extra_dl_cols = []
+    for i, (src, ngram) in enumerate(field_sources[1:], start=1):
+        name = f"dl_f{i}"
+        docs = docs.withColumn(name, _field_dl_col(src, ngram))
+        extra_dl_cols.append(name)
     phases["assign_doc_ids"] = round(time.time() - tp, 3)
     tp = time.time()
 
@@ -438,6 +507,7 @@ def _build_segments(
                 *doc_key_cols,
                 *[c for c in meta_cols if c in transcripts.columns],
                 "dl",
+                *extra_dl_cols,
                 "seg",
             ]
         )
@@ -468,16 +538,37 @@ def _build_segments(
     # per term (<= one per partition); ``merge.compact_index`` consolidates
     # them exactly as Lucene's background merges consolidate flushed
     # segments, and the scorer is correct at any run granularity.
-    encoded = build_docs.select("seg", "doc_id", F.col(text_col).alias("text")).mapInPandas(
-        _make_doc_encoder(cfg.target_run), schema=POSTINGS_SCHEMA
+    from ..functions.tokenizer import make_shingle_tokenizer
+
+    n_fields = len(field_sources)
+    if n_fields == 1:
+        enc_in = build_docs.select(
+            "seg", "doc_id", F.col(field_sources[0][0]).alias("text")
+        )
+        tokenizers = None
+    else:
+        # one (doc, field) row per indexed field — stack is a narrow
+        # generator (no shuffle), so the encode stays partition-local
+        pairs = ", ".join(f"{i}, `{src}`" for i, (src, _) in enumerate(field_sources))
+        enc_in = build_docs.selectExpr(
+            "seg", "doc_id", f"stack({n_fields}, {pairs}) AS (field, text)"
+        )
+        tokenizers = {
+            i: make_shingle_tokenizer(ngram)
+            for i, (_, ngram) in enumerate(field_sources)
+            if ngram is not None
+        }
+    encoded = enc_in.mapInPandas(
+        _make_doc_encoder(cfg.target_run, n_fields=n_fields, tokenizers=tokenizers),
+        schema=POSTINGS_SCHEMA,
     )
     encoded = encoded.withColumn(
         "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(cfg.n_buckets)).cast("int")
     )
     (
-        encoded.repartition("seg", "bucket")
+        encoded.repartition("seg", "field", "bucket")
         .write.mode("overwrite")
-        .partitionBy("seg", "bucket")
+        .partitionBy("seg", "field", "bucket")
         .parquet(f"{out_dir}/postings")
     )
     phases["encode_write"] = round(time.time() - tp, 3)
@@ -488,7 +579,7 @@ def _build_segments(
     built_post = spark.read.parquet(f"{out_dir}/postings").filter(
         F.col("seg").isin([int(s) for s in todo])
     )
-    seg_df = built_post.groupBy("seg", "term").agg(F.sum("n").alias("df_p"))
+    seg_df = built_post.groupBy("seg", "field", "term").agg(F.sum("n").alias("df_p"))
     seg_df = seg_df.persist()
     persisted.append(seg_df)
     (
@@ -499,8 +590,8 @@ def _build_segments(
     )
 
     # --- publish global term_dict + corpus_stats from per-seg partials ---
-    publish_stats(spark, out_dir, cfg.n_buckets)
-    _write_meta(out_dir, cfg, doc_key_cols, meta_cols)
+    publish_stats(spark, out_dir, cfg.n_buckets, n_fields=n_fields)
+    _write_meta(out_dir, cfg, doc_key_cols, meta_cols, fields)
     phases["publish_stats"] = round(time.time() - tp, 3)
     tp = time.time()
 
@@ -540,7 +631,7 @@ def _build_segments(
     }
 
 
-def _write_meta(out_dir: str, cfg: BuildConfig, doc_key_cols, meta_cols) -> None:
+def _write_meta(out_dir: str, cfg: BuildConfig, doc_key_cols, meta_cols, fields) -> None:
     import json
     import os
 
@@ -556,20 +647,44 @@ def _write_meta(out_dir: str, cfg: BuildConfig, doc_key_cols, meta_cols) -> None
                 "b": B,
                 "doc_key_cols": list(doc_key_cols),
                 "meta_cols": list(meta_cols),
+                "fields": list(fields),
             },
             f,
         )
 
 
-def publish_stats(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
+def write_corpus_stats(spark: SparkSession, out_dir: str, n_fields: int) -> None:
+    """Publish per-field (n_docs, avgdl, total_tokens) — one doc_stats scan
+    regardless of field count (per-field dl columns aggregated together)."""
+    ds = spark.read.parquet(f"{out_dir}/doc_stats")
+    aggs = [F.count("*").alias("n_docs")]
+    for i in range(n_fields):
+        col = "dl" if i == 0 else f"dl_f{i}"
+        aggs.append(F.avg(col).alias(f"avgdl_{i}"))
+        aggs.append(F.sum(col).alias(f"tot_{i}"))
+    row = ds.agg(*aggs).collect()[0]
+    rows = [
+        (i, int(row["n_docs"]), float(row[f"avgdl_{i}"]), int(row[f"tot_{i}"]))
+        for i in range(n_fields)
+    ]
+    spark.createDataFrame(
+        rows, "field int, n_docs long, avgdl double, total_tokens long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
+
+
+def publish_stats(
+    spark: SparkSession, out_dir: str, n_buckets: int, n_fields: int = 1
+) -> None:
     """Derive global term_dict + corpus_stats from per-segment tables.
 
     term_dict is directory-partitioned by the same crc32 term bucket as the
     postings, so a query's df lookup prunes to the buckets its terms hash
     to instead of scanning the whole dictionary."""
     seg_df = spark.read.parquet(f"{out_dir}/term_seg_df")
+    if "field" not in seg_df.columns:  # pre-fielded layout
+        seg_df = seg_df.withColumn("field", F.lit(0))
     (
-        seg_df.groupBy("term")
+        seg_df.groupBy("field", "term")
         .agg(F.sum("df_p").alias("df"))
         # tlen feeds the fuzzy-expansion length-band pushdown
         .withColumn("tlen", F.length("term"))
@@ -582,10 +697,4 @@ def publish_stats(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
         .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
     )
-    ds = spark.read.parquet(f"{out_dir}/doc_stats")
-    stats = ds.agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.sum("dl").alias("total_tokens"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
+    write_corpus_stats(spark, out_dir, n_fields)

@@ -40,11 +40,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codec import varbyte_decode
-from .build import POSTINGS_SCHEMA, pack_runs_bulk
+from .build import POSTINGS_SCHEMA, pack_runs_bulk, write_corpus_stats
 
 MERGED_SEG = -1  # seg id marking post-compaction runs
 
-EXPLODED_SCHEMA = "term string, mgrp int, doc_id long, tf long, dl long"
+EXPLODED_SCHEMA = "field int, term string, mgrp int, doc_id long, tf long, dl long"
 
 
 def _chunk_groups(grp_post: np.ndarray, target_run: int):
@@ -86,6 +86,7 @@ def _explode_runs(batches) -> "Iterator[pd.DataFrame]":
         docs = csum - np.repeat(base, n_arr)
         yield pd.DataFrame(
             {
+                "field": np.repeat(pdf["field"].to_numpy(dtype=np.int32), n_arr),
                 "term": np.repeat(pdf["term"].to_numpy(dtype=object), n_arr),
                 "mgrp": np.repeat(
                     pdf["mgrp"].to_numpy(dtype=np.int32), n_arr
@@ -105,6 +106,7 @@ def _make_exploded_packer(target_run: int):
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        flds = pdf["field"].to_numpy(dtype=np.int32)
         terms = pdf["term"].to_numpy(dtype=object)
         mgrps = pdf["mgrp"].to_numpy(dtype=np.int64)
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
@@ -113,13 +115,18 @@ def _make_exploded_packer(target_run: int):
         m = len(docs)
         g_change = np.empty(m, dtype=bool)
         g_change[0] = True
-        g_change[1:] = (terms[1:] != terms[:-1]) | (mgrps[1:] != mgrps[:-1])
+        g_change[1:] = (
+            (flds[1:] != flds[:-1])
+            | (terms[1:] != terms[:-1])
+            | (mgrps[1:] != mgrps[:-1])
+        )
         grp = np.cumsum(g_change) - 1
         starts, ends = _chunk_groups(grp, target_run)
         fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
         yield pd.DataFrame(
             {
                 "seg": np.full(len(starts), MERGED_SEG, dtype=np.int32),
+                "field": flds[starts],
                 "term": terms[starts],
                 "run": mgrps[starts].astype(np.int32),
                 **fields,
@@ -161,6 +168,8 @@ def compact_index(
     n_buckets = int(meta["n_buckets"])
 
     post = spark.read.parquet(f"{index_dir}/postings")
+    if "field" not in post.columns:  # pre-fielded layout
+        post = post.withColumn("field", F.lit(0))
     doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _read_tombstones(spark, index_dir)
     tomb_df = None
@@ -187,8 +196,8 @@ def compact_index(
     n_for_range = int(n_docs_row["mx"] or 0) + 1
 
     # per-term total df decides how many merge ranges the term needs
-    totals = post.groupBy("term").agg(F.sum("n").alias("df_total"))
-    ranged = post.join(totals, "term").withColumn(
+    totals = post.groupBy("field", "term").agg(F.sum("n").alias("df_total"))
+    ranged = post.join(totals, ["field", "term"]).withColumn(
         "nmerge", F.ceil(F.col("df_total") / F.lit(target_run)).cast("long")
     ).withColumn(
         "mgrp",
@@ -208,14 +217,19 @@ def compact_index(
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
+        flds = pdf["field"].to_numpy(dtype=np.int32)
         terms = pdf["term"].to_numpy(dtype=object)
         mgrps = pdf["mgrp"].to_numpy(dtype=np.int64)
         n_arr = pdf["n"].to_numpy(dtype=np.int64)
         n_runs = len(pdf)
-        # run -> merge-group id (runs arrive sorted by (term, mgrp))
+        # run -> merge-group id (runs arrive sorted by (field, term, mgrp))
         g_change = np.empty(n_runs, dtype=bool)
         g_change[0] = True
-        g_change[1:] = (terms[1:] != terms[:-1]) | (mgrps[1:] != mgrps[:-1])
+        g_change[1:] = (
+            (flds[1:] != flds[:-1])
+            | (terms[1:] != terms[:-1])
+            | (mgrps[1:] != mgrps[:-1])
+        )
         grp_run = np.cumsum(g_change) - 1
         n_groups = int(grp_run[-1]) + 1
         first_run = np.flatnonzero(g_change)  # first run index of each group
@@ -251,6 +265,7 @@ def compact_index(
         yield pd.DataFrame(
             {
                 "seg": np.full(len(starts), MERGED_SEG, dtype=np.int32),
+                "field": flds[emit_run_idx],
                 "term": terms[emit_run_idx],
                 "run": mgrps[emit_run_idx].astype(np.int32),
                 **fields,
@@ -270,20 +285,20 @@ def compact_index(
         # (vs. compressed blobs on the broadcast path) — the price of not
         # materializing the delete set on every executor.
         exploded = (
-            ranged.select("term", "mgrp", "n", "docs", "tfs", "dls")
+            ranged.select("field", "term", "mgrp", "n", "docs", "tfs", "dls")
             .mapInPandas(_explode_runs, schema=EXPLODED_SCHEMA)
             .join(tomb_df, "doc_id", "left_anti")
         )
         merged = (
-            exploded.repartition(merge_parts, "term", "mgrp")
-            .sortWithinPartitions("term", "mgrp", "doc_id")
+            exploded.repartition(merge_parts, "field", "term", "mgrp")
+            .sortWithinPartitions("field", "term", "mgrp", "doc_id")
             .mapInPandas(_make_exploded_packer(target_run), schema=POSTINGS_SCHEMA)
         )
     else:
         merged = (
-            ranged.repartition(merge_parts, "term", "mgrp")
-            .sortWithinPartitions("term", "mgrp", "min_doc")
-            .select("term", "mgrp", "n", "docs", "tfs", "dls")
+            ranged.repartition(merge_parts, "field", "term", "mgrp")
+            .sortWithinPartitions("field", "term", "mgrp", "min_doc")
+            .select("field", "term", "mgrp", "n", "docs", "tfs", "dls")
             .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA)
         )
     merged = merged.withColumn(
@@ -293,7 +308,7 @@ def compact_index(
 
     os.makedirs(out_dir, exist_ok=True)
     merged.repartition("bucket").write.mode("overwrite").partitionBy(
-        "seg", "bucket"
+        "seg", "field", "bucket"
     ).parquet(f"{out_dir}/postings")
 
     (
@@ -308,7 +323,7 @@ def compact_index(
     # tombstoned docs are dropped; N/avgdl from the surviving doc_stats)
     post_out = spark.read.parquet(f"{out_dir}/postings")
     (
-        post_out.groupBy("term")
+        post_out.groupBy("field", "term")
         .agg(F.sum("n").alias("df"))
         .withColumn("tlen", F.length("term"))
         .withColumn(
@@ -320,17 +335,9 @@ def compact_index(
         .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
     )
+    n_fields = len(meta.get("fields") or [None])
+    write_corpus_stats(spark, out_dir, n_fields)
     ds_out = spark.read.parquet(f"{out_dir}/doc_stats")
-    (
-        ds_out.agg(
-            F.count("*").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/corpus_stats")
-    )
 
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump({**meta, "compacted": True, "target_run": target_run}, f)

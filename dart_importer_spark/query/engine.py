@@ -73,9 +73,28 @@ class InvertedIndex:
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_buckets = int(self.meta["n_buckets"])
-        row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
-        self.n_docs = int(row["n_docs"])
-        self.avgdl = float(row["avgdl"])
+        self.fields: list[str] = list(self.meta.get("fields") or ["text"])
+        rows = spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        if "field" in rows[0].__fields__:
+            self.avgdl_by_field = {int(r["field"]): float(r["avgdl"]) for r in rows}
+        else:  # pre-fielded layout: one row, field 0
+            self.avgdl_by_field = {0: float(rows[0]["avgdl"])}
+        self.n_docs = int(rows[0]["n_docs"])
+        self.avgdl = self.avgdl_by_field[0]
+
+    def _fid(self, field: str | int | None) -> int:
+        """Resolve a field name to its postings field id (default: field 0,
+        the primary analyzed column)."""
+        if field is None:
+            return 0
+        if isinstance(field, int):
+            return field
+        try:
+            return self.fields.index(field)
+        except ValueError:
+            raise KeyError(
+                f"unknown field {field!r}; indexed fields: {self.fields}"
+            ) from None
 
     def _bounded_ids(self, df: DataFrame | None) -> np.ndarray | None:
         """Collect a doc_id column as a sorted numpy array iff it fits the
@@ -113,19 +132,26 @@ class InvertedIndex:
         return self.spark.read.parquet(f"{self.dir}/term_dict")
 
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/postings")
+        post = self.spark.read.parquet(f"{self.dir}/postings")
+        if "field" not in post.columns:  # pre-fielded layout
+            post = post.withColumn("field", F.lit(0))
+        return post
 
-    def _candidate_postings(self, terms: Sequence[str]) -> DataFrame:
+    def _candidate_postings(self, terms: Sequence[str], fid: int = 0) -> DataFrame:
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         return self.postings().filter(
-            F.col("bucket").isin(buckets) & F.col("term").isin(list(terms))
+            (F.col("field") == fid)
+            & F.col("bucket").isin(buckets)
+            & F.col("term").isin(list(terms))
         )
 
-    def term_stats(self, terms: Sequence[str]) -> dict[str, int]:
+    def term_stats(self, terms: Sequence[str], field=None) -> dict[str, int]:
         buckets = sorted({bucket_of(t, self.n_buckets) for t in terms})
         td = self.term_dict()
         if "bucket" in td.columns:  # bucket-partitioned dictionary: prune dirs
             td = td.filter(F.col("bucket").isin(buckets))
+        if "field" in td.columns:
+            td = td.filter(F.col("field") == self._fid(field))
         rows = td.filter(F.col("term").isin(list(terms))).collect()
         return {r["term"]: int(r["df"]) for r in rows}
 
@@ -141,6 +167,7 @@ class InvertedIndex:
         round_scores: int | None = None,
         boosts: dict[str, float] | None = None,
         offset: int = 0,
+        field: str | int | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
@@ -150,15 +177,20 @@ class InvertedIndex:
         ``boosts`` multiplies a term's score contribution (ES ``term`` boost,
         Running-ELK.md:284-294). ``offset`` skips leading hits (the
         reference's page_no/page_count pagination, import_dart_data.py:73-76).
+        ``field`` names the analyzed column to match against (ES
+        ``match: {corp_name: ...}``, Running-ELK.md:145-152); BM25 uses that
+        field's postings, df, dl and avgdl. Default: the primary field.
         """
-        terms = sorted(set(tokenize_text(query)))
+        fid = self._fid(field)
+        avgdl = self.avgdl_by_field[fid]
+        terms = sorted(set(self._analyze(query, field)))
         if not terms:
             return self._empty_scored(with_meta)
         # one job over the bucket-pruned candidate postings yields df
         # (= sum of run lengths) AND the per-term block-max upper bounds —
         # instead of a term_dict scan plus a second bounds pass
         stat_rows = (
-            self._candidate_postings(terms)
+            self._candidate_postings(terms, fid)
             .groupBy("term")
             .agg(
                 F.sum("n").alias("df"),
@@ -176,7 +208,7 @@ class InvertedIndex:
             idf = {t: w * float(boosts.get(t, 1.0)) for t, w in idf.items()}
         ubs = {
             r["term"]: idf[r["term"]]
-            * _tfn(float(r["mtf"]), float(r["mdl"]), self.avgdl)
+            * _tfn(float(r["mtf"]), float(r["mdl"]), avgdl)
             for r in stat_rows
             if r["term"] in idf
         }
@@ -200,11 +232,13 @@ class InvertedIndex:
         theta = 0.0
         if prune and mode == "or" and len(terms) > 1:
             theta = self._threshold_estimate(
-                terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df
+                terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
+                fid=fid, avgdl=avgdl,
             )
 
         scored = self._score_terms(
-            terms, idf, theta=theta, ubs=ubs, dead=dead_ids, allowed=allowed_ids
+            terms, idf, theta=theta, ubs=ubs, dead=dead_ids, allowed=allowed_ids,
+            fid=fid, avgdl=avgdl,
         )
         agg = scored.groupBy("doc_id").agg(
             F.sum("score").alias("score"), F.sum("matched").alias("n_matched")
@@ -236,8 +270,23 @@ class InvertedIndex:
             return base.join(self.doc_stats(), "doc_id", "inner")
         return base
 
+    def _analyze(self, query: str, field: str | int | None) -> list[str]:
+        """Query-time analyzer matched to the field's index-time analyzer:
+        shingle subfields (name '<src>._<n>gram') shingle the query terms,
+        everything else uses the pinned standard tokenizer."""
+        import re as _re
+
+        from ..functions.tokenizer import shingle_text
+
+        name = self.fields[self._fid(field)] if field is not None else None
+        m = _re.search(r"\._(\d+)gram$", name) if name else None
+        if m:
+            return shingle_text(query, int(m.group(1)))
+        return tokenize_text(query)
+
     def _threshold_estimate(
-        self, terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df
+        self, terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
+        fid: int = 0, avgdl: float | None = None,
     ) -> float:
         """Lower bound θ on the final ``need``-th score, computed
         DISTRIBUTEDLY: fully score the rarest term (fewest postings) through
@@ -250,7 +299,8 @@ class InvertedIndex:
         if dfs[rarest] < need:
             return 0.0
         scored = self._score_terms(
-            [rarest], {rarest: idf[rarest]}, dead=dead_ids, allowed=allowed_ids
+            [rarest], {rarest: idf[rarest]}, dead=dead_ids, allowed=allowed_ids,
+            fid=fid, avgdl=avgdl,
         )
         if dead_ids is None:
             scored = self._live(scored)
@@ -269,6 +319,8 @@ class InvertedIndex:
         ubs: dict[str, float] | None = None,
         dead: np.ndarray | None = None,
         allowed: np.ndarray | None = None,
+        fid: int = 0,
+        avgdl: float | None = None,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
 
@@ -276,8 +328,8 @@ class InvertedIndex:
         kernel: postings for tombstoned (dead) or filtered-out (not in
         allowed) docs are dropped right after decode, before any scoring or
         shuffle — the distributed form of ES's filter-before-score."""
-        cand = self._candidate_postings(terms)
-        avgdl = self.avgdl
+        cand = self._candidate_postings(terms, fid)
+        avgdl = self.avgdl_by_field[fid] if avgdl is None else avgdl
         idf_map = dict(idf)
         # per-term global upper bounds for the pruning inequality
         ubs = dict(ubs or {})
@@ -370,18 +422,26 @@ class InvertedIndex:
             ds = ds.filter(F.col(col) == val)
         return ds
 
-    def expand_prefix(self, prefix: str) -> list[str]:
+    def _field_dict(self, field: str | int | None) -> DataFrame:
+        td = self.term_dict()
+        if "field" in td.columns:
+            td = td.filter(F.col("field") == self._fid(field))
+        return td
+
+    def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite
         (Running-ELK.md:155-168) and search_as_you_type prefix matching."""
         rows = (
-            self.term_dict()
+            self._field_dict(field)
             .filter(F.col("term").startswith(prefix.lower()))
             .select("term")
             .collect()
         )
         return sorted(r["term"] for r in rows)
 
-    def expand_fuzzy(self, term: str, max_dist: int = 1) -> list[str]:
+    def expand_fuzzy(
+        self, term: str, max_dist: int = 1, field: str | int | None = None
+    ) -> list[str]:
         """Edit-distance expansion over the term dictionary — ES fuzzy
         (Running-ELK.md:186-200).
 
@@ -390,7 +450,7 @@ class InvertedIndex:
         comparison predicate, so it pushes into the parquet scan (row-group
         min/max stats) instead of edit-distancing the whole dictionary."""
         q = term.lower()
-        td = self.term_dict()
+        td = self._field_dict(field)
         if "tlen" in td.columns:
             band = F.col("tlen").between(len(q) - max_dist, len(q) + max_dist)
         else:  # pre-tlen index layout: still prune before levenshtein
@@ -403,11 +463,11 @@ class InvertedIndex:
         )
         return sorted(r["term"] for r in rows)
 
-    def _docs_for_terms(self, terms: list[str]) -> DataFrame:
+    def _docs_for_terms(self, terms: list[str], fid: int = 0) -> DataFrame:
         """Distinct doc_ids containing any of ``terms`` (constant score)."""
         if not terms:
             return self.spark.createDataFrame([], "doc_id long")
-        cand = self._candidate_postings(terms)
+        cand = self._candidate_postings(terms, fid)
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -422,20 +482,98 @@ class InvertedIndex:
             cand.select("docs").mapInPandas(decode, schema="doc_id long").distinct()
         )
 
-    def wildcard(self, prefix: str, k: int = 10, filters: Column | None = None) -> DataFrame:
+    def wildcard(
+        self,
+        prefix: str,
+        k: int = 10,
+        filters: Column | None = None,
+        field: str | int | None = None,
+    ) -> DataFrame:
         """ES wildcard with constant_score rewrite (Running-ELK.md:155-184):
         expand prefix -> disjunction, every hit scored 1.0, doc_id order."""
-        docs = self._docs_for_terms(self.expand_prefix(prefix))
+        fid = self._fid(field)
+        docs = self._docs_for_terms(self.expand_prefix(prefix, fid), fid)
         out = docs.withColumn("score", F.lit(1.0))
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
             out = out.join(allowed, "doc_id", "left_semi")
         return out.orderBy(F.asc("doc_id")).limit(k)
 
-    def fuzzy(self, term: str, k: int = 10, max_dist: int = 1) -> DataFrame:
+    def fuzzy(
+        self,
+        term: str,
+        k: int = 10,
+        max_dist: int = 1,
+        field: str | int | None = None,
+    ) -> DataFrame:
         """ES fuzzy query (constant-score expansion variant)."""
-        docs = self._docs_for_terms(self.expand_fuzzy(term, max_dist))
+        fid = self._fid(field)
+        docs = self._docs_for_terms(self.expand_fuzzy(term, max_dist, fid), fid)
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
+
+    def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
+        """(doc_id, score) BM25 partials for a term set on one field — the
+        building block search_as_you_type sums across subfields. No pruning
+        (sayt queries are short; candidates are bounded by the prefix)."""
+        terms = sorted(set(terms))
+        if not terms:
+            return None
+        dfs = self.term_stats(terms, fid)
+        terms = [t for t in terms if t in dfs]
+        if not terms:
+            return None
+        idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
+        scored = self._score_terms(terms, idf, fid=fid)
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def search_as_you_type(
+        self,
+        query: str,
+        k: int = 10,
+        base_field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES search_as_you_type / multi_match bool_prefix (reference
+        mapping at import_dart_data.py:353-354,395-405): every complete
+        query term scores BM25 on the base field; the LAST term is treated
+        as a prefix (constant 1.0 per matching doc, ES's constant-score
+        prefix rewrite); 2/3-gram shingle subfields built alongside the
+        base field add their BM25 contributions. Contributions sum."""
+        import re as _re
+
+        fid = self._fid(base_field)
+        base_name = self.fields[fid]
+        terms = tokenize_text(query)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        parts: list[DataFrame] = []
+        complete, last = terms[:-1], terms[-1]
+        p = self._bm25_scores(complete, fid)
+        if p is not None:
+            parts.append(p)
+        pterms = self.expand_prefix(last, fid)
+        if pterms:
+            parts.append(
+                self._docs_for_terms(pterms, fid).withColumn("score", F.lit(1.0))
+            )
+        from ..functions.tokenizer import shingle_text
+
+        for gid, name in enumerate(self.fields):
+            m = _re.fullmatch(_re.escape(base_name) + r"\._(\d+)gram", name)
+            if not m:
+                continue
+            p = self._bm25_scores(shingle_text(query, int(m.group(1))), gid)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        agg = self._live(allp.groupBy("doc_id").agg(F.sum("score").alias("score")))
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     # ----------------------------------------------------------- mutation ops
     def delete_by_query(self, filters: Column) -> int:

@@ -1,0 +1,175 @@
+"""Fielded indexing: per-field postings/df/avgdl, field-targeted match,
+shingle subfields + search_as_you_type, interval-overlap join.
+
+Mirrors the reference's multi-field analyzed mappings (reference
+import_dart_data.py:389-440; fielded query at Running-ELK.md:145-152;
+search_as_you_type subfields at import_dart_data.py:353-354,395-405).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.functions.tokenizer import shingle_text, tokenize_text
+from dart_importer_spark.index.build import B, K1, BuildConfig, build_index
+from dart_importer_spark.query.engine import InvertedIndex
+
+ROWS = [
+    ("c1", 0, "alpha beta gamma beta", "news one"),
+    ("c1", 1, "beta delta", "blog two"),
+    ("c2", 0, "alpha alpha epsilon", "news three"),
+    ("c2", 1, "zeta eta theta iota", "wiki four"),
+    ("c3", 0, "beta gamma", "news five"),
+    ("c3", 1, "", "blog six"),
+]
+
+
+@pytest.fixture(scope="module")
+def fielded_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, body string, title string"
+    )
+    out = str(tmp_path_factory.mktemp("fielded") / "idx")
+    build_index(
+        spark,
+        df,
+        out,
+        BuildConfig(n_segments=2, n_buckets=4),
+        text_cols=("body", "title"),
+        shingle_fields=(("body", 2),),
+        meta_cols=(),
+    )
+    return InvertedIndex(spark, out)
+
+
+def _bm25_oracle_field(rows, field_idx, query_terms, k=10):
+    """Tiny pure-python per-field BM25 (field 0=body, 1=title)."""
+    texts = [r[2] if field_idx == 0 else r[3] for r in rows]
+    toks = [tokenize_text(t) for t in texts]
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for term in set(query_terms):
+        df = sum(1 for t in toks if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for did, t in enumerate(toks):
+            tf = t.count(term)
+            if tf:
+                dl = len(t)
+                scores[did] = scores.get(did, 0.0) + idf * tf / (
+                    tf + K1 * (1 - B + B * dl / avgdl)
+                )
+    order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return order
+
+
+def _doc_order(rows):
+    """doc_id = rank under ORDER BY (conv_id, turn_idx) — ROWS is sorted."""
+    return list(range(len(rows)))
+
+
+def test_field_stats(fielded_index):
+    ix = fielded_index
+    assert ix.fields == ["body", "title", "body._2gram"]
+    body_toks = [len(tokenize_text(r[2])) for r in ROWS]
+    title_toks = [len(tokenize_text(r[3])) for r in ROWS]
+    assert abs(ix.avgdl_by_field[0] - np.mean(body_toks)) < 1e-9
+    assert abs(ix.avgdl_by_field[1] - np.mean(title_toks)) < 1e-9
+    # per-field df: 'news' only exists in title
+    assert ix.term_stats(["news"], field="title") == {"news": 3}
+    assert ix.term_stats(["news"], field="body") == {}
+    assert ix.term_stats(["beta"], field="body") == {"beta": 3}
+
+
+def test_fielded_match_rank_identity(fielded_index):
+    for fid, q in [(0, "beta gamma"), (1, "news"), (0, "alpha")]:
+        got = [
+            (r["doc_id"], r["score"])
+            for r in fielded_index.topk(q, 10, field=fid).collect()
+        ]
+        want = _bm25_oracle_field(ROWS, fid, tokenize_text(q))
+        assert [g[0] for g in got] == [w[0] for w in want]
+        assert np.allclose([g[1] for g in got], [w[1] for w in want], atol=1e-9)
+
+
+def test_field_isolation(fielded_index):
+    # terms from one field never leak into another
+    assert fielded_index.topk("news", 10).count() == 0  # default = body
+    assert fielded_index.topk("alpha", 10, field="title").count() == 0
+
+
+def test_shingle_subfield_match(fielded_index):
+    # 'alpha beta' as a 2-gram only occurs in doc 0 (body)
+    got = fielded_index.topk("alpha beta", 10, field="body._2gram").collect()
+    assert [r["doc_id"] for r in got] == [0]
+    # shingle analyzer applied to the query: 2 terms -> 1 shingle
+    assert shingle_text("alpha beta", 2) == ["alpha\x1fbeta"]
+
+
+def test_search_as_you_type(fielded_index):
+    # 'beta gam' -> complete term 'beta' BM25 + prefix 'gam*' const +
+    # 2-gram 'beta gam*'... (shingle 'beta\x1fgam' doesn't exist; prefix
+    # component and the complete-term component drive the ranking)
+    got = fielded_index.search_as_you_type("beta gam", k=10).toPandas()
+    # docs with beta AND a gam* token (gamma) must outrank beta-only docs
+    assert set(got["doc_id"]) >= {0, 1, 4}
+    top2 = set(got["doc_id"][:2])
+    assert top2 == {0, 4}  # both contain beta + gamma
+    # full two-term shingle present -> its BM25 adds on top
+    got2 = fielded_index.search_as_you_type("beta gamma", k=10).toPandas()
+    assert set(got2["doc_id"][:2]) == {0, 4}
+    d0 = dict(zip(got["doc_id"], got["score"]))
+    d2 = dict(zip(got2["doc_id"], got2["score"]))
+    assert d2[4] > d0[4]  # shingle contribution increased the score
+
+
+def test_fielded_compaction_preserves_ranks(spark, fielded_index, tmp_path):
+    from dart_importer_spark.index.merge import compact_index
+
+    out = str(tmp_path / "fielded_compact")
+    compact_index(spark, fielded_index.dir, out)
+    cx = InvertedIndex(spark, out)
+    assert cx.fields == fielded_index.fields
+    assert cx.avgdl_by_field == fielded_index.avgdl_by_field
+    for fid, q in [(0, "beta gamma"), (1, "news"), (2, "alpha beta")]:
+        a = fielded_index.topk(q, 10, field=fid).toPandas()
+        b = cx.topk(q, 10, field=fid).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"]), (fid, q)
+        assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+
+def test_interval_overlap_join(spark):
+    from dart_importer_spark.operators.intervals import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 50.0, 60.0), (3, 5.0, 55.0)],
+        "aid int, a_start double, a_end double",
+    )
+    b = spark.createDataFrame(
+        [(10, 8.0, 12.0), (20, 100.0, 110.0), (30, 0.0, 200.0)],
+        "bid int, b_start double, b_end double",
+    )
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=7.0
+        ).collect()
+    }
+    want = {
+        (ra[0], rb[0])
+        for ra in [(1, 0.0, 10.0), (2, 50.0, 60.0), (3, 5.0, 55.0)]
+        for rb in [(10, 8.0, 12.0), (20, 100.0, 110.0), (30, 0.0, 200.0)]
+        if ra[1] <= rb[2] and rb[1] <= ra[2]
+    }
+    assert got == want
+    # exactly-once per pair (no duplicate bucket claims)
+    cnt = interval_overlap_join(
+        a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=7.0
+    ).count()
+    assert cnt == len(want)
