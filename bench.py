@@ -89,9 +89,24 @@ def main() -> None:
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
 
+    # --- ANN: build-once (timed separately), then the pure probe+rerank
+    # query — an index recomputed per query would be a full scan in disguise
+    t0 = time.time()
+    ann = entry._ann_index(spark, SF_DIR)
+    timings["sim_ann_build"] = round(time.time() - t0, 4)
+    emb = entry._load(spark, SF_DIR, "embeddings")
+    qvec = list(
+        emb.filter(emb.vec_id == 0).select("embedding").first()["embedding"]
+    )
+    t0 = time.time()
+    ann.topk(qvec, k=10, multiprobe=1).collect()
+    timings["sim_ann_lsh"] = round(time.time() - t0, 4)
+
     # --- headline queries (forced with collect) ---
     qs = entry.queries()
     for name in HEADLINE:
+        if name == "sim_ann_lsh":
+            continue  # timed above as the pure probe (recall row is gate-only)
         fn = qs[name]
         t0 = time.time()
         fn(spark, SF_DIR).collect()

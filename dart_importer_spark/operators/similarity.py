@@ -111,6 +111,50 @@ class LshAnnIndex:
     def unpersist(self) -> None:
         self.table.unpersist()
 
+    def save(self, path: str) -> None:
+        """Materialize the signature table on disk, range-sorted by sig0 so
+        table-0 probes prune parquet row groups (min/max stats). An index
+        that is recomputed per query is a full scan with extra steps — this
+        is the build-once/query-many path. At 100 TB, store per-table
+        (sig -> id) projections partitioned by sig and join candidates back
+        to the vectors; here vectors ride along (one table, simpler I/O)."""
+        import json
+        import os
+
+        (
+            self.table.repartitionByRange(F.col("sig0"))
+            .sortWithinPartitions("sig0")
+            .write.mode("overwrite")
+            .parquet(f"{path}/sigs")
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "n_tables": self.n_tables,
+                    "n_planes": self.n_planes,
+                    "seed": self.seed,
+                    "dim": self.dim,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "LshAnnIndex":
+        """Open a saved index: no signature recompute, no dim probe."""
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        obj = cls.__new__(cls)
+        obj.id_col, obj.vec_col = meta["id_col"], meta["vec_col"]
+        obj.n_tables, obj.n_planes = int(meta["n_tables"]), int(meta["n_planes"])
+        obj.seed, obj.dim = int(meta["seed"]), int(meta["dim"])
+        obj.table = spark.read.parquet(f"{path}/sigs")
+        return obj
+
     def _query_sigs(self, query_vec: list[float]) -> list[int]:
         v = np.asarray(query_vec, dtype=np.float64)
         out = []

@@ -138,3 +138,23 @@ def test_multimodal_features_and_frames(spark):
     for r in rows:
         d = durations[r["media_id"]]
         assert r["count"] == (max(d - 1, 0) // 1000) + 1
+
+
+def test_ann_save_load_roundtrip(spark, tmp_path):
+    """Persisted signature table must answer identically to the in-memory
+    index — and without recomputing signatures (no vec scan at load)."""
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+        for i, v in enumerate(rng.standard_normal((64, 16)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ann = similarity.LshAnnIndex(emb, n_tables=6, n_planes=6, persist=False)
+    path = str(tmp_path / "ann_idx")
+    ann.save(path)
+    loaded = similarity.LshAnnIndex.load(spark, path)
+    assert (loaded.n_tables, loaded.n_planes, loaded.dim) == (6, 6, 16)
+    q = rows[3][1]
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in ann.topk(q, k=5).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9)) for r in loaded.topk(q, k=5).collect()]
+    assert a == b
