@@ -93,8 +93,11 @@ def assign_doc_ids(
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     persisted: list | None = None,
     stats_out: dict | None = None,
+    base: int = 0,
 ) -> DataFrame:
-    """Stable dense doc_id = global rank under ORDER BY key_cols.
+    """Stable dense doc_id = base + global rank under ORDER BY key_cols.
+    ``base`` > 0 is the append path: a key-monotone batch ranks strictly
+    after every existing doc, so its ids start at the old corpus size.
 
     Two-pass distributed ranking (no global window):
       1. range-partition + sort within partitions, persist;
@@ -120,12 +123,12 @@ def assign_doc_ids(
     if persisted is not None:
         persisted.append(ranged)
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = {}, int(base)
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     if stats_out is not None:
-        stats_out["n_total"] = acc
+        stats_out["n_total"] = acc - int(base)
     bc = spark.sparkContext.broadcast(offsets)
 
     out_schema = df.schema.add("doc_id", "long", False)
@@ -402,13 +405,7 @@ def build_index(
     t0 = time.time()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    fields = list(text_cols) if text_cols else [text_col]
-    field_sources: list[tuple[str, int | None]] = [(f, None) for f in fields]
-    for src, ngram in shingle_fields:
-        fields.append(f"{src}._{ngram}gram")
-        field_sources.append((src, int(ngram)))
-    if len(fields) > MAX_FIELDS:
-        raise ValueError(f"at most {MAX_FIELDS} indexed fields, got {len(fields)}")
+    fields, field_sources = _resolve_fields(text_col, text_cols, shingle_fields)
 
     base = transcripts.withColumn(
         "seg", _seg_col(F.col(doc_key_cols[0]), cfg.n_segments)
@@ -463,6 +460,51 @@ def _field_dl_col(src: str, ngram: int | None):
         .otherwise(sz - (ngram - 1))
         .cast("long")
     )
+
+
+def _encode_postings(
+    build_docs: DataFrame, field_sources, target_run: int, n_buckets: int
+) -> DataFrame:
+    """(doc rows with seg, doc_id, source text cols) -> encoded posting runs
+    with bucket column. Shared by the full build and the append path."""
+    from ..functions.tokenizer import make_shingle_tokenizer
+
+    n_fields = len(field_sources)
+    if n_fields == 1:
+        enc_in = build_docs.select(
+            "seg", "doc_id", F.col(field_sources[0][0]).alias("text")
+        )
+        tokenizers = None
+    else:
+        # one (doc, field) row per indexed field — stack is a narrow
+        # generator (no shuffle), so the encode stays partition-local
+        pairs = ", ".join(f"{i}, `{src}`" for i, (src, _) in enumerate(field_sources))
+        enc_in = build_docs.selectExpr(
+            "seg", "doc_id", f"stack({n_fields}, {pairs}) AS (field, text)"
+        )
+        tokenizers = {
+            i: make_shingle_tokenizer(ngram)
+            for i, (_, ngram) in enumerate(field_sources)
+            if ngram is not None
+        }
+    encoded = enc_in.mapInPandas(
+        _make_doc_encoder(target_run, n_fields=n_fields, tokenizers=tokenizers),
+        schema=POSTINGS_SCHEMA,
+    )
+    return encoded.withColumn(
+        "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _resolve_fields(text_col, text_cols, shingle_fields):
+    fields = list(text_cols) if text_cols else [text_col]
+    field_sources: list[tuple[str, int | None]] = [(f, None) for f in fields]
+    for src, ngram in shingle_fields:
+        fields.append(f"{src}._{ngram}gram")
+        field_sources.append((src, int(ngram)))
+    if len(fields) > MAX_FIELDS:
+        raise ValueError(f"at most {MAX_FIELDS} indexed fields, got {len(fields)}")
+    return fields, field_sources
 
 
 def _build_segments(
@@ -538,33 +580,7 @@ def _build_segments(
     # per term (<= one per partition); ``merge.compact_index`` consolidates
     # them exactly as Lucene's background merges consolidate flushed
     # segments, and the scorer is correct at any run granularity.
-    from ..functions.tokenizer import make_shingle_tokenizer
-
-    n_fields = len(field_sources)
-    if n_fields == 1:
-        enc_in = build_docs.select(
-            "seg", "doc_id", F.col(field_sources[0][0]).alias("text")
-        )
-        tokenizers = None
-    else:
-        # one (doc, field) row per indexed field — stack is a narrow
-        # generator (no shuffle), so the encode stays partition-local
-        pairs = ", ".join(f"{i}, `{src}`" for i, (src, _) in enumerate(field_sources))
-        enc_in = build_docs.selectExpr(
-            "seg", "doc_id", f"stack({n_fields}, {pairs}) AS (field, text)"
-        )
-        tokenizers = {
-            i: make_shingle_tokenizer(ngram)
-            for i, (_, ngram) in enumerate(field_sources)
-            if ngram is not None
-        }
-    encoded = enc_in.mapInPandas(
-        _make_doc_encoder(cfg.target_run, n_fields=n_fields, tokenizers=tokenizers),
-        schema=POSTINGS_SCHEMA,
-    )
-    encoded = encoded.withColumn(
-        "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(cfg.n_buckets)).cast("int")
-    )
+    encoded = _encode_postings(build_docs, field_sources, cfg.target_run, cfg.n_buckets)
     (
         encoded.repartition("seg", "field", "bucket")
         .write.mode("overwrite")
@@ -590,7 +606,7 @@ def _build_segments(
     )
 
     # --- publish global term_dict + corpus_stats from per-seg partials ---
-    publish_stats(spark, out_dir, cfg.n_buckets, n_fields=n_fields)
+    publish_stats(spark, out_dir, cfg.n_buckets, n_fields=len(field_sources))
     _write_meta(out_dir, cfg, doc_key_cols, meta_cols, fields)
     phases["publish_stats"] = round(time.time() - tp, 3)
     tp = time.time()
@@ -672,14 +688,11 @@ def write_corpus_stats(spark: SparkSession, out_dir: str, n_fields: int) -> None
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
 
 
-def publish_stats(
-    spark: SparkSession, out_dir: str, n_buckets: int, n_fields: int = 1
-) -> None:
-    """Derive global term_dict + corpus_stats from per-segment tables.
-
-    term_dict is directory-partitioned by the same crc32 term bucket as the
-    postings, so a query's df lookup prunes to the buckets its terms hash
-    to instead of scanning the whole dictionary."""
+def publish_term_dict(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
+    """Re-derive the global (field, term, df) dictionary from per-segment
+    partials. term_dict is directory-partitioned by the same crc32 term
+    bucket as the postings, so a query's df lookup prunes to the buckets its
+    terms hash to instead of scanning the whole dictionary."""
     seg_df = spark.read.parquet(f"{out_dir}/term_seg_df")
     if "field" not in seg_df.columns:  # pre-fielded layout
         seg_df = seg_df.withColumn("field", F.lit(0))
@@ -697,4 +710,182 @@ def publish_stats(
         .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
     )
+
+
+def publish_stats(
+    spark: SparkSession, out_dir: str, n_buckets: int, n_fields: int = 1
+) -> None:
+    """Derive global term_dict + corpus_stats from per-segment tables."""
+    publish_term_dict(spark, out_dir, n_buckets)
     write_corpus_stats(spark, out_dir, n_fields)
+
+
+def append_index(
+    spark: SparkSession,
+    batch: DataFrame,
+    index_dir: str,
+    doc_key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    meta_cols: tuple[str, ...] = ("role", "tool", "ts"),
+    text_cols: tuple[str, ...] | None = None,
+    shingle_fields: tuple[tuple[str, int], ...] = (),
+    batch_tag: str = "adhoc",
+) -> dict:
+    """Append a key-monotone batch to an existing index — O(batch) work,
+    never O(corpus) (the working form of the reference's skip-if-present
+    resume, import_dart_data.py:543-550, for a continuously-growing table).
+
+    Contract (ENFORCED, not just documented): every key in ``batch`` must
+    sort strictly after every existing key. Then existing doc_id ranks are
+    unchanged, committed segments stay valid byte-for-byte, and the batch
+    gets doc_ids [N, N+B). Violations raise ValueError — callers (e.g.
+    ``streaming.incremental_refresh``) fall back to a full rebuild.
+
+    Incremental updates: corpus_stats from deltas (no corpus scan beyond
+    one column-pruned max-key probe), term_dict re-published from per-seg
+    df partials, per-segment manifest fingerprints XOR-combined (bit_xor is
+    associative, so old_fp XOR batch_fp = full-input fp — a later
+    ``build_index`` resume sees consistent fingerprints and skips).
+
+    Crash safety: a ``pending`` manifest row lands before any data file and
+    the ``committed`` row after everything; a pending tag without its
+    committed row marks a torn append for the caller to repair with
+    ``build_index(force=True)``.
+    """
+    import json
+    import os
+
+    t0 = time.time()
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    fields, field_sources = _resolve_fields(text_col, text_cols, shingle_fields)
+    if meta.get("fields") and list(meta["fields"]) != fields:
+        raise ValueError(
+            f"append fields {fields} != index fields {meta['fields']}"
+        )
+    n_segments = int(meta["n_segments"])
+    n_buckets = int(meta["n_buckets"])
+    target_run = int(meta["target_run"])
+    n_fields = len(field_sources)
+
+    key_struct = F.struct(*[F.col(c) for c in doc_key_cols])
+    ds = spark.read.parquet(f"{index_dir}/doc_stats")
+    ex = ds.agg(F.max(key_struct).alias("mx"), F.count("*").alias("n")).collect()[0]
+    base_n, max_key = int(ex["n"]), ex["mx"]
+    b = batch.agg(F.min(key_struct).alias("mn"), F.count("*").alias("cnt")).collect()[0]
+    n_batch = int(b["cnt"])
+    if n_batch == 0:
+        return {"appended_docs": 0, "n_docs": base_n, "elapsed_sec": time.time() - t0}
+    if max_key is not None and not (tuple(b["mn"]) > tuple(max_key)):
+        raise ValueError(
+            "append_index: monotone-append contract violated — batch min key "
+            f"{tuple(b['mn'])} does not sort after existing max {tuple(max_key)}; "
+            "run build_index(force=True) instead"
+        )
+
+    def _manifest_row(seg_id, pid, fp, ndocs, nterms, nposts, status):
+        row = pd.DataFrame(
+            [(seg_id, int(pid), int(fp), int(ndocs), int(nterms), int(nposts),
+              pd.Timestamp.utcnow().tz_localize(None), status)],
+            columns=["seg_id", "partition_id", "input_fingerprint", "n_docs",
+                     "n_terms", "n_postings", "created_ts", "status"],
+        )
+        spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(
+            f"{index_dir}/manifests"
+        )
+
+    _manifest_row(f"append-{batch_tag}", -2, 0, n_batch, 0, 0, "pending")
+
+    src_cols = list(dict.fromkeys(s for s, _ in field_sources))
+    seg_batch = batch.withColumn("seg", _seg_col(F.col(doc_key_cols[0]), n_segments))
+    persisted: list = []
+    try:
+        docs = assign_doc_ids(
+            seg_batch, key_cols=doc_key_cols, persisted=persisted, base=base_n
+        )
+        docs = docs.withColumn("dl", _field_dl_col(*field_sources[0]))
+        extra_dl_cols = []
+        for i, (src, ngram) in enumerate(field_sources[1:], start=1):
+            name = f"dl_f{i}"
+            docs = docs.withColumn(name, _field_dl_col(src, ngram))
+            extra_dl_cols.append(name)
+        stats_cols = list(dict.fromkeys(
+            ["doc_id", *doc_key_cols,
+             *[c for c in meta_cols if c in batch.columns],
+             "dl", *extra_dl_cols, "seg"]
+        ))
+        docs.select(*stats_cols).write.mode("append").partitionBy("seg").parquet(
+            f"{index_dir}/doc_stats"
+        )
+
+        encoded = _encode_postings(docs, field_sources, target_run, n_buckets)
+        encoded = encoded.persist()  # batch-sized; reused for seg_df partials
+        persisted.append(encoded)
+        encoded.write.mode("append").partitionBy("seg", "field", "bucket").parquet(
+            f"{index_dir}/postings"
+        )
+        seg_df = encoded.groupBy("seg", "field", "term").agg(F.sum("n").alias("df_p"))
+        seg_df.write.mode("append").partitionBy("seg").parquet(
+            f"{index_dir}/term_seg_df"
+        )
+        publish_term_dict(spark, index_dir, n_buckets)
+
+        # corpus_stats from deltas — O(batch)
+        aggs = []
+        for i in range(n_fields):
+            col = "dl" if i == 0 else f"dl_f{i}"
+            aggs.append(F.sum(col).alias(f"tot_{i}"))
+        drow = docs.agg(*aggs).collect()[0]
+        old = {
+            int(r["field"]) if "field" in r.__fields__ else 0: r
+            for r in spark.read.parquet(f"{index_dir}/corpus_stats").collect()
+        }
+        n_total = base_n + n_batch
+        rows = []
+        for i in range(n_fields):
+            prev_tot = int(old[i]["total_tokens"]) if i in old else 0
+            tot = prev_tot + int(drow[f"tot_{i}"] or 0)
+            rows.append((i, n_total, tot / n_total, tot))
+        spark.createDataFrame(
+            rows, "field int, n_docs long, avgdl double, total_tokens long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/corpus_stats")
+
+        # per-seg fingerprints: combined = old XOR batch (order-independent)
+        fp_rows = seg_batch.groupBy("seg").agg(
+            F.bit_xor(F.xxhash64(*doc_key_cols, *src_cols)).alias("fp"),
+            F.count("*").alias("nd"),
+        ).collect()
+        manifests = read_manifests(spark, index_dir)
+        old_fp = {}
+        old_nd = {}
+        if manifests is not None:
+            for r in (
+                manifests.filter(F.col("status") == "committed")
+                .filter(F.col("partition_id") >= 0)
+                .groupBy("partition_id")
+                .agg(
+                    F.max_by("input_fingerprint", "created_ts").alias("fp"),
+                    F.max_by("n_docs", "created_ts").alias("nd"),
+                )
+                .collect()
+            ):
+                old_fp[int(r["partition_id"])] = int(r["fp"])
+                old_nd[int(r["partition_id"])] = int(r["nd"])
+        for r in fp_rows:
+            seg = int(r["seg"])
+            combined = old_fp.get(seg, 0) ^ int(r["fp"])
+            _manifest_row(
+                f"seg-{seg:05d}", seg, combined,
+                old_nd.get(seg, 0) + int(r["nd"]), 0, 0, "committed",
+            )
+        _manifest_row(f"append-{batch_tag}", -2, 0, n_batch, 0, 0, "committed")
+    finally:
+        for h in persisted:
+            h.unpersist()
+
+    return {
+        "appended_docs": n_batch,
+        "n_docs": base_n + n_batch,
+        "segments_touched": sorted(int(r["seg"]) for r in fp_rows),
+        "elapsed_sec": time.time() - t0,
+    }

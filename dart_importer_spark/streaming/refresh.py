@@ -31,7 +31,9 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from ..index.build import BuildConfig, build_index
+from pyspark.sql import functions as F
+
+from ..index.build import BuildConfig, append_index, build_index, read_manifests
 
 
 def corpus_dir(index_dir: str) -> str:
@@ -40,6 +42,28 @@ def corpus_dir(index_dir: str) -> str:
 
 def read_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(corpus_dir(index_dir))
+
+
+def _append_state(spark, index_dir: str, tag: str) -> str:
+    """'applied' if this batch tag already committed (checkpoint replay),
+    'torn' if ANY append left a pending row without its committed row
+    (crash mid-append -> data files may be partially written), else 'clean'."""
+    manifests = read_manifests(spark, index_dir)
+    if manifests is None:
+        return "clean"
+    rows = (
+        manifests.filter(F.col("seg_id").startswith("append-"))
+        .select("seg_id", "status")
+        .collect()
+    )
+    states: dict[str, set] = {}
+    for r in rows:
+        states.setdefault(r["seg_id"], set()).add(r["status"])
+    if "committed" in states.get(f"append-{tag}", set()):
+        return "applied"
+    if any("committed" not in st for st in states.values()):
+        return "torn"
+    return "clean"
 
 
 def incremental_refresh(
@@ -64,10 +88,53 @@ def incremental_refresh(
     metrics: list[dict] = []
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        # stage to corpus/batch=<id> (overwrite => replays are idempotent);
+        # the corpus table is the source of truth for full rebuilds
         staged = os.path.join(corpus_dir(index_dir), f"batch={batch_id}")
         batch_df.write.mode("overwrite").parquet(staged)
-        full = read_corpus(spark, index_dir)
-        m = build_index(spark, full, index_dir, cfg, **build_kwargs)
+        tag = f"b{batch_id:08d}"
+        first = not os.path.exists(os.path.join(index_dir, "meta.json"))
+        state = "clean" if first else _append_state(spark, index_dir, tag)
+        append_kwargs = {
+            k: v for k, v in build_kwargs.items() if k != "force"
+        }
+        if state == "applied":  # checkpoint replay of a committed batch
+            m = {"batch_id": batch_id, "skipped_replay": True}
+            metrics.append(m)
+            if on_batch is not None:
+                on_batch(batch_id, m)
+            return
+        if first:
+            m = build_index(
+                spark, read_corpus(spark, index_dir), index_dir, cfg, **build_kwargs
+            )
+            m["mode"] = "initial_build"
+        elif state == "torn":
+            # a previous append died between its pending and committed
+            # manifest rows — data files may be half-written; repair with a
+            # full rebuild from the corpus table (dynamic partition
+            # overwrite replaces every partition)
+            m = build_index(
+                spark, read_corpus(spark, index_dir), index_dir, cfg,
+                force=True, **append_kwargs,
+            )
+            m["mode"] = "torn_repair_rebuild"
+        else:
+            try:
+                # O(batch): only the new files are tokenized/encoded
+                m = append_index(
+                    spark, spark.read.parquet(staged), index_dir,
+                    batch_tag=tag, **append_kwargs,
+                )
+                m["mode"] = "append"
+            except ValueError:
+                # monotone-append contract violated (ADVICE r01): shifted
+                # ranks would corrupt doc_ids silently — full rebuild instead
+                m = build_index(
+                    spark, read_corpus(spark, index_dir), index_dir, cfg,
+                    force=True, **append_kwargs,
+                )
+                m["mode"] = "monotone_violation_rebuild"
         m["batch_id"] = batch_id
         metrics.append(m)
         if on_batch is not None:

@@ -1,5 +1,6 @@
 """Structured-Streaming incremental refresh: exactly-once landing-file
-consumption + fingerprint-guarded segment rebuilds, equal to a batch rebuild."""
+consumption, O(batch) appends under the (enforced) key-monotone contract,
+full-rebuild fallback on contract violation, equal to a batch rebuild."""
 
 from __future__ import annotations
 
@@ -28,18 +29,21 @@ def test_incremental_refresh_matches_batch_rebuild(spark, tmp_path):
     first.coalesce(1).write.mode("append").parquet(landing)
     m1 = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, CFG)
     assert len(m1) == 1
+    assert m1[0]["mode"] == "initial_build"
     ix1 = InvertedIndex(spark, idx)
     n1 = ix1.n_docs
     assert n1 == first.count()
 
     # drain again with nothing new: checkpoint prevents re-consumption
     m_idle = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, CFG)
-    assert all(not m["built_segments"] for m in m_idle)
+    assert m_idle == []
 
-    # key-monotone append of new conversations
+    # key-monotone append of new conversations: O(batch), not O(corpus) —
+    # the metrics report exactly the batch's rows as the work done
     second.coalesce(1).write.mode("append").parquet(landing)
     m2 = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, CFG)
-    built = sorted({s for m in m2 for s in m["built_segments"]})
+    assert [m["mode"] for m in m2] == ["append"]
+    assert m2[0]["appended_docs"] == second.count()
     touched = sorted(
         r["seg"]
         for r in second.select(
@@ -50,7 +54,7 @@ def test_incremental_refresh_matches_batch_rebuild(spark, tmp_path):
         .distinct()
         .collect()
     )
-    assert built == touched
+    assert m2[0]["segments_touched"] == touched
 
     ix2 = InvertedIndex(spark, idx)
     assert ix2.n_docs == all_tr.count()
@@ -62,4 +66,49 @@ def test_incremental_refresh_matches_batch_rebuild(spark, tmp_path):
     assert abs(ix2.avgdl - bx.avgdl) < 1e-9
     for q in ["the and of", "삼성 전자", "w00042 w00123"]:
         assert _topk(ix2, q) == _topk(bx, q), q
+
+    # a later full build over the identical corpus must skip every segment
+    # (append XOR-combined the manifest fingerprints correctly)
+    m3 = build_index(spark, all_tr, idx, CFG)
+    assert m3["built_segments"] == []
+    assert sorted(m3["skipped_segments"]) == list(range(CFG.n_segments))
     all_tr.unpersist()
+
+
+def test_monotone_violation_falls_back_to_rebuild(spark, tmp_path):
+    """ADVICE r01: an out-of-order landing file must NOT corrupt doc_ids —
+    the refresh detects the violated append contract and rebuilds."""
+    landing = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+
+    all_tr = generate_transcripts(spark, 60).persist()
+    late = all_tr.filter(F.col("conv_id") < "conv00000010")  # sorts FIRST
+    rest = all_tr.filter(F.col("conv_id") >= "conv00000010")
+
+    rest.coalesce(1).write.mode("append").parquet(landing)
+    incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, CFG)
+
+    late.coalesce(1).write.mode("append").parquet(landing)
+    m = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, CFG)
+    assert [x["mode"] for x in m] == ["monotone_violation_rebuild"]
+
+    ix = InvertedIndex(spark, idx)
+    batch_dir = str(tmp_path / "batch_idx")
+    build_index(spark, all_tr, batch_dir, CFG)
+    bx = InvertedIndex(spark, batch_dir)
+    assert ix.n_docs == bx.n_docs
+    for q in ["the and of", "삼성 전자"]:
+        assert _topk(ix, q) == _topk(bx, q), q
+    all_tr.unpersist()
+
+
+def test_append_index_rejects_overlapping_keys(spark, tmp_path):
+    import pytest
+
+    from dart_importer_spark.index.build import append_index
+
+    idx = str(tmp_path / "idx")
+    tr = generate_transcripts(spark, 30)
+    build_index(spark, tr, idx, CFG)
+    with pytest.raises(ValueError, match="monotone"):
+        append_index(spark, tr.limit(5), idx, batch_tag="dup")
