@@ -425,6 +425,42 @@ def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "day")
 
 
+def q_etl_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 zipped-XML source (reference download_corp_code,
+    import_dart_data.py:107-111 + generate_corp_code_doc :194-216): a
+    deterministic XML render of the nation table round-trips through the
+    distributed zip parser; the oracle is the table itself."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    from dart_importer_spark.sources.xmlzip import read_zipped_xml
+
+    nat = (
+        _load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    zdir = os.path.join(
+        "/tmp/dis_entry_xml_v1", os.path.abspath(sf_dir).strip("/").replace("/", "_")
+    )
+    os.makedirs(zdir, exist_ok=True)
+    xml = (
+        "<result>"
+        + "".join(
+            f"<list><key>{r['n_nationkey']}</key><name>{escape(r['n_name'])}</name></list>"
+            for r in nat
+        )
+        + "</result>"
+    )
+    with zipfile.ZipFile(os.path.join(zdir, "nation.zip"), "w") as zf:
+        zf.writestr("NATION.xml", xml)
+    out = read_zipped_xml(spark, zdir, "list", ("key", "name"))
+    return out.select(
+        F.col("key").cast("int").alias("n_nationkey"), F.col("name").alias("n_name")
+    )
+
+
 def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return textops.with_langid(docs).select("doc_id", "lang_pred")
@@ -635,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_window_topn": q_etl_window_topn,
         "etl_distinct": q_etl_distinct,
         "etl_interval_join": q_etl_interval_join,
+        "etl_xml_source": q_etl_xml_source,
     }
 
 
@@ -755,6 +792,7 @@ ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
         "ft_offset": _bm25_oracle(["merge", "sort"], 20, offset=10),
         "ft_sayt": sayt_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
+        "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_interval_join": """
 WITH days AS (
   SELECT d AS day,

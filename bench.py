@@ -41,9 +41,14 @@ HEADLINE = [
     "ft_range_nchars",
     "ft_deep_topk",
     "ft_wildcard_prefix",
+    "ft_match_field",
+    "ft_boost",
+    "ft_sayt",
     "tx_langid",
+    "tx_fingerprint",
     "dd_exact",
     "dd_near_identical",
+    "dd_simhash_pairs",
     "sim_bruteforce_cosine",
     "sim_ann_lsh",
     "mm_features",
@@ -52,6 +57,7 @@ HEADLINE = [
     "etl_group_agg",
     "etl_sort_limit",
     "etl_window_topn",
+    "etl_interval_join",
 ]
 
 
