@@ -61,6 +61,24 @@ DUCKDB_TOKENIZE = (
     "regexp_extract_all(lower({col}), '[0-9a-z_]+|[ㄱ-ퟝ一-鿿]+')"
 )
 
+def shingles_of(toks: Column, n: int, sep: str) -> Column:
+    """Word n-gram shingles of a token array as JVM expressions.
+
+    Built from n aligned ``slice``s folded with ``zip_with`` — NOT
+    ``transform(sequence, i -> element_at(toks, i+j))``: a lambda body
+    re-evaluates its subexpressions per element, so the element_at form
+    re-runs the tokenizer regex 3x per shingle (measured 10x slower on the
+    documents table). Returns an empty array when size(toks) < n.
+    """
+    sz = F.size(toks)
+    m = F.greatest(sz - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for j in range(1, n):
+        nxt = F.slice(toks, j + 1, m)
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat(a, F.lit(sep), b))
+    return acc
+
+
 # Separator for word-shingle terms (search_as_you_type 2/3-gram subfields).
 # U+001F never appears in tokens (not in TOKEN_PATTERN's charset), so a
 # shingle term can't collide with a plain term or a different split.

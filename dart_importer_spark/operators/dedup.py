@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_60
-from ..functions.tokenizer import tokenize_col
+from ..functions.tokenizer import shingles_of, tokenize_col
 
 
 def exact_dedup(
@@ -39,20 +39,13 @@ def exact_dedup(
 
 
 def _shingles(text_col: str, n: int = 3):
-    """Token n-gram shingles as array<string> (JVM transform/sequence)."""
+    """Token n-gram shingles as array<string> — sliced zip_with (see
+    tokenizer.shingles_of for why not transform+element_at)."""
     toks = tokenize_col(text_col)
     sz = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(sz - n, F.lit(0)))
     return F.when(
         sz >= n,
-        F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-                ),
-            )
-        ),
+        F.array_distinct(shingles_of(toks, n, " ")),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_60
-from ..functions.tokenizer import tokenize_col
+from ..functions.tokenizer import shingles_of, tokenize_col
 
 # per-language stopword profiles for the n-gram/stopword-hit language-ID
 # heuristic (tiny, broadcast as literals)
@@ -90,25 +90,15 @@ def with_fingerprint(
 ) -> DataFrame:
     """Document fingerprint: min-k over rolling 3-token shingle hashes
     (winnowing-style), packed as sorted array<long>. JVM-only: shingles via
-    transform over token index, hash per shingle, slice(array_sort).
+    sliced zip_with (see tokenizer.shingles_of), hash per shingle,
+    slice(array_sort).
     ``hash_fn`` defaults to the portable md5-based 60-bit hash so the output
     is reproducible in DuckDB (pass F.xxhash64 for max speed when oracle
     parity is not needed)."""
     toks = tokenize_col(text_col)
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
     shingles = F.when(
         n >= 3,
-        F.transform(
-            idx,
-            lambda i: hash_fn(
-                F.concat_ws(
-                    "",
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                    F.element_at(toks, i + 3),
-                )
-            ),
-        ),
+        F.transform(shingles_of(toks, 3, ""), hash_fn),
     ).otherwise(F.array(hash_fn(F.concat_ws("", toks))))
     return df.withColumn(out, F.slice(F.array_sort(F.array_distinct(shingles)), 1, k))
