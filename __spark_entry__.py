@@ -87,6 +87,7 @@ def _bm25_oracle(
     boosts: dict[str, float] | None = None,
     offset: int = 0,
     field: str = "text",
+    must_terms: list[str] | None = None,
 ) -> str:
     boosts = boosts or {}
     qvals = ", ".join(
@@ -95,7 +96,14 @@ def _bm25_oracle(
     filter_join = (
         f"JOIN docs d ON d.did = tf.did AND ({doc_filter})" if doc_filter else ""
     )
-    having = f"HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
+    if must_terms:  # bool must+should: must terms gate, all terms score
+        mlist = ", ".join(f"'{t}'" for t in sorted(set(must_terms)))
+        having = (
+            "HAVING count(DISTINCT CASE WHEN tf.term IN "
+            f"({mlist}) THEN tf.term END) = {len(set(must_terms))}"
+        )
+    else:
+        having = f"HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
     return f"""
 WITH docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, lang, source, n_chars
@@ -386,6 +394,13 @@ def q_ft_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.topk("merge sort", k=20, offset=10, round_scores=6)
 
 
+def q_ft_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q3 extension — ES bool {must, should}: must gates matching, should
+    # terms only add score (Running-ELK.md bool composition)
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk("data", k=20, mode="and", should="merge sort", round_scores=6)
+
+
 def q_ft_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q12 search_as_you_type, full semantics: complete terms BM25 + last-term
     # prefix (constant score) + 2-gram shingle subfield BM25, summed
@@ -637,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_exists": q_ft_exists,
         "ft_offset": q_ft_offset,
         "ft_sayt": q_ft_sayt,
+        "ft_bool_should": q_ft_bool_should,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -790,6 +806,9 @@ ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
         "ft_boost": _bm25_oracle(["data", "merge"], 20, boosts={"data": 2.0}),
         "ft_exists": _bm25_oracle(["data"], 20, doc_filter="d.did % 3 <> 0"),
         "ft_offset": _bm25_oracle(["merge", "sort"], 20, offset=10),
+        "ft_bool_should": _bm25_oracle(
+            ["data", "merge", "sort"], 20, must_terms=["data"]
+        ),
         "ft_sayt": sayt_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",

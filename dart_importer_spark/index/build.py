@@ -582,7 +582,10 @@ def _build_segments(
     # segments, and the scorer is correct at any run granularity.
     encoded = _encode_postings(build_docs, field_sources, cfg.target_run, cfg.n_buckets)
     (
+        # term-sorted files: parquet row-group min/max stats on `term` make
+        # the pushed In(term, ...) predicate skip whole row groups at scale
         encoded.repartition("seg", "field", "bucket")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("seg", "field", "bucket")
         .parquet(f"{out_dir}/postings")
@@ -706,6 +709,7 @@ def publish_term_dict(spark: SparkSession, out_dir: str, n_buckets: int) -> None
             F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
         )
         .repartition("bucket")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")
@@ -821,8 +825,12 @@ def append_index(
         encoded = _encode_postings(docs, field_sources, target_run, n_buckets)
         encoded = encoded.persist()  # batch-sized; reused for seg_df partials
         persisted.append(encoded)
-        encoded.write.mode("append").partitionBy("seg", "field", "bucket").parquet(
-            f"{index_dir}/postings"
+        (
+            encoded.repartition("seg", "field", "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("append")
+            .partitionBy("seg", "field", "bucket")
+            .parquet(f"{index_dir}/postings")
         )
         seg_df = encoded.groupBy("seg", "field", "term").agg(F.sum("n").alias("df_p"))
         seg_df.write.mode("append").partitionBy("seg").parquet(

@@ -307,9 +307,13 @@ def compact_index(
     )
 
     os.makedirs(out_dir, exist_ok=True)
-    merged.repartition("bucket").write.mode("overwrite").partitionBy(
-        "seg", "field", "bucket"
-    ).parquet(f"{out_dir}/postings")
+    (
+        merged.repartition("bucket")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .partitionBy("seg", "field", "bucket")
+        .parquet(f"{out_dir}/postings")
+    )
 
     (
         doc_stats.repartition("seg")
@@ -331,6 +335,7 @@ def compact_index(
             F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
         )
         .repartition("bucket")
+        .sortWithinPartitions("term")
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{out_dir}/term_dict")

@@ -168,6 +168,7 @@ class InvertedIndex:
         boosts: dict[str, float] | None = None,
         offset: int = 0,
         field: str | int | None = None,
+        should: str | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
@@ -180,6 +181,10 @@ class InvertedIndex:
         ``field`` names the analyzed column to match against (ES
         ``match: {corp_name: ...}``, Running-ELK.md:145-152); BM25 uses that
         field's postings, df, dl and avgdl. Default: the primary field.
+        ``should`` adds OPTIONAL scoring clauses (ES ``bool: {must, should}``
+        with must present: should terms contribute score but never gate
+        matching). Pruning is disabled with should present (θ would need the
+        optional terms' bounds folded in).
         """
         fid = self._fid(field)
         avgdl = self.avgdl_by_field[fid]
@@ -230,7 +235,7 @@ class InvertedIndex:
 
         need = k + offset  # pruning must preserve ranks up to offset+k
         theta = 0.0
-        if prune and mode == "or" and len(terms) > 1:
+        if prune and should is None and mode == "or" and len(terms) > 1:
             theta = self._threshold_estimate(
                 terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
                 fid=fid, avgdl=avgdl,
@@ -246,6 +251,18 @@ class InvertedIndex:
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == len(terms))
         agg = agg.select("doc_id", F.col("score"))
+        if should is not None:
+            s_terms = [
+                t for t in sorted(set(self._analyze(should, field)))
+                if t not in set(terms)
+            ]
+            s_scores = self._bm25_scores(s_terms, fid) if s_terms else None
+            if s_scores is not None:
+                s_scores = s_scores.withColumnRenamed("score", "s_score")
+                agg = agg.join(s_scores, "doc_id", "left").select(
+                    "doc_id",
+                    (F.col("score") + F.coalesce(F.col("s_score"), F.lit(0.0))).alias("score"),
+                )
         if not dead_pushed:
             agg = self._live(agg)
         if round_scores is not None:

@@ -81,3 +81,26 @@ def test_postings_scan_prunes_buckets_and_columns(built_index):
     assert "docs" in read_schema and "tfs" not in read_schema
     # partition pruning on the bucket directory column
     assert "bucket" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_postings_scan_prunes_field_partition(built_index):
+    """Fielded queries must prune the field=<id> directory level."""
+    cand = built_index._candidate_postings(["the"], 0).select("term", "docs")
+    plan = _plan(cand)
+    assert "field" in plan.split("PartitionFilters")[1][:250]
+
+
+def test_fuzzy_length_band_pushdown(built_index):
+    """The fuzzy length band must reach the term_dict parquet scan as a
+    pushed predicate on the stored tlen column (pre-levenshtein prune)."""
+    td = built_index._field_dict(0).filter(F.col("tlen").between(2, 4))
+    plan = _plan(td)
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "tlen" in pushed, plan
+
+
+def test_sayt_and_should_plans_arrow_only(built_index):
+    assert_no_row_python(built_index.search_as_you_type("the an", k=5))
+    assert_no_row_python(
+        built_index.topk("the", k=5, mode="and", should="삼성")
+    )

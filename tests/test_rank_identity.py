@@ -200,3 +200,24 @@ def test_offset_with_prune(built_index):
     full = built_index.topk("the and of", 20, prune=False).toPandas()
     page = built_index.topk("the and of", 5, offset=8, prune=True).toPandas()
     assert list(page["doc_id"]) == list(full["doc_id"][8:13])
+
+
+def test_bool_should(built_index, oracle):
+    """ES bool {must, should}: must gates matching, should only adds score.
+    Verified against a pandas recombination of single-term oracle scores."""
+    must_s = oracle.scores("the").set_index("doc_id")["score"]
+    bonus = oracle.scores("삼성").set_index("doc_id")["score"]
+    want = (
+        must_s.add(bonus.reindex(must_s.index).fillna(0.0), fill_value=None)
+        .rename("score")
+        .reset_index()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    got = built_index.topk("the", 10, mode="and", should="삼성").toPandas()
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert np.allclose(got["score"], want["score"], atol=1e-6)
+    # a doc matching only the should term must NOT appear
+    only_should = set(bonus.index) - set(must_s.index)
+    assert not set(got["doc_id"]) & only_should
