@@ -394,6 +394,13 @@ def q_ft_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.topk("merge sort", k=20, offset=10, round_scores=6)
 
 
+def q_ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match most_fields over (text, source): per-field BM25 with
+    # that field's stats, field scores summed
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match("data src7", fields=["text", "source"], k=20, round_scores=6)
+
+
 def q_ft_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q3 extension — ES bool {must, should}: must gates matching, should
     # terms only add score (Running-ELK.md bool composition)
@@ -438,6 +445,17 @@ def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, days, "ev_start", "ev_end", "day_start", "day_end", bucket_width=86400.0
     )
     return out.select("event_id", "day")
+
+
+def q_etl_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization of the events stream (window lag + running
+    # sum, one shuffle on user_id) — training-pipeline staple
+    from dart_importer_spark.operators.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap_sec=1800.0, order_tiebreak="event_id"
+    ).select("event_id", "user_id", "session_seq")
 
 
 def q_etl_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_offset": q_ft_offset,
         "ft_sayt": q_ft_sayt,
         "ft_bool_should": q_ft_bool_should,
+        "ft_multi_match": q_ft_multi_match,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -688,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_distinct": q_etl_distinct,
         "etl_interval_join": q_etl_interval_join,
         "etl_xml_source": q_etl_xml_source,
+        "etl_sessionize": q_etl_sessionize,
     }
 
 
@@ -799,9 +819,36 @@ SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
 """
+    # --- ft_multi_match: per-field BM25 (each field's own stats), summed
+    def _mm_field_block(i: int, col: str, qlist: str) -> str:
+        return f"""
+tok{i} AS (SELECT did, unnest(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')) AS term FROM docs),
+tf{i} AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok{i} GROUP BY 1, 2),
+dl{i} AS (SELECT did, len(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}'))::DOUBLE AS dl FROM docs),
+st{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl{i}),
+dft{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} GROUP BY 1),
+sc{i} AS (
+  SELECT tf{i}.did, sum(
+    ln(1 + (s.n - dft{i}.df + 0.5) / (dft{i}.df + 0.5))
+    * tf{i}.tf / (tf{i}.tf + {K1} * (1 - {B} + {B} * dl{i}.dl / s.avgdl))) AS sc
+  FROM tf{i} JOIN dft{i} USING (term) JOIN dl{i} ON dl{i}.did = tf{i}.did
+  CROSS JOIN st{i} s
+  WHERE tf{i}.term IN ({qlist}) GROUP BY tf{i}.did)"""
+
+    mm_q = "'data', 'src7'"
+    multi_match_sql = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source FROM documents
+),{_mm_field_block(0, "text", mm_q)},{_mm_field_block(1, "source", mm_q)}
+, allsc AS (SELECT did, sc FROM sc0 UNION ALL SELECT did, sc FROM sc1)
+SELECT did AS doc_id, round(sum(sc), 6) AS score
+FROM allsc GROUP BY did
+ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
+"""
     return {
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
+        "ft_multi_match": multi_match_sql,
         "ft_match_field": _bm25_oracle(["src7"], 20, field="source"),
         "ft_boost": _bm25_oracle(["data", "merge"], 20, boosts={"data": 2.0}),
         "ft_exists": _bm25_oracle(["data"], 20, doc_filter="d.did % 3 <> 0"),
@@ -812,6 +859,17 @@ ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
         "ft_sayt": sayt_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
+        "etl_sessionize": """
+SELECT event_id, user_id,
+       sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+FROM (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+""",
         "etl_interval_join": """
 WITH days AS (
   SELECT d AS day,

@@ -543,6 +543,33 @@ class InvertedIndex:
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    def multi_match(
+        self,
+        query: str,
+        fields: Sequence[str | int],
+        k: int = 10,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``multi_match`` type=most_fields: score the query against each
+        named field with that field's own BM25 statistics and SUM the field
+        scores (the reference maps ~10 analyzed fields per doc — this is the
+        cross-field form of its `match`, import_dart_data.py:389-440)."""
+        parts: list[DataFrame] = []
+        for f in fields:
+            fid = self._fid(f)
+            p = self._bm25_scores(sorted(set(self._analyze(query, fid))), fid)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        agg = self._live(allp.groupBy("doc_id").agg(F.sum("score").alias("score")))
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def search_as_you_type(
         self,
         query: str,
