@@ -85,22 +85,24 @@ def shingles_of(toks: Column, n: int, sep: str) -> Column:
 SHINGLE_SEP = "\x1f"
 
 
-def make_shingle_tokenizer(n: int, sep: str = SHINGLE_SEP):
-    """Pandas tokenizer emitting word n-gram shingles: the analyzer of ES
+def shingle_list(tokens: list[str], n: int, sep: str = SHINGLE_SEP) -> list[str]:
+    """Word n-gram shingles of an already-tokenized list: the analyzer of ES
     search_as_you_type ._2gram/._3gram subfields (reference
     import_dart_data.py:353-354,395-405). For fewer than n tokens, ES's
     shingle filter emits the whole (shorter) token run as one shingle;
     zero tokens emit nothing. Must agree with build._field_dl_col."""
+    if not tokens:
+        return []
+    if len(tokens) < n:
+        return [sep.join(tokens)]
+    return [sep.join(tokens[j : j + n]) for j in range(len(tokens) - n + 1)]
 
-    def shingle(tokens: list[str]) -> list[str]:
-        if not tokens:
-            return []
-        if len(tokens) < n:
-            return [sep.join(tokens)]
-        return [sep.join(tokens[j : j + n]) for j in range(len(tokens) - n + 1)]
+
+def make_shingle_tokenizer(n: int, sep: str = SHINGLE_SEP):
+    """Pandas tokenizer emitting word n-gram shingles (see shingle_list)."""
 
     def fn(texts: pd.Series) -> pd.Series:
-        return tokenize_series(texts).map(shingle)
+        return tokenize_series(texts).map(lambda t: shingle_list(t, n, sep))
 
     return fn
 

@@ -220,30 +220,109 @@ def pack_runs_bulk(
     return out
 
 
-def _make_doc_encoder(target_run: int, n_fields: int = 1, tokenizers=None):
-    """Partition-level encoder over (doc, field) rows (seg, doc_id, field,
-    text) — one input row per indexed field of each document.
+def _finish_encode(
+    seg_rep: np.ndarray,
+    codes: np.ndarray,
+    doc_rep: np.ndarray,
+    dl_rep: np.ndarray,
+    uniques: np.ndarray,
+    n_fields: int,
+    doc_min: int,
+    doc_max: int,
+    target_run: int,
+    run_id: int,
+) -> pd.DataFrame:
+    """Shared encode tail: composite-key sort -> run-length tf -> group ->
+    chunk at target_run -> bulk delta+varbyte pack -> posting-run rows.
+
+    ``codes`` is the joint (term, field) id (term_code * n_fields + field)
+    so fields need no extra sort-key bits. One composite-key argsort instead
+    of a 3-key lexsort: ~3x less memory traffic through the sort, which is
+    what the encode stage is bound by. Bit budget: seg < 2^9 (asserted in
+    BuildConfig), per-partition vocab*n_fields < 2^25, partition-local doc
+    ordinal < 2^30. Overflowing fields would OR bits across key boundaries
+    and emit a silently corrupt index, so the bounds are checked here and a
+    (slower but unconditionally correct) 3-key lexsort takes over for freak
+    partitions that exceed them."""
+    local_doc = (doc_rep - doc_min).astype(np.uint64)
+    doc_span = int(doc_max - doc_min)
+    if len(uniques) * n_fields < (1 << 25) and doc_span < (1 << 30):
+        key = (
+            (seg_rep.astype(np.uint64) << np.uint64(55))
+            | (codes.astype(np.uint64) << np.uint64(30))
+            | local_doc
+        )
+        order = np.argsort(key, kind="stable")
+    else:
+        order = np.lexsort((local_doc, codes, seg_rep))
+    seg_s, code_s, doc_s, dl_s = (
+        seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
+    )
+    n = len(doc_s)
+    # collapse duplicate (seg, field·term, doc) rows to tf via run-length
+    new_post = np.empty(n, dtype=bool)
+    new_post[0] = True
+    new_post[1:] = (
+        (doc_s[1:] != doc_s[:-1])
+        | (code_s[1:] != code_s[:-1])
+        | (seg_s[1:] != seg_s[:-1])
+    )
+    pstarts = np.flatnonzero(new_post)
+    tfs = np.diff(np.append(pstarts, n)).astype(np.int64)
+    docs = doc_s[pstarts]
+    dls = dl_s[pstarts]
+    segs = seg_s[pstarts]
+    code_p = code_s[pstarts]
+    m = len(docs)
+    change = np.empty(m, dtype=bool)
+    change[0] = True
+    change[1:] = (segs[1:] != segs[:-1]) | (code_p[1:] != code_p[:-1])
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], m)
+    if ((ends - starts) > target_run).any():
+        pieces = []
+        for s, e in zip(starts, ends):
+            if e - s > target_run:
+                pieces.extend(range(s, e, target_run))
+            else:
+                pieces.append(s)
+        starts = np.asarray(pieces, dtype=np.int64)
+        ends = np.append(starts[1:], m)
+    fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+    emit_code = code_p[starts]
+    if n_fields > 1:
+        emit_term = uniques[emit_code // n_fields]
+        emit_field = (emit_code % n_fields).astype("int32")
+    else:
+        emit_term = uniques[emit_code]
+        emit_field = np.zeros(len(starts), dtype="int32")
+    return pd.DataFrame(
+        {
+            "seg": segs[starts].astype("int32"),
+            "field": emit_field,
+            "term": emit_term,
+            "run": np.full(len(starts), run_id, dtype=np.int32),
+            **fields,
+        }
+    )
+
+
+def _make_doc_encoder(target_run: int):
+    """Partition-level encoder over single-field document rows
+    (seg, doc_id, text).
 
     The whole token pipeline runs vectorized inside Python: pandas-regex
-    tokenize -> pd.factorize (hash-based term ids) -> np.lexsort by
-    (seg, field·term, doc) -> run-length tf -> bulk delta+varbyte pack.
-    Compared to exploding tokens JVM-side, Arrow moves the raw text once
-    (~6-8x less volume than 60 token rows per doc), and there is no JVM
-    string sort. Rows are atomic, so batches need no carry logic; the
-    partition is processed as one block (memory = the partition's text,
-    which the doc-range partitioning already bounds).
-
-    Fields ride inside the factorize code (code2 = term_code * n_fields +
-    field) so the composite sort key needs no extra bits; dl is the
-    per-(doc, field) token count, which is what per-field BM25 norms want.
-    ``tokenizers`` optionally maps field id -> a callable(pd.Series) ->
-    Series[list[str]] (e.g. shingle tokenizers for search_as_you_type
-    subfields); default is the pinned standard tokenizer.
+    tokenize -> pd.factorize (hash-based term ids) -> composite-key sort ->
+    run-length tf -> bulk delta+varbyte pack. Compared to exploding tokens
+    JVM-side, Arrow moves the raw text once (~6-8x less volume than 60
+    token rows per doc), and there is no JVM string sort. Rows are atomic,
+    so batches need no carry logic; the partition is processed as one block
+    (memory = the partition's text, which the doc-range partitioning
+    already bounds).
 
     run id = TaskContext partition id: unique per partition, which is all
     the scorer needs (runs are independent physical chunks).
     """
-    tokenizers = tokenizers or {}
 
     def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -256,97 +335,88 @@ def _make_doc_encoder(target_run: int, n_fields: int = 1, tokenizers=None):
 
         from itertools import chain
 
-        if tokenizers:
-            fid_arr = pdf["field"].to_numpy(dtype=np.int64)
-            toks = tokenize_series(pdf["text"])
-            for fid, fn in tokenizers.items():
-                sel = fid_arr == fid
-                if sel.any():
-                    toks.loc[sel] = fn(pdf["text"][sel])
-        else:
-            toks = tokenize_series(pdf["text"])
+        toks = tokenize_series(pdf["text"])
         dl = toks.str.len().to_numpy(dtype=np.int64)
         total = int(dl.sum())
         if total == 0:
             return
         flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
         codes, uniques = pd.factorize(flat, sort=False)
-        if n_fields > 1:
-            field_rep = np.repeat(pdf["field"].to_numpy(dtype=np.int64), dl)
-            codes = codes.astype(np.int64) * n_fields + field_rep
         seg_rep = np.repeat(pdf["seg"].to_numpy(dtype=np.int32), dl)
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         doc_rep = np.repeat(doc_ids, dl)
         dl_rep = np.repeat(dl, dl)
+        yield _finish_encode(
+            seg_rep, codes, doc_rep, dl_rep, uniques, 1,
+            int(doc_ids.min()), int(doc_ids.max()), target_run, run_id,
+        )
 
-        # one composite-key argsort instead of a 3-key lexsort: ~3x less
-        # memory traffic through the sort, which is what the encode stage
-        # is bound by. Bit budget: seg < 2^9 (asserted in BuildConfig),
-        # per-partition vocab·n_fields < 2^25, partition-local doc ordinal
-        # < 2^30. Overflowing fields would OR bits across key boundaries
-        # and emit a silently corrupt index, so the bounds are checked here
-        # and a (slower but unconditionally correct) 3-key lexsort takes
-        # over for freak partitions that exceed them.
-        local_doc = (doc_rep - doc_ids.min()).astype(np.uint64)
-        doc_span = int(doc_ids.max() - doc_ids.min())
-        if len(uniques) * n_fields < (1 << 25) and doc_span < (1 << 30):
-            key = (
-                (seg_rep.astype(np.uint64) << np.uint64(55))
-                | (codes.astype(np.uint64) << np.uint64(30))
-                | local_doc
-            )
-            order = np.argsort(key, kind="stable")
-        else:
-            order = np.lexsort((local_doc, codes, seg_rep))
-        seg_s, code_s, doc_s, dl_s = (
-            seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
-        )
-        n = len(doc_s)
-        # collapse duplicate (seg, field·term, doc) rows to tf via run-length
-        new_post = np.empty(n, dtype=bool)
-        new_post[0] = True
-        new_post[1:] = (
-            (doc_s[1:] != doc_s[:-1])
-            | (code_s[1:] != code_s[:-1])
-            | (seg_s[1:] != seg_s[:-1])
-        )
-        pstarts = np.flatnonzero(new_post)
-        tfs = np.diff(np.append(pstarts, n)).astype(np.int64)
-        docs = doc_s[pstarts]
-        dls = dl_s[pstarts]
-        segs = seg_s[pstarts]
-        code_p = code_s[pstarts]
-        m = len(docs)
-        change = np.empty(m, dtype=bool)
-        change[0] = True
-        change[1:] = (segs[1:] != segs[:-1]) | (code_p[1:] != code_p[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], m)
-        if ((ends - starts) > target_run).any():
-            pieces = []
-            for s, e in zip(starts, ends):
-                if e - s > target_run:
-                    pieces.extend(range(s, e, target_run))
-                else:
-                    pieces.append(s)
-            starts = np.asarray(pieces, dtype=np.int64)
-            ends = np.append(starts[1:], m)
-        fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
-        emit_code = code_p[starts]
-        if n_fields > 1:
-            emit_term = uniques[emit_code // n_fields]
-            emit_field = (emit_code % n_fields).astype("int32")
-        else:
-            emit_term = uniques[emit_code]
-            emit_field = np.zeros(len(starts), dtype="int32")
-        yield pd.DataFrame(
-            {
-                "seg": segs[starts].astype("int32"),
-                "field": emit_field,
-                "term": emit_term,
-                "run": np.full(len(starts), run_id, dtype=np.int32),
-                **fields,
-            }
+    return encode_partition
+
+
+def _make_multi_doc_encoder(target_run: int, n_fields: int, src_fields: dict):
+    """Partition-level encoder over (seg, doc_id, src, text) rows — one row
+    per DISTINCT source column of each document. ``src_fields`` maps the
+    src id to its derived fields [(field_id, ngram|None), ...]: a source
+    indexed both standard and as an n-gram shingle subfield is shipped and
+    tokenized ONCE; the shingle stream is derived from the same token
+    lists (no second Arrow crossing, no second regex pass)."""
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        from pyspark import TaskContext
+
+        from ..functions.tokenizer import shingle_list
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        run_id = TaskContext.get().partitionId() if TaskContext.get() else 0
+
+        src_arr = pdf["src"].to_numpy(dtype=np.int64)
+        seg_np = pdf["seg"].to_numpy(dtype=np.int32)
+        doc_np = pdf["doc_id"].to_numpy(dtype=np.int64)
+        flat_parts, seg_parts, doc_parts, dl_parts, field_parts = [], [], [], [], []
+        for src_id, fields in src_fields.items():
+            sel = np.flatnonzero(src_arr == src_id)
+            if not sel.size:
+                continue
+            toks = tokenize_series(pdf["text"].iloc[sel])
+            for fid, ngram in fields:
+                ftoks = (
+                    toks
+                    if ngram is None
+                    else toks.map(lambda t, n=ngram: shingle_list(t, n))
+                )
+                dl = ftoks.str.len().to_numpy(dtype=np.int64)
+                total = int(dl.sum())
+                if total == 0:
+                    continue
+                flat_parts.append(
+                    np.fromiter(chain.from_iterable(ftoks), dtype=object, count=total)
+                )
+                seg_parts.append(np.repeat(seg_np[sel], dl))
+                doc_parts.append(np.repeat(doc_np[sel], dl))
+                dl_parts.append(np.repeat(dl, dl))
+                field_parts.append(np.full(total, fid, dtype=np.int64))
+        if not flat_parts:
+            return
+        flat = np.concatenate(flat_parts)
+        codes, uniques = pd.factorize(flat, sort=False)
+        codes = codes.astype(np.int64) * n_fields + np.concatenate(field_parts)
+        yield _finish_encode(
+            np.concatenate(seg_parts),
+            codes,
+            np.concatenate(doc_parts),
+            np.concatenate(dl_parts),
+            uniques,
+            n_fields,
+            int(doc_np.min()),
+            int(doc_np.max()),
+            target_run,
+            run_id,
         )
 
     return encode_partition
@@ -466,31 +536,36 @@ def _encode_postings(
     build_docs: DataFrame, field_sources, target_run: int, n_buckets: int
 ) -> DataFrame:
     """(doc rows with seg, doc_id, source text cols) -> encoded posting runs
-    with bucket column. Shared by the full build and the append path."""
-    from ..functions.tokenizer import make_shingle_tokenizer
+    with bucket column. Shared by the full build and the append path.
 
+    Multi-field: rows are stacked per DISTINCT source column (not per
+    field), so a text column indexed both standard and as a shingle
+    subfield crosses Arrow exactly once and is tokenized exactly once —
+    the derived fields' token streams are built from the same token lists
+    inside the encoder."""
     n_fields = len(field_sources)
     if n_fields == 1:
         enc_in = build_docs.select(
             "seg", "doc_id", F.col(field_sources[0][0]).alias("text")
         )
-        tokenizers = None
+        encoder = _make_doc_encoder(target_run)
     else:
-        # one (doc, field) row per indexed field — stack is a narrow
-        # generator (no shuffle), so the encode stays partition-local
-        pairs = ", ".join(f"{i}, `{src}`" for i, (src, _) in enumerate(field_sources))
-        enc_in = build_docs.selectExpr(
-            "seg", "doc_id", f"stack({n_fields}, {pairs}) AS (field, text)"
-        )
-        tokenizers = {
-            i: make_shingle_tokenizer(ngram)
-            for i, (_, ngram) in enumerate(field_sources)
-            if ngram is not None
+        srcs = list(dict.fromkeys(s for s, _ in field_sources))
+        src_fields = {
+            si: [
+                (fi, ngram)
+                for fi, (s2, ngram) in enumerate(field_sources)
+                if s2 == s
+            ]
+            for si, s in enumerate(srcs)
         }
-    encoded = enc_in.mapInPandas(
-        _make_doc_encoder(target_run, n_fields=n_fields, tokenizers=tokenizers),
-        schema=POSTINGS_SCHEMA,
-    )
+        # stack is a narrow generator (no shuffle): encode stays partition-local
+        pairs = ", ".join(f"{i}, `{s}`" for i, s in enumerate(srcs))
+        enc_in = build_docs.selectExpr(
+            "seg", "doc_id", f"stack({len(srcs)}, {pairs}) AS (src, text)"
+        )
+        encoder = _make_multi_doc_encoder(target_run, n_fields, src_fields)
+    encoded = enc_in.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
     return encoded.withColumn(
         "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int")
     )

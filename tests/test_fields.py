@@ -173,3 +173,34 @@ def test_interval_overlap_join(spark):
         a, b, "a_start", "a_end", "b_start", "b_end", bucket_width=7.0
     ).count()
     assert cnt == len(want)
+
+
+def test_fielded_append_matches_full_build(spark, tmp_path):
+    """append_index must compose with fielded + shingle indexing: appending
+    a key-monotone batch to a fielded index equals the from-scratch build."""
+    from dart_importer_spark.index.build import append_index
+
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, body string, title string"
+    )
+    first = df.filter(F.col("conv_id") < "c3")
+    second = df.filter(F.col("conv_id") >= "c3")
+    kw = dict(text_cols=("body", "title"), shingle_fields=(("body", 2),), meta_cols=())
+
+    inc = str(tmp_path / "inc_idx")
+    build_index(spark, first, inc, BuildConfig(n_segments=2, n_buckets=4), **kw)
+    m = append_index(spark, second, inc, batch_tag="t1", **kw)
+    assert m["appended_docs"] == second.count()
+
+    full = str(tmp_path / "full_idx")
+    build_index(spark, df, full, BuildConfig(n_segments=2, n_buckets=4), **kw)
+
+    a, b = InvertedIndex(spark, inc), InvertedIndex(spark, full)
+    assert a.avgdl_by_field == b.avgdl_by_field
+    for fid, q in [(0, "beta gamma"), (1, "news"), (2, "alpha beta")]:
+        ga = [(r["doc_id"], round(r["score"], 9)) for r in a.topk(q, 10, field=fid).collect()]
+        gb = [(r["doc_id"], round(r["score"], 9)) for r in b.topk(q, 10, field=fid).collect()]
+        assert ga == gb, (fid, q)
+    ga = a.search_as_you_type("beta gam", k=10).toPandas()
+    gb = b.search_as_you_type("beta gam", k=10).toPandas()
+    assert list(ga["doc_id"]) == list(gb["doc_id"])
