@@ -394,6 +394,12 @@ def q_ft_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.topk("merge sort", k=20, offset=10, round_scores=6)
 
 
+def q_ft_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms aggregation over the match set (aggs: {terms: {field: lang}})
+    ix = _documents_index(spark, sf_dir)
+    return ix.facet("data merge", by="lang", k=10)
+
+
 def q_ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES multi_match most_fields over (text, source): per-field BM25 with
     # that field's stats, field scores summed
@@ -672,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sayt": q_ft_sayt,
         "ft_bool_should": q_ft_bool_should,
         "ft_multi_match": q_ft_multi_match,
+        "ft_facet": q_ft_facet,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -849,6 +856,17 @@ ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
         "ft_multi_match": multi_match_sql,
+        "ft_facet": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+)
+SELECT lang, count(*) AS doc_count
+FROM hits JOIN meta USING (did)
+GROUP BY lang
+ORDER BY doc_count DESC, lang ASC LIMIT 10
+""",
         "ft_match_field": _bm25_oracle(["src7"], 20, field="source"),
         "ft_boost": _bm25_oracle(["data", "merge"], 20, boosts={"data": 2.0}),
         "ft_exists": _bm25_oracle(["data"], 20, doc_filter="d.did % 3 <> 0"),

@@ -44,6 +44,9 @@ HEADLINE = [
     "ft_match_field",
     "ft_boost",
     "ft_sayt",
+    "ft_multi_match",
+    "ft_bool_should",
+    "ft_facet",
     "tx_langid",
     "tx_fingerprint",
     "dd_exact",
@@ -58,6 +61,7 @@ HEADLINE = [
     "etl_sort_limit",
     "etl_window_topn",
     "etl_interval_join",
+    "etl_sessionize",
 ]
 
 

@@ -543,6 +543,28 @@ class InvertedIndex:
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    def facet(
+        self,
+        query: str,
+        by: str,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES terms aggregation over the match set: docs containing ANY query
+        term (constant-score match), bucketed by a doc_stats column, count
+        desc. The ES `aggs: {terms: {field: ...}}` shape the reference's
+        Kibana dashboards use over these indexes."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", by), "doc_id")
+        return (
+            joined.groupBy(by)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+
     def multi_match(
         self,
         query: str,

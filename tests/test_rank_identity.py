@@ -221,3 +221,32 @@ def test_bool_should(built_index, oracle):
     # a doc matching only the should term must NOT appear
     only_should = set(bonus.index) - set(must_s.index)
     assert not set(got["doc_id"]) & only_should
+
+
+def test_id_push_budget_fallback_identical(built_index, spark):
+    """When the filter allow-set exceeds the push budget, the engine must
+    fall back to the distributed semi-join and produce identical results
+    (including a still-valid distributed θ)."""
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    tiny = InvertedIndex(spark, built_index.dir, id_push_budget=1)
+    for q, flt in [
+        ("the and of", F.col("role") == "assistant"),
+        ("the 삼성", F.col("tool").isNotNull()),
+    ]:
+        a = built_index.topk(q, 10, filters=flt).toPandas()
+        b = tiny.topk(q, 10, filters=flt).toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        assert np.allclose(a["score"], b["score"], atol=1e-12)
+
+
+def test_facet_terms_aggregation(built_index, oracle):
+    """ES terms agg over the match set: docs containing any query term,
+    bucketed by a metadata column, count desc."""
+    got = {r["role"]: r["doc_count"] for r in built_index.facet("the", by="role").collect()}
+    want: dict[str, int] = {}
+    roles = oracle.docs["role"].tolist()
+    for did, toks in zip(oracle.doc_ids, oracle.tokens):
+        if "the" in toks:
+            want[roles[did]] = want.get(roles[did], 0) + 1
+    assert got == want
