@@ -44,7 +44,7 @@ def _documents_index(spark: SparkSession, sf_dir: str):
         # format-versioned cache dir: a stale index from an older on-disk
         # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index_v3", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v4", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
         # opt_tag: a deterministically-nullable column so ES `exists`
@@ -57,7 +57,7 @@ def _documents_index(spark: SparkSession, sf_dir: str):
             spark,
             docs,
             out,
-            BuildConfig(n_segments=4, n_buckets=8),
+            BuildConfig(n_segments=4, n_buckets=8, store_positions=True),
             doc_key_cols=("src_id",),
             # fielded index: text (primary) + source, plus text's 2-gram
             # search_as_you_type subfield (reference import_dart_data.py:389-440)
@@ -394,6 +394,15 @@ def q_ft_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.topk("merge sort", k=20, offset=10, round_scores=6)
 
 
+def q_ft_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase (slop 0) over positional postings: tokens strictly
+    # adjacent, constant-score hits in doc_id order
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase("part filter", k=100).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
 def q_ft_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms aggregation over the match set (aggs: {terms: {field: lang}})
     ix = _documents_index(spark, sf_dir)
@@ -679,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_should": q_ft_bool_should,
         "ft_multi_match": q_ft_multi_match,
         "ft_facet": q_ft_facet,
+        "ft_phrase": q_ft_phrase,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -856,6 +866,20 @@ ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
         "ft_multi_match": multi_match_sql,
+        "ft_phrase": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter')
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM p0 JOIN p1 USING (did, pos)
+ORDER BY doc_id ASC LIMIT 100
+""",
         "ft_facet": _DOCS_CTE
         + """
 , hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),

@@ -47,6 +47,7 @@ HEADLINE = [
     "ft_multi_match",
     "ft_bool_should",
     "ft_facet",
+    "ft_phrase",
     "tx_langid",
     "tx_fingerprint",
     "dd_exact",

@@ -69,6 +69,9 @@ class BuildConfig:
     n_buckets: int = 16
     target_run: int = 1 << 17  # max postings per encoded run (skew cap)
     doc_id_partitions: int | None = None
+    # store token positions per posting (enables match_phrase; ~+40% index
+    # size; column pruning keeps non-phrase queries free of the extra bytes)
+    store_positions: bool = False
 
     def __post_init__(self):
         # seg occupies 9 bits of the encoder's composite sort key
@@ -80,7 +83,7 @@ class BuildConfig:
 
 POSTINGS_SCHEMA = (
     "seg int, field int, term string, run int, n long, min_doc long, max_doc long, "
-    "docs binary, tfs binary, dls binary, "
+    "docs binary, tfs binary, dls binary, poss binary, "
     "block_first array<long>, block_max_tf array<int>, block_min_dl array<int>"
 )
 
@@ -231,6 +234,7 @@ def _finish_encode(
     doc_max: int,
     target_run: int,
     run_id: int,
+    pos_rep: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Shared encode tail: composite-key sort -> run-length tf -> group ->
     chunk at target_run -> bulk delta+varbyte pack -> posting-run rows.
@@ -258,6 +262,7 @@ def _finish_encode(
     seg_s, code_s, doc_s, dl_s = (
         seg_rep[order], codes[order], doc_rep[order], dl_rep[order],
     )
+    pos_s = pos_rep[order] if pos_rep is not None else None
     n = len(doc_s)
     # collapse duplicate (seg, field·term, doc) rows to tf via run-length
     new_post = np.empty(n, dtype=bool)
@@ -289,6 +294,23 @@ def _finish_encode(
         starts = np.asarray(pieces, dtype=np.int64)
         ends = np.append(starts[1:], m)
     fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+    # token positions: within a posting, stable sort preserved the original
+    # ascending in-document order, so the sorted position stream sliced at
+    # run boundaries (token space = cumulative tf) is each run's "poss"
+    if pos_s is not None:
+        pbytes, plens = varbyte_encode_ex(pos_s)
+        tok_byte_ofs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(plens, out=tok_byte_ofs[1:])
+        pv = memoryview(pbytes)
+        tok_of_post = pstarts  # posting j starts at token pstarts[j]
+        run_tok_start = tok_of_post[starts]
+        run_tok_end = np.append(tok_of_post[starts[1:]], n)
+        fields["poss"] = [
+            bytes(pv[tok_byte_ofs[s]:tok_byte_ofs[e]])
+            for s, e in zip(run_tok_start, run_tok_end)
+        ]
+    else:
+        fields["poss"] = [b""] * len(starts)
     emit_code = code_p[starts]
     if n_fields > 1:
         emit_term = uniques[emit_code // n_fields]
@@ -307,7 +329,7 @@ def _finish_encode(
     )
 
 
-def _make_doc_encoder(target_run: int):
+def _make_doc_encoder(target_run: int, store_positions: bool = False):
     """Partition-level encoder over single-field document rows
     (seg, doc_id, text).
 
@@ -346,15 +368,23 @@ def _make_doc_encoder(target_run: int):
         doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         doc_rep = np.repeat(doc_ids, dl)
         dl_rep = np.repeat(dl, dl)
+        pos_rep = None
+        if store_positions:
+            row_ofs = np.zeros(len(dl), dtype=np.int64)
+            np.cumsum(dl[:-1], out=row_ofs[1:])
+            pos_rep = np.arange(total, dtype=np.int64) - np.repeat(row_ofs, dl)
         yield _finish_encode(
             seg_rep, codes, doc_rep, dl_rep, uniques, 1,
             int(doc_ids.min()), int(doc_ids.max()), target_run, run_id,
+            pos_rep=pos_rep,
         )
 
     return encode_partition
 
 
-def _make_multi_doc_encoder(target_run: int, n_fields: int, src_fields: dict):
+def _make_multi_doc_encoder(
+    target_run: int, n_fields: int, src_fields: dict, store_positions: bool = False
+):
     """Partition-level encoder over (seg, doc_id, src, text) rows — one row
     per DISTINCT source column of each document. ``src_fields`` maps the
     src id to its derived fields [(field_id, ngram|None), ...]: a source
@@ -379,6 +409,7 @@ def _make_multi_doc_encoder(target_run: int, n_fields: int, src_fields: dict):
         seg_np = pdf["seg"].to_numpy(dtype=np.int32)
         doc_np = pdf["doc_id"].to_numpy(dtype=np.int64)
         flat_parts, seg_parts, doc_parts, dl_parts, field_parts = [], [], [], [], []
+        pos_parts = []
         for src_id, fields in src_fields.items():
             sel = np.flatnonzero(src_arr == src_id)
             if not sel.size:
@@ -401,6 +432,12 @@ def _make_multi_doc_encoder(target_run: int, n_fields: int, src_fields: dict):
                 doc_parts.append(np.repeat(doc_np[sel], dl))
                 dl_parts.append(np.repeat(dl, dl))
                 field_parts.append(np.full(total, fid, dtype=np.int64))
+                if store_positions:
+                    row_ofs = np.zeros(len(dl), dtype=np.int64)
+                    np.cumsum(dl[:-1], out=row_ofs[1:])
+                    pos_parts.append(
+                        np.arange(total, dtype=np.int64) - np.repeat(row_ofs, dl)
+                    )
         if not flat_parts:
             return
         flat = np.concatenate(flat_parts)
@@ -417,6 +454,7 @@ def _make_multi_doc_encoder(target_run: int, n_fields: int, src_fields: dict):
             int(doc_np.max()),
             target_run,
             run_id,
+            pos_rep=np.concatenate(pos_parts) if store_positions else None,
         )
 
     return encode_partition
@@ -533,7 +571,11 @@ def _field_dl_col(src: str, ngram: int | None):
 
 
 def _encode_postings(
-    build_docs: DataFrame, field_sources, target_run: int, n_buckets: int
+    build_docs: DataFrame,
+    field_sources,
+    target_run: int,
+    n_buckets: int,
+    store_positions: bool = False,
 ) -> DataFrame:
     """(doc rows with seg, doc_id, source text cols) -> encoded posting runs
     with bucket column. Shared by the full build and the append path.
@@ -548,7 +590,7 @@ def _encode_postings(
         enc_in = build_docs.select(
             "seg", "doc_id", F.col(field_sources[0][0]).alias("text")
         )
-        encoder = _make_doc_encoder(target_run)
+        encoder = _make_doc_encoder(target_run, store_positions)
     else:
         srcs = list(dict.fromkeys(s for s, _ in field_sources))
         src_fields = {
@@ -564,7 +606,7 @@ def _encode_postings(
         enc_in = build_docs.selectExpr(
             "seg", "doc_id", f"stack({len(srcs)}, {pairs}) AS (src, text)"
         )
-        encoder = _make_multi_doc_encoder(target_run, n_fields, src_fields)
+        encoder = _make_multi_doc_encoder(target_run, n_fields, src_fields, store_positions)
     encoded = enc_in.mapInPandas(encoder, schema=POSTINGS_SCHEMA)
     return encoded.withColumn(
         "bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int")
@@ -655,7 +697,10 @@ def _build_segments(
     # per term (<= one per partition); ``merge.compact_index`` consolidates
     # them exactly as Lucene's background merges consolidate flushed
     # segments, and the scorer is correct at any run granularity.
-    encoded = _encode_postings(build_docs, field_sources, cfg.target_run, cfg.n_buckets)
+    encoded = _encode_postings(
+        build_docs, field_sources, cfg.target_run, cfg.n_buckets,
+        store_positions=cfg.store_positions,
+    )
     (
         # term-sorted files: parquet row-group min/max stats on `term` make
         # the pushed In(term, ...) predicate skip whole row groups at scale
@@ -742,6 +787,7 @@ def _write_meta(out_dir: str, cfg: BuildConfig, doc_key_cols, meta_cols, fields)
                 "doc_key_cols": list(doc_key_cols),
                 "meta_cols": list(meta_cols),
                 "fields": list(fields),
+                "store_positions": bool(cfg.store_positions),
             },
             f,
         )
@@ -897,7 +943,10 @@ def append_index(
             f"{index_dir}/doc_stats"
         )
 
-        encoded = _encode_postings(docs, field_sources, target_run, n_buckets)
+        encoded = _encode_postings(
+            docs, field_sources, target_run, n_buckets,
+            store_positions=bool(meta.get("store_positions")),
+        )
         encoded = encoded.persist()  # batch-sized; reused for seg_df partials
         persisted.append(encoded)
         (

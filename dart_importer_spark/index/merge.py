@@ -44,7 +44,10 @@ from .build import POSTINGS_SCHEMA, pack_runs_bulk, write_corpus_stats
 
 MERGED_SEG = -1  # seg id marking post-compaction runs
 
-EXPLODED_SCHEMA = "field int, term string, mgrp int, doc_id long, tf long, dl long"
+EXPLODED_SCHEMA = (
+    "field int, term string, mgrp int, doc_id long, tf long, dl long, "
+    "poss array<long>"
+)
 
 
 def _chunk_groups(grp_post: np.ndarray, target_run: int):
@@ -84,6 +87,14 @@ def _explode_runs(batches) -> "Iterator[pd.DataFrame]":
         csum = np.cumsum(gaps)
         base = csum[run_starts] - gaps[run_starts]
         docs = csum - np.repeat(base, n_arr)
+        poss_blob = b"".join(pdf["poss"]) if "poss" in pdf.columns else b""
+        if poss_blob:
+            poss = varbyte_decode(poss_blob).astype(np.int64)
+            # per-posting position sublists (token space = cumulative tf)
+            plists = np.split(poss, np.cumsum(tfs)[:-1])
+            plists = [x.tolist() for x in plists]
+        else:
+            plists = [[] for _ in range(len(docs))]
         yield pd.DataFrame(
             {
                 "field": np.repeat(pdf["field"].to_numpy(dtype=np.int32), n_arr),
@@ -94,6 +105,7 @@ def _explode_runs(batches) -> "Iterator[pd.DataFrame]":
                 "doc_id": docs,
                 "tf": tfs,
                 "dl": dls,
+                "poss": plists,
             }
         )
 
@@ -123,6 +135,7 @@ def _make_exploded_packer(target_run: int):
         grp = np.cumsum(g_change) - 1
         starts, ends = _chunk_groups(grp, target_run)
         fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        fields["poss"] = _pack_positions_from_lists(pdf["poss"], tfs, starts, ends)
         yield pd.DataFrame(
             {
                 "seg": np.full(len(starts), MERGED_SEG, dtype=np.int32),
@@ -134,6 +147,52 @@ def _make_exploded_packer(target_run: int):
         )
 
     return pack
+
+
+def _pack_positions_from_lists(pos_series, tfs, starts, ends):
+    """Re-encode per-posting position lists (exploded path) into per-run
+    varbyte blobs; empty lists everywhere -> empty blobs."""
+    from itertools import chain
+
+    total = int(tfs.sum())
+    flat = np.fromiter(
+        chain.from_iterable(pos_series), dtype=np.int64, count=-1
+    ) if total else np.empty(0, dtype=np.int64)
+    if flat.size == 0:
+        return [b""] * len(starts)
+    from ..functions.codec import varbyte_encode_ex
+
+    pbytes, plens = varbyte_encode_ex(flat)
+    tok_byte_ofs = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(plens, out=tok_byte_ofs[1:])
+    tok_of_post = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=tok_of_post[1:])
+    pv = memoryview(pbytes)
+    out = []
+    for s, e in zip(starts, ends):
+        b0 = tok_byte_ofs[tok_of_post[s]]
+        b1 = tok_byte_ofs[tok_of_post[e]]
+        out.append(bytes(pv[b0:b1]))
+    return out
+
+
+def _pack_positions_from_stream(poss, tfs_sorted, starts, ends):
+    """Slice an already-sorted position stream into per-run varbyte blobs
+    (broadcast merge path)."""
+    from ..functions.codec import varbyte_encode_ex
+
+    if poss.size == 0:
+        return [b""] * len(starts)
+    pbytes, plens = varbyte_encode_ex(poss)
+    tok_byte_ofs = np.zeros(len(poss) + 1, dtype=np.int64)
+    np.cumsum(plens, out=tok_byte_ofs[1:])
+    tok_of_post = np.zeros(len(tfs_sorted) + 1, dtype=np.int64)
+    np.cumsum(tfs_sorted, out=tok_of_post[1:])
+    pv = memoryview(pbytes)
+    return [
+        bytes(pv[tok_byte_ofs[tok_of_post[s]]:tok_byte_ofs[tok_of_post[e]]])
+        for s, e in zip(starts, ends)
+    ]
 
 
 def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
@@ -170,6 +229,8 @@ def compact_index(
     post = spark.read.parquet(f"{index_dir}/postings")
     if "field" not in post.columns:  # pre-fielded layout
         post = post.withColumn("field", F.lit(0))
+    if "poss" not in post.columns:  # pre-positions layout
+        post = post.withColumn("poss", F.lit(b""))
     doc_stats = spark.read.parquet(f"{index_dir}/doc_stats")
     tomb = _read_tombstones(spark, index_dir)
     tomb_df = None
@@ -245,13 +306,36 @@ def compact_index(
         base = csum[run_starts] - gaps[run_starts]
         docs = csum - np.repeat(base, n_arr)
 
+        poss_blob = b"".join(pdf["poss"]) if "poss" in pdf.columns else b""
+        poss = (
+            varbyte_decode(poss_blob).astype(np.int64)
+            if poss_blob
+            else np.empty(0, dtype=np.int64)
+        )
+        # per-posting token offsets in the pre-sort stream (token = sum tf)
+        if poss.size:
+            tok_start = np.zeros(len(tfs), dtype=np.int64)
+            np.cumsum(tfs[:-1], out=tok_start[1:])
+
         grp_post = np.repeat(grp_run, n_arr)
         order = np.lexsort((docs, grp_post))
-        docs, tfs, dls, grp_post = (
+        docs, tfs_o, dls, grp_post = (
             docs[order], tfs[order], dls[order], grp_post[order],
         )
+        if poss.size:
+            # gather each posting's position sublist into the new order
+            total_tok = int(tfs_o.sum())
+            out_ofs = np.zeros(len(tfs_o), dtype=np.int64)
+            np.cumsum(tfs_o[:-1], out=out_ofs[1:])
+            gather = np.repeat(tok_start[order], tfs_o) + (
+                np.arange(total_tok, dtype=np.int64) - np.repeat(out_ofs, tfs_o)
+            )
+            poss = poss[gather]
+        tfs = tfs_o
         if dead.size:
             keep = ~np.isin(docs, dead, assume_unique=False)
+            if poss.size:
+                poss = poss[np.repeat(keep, tfs)]
             docs, tfs, dls, grp_post = (
                 docs[keep], tfs[keep], dls[keep], grp_post[keep],
             )
@@ -260,6 +344,7 @@ def compact_index(
             return
         starts, ends = _chunk_groups(grp_post, target_run)
         fields = pack_runs_bulk(docs, tfs, dls, starts, ends)
+        fields["poss"] = _pack_positions_from_stream(poss, tfs, starts, ends)
         emit_grp = grp_post[starts]
         emit_run_idx = first_run[emit_grp]
         yield pd.DataFrame(
@@ -285,7 +370,7 @@ def compact_index(
         # (vs. compressed blobs on the broadcast path) — the price of not
         # materializing the delete set on every executor.
         exploded = (
-            ranged.select("field", "term", "mgrp", "n", "docs", "tfs", "dls")
+            ranged.select("field", "term", "mgrp", "n", "docs", "tfs", "dls", "poss")
             .mapInPandas(_explode_runs, schema=EXPLODED_SCHEMA)
             .join(tomb_df, "doc_id", "left_anti")
         )
@@ -298,7 +383,7 @@ def compact_index(
         merged = (
             ranged.repartition(merge_parts, "field", "term", "mgrp")
             .sortWithinPartitions("field", "term", "mgrp", "min_doc")
-            .select("field", "term", "mgrp", "n", "docs", "tfs", "dls")
+            .select("field", "term", "mgrp", "n", "docs", "tfs", "dls", "poss")
             .mapInPandas(merge_partition, schema=POSTINGS_SCHEMA)
         )
     merged = merged.withColumn(

@@ -135,6 +135,8 @@ class InvertedIndex:
         post = self.spark.read.parquet(f"{self.dir}/postings")
         if "field" not in post.columns:  # pre-fielded layout
             post = post.withColumn("field", F.lit(0))
+        if "poss" not in post.columns:  # pre-positions layout
+            post = post.withColumn("poss", F.lit(b""))
         return post
 
     def _candidate_postings(self, terms: Sequence[str], fid: int = 0) -> DataFrame:
@@ -542,6 +544,76 @@ class InvertedIndex:
         idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _positions_for_terms(self, terms: list[str], fid: int) -> DataFrame:
+        """Exploded (term, doc_id, pos) rows for the given terms — the
+        positional scan backing match_phrase. Decode is Arrow-batched; only
+        the phrase terms' postings (bucket-pruned) are touched, and the
+        `poss` column is read only here (column pruning keeps every other
+        query free of position bytes)."""
+        cand = self._candidate_postings(terms, fid)
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    if not row.poss:
+                        continue
+                    docs = delta_decode(row.docs).astype(np.int64)
+                    tfs = varbyte_decode(row.tfs).astype(np.int64)
+                    poss = varbyte_decode(row.poss).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "term": row.term,
+                                "doc_id": np.repeat(docs, tfs),
+                                "pos": poss,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return cand.select("term", "docs", "tfs", "poss").mapInPandas(
+            decode, schema="term string, doc_id long, pos long"
+        )
+
+    def match_phrase(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES match_phrase: the query's tokens at strictly consecutive
+        positions (slop 0). Requires an index built with
+        ``BuildConfig(store_positions=True)``. Hits are constant-score 1.0
+        in doc_id order (ES filter-context phrase).
+
+        Plan: decode (term, doc_id, pos) for the phrase terms only, then
+        chain equi-joins — token i must appear at position p0+i — which
+        Catalyst executes as hash joins on (doc_id, pos); no all-positions
+        materialization beyond the phrase terms' postings."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "match_phrase needs an index built with store_positions=True"
+            )
+        fid = self._fid(field)
+        terms = self._analyze(query, field)  # keep order and duplicates
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = self._positions_for_terms(sorted(set(terms)), fid)
+        base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = rows.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            base = base.join(nxt, ["doc_id", "pos"], "left_semi")
+        docs = self._live(base.select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     def facet(
         self,

@@ -1,0 +1,91 @@
+"""match_phrase over positional postings (BuildConfig.store_positions):
+exact adjacency semantics, duplicate-term phrases, survival through both
+compaction paths, deletes, and appends."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.index.build import BuildConfig, append_index, build_index
+from dart_importer_spark.index.merge import compact_index
+from dart_importer_spark.query.engine import InvertedIndex
+
+ROWS = [
+    ("c1", 0, "alpha beta gamma"),
+    ("c1", 1, "beta alpha"),                   # reversed: not a phrase hit
+    ("c2", 0, "alpha x beta"),                 # gapped: not a phrase hit
+    ("c2", 1, "z alpha beta z alpha beta"),    # phrase twice
+    ("c3", 0, "b b c"),                        # duplicate-term phrase
+    ("c3", 1, ""),
+]
+# doc_id = rank under (conv_id, turn_idx): c1/0=0, c1/1=1, c2/0=2, c2/1=3 ...
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(ROWS, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("phrase") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=(),
+    )
+    return InvertedIndex(spark, out)
+
+
+def _phrase(ix, q):
+    return [r["doc_id"] for r in ix.match_phrase(q, k=100).collect()]
+
+
+def test_phrase_semantics(pos_index):
+    assert _phrase(pos_index, "alpha beta") == [0, 3]
+    assert _phrase(pos_index, "alpha beta gamma") == [0]
+    assert _phrase(pos_index, "beta gamma alpha") == []
+    assert _phrase(pos_index, "b b") == [4]
+    assert _phrase(pos_index, "b b b") == []
+    assert _phrase(pos_index, "") == []
+    # single-token phrase degenerates to a term-presence check
+    assert _phrase(pos_index, "gamma") == [0]
+
+
+def test_phrase_requires_positions(built_index):
+    with pytest.raises(ValueError, match="store_positions"):
+        built_index.match_phrase("the and")
+
+
+def test_bm25_unaffected_by_positions(pos_index):
+    # the poss column must not change scoring paths (column-pruned away)
+    got = pos_index.topk("alpha", 10).toPandas()
+    assert list(got["doc_id"])  # non-empty, no errors
+
+
+def test_phrase_survives_compaction_both_paths(spark, pos_index, tmp_path):
+    out = str(tmp_path / "compacted")
+    compact_index(spark, pos_index.dir, out)
+    cx = InvertedIndex(spark, out)
+    assert _phrase(cx, "alpha beta") == [0, 3]
+    assert _phrase(cx, "b b") == [4]
+
+    # delete c2 (docs 2,3) then compact through the exploded anti-join path
+    mdir = str(tmp_path / "mut")
+    shutil.copytree(pos_index.dir, mdir)
+    mx = InvertedIndex(spark, mdir)
+    mx.delete_by_query(F.col("conv_id") == "c2")
+    out2 = str(tmp_path / "compacted_exploded")
+    compact_index(spark, mdir, out2, tomb_broadcast_limit=1)
+    ex = InvertedIndex(spark, out2)
+    assert _phrase(ex, "alpha beta") == [0]
+
+
+def test_phrase_after_append(spark, pos_index, tmp_path):
+    work = str(tmp_path / "app")
+    shutil.copytree(pos_index.dir, work)
+    app = spark.createDataFrame(
+        [("c9", 0, "new alpha beta tail")], "conv_id string, turn_idx int, text string"
+    )
+    append_index(spark, app, work, batch_tag="p1")
+    ax = InvertedIndex(spark, work)
+    assert _phrase(ax, "alpha beta") == [0, 3, 6]
