@@ -403,6 +403,14 @@ def q_ft_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sloppy phrase (anchored window ±1 around the expected position)
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase("part filter", k=200, slop=1).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
 def q_ft_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms aggregation over the match set (aggs: {terms: {field: lang}})
     ix = _documents_index(spark, sf_dir)
@@ -689,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match": q_ft_multi_match,
         "ft_facet": q_ft_facet,
         "ft_phrase": q_ft_phrase,
+        "ft_phrase_slop": q_ft_phrase_slop,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -879,6 +888,21 @@ p1 AS (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter')
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM p0 JOIN p1 USING (did, pos)
 ORDER BY doc_id ASC LIMIT 100
+""",
+        "ft_phrase_slop": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+p0 AS (SELECT did, pos AS p0 FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos FROM tp WHERE term = 'filter')
+SELECT DISTINCT p0.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM p0 JOIN p1 ON p0.did = p1.did
+  AND p1.pos - 1 BETWEEN p0.p0 - 1 AND p0.p0 + 1
+ORDER BY doc_id ASC LIMIT 200
 """,
         "ft_facet": _DOCS_CTE
         + """

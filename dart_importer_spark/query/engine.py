@@ -583,15 +583,23 @@ class InvertedIndex:
         query: str,
         k: int = 10,
         field: str | int | None = None,
+        slop: int = 0,
     ) -> DataFrame:
-        """ES match_phrase: the query's tokens at strictly consecutive
-        positions (slop 0). Requires an index built with
+        """ES match_phrase. Requires an index built with
         ``BuildConfig(store_positions=True)``. Hits are constant-score 1.0
         in doc_id order (ES filter-context phrase).
 
+        ``slop=0`` is the exact phrase: the query's tokens at strictly
+        consecutive positions. ``slop>0`` uses ANCHORED window semantics —
+        token i may sit within ±slop of its expected position (p0 + i)
+        relative to a matched first-term occurrence. This agrees with
+        Lucene's sloppy phrase for the common cases (a 1-gap insertion
+        matches at slop 1; an adjacent transposition matches at slop 2) and
+        is documented as this engine's exact semantic.
+
         Plan: decode (term, doc_id, pos) for the phrase terms only, then
-        chain equi-joins — token i must appear at position p0+i — which
-        Catalyst executes as hash joins on (doc_id, pos); no all-positions
+        chain joins — equi hash joins on (doc_id, pos) at slop 0, equi on
+        doc_id + a position-band filter otherwise; no all-positions
         materialization beyond the phrase terms' postings."""
         if not self.meta.get("store_positions"):
             raise ValueError(
@@ -602,12 +610,27 @@ class InvertedIndex:
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         rows = self._positions_for_terms(sorted(set(terms)), fid)
-        base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = rows.filter(F.col("term") == t).select(
-                "doc_id", (F.col("pos") - i).alias("pos")
+        if slop == 0:
+            base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = rows.filter(F.col("term") == t).select(
+                    "doc_id", (F.col("pos") - i).alias("pos")
+                )
+                base = base.join(nxt, ["doc_id", "pos"], "left_semi")
+        else:
+            base = rows.filter(F.col("term") == terms[0]).select(
+                "doc_id", F.col("pos").alias("p0")
             )
-            base = base.join(nxt, ["doc_id", "pos"], "left_semi")
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = rows.filter(F.col("term") == t).select(
+                    F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+                )
+                cond = (
+                    (F.col("doc_id") == F.col("d2"))
+                    & (F.col("p2") - i >= F.col("p0") - slop)
+                    & (F.col("p2") - i <= F.col("p0") + slop)
+                )
+                base = base.join(nxt, cond, "left_semi")
         docs = self._live(base.select("doc_id").distinct())
         return (
             docs.withColumn("score", F.lit(1.0))

@@ -89,3 +89,13 @@ def test_phrase_after_append(spark, pos_index, tmp_path):
     append_index(spark, app, work, batch_tag="p1")
     ax = InvertedIndex(spark, work)
     assert _phrase(ax, "alpha beta") == [0, 3, 6]
+
+
+def test_phrase_slop(pos_index):
+    # "alpha x beta": gap of one -> matches at slop 1, not slop 0
+    assert _phrase(pos_index, "alpha beta") == [0, 3]
+    got1 = [r["doc_id"] for r in pos_index.match_phrase("alpha beta", k=100, slop=1).collect()]
+    assert got1 == [0, 2, 3]
+    # reversed adjacent ("beta alpha", doc 1) needs slop 2 (Lucene-consistent)
+    got2 = [r["doc_id"] for r in pos_index.match_phrase("alpha beta", k=100, slop=2).collect()]
+    assert 1 in got2 and set(got1) <= set(got2)
