@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dart_importer_spark.functions.tokenizer import TOKEN_PATTERN  # noqa: E402
+from dart_importer_spark.operators.text import BPE_PRETOKEN_PATTERN  # noqa: E402
+
+# DuckDB string literal: escape single quotes for the SQL text
+BPE_PRETOKEN_PATTERN_SQL = BPE_PRETOKEN_PATTERN.replace("'", "''")
 from dart_importer_spark.operators import (  # noqa: E402
     dedup,
     multimodal,
@@ -517,6 +521,12 @@ def q_etl_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tx_bpe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish token-count estimate (GPT-2 pretokenizer regex, RE2-compatible)
+    docs = _load(spark, sf_dir, "documents")
+    return textops.with_bpe_pretoken_count(docs).select("doc_id", "n_pretokens")
+
+
 def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     return textops.with_langid(docs).select("doc_id", "lang_pred")
@@ -704,6 +714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_delete_count": q_ft_delete_count,
         # --- training-data ops ---
         "tx_token_count": q_tx_token_count,
+        "tx_bpe_count": q_tx_bpe_count,
         "tx_quality": q_tx_quality,
         "tx_langid": q_tx_langid,
         "tx_fingerprint": q_tx_fingerprint,
@@ -995,6 +1006,10 @@ SELECT did AS doc_id, doc_id AS src_id, lang, source,
 FROM docs WHERE did = 7
 """,
         "tx_token_count": f"SELECT doc_id, len({tok})::BIGINT AS n_tokens FROM documents",
+        "tx_bpe_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            f"'{BPE_PRETOKEN_PATTERN_SQL}'))::BIGINT AS n_pretokens FROM documents"
+        ),
         "tx_quality": f"""
 SELECT doc_id,
        len({tok})::BIGINT AS n_tokens,

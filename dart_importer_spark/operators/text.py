@@ -31,6 +31,31 @@ def with_token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens
     return df.withColumn(out, F.size(tokenize_col(text_col)).cast("long"))
 
 
+# GPT-2-style pretokenizer (public: Radford et al. 2019 / tiktoken docs),
+# adapted to the RE2 ∩ java.util.regex common subset: the original's
+# trailing-whitespace lookahead `\s+(?!\S)` is dropped (RE2 has no
+# lookahead), which merges a pretoken boundary at line ends — a documented,
+# engine-consistent simplification. Estimates LLM token counts far better
+# than word counts (contractions, digit runs, punctuation runs split out).
+BPE_PRETOKEN_PATTERN = (
+    r"'(s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def with_bpe_pretoken_count(
+    df: DataFrame, text_col: str = "text", out: str = "n_pretokens"
+) -> DataFrame:
+    """BPE-ish token-count estimate: the number of GPT-2 pretokenizer
+    matches (the units BPE merges operate within). Pure JVM regexp —
+    whole-stage codegen, no UDF."""
+    return df.withColumn(
+        out,
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0)
+        ).cast("long"),
+    )
+
+
 def quality_columns(text_col: str = "text") -> dict[str, Column]:
     """Quality-scoring signal columns (length / punctuation / stopword
     ratios). Returned as named expressions so callers can select any subset."""

@@ -66,3 +66,24 @@ def test_shingle_list_edges():
     assert shingle_list(["a"], 2) == ["a"]
     assert shingle_list(["a", "b"], 3) == ["a\x1fb"]
     assert shingle_list(["a", "b", "c"], 2) == ["a\x1fb", "b\x1fc"]
+
+
+def test_bpe_pretoken_count(spark):
+    """BPE-ish pretokenizer: contractions, digit runs and punctuation runs
+    split into separate pretokens (JVM regexp; count semantics)."""
+    from dart_importer_spark.operators.text import with_bpe_pretoken_count
+
+    rows = [
+        (0, "don't stop"),        # don | 't | _stop -> 3
+        (1, "abc123!!"),          # abc | 123 | !! -> 3
+        (2, ""),                  # -> 0
+        (3, "hello world"),       # hello | _world -> 2
+        (4, "x  y"),              # x | _y? ' ?L+' eats one space; extra ws run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_pretokens"] for r in with_bpe_pretoken_count(df).collect()}
+    assert got[0] == 3
+    assert got[1] == 3
+    assert got[2] == 0
+    assert got[3] == 2
+    assert got[4] >= 3
