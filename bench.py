@@ -78,7 +78,11 @@ def main() -> None:
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
 
-    # --- index build over documents (timed; queries below hit the cache) ---
+    # --- index build over documents (timed; queries below hit the cache).
+    # Drop any persisted cache first so the number is a true cold build,
+    # never a fingerprint-resume skip of a previous run's index.
+    key = os.path.abspath(SF_DIR).strip("/").replace("/", "_")
+    shutil.rmtree(os.path.join("/tmp/dis_entry_index_v4", key), ignore_errors=True)
     t0 = time.time()
     ix = entry._documents_index(spark, SF_DIR)
     timings["ft_index_build"] = round(time.time() - t0, 4)
@@ -102,6 +106,7 @@ def main() -> None:
 
     # --- ANN: build-once (timed separately), then the pure probe+rerank
     # query — an index recomputed per query would be a full scan in disguise
+    shutil.rmtree(os.path.join("/tmp/dis_entry_ann_v2", key), ignore_errors=True)
     t0 = time.time()
     ann = entry._ann_index(spark, SF_DIR)
     timings["sim_ann_build"] = round(time.time() - t0, 4)
