@@ -44,3 +44,29 @@ def test_cli_build_query_count_delete(spark, transcripts_df, tmp_path, capsys):
     assert main(["count", "--index", idx]) == 0
     (c2,) = _lines(capsys)
     assert c2["count"] == n_docs - d["deleted"]
+
+
+def test_cli_append_and_compact(spark, transcripts_df, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    first = transcripts_df.filter(F.col("conv_id") < "conv00000150")
+    second = transcripts_df.filter(F.col("conv_id") >= "conv00000150")
+    inp1, inp2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    first.write.parquet(inp1)
+    second.write.parquet(inp2)
+    idx = str(tmp_path / "idx")
+
+    assert main(["build", "--input", inp1, "--index", idx,
+                 "--segments", "4", "--buckets", "8"]) == 0
+    (b,) = _lines(capsys)
+    assert main(["append", "--input", inp2, "--index", idx, "--tag", "t2"]) == 0
+    (a,) = _lines(capsys)
+    assert a["appended_docs"] == second.count()
+    assert a["n_docs"] == transcripts_df.count()
+
+    out = str(tmp_path / "idx2")
+    assert main(["compact", "--index", idx, "--out", out]) == 0
+    (c,) = _lines(capsys)
+    assert c["n_docs"] == transcripts_df.count()
+    assert main(["query", "--index", out, "--q", "삼성", "--k", "2"]) == 0
+    assert len(_lines(capsys)) == 2
