@@ -447,6 +447,48 @@ class InvertedIndex:
             td = td.filter(F.col("field") == self._fid(field))
         return td
 
+    def get_by_keys(self, keys: Sequence[tuple]) -> DataFrame:
+        """Multi-get by document keys — ES _mget (the batch form of the
+        reference's per-id GETs, import_dart_data.py:229). One scan, pruned
+        to the union of the keys' segments, semi-joined on a broadcast of
+        the (small, by definition) key list."""
+        import zlib
+
+        key_cols = self.meta.get("doc_key_cols", ["conv_id", "turn_idx"])
+        ds = self.doc_stats()
+        n_segments = int(self.meta.get("n_segments", 0))
+        if n_segments and "seg" in ds.columns:
+            segs = sorted(
+                {zlib.crc32(str(k[0]).encode("utf-8")) % n_segments for k in keys}
+            )
+            ds = ds.filter(F.col("seg").isin(segs))
+        kdf = self.spark.createDataFrame(
+            [tuple(k) for k in keys], list(key_cols[: len(keys[0])])
+        )
+        return ds.join(F.broadcast(kdf), list(kdf.columns), "left_semi")
+
+    def stats(self) -> dict:
+        """Index statistics — ES _stats/_cat-indices parity: doc count,
+        per-field avgdl, live segment/run/postings counts, tombstones.
+        One metadata-column scan over postings + the tombstone count."""
+        post = self.postings()
+        agg = post.agg(
+            F.count("*").alias("n_runs"),
+            F.sum("n").alias("n_postings"),
+            F.countDistinct("seg").alias("n_segments_live"),
+        ).collect()[0]
+        tomb = self._tombstones()
+        return {
+            "n_docs": self.n_docs,
+            "fields": list(self.fields),
+            "avgdl_by_field": dict(self.avgdl_by_field),
+            "n_runs": int(agg["n_runs"]),
+            "n_postings": int(agg["n_postings"] or 0),
+            "n_segments_live": int(agg["n_segments_live"]),
+            "n_tombstones": int(tomb.count()) if tomb is not None else 0,
+            "store_positions": bool(self.meta.get("store_positions")),
+        }
+
     def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite
         (Running-ELK.md:155-168) and search_as_you_type prefix matching."""

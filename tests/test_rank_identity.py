@@ -250,3 +250,23 @@ def test_facet_terms_aggregation(built_index, oracle):
         if "the" in toks:
             want[roles[did]] = want.get(roles[did], 0) + 1
     assert got == want
+
+
+def test_multi_get_by_keys(built_index, transcripts_pdf):
+    """ES _mget: batch point lookups, segment-pruned + broadcast semi-join."""
+    rows = [transcripts_pdf.iloc[i] for i in (3, 17, 101)]
+    keys = [(r["conv_id"], int(r["turn_idx"])) for r in rows]
+    got = built_index.get_by_keys(keys).collect()
+    assert len(got) == 3
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == set(keys)
+    # missing key -> simply absent
+    got2 = built_index.get_by_keys(keys + [("convZZZ", 0)]).collect()
+    assert len(got2) == 3
+
+
+def test_index_stats(built_index, transcripts_pdf):
+    s = built_index.stats()
+    assert s["n_docs"] == len(transcripts_pdf)
+    assert s["n_postings"] > 0 and s["n_runs"] > 0
+    assert s["n_tombstones"] == 0
+    assert 0 in s["avgdl_by_field"]
