@@ -480,6 +480,54 @@ def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
         return None
 
 
+def _read_meta(out_dir: str) -> dict | None:
+    import json
+    import os
+
+    path = os.path.join(out_dir, "meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _layout_mismatches(
+    old_meta: dict, cfg: BuildConfig, doc_key_cols, fields
+) -> list[str]:
+    """Config fields whose change invalidates existing segment bytes."""
+    checks = [
+        ("fields", old_meta.get("fields") or ["text"], list(fields)),
+        (
+            "store_positions",
+            bool(old_meta.get("store_positions")),
+            bool(cfg.store_positions),
+        ),
+        ("n_segments", int(old_meta.get("n_segments", 0)), cfg.n_segments),
+        ("n_buckets", int(old_meta.get("n_buckets", 0)), cfg.n_buckets),
+        (
+            "doc_key_cols",
+            list(old_meta.get("doc_key_cols") or []),
+            list(doc_key_cols),
+        ),
+    ]
+    return [f"{k}: {old!r} -> {new!r}" for k, old, new in checks if old != new]
+
+
+def _wipe_index_tables(out_dir: str) -> None:
+    import os
+    import shutil
+
+    for sub in (
+        "postings", "doc_stats", "term_seg_df", "term_dict",
+        "corpus_stats", "manifests", "tombstones",
+    ):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    try:
+        os.remove(os.path.join(out_dir, "meta.json"))
+    except OSError:
+        pass
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -514,6 +562,25 @@ def build_index(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     fields, field_sources = _resolve_fields(text_col, text_cols, shingle_fields)
+
+    # Layout guard: resuming (or even force-rebuilding with dynamic partition
+    # overwrite) into an index written under a DIFFERENT layout config would
+    # mix incompatible segments — skipped segments keep the old field ids /
+    # position layout / seg hashing while meta.json records the new one, and
+    # a shrunk n_segments leaves orphan seg=... directories that dynamic
+    # overwrite never touches. On mismatch: require force=True and wipe the
+    # old tables so the rebuild starts from a clean layout.
+    old_meta = _read_meta(out_dir)
+    if old_meta is not None:
+        mismatches = _layout_mismatches(old_meta, cfg, doc_key_cols, fields)
+        if mismatches:
+            if not force:
+                raise ValueError(
+                    "build_index: layout config changed for existing index at "
+                    f"{out_dir!r} ({'; '.join(mismatches)}); resuming would mix "
+                    "incompatible segment layouts — pass force=True to rebuild"
+                )
+            _wipe_index_tables(out_dir)
 
     base = transcripts.withColumn(
         "seg", _seg_col(F.col(doc_key_cols[0]), cfg.n_segments)
@@ -895,8 +962,16 @@ def append_index(
 
     key_struct = F.struct(*[F.col(c) for c in doc_key_cols])
     ds = spark.read.parquet(f"{index_dir}/doc_stats")
-    ex = ds.agg(F.max(key_struct).alias("mx"), F.count("*").alias("n")).collect()[0]
+    ex = ds.agg(
+        F.max(key_struct).alias("mx"),
+        F.count("*").alias("n"),
+        F.max("doc_id").alias("max_id"),
+    ).collect()[0]
     base_n, max_key = int(ex["n"]), ex["mx"]
+    # new ids start AFTER the max live id, not at count(*): after a
+    # delete -> compact cycle doc_ids are sparse (count < max+1), and a
+    # count-based base would assign ids that collide with live documents
+    base_id = int(ex["max_id"]) + 1 if ex["max_id"] is not None else 0
     b = batch.agg(F.min(key_struct).alias("mn"), F.count("*").alias("cnt")).collect()[0]
     n_batch = int(b["cnt"])
     if n_batch == 0:
@@ -926,7 +1001,7 @@ def append_index(
     persisted: list = []
     try:
         docs = assign_doc_ids(
-            seg_batch, key_cols=doc_key_cols, persisted=persisted, base=base_n
+            seg_batch, key_cols=doc_key_cols, persisted=persisted, base=base_id
         )
         docs = docs.withColumn("dl", _field_dl_col(*field_sources[0]))
         extra_dl_cols = []

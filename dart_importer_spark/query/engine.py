@@ -456,15 +456,28 @@ class InvertedIndex:
 
         key_cols = self.meta.get("doc_key_cols", ["conv_id", "turn_idx"])
         ds = self.doc_stats()
+        keys = [tuple(k) for k in keys]
+        if not keys:
+            return ds.limit(0)
+        arities = {len(k) for k in keys}
+        if len(arities) != 1:
+            raise ValueError(
+                f"get_by_keys: mixed key arities {sorted(arities)}; every key "
+                f"tuple must name the same prefix of {key_cols}"
+            )
+        arity = arities.pop()
+        if not (1 <= arity <= len(key_cols)):
+            raise ValueError(
+                f"get_by_keys: key arity {arity} out of range for key "
+                f"columns {key_cols}"
+            )
         n_segments = int(self.meta.get("n_segments", 0))
         if n_segments and "seg" in ds.columns:
             segs = sorted(
                 {zlib.crc32(str(k[0]).encode("utf-8")) % n_segments for k in keys}
             )
             ds = ds.filter(F.col("seg").isin(segs))
-        kdf = self.spark.createDataFrame(
-            [tuple(k) for k in keys], list(key_cols[: len(keys[0])])
-        )
+        kdf = self.spark.createDataFrame(keys, list(key_cols[:arity]))
         return ds.join(F.broadcast(kdf), list(kdf.columns), "left_semi")
 
     def stats(self) -> dict:

@@ -44,6 +44,49 @@ def read_corpus(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(corpus_dir(index_dir))
 
 
+def _commit_dangling_appends(
+    spark: SparkSession, index_dir: str, current_tag: str | None = None
+) -> list[str]:
+    """After a successful torn-repair rebuild, append ``committed`` manifest
+    rows for every append tag that only has a ``pending`` row. Without this
+    the torn state is permanent — ``_append_state`` would see the dangling
+    pending row forever and force a full O(corpus) rebuild on every
+    subsequent batch, silently defeating the O(batch) append design. The
+    rebuild ran over the corpus table (which the batch was staged to before
+    its append attempt), so the torn batches' data IS in the rebuilt index
+    and marking them committed is truthful."""
+    import pandas as pd
+
+    manifests = read_manifests(spark, index_dir)
+    if manifests is None:
+        return []
+    rows = (
+        manifests.filter(F.col("seg_id").startswith("append-"))
+        .select("seg_id", "status")
+        .collect()
+    )
+    states: dict[str, set] = {}
+    for r in rows:
+        states.setdefault(r["seg_id"], set()).add(r["status"])
+    dangling = sorted(s for s, st in states.items() if "committed" not in st)
+    if current_tag is not None and f"append-{current_tag}" not in states:
+        # the batch that TRIGGERED the repair was folded into the rebuild
+        # (it was staged to corpus first); commit its tag so a checkpoint
+        # replay of this batch skips instead of rebuilding again
+        dangling.append(f"append-{current_tag}")
+    if dangling:
+        now = pd.Timestamp.utcnow().tz_localize(None)
+        repair = pd.DataFrame(
+            [(tag, -2, 0, 0, 0, 0, now, "committed") for tag in dangling],
+            columns=["seg_id", "partition_id", "input_fingerprint", "n_docs",
+                     "n_terms", "n_postings", "created_ts", "status"],
+        )
+        spark.createDataFrame(repair).coalesce(1).write.mode("append").parquet(
+            f"{index_dir}/manifests"
+        )
+    return dangling
+
+
 def _append_state(spark, index_dir: str, tag: str) -> str:
     """'applied' if this batch tag already committed (checkpoint replay),
     'torn' if ANY append left a pending row without its committed row
@@ -119,6 +162,11 @@ def incremental_refresh(
                 force=True, **append_kwargs,
             )
             m["mode"] = "torn_repair_rebuild"
+            # close out the dangling pending rows so the NEXT batch appends
+            # in O(batch) again instead of rebuilding forever
+            m["repaired_append_tags"] = _commit_dangling_appends(
+                spark, index_dir, current_tag=tag
+            )
         else:
             try:
                 # O(batch): only the new files are tokenized/encoded
