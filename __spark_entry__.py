@@ -92,6 +92,8 @@ def _bm25_oracle(
     offset: int = 0,
     field: str = "text",
     must_terms: list[str] | None = None,
+    must_not_terms: list[str] | None = None,
+    min_should_match: int | None = None,
 ) -> str:
     boosts = boosts or {}
     qvals = ", ".join(
@@ -100,12 +102,18 @@ def _bm25_oracle(
     filter_join = (
         f"JOIN docs d ON d.did = tf.did AND ({doc_filter})" if doc_filter else ""
     )
+    excl = ""
+    if must_not_terms:  # bool must_not: any excluded term disqualifies the doc
+        elist = ", ".join(f"'{t}'" for t in sorted(set(must_not_terms)))
+        excl = f"WHERE tf.did NOT IN (SELECT did FROM tf WHERE term IN ({elist}))"
     if must_terms:  # bool must+should: must terms gate, all terms score
         mlist = ", ".join(f"'{t}'" for t in sorted(set(must_terms)))
         having = (
             "HAVING count(DISTINCT CASE WHEN tf.term IN "
             f"({mlist}) THEN tf.term END) = {len(set(must_terms))}"
         )
+    elif min_should_match and min_should_match > 1:
+        having = f"HAVING count(*) >= {int(min_should_match)}"
     else:
         having = f"HAVING count(*) = (SELECT count(*) FROM q)" if mode == "and" else ""
     return f"""
@@ -137,6 +145,7 @@ scored AS (
   JOIN dl ON dl.did = tf.did
   CROSS JOIN stats s
   {filter_join}
+  {excl}
   GROUP BY tf.did
   {having}
 )
@@ -435,6 +444,22 @@ def q_ft_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.topk("data", k=20, mode="and", should="merge sort", round_scores=6)
 
 
+def q_ft_bool_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bool must_not: term-level exclusion (the third bool leg beyond the
+    # reference's must+filter composition, Running-ELK.md:230-247) — docs
+    # containing the excluded term vanish even when they match the query
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk("data", k=20, must_not="merge", round_scores=6)
+
+
+def q_ft_bool_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES minimum_should_match: at least 2 of the 3 query terms must match
+    ix = _documents_index(spark, sf_dir)
+    return ix.topk(
+        "data merge sort", k=20, min_should_match=2, round_scores=6
+    )
+
+
 def q_ft_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q12 search_as_you_type, full semantics: complete terms BM25 + last-term
     # prefix (constant score) + 2-gram shingle subfield BM25, summed
@@ -704,6 +729,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_offset": q_ft_offset,
         "ft_sayt": q_ft_sayt,
         "ft_bool_should": q_ft_bool_should,
+        "ft_bool_must_not": q_ft_bool_must_not,
+        "ft_bool_msm": q_ft_bool_msm,
         "ft_multi_match": q_ft_multi_match,
         "ft_facet": q_ft_facet,
         "ft_phrase": q_ft_phrase,
@@ -932,6 +959,12 @@ ORDER BY doc_count DESC, lang ASC LIMIT 10
         "ft_offset": _bm25_oracle(["merge", "sort"], 20, offset=10),
         "ft_bool_should": _bm25_oracle(
             ["data", "merge", "sort"], 20, must_terms=["data"]
+        ),
+        "ft_bool_must_not": _bm25_oracle(
+            ["data"], 20, must_not_terms=["merge"]
+        ),
+        "ft_bool_msm": _bm25_oracle(
+            ["data", "merge", "sort"], 20, min_should_match=2
         ),
         "ft_sayt": sayt_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",

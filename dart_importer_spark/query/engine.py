@@ -81,6 +81,9 @@ class InvertedIndex:
             self.avgdl_by_field = {0: float(rows[0]["avgdl"])}
         self.n_docs = int(rows[0]["n_docs"])
         self.avgdl = self.avgdl_by_field[0]
+        # ES _profile parity: topk() records which physical plan ran (mask
+        # pushdown vs distributed fallback, θ) here after every call
+        self.last_profile: dict = {}
 
     def _fid(self, field: str | int | None) -> int:
         """Resolve a field name to its postings field id (default: field 0,
@@ -171,6 +174,8 @@ class InvertedIndex:
         offset: int = 0,
         field: str | int | None = None,
         should: str | None = None,
+        must_not: str | None = None,
+        min_should_match: int | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
@@ -187,6 +192,15 @@ class InvertedIndex:
         with must present: should terms contribute score but never gate
         matching). Pruning is disabled with should present (θ would need the
         optional terms' bounds folded in).
+        ``must_not`` EXCLUDES every document containing any of its terms (the
+        third leg of the ES bool query, non-scoring). Term-level exclusion is
+        a posting-scan anti-set: the excluded doc_ids ride the same mask
+        machinery as tombstones (pushed below scoring when they fit the
+        budget, distributed anti-join otherwise).
+        ``min_should_match`` (mode='or') keeps only docs matching at least
+        that many distinct query terms (ES minimum_should_match on should
+        clauses). θ-pruning is disabled for msm > 1: the bootstrap bound from
+        the rarest term's postings assumes a single-term match can qualify.
         """
         fid = self._fid(field)
         avgdl = self.avgdl_by_field[fid]
@@ -224,8 +238,20 @@ class InvertedIndex:
         # ES applies bool filters (and deletes) BEFORE scoring; masking doc
         # ids inside the decode kernel avoids decoding+scoring postings that
         # a selective filter would discard, and keeps θ-pruning valid in the
-        # presence of tombstones (dead docs must not inflate θ).
-        dead_ids = self._bounded_ids(self._tombstones())
+        # presence of tombstones (dead docs must not inflate θ). must_not
+        # exclusions join the same dead set: term-level exclusion needs a
+        # posting scan, not a doc_stats predicate.
+        dead_df = self._tombstones()
+        if must_not is not None:
+            mn_terms = sorted(set(self._analyze(must_not, field)))
+            if mn_terms:
+                excl = self._docs_for_terms(mn_terms, fid).select("doc_id")
+                dead_df = (
+                    excl
+                    if dead_df is None
+                    else dead_df.select("doc_id").unionByName(excl).distinct()
+                )
+        dead_ids = self._bounded_ids(dead_df)
         dead_pushed = dead_ids is not None  # None = too many, stay distributed
         allowed_df = None
         allowed_ids = None
@@ -236,12 +262,27 @@ class InvertedIndex:
             allowed_ids = self._bounded_ids(allowed_df)
 
         need = k + offset  # pruning must preserve ranks up to offset+k
+        msm = int(min_should_match or 0)
         theta = 0.0
-        if prune and should is None and mode == "or" and len(terms) > 1:
+        if (
+            prune and should is None and mode == "or" and len(terms) > 1
+            and msm <= 1
+        ):
             theta = self._threshold_estimate(
                 terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
-                fid=fid, avgdl=avgdl,
+                fid=fid, avgdl=avgdl, dead_df=dead_df,
             )
+        # ES _profile-style plan record: which physical strategy actually ran
+        # (operators can't see the budget fallback from results alone)
+        self.last_profile = {
+            "terms": list(terms),
+            "theta": theta,
+            "pruned": theta > 0.0,
+            "dead_pushed": dead_pushed,
+            "dead_present": dead_df is not None,
+            "allowed_pushed": allowed_ids is not None,
+            "filter_present": filters is not None,
+        }
 
         scored = self._score_terms(
             terms, idf, theta=theta, ubs=ubs, dead=dead_ids, allowed=allowed_ids,
@@ -252,6 +293,8 @@ class InvertedIndex:
         )
         if mode == "and":
             agg = agg.filter(F.col("n_matched") == len(terms))
+        elif msm > 1:
+            agg = agg.filter(F.col("n_matched") >= msm)
         agg = agg.select("doc_id", F.col("score"))
         if should is not None:
             s_terms = [
@@ -265,8 +308,10 @@ class InvertedIndex:
                     "doc_id",
                     (F.col("score") + F.coalesce(F.col("s_score"), F.lit(0.0))).alias("score"),
                 )
-        if not dead_pushed:
-            agg = self._live(agg)
+        if not dead_pushed and dead_df is not None:
+            # too many dead/excluded ids for the push budget: distributed
+            # anti-join after the partial agg (covers tombstones + must_not)
+            agg = agg.join(dead_df.select("doc_id"), "doc_id", "left_anti")
         if round_scores is not None:
             # stabilizes LIMIT-boundary tie-breaks against an external oracle
             # whose float summation order differs in the last ulp
@@ -306,6 +351,7 @@ class InvertedIndex:
     def _threshold_estimate(
         self, terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
         fid: int = 0, avgdl: float | None = None,
+        dead_df: DataFrame | None = None,
     ) -> float:
         """Lower bound θ on the final ``need``-th score, computed
         DISTRIBUTEDLY: fully score the rarest term (fewest postings) through
@@ -322,7 +368,9 @@ class InvertedIndex:
             fid=fid, avgdl=avgdl,
         )
         if dead_ids is None:
-            scored = self._live(scored)
+            drop = dead_df if dead_df is not None else self._tombstones()
+            if drop is not None:
+                scored = scored.join(drop.select("doc_id"), "doc_id", "left_anti")
         if allowed_df is not None and allowed_ids is None:
             scored = scored.join(allowed_df, "doc_id", "left_semi")
         rows = scored.select("score").orderBy(F.desc("score")).limit(need).collect()
