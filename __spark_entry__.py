@@ -191,8 +191,10 @@ def q_ft_get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed expansion (broadcast semi-join, never a driver term list)
+    # with the ES-style rewrite cap: first 50 matching terms lexicographically
     ix = _documents_index(spark, sf_dir)
-    return ix.wildcard("mer", k=50).select(
+    return ix.wildcard("mer", k=50, max_expansions=50).select(
         "doc_id", F.col("score").cast("double").alias("score")
     )
 
@@ -1002,13 +1004,21 @@ FROM events e JOIN days
         "ft_deep_topk": _bm25_oracle(["merge", "sort"], 100),
         "ft_wildcard_prefix": _DOCS_CTE
         + """
+, ex AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 'mer%')
+  ORDER BY term LIMIT 50
+)
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
-FROM tok WHERE term LIKE 'mer%'
+FROM tok JOIN ex USING (term)
 ORDER BY doc_id ASC LIMIT 50
 """,
         "ft_fuzzy": _DOCS_CTE
         + """
-, fz AS (SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'tabl') <= 1)
+, fz AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'tabl') <= 1
+  ) ORDER BY term LIMIT 50
+)
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM tok JOIN fz USING (term)
 ORDER BY doc_id ASC LIMIT 100000

@@ -550,22 +550,45 @@ class InvertedIndex:
             "store_positions": bool(self.meta.get("store_positions")),
         }
 
-    def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
-        """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite
-        (Running-ELK.md:155-168) and search_as_you_type prefix matching."""
-        rows = (
-            self._field_dict(field)
-            .filter(F.col("term").startswith(prefix.lower()))
-            .select("term")
-            .collect()
-        )
-        return sorted(r["term"] for r in rows)
+    def _cap_expansion(
+        self, td: DataFrame, max_expansions: int | None
+    ) -> DataFrame:
+        """ES-style rewrite budget: keep the first ``max_expansions`` matching
+        dictionary terms in lexicographic term order (deterministic, so the
+        capped query is well-defined and oracle-checkable)."""
+        cols = ["term"] + (["bucket"] if "bucket" in td.columns else [])
+        td = td.select(*cols)
+        if max_expansions is not None:
+            td = td.orderBy("term").limit(int(max_expansions))
+        return td
 
-    def expand_fuzzy(
-        self, term: str, max_dist: int = 1, field: str | int | None = None
-    ) -> list[str]:
+    def expand_prefix_df(
+        self,
+        prefix: str,
+        field: str | int | None = None,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Term-dictionary prefix scan — ES wildcard `xyz*` rewrite
+        (Running-ELK.md:155-168) and search_as_you_type prefix matching.
+
+        Returns a DataFrame of (term[, bucket]) — the expansion NEVER lands
+        on the driver: downstream it is broadcast-semi-joined against the
+        postings scan, so a short prefix over a 10^8-term dictionary stays a
+        distributed plan instead of a million-literal In-list."""
+        td = self._field_dict(field).filter(
+            F.col("term").startswith(prefix.lower())
+        )
+        return self._cap_expansion(td, max_expansions)
+
+    def expand_fuzzy_df(
+        self,
+        term: str,
+        max_dist: int = 1,
+        field: str | int | None = None,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
         """Edit-distance expansion over the term dictionary — ES fuzzy
-        (Running-ELK.md:186-200).
+        (Running-ELK.md:186-200). Distributed (see expand_prefix_df).
 
         Pruned by the length band |len(term) - len(q)| <= max_dist before
         levenshtein runs: the band on the stored ``tlen`` column is a plain
@@ -577,19 +600,41 @@ class InvertedIndex:
             band = F.col("tlen").between(len(q) - max_dist, len(q) + max_dist)
         else:  # pre-tlen index layout: still prune before levenshtein
             band = F.length("term").between(len(q) - max_dist, len(q) + max_dist)
-        rows = (
-            td.filter(band)
-            .filter(F.levenshtein(F.col("term"), F.lit(q)) <= max_dist)
-            .select("term")
-            .collect()
+        td = td.filter(band).filter(
+            F.levenshtein(F.col("term"), F.lit(q)) <= max_dist
         )
+        return self._cap_expansion(td, max_expansions)
+
+    def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
+        """Driver-side convenience wrapper around expand_prefix_df (NOT used
+        by any query path — those stay distributed)."""
+        rows = self.expand_prefix_df(prefix, field).select("term").collect()
         return sorted(r["term"] for r in rows)
 
-    def _docs_for_terms(self, terms: list[str], fid: int = 0) -> DataFrame:
-        """Distinct doc_ids containing any of ``terms`` (constant score)."""
-        if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
-        cand = self._candidate_postings(terms, fid)
+    def expand_fuzzy(
+        self, term: str, max_dist: int = 1, field: str | int | None = None
+    ) -> list[str]:
+        """Driver-side convenience wrapper around expand_fuzzy_df (NOT used
+        by any query path — those stay distributed)."""
+        rows = self.expand_fuzzy_df(term, max_dist, field).select("term").collect()
+        return sorted(r["term"] for r in rows)
+
+    def _candidate_postings_df(self, terms_df: DataFrame, fid: int) -> DataFrame:
+        """Posting runs whose term appears in ``terms_df`` — the distributed
+        form of ``_candidate_postings`` for query-expanded term sets
+        (wildcard/fuzzy/sayt rewrites). The expansion is broadcast (bounded
+        by max_expansions) and semi-joined on (bucket, term): joining on the
+        bucket partition column lets Spark's dynamic partition pruning skip
+        postings directories, the distributed analogue of the driver-side
+        bucket In-list."""
+        post = self.postings().filter(F.col("field") == fid)
+        keys = (
+            ["bucket", "term"] if "bucket" in terms_df.columns else ["term"]
+        )
+        return post.join(F.broadcast(terms_df), keys, "left_semi")
+
+    def _decode_doc_ids(self, cand: DataFrame) -> DataFrame:
+        """Distinct live doc_ids of a candidate posting-run scan."""
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -604,17 +649,35 @@ class InvertedIndex:
             cand.select("docs").mapInPandas(decode, schema="doc_id long").distinct()
         )
 
+    def _docs_for_terms(self, terms: list[str], fid: int = 0) -> DataFrame:
+        """Distinct doc_ids containing any of ``terms`` (constant score) —
+        for DRIVER-KNOWN term lists (query tokens), never expansions."""
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        return self._decode_doc_ids(self._candidate_postings(terms, fid))
+
+    def _docs_for_terms_df(self, terms_df: DataFrame, fid: int = 0) -> DataFrame:
+        """Distinct doc_ids containing any term of ``terms_df`` — the
+        distributed path for dictionary expansions."""
+        return self._decode_doc_ids(self._candidate_postings_df(terms_df, fid))
+
     def wildcard(
         self,
         prefix: str,
         k: int = 10,
         filters: Column | None = None,
         field: str | int | None = None,
+        max_expansions: int | None = None,
     ) -> DataFrame:
         """ES wildcard with constant_score rewrite (Running-ELK.md:155-184):
-        expand prefix -> disjunction, every hit scored 1.0, doc_id order."""
+        expand prefix -> disjunction, every hit scored 1.0, doc_id order.
+        The expansion stays distributed (broadcast semi-join, never a driver
+        term list); ``max_expansions`` caps the rewrite ES-style (first N
+        terms lexicographically)."""
         fid = self._fid(field)
-        docs = self._docs_for_terms(self.expand_prefix(prefix, fid), fid)
+        docs = self._docs_for_terms_df(
+            self.expand_prefix_df(prefix, fid, max_expansions), fid
+        )
         out = docs.withColumn("score", F.lit(1.0))
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
@@ -627,10 +690,14 @@ class InvertedIndex:
         k: int = 10,
         max_dist: int = 1,
         field: str | int | None = None,
+        max_expansions: int | None = 50,
     ) -> DataFrame:
-        """ES fuzzy query (constant-score expansion variant)."""
+        """ES fuzzy query (constant-score expansion variant). Distributed
+        expansion; ``max_expansions`` defaults to 50, the ES fuzzy default."""
         fid = self._fid(field)
-        docs = self._docs_for_terms(self.expand_fuzzy(term, max_dist, fid), fid)
+        docs = self._docs_for_terms_df(
+            self.expand_fuzzy_df(term, max_dist, fid, max_expansions), fid
+        )
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
 
     def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
@@ -796,6 +863,7 @@ class InvertedIndex:
         k: int = 10,
         base_field: str | int | None = None,
         round_scores: int | None = None,
+        max_expansions: int | None = None,
     ) -> DataFrame:
         """ES search_as_you_type / multi_match bool_prefix (reference
         mapping at import_dart_data.py:353-354,395-405): every complete
@@ -815,11 +883,11 @@ class InvertedIndex:
         p = self._bm25_scores(complete, fid)
         if p is not None:
             parts.append(p)
-        pterms = self.expand_prefix(last, fid)
-        if pterms:
-            parts.append(
-                self._docs_for_terms(pterms, fid).withColumn("score", F.lit(1.0))
-            )
+        parts.append(
+            self._docs_for_terms_df(
+                self.expand_prefix_df(last, fid, max_expansions), fid
+            ).withColumn("score", F.lit(1.0))
+        )
         from ..functions.tokenizer import shingle_text
 
         for gid, name in enumerate(self.fields):

@@ -104,3 +104,34 @@ def test_sayt_and_should_plans_arrow_only(built_index):
     assert_no_row_python(
         built_index.topk("the", k=5, mode="and", should="삼성")
     )
+
+
+def test_expansion_paths_never_collect_terms(built_index, monkeypatch):
+    """VERDICT r02 #2: wildcard/fuzzy/sayt must keep dictionary expansion
+    distributed — constructing their plans must not call the driver-side
+    list expanders, and the plan must carry a broadcast semi-join against
+    the filtered term_dict instead of a literal In-list of expanded terms."""
+
+    def boom(*a, **kw):
+        raise AssertionError("driver-side term expansion in a query path")
+
+    monkeypatch.setattr(type(built_index), "expand_prefix", boom)
+    monkeypatch.setattr(type(built_index), "expand_fuzzy", boom)
+    w = built_index.wildcard("w00", k=5, max_expansions=50)
+    f = built_index.fuzzy("the", k=5)
+    s = built_index.search_as_you_type("the an", k=5)
+    for df in (w, f, s):
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # executing them still works (the semi-join path, end to end)
+    assert len(w.collect()) > 0
+    assert len(f.collect()) > 0
+    assert len(s.collect()) > 0
+
+
+def test_expansion_semijoin_prunes_bucket_partitions_dynamically(built_index):
+    """The postings side of the expansion semi-join must carry a dynamic
+    partition pruning subquery on the bucket directory column."""
+    w = built_index.wildcard("w00", k=5, max_expansions=50)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
