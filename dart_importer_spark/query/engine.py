@@ -715,15 +715,33 @@ class InvertedIndex:
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
-    def _positions_for_terms(self, terms: list[str], fid: int) -> DataFrame:
+    def _positions_for_terms(
+        self, terms: list[str], fid: int, allowed: np.ndarray | None = None
+    ) -> DataFrame:
         """Exploded (term, doc_id, pos) rows for the given terms — the
         positional scan backing match_phrase. Decode is Arrow-batched; only
         the phrase terms' postings (bucket-pruned) are touched, and the
         `poss` column is read only here (column pruning keeps every other
-        query free of position bytes)."""
+        query free of position bytes).
+
+        ``allowed`` (sorted doc_id array, broadcast) masks postings right
+        after decode: a phrase containing a stopword must not explode the
+        stopword's full positional postings — only positions inside docs that
+        contain the rarest phrase term survive (ES's doc-at-a-time phrase
+        intersection starts from the rarest term for the same reason)."""
         cand = self._candidate_postings(terms, fid)
+        sc = self.spark.sparkContext
+        bc_allowed = sc.broadcast(allowed) if allowed is not None else None
+
+        def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+            if not sorted_ids.size:
+                return np.zeros(docs.size, dtype=bool)
+            idx = np.searchsorted(sorted_ids, docs)
+            idx[idx == sorted_ids.size] = 0
+            return sorted_ids[idx] == docs
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            allow = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
                 outs = []
                 for row in pdf.itertuples(index=False):
@@ -732,6 +750,12 @@ class InvertedIndex:
                     docs = delta_decode(row.docs).astype(np.int64)
                     tfs = varbyte_decode(row.tfs).astype(np.int64)
                     poss = varbyte_decode(row.poss).astype(np.int64)
+                    if allow is not None:
+                        m = _member(docs, allow)
+                        if not m.any():
+                            continue
+                        poss = poss[np.repeat(m, tfs)]
+                        docs, tfs = docs[m], tfs[m]
                     outs.append(
                         pd.DataFrame(
                             {
@@ -747,6 +771,31 @@ class InvertedIndex:
         return cand.select("term", "docs", "tfs", "poss").mapInPandas(
             decode, schema="term string, doc_id long, pos long"
         )
+
+    def _phrase_candidate_ids(
+        self, terms: list[str], fid: int
+    ) -> tuple[np.ndarray | None, bool]:
+        """Rarest-first bootstrap for match_phrase: per-term df from one
+        bucket-pruned metadata scan, then the rarest term's doc_ids as the
+        candidate mask (a phrase hit must contain EVERY term, so the rarest
+        term's doc set bounds the result). Returns (sorted ids | None,
+        any_term_missing): None means the rarest df exceeded the push budget
+        (stay distributed — decode everything, joins intersect)."""
+        uniq = sorted(set(terms))
+        stat_rows = (
+            self._candidate_postings(uniq, fid)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in stat_rows}
+        if len(dfs) < len(uniq):
+            return None, True  # some phrase term absent -> no hit possible
+        rarest = min(uniq, key=lambda t: dfs[t])
+        if dfs[rarest] > self.id_push_budget:
+            return None, False
+        ids = self._bounded_ids(self._docs_for_terms([rarest], fid))
+        return ids, False
 
     def match_phrase(
         self,
@@ -779,7 +828,10 @@ class InvertedIndex:
         terms = self._analyze(query, field)  # keep order and duplicates
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        rows = self._positions_for_terms(sorted(set(terms)), fid)
+        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        if missing:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
         if slop == 0:
             base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
             for i, t in enumerate(terms[1:], start=1):

@@ -99,3 +99,36 @@ def test_phrase_slop(pos_index):
     # reversed adjacent ("beta alpha", doc 1) needs slop 2 (Lucene-consistent)
     got2 = [r["doc_id"] for r in pos_index.match_phrase("alpha beta", k=100, slop=2).collect()]
     assert 1 in got2 and set(got1) <= set(got2)
+
+
+def test_rarest_first_bounds_stopword_decode(spark, tmp_path):
+    """VERDICT r02 #3: a phrase containing a stopword must not explode the
+    stopword's full positional postings — the decode is masked to docs
+    containing the rarest phrase term, so decoded rows are bounded by the
+    rare term's df, not the stopword's."""
+    rows = [("c%03d" % i, 0, "the quick fox %d" % i) for i in range(100)]
+    rows += [("d000", 0, "the zebra runs"), ("d001", 0, "a zebra the")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=(),
+    )
+    ix = InvertedIndex(spark, out)
+
+    terms = ["the", "zebra"]
+    cand_ids, missing = ix._phrase_candidate_ids(terms, 0)
+    assert not missing
+    assert cand_ids is not None and len(cand_ids) == 2  # zebra's 2 docs
+    decoded = ix._positions_for_terms(sorted(set(terms)), 0, allowed=cand_ids)
+    n_decoded = decoded.count()
+    # 'the' occurs in 102 docs; masked decode touches only the 2 zebra docs:
+    # positions = the(2 docs, tf 1 each) + zebra(2 docs, tf 1 each) = 4
+    assert n_decoded <= 6, n_decoded
+
+    # and the phrase result is still exact
+    assert _phrase(ix, "the zebra") == [100]
+    assert _phrase(ix, "zebra the") == [101]
+    # a phrase with an absent term short-circuits to empty
+    assert _phrase(ix, "the unicorn") == []
