@@ -79,10 +79,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     max_bucket: int = 64,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """LSH banding: hash each signature band -> bucket-join -> candidate
-    pairs (a < b). Oversized buckets (> max_bucket, typically boilerplate)
-    are dropped — report via the returned pair count vs bucket stats."""
+    pairs (a < b). Buckets larger than ``max_bucket`` (typically boilerplate
+    clusters) are NOT silently dropped: pass ``metrics_out`` to receive
+    ``oversized_buckets`` — a lazy DataFrame of (band, bh, n) for every
+    dropped bucket (count it, or route its members through a re-banding
+    pass) — and ``dropped_ids``, the distinct member ids of those buckets."""
     n_perm_col = F.size("sig")
     rows_per_band = (n_perm_col / bands).cast("int")
     banded = sigs.select(
@@ -109,6 +113,12 @@ def minhash_lsh_pairs(
         F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
     )
     small = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    if metrics_out is not None:
+        oversized = buckets.filter(F.col("n") > max_bucket)
+        metrics_out["oversized_buckets"] = oversized.select("band", "bh", "n")
+        metrics_out["dropped_ids"] = (
+            oversized.select(F.explode("ids").alias(id_col)).distinct()
+        )
     # pair expansion inside each bucket: JVM flatten of the id cross-product
     pairs = small.select(
         F.explode(
@@ -189,19 +199,38 @@ def simhash(
     return bits.select(F.col("_id").alias(id_col), acc.alias(out))
 
 
-def simhash_near_dups(
+def simhash_candidate_pairs(
     sim: DataFrame,
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     max_hamming: int = 3,
     n_bits: int = SIMHASH_BITS,
+    n_chunks: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by Hamming distance <= max_hamming, found by the
-    chunk-table trick: split n_bits into (max_hamming + 1) chunks; a pair
-    within Hamming max_hamming has at least one untouched chunk (pigeonhole)
-    -> bucket-join per chunk, then exact popcount verify. Complete by
-    construction for any max_hamming; no all-pairs comparison."""
-    n_chunks = max_hamming + 1
+    """Candidate pairs (a, b, ha, hb) for Hamming <= max_hamming via Manku-
+    style block permutations: split n_bits into ``n_chunks`` chunks; a pair
+    within Hamming h touches at most h chunks, so at least (n_chunks - h)
+    chunks are untouched — hence SOME (n_chunks - h)-subset of chunks matches
+    exactly (pigeonhole). One bucket-join per subset, union, distinct.
+    Complete by construction for any max_hamming; no all-pairs comparison.
+
+    Why subsets instead of the minimal h+1 single-chunk tables: join-key
+    width. With 60 bits, h=3 and 4 chunks the keys are 15 bits — at 10^9
+    docs every bucket holds ~30k ids and the per-chunk self-join goes
+    quadratic. The default 6 chunks matched 3-at-a-time gives C(6,3)=20
+    joins on 30-bit keys: each join's bucket sizes shrink by ~2^15x, which
+    is what survives a 100x scale-up. ``n_chunks`` dials the tradeoff
+    (must be > max_hamming)."""
+    from itertools import combinations
+
+    h = int(max_hamming)
+    if n_chunks is None:
+        n_chunks = min(h + 3, n_bits) if h >= 1 else 1
+    if not (h < n_chunks <= n_bits):
+        raise ValueError(
+            f"n_chunks must satisfy max_hamming < n_chunks <= n_bits, got "
+            f"{n_chunks} (h={h}, n_bits={n_bits})"
+        )
     cw = (n_bits + n_chunks - 1) // n_chunks  # chunk width
     mask = (1 << cw) - 1
     chunks = sim.select(
@@ -215,16 +244,38 @@ def simhash_near_dups(
         ],
     )
     pairs = None
-    for i in range(n_chunks):
-        a = chunks.select(
-            F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), F.col(f"c{i}").alias("ck")
+    for subset in combinations(range(n_chunks), n_chunks - h):
+        # pack the subset's chunks into one BIGINT join key
+        key = F.lit(0).cast("long")
+        for rank, i in enumerate(subset):
+            key = key.bitwiseOR(F.shiftleft(F.col(f"c{i}"), cw * rank))
+        keyed = chunks.withColumn("ck", key)
+        a = keyed.select(
+            F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "ck"
         )
-        b = chunks.select(
-            F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), F.col(f"c{i}").alias("ck")
+        b = keyed.select(
+            F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), "ck"
         )
         p = a.join(b, "ck").filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
         pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.distinct()
+    return pairs.distinct()
+
+
+def simhash_near_dups(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bits: int = SIMHASH_BITS,
+    n_chunks: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming: block-permutation
+    candidate generation (see simhash_candidate_pairs) + exact popcount
+    verify. Output is identical for any valid n_chunks (the scheme is
+    complete); n_chunks only changes candidate-set size and join-key width."""
+    pairs = simhash_candidate_pairs(
+        sim, id_col, hash_col, max_hamming, n_bits, n_chunks
+    )
     return (
         pairs.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
@@ -240,10 +291,13 @@ def embedding_near_dups(
     threshold: float = 0.95,
     seed: int = 42,
     max_bucket: int = 256,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     exact cosine verify inside buckets (see similarity.py for the plane
-    construction)."""
+    construction). Oversized buckets are reported via ``metrics_out``
+    (``oversized_buckets``: lazy (sig, n) DataFrame; ``dropped_ids``), never
+    dropped without a trace."""
     from .similarity import _cosine, _hyperplane_sig
 
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
@@ -255,6 +309,12 @@ def embedding_near_dups(
         F.count("*").alias("n"),
     )
     small = buckets.filter((F.col("n") >= 2) & (F.col("n") <= max_bucket))
+    if metrics_out is not None:
+        oversized = buckets.filter(F.col("n") > max_bucket)
+        metrics_out["oversized_buckets"] = oversized.select("sig", "n")
+        metrics_out["dropped_ids"] = oversized.select(
+            F.explode(F.col("xs.i")).alias(id_col)
+        ).distinct()
     pairs = small.select(
         F.explode(
             F.flatten(
