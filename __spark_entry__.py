@@ -48,7 +48,7 @@ def _documents_index(spark: SparkSession, sf_dir: str):
         # format-versioned cache dir: a stale index from an older on-disk
         # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index_v4", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v5", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
         # opt_tag: a deterministically-nullable column so ES `exists`
@@ -63,10 +63,11 @@ def _documents_index(spark: SparkSession, sf_dir: str):
             out,
             BuildConfig(n_segments=4, n_buckets=8, store_positions=True),
             doc_key_cols=("src_id",),
-            # fielded index: text (primary) + source, plus text's 2-gram
-            # search_as_you_type subfield (reference import_dart_data.py:389-440)
+            # fielded index: text (primary) + source, plus text's 2- AND
+            # 3-gram search_as_you_type subfields (the reference mapping's
+            # shingle depth, import_dart_data.py:353-354,395-405)
             text_cols=("text", "source"),
-            shingle_fields=(("text", 2),),
+            shingle_fields=(("text", 2), ("text", 3)),
             meta_cols=("lang", "source", "n_chars", "opt_tag"),
         )
         _INDEX_CACHE[key] = out
@@ -876,10 +877,33 @@ gram AS (
   FROM gtf JOIN gdft USING (term) JOIN gdl ON gdl.did = gtf.did CROSS JOIN gst s
   WHERE gtf.term IN ('merge' || chr(31) || 'sor') GROUP BY gtf.did
 ),
+sh3 AS (
+  SELECT did, CASE
+    WHEN len(lst) >= 3 THEN list_transform(
+      generate_series(1, len(lst) - 2),
+      i -> lst[i] || chr(31) || lst[i+1] || chr(31) || lst[i+2])
+    WHEN len(lst) >= 1 THEN [array_to_string(lst, chr(31))]
+    ELSE [] END AS g
+  FROM t
+),
+g3tok AS (SELECT did, unnest(g) AS term FROM sh3),
+g3tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM g3tok GROUP BY 1, 2),
+g3dl AS (SELECT did, len(g)::DOUBLE AS dl FROM sh3),
+g3st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM g3dl),
+g3dft AS (SELECT term, count(*)::DOUBLE AS df FROM g3tf GROUP BY 1),
+gram3 AS (
+  SELECT g3tf.did, sum(
+    ln(1 + (s.n - g3dft.df + 0.5) / (g3dft.df + 0.5))
+    * g3tf.tf / (g3tf.tf + {K1} * (1 - {B} + {B} * g3dl.dl / s.avgdl))) AS sc
+  FROM g3tf JOIN g3dft USING (term) JOIN g3dl ON g3dl.did = g3tf.did
+  CROSS JOIN g3st s
+  WHERE g3tf.term IN ('merge' || chr(31) || 'sor') GROUP BY g3tf.did
+),
 allsc AS (
   SELECT did, sc FROM base
   UNION ALL SELECT did, sc FROM pfx
   UNION ALL SELECT did, sc FROM gram
+  UNION ALL SELECT did, sc FROM gram3
 )
 SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did

@@ -82,7 +82,7 @@ def main() -> None:
     # Drop any persisted cache first so the number is a true cold build,
     # never a fingerprint-resume skip of a previous run's index.
     key = os.path.abspath(SF_DIR).strip("/").replace("/", "_")
-    shutil.rmtree(os.path.join("/tmp/dis_entry_index_v4", key), ignore_errors=True)
+    shutil.rmtree(os.path.join("/tmp/dis_entry_index_v5", key), ignore_errors=True)
     t0 = time.time()
     ix = entry._documents_index(spark, SF_DIR)
     timings["ft_index_build"] = round(time.time() - t0, 4)

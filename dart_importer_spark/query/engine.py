@@ -388,19 +388,24 @@ class InvertedIndex:
         allowed: np.ndarray | None = None,
         fid: int = 0,
         avgdl: float | None = None,
+        extra_ub: float = 0.0,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
 
         ``dead`` / ``allowed`` are sorted doc_id arrays broadcast into the
         kernel: postings for tombstoned (dead) or filtered-out (not in
         allowed) docs are dropped right after decode, before any scoring or
-        shuffle — the distributed form of ES's filter-before-score."""
+        shuffle — the distributed form of ES's filter-before-score.
+        ``extra_ub`` folds OTHER scoring legs' summed upper bounds into the
+        pruning inequality (multi_match / search_as_you_type: a block here
+        survives if its bound + this field's other terms + every other
+        leg's bound could still reach θ)."""
         cand = self._candidate_postings(terms, fid)
         avgdl = self.avgdl_by_field[fid] if avgdl is None else avgdl
         idf_map = dict(idf)
         # per-term global upper bounds for the pruning inequality
         ubs = dict(ubs or {})
-        ub_total = sum(ubs.values()) if theta > 0.0 else 0.0
+        ub_total = (sum(ubs.values()) + extra_ub) if theta > 0.0 else 0.0
         sc = self.spark.sparkContext
         bc_dead = sc.broadcast(dead) if dead is not None and dead.size else None
         bc_allowed = sc.broadcast(allowed) if allowed is not None else None
@@ -702,8 +707,8 @@ class InvertedIndex:
 
     def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
         """(doc_id, score) BM25 partials for a term set on one field — the
-        building block search_as_you_type sums across subfields. No pruning
-        (sayt queries are short; candidates are bounded by the prefix)."""
+        unpruned building block (bool ``should`` clauses, where every
+        contribution must survive)."""
         terms = sorted(set(terms))
         if not terms:
             return None
@@ -714,6 +719,54 @@ class InvertedIndex:
         idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _leg_stats(
+        self, terms: list[str], fid: int
+    ) -> tuple[dict, dict, dict]:
+        """One bucket-pruned metadata job per scoring leg: per-term df,
+        idf, and block-max upper bound (same combined pass topk uses)."""
+        avgdl = self.avgdl_by_field[fid]
+        rows = (
+            self._candidate_postings(terms, fid)
+            .groupBy("term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.max(F.array_max("block_max_tf")).alias("mtf"),
+                F.min(F.array_min("block_min_dl")).alias("mdl"),
+            )
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        idf = {t: _idf(self.n_docs, d) for t, d in dfs.items()}
+        ubs = {
+            r["term"]: idf[r["term"]]
+            * _tfn(float(r["mtf"]), float(r["mdl"]), avgdl)
+            for r in rows
+        }
+        return dfs, idf, ubs
+
+    def _multi_leg_theta(self, legs: list[tuple], need: int) -> float:
+        """θ bootstrap across scoring legs (WAND's lower bound on the
+        need-th best TOTAL score): fully score the globally rarest
+        (field, term) leg through the masked kernel and take its need-th
+        best single-leg contribution — a per-doc partial never exceeds the
+        doc's total, so the need-th best partial lower-bounds the need-th
+        best total. legs = [(fid, terms, dfs, idf, ubs), ...]."""
+        best = None
+        for fid, terms, dfs, idf, _ in legs:
+            for t in terms:
+                if best is None or dfs[t] < best[2]:
+                    best = (fid, t, dfs[t], idf[t])
+        if best is None:
+            return 0.0
+        fid, t, d, w = best
+        if d < need:
+            return 0.0
+        scored = self._live(self._score_terms([t], {t: w}, fid=fid))
+        rows = scored.select("score").orderBy(F.desc("score")).limit(need).collect()
+        if len(rows) < need:
+            return 0.0
+        return float(rows[-1]["score"])
 
     def _positions_for_terms(
         self, terms: list[str], fid: int, allowed: np.ndarray | None = None
@@ -888,19 +941,44 @@ class InvertedIndex:
         fields: Sequence[str | int],
         k: int = 10,
         round_scores: int | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """ES ``multi_match`` type=most_fields: score the query against each
         named field with that field's own BM25 statistics and SUM the field
         scores (the reference maps ~10 analyzed fields per doc — this is the
-        cross-field form of its `match`, import_dart_data.py:389-440)."""
-        parts: list[DataFrame] = []
+        cross-field form of its `match`, import_dart_data.py:389-440).
+
+        Pruning is per-field WAND with summed cross-leg upper bounds: θ is
+        bootstrapped from the globally rarest (field, term) leg, and each
+        field's kernel skips blocks whose bound plus EVERY other leg's upper
+        bound stays below θ. Conservative bounds -> rank-identical to the
+        exhaustive plan (property-tested)."""
+        legs: list[tuple] = []
         for f in fields:
             fid = self._fid(f)
-            p = self._bm25_scores(sorted(set(self._analyze(query, fid))), fid)
-            if p is not None:
-                parts.append(p)
-        if not parts:
+            terms = sorted(set(self._analyze(query, fid)))
+            if not terms:
+                continue
+            dfs, idf, ubs = self._leg_stats(terms, fid)
+            terms = [t for t in terms if t in dfs]
+            if terms:
+                legs.append((fid, terms, dfs, idf, ubs))
+        if not legs:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        theta = 0.0
+        n_terms_total = sum(len(l[1]) for l in legs)
+        if prune and n_terms_total > 1:
+            theta = self._multi_leg_theta(legs, k)
+        ub_total = sum(sum(l[4].values()) for l in legs)
+        parts: list[DataFrame] = []
+        for fid, terms, dfs, idf, ubs in legs:
+            scored = self._score_terms(
+                terms, idf, theta=theta, ubs=ubs, fid=fid,
+                extra_ub=ub_total - sum(ubs.values()),
+            )
+            parts.append(
+                scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            )
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
@@ -916,13 +994,18 @@ class InvertedIndex:
         base_field: str | int | None = None,
         round_scores: int | None = None,
         max_expansions: int | None = None,
+        prune: bool = True,
     ) -> DataFrame:
         """ES search_as_you_type / multi_match bool_prefix (reference
         mapping at import_dart_data.py:353-354,395-405): every complete
         query term scores BM25 on the base field; the LAST term is treated
         as a prefix (constant 1.0 per matching doc, ES's constant-score
         prefix rewrite); 2/3-gram shingle subfields built alongside the
-        base field add their BM25 contributions. Contributions sum."""
+        base field add their BM25 contributions. Contributions sum.
+
+        BM25 legs prune per-field-WAND style (see multi_match); the prefix
+        leg can't be block-pruned (constant score) and contributes a flat
+        1.0 to every other leg's upper-bound slack."""
         import re as _re
 
         fid = self._fid(base_field)
@@ -930,27 +1013,44 @@ class InvertedIndex:
         terms = tokenize_text(query)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        parts: list[DataFrame] = []
         complete, last = terms[:-1], terms[-1]
-        p = self._bm25_scores(complete, fid)
-        if p is not None:
-            parts.append(p)
+
+        from ..functions.tokenizer import shingle_text
+
+        leg_specs: list[tuple[int, list[str]]] = [(fid, sorted(set(complete)))]
+        for gid, name in enumerate(self.fields):
+            m = _re.fullmatch(_re.escape(base_name) + r"\._(\d+)gram", name)
+            if m:
+                leg_specs.append(
+                    (gid, sorted(set(shingle_text(query, int(m.group(1))))))
+                )
+        legs: list[tuple] = []
+        for gid, lterms in leg_specs:
+            if not lterms:
+                continue
+            dfs, idf, ubs = self._leg_stats(lterms, gid)
+            lterms = [t for t in lterms if t in dfs]
+            if lterms:
+                legs.append((gid, lterms, dfs, idf, ubs))
+        theta = 0.0
+        if prune and legs and sum(len(l[1]) for l in legs) > 1:
+            theta = self._multi_leg_theta(legs, k)
+        # the prefix leg's flat 1.0/doc rides every BM25 leg's slack
+        ub_total = sum(sum(l[4].values()) for l in legs) + 1.0
+        parts: list[DataFrame] = []
+        for gid, lterms, dfs, idf, ubs in legs:
+            scored = self._score_terms(
+                lterms, idf, theta=theta, ubs=ubs, fid=gid,
+                extra_ub=ub_total - sum(ubs.values()),
+            )
+            parts.append(
+                scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            )
         parts.append(
             self._docs_for_terms_df(
                 self.expand_prefix_df(last, fid, max_expansions), fid
             ).withColumn("score", F.lit(1.0))
         )
-        from ..functions.tokenizer import shingle_text
-
-        for gid, name in enumerate(self.fields):
-            m = _re.fullmatch(_re.escape(base_name) + r"\._(\d+)gram", name)
-            if not m:
-                continue
-            p = self._bm25_scores(shingle_text(query, int(m.group(1))), gid)
-            if p is not None:
-                parts.append(p)
-        if not parts:
-            return self.spark.createDataFrame([], "doc_id long, score double")
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)

@@ -204,3 +204,42 @@ def test_fielded_append_matches_full_build(spark, tmp_path):
     ga = a.search_as_you_type("beta gam", k=10).toPandas()
     gb = b.search_as_you_type("beta gam", k=10).toPandas()
     assert list(ga["doc_id"]) == list(gb["doc_id"])
+
+
+def _rows6(df):
+    return [(r["doc_id"], round(r["score"], 6)) for r in df.collect()]
+
+
+def test_multi_match_pruned_equals_exhaustive(built_index, fielded_index):
+    """VERDICT r02 #9: per-field WAND with summed cross-leg upper bounds
+    must be rank-identical to the exhaustive plan."""
+    # single-leg multi-term on a corpus big enough for theta to fire
+    q = "the and of"
+    legs = []
+    fid = 0
+    terms = sorted(set(built_index._analyze(q, None)))
+    dfs, idf, ubs = built_index._leg_stats(terms, fid)
+    legs.append((fid, [t for t in terms if t in dfs], dfs, idf, ubs))
+    assert built_index._multi_leg_theta(legs, 10) > 0.0  # pruning is live
+    assert _rows6(built_index.multi_match(q, ["text"], k=10, prune=True)) == _rows6(
+        built_index.multi_match(q, ["text"], k=10, prune=False)
+    )
+    # cross-field legs on the fielded corpus
+    for q2 in ["beta news", "alpha beta two"]:
+        assert _rows6(
+            fielded_index.multi_match(q2, ["body", "title"], k=5, prune=True)
+        ) == _rows6(
+            fielded_index.multi_match(q2, ["body", "title"], k=5, prune=False)
+        )
+
+
+def test_sayt_pruned_equals_exhaustive(built_index, fielded_index):
+    for ix, q in [
+        (built_index, "the and o"),
+        (built_index, "the w0004"),
+        (fielded_index, "alpha beta gam"),
+        (fielded_index, "beta al"),
+    ]:
+        assert _rows6(ix.search_as_you_type(q, k=10, prune=True)) == _rows6(
+            ix.search_as_you_type(q, k=10, prune=False)
+        ), q
