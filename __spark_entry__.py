@@ -427,6 +427,63 @@ def q_ft_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase_prefix: exact phrase + last-term prefix at the next
+    # position; prefix rewrite distributed and capped at 50 expansions
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase_prefix("part fil", k=200, max_expansions=50).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES histogram aggregation over the match set (numeric sibling of facet)
+    ix = _documents_index(spark, sf_dir)
+    return ix.histogram("data merge", by="n_chars", interval=100)
+
+
+def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES stats aggregation: count/min/max/sum/avg of n_chars over the match set
+    ix = _documents_index(spark, sf_dir)
+    out = ix.stats_agg("data", on="n_chars")
+    return out.select(
+        "count", "min", "max", "sum", F.round("avg", 6).alias("avg")
+    )
+
+
+def q_ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES search_after keyset pagination: page 2 via the last hit of page 1
+    ix = _documents_index(spark, sf_dir)
+    page1 = ix.topk("merge sort", k=10, round_scores=6).collect()
+    last = page1[-1]
+    return ix.topk(
+        "merge sort", k=10, round_scores=6,
+        search_after=(last["score"], last["doc_id"]),
+    )
+
+
+def q_etl_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of (point-in-time) join: each event picks its user's latest daily
+    # snapshot at-or-before the event time — one union-tag window shuffle,
+    # no range explosion (DuckDB's native ASOF JOIN is the oracle)
+    from dart_importer_spark.operators.asof import asof_join
+
+    ev_sec = F.col("ts").cast("timestamp").cast("double")
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", ev_sec.alias("ev_ts")
+    )
+    users = ev.select("user_id").distinct()
+    days = spark.createDataFrame([(d,) for d in range(1, 8)], "d int")
+    base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")).cast("double")
+    snaps = users.crossJoin(days).select(
+        "user_id",
+        (base + (F.col("d") - 1) * 86400.0).alias("snap_ts"),
+        (F.col("user_id") * 100 + F.col("d")).cast("long").alias("snap_val"),
+    )
+    out = asof_join(ev, snaps, on="user_id", left_ts="ev_ts", right_ts="snap_ts")
+    return out.select("event_id", "snap_val")
+
+
 def q_ft_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms aggregation over the match set (aggs: {terms: {field: lang}})
     ix = _documents_index(spark, sf_dir)
@@ -736,8 +793,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_msm": q_ft_bool_msm,
         "ft_multi_match": q_ft_multi_match,
         "ft_facet": q_ft_facet,
+        "ft_histogram": q_ft_histogram,
+        "ft_stats": q_ft_stats,
+        "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
         "ft_phrase_slop": q_ft_phrase_slop,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -773,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_window_topn": q_etl_window_topn,
         "etl_distinct": q_etl_distinct,
         "etl_interval_join": q_etl_interval_join,
+        "etl_asof_join": q_etl_asof_join,
         "etl_xml_source": q_etl_xml_source,
         "etl_sessionize": q_etl_sessionize,
     }
@@ -978,6 +1040,57 @@ SELECT lang, count(*) AS doc_count
 FROM hits JOIN meta USING (did)
 GROUP BY lang
 ORDER BY doc_count DESC, lang ASC LIMIT 10
+""",
+        "ft_phrase_prefix": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+ex AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tp WHERE term LIKE 'fil%')
+  ORDER BY term LIMIT 50
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp JOIN ex USING (term))
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM p0 JOIN p1 USING (did, pos)
+ORDER BY doc_id ASC LIMIT 200
+""",
+        "ft_histogram": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+)
+SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+       count(*) AS doc_count
+FROM hits JOIN meta USING (did)
+GROUP BY 1 ORDER BY bucket ASC LIMIT 1000
+""",
+        "ft_stats": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+)
+SELECT count(*) AS count, min(n_chars) AS min, max(n_chars) AS max,
+       sum(n_chars) AS sum, round(avg(n_chars), 6) AS avg
+FROM hits JOIN meta USING (did)
+""",
+        "ft_search_after": _bm25_oracle(["merge", "sort"], 10, offset=10),
+        "etl_asof_join": """
+WITH snaps AS (
+  SELECT u.user_id,
+         TIMESTAMP '2024-01-01 00:00:00' + (t.d - 1) * INTERVAL 1 DAY AS snap_ts,
+         u.user_id * 100 + t.d AS snap_val
+  FROM (SELECT DISTINCT user_id FROM events) u, generate_series(1, 7) t(d)
+)
+SELECT e.event_id, s.snap_val
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.snap_ts
 """,
         "ft_match_field": _bm25_oracle(["src7"], 20, field="source"),
         "ft_boost": _bm25_oracle(["data", "merge"], 20, boosts={"data": 2.0}),

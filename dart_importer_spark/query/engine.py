@@ -176,6 +176,7 @@ class InvertedIndex:
         should: str | None = None,
         must_not: str | None = None,
         min_should_match: int | None = None,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
 
@@ -201,7 +202,14 @@ class InvertedIndex:
         that many distinct query terms (ES minimum_should_match on should
         clauses). θ-pruning is disabled for msm > 1: the bootstrap bound from
         the rarest term's postings assumes a single-term match can qualify.
+        ``search_after`` = (score, doc_id) from the previous page's last hit:
+        keyset pagination (ES search_after), mutually exclusive with
+        ``offset``. Pass the ROUNDED score when round_scores is set. Pruning
+        is disabled (θ preserves only the global top ranks, and the cursor
+        may sit below them).
         """
+        if search_after is not None and offset:
+            raise ValueError("topk: search_after and offset are exclusive")
         fid = self._fid(field)
         avgdl = self.avgdl_by_field[fid]
         terms = sorted(set(self._analyze(query, field)))
@@ -266,7 +274,7 @@ class InvertedIndex:
         theta = 0.0
         if (
             prune and should is None and mode == "or" and len(terms) > 1
-            and msm <= 1
+            and msm <= 1 and search_after is None
         ):
             theta = self._threshold_estimate(
                 terms, dfs, idf, need, dead_ids, allowed_ids, allowed_df,
@@ -318,6 +326,12 @@ class InvertedIndex:
             agg = agg.withColumn("score", F.round("score", round_scores))
         if filters is not None and allowed_ids is None:
             agg = agg.join(allowed_df, "doc_id", "left_semi")
+        if search_after is not None:
+            sa_s, sa_d = float(search_after[0]), int(search_after[1])
+            agg = agg.filter(
+                (F.col("score") < sa_s)
+                | ((F.col("score") == sa_s) & (F.col("doc_id") > sa_d))
+            )
         top = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -782,7 +796,21 @@ class InvertedIndex:
         stopword's full positional postings — only positions inside docs that
         contain the rarest phrase term survive (ES's doc-at-a-time phrase
         intersection starts from the rarest term for the same reason)."""
-        cand = self._candidate_postings(terms, fid)
+        return self._decode_positions(self._candidate_postings(terms, fid), allowed)
+
+    def _positions_for_terms_df(
+        self, terms_df: DataFrame, fid: int, allowed: np.ndarray | None = None
+    ) -> DataFrame:
+        """Positional scan for an EXPANDED term set (match_phrase_prefix's
+        last-term rewrite): the expansion stays a broadcast semi-join, same
+        as wildcard/fuzzy."""
+        return self._decode_positions(
+            self._candidate_postings_df(terms_df, fid), allowed
+        )
+
+    def _decode_positions(
+        self, cand: DataFrame, allowed: np.ndarray | None = None
+    ) -> DataFrame:
         sc = self.spark.sparkContext
         bc_allowed = sc.broadcast(allowed) if allowed is not None else None
 
@@ -913,6 +941,63 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def match_phrase_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES match_phrase_prefix: the query's last term matches as a PREFIX
+        at the position right after the preceding exact phrase ("merge so"
+        hits "merge sort" and "merge some"). Constant-score hits in doc_id
+        order (filter context), like match_phrase.
+
+        The prefix rewrite stays distributed (expand_prefix_df broadcast
+        semi-join into the positional scan) and is capped at
+        ``max_expansions`` (ES default 50, first terms lexicographically).
+        Complete terms bootstrap rarest-first exactly like match_phrase; a
+        single-term query degenerates to a prefix-presence check."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "match_phrase_prefix needs an index built with "
+                "store_positions=True"
+            )
+        fid = self._fid(field)
+        terms = self._analyze(query, field)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        complete, last = terms[:-1], terms[-1]
+        pref_df = self.expand_prefix_df(last, fid, max_expansions)
+        if not complete:
+            docs = self._docs_for_terms_df(pref_df, fid)
+            return (
+                docs.withColumn("score", F.lit(1.0))
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
+        cand_ids, missing = self._phrase_candidate_ids(complete, fid)
+        if missing:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        rows = self._positions_for_terms(sorted(set(complete)), fid, allowed=cand_ids)
+        base = rows.filter(F.col("term") == complete[0]).select("doc_id", "pos")
+        for i, t in enumerate(complete[1:], start=1):
+            nxt = rows.filter(F.col("term") == t).select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            base = base.join(nxt, ["doc_id", "pos"], "left_semi")
+        # any expanded term at the slot after the exact prefix of the phrase
+        tail = self._positions_for_terms_df(pref_df, fid, allowed=cand_ids).select(
+            "doc_id", (F.col("pos") - len(complete)).alias("pos")
+        )
+        base = base.join(tail, ["doc_id", "pos"], "left_semi")
+        docs = self._live(base.select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def facet(
         self,
         query: str,
@@ -933,6 +1018,49 @@ class InvertedIndex:
             .agg(F.count("*").alias("doc_count"))
             .orderBy(F.desc("doc_count"), F.asc(by))
             .limit(k)
+        )
+
+    def histogram(
+        self,
+        query: str,
+        by: str,
+        interval: float,
+        k: int = 1000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES histogram aggregation over the match set: docs containing ANY
+        query term, bucketed by floor(doc_stats.by / interval) * interval,
+        bucket ascending (the numeric sibling of facet/terms-agg that the
+        reference's Kibana dashboards chart)."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", by), "doc_id")
+        bucket = (F.floor(F.col(by) / F.lit(interval)) * F.lit(interval)).cast(
+            "long"
+        )
+        return (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket"))
+            .limit(k)
+        )
+
+    def stats_agg(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES stats aggregation (count/min/max/sum/avg of a doc_stats column
+        over the match set) — one row."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        return joined.agg(
+            F.count("*").alias("count"),
+            F.min(on).alias("min"),
+            F.max(on).alias("max"),
+            F.sum(on).alias("sum"),
+            F.avg(on).alias("avg"),
         )
 
     def multi_match(

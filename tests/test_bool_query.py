@@ -80,3 +80,41 @@ def test_profile_records_budget_fallback(spark, built_index):
     assert tiny.last_profile["dead_pushed"] is False
     assert tiny.last_profile["dead_present"] is True
     assert _rows(e1) == _rows(e2)
+
+
+def test_search_after_equals_offset(built_index):
+    q = "the and"
+    page1 = built_index.topk(q, k=10, round_scores=6).collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    via_after = _rows(built_index.topk(q, k=10, round_scores=6, search_after=cursor))
+    via_offset = _rows(built_index.topk(q, k=10, round_scores=6, offset=10))
+    assert via_after == via_offset
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exclusive"):
+        built_index.topk(q, k=5, offset=5, search_after=cursor)
+
+
+def test_histogram_and_stats_agg(built_index, oracle):
+    hits = {
+        int(did)
+        for did, toks in zip(oracle.doc_ids, oracle.tokens)
+        if "the" in toks
+    }
+    dl = {int(d): int(n) for d, n in zip(oracle.doc_ids, oracle.dl)}
+    got = {
+        r["bucket"]: r["doc_count"]
+        for r in built_index.histogram("the", by="dl", interval=10).collect()
+    }
+    want: dict = {}
+    for d in hits:
+        b = (dl[d] // 10) * 10
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+    row = built_index.stats_agg("the", on="dl").collect()[0]
+    vals = [dl[d] for d in hits]
+    assert row["count"] == len(vals)
+    assert row["min"] == min(vals) and row["max"] == max(vals)
+    assert row["sum"] == sum(vals)
+    assert abs(row["avg"] - sum(vals) / len(vals)) < 1e-9

@@ -132,3 +132,20 @@ def test_rarest_first_bounds_stopword_decode(spark, tmp_path):
     assert _phrase(ix, "zebra the") == [101]
     # a phrase with an absent term short-circuits to empty
     assert _phrase(ix, "the unicorn") == []
+
+
+def test_match_phrase_prefix(pos_index):
+    def mpp(q, **kw):
+        return [r["doc_id"] for r in pos_index.match_phrase_prefix(q, k=100, **kw).collect()]
+
+    assert mpp("alpha be") == [0, 3]      # alpha then be* (beta)
+    assert mpp("alpha bet") == [0, 3]
+    assert mpp("alpha x") == [2]          # exact-gap doc only
+    assert mpp("alp") == [0, 1, 2, 3]     # single term: pure prefix presence
+    assert mpp("beta gam") == [0]
+    assert mpp("gamma alp") == []         # order matters
+    assert mpp("zzz qq") == []            # absent complete term short-circuits
+    # the expansion cap is honored: cap 1 keeps only the lexicographically
+    # first 'b*' term ('b'), so 'alpha b*' loses its beta matches
+    assert mpp("alpha b") == [0, 3]
+    assert mpp("alpha b", max_expansions=1) == []
