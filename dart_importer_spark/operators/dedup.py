@@ -233,32 +233,38 @@ def simhash_candidate_pairs(
         )
     cw = (n_bits + n_chunks - 1) // n_chunks  # chunk width
     mask = (1 << cw) - 1
-    chunks = sim.select(
-        id_col,
-        hash_col,
-        *[
-            F.shiftrightunsigned(F.col(hash_col), cw * i)
-            .bitwiseAND(F.lit(mask))
-            .alias(f"c{i}")
-            for i in range(n_chunks)
-        ],
-    )
-    pairs = None
-    for subset in combinations(range(n_chunks), n_chunks - h):
-        # pack the subset's chunks into one BIGINT join key
+
+    def chunk(i):
+        return F.shiftrightunsigned(F.col(hash_col), cw * i).bitwiseAND(
+            F.lit(mask)
+        )
+
+    # one exploded (id, hash, band, key) table and ONE self-join on
+    # (band, key) — NOT a join per subset: N unioned joins would recompute
+    # the upstream simhash aggregation 2N times and shuffle N times; this
+    # shape computes it once per side and shuffles once (the minhash-LSH
+    # banding shape, reused)
+    bands = []
+    for si, subset in enumerate(combinations(range(n_chunks), n_chunks - h)):
         key = F.lit(0).cast("long")
         for rank, i in enumerate(subset):
-            key = key.bitwiseOR(F.shiftleft(F.col(f"c{i}"), cw * rank))
-        keyed = chunks.withColumn("ck", key)
-        a = keyed.select(
-            F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "ck"
-        )
-        b = keyed.select(
-            F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), "ck"
-        )
-        p = a.join(b, "ck").filter(F.col("a") < F.col("b")).select("a", "b", "ha", "hb")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+            key = key.bitwiseOR(F.shiftleft(chunk(i), cw * rank))
+        bands.append(F.struct(F.lit(si).alias("band"), key.alias("bk")))
+    banded = sim.select(
+        id_col, hash_col, F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bk").alias("bk"))
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "band", "bk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col(hash_col).alias("hb"), "band", "bk"
+    )
+    return (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
 
 
 def simhash_near_dups(
