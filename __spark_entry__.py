@@ -528,6 +528,27 @@ def q_ft_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.search_as_you_type("merge sor", k=20, round_scores=6)
 
 
+def q_ft_sqs_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES simple_query_string, default OR: bare term + quoted phrase +
+    # trailing-* prefix + -negation in ONE query string; matched clauses
+    # contribute (term BM25 / phrase-terms BM25 / prefix const 1.0), docs
+    # containing the negated term are excluded
+    ix = _documents_index(spark, sf_dir)
+    return ix.simple_query_string(
+        'data "part filter" merg* -window', k=20, round_scores=6
+    )
+
+
+def q_ft_sqs_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simple_query_string with default_operator=and: every positive clause
+    # (both bare terms AND the quoted phrase) must match
+    ix = _documents_index(spark, sf_dir)
+    return ix.simple_query_string(
+        'data merge "part filter"', k=20, default_operator="and",
+        round_scores=6,
+    )
+
+
 def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J3 interval-overlap join (reference time_frame date_range overlap,
     # import_dart_data.py:436-440): events as [ts, ts+2h) intervals x day
@@ -799,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase": q_ft_phrase,
         "ft_phrase_slop": q_ft_phrase_slop,
         "ft_phrase_prefix": q_ft_phrase_prefix,
+        "ft_sqs_or": q_ft_sqs_or,
+        "ft_sqs_and": q_ft_sqs_and,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -997,6 +1020,70 @@ SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
 """
+    # --- ft_sqs_*: simple_query_string — shared per-term BM25 + phrase /
+    # prefix / negation clause sets, mirroring engine.simple_query_string
+    sqs_ctes = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tp GROUP BY 1, 2),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.did, tf.term,
+         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS sc
+  FROM tf JOIN dft USING (term) JOIN dl ON dl.did = tf.did CROSS JOIN st s
+),
+phr AS (
+  SELECT DISTINCT p0.did
+  FROM (SELECT did, pos FROM tp WHERE term = 'part') p0
+  JOIN (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter') p1
+    USING (did, pos)
+)"""
+    sqs_or_sql = f"""{sqs_ctes},
+ex AS (SELECT term FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'merg%')
+       ORDER BY term LIMIT 50),
+pref AS (SELECT DISTINCT did FROM tf JOIN ex USING (term)),
+neg AS (SELECT DISTINCT did FROM tf WHERE term = 'window'),
+contrib AS (
+  SELECT did, sc FROM bm WHERE term = 'data'
+  UNION ALL
+  SELECT bm.did, bm.sc FROM bm JOIN phr USING (did)
+   WHERE bm.term IN ('filter', 'part')
+  UNION ALL
+  SELECT did, CAST(1.0 AS DOUBLE) AS sc FROM pref
+),
+agg AS (
+  SELECT did AS doc_id, sum(sc) AS raw FROM contrib
+  WHERE did NOT IN (SELECT did FROM neg)
+  GROUP BY 1
+)
+SELECT doc_id, round(raw, 6) AS score FROM agg
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 20
+"""
+    sqs_and_sql = f"""{sqs_ctes},
+must AS (
+  SELECT did FROM tf WHERE term IN ('data', 'merge')
+  GROUP BY did HAVING count(DISTINCT term) = 2
+),
+contrib AS (
+  SELECT did, sc FROM bm WHERE term IN ('data', 'merge')
+  UNION ALL
+  SELECT bm.did, bm.sc FROM bm JOIN phr USING (did)
+   WHERE bm.term IN ('filter', 'part')
+),
+agg AS (
+  SELECT did AS doc_id, sum(sc) AS raw FROM contrib
+  WHERE did IN (SELECT did FROM must) AND did IN (SELECT did FROM phr)
+  GROUP BY 1
+)
+SELECT doc_id, round(raw, 6) AS score FROM agg
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 20
+"""
     return {
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
@@ -1106,6 +1193,8 @@ FROM events e ASOF LEFT JOIN snaps s
             ["data", "merge", "sort"], 20, min_should_match=2
         ),
         "ft_sayt": sayt_sql,
+        "ft_sqs_or": sqs_or_sql,
+        "ft_sqs_and": sqs_and_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_sessionize": """

@@ -878,40 +878,28 @@ class InvertedIndex:
         ids = self._bounded_ids(self._docs_for_terms([rarest], fid))
         return ids, False
 
-    def match_phrase(
-        self,
-        query: str,
-        k: int = 10,
-        field: str | int | None = None,
-        slop: int = 0,
+    def _phrase_doc_set(
+        self, terms: list[str], fid: int, slop: int = 0
     ) -> DataFrame:
-        """ES match_phrase. Requires an index built with
-        ``BuildConfig(store_positions=True)``. Hits are constant-score 1.0
-        in doc_id order (ES filter-context phrase).
+        """Distinct doc_ids containing the phrase ``terms`` (in order,
+        duplicates kept) — the shared filter-context phrase kernel behind
+        match_phrase and simple_query_string. Empty if any term is absent.
 
-        ``slop=0`` is the exact phrase: the query's tokens at strictly
-        consecutive positions. ``slop>0`` uses ANCHORED window semantics —
-        token i may sit within ±slop of its expected position (p0 + i)
-        relative to a matched first-term occurrence. This agrees with
-        Lucene's sloppy phrase for the common cases (a 1-gap insertion
-        matches at slop 1; an adjacent transposition matches at slop 2) and
-        is documented as this engine's exact semantic.
-
-        Plan: decode (term, doc_id, pos) for the phrase terms only, then
-        chain joins — equi hash joins on (doc_id, pos) at slop 0, equi on
-        doc_id + a position-band filter otherwise; no all-positions
-        materialization beyond the phrase terms' postings."""
+        Plan: decode (term, doc_id, pos) for the phrase terms only, masked
+        rarest-first by the candidate docs, then chain joins — equi hash
+        joins on (doc_id, pos) at slop 0, equi on doc_id + a position-band
+        filter otherwise; no all-positions materialization beyond the
+        phrase terms' postings."""
         if not self.meta.get("store_positions"):
             raise ValueError(
-                "match_phrase needs an index built with store_positions=True"
+                "phrase matching needs an index built with store_positions=True"
             )
-        fid = self._fid(field)
-        terms = self._analyze(query, field)  # keep order and duplicates
+        empty = self.spark.createDataFrame([], "doc_id long")
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return empty
         cand_ids, missing = self._phrase_candidate_ids(terms, fid)
         if missing:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return empty
         rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
         if slop == 0:
             base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
@@ -934,7 +922,31 @@ class InvertedIndex:
                     & (F.col("p2") - i <= F.col("p0") + slop)
                 )
                 base = base.join(nxt, cond, "left_semi")
-        docs = self._live(base.select("doc_id").distinct())
+        return base.select("doc_id").distinct()
+
+    def match_phrase(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        slop: int = 0,
+    ) -> DataFrame:
+        """ES match_phrase. Requires an index built with
+        ``BuildConfig(store_positions=True)``. Hits are constant-score 1.0
+        in doc_id order (ES filter-context phrase).
+
+        ``slop=0`` is the exact phrase: the query's tokens at strictly
+        consecutive positions. ``slop>0`` uses ANCHORED window semantics —
+        token i may sit within ±slop of its expected position (p0 + i)
+        relative to a matched first-term occurrence. This agrees with
+        Lucene's sloppy phrase for the common cases (a 1-gap insertion
+        matches at slop 1; an adjacent transposition matches at slop 2) and
+        is documented as this engine's exact semantic."""
+        fid = self._fid(field)
+        terms = self._analyze(query, field)  # keep order and duplicates
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        docs = self._live(self._phrase_doc_set(terms, fid, slop))
         return (
             docs.withColumn("score", F.lit(1.0))
             .orderBy(F.asc("doc_id"))
@@ -1183,6 +1195,159 @@ class InvertedIndex:
         for p in parts[1:]:
             allp = allp.unionByName(p)
         agg = self._live(allp.groupBy("doc_id").agg(F.sum("score").alias("score")))
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    @staticmethod
+    def parse_simple_query(query: str) -> list[tuple[str, str, bool]]:
+        """Lex an ES ``simple_query_string`` query into flat clauses:
+        [(kind, payload, negated)] with kind in {'term','phrase','prefix'}.
+
+        Supported syntax (the flat subset of ES's grammar —
+        Running-ELK.md:230-247 composes bool queries from exactly these
+        clause kinds): whitespace-separated clauses; ``-`` prefix negates a
+        clause; ``"..."`` is a phrase; a trailing ``*`` makes a prefix
+        clause. The infix ``+``/``|``/``()`` precedence operators are NOT
+        supported — ``default_operator`` picks the one combinator, which is
+        how the reference's documented queries use ES."""
+        import re as _re
+
+        out: list[tuple[str, str, bool]] = []
+        for m in _re.finditer(r'(-?)(?:"([^"]*)"|(\S+))', query):
+            neg = m.group(1) == "-"
+            if m.group(2) is not None:
+                if m.group(2):
+                    out.append(("phrase", m.group(2), neg))
+                continue
+            tok = m.group(3)
+            if tok.endswith("*") and len(tok) > 1:
+                out.append(("prefix", tok[:-1], neg))
+            elif tok != "*":
+                out.append(("term", tok, neg))
+        return out
+
+    def simple_query_string(
+        self,
+        query: str,
+        k: int = 10,
+        default_operator: str = "or",
+        field: str | int | None = None,
+        round_scores: int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES ``simple_query_string``: one query string lexed into term /
+        ``"phrase"`` / ``prefix*`` / ``-negated`` clauses (see
+        parse_simple_query), combined under ``default_operator``.
+
+        Scoring (documented engine semantics, oracle-checkable): a clause
+        contributes only when it MATCHES — a term clause adds its BM25
+        contribution, a matched phrase clause adds the sum of its terms'
+        BM25 contributions (this engine's stand-in for ES's
+        phrase-frequency scoring: same matching set, simpler statistic), a
+        matched prefix clause adds constant 1.0 (ES's constant_score
+        rewrite, capped at ``max_expansions``). ``default_operator='and'``
+        keeps docs matching EVERY positive clause; ``'or'`` keeps docs
+        matching any. A doc matching any negated clause is excluded.
+        θ-pruning is off: clause-level gating invalidates the single-term
+        bootstrap (a pruned block could hide a doc that gates back in)."""
+        fid = self._fid(field)
+        clauses = self.parse_simple_query(query)
+        pos = [(kd, pl) for kd, pl, n in clauses if not n]
+        negd = [(kd, pl) for kd, pl, n in clauses if n]
+        if not pos:
+            return self._empty_scored(False)
+        conj = default_operator.lower() == "and"
+
+        # analyze each clause; a term clause may analyze to several tokens
+        # (each its own clause, matching ES's per-token should expansion)
+        bare: list[str] = []
+        phrases: list[list[str]] = []
+        prefixes: list[str] = []
+        dead_clause = False  # an unmatchable positive clause under AND
+        for kind, payload in pos:
+            toks = self._analyze(payload, field)
+            if kind == "term":
+                if toks:
+                    bare.extend(toks)
+                else:
+                    dead_clause = True
+            elif kind == "phrase":
+                if toks:
+                    phrases.append(toks)
+                else:
+                    dead_clause = True
+            elif toks:
+                prefixes.append(toks[-1])
+            else:
+                dead_clause = True
+        if conj and dead_clause:
+            return self._empty_scored(False)
+
+        parts: list[DataFrame] = []  # per-clause (doc_id, score) contributions
+        gate_sets: list[DataFrame] = []  # AND-mode per-clause match sets
+        bare_terms = sorted(set(bare))
+        if bare_terms:
+            dfs, idf, _ = self._leg_stats(bare_terms, fid)
+            present = [t for t in bare_terms if t in dfs]
+            if conj and len(present) < len(bare_terms):
+                return self._empty_scored(False)
+            if present:
+                scored = self._score_terms(present, {t: idf[t] for t in present},
+                                           fid=fid)
+                per_doc = scored.groupBy("doc_id").agg(
+                    F.sum("score").alias("score"),
+                    F.sum("matched").alias("nb"),
+                )
+                parts.append(per_doc.select("doc_id", "score"))
+                if conj:  # the all-bare-terms gate applies to the WHOLE doc
+                    gate_sets.append(
+                        per_doc.filter(F.col("nb") == len(present)).select(
+                            "doc_id"
+                        )
+                    )
+        for ph in phrases:
+            pdocs = self._phrase_doc_set(ph, fid)
+            sc = self._bm25_scores(sorted(set(ph)), fid)
+            if sc is not None:
+                parts.append(sc.join(pdocs, "doc_id", "left_semi"))
+            if conj:
+                gate_sets.append(pdocs)
+        for pref in prefixes:
+            pdocs = self._docs_for_terms_df(
+                self.expand_prefix_df(pref, fid, max_expansions), fid
+            ).select("doc_id")
+            parts.append(pdocs.withColumn("score", F.lit(1.0)))
+            if conj:
+                gate_sets.append(pdocs)
+        if not parts:
+            return self._empty_scored(False)
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        agg = allp.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        for g in gate_sets:
+            agg = agg.join(g, "doc_id", "left_semi")
+
+        # negated clauses: union of their match sets, excluded wholesale
+        excl: DataFrame | None = None
+        for kind, payload in negd:
+            toks = self._analyze(payload, field)
+            if not toks:
+                continue
+            if kind == "phrase":
+                e = self._phrase_doc_set(toks, fid)
+            elif kind == "prefix":
+                e = self._docs_for_terms_df(
+                    self.expand_prefix_df(toks[-1], fid, max_expansions), fid
+                ).select("doc_id")
+            else:
+                e = self._docs_for_terms(toks, fid).select("doc_id")
+            excl = e if excl is None else excl.unionByName(e)
+        if excl is not None:
+            agg = agg.join(excl.distinct(), "doc_id", "left_anti")
+
+        agg = self._live(agg)
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,136 @@
+"""simple_query_string: clause lexer, per-clause contribution scoring,
+AND/OR gating (including the all-bare-terms gate applying to the WHOLE doc,
+not just the bare contribution), negation, and prefix clauses."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dart_importer_spark.index.build import BuildConfig, build_index
+from dart_importer_spark.query.engine import InvertedIndex
+from tests.oracle import BM25Oracle
+
+ROWS = [
+    ("c1", 0, "alpha beta gamma"),
+    ("c1", 1, "beta alpha delta"),
+    ("c2", 0, "alpha x beta window"),
+    ("c2", 1, "gamma delta"),
+    ("c3", 0, "alphabet soup"),
+    ("c3", 1, "alpha beta window"),
+]
+# doc_id = rank under (conv_id, turn_idx): 0..5 in ROWS order
+
+
+@pytest.fixture(scope="module")
+def sqs_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(ROWS, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("sqs") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=(),
+    )
+    return InvertedIndex(spark, out)
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    pdf = pd.DataFrame(ROWS, columns=["conv_id", "turn_idx", "text"])
+    pdf["doc_id"] = np.arange(len(pdf), dtype=np.int64)
+    return BM25Oracle(pdf)
+
+
+def _got(df):
+    return {int(r["doc_id"]): round(float(r["score"]), 9) for r in df.collect()}
+
+
+def test_parse_clauses():
+    assert InvertedIndex.parse_simple_query(
+        '-"a b" c* word -neg "p q" -pre*'
+    ) == [
+        ("phrase", "a b", True),
+        ("prefix", "c", False),
+        ("term", "word", False),
+        ("term", "neg", True),
+        ("phrase", "p q", False),
+        ("prefix", "pre", True),
+    ]
+    # bare '*' and empty quotes are dropped, not clauses
+    assert InvertedIndex.parse_simple_query('* ""') == []
+
+
+def test_or_mode_term_plus_phrase(sqs_index, oracle):
+    got = _got(sqs_index.simple_query_string('gamma "alpha beta"', k=10))
+    # phrase "alpha beta" hits docs 0 and 5 (2 is gapped, 1 is reversed)
+    exp: dict[int, float] = {}
+    g = oracle.scores("gamma")
+    for did, sc in zip(g["doc_id"], g["score"]):
+        exp[int(did)] = exp.get(int(did), 0.0) + float(sc)
+    ab = oracle.scores("alpha beta")
+    for did, sc in zip(ab["doc_id"], ab["score"]):
+        if int(did) in (0, 5):
+            exp[int(did)] = exp.get(int(did), 0.0) + float(sc)
+    assert set(got) == set(exp)
+    for did in exp:
+        assert got[did] == pytest.approx(exp[did], abs=1e-9)
+
+
+def test_and_mode_gates_on_every_clause(sqs_index, oracle):
+    # phrase "beta alpha" only in doc 1; delta in docs 1 and 3 -> doc 1 only
+    got = _got(
+        sqs_index.simple_query_string(
+            'delta "beta alpha"', k=10, default_operator="and"
+        )
+    )
+    assert list(got) == [1]
+    d = oracle.scores("delta")
+    ba = oracle.scores("alpha beta")
+    exp = float(d[d["doc_id"] == 1]["score"].iloc[0]) + float(
+        ba[ba["doc_id"] == 1]["score"].iloc[0]
+    )
+    assert got[1] == pytest.approx(exp, abs=1e-9)
+
+
+def test_and_mode_phrase_only_doc_is_gated_out(sqs_index):
+    # doc 3 has gamma+delta but not the phrase; docs 0/5 have the phrase but
+    # not delta -> AND of both clauses matches nothing. (Regression: the
+    # bare-terms gate must apply to phrase-matching docs too.)
+    assert (
+        sqs_index.simple_query_string(
+            'delta "alpha beta"', k=10, default_operator="and"
+        ).count()
+        == 0
+    )
+
+
+def test_negation_excludes(sqs_index):
+    got = _got(sqs_index.simple_query_string("alpha -window", k=10))
+    assert set(got) == {0, 1}  # docs 2 and 5 contain window
+
+
+def test_negated_phrase_excludes_only_phrase_docs(sqs_index):
+    got = _got(sqs_index.simple_query_string('beta -"alpha beta"', k=10))
+    # beta in 0,1,2,5; phrase in 0,5 -> 1,2 remain
+    assert set(got) == {1, 2}
+
+
+def test_prefix_clause_constant_score(sqs_index):
+    got = _got(sqs_index.simple_query_string("alph*", k=10))
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 4: 1.0, 5: 1.0}
+
+
+def test_and_mode_missing_term_empty(sqs_index):
+    assert (
+        sqs_index.simple_query_string(
+            "alpha zzzmissing", k=10, default_operator="and"
+        ).count()
+        == 0
+    )
+
+
+def test_or_mode_missing_term_ignored(sqs_index, oracle):
+    got = _got(sqs_index.simple_query_string("alpha zzzmissing", k=10))
+    a = oracle.scores("alpha")
+    assert set(got) == set(int(d) for d in a["doc_id"])
