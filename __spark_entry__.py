@@ -549,6 +549,20 @@ def q_ft_sqs_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES more_like_this seeded from doc 42's text (the like:"..." free-text
+    # form): top-25 seed terms by tf-idf (tf>=2, df>=5), bool-should match
+    # with minimum_should_match = 30% of the selected terms
+    ix = _documents_index(spark, sf_dir)
+    seed = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("text")
+        .collect()[0][0]
+    )
+    return ix.more_like_this(seed, k=20, round_scores=6)
+
+
 def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J3 interval-overlap join (reference time_frame date_range overlap,
     # import_dart_data.py:436-440): events as [ts, ts+2h) intervals x day
@@ -822,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_prefix": q_ft_phrase_prefix,
         "ft_sqs_or": q_ft_sqs_or,
         "ft_sqs_and": q_ft_sqs_and,
+        "ft_mlt": q_ft_mlt,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -1020,9 +1035,9 @@ SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
 """
-    # --- ft_sqs_*: simple_query_string — shared per-term BM25 + phrase /
-    # prefix / negation clause sets, mirroring engine.simple_query_string
-    sqs_ctes = f"""
+    # --- shared per-term BM25 CTE block (positional token table, per-term
+    # per-doc BM25 contributions) — reused by the sqs and mlt oracles
+    bm_ctes = f"""
 WITH docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
 ),
@@ -1037,7 +1052,9 @@ bm AS (
          ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
          * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS sc
   FROM tf JOIN dft USING (term) JOIN dl ON dl.did = tf.did CROSS JOIN st s
-),
+)"""
+    # sqs adds the phrase "part filter" match set
+    sqs_ctes = f"""{bm_ctes},
 phr AS (
   SELECT DISTINCT p0.did
   FROM (SELECT did, pos FROM tp WHERE term = 'part') p0
@@ -1083,6 +1100,34 @@ agg AS (
 )
 SELECT doc_id, round(raw, 6) AS score FROM agg
 ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 20
+"""
+    # --- ft_mlt: more_like_this — seed-term selection (tf>=2, df>=5, top-25
+    # by tf*idf) + bool-should BM25 with msm = 30% of selected terms
+    mlt_sql = f"""{bm_ctes},
+seed AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents WHERE doc_id = 42
+),
+stf AS (
+  SELECT term, count(*)::DOUBLE AS stf FROM seed
+  GROUP BY 1 HAVING count(*) >= 2
+),
+cand AS (
+  SELECT stf.term,
+         stf.stf * ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)) AS w
+  FROM stf JOIN dft USING (term) CROSS JOIN st s
+  WHERE dft.df >= 5
+),
+sel AS (SELECT term FROM cand ORDER BY w DESC, term ASC LIMIT 25),
+nsel AS (SELECT greatest(1, floor(0.3 * count(*)))::INT AS msm FROM sel),
+scored AS (
+  SELECT bm.did, sum(bm.sc) AS raw
+  FROM bm JOIN sel USING (term)
+  GROUP BY bm.did
+  HAVING count(*) >= (SELECT msm FROM nsel)
+)
+SELECT did AS doc_id, round(raw, 6) AS score FROM scored
+ORDER BY round(raw, 6) DESC, did ASC LIMIT 20
 """
     return {
         "tx_fingerprint": fingerprint_sql,
@@ -1195,6 +1240,7 @@ FROM events e ASOF LEFT JOIN snaps s
         "ft_sayt": sayt_sql,
         "ft_sqs_or": sqs_or_sql,
         "ft_sqs_and": sqs_and_sql,
+        "ft_mlt": mlt_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_sessionize": """

@@ -1199,6 +1199,60 @@ class InvertedIndex:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def more_like_this(
+        self,
+        like: str,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_term_freq: int = 2,
+        min_doc_freq: int = 5,
+        field: str | int | None = None,
+        min_should_match: int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``more_like_this`` over free text (the ``like: "..."`` form;
+        ES's doc-reference form is the same pipeline seeded from the
+        referenced doc's text, which this index does not store — fetch it
+        from the source table and pass it here).
+
+        ES's algorithm, with the ES defaults: keep seed terms with
+        tf >= min_term_freq whose corpus df >= min_doc_freq, rank by
+        tf·idf (this engine uses its BM25 idf as the interestingness
+        weight), keep the top ``max_query_terms`` (tie-break: term asc),
+        then run a bool-should BM25 match with
+        minimum_should_match = max(1, floor(0.3 · n_terms)) — ES's "30%"
+        default. Term selection happens driver-side over ONE document's
+        token counts (bounded by the seed's vocabulary, never the corpus);
+        the match itself is the distributed topk path."""
+        toks = self._analyze(like, field)
+        if not toks:
+            return self._empty_scored(False)
+        from collections import Counter
+
+        tf = Counter(toks)
+        cand = sorted(t for t, c in tf.items() if c >= min_term_freq)
+        if not cand:
+            return self._empty_scored(False)
+        dfs = self.term_stats(cand, field)
+        cand = [t for t in cand if dfs.get(t, 0) >= min_doc_freq]
+        if not cand:
+            return self._empty_scored(False)
+        ranked = sorted(
+            cand, key=lambda t: (-tf[t] * _idf(self.n_docs, dfs[t]), t)
+        )[: int(max_query_terms)]
+        msm = (
+            int(min_should_match)
+            if min_should_match is not None
+            else max(1, int(0.3 * len(ranked)))
+        )
+        return self.topk(
+            " ".join(sorted(ranked)),
+            k=k,
+            field=field,
+            min_should_match=msm,
+            round_scores=round_scores,
+        )
+
     @staticmethod
     def parse_simple_query(query: str) -> list[tuple[str, str, bool]]:
         """Lex an ES ``simple_query_string`` query into flat clauses:

@@ -134,3 +134,50 @@ def test_or_mode_missing_term_ignored(sqs_index, oracle):
     got = _got(sqs_index.simple_query_string("alpha zzzmissing", k=10))
     a = oracle.scores("alpha")
     assert set(got) == set(int(d) for d in a["doc_id"])
+
+
+# ------------------------------------------------------------ more_like_this
+def test_mlt_min_term_freq_filters_seed_terms(sqs_index):
+    # only alpha repeats in the seed -> the query degenerates to topk("alpha")
+    got = _got(
+        sqs_index.more_like_this(
+            "alpha alpha beta zzz", k=10, min_term_freq=2, min_doc_freq=1
+        )
+    )
+    want = _got(sqs_index.topk("alpha", k=10))
+    assert got == want
+
+
+def test_mlt_ranks_by_tfidf_and_caps_terms(sqs_index):
+    # beta (df 4) and gamma (df 2) both have seed tf 2; idf(gamma) wins the
+    # single max_query_terms slot
+    got = _got(
+        sqs_index.more_like_this(
+            "beta beta gamma gamma", k=10,
+            min_term_freq=2, min_doc_freq=1, max_query_terms=1,
+        )
+    )
+    assert got == _got(sqs_index.topk("gamma", k=10))
+
+
+def test_mlt_min_should_match_gates(sqs_index):
+    got = _got(
+        sqs_index.more_like_this(
+            "alpha beta delta", k=10,
+            min_term_freq=1, min_doc_freq=1, min_should_match=3,
+        )
+    )
+    assert got == _got(
+        sqs_index.topk("alpha beta delta", k=10, min_should_match=3)
+    )
+
+
+def test_mlt_min_doc_freq_and_empty(sqs_index):
+    # every candidate term has corpus df < 100 -> nothing selectable
+    assert (
+        sqs_index.more_like_this(
+            "alpha alpha beta beta", k=10, min_term_freq=1, min_doc_freq=100
+        ).count()
+        == 0
+    )
+    assert sqs_index.more_like_this("", k=10).count() == 0
