@@ -497,6 +497,16 @@ def q_ft_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.multi_match("data src7", fields=["text", "source"], k=20, round_scores=6)
 
 
+def q_ft_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match type=best_fields (the ES default): dis_max over the
+    # per-field BM25 scores with tie_breaker 0.3
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match(
+        "data src7", fields=["text", "source"], k=20,
+        match_type="best_fields", tie_breaker=0.3, round_scores=6,
+    )
+
+
 def q_ft_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q3 extension — ES bool {must, should}: must gates matching, should
     # terms only add score (Running-ELK.md bool composition)
@@ -827,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_must_not": q_ft_bool_must_not,
         "ft_bool_msm": q_ft_bool_msm,
         "ft_multi_match": q_ft_multi_match,
+        "ft_multi_match_best": q_ft_multi_match_best,
         "ft_facet": q_ft_facet,
         "ft_histogram": q_ft_histogram,
         "ft_stats": q_ft_stats,
@@ -1035,6 +1046,17 @@ SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
 """
+    # best_fields: dis_max with tie_breaker 0.3 over the same field blocks
+    multi_match_best_sql = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source FROM documents
+),{_mm_field_block(0, "text", mm_q)},{_mm_field_block(1, "source", mm_q)}
+, allsc AS (SELECT did, sc FROM sc0 UNION ALL SELECT did, sc FROM sc1)
+SELECT did AS doc_id,
+       round(max(sc) + 0.3 * (sum(sc) - max(sc)), 6) AS score
+FROM allsc GROUP BY did
+ORDER BY round(max(sc) + 0.3 * (sum(sc) - max(sc)), 6) DESC, did ASC LIMIT 20
+"""
     # --- shared per-term BM25 CTE block (positional token table, per-term
     # per-doc BM25 contributions) — reused by the sqs and mlt oracles
     bm_ctes = f"""
@@ -1241,6 +1263,7 @@ FROM events e ASOF LEFT JOIN snaps s
         "ft_sqs_or": sqs_or_sql,
         "ft_sqs_and": sqs_and_sql,
         "ft_mlt": mlt_sql,
+        "ft_multi_match_best": multi_match_best_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_sessionize": """

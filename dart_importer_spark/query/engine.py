@@ -1082,17 +1082,29 @@ class InvertedIndex:
         k: int = 10,
         round_scores: int | None = None,
         prune: bool = True,
+        match_type: str = "most_fields",
+        tie_breaker: float = 0.0,
     ) -> DataFrame:
-        """ES ``multi_match`` type=most_fields: score the query against each
-        named field with that field's own BM25 statistics and SUM the field
-        scores (the reference maps ~10 analyzed fields per doc — this is the
-        cross-field form of its `match`, import_dart_data.py:389-440).
+        """ES ``multi_match``. ``match_type='most_fields'`` scores the query
+        against each named field with that field's own BM25 statistics and
+        SUMS the field scores (the reference maps ~10 analyzed fields per
+        doc — this is the cross-field form of its `match`,
+        import_dart_data.py:389-440). ``match_type='best_fields'`` (ES's
+        default) is dis_max: the best single field's score plus
+        ``tie_breaker`` × every other matching field's score.
 
         Pruning is per-field WAND with summed cross-leg upper bounds: θ is
         bootstrapped from the globally rarest (field, term) leg, and each
         field's kernel skips blocks whose bound plus EVERY other leg's upper
-        bound stays below θ. Conservative bounds -> rank-identical to the
-        exhaustive plan (property-tested)."""
+        bound stays below θ. Both types stay rank-identical to the
+        exhaustive plan (property-tested): a doc's final score — sum, or
+        max + tie_breaker·rest with tie_breaker ≤ 1 — always sits between
+        any single-leg partial (≥, the bootstrap) and the all-legs sum of
+        upper bounds (≤, the skip test)."""
+        if match_type not in ("most_fields", "best_fields"):
+            raise ValueError(f"multi_match: unknown type {match_type!r}")
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("multi_match: tie_breaker must be in [0, 1]")
         legs: list[tuple] = []
         for f in fields:
             fid = self._fid(f)
@@ -1122,7 +1134,18 @@ class InvertedIndex:
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
-        agg = self._live(allp.groupBy("doc_id").agg(F.sum("score").alias("score")))
+        per_doc = allp.groupBy("doc_id")
+        if match_type == "most_fields":
+            agg = per_doc.agg(F.sum("score").alias("score"))
+        else:  # best_fields: max + tie_breaker * (sum of the other legs)
+            agg = per_doc.agg(
+                (
+                    F.max("score")
+                    + F.lit(float(tie_breaker))
+                    * (F.sum("score") - F.max("score"))
+                ).alias("score")
+            )
+        agg = self._live(agg)
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -233,6 +233,36 @@ def test_multi_match_pruned_equals_exhaustive(built_index, fielded_index):
         )
 
 
+def test_multi_match_best_fields(built_index, fielded_index):
+    """best_fields (dis_max): pruned == exhaustive, tie_breaker=1 == sum
+    semantics, tie_breaker=0 == pure max."""
+    for q2 in ["beta news", "alpha beta two"]:
+        best = lambda **kw: _rows6(
+            fielded_index.multi_match(
+                q2, ["body", "title"], k=5, match_type="best_fields", **kw
+            )
+        )
+        assert best(prune=True, tie_breaker=0.3) == best(
+            prune=False, tie_breaker=0.3
+        )
+        assert best(tie_breaker=1.0) == _rows6(
+            fielded_index.multi_match(q2, ["body", "title"], k=5)
+        )
+    # single-field: best_fields degenerates to most_fields for any tie_breaker
+    assert _rows6(
+        built_index.multi_match(
+            "the and", ["text"], k=10, match_type="best_fields"
+        )
+    ) == _rows6(built_index.multi_match("the and", ["text"], k=10))
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        built_index.multi_match("x", ["text"], match_type="cross_fields")
+    with _pt.raises(ValueError):
+        built_index.multi_match("x", ["text"], match_type="best_fields",
+                                tie_breaker=1.5)
+
+
 def test_sayt_pruned_equals_exhaustive(built_index, fielded_index):
     for ix, q in [
         (built_index, "the and o"),
