@@ -48,14 +48,21 @@ def _documents_index(spark: SparkSession, sf_dir: str):
         # format-versioned cache dir: a stale index from an older on-disk
         # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index_v5", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v6", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
         # opt_tag: a deterministically-nullable column so ES `exists`
-        # semantics (Q7) are non-trivially testable against the oracle
+        # semantics (Q7) are non-trivially testable against the oracle;
+        # ts: a deterministic timestamp so date_histogram has a date axis
         docs = docs.withColumn(
             "opt_tag",
             F.when(F.col("src_id") % 3 == 0, F.lit(None)).otherwise(F.col("source")),
+        ).withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+                + (F.col("src_id") % 1000) * 3600
+            ),
         )
         build_index(
             spark,
@@ -68,7 +75,7 @@ def _documents_index(spark: SparkSession, sf_dir: str):
             # shingle depth, import_dart_data.py:353-354,395-405)
             text_cols=("text", "source"),
             shingle_fields=(("text", 2), ("text", 3)),
-            meta_cols=("lang", "source", "n_chars", "opt_tag"),
+            meta_cols=("lang", "source", "n_chars", "opt_tag", "ts"),
         )
         _INDEX_CACHE[key] = out
     return InvertedIndex(spark, _INDEX_CACHE[key])
@@ -440,6 +447,42 @@ def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES histogram aggregation over the match set (numeric sibling of facet)
     ix = _documents_index(spark, sf_dir)
     return ix.histogram("data merge", by="n_chars", interval=100)
+
+
+def q_ft_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_histogram (calendar_interval=day) over the match set, on the
+    # deterministic ts meta column
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_histogram("data merge", on="ts", interval="day")
+
+
+def q_ft_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES cardinality agg (exact here; the engine's scale path is
+    # approx_count_distinct / HLL++, covered by pytest)
+    ix = _documents_index(spark, sf_dir)
+    return ix.cardinality("data", on="source")
+
+
+def q_ft_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentiles agg: linear-interpolated quartiles of n_chars over the
+    # match set (exact; t-digest approx variant covered by pytest)
+    ix = _documents_index(spark, sf_dir)
+    return ix.percentiles(
+        "data", on="n_chars", percents=(25.0, 50.0, 75.0, 95.0),
+        round_values=6,
+    )
+
+
+def q_ft_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms agg WITH a stats sub-agg (nested aggregation)
+    ix = _documents_index(spark, sf_dir)
+    return ix.facet_stats("data merge", by="lang", on="n_chars", k=10)
+
+
+def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms agg with a top_hits sub-agg: best 2 BM25 hits per lang bucket
+    ix = _documents_index(spark, sf_dir)
+    return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
 def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +883,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_match_best": q_ft_multi_match_best,
         "ft_facet": q_ft_facet,
         "ft_histogram": q_ft_histogram,
+        "ft_date_histogram": q_ft_date_histogram,
+        "ft_cardinality": q_ft_cardinality,
+        "ft_percentiles": q_ft_percentiles,
+        "ft_facet_stats": q_ft_facet_stats,
+        "ft_top_hits": q_ft_top_hits,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1233,6 +1281,70 @@ meta AS (
 SELECT count(*) AS count, min(n_chars) AS min, max(n_chars) AS max,
        sum(n_chars) AS sum, round(avg(n_chars), 6) AS avg
 FROM hits JOIN meta USING (did)
+""",
+        "ft_date_histogram": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count
+FROM hits JOIN meta USING (did)
+GROUP BY 1 ORDER BY bucket ASC LIMIT 10000
+""",
+        "ft_cardinality": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT count(DISTINCT source) AS value
+FROM hits JOIN docs USING (did)
+""",
+        "ft_percentiles": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+),
+vals AS (SELECT n_chars FROM hits JOIN meta USING (did)),
+q AS (
+  SELECT unnest([25.0, 50.0, 75.0, 95.0]) AS percent,
+         unnest(quantile_cont(n_chars, [0.25, 0.50, 0.75, 0.95])) AS value
+  FROM vals
+)
+SELECT percent, round(value, 6) AS value FROM q ORDER BY percent
+""",
+        "ft_facet_stats": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang, n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS doc_count, min(n_chars) AS min, max(n_chars) AS max,
+       sum(n_chars) AS sum, round(avg(n_chars), 6) AS avg
+FROM hits JOIN meta USING (did)
+GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
+""",
+        "ft_top_hits": f"""{bm_ctes},
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+),
+ranked AS (
+  SELECT meta.lang, scored.did AS doc_id, scored.score,
+         row_number() OVER (
+           PARTITION BY meta.lang ORDER BY scored.score DESC, scored.did ASC
+         ) AS rank
+  FROM scored JOIN meta ON meta.did = scored.did
+)
+SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
+WHERE rank <= 2 ORDER BY lang, rank
 """,
         "ft_search_after": _bm25_oracle(["merge", "sort"], 10, offset=10),
         "etl_asof_join": """

@@ -1075,6 +1075,171 @@ class InvertedIndex:
             F.avg(on).alias("avg"),
         )
 
+    def date_histogram(
+        self,
+        query: str,
+        on: str,
+        interval: str = "month",
+        k: int = 10000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES date_histogram (calendar_interval) over the match set: docs
+        containing ANY query term, bucketed by date_trunc(interval) of a
+        doc_stats timestamp column, bucket ascending. Bucket emitted as a
+        'yyyy-MM-dd HH:mm:ss' string (oracle-portable across timestamp
+        dialects)."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        return (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket"))
+            .limit(k)
+        )
+
+    def cardinality(
+        self,
+        query: str,
+        on: str,
+        field: str | int | None = None,
+        exact: bool = True,
+        rsd: float = 0.05,
+    ) -> DataFrame:
+        """ES cardinality aggregation: distinct values of a doc_stats
+        column over the match set. ``exact=False`` uses HyperLogLog++
+        (approx_count_distinct, relative error ``rsd``) — ES's actual
+        algorithm and the only shape that scales to high-cardinality
+        columns at 100 TB (the exact path shuffles every distinct value)."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        agg = (
+            F.countDistinct(on)
+            if exact
+            else F.approx_count_distinct(on, rsd)
+        )
+        return joined.agg(agg.alias("value"))
+
+    def percentiles(
+        self,
+        query: str,
+        on: str,
+        percents: Sequence[float] = (25.0, 50.0, 75.0, 95.0),
+        field: str | int | None = None,
+        exact: bool = True,
+        round_values: int | None = None,
+    ) -> DataFrame:
+        """ES percentiles aggregation over the match set — one row per
+        requested percent, linear interpolation (Spark ``percentile`` ≡
+        DuckDB ``quantile_cont``). ``exact=False`` switches to
+        ``approx_percentile`` (t-digest-style sketch, ES's TDigest
+        analogue) for the 100-TB path where the exact sort-based
+        percentile would shuffle the full column."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        fracs = [float(p) / 100.0 for p in percents]
+        fn = F.percentile if exact else F.approx_percentile
+        row = joined.agg(
+            *[
+                fn(F.col(on), F.lit(fr)).alias(f"p{i}")
+                for i, fr in enumerate(fracs)
+            ]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(float(p)).alias("percent"),
+                    F.col(f"p{i}").cast("double").alias("value"),
+                )
+                for i, p in enumerate(percents)
+            ]
+        )
+        out = row.select(F.explode(pairs).alias("pv")).select(
+            "pv.percent", "pv.value"
+        )
+        if round_values is not None:
+            out = out.withColumn("value", F.round("value", round_values))
+        return out.orderBy("percent")
+
+    def facet_stats(
+        self,
+        query: str,
+        by: str,
+        on: str,
+        k: int = 10,
+        field: str | int | None = None,
+        round_avg: int | None = 6,
+    ) -> DataFrame:
+        """ES terms aggregation WITH a stats sub-aggregation: buckets of a
+        doc_stats column over the match set, each carrying count/min/max/
+        sum/avg of a numeric column — the nested-agg shape Kibana builds
+        (terms: {field: by, aggs: {stats: {field: on}}})."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        joined = docs.join(self.doc_stats().select("doc_id", by, on), "doc_id")
+        avg = F.avg(on)
+        if round_avg is not None:
+            avg = F.round(avg, round_avg)
+        return (
+            joined.groupBy(by)
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.min(on).alias("min"),
+                F.max(on).alias("max"),
+                F.sum(on).alias("sum"),
+                avg.alias("avg"),
+            )
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+
+    def top_hits(
+        self,
+        query: str,
+        by: str,
+        size: int = 3,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES terms aggregation with a top_hits sub-aggregation: the
+        ``size`` best BM25 hits per bucket of a doc_stats column. One
+        scoring pass (unpruned — every bucket needs its own top ranks, so
+        a global θ is invalid) + one window shuffle partitioned by
+        bucket."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        terms = [t for t in terms if t]
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame(
+                [], f"{by} string, doc_id long, score double, rank int"
+            )
+        sc = self._live(sc)
+        if round_scores is not None:
+            sc = sc.withColumn("score", F.round("score", round_scores))
+        joined = sc.join(self.doc_stats().select("doc_id", by), "doc_id")
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy(by)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(size))
+            .select(by, "doc_id", "score", "rank")
+            .orderBy(by, "rank")
+        )
+
     def multi_match(
         self,
         query: str,

@@ -1,0 +1,108 @@
+"""ES aggregation family over the match set: date_histogram, cardinality
+(exact + HLL approx), percentiles (exact + t-digest approx), terms+stats
+sub-agg, and top_hits — checked against pandas recomputation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def src(transcripts_pdf):
+    s = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s["doc_id"] = np.arange(len(s), dtype=np.int64)
+    return s
+
+
+@pytest.fixture(scope="module")
+def oracle(src):
+    return BM25Oracle(src)
+
+
+def _match_set(oracle, terms):
+    return {
+        int(did)
+        for did, toks in zip(oracle.doc_ids, oracle.tokens)
+        if any(t in toks for t in terms)
+    }
+
+
+def test_date_histogram_day(built_index, src, oracle):
+    got = built_index.date_histogram("the and", on="ts", interval="day").toPandas()
+    hits = _match_set(oracle, ["the", "and"])
+    sub = src[src["doc_id"].isin(hits)]
+    want = (
+        sub["ts"].dt.floor("D").dt.strftime("%Y-%m-%d %H:%M:%S")
+        .value_counts().sort_index()
+    )
+    assert list(got["bucket"]) == list(want.index)
+    assert list(got["doc_count"]) == list(want.values)
+
+
+def test_cardinality_exact_and_approx(built_index, src, oracle):
+    hits = _match_set(oracle, ["the"])
+    want = src[src["doc_id"].isin(hits)]["role"].nunique()
+    got = built_index.cardinality("the", on="role").collect()[0]["value"]
+    assert got == want
+    approx = built_index.cardinality("the", on="role", exact=False).collect()[0][
+        "value"
+    ]
+    assert abs(approx - want) <= max(1, 0.15 * want)
+
+
+def test_percentiles_exact_matches_numpy(built_index, src, oracle):
+    hits = _match_set(oracle, ["the"])
+    vals = src[src["doc_id"].isin(hits)]["turn_idx"].to_numpy(dtype=float)
+    got = built_index.percentiles(
+        "the", on="turn_idx", percents=(25.0, 50.0, 90.0)
+    ).toPandas()
+    want = np.percentile(vals, [25, 50, 90], method="linear")
+    assert list(got["percent"]) == [25.0, 50.0, 90.0]
+    assert np.allclose(got["value"], want, atol=1e-9)
+    # t-digest-style approx lands within a loose band of the exact value
+    ap = built_index.percentiles(
+        "the", on="turn_idx", percents=(50.0,), exact=False
+    ).collect()[0]["value"]
+    lo, hi = np.percentile(vals, [30, 70])
+    assert lo <= ap <= hi
+
+
+def test_facet_stats_subagg(built_index, src, oracle):
+    got = built_index.facet_stats("the", by="role", on="turn_idx").toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    g = sub.groupby("role")["turn_idx"]
+    for _, row in got.iterrows():
+        r = row["role"]
+        assert row["doc_count"] == int(g.count()[r])
+        assert row["min"] == int(g.min()[r])
+        assert row["max"] == int(g.max()[r])
+        assert row["sum"] == int(g.sum()[r])
+        assert row["avg"] == pytest.approx(round(float(g.mean()[r]), 6))
+    # ordered by doc_count desc, bucket asc
+    counts = list(got["doc_count"])
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_top_hits_per_bucket(built_index, src, oracle):
+    got = built_index.top_hits(
+        "the and", by="role", size=2, round_scores=6
+    ).toPandas()
+    s = oracle.scores("the and")
+    s = s.merge(src[["doc_id", "role"]], on="doc_id")
+    s["score"] = s["score"].round(6)
+    for role, grp in s.groupby("role"):
+        top = grp.sort_values(["score", "doc_id"], ascending=[False, True]).head(2)
+        mine = got[got["role"] == role].sort_values("rank")
+        assert list(mine["doc_id"]) == list(top["doc_id"])
+        assert np.allclose(mine["score"], top["score"], atol=1e-9)
+        assert list(mine["rank"]) == list(range(1, len(mine) + 1))
+
+
+def test_aggs_empty_query(built_index):
+    assert built_index.date_histogram("zzqx", on="ts").count() == 0
+    assert built_index.cardinality("zzqx", on="role").collect()[0]["value"] == 0
+    assert built_index.top_hits("zzqx", by="role").count() == 0
