@@ -485,6 +485,14 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES significant_terms (JLH): terms over-represented in the "merge"
+    # match set vs the whole index — one postings pass with the match-set
+    # ids pushed into the decode kernel
+    ix = _documents_index(spark, sf_dir)
+    return ix.significant_terms("merge", k=15, min_doc_count=3)
+
+
 def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES stats aggregation: count/min/max/sum/avg of n_chars over the match set
     ix = _documents_index(spark, sf_dir)
@@ -888,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percentiles": q_ft_percentiles,
         "ft_facet_stats": q_ft_facet_stats,
         "ft_top_hits": q_ft_top_hits,
+        "ft_sig_terms": q_ft_sig_terms,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1345,6 +1354,26 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_sig_terms": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('merge')),
+fgn AS (SELECT count(*)::DOUBLE AS n FROM hits),
+bgn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+tdoc AS (SELECT DISTINCT did, term FROM tok),
+fg AS (
+  SELECT term, count(*)::DOUBLE AS fgc FROM tdoc JOIN hits USING (did)
+  GROUP BY 1 HAVING count(*) >= 3
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bgc FROM tdoc GROUP BY 1),
+sc AS (
+  SELECT fg.term,
+         ((fg.fgc / f.n) - (bg.bgc / b.n))
+           * ((fg.fgc / f.n) / (bg.bgc / b.n)) AS s
+  FROM fg JOIN bg USING (term), fgn f, bgn b
+)
+SELECT term, round(s, 6) AS score FROM sc
+ORDER BY round(s, 6) DESC, term ASC LIMIT 15
 """,
         "ft_search_after": _bm25_oracle(["merge", "sort"], 10, offset=10),
         "etl_asof_join": """

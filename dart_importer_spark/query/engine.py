@@ -1202,6 +1202,80 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def significant_terms(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        min_doc_count: int = 3,
+        round_scores: int | None = 6,
+    ) -> DataFrame:
+        """ES significant_terms with the JLH heuristic: terms whose
+        frequency in the match set (foreground) is anomalously high vs the
+        whole index (background). score = (fg% − bg%) · (fg% / bg%),
+        fg% = fg_count/|match set|, bg% = df/|index|.
+
+        Plan shape (the honest ES cost — one pass over the index's
+        postings): decode (term, doc_id) with the match-set ids pushed into
+        the kernel as a broadcast mask when they fit the id-push budget
+        (distributed semi-join fallback otherwise), partial-agg per term,
+        then a broadcast join of the surviving fg counts against the
+        term_dict for bg df. No driver-side term list at any point."""
+        fid = self._fid(field)
+        qterms = sorted(set(self._analyze(query, field)))
+        out_schema = "term string, score double"
+        if not qterms:
+            return self.spark.createDataFrame([], out_schema)
+        docs = self._docs_for_terms(qterms, fid)
+        fg_n = docs.count()
+        if fg_n == 0:
+            return self.spark.createDataFrame([], out_schema)
+        allowed = self._bounded_ids(docs)
+
+        cand = self.postings().filter(F.col("field") == fid)
+        sc = self.spark.sparkContext
+        bc_allowed = sc.broadcast(allowed) if allowed is not None else None
+
+        def _member(ids: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+            if not sorted_ids.size:
+                return np.zeros(ids.size, dtype=bool)
+            idx = np.searchsorted(sorted_ids, ids)
+            idx[idx == sorted_ids.size] = 0
+            return sorted_ids[idx] == ids
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            allow = bc_allowed.value if bc_allowed is not None else None
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(r.docs).astype(np.int64)
+                    if allow is not None:
+                        ids = ids[_member(ids, allow)]
+                    if ids.size:
+                        outs.append(
+                            pd.DataFrame({"term": r.term, "doc_id": ids})
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        pairs = cand.select("term", "docs").mapInPandas(
+            decode, schema="term string, doc_id long"
+        )
+        if allowed is None:  # over budget: distributed semi-join instead
+            pairs = pairs.join(docs.select("doc_id"), "doc_id", "left_semi")
+        fg = pairs.groupBy("term").agg(F.count("*").alias("fgc")).filter(
+            F.col("fgc") >= int(min_doc_count)
+        )
+        bg = self._field_dict(fid).select("term", "df")
+        fgp = F.col("fgc") / F.lit(float(fg_n))
+        bgp = F.col("df") / F.lit(float(self.n_docs))
+        scored = fg.join(bg, "term").select(
+            "term", ((fgp - bgp) * (fgp / bgp)).alias("score")
+        )
+        if round_scores is not None:
+            scored = scored.withColumn("score", F.round("score", round_scores))
+        return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
     def top_hits(
         self,
         query: str,

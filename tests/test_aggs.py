@@ -102,6 +102,44 @@ def test_top_hits_per_bucket(built_index, src, oracle):
         assert list(mine["rank"]) == list(range(1, len(mine) + 1))
 
 
+def test_significant_terms_jlh(built_index, src, oracle):
+    got = built_index.significant_terms(
+        "w00042", k=10, min_doc_count=2
+    ).toPandas()
+    hits = _match_set(oracle, ["w00042"])
+    fg_n = float(len(hits))
+    bg_n = float(len(src))
+    from collections import Counter
+
+    fgc: Counter = Counter()
+    for did, toks in zip(oracle.doc_ids, oracle.tokens):
+        if int(did) in hits:
+            fgc.update(set(toks))
+    rows = []
+    for t, c in fgc.items():
+        if c < 2:
+            continue
+        fgp, bgp = c / fg_n, oracle.df[t] / bg_n
+        rows.append((t, round((fgp - bgp) * (fgp / bgp), 6)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    assert list(got["term"]) == [t for t, _ in rows[:10]]
+    assert np.allclose(got["score"], [s for _, s in rows[:10]], atol=1e-9)
+    # the query term itself is maximally significant -> rank 1
+    assert got["term"].iloc[0] == "w00042"
+
+
+def test_significant_terms_budget_fallback(built_index):
+    want = built_index.significant_terms("w00042", k=5).toPandas()
+    saved = built_index.id_push_budget
+    try:
+        built_index.id_push_budget = 1  # force the distributed semi-join path
+        got = built_index.significant_terms("w00042", k=5).toPandas()
+    finally:
+        built_index.id_push_budget = saved
+    assert list(got["term"]) == list(want["term"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+
+
 def test_aggs_empty_query(built_index):
     assert built_index.date_histogram("zzqx", on="ts").count() == 0
     assert built_index.cardinality("zzqx", on="role").collect()[0]["value"] == 0
