@@ -48,7 +48,7 @@ def _documents_index(spark: SparkSession, sf_dir: str):
         # format-versioned cache dir: a stale index from an older on-disk
         # layout must never be resumed into
         out = os.path.join(
-            "/tmp/dis_entry_index_v6", key.strip("/").replace("/", "_")
+            "/tmp/dis_entry_index_v7", key.strip("/").replace("/", "_")
         )
         docs = _load(spark, sf_dir, "documents").withColumnRenamed("doc_id", "src_id")
         # opt_tag: a deterministically-nullable column so ES `exists`
@@ -75,7 +75,10 @@ def _documents_index(spark: SparkSession, sf_dir: str):
             # shingle depth, import_dart_data.py:353-354,395-405)
             text_cols=("text", "source"),
             shingle_fields=(("text", 2), ("text", 3)),
-            meta_cols=("lang", "source", "n_chars", "opt_tag", "ts"),
+            # text rides along as a stored meta column (the ES _source
+            # model) so highlight can return tagged source; parquet column
+            # pruning keeps every non-highlight query free of those bytes
+            meta_cols=("lang", "source", "n_chars", "opt_tag", "ts", "text"),
         )
         _INDEX_CACHE[key] = out
     return InvertedIndex(spark, _INDEX_CACHE[key])
@@ -483,6 +486,13 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms agg with a top_hits sub-agg: best 2 BM25 hits per lang bucket
     ix = _documents_index(spark, sf_dir)
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
+
+
+def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES highlight (number_of_fragments=0): top-10 hits with every
+    # query-term occurrence tagged in the stored source text
+    ix = _documents_index(spark, sf_dir)
+    return ix.highlight("data merge", k=10, round_scores=6)
 
 
 def q_ft_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_facet_stats": q_ft_facet_stats,
         "ft_top_hits": q_ft_top_hits,
         "ft_sig_terms": q_ft_sig_terms,
+        "ft_highlight": q_ft_highlight,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1354,6 +1365,18 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_highlight": f"""{bm_ctes},
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+top AS (SELECT did, score FROM scored ORDER BY score DESC, did ASC LIMIT 10)
+SELECT t.did AS doc_id, t.score,
+       regexp_replace(d.text, '(?i)\\b(data|merge)\\b',
+                      '<em>\\1</em>', 'g') AS highlighted
+FROM top t JOIN docs d ON d.did = t.did
+ORDER BY t.score DESC, doc_id ASC
 """,
         "ft_sig_terms": _DOCS_CTE
         + """

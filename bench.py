@@ -90,7 +90,7 @@ def main() -> None:
     key = os.path.abspath(SF_DIR).strip("/").replace("/", "_")
     ft_samples = []
     for i in range(3):
-        shutil.rmtree(os.path.join("/tmp/dis_entry_index_v6", key), ignore_errors=True)
+        shutil.rmtree(os.path.join("/tmp/dis_entry_index_v7", key), ignore_errors=True)
         entry._INDEX_CACHE.clear()
         t0 = time.time()
         ix = entry._documents_index(spark, SF_DIR)

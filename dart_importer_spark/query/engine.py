@@ -1202,6 +1202,56 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def highlight(
+        self,
+        query: str,
+        k: int = 10,
+        text_col: str = "text",
+        field: str | int | None = None,
+        pre_tag: str = "<em>",
+        post_tag: str = "</em>",
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES highlight in ``number_of_fragments: 0`` mode: the top-k BM25
+        hits with EVERY query-term occurrence in the stored source column
+        wrapped in pre/post tags (whole field returned, no fragmenting).
+
+        Requires the index to carry the source text as a meta column
+        (``meta_cols=(..., text_col)`` at build time — the ES ``_source``
+        storage model; parquet column pruning keeps every non-highlight
+        query free of those bytes). Matching is a case-insensitive
+        word-boundary regex over the ANALYZED query terms — exact for the
+        ASCII tokens the pinned tokenizer emits (``\\b`` is an ASCII word
+        boundary; CJK highlight boundaries are a documented deviation)."""
+        import re as _re
+
+        probe = self.spark.read.parquet(f"{self.dir}/doc_stats")
+        if text_col not in probe.columns:
+            raise ValueError(
+                f"highlight: index does not store {text_col!r} — build with "
+                f"meta_cols including it"
+            )
+        terms = sorted(set(self._analyze(query, field)))
+        if not terms:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, highlighted string"
+            )
+        top = self.topk(query, k=k, field=field, round_scores=round_scores)
+        pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+        joined = top.join(
+            self.doc_stats().select("doc_id", text_col), "doc_id"
+        )
+        return (
+            joined.withColumn(
+                "highlighted",
+                F.regexp_replace(
+                    F.col(text_col), pat, f"{pre_tag}$1{post_tag}"
+                ),
+            )
+            .select("doc_id", "score", "highlighted")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
     def significant_terms(
         self,
         query: str,

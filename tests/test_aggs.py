@@ -140,6 +140,43 @@ def test_significant_terms_budget_fallback(built_index):
     assert np.allclose(got["score"], want["score"], atol=1e-9)
 
 
+def test_highlight_tags_all_occurrences(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "Alpha beta ALPHA gamma alphabet"),
+        ("c1", 1, "beta beta"),
+        ("c2", 0, "no match here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("hl") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("text",),
+    )
+    ix = InvertedIndex(spark, out)
+    got = {
+        r["doc_id"]: r["highlighted"]
+        for r in ix.highlight("alpha", k=10).collect()
+    }
+    # case-insensitive, word-boundary (alphabet untouched), all occurrences
+    assert got == {
+        0: "<em>Alpha</em> beta <em>ALPHA</em> gamma alphabet"
+    }
+    multi = {
+        r["doc_id"]: r["highlighted"]
+        for r in ix.highlight("alpha beta", k=10).collect()
+    }
+    assert multi[1] == "<em>beta</em> <em>beta</em>"
+    assert ix.highlight("zzz", k=5).count() == 0
+
+
+def test_highlight_requires_stored_text(built_index):
+    with pytest.raises(ValueError, match="does not store"):
+        built_index.highlight("the", text_col="text")
+
+
 def test_aggs_empty_query(built_index):
     assert built_index.date_histogram("zzqx", on="ts").count() == 0
     assert built_index.cardinality("zzqx", on="role").collect()[0]["value"] == 0
