@@ -488,6 +488,22 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES regexp query: anchored dictionary-regex expansion (distributed,
+    # capped at 50), constant-score hits in doc_id order
+    ix = _documents_index(spark, sf_dir)
+    return ix.regexp("mer[a-z]+", k=50, max_expansions=50).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES term suggester: corrections for the misspelling "dat" ranked by
+    # (edit distance asc, df desc, term asc)
+    ix = _documents_index(spark, sf_dir)
+    return ix.suggest_terms("dat", k=5, max_dist=2)
+
+
 def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES highlight (number_of_fragments=0): top-10 hits with every
     # query-term occurrence tagged in the stored source text
@@ -908,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_top_hits": q_ft_top_hits,
         "ft_sig_terms": q_ft_sig_terms,
         "ft_highlight": q_ft_highlight,
+        "ft_regexp": q_ft_regexp,
+        "ft_suggest": q_ft_suggest,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1365,6 +1383,29 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_regexp": _DOCS_CTE
+        + """
+, ex AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM tok
+    WHERE regexp_matches(term, '^(?:mer[a-z]+)$')
+  ) ORDER BY term LIMIT 50
+),
+hits AS (SELECT DISTINCT did FROM tok JOIN ex USING (term))
+SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM hits
+ORDER BY doc_id ASC LIMIT 50
+""",
+        "ft_suggest": _DOCS_CTE
+        + """
+, dict AS (SELECT term, count(DISTINCT did)::BIGINT AS df FROM tok GROUP BY 1),
+cand AS (
+  SELECT term, levenshtein(term, 'dat') AS dist, df FROM dict
+  WHERE abs(len(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
+),
+capped AS (SELECT * FROM cand ORDER BY term LIMIT 50)
+SELECT term, dist::INT AS dist, df FROM capped
+ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """,
         "ft_highlight": f"""{bm_ctes},
 scored AS (

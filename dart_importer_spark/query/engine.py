@@ -624,6 +624,71 @@ class InvertedIndex:
         )
         return self._cap_expansion(td, max_expansions)
 
+    def expand_regexp_df(
+        self,
+        pattern: str,
+        field: str | int | None = None,
+        max_expansions: int | None = None,
+    ) -> DataFrame:
+        """Regex expansion over the term dictionary — ES ``regexp`` query
+        rewrite. The pattern must match the WHOLE term (ES anchors
+        regexp queries implicitly); distributed like expand_prefix_df."""
+        anchored = f"^(?:{pattern})$"
+        td = self._field_dict(field).filter(F.col("term").rlike(anchored))
+        return self._cap_expansion(td, max_expansions)
+
+    def regexp(
+        self,
+        pattern: str,
+        k: int = 10,
+        field: str | int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES regexp query (constant_score rewrite, like wildcard): terms
+        matching the anchored pattern, every hit scored 1.0 in doc_id
+        order. Expansion stays distributed and capped ES-style."""
+        fid = self._fid(field)
+        docs = self._docs_for_terms_df(
+            self.expand_regexp_df(pattern, fid, max_expansions), fid
+        )
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def suggest_terms(
+        self,
+        text: str,
+        k: int = 5,
+        max_dist: int = 2,
+        field: str | int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES term suggester: dictionary terms within ``max_dist`` edits of
+        the input, ranked the ES way — edit distance asc, then document
+        frequency desc, then term asc. The whole ranking runs on the
+        dictionary scan (tlen band pushed into the parquet scan before
+        levenshtein, like fuzzy); only the top-k suggestions reach the
+        driver."""
+        q = (self._analyze(text, field) or [text.lower()])[0]
+        td = self._field_dict(field)
+        band = (
+            F.col("tlen") if "tlen" in td.columns else F.length("term")
+        ).between(len(q) - max_dist, len(q) + max_dist)
+        cand = (
+            td.filter(band)
+            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .filter(F.col("dist") <= max_dist)
+        )
+        if max_expansions is not None:
+            cand = cand.orderBy("term").limit(int(max_expansions))
+        return (
+            cand.select("term", "dist", "df")
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Driver-side convenience wrapper around expand_prefix_df (NOT used
         by any query path — those stay distributed)."""

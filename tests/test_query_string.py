@@ -136,6 +136,39 @@ def test_or_mode_missing_term_ignored(sqs_index, oracle):
     assert set(got) == set(int(d) for d in a["doc_id"])
 
 
+# ------------------------------------------------------- regexp + suggesters
+def test_regexp_constant_score(sqs_index):
+    got = _got(sqs_index.regexp("al.*a", k=10))
+    # anchored: matches alpha (docs 0,1,2,5) but NOT alphabet
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 5: 1.0}
+    # unanchored fragment matches nothing (ES implicit anchoring)
+    assert sqs_index.regexp("lph", k=10).count() == 0
+
+
+def test_regexp_cap_is_lexicographic(sqs_index):
+    # '.*a' matches alpha, beta, gamma, delta; cap 1 keeps 'alpha' only
+    got = _got(sqs_index.regexp(".*a", k=10, max_expansions=1))
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0, 5: 1.0}
+
+
+def test_suggest_ranks_by_dist_then_df(sqs_index):
+    rows = [
+        (r["term"], r["dist"], r["df"])
+        for r in sqs_index.suggest_terms("bata", k=5, max_dist=2).collect()
+    ]
+    # dist 1: beta(df 4); dist 2: data? no 'data' term here -> gamma/delta at 2
+    assert rows[0][0] == "beta" and rows[0][1] == 1
+    dists = [d for _, d, _ in rows]
+    assert dists == sorted(dists)
+    for (t1, d1, f1), (t2, d2, f2) in zip(rows, rows[1:]):
+        assert (d1, -f1, t1) <= (d2, -f2, t2)
+
+
+def test_suggest_exact_term_is_distance_zero(sqs_index):
+    rows = sqs_index.suggest_terms("alpha", k=3).collect()
+    assert rows[0]["term"] == "alpha" and rows[0]["dist"] == 0
+
+
 # ------------------------------------------------------------ more_like_this
 def test_mlt_min_term_freq_filters_seed_terms(sqs_index):
     # only alpha repeats in the seed -> the query degenerates to topk("alpha")
