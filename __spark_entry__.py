@@ -488,6 +488,21 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES function_score field_value_factor: bm25 * log1p(n_chars) re-rank
+    ix = _documents_index(spark, sf_dir)
+    return ix.function_score(
+        "data merge", k=20, factor_col="n_chars", modifier="log1p",
+        round_scores=6,
+    )
+
+
+def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES field collapsing: each lang's single best hit, ranked by score
+    ix = _documents_index(spark, sf_dir)
+    return ix.collapse("data merge", by="lang", k=10, round_scores=6)
+
+
 def q_ft_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES regexp query: anchored dictionary-regex expansion (distributed,
     # capped at 50), constant-score hits in doc_id order
@@ -926,6 +941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_highlight": q_ft_highlight,
         "ft_regexp": q_ft_regexp,
         "ft_suggest": q_ft_suggest,
+        "ft_function_score": q_ft_function_score,
+        "ft_collapse": q_ft_collapse,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1383,6 +1400,39 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_function_score": f"""{bm_ctes},
+scored AS (
+  SELECT did, sum(sc) AS raw FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+),
+fsc AS (
+  SELECT s.did, round(s.raw * ln(1 + m.n_chars), 6) AS score
+  FROM scored s JOIN meta m USING (did)
+)
+SELECT did AS doc_id, score FROM fsc
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_collapse": f"""{bm_ctes},
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+),
+ranked AS (
+  SELECT m.lang, s.did, s.score,
+         row_number() OVER (
+           PARTITION BY m.lang ORDER BY s.score DESC, s.did ASC
+         ) AS rn
+  FROM scored s JOIN meta m USING (did)
+)
+SELECT lang, did AS doc_id, score FROM ranked WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """,
         "ft_regexp": _DOCS_CTE
         + """

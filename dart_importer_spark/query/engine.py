@@ -1267,6 +1267,86 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def function_score(
+        self,
+        query: str,
+        k: int = 10,
+        factor_col: str = "dl",
+        modifier: str = "log1p",
+        factor: float = 1.0,
+        boost_mode: str = "multiply",
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES function_score with a field_value_factor function:
+        final = bm25 ∘ modifier(factor · doc_stats[factor_col]), combined
+        per ``boost_mode`` ('multiply' or 'sum'). Re-ranking by a stored
+        field invalidates θ-pruning (a low-BM25 doc can out-rank after the
+        boost), so this scores the full match set unpruned — the honest
+        ES cost too (function_score rescores every hit)."""
+        mods = {
+            "none": lambda c: c,
+            "log1p": F.log1p,
+            "sqrt": F.sqrt,
+        }
+        if modifier not in mods:
+            raise ValueError(f"function_score: unknown modifier {modifier!r}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"function_score: unknown boost_mode {boost_mode!r}")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        sc = self._live(sc)
+        joined = sc.join(
+            self.doc_stats().select("doc_id", factor_col), "doc_id"
+        )
+        boost = mods[modifier](F.col(factor_col) * F.lit(float(factor)))
+        combined = (
+            F.col("score") * boost
+            if boost_mode == "multiply"
+            else F.col("score") + boost
+        )
+        out = joined.select("doc_id", combined.alias("score"))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def collapse(
+        self,
+        query: str,
+        by: str,
+        k: int = 10,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES field collapsing: the result list contains only each
+        ``by``-value's best BM25 hit, ranked by that hit's score. One
+        scoring pass + one window shuffle on the collapse key (the same
+        physical shape ES's collapse executes per shard)."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame(
+                [], f"{by} string, doc_id long, score double"
+            )
+        sc = self._live(sc)
+        if round_scores is not None:
+            sc = sc.withColumn("score", F.round("score", round_scores))
+        joined = sc.join(self.doc_stats().select("doc_id", by), "doc_id")
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(by, "doc_id", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def highlight(
         self,
         query: str,

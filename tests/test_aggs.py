@@ -140,6 +140,46 @@ def test_significant_terms_budget_fallback(built_index):
     assert np.allclose(got["score"], want["score"], atol=1e-9)
 
 
+def test_function_score_field_value_factor(built_index, src, oracle):
+    got = built_index.function_score(
+        "the and", k=15, factor_col="turn_idx", modifier="log1p",
+        boost_mode="multiply",
+    ).toPandas()
+    s = oracle.scores("the and").merge(
+        src[["doc_id", "turn_idx"]], on="doc_id"
+    )
+    s["final"] = s["score"] * np.log1p(s["turn_idx"].astype(float))
+    top = s.sort_values(["final", "doc_id"], ascending=[False, True]).head(15)
+    assert list(got["doc_id"]) == list(top["doc_id"])
+    assert np.allclose(got["score"], top["final"], atol=1e-9)
+    # sum mode with modifier none
+    got2 = built_index.function_score(
+        "the", k=5, factor_col="turn_idx", modifier="none", boost_mode="sum"
+    ).toPandas()
+    s2 = oracle.scores("the").merge(src[["doc_id", "turn_idx"]], on="doc_id")
+    s2["final"] = s2["score"] + s2["turn_idx"].astype(float)
+    top2 = s2.sort_values(["final", "doc_id"], ascending=[False, True]).head(5)
+    assert list(got2["doc_id"]) == list(top2["doc_id"])
+    with pytest.raises(ValueError):
+        built_index.function_score("the", modifier="square")
+    with pytest.raises(ValueError):
+        built_index.function_score("the", boost_mode="max")
+
+
+def test_collapse_one_hit_per_value(built_index, src, oracle):
+    got = built_index.collapse("the and", by="role", k=10).toPandas()
+    s = oracle.scores("the and").merge(src[["doc_id", "role"]], on="doc_id")
+    best = (
+        s.sort_values(["score", "doc_id"], ascending=[False, True])
+        .groupby("role", as_index=False)
+        .first()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+    )
+    assert list(got["doc_id"]) == list(best["doc_id"])
+    assert got["role"].is_unique
+    assert np.allclose(got["score"], best["score"], atol=1e-9)
+
+
 def test_highlight_tags_all_occurrences(spark, tmp_path_factory):
     from dart_importer_spark.index.build import BuildConfig, build_index
     from dart_importer_spark.query.engine import InvertedIndex
