@@ -180,3 +180,126 @@ class LshAnnIndex:
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
             .limit(k)
         )
+
+
+class IvfAnnIndex:
+    """IVF-Flat ANN: a k-means coarse quantizer (pyspark.ml KMeans over
+    L2-NORMALIZED vectors — on the unit sphere euclidean order ≡ cosine
+    order, so euclidean k-means clusters by cosine) assigns every vector to
+    its nearest of ``n_lists`` centroids; a query ranks the centroids
+    driver-side (n_lists floats, tiny), probes the ``nprobe`` nearest
+    inverted lists, and exact-reranks candidates by cosine.
+
+    Scale shape: the list table is written ``partitionBy(list_id)`` so a
+    probe reads exactly nprobe partition directories — candidate count
+    ≈ nprobe/n_lists of the corpus, independent of total size. n_lists
+    scales as ~sqrt(n_vectors) (the FAISS IVF rule of thumb); training
+    samples the corpus, assignment is one model.transform pass."""
+
+    def __init__(
+        self,
+        emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_lists: int = 16,
+        seed: int = 42,
+        train_fraction: float | None = None,
+        persist: bool = True,
+    ):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_lists, self.seed = int(n_lists), int(seed)
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
+        )
+        base = emb.select(id_col, vec_col, unit.alias("_unit"))
+        featured = base.withColumn("_features", array_to_vector("_unit"))
+        train = (
+            featured.sample(fraction=train_fraction, seed=seed)
+            if train_fraction is not None
+            else featured
+        )
+        model = KMeans(
+            k=self.n_lists, seed=self.seed, featuresCol="_features",
+            predictionCol="_list",
+        ).fit(train)
+        self.centroids = np.array(
+            [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+        )
+        self.table = (
+            model.transform(featured)
+            .select(
+                id_col, vec_col, F.col("_list").cast("int").alias("list_id")
+            )
+        )
+        if persist:
+            self.table = self.table.persist()
+
+    def unpersist(self) -> None:
+        self.table.unpersist()
+
+    def save(self, path: str) -> None:
+        """Materialize (id, vec, list_id) partitioned by list_id — the
+        inverted-list layout: a probe scans only its lists' directories."""
+        import json
+        import os
+
+        self.table.write.mode("overwrite").partitionBy("list_id").parquet(
+            f"{path}/lists"
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "id_col": self.id_col,
+                    "vec_col": self.vec_col,
+                    "n_lists": self.n_lists,
+                    "seed": self.seed,
+                    "centroids": self.centroids.tolist(),
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfAnnIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        obj = cls.__new__(cls)
+        obj.id_col, obj.vec_col = meta["id_col"], meta["vec_col"]
+        obj.n_lists, obj.seed = int(meta["n_lists"]), int(meta["seed"])
+        obj.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        obj.table = spark.read.parquet(f"{path}/lists")
+        return obj
+
+    def _probe_lists(self, query_vec: list[float], nprobe: int) -> list[int]:
+        v = np.asarray(query_vec, dtype=np.float64)
+        v = v / max(float(np.linalg.norm(v)), 1e-12)
+        d2 = ((self.centroids - v) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(d2.size), d2))  # distance, then id
+        return [int(i) for i in order[: max(1, int(nprobe))]]
+
+    def topk(
+        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+    ) -> DataFrame:
+        lists = self._probe_lists(query_vec, nprobe)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        cand = self.table.filter(F.col("list_id").isin(lists))
+        return (
+            cand.select(
+                self.id_col, _cosine(F.col(self.vec_col), q).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )

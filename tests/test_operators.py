@@ -94,6 +94,43 @@ def test_embedding_near_dups_and_ann(spark):
     assert got_ann == bf
 
 
+def test_ivf_ann_full_probe_is_exact(spark, tmp_path):
+    """IVF with nprobe == n_lists degenerates to brute force (every list
+    scanned); save/load answers identically; low nprobe scans fewer
+    candidates than the corpus."""
+    rng = np.random.default_rng(23)
+    rows = [
+        (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+        for i, v in enumerate(rng.standard_normal((96, 16)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = similarity.IvfAnnIndex(emb, n_lists=6, seed=1, persist=False)
+    q = rows[5][1]
+    bf = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.brute_force_cosine_topk(emb, q, k=5).collect()
+    ]
+    full = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf.topk(q, k=5, nprobe=6).collect()
+    ]
+    assert full == bf
+    path = str(tmp_path / "ivf_idx")
+    ivf.save(path)
+    loaded = similarity.IvfAnnIndex.load(spark, path)
+    assert loaded.n_lists == 6 and loaded.centroids.shape == (6, 16)
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in ivf.topk(q, k=5, nprobe=3).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9)) for r in loaded.topk(q, k=5, nprobe=3).collect()]
+    assert a == b
+    # the query's own vector lives in the first-probed list -> always found
+    assert a[0][0] == 5
+    # probing is a real subset: candidate count < corpus size
+    n_cand = loaded.table.filter(
+        F.col("list_id").isin(loaded._probe_lists(q, 2))
+    ).count()
+    assert n_cand < 96
+
+
 def test_langid(docs):
     out = {r["doc_id"]: r["lang_pred"] for r in textops.with_langid(docs).collect()}
     assert out[6] == "en"
