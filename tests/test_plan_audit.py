@@ -135,3 +135,45 @@ def test_expansion_semijoin_prunes_bucket_partitions_dynamically(built_index):
     w = built_index.wildcard("w00", k=5, max_expansions=50)
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_round3_query_paths_arrow_only(built_index):
+    """The round-3 surface keeps the no-per-row-Python contract."""
+    assert_no_row_python(
+        built_index.simple_query_string("the and -w00042", k=5)
+    )
+    assert_no_row_python(built_index.function_score("the", k=5))
+    assert_no_row_python(built_index.collapse("the", by="role", k=5))
+    assert_no_row_python(built_index.top_hits("the", by="role", size=2))
+    assert_no_row_python(built_index.significant_terms("w00042", k=5))
+    assert_no_row_python(built_index.suggest_terms("thw", k=3))
+    assert_no_row_python(built_index.regexp("th.", k=5))
+    assert_no_row_python(
+        built_index.date_histogram("the", on="ts", interval="day")
+    )
+
+
+def test_stored_text_is_column_pruned_for_non_highlight(spark, tmp_path_factory):
+    """An index that stores source text (for highlight) must NOT read the
+    text bytes for ordinary queries — ReadSchema of the doc_stats scan in
+    a topk(with_meta=False) plan stays text-free."""
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [("c1", 0, "alpha beta"), ("c1", 1, "beta gamma")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("prune") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+        meta_cols=("text",),
+    )
+    ix = InvertedIndex(spark, out)
+    # count() goes through doc_stats: text must not be in its ReadSchema
+    plan = _plan(ix.doc_stats().select("doc_id"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+    # highlight DOES read it
+    hplan = _plan(ix.highlight("alpha", k=5))
+    assert "text" in hplan.split("ReadSchema:")[-1].splitlines()[0] or (
+        "text" in hplan
+    )
