@@ -50,6 +50,17 @@ HEADLINE = [
     "ft_bool_msm",
     "ft_facet",
     "ft_phrase",
+    "ft_sqs_or",
+    "ft_mlt",
+    "ft_multi_match_best",
+    "ft_sig_terms",
+    "ft_highlight",
+    "ft_top_hits",
+    "ft_date_histogram",
+    "ft_suggest",
+    "ft_function_score",
+    "ft_collapse",
+    "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",
     "dd_exact",
