@@ -147,10 +147,20 @@ def main() -> None:
     ann.topk(qvec, k=10, multiprobe=1).collect()
     timings["sim_ann_lsh"] = round(time.time() - t0, 4)
 
+    # IVF ANN: one-time k-means build timed separately from the probe
+    shutil.rmtree(os.path.join("/tmp/dis_entry_ivf_v1", key), ignore_errors=True)
+    entry._IVF_CACHE.clear()
+    t0 = time.time()
+    ivf = entry._ivf_index(spark, SF_DIR)
+    timings["sim_ivf_build"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    ivf.topk(qvec, k=10, nprobe=max(2, (ivf.n_lists + 1) // 2)).collect()
+    timings["sim_ann_ivf"] = round(time.time() - t0, 4)
+
     # --- headline queries (forced with collect) ---
     qs = entry.queries()
     for name in HEADLINE:
-        if name == "sim_ann_lsh":
+        if name in ("sim_ann_lsh", "sim_ann_ivf"):
             continue  # timed above as the pure probe (recall row is gate-only)
         fn = qs[name]
         t0 = time.time()
