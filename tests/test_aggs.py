@@ -212,6 +212,45 @@ def test_highlight_tags_all_occurrences(spark, tmp_path_factory):
     assert ix.highlight("zzz", k=5).count() == 0
 
 
+def test_meta_columns_survive_delete_and_compaction(spark, tmp_path_factory):
+    """Stored meta columns (ts for date_histogram, text for highlight)
+    must survive delete_by_query + compact_index — compaction rewrites
+    doc_stats and must carry the full schema through."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.index.merge import compact_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha beta", datetime.datetime(2024, 1, 1)),
+        ("c1", 1, "beta gamma", datetime.datetime(2024, 1, 2)),
+        ("c2", 0, "alpha delta", datetime.datetime(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    base = tmp_path_factory.mktemp("metacompact")
+    idx, out = str(base / "idx"), str(base / "compacted")
+    build_index(
+        spark, df, idx, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("text", "ts"),
+    )
+    ix = InvertedIndex(spark, idx)
+    assert ix.delete_by_query(F.col("conv_id") == "c1") == 2
+    compact_index(spark, idx, out)
+    cx = InvertedIndex(spark, out)
+    hl = cx.highlight("alpha", k=5).collect()
+    assert [r["doc_id"] for r in hl] == [2]
+    assert hl[0]["highlighted"] == "<em>alpha</em> delta"
+    dh = cx.date_histogram("alpha delta", on="ts", interval="day").collect()
+    assert [(r["bucket"], r["doc_count"]) for r in dh] == [
+        ("2024-01-03 00:00:00", 1)
+    ]
+
+
 def test_highlight_requires_stored_text(built_index):
     with pytest.raises(ValueError, match="does not store"):
         built_index.highlight("the", text_col="text")
