@@ -6,6 +6,10 @@ test.py). Runs under plain python or spark-submit:
     python -m dart_importer_spark build   --input tx.parquet --index ./idx
     python -m dart_importer_spark append  --input new.parquet --index ./idx
     python -m dart_importer_spark query   --index ./idx --q "삼성 전자" --k 10
+    python -m dart_importer_spark search  --index ./idx --type sqs \
+        --q 'data "part filter" merg* -window'
+    python -m dart_importer_spark agg     --index ./idx --agg terms \
+        --q "data" --by lang
     python -m dart_importer_spark count   --index ./idx [--where "role='user'"]
     python -m dart_importer_spark delete  --index ./idx --where "role='tool'"
     python -m dart_importer_spark compact --index ./idx --out ./idx2
@@ -84,6 +88,37 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--where", default=None)
     p.add_argument("--offset", type=int, default=0)
 
+    p = sub.add_parser("search", help="the round-3 query DSL surface")
+    p.add_argument("--index", required=True)
+    p.add_argument(
+        "--type", required=True,
+        choices=[
+            "sqs", "mlt", "phrase", "phrase_prefix", "wildcard", "fuzzy",
+            "regexp", "suggest", "sayt", "highlight",
+        ],
+    )
+    p.add_argument("--q", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--field", default=None)
+    p.add_argument("--operator", choices=["or", "and"], default="or")
+    p.add_argument("--slop", type=int, default=0)
+    p.add_argument("--max-expansions", type=int, default=50)
+
+    p = sub.add_parser("agg", help="aggregations over the match set")
+    p.add_argument("--index", required=True)
+    p.add_argument(
+        "--agg", required=True,
+        choices=[
+            "terms", "stats", "histogram", "date_histogram", "cardinality",
+            "percentiles", "facet_stats", "top_hits", "sig_terms", "collapse",
+        ],
+    )
+    p.add_argument("--q", required=True)
+    p.add_argument("--on", default=None, help="numeric/timestamp column")
+    p.add_argument("--by", default=None, help="bucket column")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--interval", default="month")
+
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
     p.add_argument("--where", default=None)
@@ -132,6 +167,67 @@ def main(argv: list[str] | None = None) -> int:
             filters=flt, offset=args.offset, with_meta=True,
         ).collect()
         for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "search":
+        from .query.engine import InvertedIndex
+
+        ix = InvertedIndex(spark, args.index)
+        t, q, k, fld = args.type, args.q, args.k, args.field
+        if t == "sqs":
+            df = ix.simple_query_string(
+                q, k=k, default_operator=args.operator, field=fld,
+                max_expansions=args.max_expansions,
+            )
+        elif t == "mlt":
+            df = ix.more_like_this(q, k=k, field=fld)
+        elif t == "phrase":
+            df = ix.match_phrase(q, k=k, field=fld, slop=args.slop)
+        elif t == "phrase_prefix":
+            df = ix.match_phrase_prefix(
+                q, k=k, field=fld, max_expansions=args.max_expansions
+            )
+        elif t == "wildcard":
+            df = ix.wildcard(q, k=k, field=fld, max_expansions=args.max_expansions)
+        elif t == "fuzzy":
+            df = ix.fuzzy(q, k=k, field=fld, max_expansions=args.max_expansions)
+        elif t == "regexp":
+            df = ix.regexp(q, k=k, field=fld, max_expansions=args.max_expansions)
+        elif t == "suggest":
+            df = ix.suggest_terms(q, k=k, field=fld,
+                                  max_expansions=args.max_expansions)
+        elif t == "sayt":
+            df = ix.search_as_you_type(q, k=k, base_field=fld,
+                                       max_expansions=args.max_expansions)
+        else:  # highlight
+            df = ix.highlight(q, k=k, field=fld)
+        for r in df.collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "agg":
+        from .query.engine import InvertedIndex
+
+        ix = InvertedIndex(spark, args.index)
+        a, q, k = args.agg, args.q, args.k
+        if a == "terms":
+            df = ix.facet(q, by=args.by, k=k)
+        elif a == "stats":
+            df = ix.stats_agg(q, on=args.on)
+        elif a == "histogram":
+            df = ix.histogram(q, by=args.on, interval=float(args.interval))
+        elif a == "date_histogram":
+            df = ix.date_histogram(q, on=args.on, interval=args.interval)
+        elif a == "cardinality":
+            df = ix.cardinality(q, on=args.on)
+        elif a == "percentiles":
+            df = ix.percentiles(q, on=args.on)
+        elif a == "facet_stats":
+            df = ix.facet_stats(q, by=args.by, on=args.on, k=k)
+        elif a == "top_hits":
+            df = ix.top_hits(q, by=args.by, size=k)
+        elif a == "sig_terms":
+            df = ix.significant_terms(q, k=k)
+        else:  # collapse
+            df = ix.collapse(q, by=args.by, k=k)
+        for r in df.collect():
             print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "count":
         from .query.engine import InvertedIndex

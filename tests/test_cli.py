@@ -70,3 +70,42 @@ def test_cli_append_and_compact(spark, transcripts_df, tmp_path, capsys):
     assert c["n_docs"] == transcripts_df.count()
     assert main(["query", "--index", out, "--q", "삼성", "--k", "2"]) == 0
     assert len(_lines(capsys)) == 2
+
+
+def test_cli_search_and_agg(spark, transcripts_df, tmp_path, capsys):
+    """The round-3 search/agg subcommands reach the new query surface."""
+    inp = str(tmp_path / "tx_parquet3")
+    transcripts_df.write.parquet(inp)
+    idx = str(tmp_path / "idx3")
+    assert main(["build", "--input", inp, "--index", idx,
+                 "--segments", "2", "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    assert main(["search", "--index", idx, "--type", "sqs",
+                 "--q", "the -w00042", "--k", "3"]) == 0
+    hits = _lines(capsys)
+    assert 0 < len(hits) <= 3 and {"doc_id", "score"} <= set(hits[0])
+
+    assert main(["search", "--index", idx, "--type", "suggest",
+                 "--q", "thw", "--k", "3"]) == 0
+    sugg = _lines(capsys)
+    assert sugg and sugg[0]["term"] == "the" and sugg[0]["dist"] == 1
+
+    assert main(["search", "--index", idx, "--type", "regexp",
+                 "--q", "th.", "--k", "5"]) == 0
+    assert len(_lines(capsys)) == 5
+
+    assert main(["agg", "--index", idx, "--agg", "terms",
+                 "--q", "the", "--by", "role"]) == 0
+    buckets = _lines(capsys)
+    assert buckets and {"role", "doc_count"} <= set(buckets[0])
+
+    assert main(["agg", "--index", idx, "--agg", "cardinality",
+                 "--q", "the", "--on", "role"]) == 0
+    (card,) = _lines(capsys)
+    assert card["value"] >= 2
+
+    assert main(["agg", "--index", idx, "--agg", "collapse",
+                 "--q", "the and", "--by", "role", "--k", "5"]) == 0
+    col = _lines(capsys)
+    assert col and len({r["role"] for r in col}) == len(col)
