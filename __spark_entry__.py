@@ -488,6 +488,17 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _msearch: three match queries answered in ONE postings pass (one
+    # decode of the union of terms, broadcast join to the per-query term
+    # table, one window top-k per query)
+    ix = _documents_index(spark, sf_dir)
+    return ix.msearch(
+        {"q1": "data", "q2": "merge sort", "q3": "filter spark"},
+        k=10, round_scores=6,
+    )
+
+
 def q_ft_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES function_score field_value_factor: bm25 * log1p(n_chars) re-rank
     ix = _documents_index(spark, sf_dir)
@@ -991,6 +1002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest": q_ft_suggest,
         "ft_function_score": q_ft_function_score,
         "ft_collapse": q_ft_collapse,
+        "ft_msearch": q_ft_msearch,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1449,6 +1461,28 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_msearch": f"""{bm_ctes},
+q1 AS (
+  SELECT 'q1' AS query_id, did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data') GROUP BY did
+  ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 10
+),
+q2 AS (
+  SELECT 'q2' AS query_id, did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('merge', 'sort') GROUP BY did
+  ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 10
+),
+q3 AS (
+  SELECT 'q3' AS query_id, did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('filter', 'spark') GROUP BY did
+  ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 10
+),
+u AS (
+  SELECT * FROM q1 UNION ALL SELECT * FROM q2 UNION ALL SELECT * FROM q3
+)
+SELECT query_id, did AS doc_id, score FROM u
+ORDER BY query_id, score DESC, doc_id ASC
 """,
         "ft_function_score": f"""{bm_ctes},
 scored AS (

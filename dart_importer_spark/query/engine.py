@@ -403,8 +403,11 @@ class InvertedIndex:
         fid: int = 0,
         avgdl: float | None = None,
         extra_ub: float = 0.0,
+        keep_term: bool = False,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
+        ``keep_term=True`` emits the contributing term per row (the batched
+        multi-query path joins contributions back to per-query term sets).
 
         ``dead`` / ``allowed`` are sorted doc_id arrays broadcast into the
         kernel: postings for tombstoned (dead) or filtered-out (not in
@@ -463,21 +466,21 @@ class InvertedIndex:
                     if docs.size == 0:
                         continue
                     contrib = t_idf * _tfn(tfs, dls, avgdl)
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": docs,
-                                "score": contrib,
-                                "matched": np.ones(docs.size, dtype=np.int32),
-                            }
-                        )
-                    )
+                    cols = {
+                        "doc_id": docs,
+                        "score": contrib,
+                        "matched": np.ones(docs.size, dtype=np.int32),
+                    }
+                    if keep_term:
+                        cols = {"term": row.term, **cols}
+                    outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
+        schema = ("term string, " + SCORED_SCHEMA) if keep_term else SCORED_SCHEMA
         return cand.select(
             "term", "docs", "tfs", "dls", "block_max_tf", "block_min_dl"
-        ).mapInPandas(score_batches, schema=SCORED_SCHEMA)
+        ).mapInPandas(score_batches, schema=schema)
 
     # ------------------------------------------------- non-scoring query ops
     def match_all(self) -> DataFrame:
@@ -1655,6 +1658,86 @@ class InvertedIndex:
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def msearch(
+        self,
+        queries: dict[str, str],
+        k: int = 10,
+        mode: str = "or",
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``_msearch``: N match queries answered in ONE pass over the
+        postings. The per-query loop a client would run costs N scans and
+        2-3N driver round-trips; batching amortizes that to one decode of
+        the UNION of query terms (each term decoded once even when shared),
+        one broadcast join against the (query_id, term) table, one partial
+        agg, one per-query window top-k — the scan-amortization shape that
+        matters when a query log, not a single query, hits a 100-TB index.
+
+        θ-pruning is off (a single global θ is invalid across queries; a
+        per-query θ would reintroduce the per-query round-trips this
+        exists to avoid). Returns (query_id, doc_id, score) with each
+        query's hits ranked (score desc, doc_id asc), k per query."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"msearch: unknown mode {mode!r}")
+        fid = self._fid(field)
+        per_q: dict[str, list[str]] = {}
+        for qid, q in queries.items():
+            per_q[qid] = sorted(set(self._analyze(q, field)))
+        all_terms = sorted({t for ts in per_q.values() for t in ts})
+        out_schema = "query_id string, doc_id long, score double"
+        if not all_terms:
+            return self.spark.createDataFrame([], out_schema)
+        dfs = self.term_stats(all_terms, field)
+        present = [t for t in all_terms if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], out_schema)
+        idf = {t: _idf(self.n_docs, dfs[t]) for t in present}
+
+        # one decode+score pass over the union of terms, term kept per row
+        scored = self._score_terms(present, idf, fid=fid, keep_term=True)
+        pairs = [
+            (qid, t, len([x for x in ts if x in idf]))
+            for qid, ts in per_q.items()
+            for t in ts
+            if t in idf
+        ]
+        if not pairs:
+            return self.spark.createDataFrame([], out_schema)
+        qterms = self.spark.createDataFrame(
+            pairs, "query_id string, term string, n_terms int"
+        )
+        joined = scored.join(F.broadcast(qterms), "term")
+        agg = joined.groupBy("query_id", "doc_id").agg(
+            F.sum("score").alias("score"),
+            F.sum("matched").alias("n_matched"),
+            F.first("n_terms").alias("n_terms"),
+        )
+        if mode == "and":
+            # a query with absent terms can never match all its ANALYZED
+            # terms: compare against the original term count
+            orig_n = {qid: len(ts) for qid, ts in per_q.items()}
+            n_orig = F.create_map(
+                *[x for qid in orig_n for x in (F.lit(qid), F.lit(orig_n[qid]))]
+            )
+            agg = agg.filter(
+                F.col("n_matched") == n_orig[F.col("query_id")]
+            )
+        agg = self._live(agg.select("query_id", "doc_id", "score"))
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            agg.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= int(k))
+            .select("query_id", "doc_id", "score")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
 
     def more_like_this(
         self,

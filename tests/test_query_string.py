@@ -214,3 +214,26 @@ def test_mlt_min_doc_freq_and_empty(sqs_index):
         == 0
     )
     assert sqs_index.more_like_this("", k=10).count() == 0
+
+
+# ------------------------------------------------------------------ msearch
+def test_msearch_matches_per_query_topk(built_index):
+    queries = {"q1": "the and", "q2": "w00042", "q3": "삼성 전자"}
+    got = built_index.msearch(queries, k=5, round_scores=6).toPandas()
+    for qid, q in queries.items():
+        want = built_index.topk(q, k=5, round_scores=6).toPandas()
+        mine = got[got["query_id"] == qid]
+        assert list(mine["doc_id"]) == list(want["doc_id"]), qid
+        assert list(mine["score"]) == list(want["score"]), qid
+
+
+def test_msearch_and_mode_and_missing_terms(built_index):
+    queries = {"a": "the and", "b": "the zzqmissing"}
+    got = built_index.msearch(queries, k=5, mode="and", round_scores=6).toPandas()
+    want_a = built_index.topk("the and", k=5, mode="and", round_scores=6).toPandas()
+    mine_a = got[got["query_id"] == "a"]
+    assert list(mine_a["doc_id"]) == list(want_a["doc_id"])
+    # query b can never match ALL its analyzed terms -> zero rows
+    assert (got["query_id"] == "b").sum() == 0
+    with pytest.raises(ValueError):
+        built_index.msearch({"x": "the"}, mode="not")
