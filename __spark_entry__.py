@@ -488,6 +488,15 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms query (filter context): exact term-set membership, constant
+    # score, no analysis of the values
+    ix = _documents_index(spark, sf_dir)
+    return ix.terms_query(["Window", "VECTOR"], k=100).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
 def q_ft_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _msearch: three match queries answered in ONE postings pass (one
     # decode of the union of terms, broadcast join to the per-query term
@@ -1003,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_function_score": q_ft_function_score,
         "ft_collapse": q_ft_collapse,
         "ft_msearch": q_ft_msearch,
+        "ft_terms": q_ft_terms,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1461,6 +1471,12 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_terms": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('vector', 'window'))
+SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM hits
+ORDER BY doc_id ASC LIMIT 100
 """,
         "ft_msearch": f"""{bm_ctes},
 q1 AS (

@@ -51,6 +51,7 @@ HEADLINE = [
     "ft_facet",
     "ft_phrase",
     "ft_sqs_or",
+    "ft_msearch",
     "ft_mlt",
     "ft_multi_match_best",
     "ft_sig_terms",

@@ -787,6 +787,27 @@ class InvertedIndex:
         )
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
 
+    def terms_query(
+        self,
+        terms: Sequence[str],
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``terms`` query (filter context): docs containing ANY of the
+        given EXACT terms (no analysis beyond lowercasing — ES does not
+        analyze terms-query values), constant score 1.0 in doc_id order."""
+        fid = self._fid(field)
+        vals = sorted({str(t).lower() for t in terms if str(t)})
+        if not vals:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        docs = self._docs_for_terms(vals, fid)
+        out = docs.withColumn("score", F.lit(1.0))
+        if filters is not None:
+            allowed = self.doc_stats().filter(filters).select("doc_id")
+            out = out.join(allowed, "doc_id", "left_semi")
+        return out.orderBy(F.asc("doc_id")).limit(k)
+
     def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
         """(doc_id, score) BM25 partials for a term set on one field — the
         unpruned building block (bool ``should`` clauses, where every
