@@ -1388,10 +1388,12 @@ class InvertedIndex:
         Requires the index to carry the source text as a meta column
         (``meta_cols=(..., text_col)`` at build time — the ES ``_source``
         storage model; parquet column pruning keeps every non-highlight
-        query free of those bytes). Matching is a case-insensitive
-        word-boundary regex over the ANALYZED query terms — exact for the
-        ASCII tokens the pinned tokenizer emits (``\\b`` is an ASCII word
-        boundary; CJK highlight boundaries are a documented deviation)."""
+        query free of those bytes). Matching is a case-insensitive regex
+        over the ANALYZED query terms: ASCII word terms are wrapped in
+        ``\\b`` boundaries; terms containing non-ASCII characters (CJK —
+        where ``\\b``, being ASCII-defined in both Java and RE2, can never
+        fire) match bare occurrences instead. One deterministic pattern,
+        reproducible in the DuckDB oracle."""
         import re as _re
 
         probe = self.spark.read.parquet(f"{self.dir}/doc_stats")
@@ -1406,7 +1408,13 @@ class InvertedIndex:
                 [], "doc_id long, score double, highlighted string"
             )
         top = self.topk(query, k=k, field=field, round_scores=round_scores)
-        pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+        alts = [
+            rf"\b{_re.escape(t)}\b"
+            if _re.fullmatch(r"[a-z0-9_]+", t)
+            else _re.escape(t)
+            for t in terms
+        ]
+        pat = "(?i)(" + "|".join(alts) + ")"
         joined = top.join(
             self.doc_stats().select("doc_id", text_col), "doc_id"
         )

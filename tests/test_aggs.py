@@ -212,6 +212,24 @@ def test_highlight_tags_all_occurrences(spark, tmp_path_factory):
     assert ix.highlight("zzz", k=5).count() == 0
 
 
+def test_highlight_cjk_terms(spark, tmp_path_factory):
+    """CJK terms can't use ASCII \\b boundaries — they match bare
+    occurrences (the documented deterministic rule)."""
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [("c1", 0, "삼성 전자 보고서"), ("c1", 1, "plain text only")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("hlcjk") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+        meta_cols=("text",),
+    )
+    ix = InvertedIndex(spark, out)
+    got = {r["doc_id"]: r["highlighted"] for r in ix.highlight("삼성", k=5).collect()}
+    assert got == {0: "<em>삼성</em> 전자 보고서"}
+
+
 def test_meta_columns_survive_delete_and_compaction(spark, tmp_path_factory):
     """Stored meta columns (ts for date_histogram, text for highlight)
     must survive delete_by_query + compact_index — compaction rewrites
