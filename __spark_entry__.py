@@ -488,6 +488,23 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _explain: per-term BM25 breakdown (term, df, idf, contribution)
+    # for doc 42 against a two-term query
+    ix = _documents_index(spark, sf_dir)
+    return ix.explain("data merge", 42)
+
+
+def q_ft_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rescore: top-50 BM25 window for "part filter", +2.0 to hits
+    # containing the exact phrase, re-ranked top-20
+    ix = _documents_index(spark, sf_dir)
+    return ix.rescore(
+        "part filter", "part filter", k=20, window_size=50, weight=2.0,
+        round_scores=6,
+    )
+
+
 def q_ft_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms query (filter context): exact term-set membership, constant
     # score, no analysis of the values
@@ -1013,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_collapse": q_ft_collapse,
         "ft_msearch": q_ft_msearch,
         "ft_terms": q_ft_terms,
+        "ft_explain": q_ft_explain,
+        "ft_rescore": q_ft_rescore,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1471,6 +1490,35 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_explain": f"""{bm_ctes},
+target AS (
+  SELECT did FROM (
+    SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, doc_id FROM documents
+  ) WHERE doc_id = 42
+)
+SELECT bm.term, dft.df::BIGINT AS df,
+       round(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5)), 6) AS idf,
+       round(bm.sc, 6) AS contribution
+FROM bm JOIN target ON target.did = bm.did
+JOIN dft USING (term) CROSS JOIN st s
+WHERE bm.term IN ('data', 'merge')
+ORDER BY term
+""",
+        "ft_rescore": f"""{sqs_ctes},
+win AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('filter', 'part') GROUP BY did
+  ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 50
+),
+res AS (
+  SELECT w.did,
+         round(w.score + CASE WHEN p.did IS NOT NULL THEN 2.0 ELSE 0 END,
+               6) AS score
+  FROM win w LEFT JOIN phr p ON p.did = w.did
+)
+SELECT did AS doc_id, score FROM res
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "ft_terms": _DOCS_CTE
         + """

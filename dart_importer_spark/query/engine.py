@@ -968,11 +968,15 @@ class InvertedIndex:
         return ids, False
 
     def _phrase_doc_set(
-        self, terms: list[str], fid: int, slop: int = 0
+        self, terms: list[str], fid: int, slop: int = 0,
+        allowed: np.ndarray | None = None,
     ) -> DataFrame:
         """Distinct doc_ids containing the phrase ``terms`` (in order,
         duplicates kept) — the shared filter-context phrase kernel behind
-        match_phrase and simple_query_string. Empty if any term is absent.
+        match_phrase, simple_query_string and rescore. Empty if any term
+        is absent. ``allowed`` (sorted ids) further restricts the decode —
+        rescore pushes its window's ids so the positional decode touches
+        only window docs.
 
         Plan: decode (term, doc_id, pos) for the phrase terms only, masked
         rarest-first by the candidate docs, then chain joins — equi hash
@@ -989,6 +993,12 @@ class InvertedIndex:
         cand_ids, missing = self._phrase_candidate_ids(terms, fid)
         if missing:
             return empty
+        if allowed is not None:
+            cand_ids = (
+                allowed
+                if cand_ids is None
+                else np.intersect1d(cand_ids, allowed)
+            )
         rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
         if slop == 0:
             base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
@@ -1687,6 +1697,100 @@ class InvertedIndex:
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def explain(
+        self,
+        query: str,
+        *key_values,
+        field: str | int | None = None,
+        round_scores: int | None = 6,
+    ) -> DataFrame:
+        """ES ``_explain``: the per-term BM25 contribution breakdown for ONE
+        document — (term, df, idf, contribution) rows, term-ordered. The
+        scoring kernel runs with the doc's id pushed as the allowed mask,
+        so only that doc's postings rows survive the decode."""
+        fid = self._fid(field)
+        rows = self.get_by_key(*key_values).select("doc_id").collect()
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "term string, df long, idf double, contribution double"
+            )
+        doc_id = int(rows[0]["doc_id"])
+        terms = sorted(set(self._analyze(query, field)))
+        dfs = self.term_stats(terms, field)
+        present = [t for t in terms if t in dfs]
+        if not present:
+            return self.spark.createDataFrame(
+                [], "term string, df long, idf double, contribution double"
+            )
+        idf = {t: _idf(self.n_docs, dfs[t]) for t in present}
+        scored = self._score_terms(
+            present, idf, fid=fid,
+            allowed=np.array([doc_id], dtype=np.int64), keep_term=True,
+        )
+        import itertools
+
+        dfmap = F.create_map(
+            *itertools.chain.from_iterable(
+                (F.lit(t), F.lit(int(dfs[t]))) for t in present
+            )
+        )
+        idfmap = F.create_map(
+            *itertools.chain.from_iterable(
+                (F.lit(t), F.lit(float(idf[t]))) for t in present
+            )
+        )
+        out = scored.select(
+            "term",
+            dfmap[F.col("term")].cast("long").alias("df"),
+            idfmap[F.col("term")].alias("idf"),
+            F.col("score").alias("contribution"),
+        )
+        if round_scores is not None:
+            out = out.withColumn(
+                "idf", F.round("idf", round_scores)
+            ).withColumn("contribution", F.round("contribution", round_scores))
+        return out.orderBy("term")
+
+    def rescore(
+        self,
+        query: str,
+        rescore_phrase: str,
+        k: int = 10,
+        window_size: int = 50,
+        weight: float = 1.0,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``rescore`` with a match_phrase secondary query: take the top
+        ``window_size`` BM25 hits, add ``weight`` to every hit containing
+        the exact phrase, re-rank, return k. The standard
+        cheap-query-then-expensive-rerank shape — the positional decode
+        runs only against the window's doc ids, never the corpus."""
+        fid = self._fid(field)
+        win_rows = self.topk(
+            query, k=window_size, field=field, round_scores=round_scores
+        ).collect()  # the window is small by definition (ES default 10/shard)
+        if not win_rows:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        window = self.spark.createDataFrame(
+            [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
+            "doc_id long, score double",
+        )
+        win_ids = np.array(sorted(int(r["doc_id"]) for r in win_rows), dtype=np.int64)
+        ph_terms = self._analyze(rescore_phrase, field)
+        ph = self._phrase_doc_set(ph_terms, fid, allowed=win_ids).withColumn(
+            "bonus", F.lit(float(weight))
+        )
+        out = window.join(ph, "doc_id", "left").select(
+            "doc_id",
+            (F.col("score") + F.coalesce(F.col("bonus"), F.lit(0.0))).alias(
+                "score"
+            ),
+        )
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def msearch(
         self,

@@ -237,3 +237,48 @@ def test_msearch_and_mode_and_missing_terms(built_index):
     assert (got["query_id"] == "b").sum() == 0
     with pytest.raises(ValueError):
         built_index.msearch({"x": "the"}, mode="not")
+
+
+# ------------------------------------------------------- explain + rescore
+def test_explain_per_term_breakdown(sqs_index, oracle):
+    rows = sqs_index.explain(
+        "alpha gamma zmissing", "c1", 0, round_scores=None
+    ).collect()
+    assert [r["term"] for r in rows] == ["alpha", "gamma"]
+    for r in rows:
+        t = r["term"]
+        assert r["df"] == oracle.df[t]
+        assert r["idf"] == pytest.approx(oracle.idf(t), abs=1e-12)
+        # contribution equals the oracle's single-term score for doc 0
+        s = oracle.scores(t)
+        want = float(s[s["doc_id"] == 0]["score"].iloc[0])
+        assert r["contribution"] == pytest.approx(want, abs=1e-9)
+    # sum of contributions == the doc's topk score for the present terms
+    total = sum(r["contribution"] for r in rows)
+    s2 = oracle.scores("alpha gamma")
+    assert total == pytest.approx(
+        float(s2[s2["doc_id"] == 0]["score"].iloc[0]), abs=1e-9
+    )
+    # unknown doc key -> empty
+    assert sqs_index.explain("alpha", "zz", 9).count() == 0
+
+
+def test_rescore_phrase_bonus_reranks(sqs_index, oracle):
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in sqs_index.rescore(
+            "beta", '"alpha beta"', k=10, window_size=10, weight=5.0
+        ).collect()
+    ]
+    s = oracle.scores("beta")
+    base = dict(zip((int(d) for d in s["doc_id"]), (float(x) for x in s["score"])))
+    want = sorted(
+        (
+            (did, round(sc + (5.0 if did in (0, 5) else 0.0), 9))
+            for did, sc in base.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )
+    assert got == want
+    # phrase docs rose to the top
+    assert {got[0][0], got[1][0]} == {0, 5}
