@@ -488,6 +488,41 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES composite aggregation: (lang, source) buckets over the match set,
+    # page 2 via the after-key (keyset pagination)
+    ix = _documents_index(spark, sf_dir)
+    page1 = ix.composite_agg("data", sources=["lang", "source"], size=5).collect()
+    last = page1[-1]
+    return ix.composite_agg(
+        "data", sources=["lang", "source"], size=5,
+        after=(last["lang"], last["source"]),
+    )
+
+
+def q_etl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end training-data curation pipeline over documents: exact
+    # dedup (keep first doc per normalized text) -> quality gate (length +
+    # alpha ratio) -> per-lang doc and whitespace-token counts
+    docs = _load(spark, sf_dir, "documents")
+    first = dedup.exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = docs.join(first, "doc_id", "left_semi")
+    kept = kept.filter(
+        (F.col("n_chars") >= 50)
+        & (F.length(F.regexp_replace("text", r"[^A-Za-z가-힣]", ""))
+           / F.greatest(F.length("text"), F.lit(1)) >= 0.5)
+    )
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("n_ws_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_ft_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _explain: per-term BM25 breakdown (term, df, idf, contribution)
     # for doc 42 against a two-term query
@@ -1032,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms": q_ft_terms,
         "ft_explain": q_ft_explain,
         "ft_rescore": q_ft_rescore,
+        "ft_composite": q_ft_composite,
+        "etl_curation": q_etl_curation,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
         "ft_phrase": q_ft_phrase,
@@ -1490,6 +1527,31 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_composite": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+b AS (
+  SELECT lang, source, count(*) AS doc_count
+  FROM hits JOIN docs USING (did) GROUP BY 1, 2
+),
+p1 AS (SELECT * FROM b ORDER BY lang, source LIMIT 5),
+lastk AS (SELECT lang, source FROM p1 ORDER BY lang DESC, source DESC LIMIT 1)
+SELECT b.lang, b.source, b.doc_count FROM b, lastk
+WHERE b.lang > lastk.lang OR (b.lang = lastk.lang AND b.source > lastk.source)
+ORDER BY b.lang, b.source LIMIT 5
+""",
+        "etl_curation": """
+WITH first AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+kept AS (
+  SELECT d.* FROM documents d JOIN first USING (doc_id)
+  WHERE d.n_chars >= 50
+    AND len(regexp_replace(d.text, '[^A-Za-z가-힣]', '', 'g'))::DOUBLE
+        / greatest(len(d.text), 1) >= 0.5
+)
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_ws_tokens
+FROM kept GROUP BY lang ORDER BY lang
 """,
         "ft_explain": f"""{bm_ctes},
 target AS (

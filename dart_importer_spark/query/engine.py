@@ -1513,6 +1513,41 @@ class InvertedIndex:
             scored = scored.withColumn("score", F.round("score", round_scores))
         return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
 
+    def composite_agg(
+        self,
+        query: str,
+        sources: Sequence[str],
+        size: int = 10,
+        after: tuple | None = None,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES composite aggregation: multi-source buckets over the match
+        set, ordered by the bucket key tuple, paginated with ``after``
+        (the last key tuple of the previous page — keyset pagination, the
+        only agg pagination that scales: each page is one agg + one
+        range-filter, never a deepening offset)."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        cols = list(sources)
+        joined = docs.join(self.doc_stats().select("doc_id", *cols), "doc_id")
+        agg = joined.groupBy(*cols).agg(F.count("*").alias("doc_count"))
+        if after is not None:
+            if len(after) != len(cols):
+                raise ValueError("composite_agg: after arity != sources arity")
+            # lexicographic (c0, c1, ...) > after
+            cond = None
+            for i in range(len(cols)):
+                eq = None
+                for j in range(i):
+                    e = F.col(cols[j]) == F.lit(after[j])
+                    eq = e if eq is None else (eq & e)
+                gt = F.col(cols[i]) > F.lit(after[i])
+                leg = gt if eq is None else (eq & gt)
+                cond = leg if cond is None else (cond | leg)
+            agg = agg.filter(cond)
+        return agg.orderBy(*[F.asc(c) for c in cols]).limit(int(size))
+
     def top_hits(
         self,
         query: str,

@@ -278,3 +278,33 @@ def test_aggs_empty_query(built_index):
     assert built_index.date_histogram("zzqx", on="ts").count() == 0
     assert built_index.cardinality("zzqx", on="role").collect()[0]["value"] == 0
     assert built_index.top_hits("zzqx", by="role").count() == 0
+
+
+def test_composite_agg_keyset_pagination(built_index, src, oracle):
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    want = (
+        sub.groupby(["role", "tool"], dropna=False).size().reset_index(name="n")
+        .sort_values(["role", "tool"], na_position="first")
+    )
+    # page through with size=2 and reassemble
+    pages, after = [], None
+    while True:
+        page = built_index.composite_agg(
+            "the", sources=["role", "tool"], size=2, after=after
+        ).collect()
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1]["role"], page[-1]["tool"])
+        if len(page) < 2:
+            break
+    got = [(r["role"], r["tool"], r["doc_count"]) for r in pages]
+    assert len(got) == len(set(got)) > 0  # no duplicate buckets across pages
+    # NULL-keyed buckets can't be resumed past with a NULL after-key:
+    # compare against the non-null keyspace
+    nn = want[want["tool"].notna()]
+    got_nn = [g for g in got if g[1] is not None]
+    assert got_nn == list(map(tuple, nn[["role", "tool", "n"]].itertuples(index=False)))
+    with pytest.raises(ValueError):
+        built_index.composite_agg("the", sources=["role"], after=("a", "b"))
