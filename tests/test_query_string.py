@@ -282,3 +282,42 @@ def test_rescore_phrase_bonus_reranks(sqs_index, oracle):
     assert got == want
     # phrase docs rose to the top
     assert {got[0][0], got[1][0]} == {0, 5}
+
+
+# ------------------------------------------------------- property (hypothesis)
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=60))
+def test_parse_simple_query_total(q):
+    """The lexer is total: any input yields a clause list with valid kinds
+    and non-empty payloads, never an exception."""
+    out = InvertedIndex.parse_simple_query(q)
+    for kind, payload, neg in out:
+        assert kind in ("term", "phrase", "prefix")
+        assert isinstance(payload, str) and (payload or kind == "phrase")
+        assert isinstance(neg, bool)
+
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "window", "soup", "zzqmissing"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=3),
+        min_size=1, max_size=3,
+    )
+)
+def test_msearch_equivalence_property(sqs_index, query_term_lists):
+    """msearch == per-query topk for random query sets over the corpus
+    vocabulary (including absent terms)."""
+    queries = {f"q{i}": " ".join(ts) for i, ts in enumerate(query_term_lists)}
+    got = sqs_index.msearch(queries, k=4, round_scores=6).toPandas()
+    for qid, q in queries.items():
+        want = sqs_index.topk(q, k=4, round_scores=6).toPandas()
+        mine = got[got["query_id"] == qid]
+        assert list(mine["doc_id"]) == list(want["doc_id"]), (qid, q)
+        assert list(mine["score"]) == list(want["score"]), (qid, q)
