@@ -1535,6 +1535,13 @@ class InvertedIndex:
         if after is not None:
             if len(after) != len(cols):
                 raise ValueError("composite_agg: after arity != sources arity")
+            if any(v is None for v in after):
+                # SQL three-valued logic would silently drop every bucket
+                # compared against a NULL key component — refuse instead
+                raise ValueError(
+                    "composite_agg: NULL in after-key is not supported — "
+                    "fill or filter NULL bucket sources"
+                )
             # lexicographic (c0, c1, ...) > after
             cond = None
             for i in range(len(cols)):

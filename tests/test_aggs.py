@@ -296,6 +296,8 @@ def test_composite_agg_keyset_pagination(built_index, src, oracle):
         if not page:
             break
         pages.extend(page)
+        if page[-1]["tool"] is None:  # NULL after-keys are refused (3VL)
+            break
         after = (page[-1]["role"], page[-1]["tool"])
         if len(page) < 2:
             break
