@@ -164,7 +164,18 @@ class LshAnnIndex:
             out.append(int(sum(1 << i for i, d in enumerate(dots) if d > 0)))
         return out
 
-    def topk(self, query_vec: list[float], k: int = 10, multiprobe: int = 1) -> DataFrame:
+    def topk(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        multiprobe: int = 1,
+        allowed: DataFrame | None = None,
+    ) -> DataFrame:
+        """``allowed`` (a DataFrame with the id column) pre-filters the
+        candidates BEFORE the exact rerank — ES 8 filtered-kNN semantics:
+        the filter composes with bucket probing, so k survivors are k
+        survivors of the filter, not post-filtered ANN results that can
+        come up short."""
         qsigs = self._query_sigs(query_vec)
         cond = None
         for t, sig in enumerate(qsigs):
@@ -175,6 +186,10 @@ class LshAnnIndex:
             cond = c if cond is None else (cond | c)
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         cand = self.table.filter(cond)
+        if allowed is not None:
+            cand = cand.join(
+                allowed.select(self.id_col), self.id_col, "left_semi"
+            )
         return (
             cand.select(self.id_col, _cosine(F.col(self.vec_col), q).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
@@ -291,11 +306,21 @@ class IvfAnnIndex:
         return [int(i) for i in order[: max(1, int(nprobe))]]
 
     def topk(
-        self, query_vec: list[float], k: int = 10, nprobe: int = 4
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        allowed: DataFrame | None = None,
     ) -> DataFrame:
+        """``allowed`` pre-filters candidates before the exact rerank
+        (filtered kNN — see LshAnnIndex.topk)."""
         lists = self._probe_lists(query_vec, nprobe)
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         cand = self.table.filter(F.col("list_id").isin(lists))
+        if allowed is not None:
+            cand = cand.join(
+                allowed.select(self.id_col), self.id_col, "left_semi"
+            )
         return (
             cand.select(
                 self.id_col, _cosine(F.col(self.vec_col), q).alias("cosine")

@@ -195,3 +195,34 @@ def test_ann_save_load_roundtrip(spark, tmp_path):
     a = [(r["vec_id"], round(r["cosine"], 9)) for r in ann.topk(q, k=5).collect()]
     b = [(r["vec_id"], round(r["cosine"], 9)) for r in loaded.topk(q, k=5).collect()]
     assert a == b
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    """ES 8 filtered-kNN: the allowed set filters BEFORE rerank, so top-k
+    always comes from allowed ids (a post-filter could come up short)."""
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+        for i, v in enumerate(rng.standard_normal((64, 16)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(0, 64, 2)], "vec_id long"
+    )
+    q = rows[4][1]
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_cosine_topk(
+            emb.join(allowed, "vec_id", "left_semi"), q, k=5
+        ).collect()
+    ]
+    lsh = similarity.LshAnnIndex(emb, n_tables=8, n_planes=6, persist=False)
+    got_lsh = [r["vec_id"] for r in lsh.topk(q, k=5, allowed=allowed).collect()]
+    assert all(v % 2 == 0 for v in got_lsh)
+    ivf = similarity.IvfAnnIndex(emb, n_lists=4, seed=3, persist=False)
+    got_ivf = [
+        r["vec_id"] for r in ivf.topk(q, k=5, nprobe=4, allowed=allowed).collect()
+    ]
+    # full probe + filter == exact filtered brute force
+    assert got_ivf == exact
+    assert all(v % 2 == 0 for v in got_ivf)
