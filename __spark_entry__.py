@@ -488,6 +488,20 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+def q_ft_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _count with a query body: OR match-set size, AND match-set size,
+    # and a filtered count in one row
+    ix = _documents_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(
+            ix.count_query("data merge"),
+            ix.count_query("data merge", mode="and"),
+            ix.count_query("data", filters=F.col("lang") == "en"),
+        )],
+        "n_or long, n_and long, n_filtered long",
+    )
+
+
 def q_ft_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES composite aggregation: (lang, source) buckets over the match set,
     # page 2 via the after-key (keyset pagination)
@@ -1068,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_rescore": q_ft_rescore,
         "ft_composite": q_ft_composite,
+        "ft_count_query": q_ft_count_query,
         "etl_curation": q_etl_curation,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
@@ -1527,6 +1542,28 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_count_query": _DOCS_CTE
+        + """
+, meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+),
+n_or AS (
+  SELECT count(DISTINCT did) AS v FROM tok WHERE term IN ('data', 'merge')
+),
+n_and AS (
+  SELECT count(*) AS v FROM (
+    SELECT did FROM tok WHERE term IN ('data', 'merge')
+    GROUP BY did HAVING count(DISTINCT term) = 2
+  )
+),
+n_f AS (
+  SELECT count(DISTINCT t.did) AS v
+  FROM tok t JOIN meta m ON m.did = t.did
+  WHERE t.term = 'data' AND m.lang = 'en'
+)
+SELECT n_or.v AS n_or, n_and.v AS n_and, n_f.v AS n_filtered
+FROM n_or, n_and, n_f
 """,
         "ft_composite": _DOCS_CTE
         + """

@@ -494,6 +494,38 @@ class InvertedIndex:
             ds = ds.filter(filters)
         return ds.count()
 
+    def count_query(
+        self,
+        query: str,
+        mode: str = "or",
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> int:
+        """ES _count WITH a query body: the match-set size (docs containing
+        any/all query terms), optionally under a metadata filter — no
+        scoring, no top-k, just the distinct-doc count."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        if not terms:
+            return 0
+        if mode == "or":
+            docs = self._docs_for_terms(terms, fid)
+        else:  # and: every term present
+            dfs = self.term_stats(terms, field)
+            if len(dfs) < len(terms):
+                return 0
+            idf = {t: 1.0 for t in terms}
+            scored = self._live(self._score_terms(terms, idf, fid=fid))
+            docs = (
+                scored.groupBy("doc_id")
+                .agg(F.sum("matched").alias("nm"))
+                .filter(F.col("nm") == len(terms))
+            )
+        if filters is not None:
+            allowed = self.doc_stats().filter(filters).select("doc_id")
+            docs = docs.join(allowed, "doc_id", "left_semi")
+        return docs.count()
+
     def get_by_key(self, *key_values) -> DataFrame:
         """Point lookup by document key — ES get-by-_id
         (import_dart_data.py:229, test.py:62-70). The first key column
