@@ -1698,9 +1698,8 @@ ORDER BY doc_id ASC LIMIT 50
 cand AS (
   SELECT term, levenshtein(term, 'dat') AS dist, df FROM dict
   WHERE abs(len(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
-),
-capped AS (SELECT * FROM cand ORDER BY term LIMIT 50)
-SELECT term, dist::INT AS dist, df FROM capped
+)
+SELECT term, dist::INT AS dist, df FROM cand
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """,
         "ft_highlight": f"""{bm_ctes},

@@ -193,8 +193,7 @@ def main(argv: list[str] | None = None) -> int:
         elif t == "regexp":
             df = ix.regexp(q, k=k, field=fld, max_expansions=args.max_expansions)
         elif t == "suggest":
-            df = ix.suggest_terms(q, k=k, field=fld,
-                                  max_expansions=args.max_expansions)
+            df = ix.suggest_terms(q, k=k, field=fld)
         elif t == "sayt":
             df = ix.search_as_you_type(q, k=k, base_field=fld,
                                        max_expansions=args.max_expansions)
@@ -207,12 +206,27 @@ def main(argv: list[str] | None = None) -> int:
 
         ix = InvertedIndex(spark, args.index)
         a, q, k = args.agg, args.q, args.k
+        needs_on = {"stats", "histogram", "date_histogram", "cardinality",
+                    "percentiles", "facet_stats"}
+        needs_by = {"terms", "facet_stats", "top_hits", "collapse"}
+        if a in needs_on and not args.on:
+            ap.error(f"agg --agg {a} requires --on <column>")
+        if a in needs_by and not args.by:
+            ap.error(f"agg --agg {a} requires --by <column>")
+        if a == "histogram":
+            try:
+                hist_interval = float(args.interval)
+            except ValueError:
+                ap.error(
+                    "agg --agg histogram needs a NUMERIC --interval "
+                    "(calendar intervals belong to date_histogram)"
+                )
         if a == "terms":
             df = ix.facet(q, by=args.by, k=k)
         elif a == "stats":
             df = ix.stats_agg(q, on=args.on)
         elif a == "histogram":
-            df = ix.histogram(q, by=args.on, interval=float(args.interval))
+            df = ix.histogram(q, by=args.on, interval=hist_interval)
         elif a == "date_histogram":
             df = ix.date_histogram(q, on=args.on, interval=args.interval)
         elif a == "cardinality":

@@ -47,6 +47,16 @@ from ..index.build import B, BLOCK_SIZE, K1, bucket_of
 SCORED_SCHEMA = "doc_id long, score double, matched int"
 
 
+def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Membership of ``docs`` in a SORTED id array (searchsorted + clamp) —
+    the shared mask primitive of the decode kernels."""
+    if not sorted_ids.size:
+        return np.zeros(docs.size, dtype=bool)
+    idx = np.searchsorted(sorted_ids, docs)
+    idx[idx == sorted_ids.size] = 0  # past-the-end can never match [0]
+    return sorted_ids[idx] == docs
+
+
 def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
@@ -427,13 +437,6 @@ class InvertedIndex:
         bc_dead = sc.broadcast(dead) if dead is not None and dead.size else None
         bc_allowed = sc.broadcast(allowed) if allowed is not None else None
 
-        def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
-            if not sorted_ids.size:
-                return np.zeros(docs.size, dtype=bool)
-            idx = np.searchsorted(sorted_ids, docs)
-            idx[idx == sorted_ids.size] = 0  # past-the-end can never match [0]
-            return sorted_ids[idx] == docs
-
         def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             dead_ids = bc_dead.value if bc_dead is not None else None
             allowed_ids = bc_allowed.value if bc_allowed is not None else None
@@ -504,6 +507,8 @@ class InvertedIndex:
         """ES _count WITH a query body: the match-set size (docs containing
         any/all query terms), optionally under a metadata filter — no
         scoring, no top-k, just the distinct-doc count."""
+        if mode not in ("or", "and"):
+            raise ValueError(f"count_query: unknown mode {mode!r}")
         fid = self._fid(field)
         terms = sorted(set(self._analyze(query, field)))
         if not terms:
@@ -698,14 +703,15 @@ class InvertedIndex:
         k: int = 5,
         max_dist: int = 2,
         field: str | int | None = None,
-        max_expansions: int | None = 50,
     ) -> DataFrame:
         """ES term suggester: dictionary terms within ``max_dist`` edits of
         the input, ranked the ES way — edit distance asc, then document
         frequency desc, then term asc. The whole ranking runs on the
         dictionary scan (tlen band pushed into the parquet scan before
         levenshtein, like fuzzy); only the top-k suggestions reach the
-        driver."""
+        driver. No pre-ranking cap: a lexicographic cap could evict the
+        closest suggestion, and the length band already bounds the
+        levenshtein work."""
         q = (self._analyze(text, field) or [text.lower()])[0]
         td = self._field_dict(field)
         band = (
@@ -716,8 +722,6 @@ class InvertedIndex:
             .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
             .filter(F.col("dist") <= max_dist)
         )
-        if max_expansions is not None:
-            cand = cand.orderBy("term").limit(int(max_expansions))
         return (
             cand.select("term", "dist", "df")
             .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
@@ -935,13 +939,6 @@ class InvertedIndex:
         sc = self.spark.sparkContext
         bc_allowed = sc.broadcast(allowed) if allowed is not None else None
 
-        def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
-            if not sorted_ids.size:
-                return np.zeros(docs.size, dtype=bool)
-            idx = np.searchsorted(sorted_ids, docs)
-            idx[idx == sorted_ids.size] = 0
-            return sorted_ids[idx] == docs
-
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             allow = bc_allowed.value if bc_allowed is not None else None
             for pdf in batches:
@@ -1141,6 +1138,15 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def _match_meta(self, query, field, cols):
+        """Match-set doc_ids (docs containing ANY analyzed query term)
+        joined with the named doc_stats columns — the shared preamble of
+        the aggregation family."""
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._docs_for_terms(terms, fid)
+        return docs.join(self.doc_stats().select("doc_id", *cols), "doc_id")
+
     def facet(
         self,
         query: str,
@@ -1152,10 +1158,7 @@ class InvertedIndex:
         term (constant-score match), bucketed by a doc_stats column, count
         desc. The ES `aggs: {terms: {field: ...}}` shape the reference's
         Kibana dashboards use over these indexes."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", by), "doc_id")
+        joined = self._match_meta(query, field, [by])
         return (
             joined.groupBy(by)
             .agg(F.count("*").alias("doc_count"))
@@ -1175,10 +1178,7 @@ class InvertedIndex:
         query term, bucketed by floor(doc_stats.by / interval) * interval,
         bucket ascending (the numeric sibling of facet/terms-agg that the
         reference's Kibana dashboards chart)."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", by), "doc_id")
+        joined = self._match_meta(query, field, [by])
         bucket = (F.floor(F.col(by) / F.lit(interval)) * F.lit(interval)).cast(
             "long"
         )
@@ -1194,10 +1194,7 @@ class InvertedIndex:
     ) -> DataFrame:
         """ES stats aggregation (count/min/max/sum/avg of a doc_stats column
         over the match set) — one row."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        joined = self._match_meta(query, field, [on])
         return joined.agg(
             F.count("*").alias("count"),
             F.min(on).alias("min"),
@@ -1219,10 +1216,7 @@ class InvertedIndex:
         doc_stats timestamp column, bucket ascending. Bucket emitted as a
         'yyyy-MM-dd HH:mm:ss' string (oracle-portable across timestamp
         dialects)."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        joined = self._match_meta(query, field, [on])
         bucket = F.date_format(
             F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
         )
@@ -1246,10 +1240,7 @@ class InvertedIndex:
         (approx_count_distinct, relative error ``rsd``) — ES's actual
         algorithm and the only shape that scales to high-cardinality
         columns at 100 TB (the exact path shuffles every distinct value)."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        joined = self._match_meta(query, field, [on])
         agg = (
             F.countDistinct(on)
             if exact
@@ -1272,10 +1263,7 @@ class InvertedIndex:
         ``approx_percentile`` (t-digest-style sketch, ES's TDigest
         analogue) for the 100-TB path where the exact sort-based
         percentile would shuffle the full column."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", on), "doc_id")
+        joined = self._match_meta(query, field, [on])
         fracs = [float(p) / 100.0 for p in percents]
         fn = F.percentile if exact else F.approx_percentile
         row = joined.agg(
@@ -1313,10 +1301,7 @@ class InvertedIndex:
         doc_stats column over the match set, each carrying count/min/max/
         sum/avg of a numeric column — the nested-agg shape Kibana builds
         (terms: {field: by, aggs: {stats: {field: on}}})."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
-        joined = docs.join(self.doc_stats().select("doc_id", by, on), "doc_id")
+        joined = self._match_meta(query, field, [by, on])
         avg = F.avg(on)
         if round_avg is not None:
             avg = F.round(avg, round_avg)
@@ -1438,8 +1423,12 @@ class InvertedIndex:
         reproducible in the DuckDB oracle."""
         import re as _re
 
-        probe = self.spark.read.parquet(f"{self.dir}/doc_stats")
-        if text_col not in probe.columns:
+        if not hasattr(self, "_doc_stats_cols"):
+            # one footer read, cached on the index handle
+            self._doc_stats_cols = self.spark.read.parquet(
+                f"{self.dir}/doc_stats"
+            ).columns
+        if text_col not in self._doc_stats_cols:
             raise ValueError(
                 f"highlight: index does not store {text_col!r} — build with "
                 f"meta_cols including it"
@@ -1460,12 +1449,15 @@ class InvertedIndex:
         joined = top.join(
             self.doc_stats().select("doc_id", text_col), "doc_id"
         )
+        def _quote_replacement(s: str) -> str:
+            # Java regexp_replace replacements treat $ and \ specially
+            return s.replace("\\", "\\\\").replace("$", "\\$")
+
+        rep = f"{_quote_replacement(pre_tag)}$1{_quote_replacement(post_tag)}"
         return (
             joined.withColumn(
                 "highlighted",
-                F.regexp_replace(
-                    F.col(text_col), pat, f"{pre_tag}$1{post_tag}"
-                ),
+                F.regexp_replace(F.col(text_col), pat, rep),
             )
             .select("doc_id", "score", "highlighted")
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -1504,13 +1496,6 @@ class InvertedIndex:
         cand = self.postings().filter(F.col("field") == fid)
         sc = self.spark.sparkContext
         bc_allowed = sc.broadcast(allowed) if allowed is not None else None
-
-        def _member(ids: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
-            if not sorted_ids.size:
-                return np.zeros(ids.size, dtype=bool)
-            idx = np.searchsorted(sorted_ids, ids)
-            idx[idx == sorted_ids.size] = 0
-            return sorted_ids[idx] == ids
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             allow = bc_allowed.value if bc_allowed is not None else None
@@ -1557,12 +1542,12 @@ class InvertedIndex:
         set, ordered by the bucket key tuple, paginated with ``after``
         (the last key tuple of the previous page — keyset pagination, the
         only agg pagination that scales: each page is one agg + one
-        range-filter, never a deepening offset)."""
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        docs = self._docs_for_terms(terms, fid)
+        range-filter, never a deepening offset). Docs with a NULL in any
+        source column are omitted (ES's ``missing_bucket: false``
+        default) — this also keeps every emitted key usable as an
+        after-key."""
         cols = list(sources)
-        joined = docs.join(self.doc_stats().select("doc_id", *cols), "doc_id")
+        joined = self._match_meta(query, field, cols).na.drop(subset=cols)
         agg = joined.groupBy(*cols).agg(F.count("*").alias("doc_count"))
         if after is not None:
             if len(after) != len(cols):
@@ -1905,7 +1890,7 @@ class InvertedIndex:
         # one decode+score pass over the union of terms, term kept per row
         scored = self._score_terms(present, idf, fid=fid, keep_term=True)
         pairs = [
-            (qid, t, len([x for x in ts if x in idf]))
+            (qid, t)
             for qid, ts in per_q.items()
             for t in ts
             if t in idf
@@ -1913,13 +1898,12 @@ class InvertedIndex:
         if not pairs:
             return self.spark.createDataFrame([], out_schema)
         qterms = self.spark.createDataFrame(
-            pairs, "query_id string, term string, n_terms int"
+            pairs, "query_id string, term string"
         )
         joined = scored.join(F.broadcast(qterms), "term")
         agg = joined.groupBy("query_id", "doc_id").agg(
             F.sum("score").alias("score"),
             F.sum("matched").alias("n_matched"),
-            F.first("n_terms").alias("n_terms"),
         )
         if mode == "and":
             # a query with absent terms can never match all its ANALYZED
@@ -2064,7 +2048,11 @@ class InvertedIndex:
         # (each its own clause, matching ES's per-token should expansion)
         bare: list[str] = []
         phrases: list[list[str]] = []
-        prefixes: list[str] = []
+        # a prefix clause whose payload analyzes to several tokens
+        # ("foo.bar*") is a CONJUNCTIVE subclause: every leading token must
+        # be present AND some term must carry the prefix — dropping the
+        # leading tokens would silently widen the match set
+        prefixes: list[tuple[list[str], str]] = []
         dead_clause = False  # an unmatchable positive clause under AND
         for kind, payload in pos:
             toks = self._analyze(payload, field)
@@ -2079,7 +2067,7 @@ class InvertedIndex:
                 else:
                     dead_clause = True
             elif toks:
-                prefixes.append(toks[-1])
+                prefixes.append((toks[:-1], toks[-1]))
             else:
                 dead_clause = True
         if conj and dead_clause:
@@ -2114,11 +2102,20 @@ class InvertedIndex:
                 parts.append(sc.join(pdocs, "doc_id", "left_semi"))
             if conj:
                 gate_sets.append(pdocs)
-        for pref in prefixes:
+        for lead, pref in prefixes:
             pdocs = self._docs_for_terms_df(
                 self.expand_prefix_df(pref, fid, max_expansions), fid
             ).select("doc_id")
+            for t in lead:
+                pdocs = pdocs.join(
+                    self._docs_for_terms([t], fid).select("doc_id"),
+                    "doc_id", "left_semi",
+                )
             parts.append(pdocs.withColumn("score", F.lit(1.0)))
+            if lead:  # leading tokens score BM25 on clause-matching docs
+                sc = self._bm25_scores(sorted(set(lead)), fid)
+                if sc is not None:
+                    parts.append(sc.join(pdocs, "doc_id", "left_semi"))
             if conj:
                 gate_sets.append(pdocs)
         if not parts:
@@ -2142,6 +2139,11 @@ class InvertedIndex:
                 e = self._docs_for_terms_df(
                     self.expand_prefix_df(toks[-1], fid, max_expansions), fid
                 ).select("doc_id")
+                for t in toks[:-1]:  # conjunctive, like the positive form
+                    e = e.join(
+                        self._docs_for_terms([t], fid).select("doc_id"),
+                        "doc_id", "left_semi",
+                    )
             else:
                 e = self._docs_for_terms(toks, fid).select("doc_id")
             excl = e if excl is None else excl.unionByName(e)

@@ -310,3 +310,19 @@ def test_composite_agg_keyset_pagination(built_index, src, oracle):
     assert got_nn == list(map(tuple, nn[["role", "tool", "n"]].itertuples(index=False)))
     with pytest.raises(ValueError):
         built_index.composite_agg("the", sources=["role"], after=("a", "b"))
+
+
+def test_highlight_tags_with_regex_metachars(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [("c1", 0, "alpha beta")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("hlmeta") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+                meta_cols=("text",))
+    ix = InvertedIndex(spark, out)
+    r = ix.highlight(
+        "alpha", k=1, pre_tag='<em data-x="$q\\y">', post_tag="</em>"
+    ).collect()[0]
+    assert r["highlighted"] == '<em data-x="$q\\y">alpha</em> beta'

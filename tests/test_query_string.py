@@ -321,3 +321,25 @@ def test_msearch_equivalence_property(sqs_index, query_term_lists):
         mine = got[got["query_id"] == qid]
         assert list(mine["doc_id"]) == list(want["doc_id"]), (qid, q)
         assert list(mine["score"]) == list(want["score"]), (qid, q)
+
+
+def test_prefix_clause_multi_token_is_conjunctive(sqs_index, oracle):
+    # 'gamma.bet*' = one clause: gamma present AND some bet* term present.
+    # gamma docs {0,3} ∩ beta-prefix docs {0,1,2,5} -> only doc 0.
+    got = _got(sqs_index.simple_query_string("gamma.bet*", k=10))
+    assert set(got) == {0}
+    g = oracle.scores("gamma")
+    want = 1.0 + float(g[g["doc_id"] == 0]["score"].iloc[0])
+    assert got[0] == pytest.approx(want, abs=1e-9)
+    # negated form excludes exactly the clause's conjunctive match set
+    neg = _got(sqs_index.simple_query_string('beta -gamma.bet*', k=10))
+    assert set(neg) == {1, 2, 5}
+
+
+def test_count_query_modes(sqs_index):
+    assert sqs_index.count_query("alpha beta") == 4  # docs 0,1,2,5
+    assert sqs_index.count_query("alpha beta", mode="and") == 4
+    assert sqs_index.count_query("alpha gamma", mode="and") == 1  # doc 0
+    assert sqs_index.count_query("zzq") == 0
+    with pytest.raises(ValueError):
+        sqs_index.count_query("alpha", mode="OR")
