@@ -504,9 +504,11 @@ class InvertedIndex:
         field: str | int | None = None,
         filters: Column | None = None,
     ) -> int:
-        """ES _count WITH a query body: the match-set size (docs containing
-        any/all query terms), optionally under a metadata filter — no
-        scoring, no top-k, just the distinct-doc count."""
+        """ES _count WITH a query body (the reference counts its indices
+        this way: import_dart_data.py:305-321, Running-ELK.md:214-218):
+        the match-set size (docs containing any/all query terms),
+        optionally under a metadata filter — no scoring, no top-k, just
+        the distinct-doc count."""
         if mode not in ("or", "and"):
             raise ValueError(f"count_query: unknown mode {mode!r}")
         fid = self._fid(field)
@@ -830,9 +832,11 @@ class InvertedIndex:
         field: str | int | None = None,
         filters: Column | None = None,
     ) -> DataFrame:
-        """ES ``terms`` query (filter context): docs containing ANY of the
-        given EXACT terms (no analysis beyond lowercasing — ES does not
-        analyze terms-query values), constant score 1.0 in doc_id order."""
+        """ES ``terms`` query (filter context; the reference's term-level
+        exact matches, import_dart_data.py:521-528): docs containing ANY
+        of the given EXACT terms (no analysis beyond lowercasing — ES does
+        not analyze terms-query values), constant score 1.0 in doc_id
+        order."""
         fid = self._fid(field)
         vals = sorted({str(t).lower() for t in terms if str(t)})
         if not vals:
@@ -1211,7 +1215,9 @@ class InvertedIndex:
         k: int = 10000,
         field: str | int | None = None,
     ) -> DataFrame:
-        """ES date_histogram (calendar_interval) over the match set: docs
+        """ES date_histogram (calendar_interval) over the match set — the
+        date axis of the reference's Kibana dashboards over its time_frame
+        field (import_dart_data.py:436-440, 628-641): docs
         containing ANY query term, bucketed by date_trunc(interval) of a
         doc_stats timestamp column, bucket ascending. Bucket emitted as a
         'yyyy-MM-dd HH:mm:ss' string (oracle-portable across timestamp
