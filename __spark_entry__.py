@@ -488,6 +488,16 @@ def q_ft_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.top_hits("data merge", by="lang", size=2, round_scores=6)
 
 
+ANALYZE_SAMPLE = "Spark-SQL 3.5 merges 삼성전자 reports… naïve_tokens?"
+
+
+def q_ft_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _analyze: the pinned analyzer's (token, position) stream for a
+    # mixed-language sample — tokenizer parity checked through the gate
+    ix = _documents_index(spark, sf_dir)
+    return ix.analyze(ANALYZE_SAMPLE)
+
+
 def q_ft_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _count with a query body: OR match-set size, AND match-set size,
     # and a filtered count in one row
@@ -1082,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_explain": q_ft_explain,
         "ft_rescore": q_ft_rescore,
         "ft_composite": q_ft_composite,
+        "ft_analyze": q_ft_analyze,
         "ft_count_query": q_ft_count_query,
         "etl_curation": q_etl_curation,
         "ft_stats": q_ft_stats,
@@ -1542,6 +1553,15 @@ ranked AS (
 )
 SELECT lang, doc_id, score, rank::INT AS rank FROM ranked
 WHERE rank <= 2 ORDER BY lang, rank
+""",
+        "ft_analyze": f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower('{ANALYZE_SAMPLE.replace("'", "''")}'),
+                            '{TOKEN_PATTERN}') AS lst
+)
+SELECT unnest(lst) AS token,
+       (generate_subscripts(lst, 1) - 1)::INT AS position
+FROM t
 """,
         "ft_count_query": _DOCS_CTE
         + """

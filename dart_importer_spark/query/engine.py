@@ -497,6 +497,17 @@ class InvertedIndex:
             ds = ds.filter(filters)
         return ds.count()
 
+    def analyze(
+        self, text: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES ``_analyze``: the (token, position) stream the field's
+        analyzer emits for ``text`` — the pinned standard tokenizer, or
+        the field's shingle analyzer for ``*._Ngram`` subfields."""
+        toks = self._analyze(text, field)
+        return self.spark.createDataFrame(
+            [(t, i) for i, t in enumerate(toks)], "token string, position int"
+        )
+
     def count_query(
         self,
         query: str,
