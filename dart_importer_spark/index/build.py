@@ -608,8 +608,11 @@ def build_index(
             if seg in fingerprints and fingerprints[seg][0] == r["fp"]:
                 done.add(seg)
     todo = sorted(set(fingerprints) - done)
-    if not todo:
+    if not todo and _read_meta(out_dir) is not None:
         return {"built_segments": [], "skipped_segments": sorted(done), "elapsed_sec": time.time() - t0}
+    # note: an EMPTY input with no existing index falls through — the build
+    # then writes a valid empty index (meta + empty tables), the ES
+    # create-empty-index behavior, instead of leaving nothing behind
 
     # --- doc_id assignment over the FULL corpus (rank must be global) ---
     persisted: list = []
@@ -740,13 +743,20 @@ def _build_segments(
     )
     # no repartition("seg") here: partitionBy splits by seg at write time from
     # whatever partitioning docs already has — an extra shuffle just to get
-    # one-file-per-seg costs more than the files it saves
-    (
-        build_docs.select(*stats_cols)
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(f"{out_dir}/doc_stats")
-    )
+    # one-file-per-seg costs more than the files it saves.
+    # empty build (zero input docs, ES create-empty-index): a PARTITIONED
+    # write of zero rows leaves no schema-bearing file behind, so write one
+    # empty non-partitioned file instead (seg stays as a normal column)
+    empty_build = not todo
+    stats_w = build_docs.select(*stats_cols)
+    if empty_build:
+        stats_w.repartition(1).write.mode("overwrite").parquet(
+            f"{out_dir}/doc_stats"
+        )
+    else:
+        stats_w.write.mode("overwrite").partitionBy("seg").parquet(
+            f"{out_dir}/doc_stats"
+        )
     phases["doc_stats_write"] = round(time.time() - tp, 3)
     tp = time.time()
 
@@ -768,15 +778,20 @@ def _build_segments(
         build_docs, field_sources, cfg.target_run, cfg.n_buckets,
         store_positions=cfg.store_positions,
     )
-    (
-        # term-sorted files: parquet row-group min/max stats on `term` make
-        # the pushed In(term, ...) predicate skip whole row groups at scale
-        encoded.repartition("seg", "field", "bucket")
-        .sortWithinPartitions("term")
-        .write.mode("overwrite")
-        .partitionBy("seg", "field", "bucket")
-        .parquet(f"{out_dir}/postings")
-    )
+    if empty_build:
+        encoded.repartition(1).write.mode("overwrite").parquet(
+            f"{out_dir}/postings"
+        )
+    else:
+        (
+            # term-sorted files: parquet row-group min/max stats on `term`
+            # make the pushed In(term, ...) predicate skip whole row groups
+            encoded.repartition("seg", "field", "bucket")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("seg", "field", "bucket")
+            .parquet(f"{out_dir}/postings")
+        )
     phases["encode_write"] = round(time.time() - tp, 3)
     tp = time.time()
 
@@ -788,12 +803,17 @@ def _build_segments(
     seg_df = built_post.groupBy("seg", "field", "term").agg(F.sum("n").alias("df_p"))
     seg_df = seg_df.persist()
     persisted.append(seg_df)
-    (
-        seg_df.repartition("seg")
-        .write.mode("overwrite")
-        .partitionBy("seg")
-        .parquet(f"{out_dir}/term_seg_df")
-    )
+    if empty_build:
+        seg_df.repartition(1).write.mode("overwrite").parquet(
+            f"{out_dir}/term_seg_df"
+        )
+    else:
+        (
+            seg_df.repartition("seg")
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(f"{out_dir}/term_seg_df")
+        )
 
     # --- publish global term_dict + corpus_stats from per-seg partials ---
     publish_stats(spark, out_dir, cfg.n_buckets, n_fields=len(field_sources))
@@ -816,14 +836,17 @@ def _build_segments(
         rows.append(
             (f"seg-{seg:05d}", int(seg), int(fp), int(ndocs), int(nt), int(npost), now, "committed")
         )
-    mpdf = pd.DataFrame(
-        rows,
-        columns=[
-            "seg_id", "partition_id", "input_fingerprint", "n_docs",
-            "n_terms", "n_postings", "created_ts", "status",
-        ],
-    )
-    spark.createDataFrame(mpdf).coalesce(1).write.mode("append").parquet(f"{out_dir}/manifests")
+    if rows:  # an empty build has no segments to commit
+        mpdf = pd.DataFrame(
+            rows,
+            columns=[
+                "seg_id", "partition_id", "input_fingerprint", "n_docs",
+                "n_terms", "n_postings", "created_ts", "status",
+            ],
+        )
+        spark.createDataFrame(mpdf).coalesce(1).write.mode("append").parquet(
+            f"{out_dir}/manifests"
+        )
 
     phases["manifests"] = round(time.time() - tp, 3)
     elapsed = time.time() - t0
@@ -870,8 +893,13 @@ def write_corpus_stats(spark: SparkSession, out_dir: str, n_fields: int) -> None
         aggs.append(F.avg(col).alias(f"avgdl_{i}"))
         aggs.append(F.sum(col).alias(f"tot_{i}"))
     row = ds.agg(*aggs).collect()[0]
-    rows = [
-        (i, int(row["n_docs"]), float(row[f"avgdl_{i}"]), int(row[f"tot_{i}"]))
+    rows = [  # NULL aggregates (empty index) publish as zeros
+        (
+            i,
+            int(row["n_docs"]),
+            float(row[f"avgdl_{i}"] or 0.0),
+            int(row[f"tot_{i}"] or 0),
+        )
         for i in range(n_fields)
     ]
     spark.createDataFrame(
