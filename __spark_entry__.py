@@ -695,6 +695,15 @@ def q_ft_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_multi_match_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES per-field boost syntax fields=["text^2", "source"]: the text leg's
+    # contributions scale 2x before the most_fields sum
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match(
+        "data src7", fields=["text^2", "source"], k=20, round_scores=6
+    )
+
+
 def q_ft_bool_should(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q3 extension — ES bool {must, should}: must gates matching, should
     # terms only add score (Running-ELK.md bool composition)
@@ -1074,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bool_msm": q_ft_bool_msm,
         "ft_multi_match": q_ft_multi_match,
         "ft_multi_match_best": q_ft_multi_match_best,
+        "ft_multi_match_boost": q_ft_multi_match_boost,
         "ft_facet": q_ft_facet,
         "ft_histogram": q_ft_histogram,
         "ft_date_histogram": q_ft_date_histogram,
@@ -1298,6 +1308,16 @@ WITH docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source FROM documents
 ),{_mm_field_block(0, "text", mm_q)},{_mm_field_block(1, "source", mm_q)}
 , allsc AS (SELECT did, sc FROM sc0 UNION ALL SELECT did, sc FROM sc1)
+SELECT did AS doc_id, round(sum(sc), 6) AS score
+FROM allsc GROUP BY did
+ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
+"""
+    # per-field boost: text leg scaled 2x before the most_fields sum
+    multi_match_boost_sql = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source FROM documents
+),{_mm_field_block(0, "text", mm_q)},{_mm_field_block(1, "source", mm_q)}
+, allsc AS (SELECT did, 2.0 * sc AS sc FROM sc0 UNION ALL SELECT did, sc FROM sc1)
 SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
@@ -1784,6 +1804,7 @@ FROM events e ASOF LEFT JOIN snaps s
         "ft_sqs_and": sqs_and_sql,
         "ft_mlt": mlt_sql,
         "ft_multi_match_best": multi_match_best_sql,
+        "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",

@@ -1659,6 +1659,10 @@ class InvertedIndex:
             raise ValueError("multi_match: tie_breaker must be in [0, 1]")
         legs: list[tuple] = []
         for f in fields:
+            boost = 1.0
+            if isinstance(f, str) and "^" in f:  # ES "field^2.5" boost syntax
+                f, _, b = f.rpartition("^")
+                boost = float(b)
             fid = self._fid(f)
             terms = sorted(set(self._analyze(query, fid)))
             if not terms:
@@ -1666,6 +1670,11 @@ class InvertedIndex:
             dfs, idf, ubs = self._leg_stats(terms, fid)
             terms = [t for t in terms if t in dfs]
             if terms:
+                if boost != 1.0:
+                    # scaling idf scales contributions, upper bounds AND the
+                    # θ bootstrap consistently — pruning stays conservative
+                    idf = {t: w * boost for t, w in idf.items()}
+                    ubs = {t: u * boost for t, u in ubs.items()}
                 legs.append((fid, terms, dfs, idf, ubs))
         if not legs:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -273,3 +273,24 @@ def test_sayt_pruned_equals_exhaustive(built_index, fielded_index):
         assert _rows6(ix.search_as_you_type(q, k=10, prune=True)) == _rows6(
             ix.search_as_you_type(q, k=10, prune=False)
         ), q
+
+
+def test_multi_match_field_boost_syntax(fielded_index):
+    """fields=["body^2"] doubles that leg's contributions — pruned plan
+    included (idf scaling keeps θ and the bounds consistent)."""
+    plain = _rows6(fielded_index.multi_match("beta news", ["body", "title"], k=5))
+    boosted = _rows6(
+        fielded_index.multi_match("beta news", ["body^2", "title"], k=5)
+    )
+    assert boosted != plain  # the boost reorders/rescales
+    assert _rows6(
+        fielded_index.multi_match("beta news", ["body^2", "title"], k=5,
+                                  prune=True)
+    ) == _rows6(
+        fielded_index.multi_match("beta news", ["body^2", "title"], k=5,
+                                  prune=False)
+    )
+    # boost of 1 is the identity
+    assert _rows6(
+        fielded_index.multi_match("beta news", ["body^1", "title"], k=5)
+    ) == plain
