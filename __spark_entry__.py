@@ -756,6 +756,16 @@ def q_ft_sqs_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES query_string: full boolean grammar with parens/AND/OR/NOT —
+    # matching is distributed set algebra over the AST, scoring sums the
+    # positive leaves' BM25 (docs admitted by negative branches score 0)
+    ix = _documents_index(spark, sf_dir)
+    return ix.query_string(
+        "(data AND merge) OR (filter AND NOT window)", k=20, round_scores=6
+    )
+
+
 def q_ft_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES more_like_this seeded from doc 42's text (the like:"..." free-text
     # form): top-25 seed terms by tf-idf (tf>=2, df>=5), bool-should match
@@ -1113,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sqs_or": q_ft_sqs_or,
         "ft_sqs_and": q_ft_sqs_and,
         "ft_mlt": q_ft_mlt,
+        "ft_query_string": q_ft_query_string,
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
@@ -1803,6 +1814,23 @@ FROM events e ASOF LEFT JOIN snaps s
         "ft_sqs_or": sqs_or_sql,
         "ft_sqs_and": sqs_and_sql,
         "ft_mlt": mlt_sql,
+        "ft_query_string": f"""{bm_ctes},
+gate AS (
+  SELECT did FROM docs WHERE
+    (did IN (SELECT did FROM tf WHERE term = 'data')
+     AND did IN (SELECT did FROM tf WHERE term = 'merge'))
+    OR
+    (did IN (SELECT did FROM tf WHERE term = 'filter')
+     AND did NOT IN (SELECT did FROM tf WHERE term = 'window'))
+),
+scores AS (
+  SELECT did, sum(sc) AS s FROM bm
+  WHERE term IN ('data', 'filter', 'merge') GROUP BY did
+)
+SELECT g.did AS doc_id, round(coalesce(s.s, 0), 6) AS score
+FROM gate g LEFT JOIN scores s USING (did)
+ORDER BY round(coalesce(s.s, 0), 6) DESC, doc_id ASC LIMIT 20
+""",
         "ft_multi_match_best": multi_match_best_sql,
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",

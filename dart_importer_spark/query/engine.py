@@ -2011,6 +2011,211 @@ class InvertedIndex:
         )
 
     @staticmethod
+    def parse_query_string(query: str, default_operator: str = "or"):
+        """Recursive-descent parser for the full ES ``query_string``
+        boolean grammar: ``AND``/``&&``, ``OR``/``||``, ``NOT``/``!``,
+        parentheses, quoted phrases, trailing-``*`` prefixes; bare
+        adjacency combines with ``default_operator`` (ES default OR).
+        Returns an AST of ('or'|'and', [children]) / ('not', child) /
+        ('term'|'phrase'|'prefix', text) tuples."""
+        import re as _re
+
+        toks = _re.findall(r'\(|\)|"[^"]*"|[^\s()"]+', query)
+        pos = 0
+
+        def peek():
+            return toks[pos] if pos < len(toks) else None
+
+        def take():
+            nonlocal pos
+            t = toks[pos]
+            pos += 1
+            return t
+
+        def parse_or():
+            parts = [parse_and()]
+            while peek() in ("OR", "||"):
+                take()
+                parts.append(parse_and())
+            return parts[0] if len(parts) == 1 else ("or", parts)
+
+        def parse_and():
+            parts = [parse_unary()]
+            while True:
+                nxt = peek()
+                if nxt in ("AND", "&&"):
+                    take()
+                    parts.append(parse_unary())
+                elif nxt is not None and nxt not in ("OR", "||", ")"):
+                    # bare adjacency -> default_operator
+                    if default_operator == "and":
+                        parts.append(parse_unary())
+                    else:
+                        return (
+                            parts[0] if len(parts) == 1 else ("and", parts)
+                        )
+                else:
+                    break
+            return parts[0] if len(parts) == 1 else ("and", parts)
+
+        def parse_unary():
+            t = peek()
+            if t in ("NOT", "!"):
+                take()
+                return ("not", parse_unary())
+            if t == "(":
+                take()
+                node = parse_or()
+                if peek() == ")":
+                    take()
+                return node
+            tok = take()
+            if tok.startswith('"'):
+                return ("phrase", tok.strip('"'))
+            if tok.endswith("*") and len(tok) > 1:
+                return ("prefix", tok[:-1])
+            return ("term", tok)
+
+        # top level: adjacency joins with default_operator (OR default)
+        groups = [parse_or()]
+        while peek() is not None:
+            if peek() == ")":  # unbalanced close: skip
+                take()
+                continue
+            groups.append(parse_or())
+        if len(groups) == 1:
+            return groups[0]
+        return ("and" if default_operator == "and" else "or", groups)
+
+    def _qs_doc_set(self, node, fid: int, max_expansions) -> DataFrame:
+        """Evaluate a query_string AST node to its matching doc-id set —
+        pure distributed set algebra: AND = chained left_semi joins, OR =
+        union+distinct, NOT = anti-join against the live universe."""
+        kind = node[0]
+        if kind == "term":
+            toks = self._analyze(node[1], fid)
+            if not toks:
+                return self.spark.createDataFrame([], "doc_id long")
+            if len(toks) == 1:
+                return self._docs_for_terms(toks, fid).select("doc_id")
+            return self._qs_doc_set(
+                ("and", [("term", t) for t in toks]), fid, max_expansions
+            )
+        if kind == "phrase":
+            return self._phrase_doc_set(self._analyze(node[1], fid), fid)
+        if kind == "prefix":
+            toks = self._analyze(node[1], fid)
+            if not toks:
+                return self.spark.createDataFrame([], "doc_id long")
+            out = self._docs_for_terms_df(
+                self.expand_prefix_df(toks[-1], fid, max_expansions), fid
+            ).select("doc_id")
+            for t in toks[:-1]:  # conjunctive multi-token prefix (see sqs)
+                out = out.join(
+                    self._docs_for_terms([t], fid).select("doc_id"),
+                    "doc_id", "left_semi",
+                )
+            return out
+        if kind == "and":
+            children = [
+                self._qs_doc_set(c, fid, max_expansions)
+                for c in node[1]
+                if c[0] != "not"
+            ]
+            negs = [c for c in node[1] if c[0] == "not"]
+            if not children:  # pure-negative conjunction: start from all
+                children = [self.doc_stats().select("doc_id")]
+            out = children[0]
+            for c in children[1:]:
+                out = out.join(c, "doc_id", "left_semi")
+            for n in negs:  # a AND NOT b -> anti-join, no universe scan
+                out = out.join(
+                    self._qs_doc_set(n[1], fid, max_expansions),
+                    "doc_id", "left_anti",
+                )
+            return out
+        if kind == "or":
+            parts = [
+                self._qs_doc_set(c, fid, max_expansions) for c in node[1]
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.distinct()
+        # kind == "not": complement against the live universe
+        return self.doc_stats().select("doc_id").join(
+            self._qs_doc_set(node[1], fid, max_expansions),
+            "doc_id", "left_anti",
+        )
+
+    def query_string(
+        self,
+        query: str,
+        k: int = 10,
+        default_operator: str = "or",
+        field: str | int | None = None,
+        round_scores: int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES ``query_string``: the full boolean grammar (AND/OR/NOT,
+        parentheses, phrases, prefixes) — matching is the AST's distributed
+        set algebra (see _qs_doc_set); scoring is sum-of-BM25 over every
+        POSITIVE term/phrase leaf present in a matching doc, plus 1.0 per
+        positive prefix leaf matched (the documented engine semantic, same
+        family as simple_query_string; docs admitted purely by negative
+        branches score 0.0). θ-pruning is off — boolean gating invalidates
+        the single-term bootstrap."""
+        ast = self.parse_query_string(query, default_operator.lower())
+        fid = self._fid(field)
+        gate = self._qs_doc_set(ast, fid, max_expansions)
+
+        # positive leaves (not under an odd number of NOTs) drive scoring
+        terms: list[str] = []
+        prefixes: list[str] = []
+
+        def walk(node, neg: bool):
+            kind = node[0]
+            if kind == "not":
+                walk(node[1], not neg)
+            elif kind in ("and", "or"):
+                for c in node[1]:
+                    walk(c, neg)
+            elif neg:
+                return
+            elif kind in ("term", "phrase"):
+                terms.extend(self._analyze(node[1], fid))
+            else:
+                toks = self._analyze(node[1], fid)
+                if toks:
+                    terms.extend(toks[:-1])
+                    prefixes.append(toks[-1])
+
+        walk(ast, False)
+        parts: list[DataFrame] = []
+        sc = self._bm25_scores(sorted(set(terms)), fid)
+        if sc is not None:
+            parts.append(sc)
+        for pref in sorted(set(prefixes)):
+            pdocs = self._docs_for_terms_df(
+                self.expand_prefix_df(pref, fid, max_expansions), fid
+            ).select("doc_id")
+            parts.append(pdocs.withColumn("score", F.lit(1.0)))
+        if parts:
+            allp = parts[0]
+            for p in parts[1:]:
+                allp = allp.unionByName(p)
+            scores = allp.groupBy("doc_id").agg(F.sum("score").alias("s"))
+            out = gate.join(scores, "doc_id", "left").select(
+                "doc_id", F.coalesce(F.col("s"), F.lit(0.0)).alias("score")
+            )
+        else:  # no positive leaves (pure negation): filter-context 1.0
+            out = gate.withColumn("score", F.lit(1.0))
+        out = self._live(out)
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    @staticmethod
     def parse_simple_query(query: str) -> list[tuple[str, str, bool]]:
         """Lex an ES ``simple_query_string`` query into flat clauses:
         [(kind, payload, negated)] with kind in {'term','phrase','prefix'}.

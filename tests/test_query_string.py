@@ -343,3 +343,48 @@ def test_count_query_modes(sqs_index):
     assert sqs_index.count_query("zzq") == 0
     with pytest.raises(ValueError):
         sqs_index.count_query("alpha", mode="OR")
+
+
+# ---------------------------------------------------- full query_string (AST)
+def test_qs_parser_shapes():
+    P = InvertedIndex.parse_query_string
+    assert P("a b") == ("or", [("term", "a"), ("term", "b")])
+    assert P("a b", "and") == ("and", [("term", "a"), ("term", "b")])
+    assert P("a OR b AND c") == (
+        "or", [("term", "a"), ("and", [("term", "b"), ("term", "c")])]
+    )
+    assert P("(a OR b) AND NOT c") == (
+        "and",
+        [("or", [("term", "a"), ("term", "b")]), ("not", ("term", "c"))],
+    )
+    assert P('"x y" AND pre*') == (
+        "and", [("phrase", "x y"), ("prefix", "pre")]
+    )
+
+
+def test_qs_boolean_gating(sqs_index, oracle):
+    got = _got(sqs_index.query_string("(alpha AND delta) OR gamma", k=10))
+    assert set(got) == {0, 1, 3}
+    # score = sum of positive-leaf BM25 present in each gated doc
+    for did in got:
+        want = 0.0
+        for t in ("alpha", "delta", "gamma"):
+            s = oracle.scores(t)
+            m = s[s["doc_id"] == did]
+            if len(m):
+                want += float(m["score"].iloc[0])
+        assert got[did] == pytest.approx(want, abs=1e-9)
+
+
+def test_qs_not_and_phrase(sqs_index):
+    assert set(_got(sqs_index.query_string("NOT alpha", k=10))) == {3, 4}
+    got = _got(sqs_index.query_string('beta AND NOT "alpha beta"', k=10))
+    assert set(got) == {1, 2}
+    # precedence: AND binds tighter than the implicit OR
+    got2 = _got(sqs_index.query_string("delta OR alpha AND window", k=10))
+    assert set(got2) == {1, 2, 3, 5}
+
+
+def test_qs_pure_negation_scores_one(sqs_index):
+    got = _got(sqs_index.query_string("NOT alpha AND NOT beta", k=10))
+    assert got == {3: 1.0, 4: 1.0}
