@@ -93,8 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--type", required=True,
         choices=[
-            "sqs", "mlt", "phrase", "phrase_prefix", "wildcard", "fuzzy",
-            "regexp", "suggest", "sayt", "highlight",
+            "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
+            "fuzzy", "regexp", "suggest", "sayt", "highlight",
         ],
     )
     p.add_argument("--q", required=True)
@@ -175,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
         t, q, k, fld = args.type, args.q, args.k, args.field
         if t == "sqs":
             df = ix.simple_query_string(
+                q, k=k, default_operator=args.operator, field=fld,
+                max_expansions=args.max_expansions,
+            )
+        elif t == "qs":
+            df = ix.query_string(
                 q, k=k, default_operator=args.operator, field=fld,
                 max_expansions=args.max_expansions,
             )
