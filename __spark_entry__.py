@@ -524,6 +524,21 @@ def q_ft_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percolator (reverse search): three stored queries run against the
+    # whole documents batch in ONE tokenize+broadcast-join pass
+    from dart_importer_spark.operators.percolate import percolate
+
+    docs = _load(spark, sf_dir, "documents")
+    out = percolate(
+        spark,
+        {"q_alert": "data merge", "q_both": "filter window", "q_rare": "vector"},
+        docs,
+        mode="or",
+    )
+    return out.orderBy("query_id", "doc_id")
+
+
 def q_etl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end training-data curation pipeline over documents: exact
     # dedup (keep first doc per normalized text) -> quality gate (length +
@@ -1114,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_composite": q_ft_composite,
         "ft_analyze": q_ft_analyze,
         "ft_count_query": q_ft_count_query,
+        "ft_percolate": q_ft_percolate,
         "etl_curation": q_etl_curation,
         "ft_stats": q_ft_stats,
         "ft_search_after": q_ft_search_after,
@@ -1628,6 +1644,17 @@ lastk AS (SELECT lang, source FROM p1 ORDER BY lang DESC, source DESC LIMIT 1)
 SELECT b.lang, b.source, b.doc_count FROM b, lastk
 WHERE b.lang > lastk.lang OR (b.lang = lastk.lang AND b.source > lastk.source)
 ORDER BY b.lang, b.source LIMIT 5
+""",
+        "ft_percolate": _DOCS_CTE
+        + """
+, q(query_id, term) AS (VALUES
+    ('q_alert', 'data'), ('q_alert', 'merge'),
+    ('q_both', 'filter'), ('q_both', 'window'),
+    ('q_rare', 'vector')),
+td AS (SELECT DISTINCT did, term FROM tok)
+SELECT q.query_id, td.did AS doc_id, count(*) AS n_matched
+FROM td JOIN q USING (term)
+GROUP BY 1, 2 ORDER BY query_id, doc_id
 """,
         "etl_curation": """
 WITH first AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

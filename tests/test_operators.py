@@ -226,3 +226,26 @@ def test_filtered_knn_prefilter_semantics(spark):
     # full probe + filter == exact filtered brute force
     assert got_ivf == exact
     assert all(v % 2 == 0 for v in got_ivf)
+
+
+def test_percolate_reverse_search(spark):
+    from dart_importer_spark.operators import percolate as pc
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta only here"), (2, "nothing rel")],
+        "doc_id long, text string",
+    )
+    queries = {"qa": "alpha beta", "qb": "gamma", "qc": "zzz"}
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in pc.percolate(spark, queries, docs).collect()
+    }
+    assert got == {("qa", 0): 2, ("qa", 1): 1, ("qb", 0): 1}
+    got_and = {
+        (r["query_id"], r["doc_id"])
+        for r in pc.percolate(spark, queries, docs, mode="and").collect()
+    }
+    assert got_and == {("qa", 0), ("qb", 0)}
+    assert pc.percolate(spark, {}, docs).count() == 0
+    with pytest.raises(ValueError):
+        pc.percolate(spark, queries, docs, mode="xor")
