@@ -859,6 +859,36 @@ class InvertedIndex:
             out = out.join(allowed, "doc_id", "left_semi")
         return out.orderBy(F.asc("doc_id")).limit(k)
 
+    def terms_set(
+        self,
+        terms: Sequence[str],
+        min_match_col: str,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES ``terms_set``: docs matching at least ``doc_stats[min_match_col]``
+        of the given exact terms — the per-document minimum_should_match
+        (tag matching: each doc declares how many of its tags must hit).
+        Constant score; returns (doc_id, n_matched) in doc_id order."""
+        fid = self._fid(field)
+        vals = sorted({str(t).lower() for t in terms if str(t)})
+        if not vals:
+            return self.spark.createDataFrame(
+                [], "doc_id long, n_matched long"
+            )
+        scored = self._score_terms(vals, {t: 1.0 for t in vals}, fid=fid)
+        counts = scored.groupBy("doc_id").agg(
+            F.sum("matched").cast("long").alias("n_matched")
+        )
+        gated = counts.join(
+            self.doc_stats().select("doc_id", min_match_col), "doc_id"
+        ).filter(F.col("n_matched") >= F.col(min_match_col))
+        return (
+            self._live(gated.select("doc_id", "n_matched"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
         """(doc_id, score) BM25 partials for a term set on one field — the
         unpruned building block (bool ``should`` clauses, where every

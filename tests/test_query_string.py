@@ -388,3 +388,28 @@ def test_qs_not_and_phrase(sqs_index):
 def test_qs_pure_negation_scores_one(sqs_index):
     got = _got(sqs_index.query_string("NOT alpha AND NOT beta", k=10))
     assert got == {3: 1.0, 4: 1.0}
+
+
+def test_terms_set_per_doc_minimum(built_index, spark, transcripts_pdf):
+    """terms_set: each doc's required-match count comes from its own
+    doc_stats column (turn_idx here: doc at turn t needs >= t matches)."""
+    import numpy as np
+
+    from dart_importer_spark.functions.tokenizer import tokenize_text
+
+    terms = ["the", "and", "w00042"]
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in built_index.terms_set(
+            terms, min_match_col="turn_idx", k=100000
+        ).collect()
+    }
+    src = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = {}
+    for did, (text, need) in enumerate(zip(src["text"], src["turn_idx"])):
+        toks = set(tokenize_text(text))
+        n = sum(1 for t in terms if t in toks)
+        if n > 0 and n >= need:
+            want[did] = n
+    assert got == want
+    assert built_index.terms_set([], "turn_idx").count() == 0
