@@ -46,6 +46,7 @@ Scale design (the 10^12-turn design point):
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Iterator
@@ -460,6 +461,17 @@ def _make_multi_doc_encoder(
     return encode_partition
 
 
+def _clear_root_files(table_dir: str) -> None:
+    """Remove root-level files (not partition subdirectories) of a table —
+    leftovers of a non-partitioned empty build that would otherwise make
+    partition discovery fail on the next real build."""
+    if os.path.isdir(table_dir):
+        for f in os.listdir(table_dir):
+            p = os.path.join(table_dir, f)
+            if os.path.isfile(p):
+                os.remove(p)
+
+
 def _seg_col(key_col, n_segments: int):
     return F.pmod(
         F.crc32(F.encode(key_col.cast("string"), "utf-8")), F.lit(n_segments)
@@ -744,10 +756,18 @@ def _build_segments(
     # no repartition("seg") here: partitionBy splits by seg at write time from
     # whatever partitioning docs already has — an extra shuffle just to get
     # one-file-per-seg costs more than the files it saves.
-    # empty build (zero input docs, ES create-empty-index): a PARTITIONED
+    # empty build (ZERO input docs, ES create-empty-index): a PARTITIONED
     # write of zero rows leaves no schema-bearing file behind, so write one
-    # empty non-partitioned file instead (seg stays as a normal column)
-    empty_build = not todo
+    # empty non-partitioned file instead (seg stays as a normal column).
+    # Keyed on the input being truly empty — NOT on todo (an all-skipped
+    # resume with a missing meta.json must not overwrite real tables).
+    empty_build = not fingerprints
+    if not empty_build:
+        # a prior empty build left root-level files; partitioned dynamic
+        # overwrite would never remove them and partition discovery would
+        # then see conflicting structures — clear them first
+        for table in ("doc_stats", "postings", "term_seg_df"):
+            _clear_root_files(os.path.join(out_dir, table))
     stats_w = build_docs.select(*stats_cols)
     if empty_build:
         stats_w.repartition(1).write.mode("overwrite").parquet(

@@ -1692,7 +1692,19 @@ class InvertedIndex:
             boost = 1.0
             if isinstance(f, str) and "^" in f:  # ES "field^2.5" boost syntax
                 f, _, b = f.rpartition("^")
-                boost = float(b)
+                try:
+                    boost = float(b)
+                except ValueError:
+                    raise ValueError(
+                        f"multi_match: malformed field boost {f + '^' + b!r}"
+                    ) from None
+                if boost <= 0:
+                    # ES rejects non-positive boosts; a negative factor
+                    # would also flip the WAND upper bounds into lower
+                    # bounds and break pruning conservativeness
+                    raise ValueError(
+                        f"multi_match: boost must be > 0, got {boost}"
+                    )
             fid = self._fid(f)
             terms = sorted(set(self._analyze(query, fid)))
             if not terms:
@@ -2058,15 +2070,32 @@ class InvertedIndex:
 
         def take():
             nonlocal pos
+            if pos >= len(toks):
+                raise ValueError(
+                    "query_string: unexpected end of query (dangling "
+                    "operator or open parenthesis)"
+                )
             t = toks[pos]
             pos += 1
             return t
 
+        # bare adjacency is folded into the level default_operator selects,
+        # so parenthesized groups parse identically to the top level
         def parse_or():
             parts = [parse_and()]
-            while peek() in ("OR", "||"):
-                take()
-                parts.append(parse_and())
+            while True:
+                nxt = peek()
+                if nxt in ("OR", "||"):
+                    take()
+                    parts.append(parse_and())
+                elif (
+                    nxt is not None
+                    and nxt != ")"
+                    and default_operator != "and"
+                ):
+                    parts.append(parse_and())  # adjacency = OR (ES default)
+                else:
+                    break
             return parts[0] if len(parts) == 1 else ("or", parts)
 
         def parse_and():
@@ -2076,20 +2105,22 @@ class InvertedIndex:
                 if nxt in ("AND", "&&"):
                     take()
                     parts.append(parse_unary())
-                elif nxt is not None and nxt not in ("OR", "||", ")"):
-                    # bare adjacency -> default_operator
-                    if default_operator == "and":
-                        parts.append(parse_unary())
-                    else:
-                        return (
-                            parts[0] if len(parts) == 1 else ("and", parts)
-                        )
+                elif (
+                    default_operator == "and"
+                    and nxt is not None
+                    and nxt not in ("OR", "||", ")")
+                ):
+                    parts.append(parse_unary())  # adjacency = AND
                 else:
                     break
             return parts[0] if len(parts) == 1 else ("and", parts)
 
         def parse_unary():
             t = peek()
+            if t is None:
+                raise ValueError(
+                    "query_string: expected a clause, found end of query"
+                )
             if t in ("NOT", "!"):
                 take()
                 return ("not", parse_unary())
@@ -2099,6 +2130,8 @@ class InvertedIndex:
                 if peek() == ")":
                     take()
                 return node
+            if t == ")":
+                raise ValueError("query_string: unexpected ')'")
             tok = take()
             if tok.startswith('"'):
                 return ("phrase", tok.strip('"'))
@@ -2106,16 +2139,37 @@ class InvertedIndex:
                 return ("prefix", tok[:-1])
             return ("term", tok)
 
-        # top level: adjacency joins with default_operator (OR default)
-        groups = [parse_or()]
-        while peek() is not None:
-            if peek() == ")":  # unbalanced close: skip
+        if not toks:
+            return None
+        node = parse_or()
+        while peek() is not None:  # unbalanced ')' at top level: skip on
+            if peek() == ")":
                 take()
-                continue
-            groups.append(parse_or())
-        if len(groups) == 1:
-            return groups[0]
-        return ("and" if default_operator == "and" else "or", groups)
+                if peek() is None:
+                    break
+            rest = parse_or()
+            node = (
+                ("and", [node, rest])
+                if default_operator == "and"
+                else ("or", [node, rest])
+            )
+        return node
+
+    def _prefix_clause_docs(
+        self, lead: list[str], pref: str, fid: int, max_expansions
+    ) -> DataFrame:
+        """Doc set of a (possibly multi-token) prefix clause: docs carrying
+        some ``pref``-prefixed term AND every leading token — the shared
+        conjunctive kernel of simple_query_string and query_string."""
+        out = self._docs_for_terms_df(
+            self.expand_prefix_df(pref, fid, max_expansions), fid
+        ).select("doc_id")
+        for t in lead:
+            out = out.join(
+                self._docs_for_terms([t], fid).select("doc_id"),
+                "doc_id", "left_semi",
+            )
+        return out
 
     def _qs_doc_set(self, node, fid: int, max_expansions) -> DataFrame:
         """Evaluate a query_string AST node to its matching doc-id set —
@@ -2137,22 +2191,43 @@ class InvertedIndex:
             toks = self._analyze(node[1], fid)
             if not toks:
                 return self.spark.createDataFrame([], "doc_id long")
-            out = self._docs_for_terms_df(
-                self.expand_prefix_df(toks[-1], fid, max_expansions), fid
-            ).select("doc_id")
-            for t in toks[:-1]:  # conjunctive multi-token prefix (see sqs)
-                out = out.join(
-                    self._docs_for_terms([t], fid).select("doc_id"),
-                    "doc_id", "left_semi",
-                )
-            return out
+            return self._prefix_clause_docs(
+                toks[:-1], toks[-1], fid, max_expansions
+            )
         if kind == "and":
-            children = [
-                self._qs_doc_set(c, fid, max_expansions)
-                for c in node[1]
-                if c[0] != "not"
-            ]
-            negs = [c for c in node[1] if c[0] == "not"]
+            # pure term children fold into ONE matched-count decode pass
+            # (the count_query 'and' shape) instead of a scan + shuffle
+            # semi-join per term
+            term_toks: list[str] = []
+            others = []
+            negs = []
+            unmatchable = False
+            for c in node[1]:
+                if c[0] == "not":
+                    negs.append(c)
+                elif c[0] == "term":
+                    toks = self._analyze(c[1], fid)
+                    if toks:
+                        term_toks.extend(toks)
+                    else:
+                        unmatchable = True
+                else:
+                    others.append(c)
+            if unmatchable:
+                return self.spark.createDataFrame([], "doc_id long")
+            children = []
+            if term_toks:
+                uniq = sorted(set(term_toks))
+                scored = self._score_terms(uniq, {t: 1.0 for t in uniq}, fid=fid)
+                children.append(
+                    scored.groupBy("doc_id")
+                    .agg(F.sum("matched").alias("nm"))
+                    .filter(F.col("nm") == len(uniq))
+                    .select("doc_id")
+                )
+            children.extend(
+                self._qs_doc_set(c, fid, max_expansions) for c in others
+            )
             if not children:  # pure-negative conjunction: start from all
                 children = [self.doc_stats().select("doc_id")]
             out = children[0]
@@ -2196,6 +2271,8 @@ class InvertedIndex:
         branches score 0.0). θ-pruning is off — boolean gating invalidates
         the single-term bootstrap."""
         ast = self.parse_query_string(query, default_operator.lower())
+        if ast is None:  # empty query
+            return self._empty_scored(False)
         fid = self._fid(field)
         gate = self._qs_doc_set(ast, fid, max_expansions)
 
@@ -2364,14 +2441,7 @@ class InvertedIndex:
             if conj:
                 gate_sets.append(pdocs)
         for lead, pref in prefixes:
-            pdocs = self._docs_for_terms_df(
-                self.expand_prefix_df(pref, fid, max_expansions), fid
-            ).select("doc_id")
-            for t in lead:
-                pdocs = pdocs.join(
-                    self._docs_for_terms([t], fid).select("doc_id"),
-                    "doc_id", "left_semi",
-                )
+            pdocs = self._prefix_clause_docs(lead, pref, fid, max_expansions)
             parts.append(pdocs.withColumn("score", F.lit(1.0)))
             if lead:  # leading tokens score BM25 on clause-matching docs
                 sc = self._bm25_scores(sorted(set(lead)), fid)
@@ -2397,14 +2467,9 @@ class InvertedIndex:
             if kind == "phrase":
                 e = self._phrase_doc_set(toks, fid)
             elif kind == "prefix":
-                e = self._docs_for_terms_df(
-                    self.expand_prefix_df(toks[-1], fid, max_expansions), fid
-                ).select("doc_id")
-                for t in toks[:-1]:  # conjunctive, like the positive form
-                    e = e.join(
-                        self._docs_for_terms([t], fid).select("doc_id"),
-                        "doc_id", "left_semi",
-                    )
+                e = self._prefix_clause_docs(
+                    toks[:-1], toks[-1], fid, max_expansions
+                )
             else:
                 e = self._docs_for_terms(toks, fid).select("doc_id")
             excl = e if excl is None else excl.unionByName(e)

@@ -70,3 +70,47 @@ def test_empty_corpus_build_and_query(spark, tmp_path):
     assert ix.topk("anything", k=5).count() == 0
     assert ix.match_all().count() == 0
     assert ix.count_query("anything") == 0
+
+
+def test_build_on_top_of_empty_index(spark, tmp_path):
+    """ES flow: create empty index, then index documents into it — the
+    empty build's root-level files must not break partition discovery."""
+    from pyspark.sql import functions as F
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    out = str(tmp_path / "grow_idx")
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    build_index(spark, empty, out, BuildConfig(n_segments=2, n_buckets=4))
+    assert InvertedIndex(spark, out).count() == 0
+    docs = spark.createDataFrame(
+        [("c1", 0, "alpha beta"), ("c2", 0, "beta gamma")],
+        "conv_id string, turn_idx int, text string",
+    )
+    build_index(spark, docs, out, BuildConfig(n_segments=2, n_buckets=4))
+    ix = InvertedIndex(spark, out)
+    assert ix.count() == 2
+    assert [r["doc_id"] for r in ix.topk("beta", k=5).collect()] != []
+
+
+def test_all_skipped_resume_with_missing_meta_preserves_data(spark, tmp_path):
+    """todo == [] with meta.json missing must repair meta WITHOUT
+    overwriting healthy tables (the empty-build flag is keyed on the
+    input, not on todo)."""
+    import os
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    out = str(tmp_path / "repair_idx")
+    docs = spark.createDataFrame(
+        [("c1", 0, "alpha beta"), ("c2", 0, "beta gamma")],
+        "conv_id string, turn_idx int, text string",
+    )
+    build_index(spark, docs, out, BuildConfig(n_segments=2, n_buckets=4))
+    os.remove(os.path.join(out, "meta.json"))
+    build_index(spark, docs, out, BuildConfig(n_segments=2, n_buckets=4))
+    ix = InvertedIndex(spark, out)
+    assert ix.count() == 2
+    assert ix.topk("beta", k=5).count() == 2

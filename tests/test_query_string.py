@@ -413,3 +413,32 @@ def test_terms_set_per_doc_minimum(built_index, spark, transcripts_pdf):
             want[did] = n
     assert got == want
     assert built_index.terms_set([], "turn_idx").count() == 0
+
+
+def test_qs_parser_parenthesized_adjacency_and_errors():
+    P = InvertedIndex.parse_query_string
+    assert P("(data merge) AND filter") == (
+        "and",
+        [("or", [("term", "data"), ("term", "merge")]), ("term", "filter")],
+    )
+    assert P("a AND (b c)") == (
+        "and", [("term", "a"), ("or", [("term", "b"), ("term", "c")])]
+    )
+    assert P("") is None
+    for bad in ("a AND", "NOT", "(", "a OR"):
+        with pytest.raises(ValueError):
+            P(bad)
+
+
+def test_qs_parenthesized_adjacency_results(sqs_index):
+    # (delta gamma) AND alpha = (delta OR gamma) AND alpha -> docs 0, 1
+    got = _got(sqs_index.query_string("(delta gamma) AND alpha", k=10))
+    assert set(got) == {0, 1}
+    assert sqs_index.query_string("", k=5).count() == 0
+
+
+def test_multi_match_boost_validation(sqs_index):
+    with pytest.raises(ValueError, match="boost"):
+        sqs_index.multi_match("alpha", ["text^-2"], k=5)
+    with pytest.raises(ValueError, match="malformed"):
+        sqs_index.multi_match("alpha", ["text^two"], k=5)
