@@ -51,8 +51,10 @@ HEADLINE = [
     "ft_facet",
     "ft_phrase",
     "ft_sqs_or",
+    "ft_query_string",
     "ft_msearch",
     "ft_mlt",
+    "ft_percolate",
     "ft_multi_match_best",
     "ft_sig_terms",
     "ft_highlight",
