@@ -289,7 +289,11 @@ def main() -> None:
         return
     levels = tuple(int(x) for x in args.levels.split(","))
     summary = orchestrate(args.convs, levels)
-    write_bench_md(summary)
+    if levels == (1, 4):
+        # only the canonical N->4N protocol pair owns BENCH.md — a run at
+        # other levels (e.g. the 8->32 bandwidth-ceiling probe) must not
+        # overwrite the engine-scaling table and the appended sections
+        write_bench_md(summary)
     print(json.dumps(summary))
 
 
