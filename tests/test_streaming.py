@@ -112,3 +112,38 @@ def test_append_index_rejects_overlapping_keys(spark, tmp_path):
     build_index(spark, tr, idx, CFG)
     with pytest.raises(ValueError, match="monotone"):
         append_index(spark, tr.limit(5), idx, batch_tag="dup")
+
+
+def test_streaming_refresh_with_positions_and_shingles(spark, tmp_path):
+    """The O(batch) append path must compose with positional postings and
+    shingle subfields: after two streamed batches, match_phrase and
+    search_as_you_type answer identically to a from-scratch build."""
+    import numpy as np
+
+    landing = str(tmp_path / "landing_pos")
+    idx = str(tmp_path / "idx_pos")
+    cfg = BuildConfig(n_segments=2, n_buckets=4, store_positions=True)
+    kw = dict(shingle_fields=(("text", 2),))
+
+    all_tr = generate_transcripts(spark, 80).persist()
+    first = all_tr.filter(F.col("conv_id") < "conv00000050")
+    second = all_tr.filter(F.col("conv_id") >= "conv00000050")
+
+    first.coalesce(1).write.mode("append").parquet(landing)
+    m1 = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, cfg, **kw)
+    assert m1[0]["mode"] == "initial_build"
+    second.coalesce(1).write.mode("append").parquet(landing)
+    m2 = incremental_refresh(spark, landing, idx, TRANSCRIPTS_SCHEMA, cfg, **kw)
+    assert m2[0]["mode"] == "append"
+
+    full = str(tmp_path / "idx_full")
+    build_index(spark, all_tr, full, cfg, **kw)
+    a, b = InvertedIndex(spark, idx), InvertedIndex(spark, full)
+    pa = a.match_phrase("the and", k=100).toPandas()
+    pb = b.match_phrase("the and", k=100).toPandas()
+    assert list(pa["doc_id"]) == list(pb["doc_id"])
+    sa = a.search_as_you_type("the an", k=10).toPandas()
+    sb = b.search_as_you_type("the an", k=10).toPandas()
+    assert list(sa["doc_id"]) == list(sb["doc_id"])
+    assert np.allclose(sa["score"], sb["score"], atol=1e-9)
+    all_tr.unpersist()
