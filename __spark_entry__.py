@@ -750,6 +750,15 @@ def q_ft_sayt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.search_as_you_type("merge sor", k=20, round_scores=6)
 
 
+def q_ft_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES boosting query: docs containing 'window' keep half their "data
+    # merge" BM25 score (demoted, not excluded)
+    ix = _documents_index(spark, sf_dir)
+    return ix.boosting(
+        "data merge", "window", negative_boost=0.5, k=20, round_scores=6
+    )
+
+
 def q_ft_sqs_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES simple_query_string, default OR: bare term + quoted phrase +
     # trailing-* prefix + -negation in ONE query string; matched clauses
@@ -1105,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sayt": q_ft_sayt,
         "ft_bool_should": q_ft_bool_should,
         "ft_bool_must_not": q_ft_bool_must_not,
+        "ft_boosting": q_ft_boosting,
         "ft_bool_msm": q_ft_bool_msm,
         "ft_multi_match": q_ft_multi_match,
         "ft_multi_match_best": q_ft_multi_match_best,
@@ -1841,6 +1851,18 @@ FROM events e ASOF LEFT JOIN snaps s
         "ft_sqs_or": sqs_or_sql,
         "ft_sqs_and": sqs_and_sql,
         "ft_mlt": mlt_sql,
+        "ft_boosting": f"""{bm_ctes},
+scored AS (
+  SELECT did, sum(sc) AS raw FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+neg AS (SELECT DISTINCT did FROM tf WHERE term = 'window')
+SELECT s.did AS doc_id,
+       round(CASE WHEN n.did IS NOT NULL THEN s.raw * 0.5 ELSE s.raw END,
+             6) AS score
+FROM scored s LEFT JOIN neg n ON n.did = s.did
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
         "ft_query_string": f"""{bm_ctes},
 gate AS (
   SELECT did FROM docs WHERE

@@ -859,6 +859,43 @@ class InvertedIndex:
             out = out.join(allowed, "doc_id", "left_semi")
         return out.orderBy(F.asc("doc_id")).limit(k)
 
+    def boosting(
+        self,
+        positive: str,
+        negative: str,
+        negative_boost: float = 0.5,
+        k: int = 10,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``boosting`` query: the soft form of must_not — docs matching
+        any ``negative`` term keep their positive BM25 score MULTIPLIED by
+        ``negative_boost`` (demoted, not excluded). One scoring pass plus
+        one anti-set join."""
+        if not 0.0 <= float(negative_boost) <= 1.0:
+            raise ValueError("boosting: negative_boost must be in [0, 1]")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(positive, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        sc = self._live(sc)
+        neg_terms = sorted(set(self._analyze(negative, field)))
+        neg = self._docs_for_terms(neg_terms, fid).select(
+            "doc_id", F.lit(True).alias("_demote")
+        )
+        out = sc.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(
+                F.col("_demote"), F.col("score") * F.lit(float(negative_boost))
+            )
+            .otherwise(F.col("score"))
+            .alias("score"),
+        )
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def terms_set(
         self,
         terms: Sequence[str],

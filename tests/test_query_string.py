@@ -442,3 +442,19 @@ def test_multi_match_boost_validation(sqs_index):
         sqs_index.multi_match("alpha", ["text^-2"], k=5)
     with pytest.raises(ValueError, match="malformed"):
         sqs_index.multi_match("alpha", ["text^two"], k=5)
+
+
+def test_boosting_demotes_not_excludes(sqs_index, oracle):
+    got = _got(sqs_index.boosting("alpha beta", "window", 0.5, k=10))
+    s = oracle.scores("alpha beta")
+    want = {}
+    for did, sc in zip(s["doc_id"], s["score"]):
+        f = 0.5 if int(did) in (2, 5) else 1.0  # docs containing window
+        want[int(did)] = round(float(sc) * f, 9)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+    # demoted docs are still PRESENT (vs must_not exclusion)
+    assert {2, 5} <= set(got)
+    with pytest.raises(ValueError):
+        sqs_index.boosting("alpha", "window", negative_boost=2.0)
