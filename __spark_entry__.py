@@ -1544,7 +1544,7 @@ meta AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
 )
 SELECT count(*) AS count, min(n_chars) AS min, max(n_chars) AS max,
-       sum(n_chars) AS sum, round(avg(n_chars), 6) AS avg
+       CAST(sum(n_chars) AS BIGINT) AS sum, round(avg(n_chars), 6) AS avg
 FROM hits JOIN meta USING (did)
 """,
         "ft_date_histogram": _DOCS_CTE
@@ -1589,7 +1589,7 @@ meta AS (
   FROM documents
 )
 SELECT lang, count(*) AS doc_count, min(n_chars) AS min, max(n_chars) AS max,
-       sum(n_chars) AS sum, round(avg(n_chars), 6) AS avg
+       CAST(sum(n_chars) AS BIGINT) AS sum, round(avg(n_chars), 6) AS avg
 FROM hits JOIN meta USING (did)
 GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
 """,
@@ -1887,9 +1887,9 @@ ORDER BY round(coalesce(s.s, 0), 6) DESC, doc_id ASC LIMIT 20
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_sessionize": """
 SELECT event_id, user_id,
-       sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+       CAST(sum(CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
                 THEN 1 ELSE 0 END)
-         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_seq
 FROM (
   SELECT event_id, user_id, ts,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

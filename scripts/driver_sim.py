@@ -32,6 +32,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
+    """Two-level compare. The EXACT level mirrors the driver's value hash:
+    columns sorted by name, every cell stringified as-is, order-insensitive.
+    Representation drift the driver would flag (e.g. DuckDB HUGEINT -> float64
+    rendering '128447.0' vs Spark's '128447') FAILS here even when values are
+    numerically equal. The tolerant numeric level stays as a diagnostic so the
+    failure message says whether the values themselves actually differ."""
     if sorted(a.columns) != sorted(b.columns):
         return f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
     if len(a) != len(b):
@@ -39,16 +45,27 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = normalize(a.copy()), normalize(b.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
+        numeric_ok = None
         try:
             af = pd.to_numeric(av, errors="raise").astype(float)
             bf = pd.to_numeric(bv, errors="raise").astype(float)
-            if not ((af - bf).abs().fillna(0) <= 1e-9).all():
-                bad = (af - bf).abs() > 1e-9
-                return f"values differ in {c}: {a[bad][c].head(3).tolist()} vs {b[bad][c].head(3).tolist()}"
+            numeric_ok = bool(((af - bf).abs().fillna(0) <= 1e-9).all())
         except (ValueError, TypeError):
-            if not (av.astype(str) == bv.astype(str)).all():
-                bad = av.astype(str) != bv.astype(str)
-                return f"values differ in {c}: {av[bad].head(3).tolist()} vs {bv[bad].head(3).tolist()}"
+            pass
+        asv, bsv = av.astype(str), bv.astype(str)
+        if not (asv == bsv).all():
+            bad = asv != bsv
+            kind = (
+                "REPRESENTATION drift (values numerically equal — driver hash "
+                "would still fail)" if numeric_ok else "values differ"
+            )
+            return (
+                f"{kind} in {c}: {asv[bad].head(3).tolist()} vs "
+                f"{bsv[bad].head(3).tolist()}"
+            )
+        if numeric_ok is False:
+            bad = (af - bf).abs() > 1e-9
+            return f"values differ in {c}: {av[bad].head(3).tolist()} vs {bv[bad].head(3).tolist()}"
     return None
 
 
