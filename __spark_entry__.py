@@ -358,10 +358,12 @@ def q_ft_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Q6: fuzzy (edit distance <= 1) constant-score expansion
+    # Q6: fuzzy (Damerau distance <= 1, ES transpositions=true default)
+    # constant-score expansion: the misspelling "tabel" finds "table" in ONE
+    # edit (adjacent transposition), where classic levenshtein needs two
     # (reference Running-ELK.md:186-200)
     ix = _documents_index(spark, sf_dir)
-    return ix.fuzzy("tabl", k=100000, max_dist=1).select(
+    return ix.fuzzy("tabel", k=100000, max_dist=1).select(
         "doc_id", F.col("score").cast("double").alias("score")
     )
 
@@ -1784,10 +1786,11 @@ ORDER BY doc_id ASC LIMIT 50
         + """
 , dict AS (SELECT term, count(DISTINCT did)::BIGINT AS df FROM tok GROUP BY 1),
 cand AS (
-  SELECT term, levenshtein(term, 'dat') AS dist, df FROM dict
-  WHERE abs(len(term) - 3) <= 2 AND levenshtein(term, 'dat') <= 2
+  SELECT 'dat' AS token, term, damerau_levenshtein(term, 'dat') AS dist, df
+  FROM dict
+  WHERE abs(len(term) - 3) <= 2 AND damerau_levenshtein(term, 'dat') <= 2
 )
-SELECT term, dist::INT AS dist, df FROM cand
+SELECT token, term, dist::INT AS dist, df FROM cand
 ORDER BY dist ASC, df DESC, term ASC LIMIT 5
 """,
         "ft_highlight": f"""{bm_ctes},
@@ -1930,7 +1933,7 @@ ORDER BY doc_id ASC LIMIT 50
         + """
 , fz AS (
   SELECT term FROM (
-    SELECT DISTINCT term FROM tok WHERE levenshtein(term, 'tabl') <= 1
+    SELECT DISTINCT term FROM tok WHERE damerau_levenshtein(term, 'tabel') <= 1
   ) ORDER BY term LIMIT 50
 )
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score

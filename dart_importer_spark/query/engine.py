@@ -39,6 +39,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.codec import delta_decode, varbyte_decode
 from ..functions.tokenizer import tokenize_text
@@ -652,29 +653,113 @@ class InvertedIndex:
         )
         return self._cap_expansion(td, max_expansions)
 
+    @staticmethod
+    def _dl_variants(q: str, max_dist: int) -> tuple[list[str], list[str]]:
+        """Variant strings for the exact Damerau-Levenshtein <= max_dist
+        Catalyst predicate (``_dl_dist``). Returns ``(t1, t0)``:
+
+        - ``t1``: single adjacent-transposition rewrites of ``q`` (cost 1
+          each — a candidate within ``lev <= max_dist-1`` of one of these
+          is within DL ``max_dist`` of ``q``).
+        - ``t0``: rewrites costing exactly 2 that plain levenshtein over
+          ``q``/``t1`` cannot reach at budget 2 — disjoint double
+          transpositions and delete-then-transpose forms (the unrestricted-DL
+          path where a deletion makes the transposed pair adjacent, e.g.
+          ``abc -> ca``). Candidates matching one EXACTLY are at DL 2.
+
+        Exactness argument (DL budget <= 2, the ES fuzziness cap): every
+        cost-<=2 unrestricted-DL trace is one of {}, {e}, {e,e}, {t},
+        {t,e}, {t,t}. Transpositions of original adjacent chars commute
+        with non-overlapping edits -> covered by ``t1`` + lev. A transpose
+        involving an inserted char equals a cheaper plain insert; involving
+        a substituted char equals two substitutions (lev <= 2). Overlapping
+        double transposes are 3-window rotations (lev = 2). That leaves
+        disjoint {t,t} and delete-then-transpose — exactly ``t0``."""
+        t1 = [
+            q[:i] + q[i + 1] + q[i] + q[i + 2 :]
+            for i in range(len(q) - 1)
+            if q[i] != q[i + 1]
+        ]
+        t0: set[str] = set()
+        if max_dist >= 2:
+            for i in range(len(q) - 1):
+                if q[i] == q[i + 1]:
+                    continue
+                swapped = q[:i] + q[i + 1] + q[i] + q[i + 2 :]
+                for j in range(i + 2, len(q) - 1):
+                    if swapped[j] != swapped[j + 1]:
+                        t0.add(
+                            swapped[:j]
+                            + swapped[j + 1]
+                            + swapped[j]
+                            + swapped[j + 2 :]
+                        )
+            for i in range(1, len(q) - 1):
+                if q[i - 1] != q[i + 1]:
+                    t0.add(q[: i - 1] + q[i + 1] + q[i - 1] + q[i + 2 :])
+        return t1, sorted(t0)
+
+    @classmethod
+    def _dl_dist(cls, col: Column, q: str, max_dist: int) -> Column:
+        """Unrestricted Damerau-Levenshtein distance between ``col`` and the
+        literal ``q`` as a pure-Catalyst Column — exact for values
+        <= max_dist (ES caps fuzziness at 2), ``max_dist + 1`` beyond.
+        Matches DuckDB's ``damerau_levenshtein`` on the <= max_dist range,
+        so value oracles stay exact. Whole-stage-codegen friendly: one
+        levenshtein per adjacent transposition of ``q`` plus one In-list."""
+        t1, t0 = cls._dl_variants(q, max_dist)
+        big = F.lit(max_dist + 1)
+        exprs = [F.least(F.levenshtein(col, F.lit(q)), big)]
+        if max_dist >= 1:
+            exprs += [
+                F.least(F.levenshtein(col, F.lit(v)) + F.lit(1), big)
+                for v in t1
+            ]
+        if t0:
+            exprs.append(F.when(col.isin(t0), F.lit(2)).otherwise(big))
+        return F.least(*exprs) if len(exprs) > 1 else exprs[0]
+
     def expand_fuzzy_df(
         self,
         term: str,
         max_dist: int = 1,
         field: str | int | None = None,
         max_expansions: int | None = None,
+        transpositions: bool = True,
+        prefix_length: int = 0,
     ) -> DataFrame:
         """Edit-distance expansion over the term dictionary — ES fuzzy
         (Running-ELK.md:186-200). Distributed (see expand_prefix_df).
 
+        ES parity knobs: ``transpositions`` (default true, like ES — a
+        Damerau transposition counts as ONE edit, so ``tabel`` finds
+        ``table`` at max_dist=1) via the exact ``_dl_dist`` construction;
+        ``prefix_length`` requires the first N chars to match exactly and
+        measures edits on the suffixes only (Lucene FuzzyQuery semantics).
+
         Pruned by the length band |len(term) - len(q)| <= max_dist before
-        levenshtein runs: the band on the stored ``tlen`` column is a plain
-        comparison predicate, so it pushes into the parquet scan (row-group
-        min/max stats) instead of edit-distancing the whole dictionary."""
+        any edit distance runs: the band on the stored ``tlen`` column is a
+        plain comparison predicate, so it pushes into the parquet scan
+        (row-group min/max stats) instead of edit-distancing the whole
+        dictionary; with prefix_length the prefix equality prunes further."""
         q = term.lower()
         td = self._field_dict(field)
         if "tlen" in td.columns:
             band = F.col("tlen").between(len(q) - max_dist, len(q) + max_dist)
         else:  # pre-tlen index layout: still prune before levenshtein
             band = F.length("term").between(len(q) - max_dist, len(q) + max_dist)
-        td = td.filter(band).filter(
-            F.levenshtein(F.col("term"), F.lit(q)) <= max_dist
+        td = td.filter(band)
+        pl = max(0, int(prefix_length))
+        cand, qq = F.col("term"), q
+        if pl:
+            td = td.filter(F.substring("term", 1, pl) == F.lit(q[:pl]))
+            cand, qq = F.substring(F.col("term"), pl + 1, 1 << 30), q[pl:]
+        dist = (
+            self._dl_dist(cand, qq, max_dist)
+            if transpositions
+            else F.levenshtein(cand, F.lit(qq))
         )
+        td = td.filter(dist <= max_dist)
         return self._cap_expansion(td, max_expansions)
 
     def expand_regexp_df(
@@ -716,30 +801,59 @@ class InvertedIndex:
         k: int = 5,
         max_dist: int = 2,
         field: str | int | None = None,
+        transpositions: bool = True,
     ) -> DataFrame:
-        """ES term suggester: dictionary terms within ``max_dist`` edits of
-        the input, ranked the ES way — edit distance asc, then document
-        frequency desc, then term asc. The whole ranking runs on the
-        dictionary scan (tlen band pushed into the parquet scan before
-        levenshtein, like fuzzy); only the top-k suggestions reach the
-        driver. No pre-ranking cap: a lexicographic cap could evict the
-        closest suggestion, and the length band already bounds the
-        levenshtein work."""
-        q = (self._analyze(text, field) or [text.lower()])[0]
+        """ES term suggester: for EACH analyzed input token, dictionary
+        terms within ``max_dist`` edits (Damerau by default, like ES),
+        ranked the ES way — edit distance asc, then document frequency
+        desc, then term asc — with the top-k suggestions per token.
+
+        Multi-token inputs suggest per token (ES suggests per token; the
+        old single-token shortcut silently dropped the rest). The whole
+        thing is ONE dictionary scan regardless of token count: per-token
+        distances are stacked with explode(array(struct...)) on the scan,
+        then ranked with a window partitioned by token. The OR of the
+        per-token length bands still pushes into the parquet scan; only
+        k rows per token reach the driver."""
+        toks = list(dict.fromkeys(self._analyze(text, field) or [text.lower()]))
         td = self._field_dict(field)
-        band = (
-            F.col("tlen") if "tlen" in td.columns else F.length("term")
-        ).between(len(q) - max_dist, len(q) + max_dist)
+        tlen = F.col("tlen") if "tlen" in td.columns else F.length("term")
+        band = None
+        for q in toks:
+            b = tlen.between(len(q) - max_dist, len(q) + max_dist)
+            band = b if band is None else (band | b)
+        dist_of = (
+            (lambda q: self._dl_dist(F.col("term"), q, max_dist))
+            if transpositions
+            else (lambda q: F.levenshtein(F.col("term"), F.lit(q)))
+        )
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("token"), dist_of(q).alias("dist")
+                    )
+                    for q in toks
+                ]
+            )
+        ).alias("s")
         cand = (
             td.filter(band)
-            .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+            .select("term", "df", stacked)
+            .select("term", "df", F.col("s.token").alias("token"),
+                    F.col("s.dist").alias("dist"))
             .filter(F.col("dist") <= max_dist)
         )
-        return (
-            cand.select("term", "dist", "df")
-            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
-            .limit(k)
+        w = Window.partitionBy("token").orderBy(
+            F.asc("dist"), F.desc("df"), F.asc("term")
         )
+        out = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("token", "term", "dist", "df")
+            .orderBy(F.asc("token"), F.asc("dist"), F.desc("df"), F.asc("term"))
+        )
+        return out
 
     def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Driver-side convenience wrapper around expand_prefix_df (NOT used
@@ -827,12 +941,19 @@ class InvertedIndex:
         max_dist: int = 1,
         field: str | int | None = None,
         max_expansions: int | None = 50,
+        transpositions: bool = True,
+        prefix_length: int = 0,
     ) -> DataFrame:
         """ES fuzzy query (constant-score expansion variant). Distributed
-        expansion; ``max_expansions`` defaults to 50, the ES fuzzy default."""
+        expansion; ``max_expansions`` defaults to 50, the ES fuzzy default;
+        ``transpositions``/``prefix_length`` as in ES (Damerau by default)."""
         fid = self._fid(field)
         docs = self._docs_for_terms_df(
-            self.expand_fuzzy_df(term, max_dist, fid, max_expansions), fid
+            self.expand_fuzzy_df(
+                term, max_dist, fid, max_expansions,
+                transpositions=transpositions, prefix_length=prefix_length,
+            ),
+            fid,
         )
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
 
