@@ -783,12 +783,13 @@ def q_ft_sqs_and(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ES query_string: full boolean grammar with parens/AND/OR/NOT —
-    # matching is distributed set algebra over the AST, scoring sums the
-    # positive leaves' BM25 (docs admitted by negative branches score 0)
+    # ES query_string: full boolean grammar with parens/AND/OR/NOT plus
+    # Lucene field scoping — 'source:src7' matches (and scores BM25) in the
+    # source field's postings while 'data OR merge' stays on the primary
+    # text field (the Kibana field:value syntax, Running-ELK.md:112-119)
     ix = _documents_index(spark, sf_dir)
     return ix.query_string(
-        "(data AND merge) OR (filter AND NOT window)", k=20, round_scores=6
+        "source:src7 AND (data OR merge) AND NOT window", k=20, round_scores=6
     )
 
 
@@ -1867,21 +1868,33 @@ FROM scored s LEFT JOIN neg n ON n.did = s.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "ft_query_string": f"""{bm_ctes},
+src AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lower(source) AS sterm
+  FROM documents
+),
+sdf AS (SELECT sterm, count(*)::DOUBLE AS df FROM src GROUP BY 1),
+sbm AS (
+  -- source field: one token per doc -> tf=1, dl=avgdl=1; idf over total N
+  SELECT src.did,
+         ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5)) / (1.0 + {K1}) AS sc
+  FROM src JOIN sdf USING (sterm)
+  CROSS JOIN (SELECT count(*)::DOUBLE AS n FROM src) s
+  WHERE src.sterm = 'src7'
+),
 gate AS (
-  SELECT did FROM docs WHERE
-    (did IN (SELECT did FROM tf WHERE term = 'data')
-     AND did IN (SELECT did FROM tf WHERE term = 'merge'))
-    OR
-    (did IN (SELECT did FROM tf WHERE term = 'filter')
-     AND did NOT IN (SELECT did FROM tf WHERE term = 'window'))
+  SELECT did FROM sbm
+  WHERE did IN (SELECT did FROM tf WHERE term IN ('data', 'merge'))
+    AND did NOT IN (SELECT did FROM tf WHERE term = 'window')
 ),
 scores AS (
-  SELECT did, sum(sc) AS s FROM bm
-  WHERE term IN ('data', 'filter', 'merge') GROUP BY did
+  SELECT did, sum(sc) AS s FROM (
+    SELECT did, sc FROM bm WHERE term IN ('data', 'merge')
+    UNION ALL SELECT did, sc FROM sbm
+  ) GROUP BY did
 )
-SELECT g.did AS doc_id, round(coalesce(s.s, 0), 6) AS score
-FROM gate g LEFT JOIN scores s USING (did)
-ORDER BY round(coalesce(s.s, 0), 6) DESC, doc_id ASC LIMIT 20
+SELECT g.did AS doc_id, round(s.s, 6) AS score
+FROM gate g JOIN scores s USING (did)
+ORDER BY round(s.s, 6) DESC, doc_id ASC LIMIT 20
 """,
         "ft_multi_match_best": multi_match_best_sql,
         "ft_multi_match_boost": multi_match_boost_sql,

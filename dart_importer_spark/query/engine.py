@@ -2214,10 +2214,13 @@ class InvertedIndex:
     def parse_query_string(query: str, default_operator: str = "or"):
         """Recursive-descent parser for the full ES ``query_string``
         boolean grammar: ``AND``/``&&``, ``OR``/``||``, ``NOT``/``!``,
-        parentheses, quoted phrases, trailing-``*`` prefixes; bare
-        adjacency combines with ``default_operator`` (ES default OR).
+        parentheses, quoted phrases, trailing-``*`` prefixes, and field
+        scoping — ``field:value``, ``field:"a phrase"``, ``field:(a OR b)``
+        (the Kibana/Lucene syntax; the field binds to the immediately
+        following term or group, like ES); bare adjacency combines with
+        ``default_operator`` (ES default OR).
         Returns an AST of ('or'|'and', [children]) / ('not', child) /
-        ('term'|'phrase'|'prefix', text) tuples."""
+        ('field', name, child) / ('term'|'phrase'|'prefix', text) tuples."""
         import re as _re
 
         toks = _re.findall(r'\(|\)|"[^"]*"|[^\s()"]+', query)
@@ -2293,6 +2296,26 @@ class InvertedIndex:
             tok = take()
             if tok.startswith('"'):
                 return ("phrase", tok.strip('"'))
+            m = _re.match(r"^([A-Za-z_][\w.]*):(.*)$", tok)
+            if m:
+                fname, rest = m.group(1), m.group(2)
+                if rest:  # field:value in one token
+                    return ("field", fname, _leaf(rest))
+                nxt = peek()  # the lexer split field:"..." / field:(...)
+                if nxt == "(":
+                    take()
+                    sub = parse_or()
+                    if peek() == ")":
+                        take()
+                    return ("field", fname, sub)
+                if nxt is not None and nxt.startswith('"'):
+                    return ("field", fname, ("phrase", take().strip('"')))
+                raise ValueError(
+                    f"query_string: field '{fname}:' with no value"
+                )
+            return _leaf(tok)
+
+        def _leaf(tok):
             if tok.endswith("*") and len(tok) > 1:
                 return ("prefix", tok[:-1])
             return ("term", tok)
@@ -2332,8 +2355,11 @@ class InvertedIndex:
     def _qs_doc_set(self, node, fid: int, max_expansions) -> DataFrame:
         """Evaluate a query_string AST node to its matching doc-id set —
         pure distributed set algebra: AND = chained left_semi joins, OR =
-        union+distinct, NOT = anti-join against the live universe."""
+        union+distinct, NOT = anti-join against the live universe; a
+        'field' node re-scopes its subtree to that field's postings."""
         kind = node[0]
+        if kind == "field":
+            return self._qs_doc_set(node[2], self._fid(node[1]), max_expansions)
         if kind == "term":
             toks = self._analyze(node[1], fid)
             if not toks:
@@ -2434,37 +2460,42 @@ class InvertedIndex:
         fid = self._fid(field)
         gate = self._qs_doc_set(ast, fid, max_expansions)
 
-        # positive leaves (not under an odd number of NOTs) drive scoring
-        terms: list[str] = []
-        prefixes: list[str] = []
+        # positive leaves (not under an odd number of NOTs) drive scoring,
+        # each in the field its enclosing 'field:' scope resolves to
+        terms: dict[int, list[str]] = {}
+        prefixes: dict[int, list[str]] = {}
 
-        def walk(node, neg: bool):
+        def walk(node, neg: bool, f: int):
             kind = node[0]
-            if kind == "not":
-                walk(node[1], not neg)
+            if kind == "field":
+                walk(node[2], neg, self._fid(node[1]))
+            elif kind == "not":
+                walk(node[1], not neg, f)
             elif kind in ("and", "or"):
                 for c in node[1]:
-                    walk(c, neg)
+                    walk(c, neg, f)
             elif neg:
                 return
             elif kind in ("term", "phrase"):
-                terms.extend(self._analyze(node[1], fid))
+                terms.setdefault(f, []).extend(self._analyze(node[1], f))
             else:
-                toks = self._analyze(node[1], fid)
+                toks = self._analyze(node[1], f)
                 if toks:
-                    terms.extend(toks[:-1])
-                    prefixes.append(toks[-1])
+                    terms.setdefault(f, []).extend(toks[:-1])
+                    prefixes.setdefault(f, []).append(toks[-1])
 
-        walk(ast, False)
+        walk(ast, False, fid)
         parts: list[DataFrame] = []
-        sc = self._bm25_scores(sorted(set(terms)), fid)
-        if sc is not None:
-            parts.append(sc)
-        for pref in sorted(set(prefixes)):
-            pdocs = self._docs_for_terms_df(
-                self.expand_prefix_df(pref, fid, max_expansions), fid
-            ).select("doc_id")
-            parts.append(pdocs.withColumn("score", F.lit(1.0)))
+        for f in sorted(terms):
+            sc = self._bm25_scores(sorted(set(terms[f])), f)
+            if sc is not None:
+                parts.append(sc)
+        for f in sorted(prefixes):
+            for pref in sorted(set(prefixes[f])):
+                pdocs = self._docs_for_terms_df(
+                    self.expand_prefix_df(pref, f, max_expansions), f
+                ).select("doc_id")
+                parts.append(pdocs.withColumn("score", F.lit(1.0)))
         if parts:
             allp = parts[0]
             for p in parts[1:]:

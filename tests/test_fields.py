@@ -294,3 +294,29 @@ def test_multi_match_field_boost_syntax(fielded_index):
     assert _rows6(
         fielded_index.multi_match("beta news", ["body^1", "title"], k=5)
     ) == plain
+
+
+def test_query_string_field_scoping(fielded_index):
+    # title:news matches docs 0, 2, 4 via the title field's postings;
+    # AND body:beta narrows to docs 0 and 4; default field stays body
+    got = {
+        int(r["doc_id"])
+        for r in fielded_index.query_string("title:news AND beta", k=10).collect()
+    }
+    assert got == {0, 4}
+    # unknown fields raise like ES does
+    with pytest.raises(KeyError):
+        fielded_index.query_string("nosuch:term", k=5).collect()
+
+
+def test_query_string_field_scoped_scoring_matches_match(fielded_index):
+    # a single field-scoped term must score exactly like topk on that field
+    qs = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fielded_index.query_string("title:news", k=10).collect()
+    }
+    tk = {
+        int(r["doc_id"]): round(float(r["score"]), 9)
+        for r in fielded_index.topk("news", k=10, field="title").collect()
+    }
+    assert qs == tk

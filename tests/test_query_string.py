@@ -458,3 +458,27 @@ def test_boosting_demotes_not_excludes(sqs_index, oracle):
     assert {2, 5} <= set(got)
     with pytest.raises(ValueError):
         sqs_index.boosting("alpha", "window", negative_boost=2.0)
+
+
+# ------------------------------------------------------------ field scoping
+def test_parse_field_scoping_forms():
+    p = InvertedIndex.parse_query_string
+    assert p("lang:en") == ("field", "lang", ("term", "en"))
+    assert p("title:alp*") == ("field", "title", ("prefix", "alp"))
+    assert p('title:"a b"') == ("field", "title", ("phrase", "a b"))
+    assert p("title:(a OR b)") == (
+        "field", "title", ("or", [("term", "a"), ("term", "b")])
+    )
+    # the field binds to the immediately following group only (ES/Lucene)
+    assert p("title:a b") == (
+        "or", [("field", "title", ("term", "a")), ("term", "b")]
+    )
+    # a colon token not shaped like a field name stays a term
+    assert p("12:30") == ("term", "12:30")
+    with pytest.raises(ValueError):
+        p("title: AND x")
+
+
+def test_field_scope_with_no_value_raises():
+    with pytest.raises(ValueError):
+        InvertedIndex.parse_query_string("title:")
