@@ -527,14 +527,26 @@ def q_ft_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ft_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ES percolator (reverse search): three stored queries run against the
-    # whole documents batch in ONE tokenize+broadcast-join pass
+    # ES percolator (reverse search): stored queries — plain any-term rules
+    # PLUS structured bool rules (match_phrase + must_not exclusion, and a
+    # should/minimum_should_match rule, the reference's bool composition,
+    # Running-ELK.md:230-247) — run against the whole documents batch in
+    # ONE tokenize pass with broadcast clause joins
     from dart_importer_spark.operators.percolate import percolate
 
     docs = _load(spark, sf_dir, "documents")
     out = percolate(
         spark,
-        {"q_alert": "data merge", "q_both": "filter window", "q_rare": "vector"},
+        {
+            "q_alert": "data merge",
+            "q_both": "filter window",
+            "q_rare": "vector",
+            "q_phrase_not": {"phrase": "data merge", "must_not": ["window"]},
+            "q_msm": {
+                "should": ["data", "merge", "filter"],
+                "minimum_should_match": 2,
+            },
+        },
         docs,
         mode="or",
     )
@@ -1659,15 +1671,40 @@ WHERE b.lang > lastk.lang OR (b.lang = lastk.lang AND b.source > lastk.source)
 ORDER BY b.lang, b.source LIMIT 5
 """,
         "ft_percolate": _DOCS_CTE
-        + """
+        + f"""
 , q(query_id, term) AS (VALUES
     ('q_alert', 'data'), ('q_alert', 'merge'),
     ('q_both', 'filter'), ('q_both', 'window'),
-    ('q_rare', 'vector')),
-td AS (SELECT DISTINCT did, term FROM tok)
-SELECT q.query_id, td.did AS doc_id, count(*) AS n_matched
-FROM td JOIN q USING (term)
-GROUP BY 1, 2 ORDER BY query_id, doc_id
+    ('q_rare', 'vector'),
+    ('q_msm', 'data'), ('q_msm', 'merge'), ('q_msm', 'filter')),
+td AS (SELECT DISTINCT did, term FROM tok),
+simple AS (
+  SELECT q.query_id, td.did AS doc_id, count(*) AS n_matched
+  FROM td JOIN q USING (term)
+  GROUP BY 1, 2
+  HAVING (q.query_id != 'q_msm' OR count(*) >= 2)
+),
+tl AS (
+  SELECT did, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS lst
+  FROM docs
+),
+tpp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM tl
+),
+phr AS (
+  SELECT DISTINCT p0.did
+  FROM (SELECT did, pos FROM tpp WHERE term = 'data') p0
+  JOIN (SELECT did, pos - 1 AS pos FROM tpp WHERE term = 'merge') p1
+    USING (did, pos)
+),
+pn AS (
+  SELECT 'q_phrase_not' AS query_id, phr.did AS doc_id,
+         CAST(0 AS BIGINT) AS n_matched
+  FROM phr
+  WHERE did NOT IN (SELECT did FROM td WHERE term = 'window')
+)
+SELECT * FROM simple UNION ALL SELECT * FROM pn
+ORDER BY query_id, doc_id
 """,
         "etl_curation": """
 WITH first AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),

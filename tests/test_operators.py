@@ -249,3 +249,66 @@ def test_percolate_reverse_search(spark):
     assert pc.percolate(spark, {}, docs).count() == 0
     with pytest.raises(ValueError):
         pc.percolate(spark, queries, docs, mode="xor")
+
+
+def test_percolate_structured_clauses(spark):
+    from dart_importer_spark.operators import percolate as pc
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),     # phrase 'alpha beta' present
+            (1, "beta alpha gamma"),     # both terms, wrong order
+            (2, "alpha beta noise bad"), # phrase present but excluded
+            (3, "gamma delta epsilon"),  # no phrase terms
+        ],
+        "doc_id long, text string",
+    )
+    queries = {
+        "q_phrase": {"phrase": "alpha beta", "must_not": ["bad"]},
+        "q_must": {"must": ["gamma", "beta"]},
+        "q_msm": {"should": ["alpha", "beta", "delta"],
+                  "minimum_should_match": 2},
+        "q_neg": {"must_not": ["alpha"]},
+    }
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in pc.percolate(spark, queries, docs).collect()
+    }
+    assert {k for k in got if k[0] == "q_phrase"} == {("q_phrase", 0)}
+    assert got[("q_phrase", 0)] == 0  # phrase-only match: no term tally
+    assert {k for k in got if k[0] == "q_must"} == {("q_must", 0), ("q_must", 1)}
+    assert got[("q_must", 0)] == 2
+    # msm=2: docs 0/1 match alpha+beta; doc 2 matches alpha+beta; doc 3 only delta
+    assert {k[1] for k in got if k[0] == "q_msm"} == {0, 1, 2}
+    # pure-negative: every doc lacking 'alpha'
+    assert {k[1] for k in got if k[0] == "q_neg"} == {3}
+
+
+def test_percolate_must_with_optional_should(spark):
+    from dart_importer_spark.operators import percolate as pc
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha zeta")], "doc_id long, text string"
+    )
+    # ES default: with must present, should is optional but still tallied
+    got = {
+        r["doc_id"]: r["n_matched"]
+        for r in pc.percolate(
+            spark, {"q": {"must": ["alpha"], "should": ["beta"]}}, docs
+        ).collect()
+    }
+    assert got == {0: 2, 1: 1}
+
+
+def test_percolate_validation(spark):
+    from dart_importer_spark.operators import percolate as pc
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):  # msm beyond should count
+        pc.percolate(spark, {"q": {"should": ["a"], "minimum_should_match": 2}}, docs)
+    with pytest.raises(ValueError):  # match-everything rule
+        pc.percolate(spark, {"q": {"should": ["a"], "minimum_should_match": 0}}, docs)
+    with pytest.raises(ValueError):  # unknown clause key
+        pc.percolate(spark, {"q": {"mustt": ["a"]}}, docs)
+    with pytest.raises(ValueError):  # empty clause set
+        pc.percolate(spark, {"q": {}}, docs)
