@@ -651,6 +651,21 @@ def q_ft_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.highlight("data merge", k=10, round_scores=6)
 
 
+def q_ft_highlight_frag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES highlight fragments mode (number_of_fragments=2, fragment_size=80):
+    # match-anchored snippets — tag, locate offsets via a prefix-sum fold,
+    # greedily absorb nearby matches, slice substring windows; all JVM-side
+    ix = _documents_index(spark, sf_dir)
+    out = ix.highlight(
+        "data merge", k=10, round_scores=6,
+        number_of_fragments=2, fragment_size=80,
+    )
+    return out.select(
+        "doc_id", "score",
+        F.col("frag_idx").cast("int").alias("frag_idx"), "fragment",
+    )
+
+
 def q_ft_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES significant_terms (JLH): terms over-represented in the "merge"
     # match set vs the whole index — one postings pass with the match-set
@@ -1143,6 +1158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_top_hits": q_ft_top_hits,
         "ft_sig_terms": q_ft_sig_terms,
         "ft_highlight": q_ft_highlight,
+        "ft_highlight_frag": q_ft_highlight_frag,
         "ft_regexp": q_ft_regexp,
         "ft_suggest": q_ft_suggest,
         "ft_function_score": q_ft_function_score,
@@ -1842,6 +1858,51 @@ SELECT t.did AS doc_id, t.score,
                       '<em>\\1</em>', 'g') AS highlighted
 FROM top t JOIN docs d ON d.did = t.did
 ORDER BY t.score DESC, doc_id ASC
+""",
+        "ft_highlight_frag": f"""{bm_ctes},
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+top AS (SELECT did, score FROM scored ORDER BY score DESC, did ASC LIMIT 10),
+tg AS (
+  SELECT t.did, t.score,
+         regexp_replace(d.text, '(?i)\\b(data|merge)\\b',
+                        '<em>\\1</em>', 'g') AS tagged
+  FROM top t JOIN docs d ON d.did = t.did
+),
+pr AS (SELECT did, score, tagged, string_split(tagged, '<em>') AS parts FROM tg),
+-- 1-based char offset of each <em>: prefix char-lengths + prior tag lengths
+offs AS (
+  SELECT did, score, tagged,
+         list_transform(
+           range(1, len(parts)),
+           i -> CAST(list_sum(list_transform(parts[1:i], p -> length(p)))
+                     + (i - 1) * 4 + 1 AS INT)
+         ) AS offs
+  FROM pr
+),
+-- greedy absorb (gap = 80 - 16 = 64), first 2 kept offsets
+sel AS (
+  SELECT did, score, tagged,
+         list_slice(
+           CASE WHEN len(offs) = 0 THEN []::INT[]
+                ELSE list_reduce(
+                       list_transform(offs, o -> [o]),
+                       (acc, x) -> CASE WHEN x[1] >= list_last(acc) + 64
+                                        THEN list_append(acc, x[1])
+                                        ELSE acc END)
+           END, 1, 2) AS sel
+  FROM offs
+)
+SELECT did AS doc_id, score, CAST(gi AS INT) AS frag_idx,
+       substring(tagged, greatest(1, o - 16), 80) AS fragment
+FROM (
+  SELECT did, score, tagged, unnest(sel) AS o,
+         generate_subscripts(sel, 1) AS gi
+  FROM sel
+)
+ORDER BY score DESC, doc_id ASC, frag_idx ASC
 """,
         "ft_sig_terms": _DOCS_CTE
         + """

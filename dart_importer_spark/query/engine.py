@@ -1612,10 +1612,25 @@ class InvertedIndex:
         pre_tag: str = "<em>",
         post_tag: str = "</em>",
         round_scores: int | None = None,
+        number_of_fragments: int = 0,
+        fragment_size: int = 100,
     ) -> DataFrame:
-        """ES highlight in ``number_of_fragments: 0`` mode: the top-k BM25
-        hits with EVERY query-term occurrence in the stored source column
-        wrapped in pre/post tags (whole field returned, no fragmenting).
+        """ES highlight: the top-k BM25 hits with EVERY query-term
+        occurrence in the stored source column wrapped in pre/post tags.
+
+        ``number_of_fragments=0`` (default) returns the whole tagged field
+        (one row per hit: doc_id, score, highlighted). With
+        ``number_of_fragments > 0`` it returns up to that many snippets of
+        ``fragment_size`` chars per hit (one row per fragment: doc_id,
+        score, frag_idx, fragment), via a deterministic match-anchored
+        fragmenter that both Spark and the DuckDB oracle can compute:
+        tag occurrences, locate each tag's char offset (a prefix-sum fold
+        over the split parts), greedily keep offsets at least
+        ``fragment_size - lead`` apart (later matches are absorbed into
+        the previous snippet's window; ``lead = fragment_size // 5`` chars
+        of left context), then slice ``fragment_size`` chars starting at
+        ``max(1, offset - lead)``. Everything stays JVM-side — array folds
+        and substring windows on the k hit rows only.
 
         Requires the index to carry the source text as a meta column
         (``meta_cols=(..., text_col)`` at build time — the ES ``_source``
@@ -1659,14 +1674,66 @@ class InvertedIndex:
             return s.replace("\\", "\\\\").replace("$", "\\$")
 
         rep = f"{_quote_replacement(pre_tag)}$1{_quote_replacement(post_tag)}"
-        return (
-            joined.withColumn(
-                "highlighted",
-                F.regexp_replace(F.col(text_col), pat, rep),
-            )
-            .select("doc_id", "score", "highlighted")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        tagged = joined.withColumn(
+            "highlighted", F.regexp_replace(F.col(text_col), pat, rep)
         )
+        if number_of_fragments <= 0:
+            return tagged.select("doc_id", "score", "highlighted").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+
+        lead = fragment_size // 5
+        gap = fragment_size - lead
+        taglen = len(pre_tag)
+        parts = F.split("highlighted", _re.escape(pre_tag), -1)
+        # char offset (1-based) of each pre_tag: prefix-sum fold over the
+        # parts preceding it
+        offs = F.aggregate(
+            F.slice(parts, 1, F.size(parts) - 1),
+            F.struct(
+                F.lit(1).alias("pos"),
+                F.array().cast("array<int>").alias("offs"),
+            ),
+            lambda acc, p: F.struct(
+                (acc["pos"] + F.length(p) + taglen).alias("pos"),
+                F.concat(
+                    acc["offs"],
+                    F.array((acc["pos"] + F.length(p)).cast("int")),
+                ).alias("offs"),
+            ),
+            lambda acc: acc["offs"],
+        )
+        # greedy absorb: keep a match only if it falls past the previous
+        # kept snippet's window
+        sel = F.aggregate(
+            offs,
+            F.array().cast("array<int>"),
+            lambda acc, o: F.when(
+                (F.size(acc) == 0) | (o >= F.element_at(acc, -1) + gap),
+                F.concat(acc, F.array(o)),
+            ).otherwise(acc),
+        )
+        out = (
+            tagged.withColumn(
+                "sel", F.slice(sel, 1, number_of_fragments)
+            )
+            .select(
+                "doc_id", "score", "highlighted",
+                F.posexplode("sel").alias("fidx", "off"),
+            )
+            .select(
+                "doc_id", "score",
+                (F.col("fidx") + 1).alias("frag_idx"),
+                F.col("highlighted")
+                .substr(
+                    F.greatest(F.lit(1), F.col("off") - lead),
+                    F.lit(fragment_size),
+                )
+                .alias("fragment"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"), F.asc("frag_idx"))
+        )
+        return out
 
     def significant_terms(
         self,

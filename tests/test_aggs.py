@@ -326,3 +326,39 @@ def test_highlight_tags_with_regex_metachars(spark, tmp_path_factory):
         "alpha", k=1, pre_tag='<em data-x="$q\\y">', post_tag="</em>"
     ).collect()[0]
     assert r["highlighted"] == '<em data-x="$q\\y">alpha</em> beta'
+
+
+def test_highlight_fragments(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    filler = " ".join(f"w{i:03d}" for i in range(30))  # ~180 chars of noise
+    rows = [
+        # two alpha clusters far apart -> two fragments; the adjacent
+        # second 'alpha' in the first cluster is absorbed into fragment 1
+        ("c1", 0, f"alpha one alpha {filler} alpha two"),
+        ("c1", 1, "alpha at start only"),
+        ("c2", 0, "no match here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("hlf") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("text",),
+    )
+    ix = InvertedIndex(spark, out)
+    got = ix.highlight(
+        "alpha", k=10, number_of_fragments=3, fragment_size=60
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(int(r["doc_id"]), []).append(r)
+    # doc 0: clusters ~pos 1 and ~pos 200 -> exactly 2 fragments
+    assert len(by_doc[0]) == 2
+    # doc 1: single match -> one fragment; non-matching doc absent
+    assert len(by_doc[1]) == 1 and 2 not in by_doc
+    for r in got:
+        assert len(r["fragment"]) <= 60
+        assert "<em>alpha</em>" in r["fragment"]
+    # fragment indexes are 1-based and ordered
+    assert [r["frag_idx"] for r in by_doc[0]] == [1, 2]
