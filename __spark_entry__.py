@@ -1010,7 +1010,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CACHE:
-        out = os.path.join("/tmp/dis_entry_ivf_v1", key.strip("/").replace("/", "_"))
+        out = os.path.join("/tmp/dis_entry_ivf_v2", key.strip("/").replace("/", "_"))
         if not os.path.exists(os.path.join(out, "meta.json")):
             emb = _load(spark, sf_dir, "embeddings")
             # FAISS rule of thumb: n_lists ~ sqrt(n); probe a quarter

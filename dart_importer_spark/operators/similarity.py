@@ -208,8 +208,16 @@ class IvfAnnIndex:
     Scale shape: the list table is written ``partitionBy(list_id)`` so a
     probe reads exactly nprobe partition directories — candidate count
     ≈ nprobe/n_lists of the corpus, independent of total size. n_lists
-    scales as ~sqrt(n_vectors) (the FAISS IVF rule of thumb); training
-    samples the corpus, assignment is one model.transform pass."""
+    scales as ~sqrt(n_vectors) (the FAISS IVF rule of thumb). The KMeans
+    fit SAMPLES the corpus by default once it exceeds ``train_target``
+    rows (≈ max(256·n_lists, train_target), the FAISS training-set rule —
+    a 10⁹-vector corpus must not feed the quantizer whole); assignment is
+    one model.transform pass. Centroids persist as a PARQUET table next to
+    the lists (√10⁹ lists × 768 dims is ~200 MB — JSON-in-meta would bloat
+    the driver), and centroid ranking itself goes distributed above
+    ``driver_rank_max`` lists instead of collecting them to the driver."""
+
+    DRIVER_RANK_MAX = 10_000
 
     def __init__(
         self,
@@ -219,6 +227,7 @@ class IvfAnnIndex:
         n_lists: int = 16,
         seed: int = 42,
         train_fraction: float | None = None,
+        train_target: int = 10_000,
         persist: bool = True,
     ):
         from pyspark.ml.clustering import KMeans
@@ -239,15 +248,24 @@ class IvfAnnIndex:
         )
         base = emb.select(id_col, vec_col, unit.alias("_unit"))
         featured = base.withColumn("_features", array_to_vector("_unit"))
+        if train_fraction is None:
+            # default: sampled fit above the training target (256 points
+            # per centroid, floored at train_target) — never the full
+            # corpus once it outgrows what k-means needs
+            target = max(256 * self.n_lists, int(train_target))
+            n = featured.count()
+            train_fraction = min(1.0, target / n) if n > target else 1.0
+        self.train_fraction = float(train_fraction)
         train = (
             featured.sample(fraction=train_fraction, seed=seed)
-            if train_fraction is not None
+            if train_fraction < 1.0
             else featured
         )
         model = KMeans(
             k=self.n_lists, seed=self.seed, featuresCol="_features",
             predictionCol="_list",
         ).fit(train)
+        self._centroid_df = None
         self.centroids = np.array(
             [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
         )
@@ -265,13 +283,20 @@ class IvfAnnIndex:
 
     def save(self, path: str) -> None:
         """Materialize (id, vec, list_id) partitioned by list_id — the
-        inverted-list layout: a probe scans only its lists' directories."""
+        inverted-list layout: a probe scans only its lists' directories —
+        plus the centroid table as parquet (n_lists rows; scales to 10⁵+
+        lists where JSON-in-meta would not)."""
         import json
         import os
 
+        spark = self.table.sparkSession
         self.table.write.mode("overwrite").partitionBy("list_id").parquet(
             f"{path}/lists"
         )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            "list_id int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -279,7 +304,6 @@ class IvfAnnIndex:
                     "vec_col": self.vec_col,
                     "n_lists": self.n_lists,
                     "seed": self.seed,
-                    "centroids": self.centroids.tolist(),
                 },
                 f,
             )
@@ -294,16 +318,40 @@ class IvfAnnIndex:
         obj = cls.__new__(cls)
         obj.id_col, obj.vec_col = meta["id_col"], meta["vec_col"]
         obj.n_lists, obj.seed = int(meta["n_lists"]), int(meta["seed"])
-        obj.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        obj._centroid_df = spark.read.parquet(f"{path}/centroids")
+        if obj.n_lists <= cls.DRIVER_RANK_MAX:
+            rows = obj._centroid_df.collect()
+            cents = [None] * obj.n_lists
+            for r in rows:
+                cents[int(r["list_id"])] = r["centroid"]
+            obj.centroids = np.asarray(cents, dtype=np.float64)
+        else:  # rank centroids distributedly; never collect them all
+            obj.centroids = None
         obj.table = spark.read.parquet(f"{path}/lists")
         return obj
 
     def _probe_lists(self, query_vec: list[float], nprobe: int) -> list[int]:
         v = np.asarray(query_vec, dtype=np.float64)
         v = v / max(float(np.linalg.norm(v)), 1e-12)
-        d2 = ((self.centroids - v) ** 2).sum(axis=1)
-        order = np.lexsort((np.arange(d2.size), d2))  # distance, then id
-        return [int(i) for i in order[: max(1, int(nprobe))]]
+        if self.centroids is not None:  # small quantizer: driver numpy
+            d2 = ((self.centroids - v) ** 2).sum(axis=1)
+            order = np.lexsort((np.arange(d2.size), d2))  # distance, then id
+            return [int(i) for i in order[: max(1, int(nprobe))]]
+        # big quantizer (n_lists > DRIVER_RANK_MAX): one tiny distributed
+        # top-nprobe over the centroid table — only nprobe ints come back
+        q = F.array(*[F.lit(float(x)) for x in v])
+        d2c = F.aggregate(
+            F.zip_with(F.col("centroid"), q, lambda c, x: (c - x) * (c - x)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        rows = (
+            self._centroid_df.select("list_id", d2c.alias("d2"))
+            .orderBy(F.asc("d2"), F.asc("list_id"))
+            .limit(max(1, int(nprobe)))
+            .collect()
+        )
+        return [int(r["list_id"]) for r in rows]
 
     def topk(
         self,

@@ -312,3 +312,50 @@ def test_percolate_validation(spark):
         pc.percolate(spark, {"q": {"mustt": ["a"]}}, docs)
     with pytest.raises(ValueError):  # empty clause set
         pc.percolate(spark, {"q": {}}, docs)
+
+
+def test_ivf_centroids_parquet_roundtrip_and_sampled_fit(spark, tmp_path):
+    import os
+
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(600)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    # target = max(256*n_lists, train_target) = 512 < 600 rows -> the fit
+    # must sample, not take the corpus
+    ivf = similarity.IvfAnnIndex(
+        emb, n_lists=2, seed=1, train_target=100, persist=False
+    )
+    assert ivf.train_fraction < 1.0
+    path = str(tmp_path / "ivf_pq")
+    ivf.save(path)
+    # centroids live in a parquet table, not in meta.json
+    assert os.path.isdir(os.path.join(path, "centroids"))
+    import json
+
+    with open(os.path.join(path, "meta.json")) as f:
+        assert "centroids" not in json.load(f)
+    loaded = similarity.IvfAnnIndex.load(spark, path)
+    assert np.allclose(loaded.centroids, ivf.centroids)
+    q = vecs[0][1]
+    a = [(r["vec_id"], round(r["cosine"], 9)) for r in ivf.topk(q, k=5, nprobe=3).collect()]
+    b = [(r["vec_id"], round(r["cosine"], 9)) for r in loaded.topk(q, k=5, nprobe=3).collect()]
+    assert a == b
+
+
+def test_ivf_distributed_centroid_ranking_matches_driver(spark, tmp_path):
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(200)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    ivf = similarity.IvfAnnIndex(emb, n_lists=5, seed=2, persist=False)
+    path = str(tmp_path / "ivf_dist")
+    ivf.save(path)
+    loaded = similarity.IvfAnnIndex.load(spark, path)
+    q = vecs[3][1]
+    driver_lists = loaded._probe_lists(q, 3)
+    # force the big-quantizer path: drop the driver copy
+    loaded.centroids = None
+    assert loaded._probe_lists(q, 3) == driver_lists
