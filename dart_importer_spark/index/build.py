@@ -632,6 +632,7 @@ def build_index(
         return _build_segments(
             spark, base, out_dir, cfg, doc_key_cols, field_sources, fields,
             meta_cols, transcripts, fingerprints, todo, done, persisted, t0,
+            force=force,
         )
     finally:
         for h in persisted:
@@ -709,6 +710,7 @@ def _resolve_fields(text_col, text_cols, shingle_fields):
 def _build_segments(
     spark, base, out_dir, cfg, doc_key_cols, field_sources, fields,
     meta_cols, transcripts, fingerprints, todo, done, persisted, t0,
+    force=False,
 ):
     phases: dict[str, float] = {}
     tp = time.time()
@@ -762,6 +764,24 @@ def _build_segments(
     # Keyed on the input being truly empty — NOT on todo (an all-skipped
     # resume with a missing meta.json must not overwrite real tables).
     empty_build = not fingerprints
+    if empty_build and not force:
+        # an empty-input build writes the tables NON-partitioned, and a
+        # non-partitioned overwrite is a FULL overwrite (dynamic
+        # partitionOverwriteMode only protects partitioned writes). The
+        # meta.json early-return normally prevents reaching here over a
+        # live index, but if meta.json is missing/corrupt while the data
+        # tables survive, an empty run must not destroy them.
+        for table in ("doc_stats", "postings", "term_seg_df"):
+            tdir = os.path.join(out_dir, table)
+            if os.path.isdir(tdir) and any(
+                e.startswith(("seg=", "bucket=")) or e.endswith(".parquet")
+                for e in os.listdir(tdir)
+            ):
+                raise ValueError(
+                    f"build_index: input is empty but {tdir} already holds "
+                    "data (meta.json missing or unreadable?) — refusing to "
+                    "overwrite; pass force=True to wipe and recreate"
+                )
     if not empty_build:
         # a prior empty build left root-level files; partitioned dynamic
         # overwrite would never remove them and partition discovery would

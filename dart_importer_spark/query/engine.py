@@ -221,6 +221,10 @@ class InvertedIndex:
         """
         if search_after is not None and offset:
             raise ValueError("topk: search_after and offset are exclusive")
+        # reset BEFORE any early return: a reader of the ES _profile-parity
+        # record must never see the previous query's plan after an
+        # empty-analysis / unknown-term call
+        self.last_profile = {}
         fid = self._fid(field)
         avgdl = self.avgdl_by_field[fid]
         terms = sorted(set(self._analyze(query, field)))
@@ -1380,10 +1384,18 @@ class InvertedIndex:
         """ES histogram aggregation over the match set: docs containing ANY
         query term, bucketed by floor(doc_stats.by / interval) * interval,
         bucket ascending (the numeric sibling of facet/terms-agg that the
-        reference's Kibana dashboards chart)."""
+        reference's Kibana dashboards chart). ES supports double intervals:
+        integral intervals keep long bucket keys; fractional ones keep
+        double keys (casting those to long would merge e.g. the 0.0 and
+        0.5 buckets)."""
+        if not interval > 0:
+            raise ValueError(f"histogram: interval must be > 0, got {interval}")
         joined = self._match_meta(query, field, [by])
-        bucket = (F.floor(F.col(by) / F.lit(interval)) * F.lit(interval)).cast(
-            "long"
+        bucket = F.floor(F.col(by) / F.lit(interval)) * F.lit(interval)
+        bucket = (
+            bucket.cast("long")
+            if float(interval) == int(interval)
+            else bucket.cast("double")
         )
         return (
             joined.groupBy(bucket.alias("bucket"))

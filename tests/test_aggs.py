@@ -362,3 +362,35 @@ def test_highlight_fragments(spark, tmp_path_factory):
         assert "<em>alpha</em>" in r["fragment"]
     # fragment indexes are 1-based and ordered
     assert [r["frag_idx"] for r in by_doc[0]] == [1, 2]
+
+
+def test_histogram_fractional_interval(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha", 0.2), ("c1", 1, "alpha", 0.4),
+        ("c2", 0, "alpha", 0.6), ("c2", 1, "alpha", 1.1),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ratio double"
+    )
+    out = str(tmp_path_factory.mktemp("histf") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("ratio",),
+    )
+    ix = InvertedIndex(spark, out)
+    got = {
+        float(r["bucket"]): int(r["doc_count"])
+        for r in ix.histogram("alpha", by="ratio", interval=0.5).collect()
+    }
+    # 0.2/0.4 -> bucket 0.0; 0.6 -> 0.5; 1.1 -> 1.0 (a long cast would
+    # have merged 0.0 and 0.5)
+    assert got == {0.0: 2, 0.5: 1, 1.0: 1}
+    # integral intervals keep long keys
+    ints = ix.histogram("alpha", by="ratio", interval=1).collect()
+    assert all(isinstance(r["bucket"], int) for r in ints)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ix.histogram("alpha", by="ratio", interval=0)

@@ -118,3 +118,14 @@ def test_histogram_and_stats_agg(built_index, oracle):
     assert row["min"] == min(vals) and row["max"] == max(vals)
     assert row["sum"] == sum(vals)
     assert abs(row["avg"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_last_profile_reset_on_early_return(built_index):
+    """An empty-analysis or unknown-term topk must clear last_profile, not
+    leave the previous query's plan record in place."""
+    built_index.topk("the", 5).collect()
+    assert built_index.last_profile  # populated by a real query
+    built_index.topk("zzqqxxyy_not_a_term", 5)
+    assert built_index.last_profile == {}
+    built_index.topk("", 5)
+    assert built_index.last_profile == {}

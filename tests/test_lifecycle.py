@@ -141,3 +141,23 @@ def test_get_by_keys_empty_and_mixed_arity(spark, built_index):
         built_index.get_by_keys([("conv00000001", 0, "extra")])
     rows = built_index.get_by_keys([("conv00000001",)]).collect()
     assert {r["conv_id"] for r in rows} == {"conv00000001"}
+
+
+def test_empty_build_refuses_to_overwrite_live_tables(spark, tmp_path):
+    """meta.json gone but data tables intact: an empty-input build must
+    refuse the non-partitioned (= full) overwrite instead of destroying
+    the index (force=True is the explicit escape hatch)."""
+    import os
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+
+    rows = [("c1", 0, "alpha beta"), ("c1", 1, "gamma")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4))
+    os.remove(os.path.join(out, "meta.json"))
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        build_index(spark, empty, out, BuildConfig(n_segments=2, n_buckets=4))
+    # the data tables survived the refused attempt
+    assert spark.read.parquet(f"{out}/doc_stats").count() == 2
