@@ -377,8 +377,20 @@ def q_ft_delete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _documents_index(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="dis_delete_")
     try:
+        # snapshot WITHOUT copying index data: delete_by_query only ever
+        # appends to <idx>/tombstones, so symlink the immutable tables and
+        # copy just meta.json (+ any existing tombstones). A copytree here
+        # is O(index) driver I/O per gate run — pointless at scale.
         dst = os.path.join(work, "idx")
-        shutil.copytree(ix.dir, dst)
+        os.makedirs(dst)
+        for entry_name in os.listdir(ix.dir):
+            src = os.path.join(ix.dir, entry_name)
+            if entry_name == "meta.json":
+                shutil.copy2(src, os.path.join(dst, entry_name))
+            elif entry_name == "tombstones":
+                shutil.copytree(src, os.path.join(dst, entry_name))
+            else:
+                os.symlink(src, os.path.join(dst, entry_name))
         from dart_importer_spark.query.engine import InvertedIndex
 
         mx = InvertedIndex(spark, dst)
@@ -1126,66 +1138,27 @@ def q_etl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- full-text engine (Q1-Q12 of SURVEY.md §2.8) ---
-        "ft_match_single": _ft("data", k=20),
-        "ft_match_multi": _ft("spark join stream", k=20),
-        "ft_match_and": _ft("filter window", k=20, mode="and"),
-        "ft_filter_lang": _ft("table", k=20, filters=lambda: F.col("lang") == "en"),
-        "ft_range_nchars": _ft(
-            "query", k=20, filters=lambda: (F.col("n_chars") >= 100) & (F.col("n_chars") < 400)
-        ),
-        "ft_deep_topk": _ft("merge sort", k=100),
-        "ft_wildcard_prefix": q_ft_wildcard,
-        "ft_fuzzy": q_ft_fuzzy,
-        "ft_match_field": q_ft_match_field,
-        "ft_boost": q_ft_boost,
-        "ft_exists": q_ft_exists,
-        "ft_offset": q_ft_offset,
-        "ft_sayt": q_ft_sayt,
-        "ft_bool_should": q_ft_bool_should,
-        "ft_bool_must_not": q_ft_bool_must_not,
-        "ft_boosting": q_ft_boosting,
-        "ft_bool_msm": q_ft_bool_msm,
-        "ft_multi_match": q_ft_multi_match,
-        "ft_multi_match_best": q_ft_multi_match_best,
-        "ft_multi_match_boost": q_ft_multi_match_boost,
-        "ft_facet": q_ft_facet,
-        "ft_histogram": q_ft_histogram,
-        "ft_date_histogram": q_ft_date_histogram,
-        "ft_cardinality": q_ft_cardinality,
-        "ft_percentiles": q_ft_percentiles,
-        "ft_facet_stats": q_ft_facet_stats,
-        "ft_top_hits": q_ft_top_hits,
-        "ft_sig_terms": q_ft_sig_terms,
-        "ft_highlight": q_ft_highlight,
-        "ft_highlight_frag": q_ft_highlight_frag,
-        "ft_regexp": q_ft_regexp,
-        "ft_suggest": q_ft_suggest,
-        "ft_function_score": q_ft_function_score,
-        "ft_collapse": q_ft_collapse,
-        "ft_msearch": q_ft_msearch,
-        "ft_terms": q_ft_terms,
-        "ft_explain": q_ft_explain,
-        "ft_rescore": q_ft_rescore,
-        "ft_composite": q_ft_composite,
-        "ft_analyze": q_ft_analyze,
-        "ft_count_query": q_ft_count_query,
-        "ft_percolate": q_ft_percolate,
-        "etl_curation": q_etl_curation,
-        "ft_stats": q_ft_stats,
-        "ft_search_after": q_ft_search_after,
-        "ft_phrase": q_ft_phrase,
-        "ft_phrase_slop": q_ft_phrase_slop,
-        "ft_phrase_prefix": q_ft_phrase_prefix,
-        "ft_sqs_or": q_ft_sqs_or,
-        "ft_sqs_and": q_ft_sqs_and,
-        "ft_mlt": q_ft_mlt,
+        # --- never driver-sampled before r04 — evidence priority ---
         "ft_query_string": q_ft_query_string,
+        "sim_ann_ivf": q_sim_ann_ivf,
+        # --- multimodal plumbing ---,
+        "etl_asof_join": q_etl_asof_join,
+        "etl_xml_source": q_etl_xml_source,
+        "etl_sessionize": q_etl_sessionize,
+        # --- changed this round — fresh driver evidence ---
+        "ft_stats": q_ft_stats,
+        "ft_facet_stats": q_ft_facet_stats,
+        "ft_fuzzy": q_ft_fuzzy,
+        "ft_suggest": q_ft_suggest,
+        "ft_percolate": q_ft_percolate,
+        "ft_highlight_frag": q_ft_highlight_frag,
+        "ft_histogram": q_ft_histogram,
+        # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
         "ft_get_by_id": q_ft_get_by_id,
         "ft_delete_count": q_ft_delete_count,
-        # --- training-data ops ---
+        # --- training-data ops ---,
         "tx_token_count": q_tx_token_count,
         "tx_bpe_count": q_tx_bpe_count,
         "tx_quality": q_tx_quality,
@@ -1196,11 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": q_dd_simhash_pairs,
         "sim_bruteforce_cosine": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_ivf": q_sim_ann_ivf,
-        # --- multimodal plumbing ---
         "mm_frame_plan": q_mm_frame_plan,
         "mm_features": q_mm_features,
-        # --- ETL parity (SURVEY.md §2.1-2.7) ---
+        # --- ETL parity (SURVEY.md §2.1-2.7) ---,
         "etl_proj_rename": q_etl_proj_rename,
         "etl_filter_eq": q_etl_filter_eq,
         "etl_broadcast_join": q_etl_broadcast_join,
@@ -1217,9 +1188,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_window_topn": q_etl_window_topn,
         "etl_distinct": q_etl_distinct,
         "etl_interval_join": q_etl_interval_join,
-        "etl_asof_join": q_etl_asof_join,
-        "etl_xml_source": q_etl_xml_source,
-        "etl_sessionize": q_etl_sessionize,
+        "ft_range_nchars": _ft(
+            "query", k=20, filters=lambda: (F.col("n_chars") >= 100) & (F.col("n_chars") < 400)
+        ),
+        # --- r03-green ---
+        "ft_match_and": _ft("filter window", k=20, mode="and"),
+        "ft_multi_match": q_ft_multi_match,
+        "ft_wildcard_prefix": q_ft_wildcard,
+        "ft_phrase": q_ft_phrase,
+        "ft_match_single": _ft("data", k=20),
+        "ft_sayt": q_ft_sayt,
+        "ft_match_multi": _ft("spark join stream", k=20),
+        "ft_filter_lang": _ft("table", k=20, filters=lambda: F.col("lang") == "en"),
+        "ft_deep_topk": _ft("merge sort", k=100),
+        "ft_match_field": q_ft_match_field,
+        "ft_boost": q_ft_boost,
+        "ft_exists": q_ft_exists,
+        "ft_offset": q_ft_offset,
+        "ft_bool_should": q_ft_bool_should,
+        "ft_bool_must_not": q_ft_bool_must_not,
+        "ft_boosting": q_ft_boosting,
+        "ft_bool_msm": q_ft_bool_msm,
+        "ft_multi_match_best": q_ft_multi_match_best,
+        "ft_multi_match_boost": q_ft_multi_match_boost,
+        "ft_facet": q_ft_facet,
+        "ft_date_histogram": q_ft_date_histogram,
+        "ft_cardinality": q_ft_cardinality,
+        "ft_percentiles": q_ft_percentiles,
+        "ft_top_hits": q_ft_top_hits,
+        "ft_sig_terms": q_ft_sig_terms,
+        "ft_highlight": q_ft_highlight,
+        "ft_regexp": q_ft_regexp,
+        "ft_function_score": q_ft_function_score,
+        "ft_collapse": q_ft_collapse,
+        "ft_msearch": q_ft_msearch,
+        "ft_terms": q_ft_terms,
+        "ft_explain": q_ft_explain,
+        "ft_rescore": q_ft_rescore,
+        "ft_composite": q_ft_composite,
+        "ft_analyze": q_ft_analyze,
+        "ft_count_query": q_ft_count_query,
+        "etl_curation": q_etl_curation,
+        "ft_search_after": q_ft_search_after,
+        "ft_phrase_slop": q_ft_phrase_slop,
+        "ft_phrase_prefix": q_ft_phrase_prefix,
+        "ft_sqs_or": q_ft_sqs_or,
+        "ft_sqs_and": q_ft_sqs_and,
+        "ft_mlt": q_ft_mlt,
     }
 
 

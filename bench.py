@@ -58,6 +58,7 @@ HEADLINE = [
     "ft_multi_match_best",
     "ft_sig_terms",
     "ft_highlight",
+    "ft_highlight_frag",
     "ft_top_hits",
     "ft_date_histogram",
     "ft_suggest",
@@ -151,7 +152,7 @@ def main() -> None:
     timings["sim_ann_lsh"] = round(time.time() - t0, 4)
 
     # IVF ANN: one-time k-means build timed separately from the probe
-    shutil.rmtree(os.path.join("/tmp/dis_entry_ivf_v1", key), ignore_errors=True)
+    shutil.rmtree(os.path.join("/tmp/dis_entry_ivf_v2", key), ignore_errors=True)
     entry._IVF_CACHE.clear()
     t0 = time.time()
     ivf = entry._ivf_index(spark, SF_DIR)
@@ -161,14 +162,26 @@ def main() -> None:
     timings["sim_ann_ivf"] = round(time.time() - t0, 4)
 
     # --- headline queries (forced with collect) ---
+    # Best-of-3 for the queries whose round-over-round movement we track:
+    # single samples on this multi-tenant host swing 3-8x, so one sample
+    # cannot distinguish a plan regression from interference.
+    best_of_3 = {"ft_match_and", "ft_wildcard_prefix", "ft_multi_match",
+                 "ft_phrase"}
+    query_samples: dict[str, list[float]] = {}
     qs = entry.queries()
     for name in HEADLINE:
         if name in ("sim_ann_lsh", "sim_ann_ivf"):
             continue  # timed above as the pure probe (recall row is gate-only)
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 4)
+        runs = 3 if name in best_of_3 else 1
+        ts = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()
+            ts.append(round(time.time() - t0, 4))
+        timings[name] = min(ts)
+        if runs > 1:
+            query_samples[name] = ts
 
     total = round(sum(timings.values()), 4)
     print(
@@ -182,6 +195,7 @@ def main() -> None:
                 "n_docs_indexed": n_docs,
                 "build_turns_per_sec": build_turns_per_sec,
                 "build_samples": samples,  # best-of-3; spread shows host noise
+                "query_samples": query_samples,  # best-of-3 tracked queries
                 "cpus": CPUS,
             }
         )
