@@ -253,7 +253,9 @@ class IvfAnnIndex:
             # per centroid, floored at train_target) — never the full
             # corpus once it outgrows what k-means needs
             target = max(256 * self.n_lists, int(train_target))
-            n = featured.count()
+            # count the RAW input (metadata-only for parquet sources — the
+            # projected/vectorized plan would execute the projection)
+            n = emb.count()
             train_fraction = min(1.0, target / n) if n > target else 1.0
         self.train_fraction = float(train_fraction)
         train = (
