@@ -1897,27 +1897,28 @@ offs AS (
          ) AS offs
   FROM pr
 ),
--- greedy absorb (gap = 80 - 16 = 64), first 2 kept offsets
+-- greedy absorb (gap = 80 - 16 = 64), first 2 kept offsets. With
+-- number_of_fragments=2 the greedy fold is exactly two aggregations:
+-- the first match, then the first match >= first + gap (DuckDB 1.0's
+-- list_reduce mis-folds when a CASE branch returns the accumulator
+-- unchanged, so no lambda fold here).
+flat AS (SELECT did, unnest(offs) AS off FROM offs),
+s1 AS (SELECT did, min(off) AS off FROM flat GROUP BY did),
+s2 AS (
+  SELECT f.did, min(f.off) AS off
+  FROM flat f JOIN s1 ON s1.did = f.did
+  WHERE f.off >= s1.off + 64
+  GROUP BY f.did
+),
 sel AS (
-  SELECT did, score, tagged,
-         list_slice(
-           CASE WHEN len(offs) = 0 THEN []::INT[]
-                ELSE list_reduce(
-                       list_transform(offs, o -> [o]),
-                       (acc, x) -> CASE WHEN x[1] >= list_last(acc) + 64
-                                        THEN list_append(acc, x[1])
-                                        ELSE acc END)
-           END, 1, 2) AS sel
-  FROM offs
+  SELECT did, off, 1 AS frag_idx FROM s1
+  UNION ALL
+  SELECT did, off, 2 AS frag_idx FROM s2
 )
-SELECT did AS doc_id, score, CAST(gi AS INT) AS frag_idx,
-       substring(tagged, greatest(1, o - 16), 80) AS fragment
-FROM (
-  SELECT did, score, tagged, unnest(sel) AS o,
-         generate_subscripts(sel, 1) AS gi
-  FROM sel
-)
-ORDER BY score DESC, doc_id ASC, frag_idx ASC
+SELECT o.did AS doc_id, o.score, CAST(s.frag_idx AS INT) AS frag_idx,
+       substring(o.tagged, greatest(1, s.off - 16), 80) AS fragment
+FROM sel s JOIN offs o ON o.did = s.did
+ORDER BY o.score DESC, doc_id ASC, frag_idx ASC
 """,
         "ft_sig_terms": _DOCS_CTE
         + """

@@ -723,10 +723,17 @@ class InvertedIndex:
             exprs.append(F.when(col.isin(t0), F.lit(2)).otherwise(big))
         return F.least(*exprs) if len(exprs) > 1 else exprs[0]
 
+    @staticmethod
+    def _auto_fuzziness(term: str) -> int:
+        """ES ``fuzziness: AUTO``: 0 edits for terms shorter than 3 chars,
+        1 for 3-5, 2 for 6+ (the ES default length bands)."""
+        n = len(term)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+
     def expand_fuzzy_df(
         self,
         term: str,
-        max_dist: int = 1,
+        max_dist: int | str = 1,
         field: str | int | None = None,
         max_expansions: int | None = None,
         transpositions: bool = True,
@@ -745,8 +752,22 @@ class InvertedIndex:
         any edit distance runs: the band on the stored ``tlen`` column is a
         plain comparison predicate, so it pushes into the parquet scan
         (row-group min/max stats) instead of edit-distancing the whole
-        dictionary; with prefix_length the prefix equality prunes further."""
+        dictionary; with prefix_length the prefix equality prunes further.
+
+        ``max_dist`` accepts the ES ``"AUTO"`` sentinel: the edit budget
+        follows the query term's length (0 below 3 chars, 1 for 3-5,
+        2 for 6+)."""
         q = term.lower()
+        if isinstance(max_dist, str):
+            if max_dist.upper() != "AUTO":
+                raise ValueError(
+                    f"expand_fuzzy_df: fuzziness must be an int or 'AUTO', "
+                    f"got {max_dist!r}"
+                )
+            max_dist = self._auto_fuzziness(q)
+        if max_dist <= 0:  # exact-match band: no expansion beyond the term
+            td = self._field_dict(field).filter(F.col("term") == q)
+            return self._cap_expansion(td, max_expansions)
         td = self._field_dict(field)
         if "tlen" in td.columns:
             band = F.col("tlen").between(len(q) - max_dist, len(q) + max_dist)
@@ -942,7 +963,7 @@ class InvertedIndex:
         self,
         term: str,
         k: int = 10,
-        max_dist: int = 1,
+        max_dist: int | str = 1,
         field: str | int | None = None,
         max_expansions: int | None = 50,
         transpositions: bool = True,

@@ -74,3 +74,18 @@ def test_fuzzy_transpositions_off_is_classic_levenshtein(built_index):
     }
     assert lv <= dl  # DL 1-ball contains the levenshtein 1-ball
     assert "the" in dl and "the" not in lv  # transposition counts 1 vs 2
+
+
+def test_fuzziness_auto_bands(built_index):
+    # AUTO: len<3 -> 0 edits (exact only); 3-5 -> 1; 6+ -> 2
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    assert InvertedIndex._auto_fuzziness("ab") == 0
+    assert InvertedIndex._auto_fuzziness("the") == 1
+    assert InvertedIndex._auto_fuzziness("tables") == 2
+    exact = {r["term"] for r in built_index.expand_fuzzy_df("th", "AUTO").collect()}
+    assert exact <= {"th"}  # 2-char term: exact band, no neighbors
+    one = {r["term"] for r in built_index.expand_fuzzy_df("thz", "AUTO").collect()}
+    assert "the" in one
+    with pytest.raises(ValueError):
+        built_index.expand_fuzzy_df("thz", "AUTOO")
