@@ -1439,6 +1439,118 @@ class InvertedIndex:
             F.avg(on).alias("avg"),
         )
 
+    def extended_stats_agg(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES extended_stats: stats plus sum_of_squares, variance (population,
+        like ES), std_deviation, and the +/- 2-sigma std_deviation_bounds —
+        one row, one aggregation pass."""
+        joined = self._match_meta(query, field, [on])
+        row = joined.agg(
+            F.count("*").alias("count"),
+            F.min(on).alias("min"),
+            F.max(on).alias("max"),
+            F.sum(on).alias("sum"),
+            F.avg(on).alias("avg"),
+            F.sum(F.col(on) * F.col(on)).alias("sum_of_squares"),
+            F.var_pop(on).alias("variance"),
+            F.stddev_pop(on).alias("std_deviation"),
+        )
+        return row.select(
+            "*",
+            (F.col("avg") + 2 * F.col("std_deviation")).alias("std_upper"),
+            (F.col("avg") - 2 * F.col("std_deviation")).alias("std_lower"),
+        )
+
+    def range_agg(
+        self,
+        query: str,
+        on: str,
+        ranges: Sequence[tuple[float | None, float | None]],
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES range aggregation: one bucket per (from, to) pair — from
+        inclusive, to exclusive, None = unbounded, buckets may overlap
+        (a doc counts in every range it falls in, like ES). One match-set
+        pass; each bucket is a conditional count in a single aggregation,
+        not a scan per range."""
+        if not ranges:
+            raise ValueError("range_agg: at least one (from, to) range")
+        joined = self._match_meta(query, field, [on])
+        aggs = []
+        keys = []
+        for i, (lo, hi) in enumerate(ranges):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(on) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(on) < F.lit(hi))
+            key = f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+            keys.append(key)
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}")
+            )
+        row = joined.agg(*aggs)
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.col(f"_b{i}").cast("long").alias("doc_count"),
+                    )
+                    for i, k in enumerate(keys)
+                ]
+            )
+        ).alias("b")
+        return row.select(buckets).select("b.key", "b.doc_count")
+
+    def filters_agg(
+        self,
+        query: str,
+        filters: dict[str, Column],
+        cols: Sequence[str],
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES filters aggregation: a named bucket per filter expression over
+        the match set (buckets overlap freely). ``cols`` names the
+        doc_stats columns the filter expressions reference (kept explicit
+        so the scan stays column-pruned). All buckets are conditional
+        counts in ONE aggregation over one match-set pass."""
+        if not filters:
+            raise ValueError("filters_agg: at least one named filter")
+        joined = self._match_meta(query, field, list(cols))
+        names = sorted(filters)
+        row = joined.agg(
+            *[
+                F.sum(F.when(filters[n], 1).otherwise(0)).alias(f"_f{i}")
+                for i, n in enumerate(names)
+            ]
+        )
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("key"),
+                        F.col(f"_f{i}").cast("long").alias("doc_count"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("b")
+        return row.select(buckets).select("b.key", "b.doc_count")
+
+    def missing_agg(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES missing aggregation: how many match-set docs lack a value in
+        the given doc_stats column — one row."""
+        joined = self._match_meta(query, field, [on])
+        return joined.agg(
+            F.sum(F.when(F.col(on).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("doc_count")
+        )
+
     def date_histogram(
         self,
         query: str,

@@ -394,3 +394,70 @@ def test_histogram_fractional_interval(spark, tmp_path_factory):
     import pytest as _pt
     with _pt.raises(ValueError):
         ix.histogram("alpha", by="ratio", interval=0)
+
+
+def test_extended_stats_matches_numpy(spark, tmp_path_factory):
+    import numpy as np
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    vals = [3.0, 7.0, 1.0, 9.0, 5.0]
+    rows = [("c1", i, "alpha", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, x double"
+    )
+    out = str(tmp_path_factory.mktemp("xs") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("x",))
+    ix = InvertedIndex(spark, out)
+    r = ix.extended_stats_agg("alpha", on="x").collect()[0]
+    a = np.array(vals)
+    assert r["count"] == 5 and r["min"] == 1.0 and r["max"] == 9.0
+    assert abs(r["sum_of_squares"] - float((a * a).sum())) < 1e-9
+    assert abs(r["variance"] - float(a.var())) < 1e-9  # population, like ES
+    assert abs(r["std_deviation"] - float(a.std())) < 1e-9
+    assert abs(r["std_upper"] - (a.mean() + 2 * a.std())) < 1e-9
+
+
+def test_range_filters_missing_aggs(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha", 10, "en"),
+        ("c1", 1, "alpha", 25, "de"),
+        ("c2", 0, "alpha", 40, "en"),
+        ("c2", 1, "alpha", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, n int, lang string"
+    )
+    out = str(tmp_path_factory.mktemp("ra") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("n", "lang"))
+    ix = InvertedIndex(spark, out)
+    # range: from inclusive, to exclusive, unbounded via None, overlapping ok
+    got = {
+        r["key"]: r["doc_count"]
+        for r in ix.range_agg("alpha", on="n",
+                              ranges=[(None, 20), (20, 40), (20, None)]).collect()
+    }
+    assert got == {"*-20": 1, "20-40": 1, "20-*": 2}
+    from pyspark.sql import functions as F
+
+    got = {
+        r["key"]: r["doc_count"]
+        for r in ix.filters_agg(
+            "alpha",
+            {"english": F.col("lang") == "en", "big": F.col("n") >= 25},
+            cols=["lang", "n"],
+        ).collect()
+    }
+    assert got == {"english": 2, "big": 2}
+    assert ix.missing_agg("alpha", on="lang").collect()[0]["doc_count"] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ix.range_agg("alpha", on="n", ranges=[])
+    with _pt.raises(ValueError):
+        ix.filters_agg("alpha", {}, cols=[])
