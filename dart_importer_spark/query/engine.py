@@ -1072,10 +1072,16 @@ class InvertedIndex:
             .limit(k)
         )
 
-    def _bm25_scores(self, terms: list[str], fid: int) -> DataFrame | None:
+    def _bm25_scores(
+        self,
+        terms: list[str],
+        fid: int,
+        boosts: dict[str, float] | None = None,
+    ) -> DataFrame | None:
         """(doc_id, score) BM25 partials for a term set on one field — the
         unpruned building block (bool ``should`` clauses, where every
-        contribution must survive)."""
+        contribution must survive). ``boosts`` multiplies a term's idf
+        (the ES query-time boost model)."""
         terms = sorted(set(terms))
         if not terms:
             return None
@@ -1084,6 +1090,8 @@ class InvertedIndex:
         if not terms:
             return None
         idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
+        if boosts:
+            idf = {t: w * float(boosts.get(t, 1.0)) for t, w in idf.items()}
         scored = self._score_terms(terms, idf, fid=fid)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
@@ -2426,13 +2434,15 @@ class InvertedIndex:
     def parse_query_string(query: str, default_operator: str = "or"):
         """Recursive-descent parser for the full ES ``query_string``
         boolean grammar: ``AND``/``&&``, ``OR``/``||``, ``NOT``/``!``,
-        parentheses, quoted phrases, trailing-``*`` prefixes, and field
+        parentheses, quoted phrases, trailing-``*`` prefixes, field
         scoping — ``field:value``, ``field:"a phrase"``, ``field:(a OR b)``
         (the Kibana/Lucene syntax; the field binds to the immediately
-        following term or group, like ES); bare adjacency combines with
-        ``default_operator`` (ES default OR).
+        following term or group, like ES) — plus ``^N`` boosts on terms,
+        phrases and groups, and the Lucene ``_exists_:field`` production;
+        bare adjacency combines with ``default_operator`` (ES default OR).
         Returns an AST of ('or'|'and', [children]) / ('not', child) /
-        ('field', name, child) / ('term'|'phrase'|'prefix', text) tuples."""
+        ('field', name, child) / ('boost', factor, child) /
+        ('exists', column) / ('term'|'phrase'|'prefix', text) tuples."""
         import re as _re
 
         toks = _re.findall(r'\(|\)|"[^"]*"|[^\s()"]+', query)
@@ -2502,15 +2512,19 @@ class InvertedIndex:
                 node = parse_or()
                 if peek() == ")":
                     take()
-                return node
+                return _boosted(node)
             if t == ")":
                 raise ValueError("query_string: unexpected ')'")
             tok = take()
             if tok.startswith('"'):
-                return ("phrase", tok.strip('"'))
+                return _boosted(("phrase", tok.strip('"')))
             m = _re.match(r"^([A-Za-z_][\w.]*):(.*)$", tok)
             if m:
                 fname, rest = m.group(1), m.group(2)
+                if fname == "_exists_":  # Lucene _exists_:field
+                    if not rest:
+                        raise ValueError("query_string: _exists_: no field")
+                    return ("exists", rest)
                 if rest:  # field:value in one token
                     return ("field", fname, _leaf(rest))
                 nxt = peek()  # the lexer split field:"..." / field:(...)
@@ -2519,18 +2533,35 @@ class InvertedIndex:
                     sub = parse_or()
                     if peek() == ")":
                         take()
-                    return ("field", fname, sub)
+                    return _boosted(("field", fname, sub))
                 if nxt is not None and nxt.startswith('"'):
-                    return ("field", fname, ("phrase", take().strip('"')))
+                    return _boosted(
+                        ("field", fname, ("phrase", take().strip('"')))
+                    )
                 raise ValueError(
                     f"query_string: field '{fname}:' with no value"
                 )
             return _leaf(tok)
 
+        def _boosted(node):
+            # a lexer-separated ^N right after a phrase / group / scoped
+            # value boosts that node (the lexer splits `"a b"^2` in two)
+            nxt = peek()
+            if nxt is not None and _re.fullmatch(r"\^\d+(\.\d+)?", nxt):
+                return ("boost", float(take()[1:]), node)
+            return node
+
         def _leaf(tok):
-            if tok.endswith("*") and len(tok) > 1:
-                return ("prefix", tok[:-1])
-            return ("term", tok)
+            m = _re.match(r"^(.*?)\^(\d+(?:\.\d+)?)$", tok)
+            boost = None
+            if m and m.group(1):
+                tok, boost = m.group(1), float(m.group(2))
+            node = (
+                ("prefix", tok[:-1])
+                if tok.endswith("*") and len(tok) > 1
+                else ("term", tok)
+            )
+            return ("boost", boost, node) if boost is not None else node
 
         if not toks:
             return None
@@ -2572,6 +2603,15 @@ class InvertedIndex:
         kind = node[0]
         if kind == "field":
             return self._qs_doc_set(node[2], self._fid(node[1]), max_expansions)
+        if kind == "boost":  # boosts affect scoring only, never matching
+            return self._qs_doc_set(node[2], fid, max_expansions)
+        if kind == "exists":  # Lucene _exists_:col over the stored columns
+            ds = self.doc_stats()
+            if node[1] not in ds.columns:
+                raise KeyError(
+                    f"_exists_: unknown stored column {node[1]!r}"
+                )
+            return ds.filter(F.col(node[1]).isNotNull()).select("doc_id")
         if kind == "term":
             toks = self._analyze(node[1], fid)
             if not toks:
@@ -2673,41 +2713,55 @@ class InvertedIndex:
         gate = self._qs_doc_set(ast, fid, max_expansions)
 
         # positive leaves (not under an odd number of NOTs) drive scoring,
-        # each in the field its enclosing 'field:' scope resolves to
-        terms: dict[int, list[str]] = {}
-        prefixes: dict[int, list[str]] = {}
+        # each in the field its enclosing 'field:' scope resolves to; a
+        # ^N boost multiplies its leaves' idf (a term under several boosted
+        # leaves takes the max — leaves are set-deduped per field)
+        terms: dict[int, dict[str, float]] = {}
+        prefixes: dict[int, dict[str, float]] = {}
 
-        def walk(node, neg: bool, f: int):
+        def walk(node, neg: bool, f: int, b: float):
             kind = node[0]
             if kind == "field":
-                walk(node[2], neg, self._fid(node[1]))
+                walk(node[2], neg, self._fid(node[1]), b)
+            elif kind == "boost":
+                walk(node[2], neg, f, b * float(node[1]))
             elif kind == "not":
-                walk(node[1], not neg, f)
+                walk(node[1], not neg, f, b)
             elif kind in ("and", "or"):
                 for c in node[1]:
-                    walk(c, neg, f)
-            elif neg:
+                    walk(c, neg, f, b)
+            elif neg or kind == "exists":  # exists is filter-context
                 return
             elif kind in ("term", "phrase"):
-                terms.setdefault(f, []).extend(self._analyze(node[1], f))
+                tb = terms.setdefault(f, {})
+                for t in self._analyze(node[1], f):
+                    tb[t] = max(tb.get(t, 0.0), b)
             else:
                 toks = self._analyze(node[1], f)
                 if toks:
-                    terms.setdefault(f, []).extend(toks[:-1])
-                    prefixes.setdefault(f, []).append(toks[-1])
+                    tb = terms.setdefault(f, {})
+                    for t in toks[:-1]:
+                        tb[t] = max(tb.get(t, 0.0), b)
+                    pb = prefixes.setdefault(f, {})
+                    pref = toks[-1]
+                    pb[pref] = max(pb.get(pref, 0.0), b)
 
-        walk(ast, False, fid)
+        walk(ast, False, fid, 1.0)
         parts: list[DataFrame] = []
         for f in sorted(terms):
-            sc = self._bm25_scores(sorted(set(terms[f])), f)
+            sc = self._bm25_scores(
+                sorted(terms[f]), f, boosts=terms[f]
+            )
             if sc is not None:
                 parts.append(sc)
         for f in sorted(prefixes):
-            for pref in sorted(set(prefixes[f])):
+            for pref in sorted(prefixes[f]):
                 pdocs = self._docs_for_terms_df(
                     self.expand_prefix_df(pref, f, max_expansions), f
                 ).select("doc_id")
-                parts.append(pdocs.withColumn("score", F.lit(1.0)))
+                parts.append(
+                    pdocs.withColumn("score", F.lit(float(prefixes[f][pref])))
+                )
         if parts:
             allp = parts[0]
             for p in parts[1:]:

@@ -482,3 +482,56 @@ def test_parse_field_scoping_forms():
 def test_field_scope_with_no_value_raises():
     with pytest.raises(ValueError):
         InvertedIndex.parse_query_string("title:")
+
+
+# ------------------------------------------------------------ boosts, exists
+def test_parse_boost_forms():
+    p = InvertedIndex.parse_query_string
+    assert p("quick^2") == ("boost", 2.0, ("term", "quick"))
+    assert p("pre*^1.5") == ("boost", 1.5, ("prefix", "pre"))
+    assert p('"a b"^3') == ("boost", 3.0, ("phrase", "a b"))
+    assert p("(a b)^2") == (
+        "boost", 2.0, ("or", [("term", "a"), ("term", "b")])
+    )
+    assert p("title:(a)^2") == ("boost", 2.0, ("field", "title", ("term", "a")))
+    assert p("_exists_:lang") == ("exists", "lang")
+    # ^ inside a word that is not a boost suffix stays part of the term
+    assert p("a^b") == ("term", "a^b")
+
+
+def test_query_string_boost_scales_score(sqs_index):
+    base = {
+        int(r["doc_id"]): float(r["score"])
+        for r in sqs_index.query_string("alpha", k=10).collect()
+    }
+    boosted = {
+        int(r["doc_id"]): float(r["score"])
+        for r in sqs_index.query_string("alpha^2", k=10).collect()
+    }
+    assert set(base) == set(boosted)
+    for d, s in base.items():
+        assert abs(boosted[d] - 2 * s) < 1e-9
+
+
+def test_query_string_exists_gates(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+
+    rows = [
+        ("c1", 0, "alpha beta", "t1"),
+        ("c1", 1, "alpha gamma", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, tag string"
+    )
+    out = str(tmp_path_factory.mktemp("qse") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("tag",))
+    ix = InvertedIndex(spark, out)
+    got = {int(r["doc_id"]) for r in ix.query_string("alpha AND _exists_:tag", k=10).collect()}
+    assert got == {0}
+    # pure exists: filter context, constant score
+    rows = ix.query_string("_exists_:tag", k=10).collect()
+    assert {int(r["doc_id"]) for r in rows} == {0}
+    assert all(float(r["score"]) == 1.0 for r in rows)
+    with pytest.raises(KeyError):
+        ix.query_string("_exists_:nosuchcol", k=5).collect()
