@@ -9,6 +9,7 @@ recomputes BM25 from first principles with the same pinned tokenizer regex.
 
 from __future__ import annotations
 
+import math as _math
 import os
 import sys
 from collections.abc import Callable
@@ -458,6 +459,63 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_phrase_prefix("part fil", k=200, max_expansions=50).select(
         "doc_id", F.col("score").cast("double").alias("score")
     )
+
+
+def q_ft_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_near, in_order: one position per clause, strictly increasing,
+    # total window (max-min+1)-n <= slop — Lucene proximity beyond phrase
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_near(
+        ["part", "value", "fast"], slop=4, in_order=True, k=500
+    ).select("doc_id", F.col("score").cast("double").alias("score"))
+
+
+def q_ft_span_near_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_near, in_order=false: distinct positions in either order
+    # within the slop window
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_near(
+        ["merge", "batch"], slop=3, in_order=False, k=500
+    ).select("doc_id", F.col("score").cast("double").alias("score"))
+
+
+def q_ft_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_first: term within the first `end` token positions
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_first("merge", 3, k=500).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES pipeline aggs over a date_histogram: cumulative_sum, derivative
+    # (NULL first bucket, as ES omits it), trailing moving_fn avg
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_histogram_pipeline("data merge", "ts", "day", window=3)
+
+
+def q_ft_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_sort pipeline: re-sort terms-agg buckets by metric + truncate
+    # (ascending here = "bottom 3 buckets", so it can't alias plain facet)
+    ix = _documents_index(spark, sf_dir)
+    return ix.bucket_sort("data merge", "lang", ascending=True, size=3)
+
+
+def q_ft_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES function_score gauss decay on a numeric field: multiplier
+    # exp(-d^2/2sigma^2) with sigma^2 = -scale^2/(2 ln decay)
+    ix = _documents_index(spark, sf_dir)
+    return ix.decay_score(
+        "data", k=20, on="n_chars", origin=150.0, scale=100.0,
+        decay=0.5, fn="gauss", round_scores=6,
+    )
+
+
+def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_bool_prefix: bool should of exact terms + last-token prefix
+    # (constant-score rewrite), score = BM25 sum + 1.0 prefix hit
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_bool_prefix("merge ba", k=20, round_scores=6)
 
 
 def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,6 +1211,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate": q_ft_percolate,
         "ft_highlight_frag": q_ft_highlight_frag,
         "ft_histogram": q_ft_histogram,
+        # --- new this round (r04): span family, pipeline aggs, decay,
+        # match_bool_prefix — first driver evidence ---
+        "ft_span_near": q_ft_span_near,
+        "ft_span_near_unordered": q_ft_span_near_unordered,
+        "ft_span_first": q_ft_span_first,
+        "ft_pipeline_aggs": q_ft_pipeline_aggs,
+        "ft_bucket_sort": q_ft_bucket_sort,
+        "ft_decay": q_ft_decay,
+        "ft_match_bool_prefix": q_ft_match_bool_prefix,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1571,6 +1638,153 @@ p1 AS (SELECT did, pos - 1 AS pos FROM tp JOIN ex USING (term))
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM p0 JOIN p1 USING (did, pos)
 ORDER BY doc_id ASC LIMIT 200
+""",
+        "ft_span_near": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+a AS (SELECT did, pos AS p0 FROM tp WHERE term = 'part'),
+b AS (SELECT did, pos AS p1 FROM tp WHERE term = 'value'),
+c AS (SELECT did, pos AS p2 FROM tp WHERE term = 'fast')
+SELECT DISTINCT a.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM a
+JOIN b ON b.did = a.did AND b.p1 > a.p0 AND b.p1 <= a.p0 + 6
+JOIN c ON c.did = a.did AND c.p2 > b.p1 AND c.p2 <= a.p0 + 6
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_span_near_unordered": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+a AS (SELECT did, pos FROM tp WHERE term = 'merge'),
+b AS (SELECT did, pos FROM tp WHERE term = 'batch')
+SELECT DISTINCT a.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM a
+JOIN b ON b.did = a.did AND b.pos <> a.pos AND abs(b.pos - a.pos) <= 4
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_span_first": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+)
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM tp WHERE term = 'merge' AND pos <= 3
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_pipeline_aggs": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bux AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1
+)
+SELECT bucket, doc_count,
+       CAST(sum(doc_count) OVER (ORDER BY bucket) AS BIGINT) AS cum_count,
+       CAST(doc_count - lag(doc_count) OVER (ORDER BY bucket) AS DOUBLE)
+         AS derivative,
+       round(avg(CAST(doc_count AS DOUBLE)) OVER (
+         ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM bux ORDER BY bucket ASC LIMIT 10000
+""",
+        "ft_bucket_sort": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+)
+SELECT lang, count(*) AS doc_count
+FROM hits JOIN meta USING (did)
+GROUP BY lang
+ORDER BY doc_count ASC, lang ASC LIMIT 3
+""",
+        "ft_decay": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, n_chars
+  FROM documents
+),
+tok AS (
+  SELECT did, unnest({tok}) AS term FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('data')),
+scored AS (
+  SELECT tf.did AS doc_id,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY tf.did
+)
+SELECT sc.doc_id,
+       round(sc.raw * exp(-pow(abs(d.n_chars - 150.0), 2)
+             / {2.0 * (-(100.0 ** 2) / (2.0 * _math.log(0.5)))!r}), 6) AS score
+FROM scored sc JOIN docs d ON d.did = sc.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_match_bool_prefix": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (
+  SELECT did, unnest({tok}) AS term FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('merge')),
+ex AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 'ba%')
+  ORDER BY term LIMIT 50
+),
+bm AS (
+  SELECT tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS s
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY tf.did
+),
+pd AS (SELECT DISTINCT did FROM tok JOIN ex USING (term))
+SELECT COALESCE(bm.did, pd.did) AS doc_id,
+       round(COALESCE(bm.s, 0.0)
+             + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
+FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "ft_histogram": _DOCS_CTE
         + """

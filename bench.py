@@ -64,6 +64,11 @@ HEADLINE = [
     "ft_suggest",
     "ft_function_score",
     "ft_collapse",
+    "ft_span_near",
+    "ft_span_near_unordered",
+    "ft_pipeline_aggs",
+    "ft_decay",
+    "ft_match_bool_prefix",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",

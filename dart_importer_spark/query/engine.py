@@ -1374,6 +1374,126 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def span_near(
+        self,
+        clauses: Sequence[str],
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_near over span_term clauses (each clause one term).
+        With unit-width spans Lucene's match condition reduces to: one
+        position per clause can be chosen such that
+        ``(max - min + 1) - n <= slop``, with strictly increasing
+        positions when ``in_order=True`` (duplicated clause terms must
+        therefore use distinct occurrences, matching SpanNearQuery).
+        Constant-score hits in doc_id order (filter context), like
+        match_phrase. The reference composes its transcript queries from
+        bool/phrase blocks (Running-ELK.md:230-247); span_near is the
+        proximity primitive under Lucene's sloppy phrase.
+
+        Plan: positional decode of ONLY the clause terms, masked
+        rarest-first (same bootstrap as match_phrase), then a chain of
+        n-1 hash joins on doc_id with position-band predicates — each
+        join is bounded by the window width ``slop + n - 1``, never an
+        all-positions cartesian. Scale shape == match_phrase."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "span_near needs an index built with store_positions=True"
+            )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms: list[str] = []
+        for c in clauses:
+            toks = self._analyze(c, field)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_near: clause {c!r} must analyze to exactly one "
+                    f"term (got {toks!r})"
+                )
+            terms.append(toks[0])
+        if not terms:
+            return empty
+        fid = self._fid(field)
+        n = len(terms)
+        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        if missing:
+            return empty
+        rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
+        width = slop + n - 1  # max (last - first) inside a matching window
+        base = rows.filter(F.col("term") == terms[0]).select(
+            "doc_id", F.col("pos").alias("p0")
+        )
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = rows.filter(F.col("term") == t).select(
+                F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
+            )
+            if in_order:
+                cond = (
+                    (F.col("doc_id") == F.col("_d"))
+                    & (F.col(f"p{i}") > F.col(f"p{i - 1}"))
+                    & (F.col(f"p{i}") <= F.col("p0") + F.lit(width))
+                )
+            else:
+                cond = (F.col("doc_id") == F.col("_d")) & (
+                    F.abs(F.col(f"p{i}") - F.col("p0")) <= F.lit(width)
+                )
+            base = base.join(nxt, cond, "inner").drop("_d")
+        pos_cols = [F.col(f"p{i}") for i in range(n)]
+        if in_order:
+            # the chain already enforced increase + band; nothing left
+            fit = F.lit(True)
+        else:
+            fit = (
+                F.size(F.array_distinct(F.array(*pos_cols))) == F.lit(n)
+            ) & (
+                F.greatest(*pos_cols) - F.least(*pos_cols) <= F.lit(width)
+            ) if n > 1 else F.lit(True)
+        docs = self._live(base.filter(fit).select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def span_first(
+        self,
+        query: str,
+        end: int,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_first: the term must occur within the first ``end``
+        token positions of the field (0-based position < end — a span's
+        end offset is pos+1 and Lucene requires end(span) <= end).
+        Constant-score hits in doc_id order (filter context).
+
+        Plan: one positional decode of the single query term (bucket-
+        pruned), position filter, distinct — no joins at all."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "span_first needs an index built with store_positions=True"
+            )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms = self._analyze(query, field)
+        if len(terms) != 1:
+            raise ValueError(
+                f"span_first: query must analyze to exactly one term "
+                f"(got {terms!r})"
+            )
+        fid = self._fid(field)
+        rows = self._positions_for_terms(terms, fid)
+        docs = self._live(
+            rows.filter(F.col("pos") < F.lit(int(end)))
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _match_meta(self, query, field, cols):
         """Match-set doc_ids (docs containing ANY analyzed query term)
         joined with the named doc_stats columns — the shared preamble of
@@ -1585,6 +1705,89 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def date_histogram_pipeline(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        window: int = 3,
+        k: int = 10000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES pipeline aggregations over a date_histogram's buckets:
+        ``cumulative_sum`` (running doc_count), ``derivative``
+        (parent-bucket difference; NULL for the first bucket — ES omits
+        the value there), and ``moving_fn`` avg over a trailing
+        ``window`` buckets including the current one (partial leading
+        windows included, the MovingFunctions.unweightedAvg default).
+        The Kibana time-series shapes (rate-of-change, running total,
+        smoothing) over the reference's time axis
+        (import_dart_data.py:436-440).
+
+        Scale note: pipeline aggs reduce the ALREADY-AGGREGATED bucket
+        table (≤k rows by construction) — the single-partition window
+        here is the same coordinator-side reduction ES performs after
+        shard aggs merge, not a per-doc shuffle. derivative/moving_avg
+        are emitted as DOUBLE on purpose: a nullable integer column
+        would round-trip through pandas as float anyway (the HUGEINT
+        rendering-drift lesson), so both engine and oracle pin double."""
+        if window < 1:
+            raise ValueError(f"pipeline: window must be >= 1, got {window}")
+        from pyspark.sql.window import Window
+
+        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        w = Window.orderBy("bucket")
+        wmov = w.rowsBetween(-(window - 1), 0)
+        return (
+            buckets.withColumn("cum_count", F.sum("doc_count").over(w))
+            .withColumn(
+                "derivative",
+                (F.col("doc_count") - F.lag("doc_count").over(w)).cast(
+                    "double"
+                ),
+            )
+            .withColumn(
+                "moving_avg",
+                F.round(
+                    F.avg(F.col("doc_count").cast("double")).over(wmov), 6
+                ),
+            )
+            .orderBy(F.asc("bucket"))
+        )
+
+    def bucket_sort(
+        self,
+        query: str,
+        by: str,
+        k: int = 10000,
+        field: str | int | None = None,
+        sort_on: str = "doc_count",
+        ascending: bool = False,
+        size: int = 10,
+        offset: int = 0,
+        interval: str | None = None,
+    ) -> DataFrame:
+        """ES bucket_sort pipeline: re-sort the parent aggregation's
+        buckets on a metric and truncate (from/size) — "top N buckets by
+        metric" without returning the full bucket list. Parent is a terms
+        agg on ``by`` (or a date_histogram when ``interval`` is given).
+        Same coordinator-side reduction note as date_histogram_pipeline:
+        the sort runs on the reduced bucket table, not on documents."""
+        if interval is not None:
+            parent = self.date_histogram(query, by, interval, k=k, field=field)
+            key = "bucket"
+        else:
+            # terms-agg parent, but bucket_sort re-sorts below, so take
+            # ALL buckets (k) here, not the display cap
+            parent = self.facet(query, by, k=k, field=field)
+            key = by
+        order = F.asc(sort_on) if ascending else F.desc(sort_on)
+        return (
+            parent.orderBy(order, F.asc(key))
+            .offset(offset)
+            .limit(size)
+        )
+
     def cardinality(
         self,
         query: str,
@@ -1716,6 +1919,75 @@ class InvertedIndex:
             F.col("score") * boost
             if boost_mode == "multiply"
             else F.col("score") + boost
+        )
+        out = joined.select("doc_id", combined.alias("score"))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def decay_score(
+        self,
+        query: str,
+        k: int = 10,
+        on: str = "dl",
+        origin: float = 0.0,
+        scale: float = 100.0,
+        offset: float = 0.0,
+        decay: float = 0.5,
+        fn: str = "gauss",
+        boost_mode: str = "multiply",
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES function_score decay function over a numeric doc_stats
+        column — the distance-based relevance shape (recency boosting on
+        a date axis, length normalization) Kibana builds. With
+        d = max(0, |x − origin| − offset), the multiplier is exactly
+        ES's:
+
+          gauss:  exp(−d² / 2σ²),       σ² = −scale² / (2·ln decay)
+          exp:    exp(λ·d),             λ  = ln(decay) / scale
+          linear: max(0, (s − d) / s),  s  = scale / (1 − decay)
+
+        so multiplier(origin±scale) = decay. Combined with BM25 per
+        ``boost_mode``. Like function_score, re-ranking by a stored field
+        invalidates θ-pruning, so the full match set is scored — the
+        honest ES cost too."""
+        import math
+
+        if not (0.0 < decay < 1.0):
+            raise ValueError(f"decay_score: decay must be in (0,1), got {decay}")
+        if scale <= 0:
+            raise ValueError(f"decay_score: scale must be > 0, got {scale}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"decay_score: unknown boost_mode {boost_mode!r}")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        sc = self._live(sc)
+        joined = sc.join(self.doc_stats().select("doc_id", on), "doc_id")
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col(on).cast("double") - F.lit(float(origin)))
+            - F.lit(float(offset)),
+        )
+        if fn == "gauss":
+            sigma2 = -(float(scale) ** 2) / (2.0 * math.log(decay))
+            mult = F.exp(-(d * d) / F.lit(2.0 * sigma2))
+        elif fn == "exp":
+            lam = math.log(decay) / float(scale)
+            mult = F.exp(d * F.lit(lam))
+        elif fn == "linear":
+            s = float(scale) / (1.0 - decay)
+            mult = F.greatest(F.lit(0.0), (F.lit(s) - d) / F.lit(s))
+        else:
+            raise ValueError(f"decay_score: unknown fn {fn!r}")
+        combined = (
+            F.col("score") * mult
+            if boost_mode == "multiply"
+            else F.col("score") + mult
         )
         out = joined.select("doc_id", combined.alias("score"))
         if round_scores is not None:
@@ -2202,6 +2474,58 @@ class InvertedIndex:
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def match_bool_prefix(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        max_expansions: int | None = 50,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES match_bool_prefix: the analyzed query becomes a bool should
+        of term clauses for every token but the last, plus a PREFIX clause
+        on the last token ("merge so" matches docs with "merge" anywhere
+        OR any "so*" term — unlike match_phrase_prefix, no adjacency).
+        Scoring is the bool-should sum: BM25 partials for the exact terms
+        plus constant 1.0 when any prefix expansion matches (Lucene's
+        constant-score multi-term rewrite inside bool). The expansion is
+        the shared distributed prefix path (broadcast semi-join, capped
+        first-``max_expansions`` lexicographically, ES default 50).
+
+        Scale shape: one postings scoring pass over the exact terms + one
+        term-dict prefix scan unioned in — no new machinery, no driver
+        collect. θ-pruning stays off (should-sum semantics, every
+        contribution must survive — same argument as bool_should)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        fid = self._fid(field)
+        toks = self._analyze(query, field)
+        if not toks:
+            return empty
+        exact, last = toks[:-1], toks[-1]
+        pre = (
+            self._docs_for_terms_df(
+                self.expand_prefix_df(last, fid, max_expansions), fid
+            )
+            .select("doc_id")
+            .distinct()
+            .withColumn("pscore", F.lit(1.0))
+        )
+        sc = self._bm25_scores(sorted(set(exact)), fid) if exact else None
+        if sc is None:
+            merged = pre.select("doc_id", F.col("pscore").alias("score"))
+        else:
+            merged = sc.join(pre, "doc_id", "full_outer").select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("score"), F.lit(0.0))
+                    + F.coalesce(F.col("pscore"), F.lit(0.0))
+                ).alias("score"),
+            )
+        merged = self._live(merged)
+        if round_scores is not None:
+            merged = merged.withColumn("score", F.round("score", round_scores))
+        return merged.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def explain(
         self,

@@ -1,0 +1,225 @@
+"""Round-4 additions: span_near / span_first (positional proximity),
+date_histogram pipeline aggs (cumulative_sum / derivative / moving_fn),
+bucket_sort, decay_score, match_bool_prefix.
+
+span_near semantics (unit-width spans): one position per clause with
+(max - min + 1) - n <= slop, strictly increasing when in_order — checked
+against a brute-force Python evaluator on both crafted and randomized
+corpora (the Lucene SpanNearQuery reduction for single-term clauses)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.index.build import BuildConfig, build_index
+from dart_importer_spark.query.engine import InvertedIndex
+
+ROWS = [
+    # (conv_id, turn_idx, text, ts, nc) — doc_id = rank of (conv_id, turn_idx)
+    ("c1", 0, "a b c d e", datetime(2024, 1, 1, 5), 100),   # doc 0
+    ("c1", 1, "a x x b",   datetime(2024, 1, 2, 5), 150),   # doc 1
+    ("c2", 0, "b a",       datetime(2024, 1, 2, 6), 200),   # doc 2
+    ("c2", 1, "a x x x x x b", datetime(2024, 1, 3, 1), 250),  # doc 3
+    ("c3", 0, "a",         datetime(2024, 1, 3, 2), 300),   # doc 4
+    ("c3", 1, "b c a",     datetime(2024, 1, 3, 3), 350),   # doc 5
+    ("c4", 0, "a q a",     datetime(2024, 1, 3, 4), 400),   # doc 6
+    ("c4", 1, "q w",       datetime(2024, 1, 4, 1), 450),   # doc 7
+]
+
+
+@pytest.fixture(scope="module")
+def span_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, text string, ts timestamp, nc long"
+    )
+    out = str(tmp_path_factory.mktemp("spans") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=("ts", "nc"),
+    )
+    return InvertedIndex(spark, out)
+
+
+def _near(ix, clauses, slop, in_order):
+    return [
+        r["doc_id"]
+        for r in ix.span_near(clauses, slop=slop, in_order=in_order, k=100).collect()
+    ]
+
+
+def brute_span_near(tokens: list[str], clauses: list[str], slop: int,
+                    in_order: bool) -> bool:
+    """Reference evaluator: try every choice of one position per clause."""
+    pos_lists = [
+        [i for i, t in enumerate(tokens) if t == c] for c in clauses
+    ]
+    if any(not pl for pl in pos_lists):
+        return False
+    n = len(clauses)
+    for combo in itertools.product(*pos_lists):
+        if len(set(combo)) != n:
+            continue
+        if in_order and any(combo[i] >= combo[i + 1] for i in range(n - 1)):
+            continue
+        if (max(combo) - min(combo) + 1) - n <= slop:
+            return True
+    return False
+
+
+def test_span_near_ordered(span_index):
+    assert _near(span_index, ["a", "b"], 0, True) == [0]
+    assert _near(span_index, ["a", "b"], 2, True) == [0, 1]
+    assert _near(span_index, ["a", "b"], 5, True) == [0, 1, 3]
+    assert _near(span_index, ["a", "b", "c"], 1, True) == [0]
+
+
+def test_span_near_unordered(span_index):
+    assert _near(span_index, ["a", "b"], 0, False) == [0, 2]
+    assert _near(span_index, ["a", "b"], 2, False) == [0, 1, 2, 5]
+    assert _near(span_index, ["a", "b", "c"], 0, False) == [0, 5]
+
+
+def test_span_near_duplicate_clause(span_index):
+    # ["a","a"] needs two DISTINCT occurrences: doc 6 ("a q a") only
+    assert _near(span_index, ["a", "a"], 1, False) == [6]
+    assert _near(span_index, ["a", "a"], 1, True) == [6]
+    assert _near(span_index, ["a", "a"], 0, True) == []  # gap of 1 > slop 0
+
+
+def test_span_near_absent_term(span_index):
+    assert _near(span_index, ["a", "zz"], 9, True) == []
+
+
+def test_span_near_matches_bruteforce_randomized(span_index, spark,
+                                                 tmp_path_factory):
+    rng = random.Random(41)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [("r", i, t) for i, t in enumerate(docs)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path_factory.mktemp("spans_rand") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=(),
+    )
+    ix = InvertedIndex(spark, out)
+    cases = [
+        (["a", "b"], 0, True), (["a", "b"], 2, False),
+        (["a", "b", "c"], 1, True), (["a", "b", "c"], 2, False),
+        (["a", "a"], 3, True), (["c", "d"], 1, False),
+    ]
+    for clauses, slop, in_order in cases:
+        got = _near(ix, clauses, slop, in_order)
+        want = [
+            i for i, t in enumerate(docs)
+            if brute_span_near(t.split(), clauses, slop, in_order)
+        ]
+        assert got == want, (clauses, slop, in_order)
+
+
+def test_span_first(span_index):
+    # 0-based position < end
+    assert [r["doc_id"] for r in span_index.span_first("a", 1, k=100).collect()] \
+        == [0, 1, 3, 4, 6]
+    assert [r["doc_id"] for r in span_index.span_first("a", 3, k=100).collect()] \
+        == [0, 1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError, match="exactly one term"):
+        span_index.span_first("a b", 3)
+
+
+def test_pipeline_aggs(span_index):
+    # every doc contains "a" except doc 7 -> day counts [1, 2, 4]
+    rows = span_index.date_histogram_pipeline("a", "ts", "day", window=3).collect()
+    assert [r["doc_count"] for r in rows] == [1, 2, 4]
+    assert [r["cum_count"] for r in rows] == [1, 3, 7]
+    assert [r["derivative"] for r in rows] == [None, 1.0, 2.0]
+    assert [r["moving_avg"] for r in rows] == [1.0, 1.5, round(7 / 3, 6)]
+
+
+def test_bucket_sort(span_index):
+    # terms-agg on nc buckets is overkill here; sort date buckets by count
+    rows = span_index.bucket_sort(
+        "a", "ts", interval="day", ascending=True, size=2
+    ).collect()
+    assert [r["doc_count"] for r in rows] == [1, 2]
+    top = span_index.bucket_sort("a", "ts", interval="day", size=1).collect()
+    assert top[0]["doc_count"] == 4
+
+
+def test_decay_score_math(span_index):
+    # at |x - origin| == scale the multiplier must equal `decay` exactly
+    base = {
+        r["doc_id"]: r["score"]
+        for r in span_index.topk("a", k=100, round_scores=None).collect()
+    }
+    decayed = {
+        r["doc_id"]: r["score"]
+        for r in span_index.decay_score(
+            "a", k=100, on="nc", origin=100.0, scale=100.0, decay=0.5
+        ).collect()
+    }
+    assert set(decayed) == set(base)
+    # doc 0: nc=100 = origin -> multiplier 1.0; doc 2: nc=200 -> exactly decay
+    assert decayed[0] == pytest.approx(base[0], rel=1e-12)
+    assert decayed[2] == pytest.approx(base[2] * 0.5, rel=1e-12)
+    # monotone: farther from origin never increases the multiplier
+    for fn in ("gauss", "exp", "linear"):
+        out = {
+            r["doc_id"]: r["score"]
+            for r in span_index.decay_score(
+                "a", k=100, on="nc", origin=100.0, scale=150.0,
+                decay=0.5, fn=fn,
+            ).collect()
+        }
+        mults = {d: out[d] / base[d] for d in out if base[d] > 0}
+        # nc grows with doc_id in ROWS -> multiplier non-increasing
+        seq = [mults[d] for d in sorted(mults)]
+        assert all(x >= y - 1e-12 for x, y in zip(seq, seq[1:]))
+
+
+def test_decay_score_validation(span_index):
+    with pytest.raises(ValueError, match="decay must be"):
+        span_index.decay_score("a", decay=1.0)
+    with pytest.raises(ValueError, match="scale must be"):
+        span_index.decay_score("a", scale=0.0)
+    with pytest.raises(ValueError, match="unknown fn"):
+        span_index.decay_score("a", fn="cosine")
+
+
+def test_match_bool_prefix(span_index):
+    # "c a" -> bool should [term c, prefix a*]; prefix hits add constant 1.0
+    out = {
+        r["doc_id"]: r["score"]
+        for r in span_index.match_bool_prefix("c a", k=100).collect()
+    }
+    bm_c = {
+        r["doc_id"]: r["score"]
+        for r in span_index.topk("c", k=100, round_scores=None).collect()
+    }
+    # docs with only the prefix term (no "c"): exactly 1.0
+    for d in (1, 2, 3, 4, 6):
+        assert out[d] == pytest.approx(1.0)
+    # docs with both: BM25(c) + 1.0
+    for d in (0, 5):
+        assert out[d] == pytest.approx(bm_c[d] + 1.0, rel=1e-12)
+    # doc 7 ("q w") matches neither clause
+    assert 7 not in out
+
+
+def test_match_bool_prefix_single_token(span_index):
+    # one-token query degenerates to a pure prefix (constant 1.0)
+    out = span_index.match_bool_prefix("q", k=100).collect()
+    assert {r["doc_id"] for r in out} == {6, 7}
+    assert all(r["score"] == pytest.approx(1.0) for r in out)
