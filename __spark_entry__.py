@@ -518,6 +518,29 @@ def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_bool_prefix("merge ba", k=20, round_scores=6)
 
 
+def q_ft_dh_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_histogram with min_doc_count=0 + extended_bounds: empty
+    # calendar buckets emitted as zeroes; bounds extend (never clip) the axis
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_histogram_filled(
+        "data merge", "ts", "day",
+        bounds=("2023-12-28 00:00:00", "2024-01-02 00:00:00"),
+    )
+
+
+def q_ft_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES avg/min/max/sum_bucket sibling pipeline aggs (stats OF the
+    # date_histogram's bucket counts, one row)
+    ix = _documents_index(spark, sf_dir)
+    return ix.bucket_stats_pipeline("data merge", "ts", "day")
+
+
+def q_ft_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES sort clause: rank the match set by a stored field, no scoring
+    ix = _documents_index(spark, sf_dir)
+    return ix.sort_by("vector", "n_chars", k=20, ascending=False)
+
+
 def q_ft_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES histogram aggregation over the match set (numeric sibling of facet)
     ix = _documents_index(spark, sf_dir)
@@ -1220,6 +1243,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_sort": q_ft_bucket_sort,
         "ft_decay": q_ft_decay,
         "ft_match_bool_prefix": q_ft_match_bool_prefix,
+        "ft_dh_filled": q_ft_dh_filled,
+        "ft_bucket_stats": q_ft_bucket_stats,
+        "ft_sort_field": q_ft_sort_field,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1785,6 +1811,61 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_dh_filled": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bux AS (
+  SELECT date_trunc('day', ts) AS b, count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1
+),
+span AS (
+  SELECT least(TIMESTAMP '2023-12-28 00:00:00', min(b)) AS lo,
+         greatest(TIMESTAMP '2024-01-02 00:00:00', max(b)) AS hi
+  FROM bux
+),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b FROM span
+)
+SELECT strftime(axis.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COALESCE(bux.doc_count, 0) AS BIGINT) AS doc_count
+FROM axis LEFT JOIN bux ON bux.b = axis.b
+ORDER BY bucket ASC LIMIT 10000
+""",
+        "ft_bucket_stats": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bux AS (
+  SELECT date_trunc('day', ts) AS b, count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1
+)
+SELECT round(avg(doc_count), 6) AS avg_bucket,
+       min(doc_count) AS min_bucket,
+       max(doc_count) AS max_bucket,
+       CAST(sum(doc_count) AS BIGINT) AS sum_bucket,
+       count(*) AS n_buckets
+FROM bux
+""",
+        "ft_sort_field": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('vector'))
+SELECT did AS doc_id, n_chars
+FROM hits JOIN docs USING (did)
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 """,
         "ft_histogram": _DOCS_CTE
         + """

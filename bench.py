@@ -67,6 +67,7 @@ HEADLINE = [
     "ft_span_near",
     "ft_span_near_unordered",
     "ft_pipeline_aggs",
+    "ft_dh_filled",
     "ft_decay",
     "ft_match_bool_prefix",
     "sim_ann_ivf",

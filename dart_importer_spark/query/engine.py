@@ -1755,6 +1755,102 @@ class InvertedIndex:
             .orderBy(F.asc("bucket"))
         )
 
+    def date_histogram_filled(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        k: int = 10000,
+        field: str | int | None = None,
+        bounds: tuple | None = None,
+    ) -> DataFrame:
+        """ES date_histogram with ``min_doc_count=0``: calendar buckets
+        with no matching docs appear with doc_count 0 — the shape every
+        Kibana time chart actually requests (gaps render as zeroes, not
+        missing points). ``bounds=(lo, hi)`` is ES ``extended_bounds``:
+        force the axis out to [lo, hi] even where no data exists (both
+        timestamps or 'yyyy-MM-dd HH:mm:ss' strings; they are truncated
+        to the interval). Without bounds, the axis spans the observed
+        min..max bucket.
+
+        Plan: the non-empty buckets come from the normal date_histogram
+        reduction; the dense axis is one `sequence()` over the (tiny)
+        min/max of that already-reduced table, exploded and left-joined —
+        axis generation costs O(buckets), never O(docs)."""
+        if interval not in ("hour", "day", "week", "month", "quarter", "year"):
+            raise ValueError(
+                f"date_histogram_filled: unsupported interval {interval!r}"
+            )
+        got = self.date_histogram(query, on, interval, k=k, field=field)
+        got_ts = got.select(
+            F.to_timestamp("bucket").alias("b"), "doc_count"
+        )
+        span = got_ts.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+        if bounds is not None:
+            # ES extended_bounds EXTENDS the axis, never clips data
+            blo = F.date_trunc(interval, F.lit(bounds[0]).cast("timestamp"))
+            bhi = F.date_trunc(interval, F.lit(bounds[1]).cast("timestamp"))
+            span = span.select(
+                F.least(blo, F.coalesce(F.col("lo"), blo)).alias("lo"),
+                F.greatest(bhi, F.coalesce(F.col("hi"), bhi)).alias("hi"),
+            )
+        step = F.expr(f"interval 1 {interval}")
+        axis = span.where(F.col("lo").isNotNull()).select(
+            F.explode(F.sequence("lo", "hi", step)).alias("b")
+        )
+        return (
+            axis.join(got_ts, "b", "left")
+            .select(
+                F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+            )
+            .orderBy(F.asc("bucket"))
+            .limit(k)
+        )
+
+    def bucket_stats_pipeline(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        k: int = 10000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES avg_bucket / min_bucket / max_bucket / sum_bucket sibling
+        pipeline aggs in one row: statistics OF a date_histogram's
+        doc_counts (not of documents). Same coordinator-side-reduction
+        scale note as date_histogram_pipeline — this aggregates the
+        already-reduced bucket table."""
+        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        return buckets.agg(
+            F.round(F.avg("doc_count"), 6).alias("avg_bucket"),
+            F.min("doc_count").alias("min_bucket"),
+            F.max("doc_count").alias("max_bucket"),
+            F.sum("doc_count").alias("sum_bucket"),
+            F.count("*").alias("n_buckets"),
+        )
+
+    def sort_by(
+        self,
+        query: str,
+        by: str,
+        k: int = 10,
+        ascending: bool = False,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES ``sort`` clause: rank the match set by a stored field
+        instead of relevance (``sort: [{by: desc}, {_id: asc}]``); ES
+        skips scoring entirely in this mode (track_scores=false), so hits
+        carry the sort value, not a score.
+
+        Plan: constant-score match set (ANY analyzed term, the same
+        doc-set path every agg uses) joined to doc_stats, then
+        TakeOrderedAndProject on (by, doc_id) — top-k per partition then
+        merge, no global sort materialization."""
+        joined = self._live(self._match_meta(query, field, [by]))
+        order = F.asc(by) if ascending else F.desc(by)
+        return joined.select("doc_id", by).orderBy(order, F.asc("doc_id")).limit(k)
+
     def bucket_sort(
         self,
         query: str,

@@ -158,6 +158,48 @@ def test_bucket_sort(span_index):
     assert top[0]["doc_count"] == 4
 
 
+def test_date_histogram_filled_gap(span_index):
+    # "c" matches doc 0 (Jan 1) and doc 5 (Jan 3) — Jan 2 must appear as 0
+    rows = span_index.date_histogram_filled("c", "ts", "day").collect()
+    assert [(r["bucket"][:10], r["doc_count"]) for r in rows] == [
+        ("2024-01-01", 1), ("2024-01-02", 0), ("2024-01-03", 1),
+    ]
+
+
+def test_date_histogram_filled_bounds(span_index):
+    # extended_bounds EXTENDS the axis (zero buckets) but never clips data
+    rows = span_index.date_histogram_filled(
+        "c", "ts", "day", bounds=("2023-12-31 00:00:00", "2024-01-02 00:00:00")
+    ).collect()
+    assert [(r["bucket"][:10], r["doc_count"]) for r in rows] == [
+        ("2023-12-31", 0), ("2024-01-01", 1), ("2024-01-02", 0),
+        ("2024-01-03", 1),
+    ]
+    # no matches at all + bounds -> pure zero axis
+    rows = span_index.date_histogram_filled(
+        "zz", "ts", "day", bounds=("2024-02-01 00:00:00", "2024-02-03 00:00:00")
+    ).collect()
+    assert [r["doc_count"] for r in rows] == [0, 0, 0]
+    with pytest.raises(ValueError, match="unsupported interval"):
+        span_index.date_histogram_filled("c", "ts", "minute")
+
+
+def test_bucket_stats_pipeline(span_index):
+    row = span_index.bucket_stats_pipeline("a", "ts", "day").collect()[0]
+    assert row["avg_bucket"] == round(7 / 3, 6)
+    assert (row["min_bucket"], row["max_bucket"]) == (1, 4)
+    assert (row["sum_bucket"], row["n_buckets"]) == (7, 3)
+
+
+def test_sort_by_field(span_index):
+    rows = span_index.sort_by("a", "nc", k=3, ascending=True).collect()
+    assert [(r["doc_id"], r["nc"]) for r in rows] == [
+        (0, 100), (1, 150), (2, 200),
+    ]
+    rows = span_index.sort_by("a", "nc", k=2, ascending=False).collect()
+    assert [r["doc_id"] for r in rows] == [6, 5]
+
+
 def test_decay_score_math(span_index):
     # at |x - origin| == scale the multiplier must equal `decay` exactly
     base = {
