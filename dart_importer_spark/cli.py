@@ -95,6 +95,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
             "fuzzy", "regexp", "suggest", "sayt", "highlight",
+            "span_near", "span_first", "bool_prefix", "sort",
         ],
     )
     p.add_argument("--q", required=True)
@@ -103,6 +104,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--operator", choices=["or", "and"], default="or")
     p.add_argument("--slop", type=int, default=0)
     p.add_argument("--max-expansions", type=int, default=50)
+    p.add_argument("--in-order", action="store_true",
+                   help="span_near: require clause order")
+    p.add_argument("--end", type=int, default=3,
+                   help="span_first: first N token positions")
+    p.add_argument("--by", default=None,
+                   help="sort: stored field to rank by (desc)")
 
     p = sub.add_parser("agg", help="aggregations over the match set")
     p.add_argument("--index", required=True)
@@ -111,6 +118,7 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "terms", "stats", "histogram", "date_histogram", "cardinality",
             "percentiles", "facet_stats", "top_hits", "sig_terms", "collapse",
+            "dh_pipeline", "dh_filled", "bucket_stats", "bucket_sort",
         ],
     )
     p.add_argument("--q", required=True)
@@ -202,6 +210,21 @@ def main(argv: list[str] | None = None) -> int:
         elif t == "sayt":
             df = ix.search_as_you_type(q, k=k, base_field=fld,
                                        max_expansions=args.max_expansions)
+        elif t == "span_near":
+            df = ix.span_near(
+                q.split(), slop=args.slop, in_order=args.in_order,
+                k=k, field=fld,
+            )
+        elif t == "span_first":
+            df = ix.span_first(q, args.end, k=k, field=fld)
+        elif t == "bool_prefix":
+            df = ix.match_bool_prefix(
+                q, k=k, field=fld, max_expansions=args.max_expansions
+            )
+        elif t == "sort":
+            if not args.by:
+                ap.error("search --type sort requires --by <column>")
+            df = ix.sort_by(q, by=args.by, k=k, field=fld)
         else:  # highlight
             df = ix.highlight(q, k=k, field=fld)
         for r in df.collect():
@@ -212,8 +235,10 @@ def main(argv: list[str] | None = None) -> int:
         ix = InvertedIndex(spark, args.index)
         a, q, k = args.agg, args.q, args.k
         needs_on = {"stats", "histogram", "date_histogram", "cardinality",
-                    "percentiles", "facet_stats"}
-        needs_by = {"terms", "facet_stats", "top_hits", "collapse"}
+                    "percentiles", "facet_stats", "dh_pipeline", "dh_filled",
+                    "bucket_stats"}
+        needs_by = {"terms", "facet_stats", "top_hits", "collapse",
+                    "bucket_sort"}
         if a in needs_on and not args.on:
             ap.error(f"agg --agg {a} requires --on <column>")
         if a in needs_by and not args.by:
@@ -244,6 +269,14 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.top_hits(q, by=args.by, size=k)
         elif a == "sig_terms":
             df = ix.significant_terms(q, k=k)
+        elif a == "dh_pipeline":
+            df = ix.date_histogram_pipeline(q, on=args.on, interval=args.interval)
+        elif a == "dh_filled":
+            df = ix.date_histogram_filled(q, on=args.on, interval=args.interval)
+        elif a == "bucket_stats":
+            df = ix.bucket_stats_pipeline(q, on=args.on, interval=args.interval)
+        elif a == "bucket_sort":
+            df = ix.bucket_sort(q, by=args.by, size=k)
         else:  # collapse
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():

@@ -1264,20 +1264,26 @@ class InvertedIndex:
                 if cand_ids is None
                 else np.intersect1d(cand_ids, allowed)
             )
-        rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
+        # one single-term positional scan per phrase slot (see span_near:
+        # per-term scans push term+bucket into each branch's parquet scan —
+        # n decodes total instead of n²)
+        rows_by_term = {
+            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            for t in set(terms)
+        }
         if slop == 0:
-            base = rows.filter(F.col("term") == terms[0]).select("doc_id", "pos")
+            base = rows_by_term[terms[0]].select("doc_id", "pos")
             for i, t in enumerate(terms[1:], start=1):
-                nxt = rows.filter(F.col("term") == t).select(
+                nxt = rows_by_term[t].select(
                     "doc_id", (F.col("pos") - i).alias("pos")
                 )
                 base = base.join(nxt, ["doc_id", "pos"], "left_semi")
         else:
-            base = rows.filter(F.col("term") == terms[0]).select(
+            base = rows_by_term[terms[0]].select(
                 "doc_id", F.col("pos").alias("p0")
             )
             for i, t in enumerate(terms[1:], start=1):
-                nxt = rows.filter(F.col("term") == t).select(
+                nxt = rows_by_term[t].select(
                     F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
                 )
                 cond = (
@@ -1355,10 +1361,14 @@ class InvertedIndex:
         cand_ids, missing = self._phrase_candidate_ids(complete, fid)
         if missing:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        rows = self._positions_for_terms(sorted(set(complete)), fid, allowed=cand_ids)
-        base = rows.filter(F.col("term") == complete[0]).select("doc_id", "pos")
+        # per-term scans (see span_near): n decodes total instead of n²
+        rows_by_term = {
+            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            for t in set(complete)
+        }
+        base = rows_by_term[complete[0]].select("doc_id", "pos")
         for i, t in enumerate(complete[1:], start=1):
-            nxt = rows.filter(F.col("term") == t).select(
+            nxt = rows_by_term[t].select(
                 "doc_id", (F.col("pos") - i).alias("pos")
             )
             base = base.join(nxt, ["doc_id", "pos"], "left_semi")
@@ -1419,13 +1429,21 @@ class InvertedIndex:
         cand_ids, missing = self._phrase_candidate_ids(terms, fid)
         if missing:
             return empty
-        rows = self._positions_for_terms(sorted(set(terms)), fid, allowed=cand_ids)
+        # one single-term positional scan PER clause: each join branch
+        # re-executes its subtree anyway, so per-term scans cost no extra
+        # reads but push term = t (hence its exact bucket) into that
+        # branch's parquet scan — n decodes total instead of n² (a shared
+        # n-term scan decodes every clause's postings in every branch)
+        rows_by_term = {
+            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            for t in set(terms)
+        }
         width = slop + n - 1  # max (last - first) inside a matching window
-        base = rows.filter(F.col("term") == terms[0]).select(
+        base = rows_by_term[terms[0]].select(
             "doc_id", F.col("pos").alias("p0")
         )
         for i, t in enumerate(terms[1:], start=1):
-            nxt = rows.filter(F.col("term") == t).select(
+            nxt = rows_by_term[t].select(
                 F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
             )
             if in_order:

@@ -109,3 +109,21 @@ def test_cli_search_and_agg(spark, transcripts_df, tmp_path, capsys):
                  "--q", "the and", "--by", "role", "--k", "5"]) == 0
     col = _lines(capsys)
     assert col and len({r["role"] for r in col}) == len(col)
+
+    # round-4 surface: match_bool_prefix, field sort, bucket_sort
+    assert main(["search", "--index", idx, "--type", "bool_prefix",
+                 "--q", "the w0", "--k", "5"]) == 0
+    bp = _lines(capsys)
+    assert bp and {"doc_id", "score"} <= set(bp[0])
+
+    assert main(["search", "--index", idx, "--type", "sort",
+                 "--q", "the", "--by", "dl", "--k", "5"]) == 0
+    srt = _lines(capsys)
+    assert srt and [r["dl"] for r in srt] == sorted(
+        (r["dl"] for r in srt), reverse=True
+    )
+
+    assert main(["agg", "--index", idx, "--agg", "bucket_sort",
+                 "--q", "the", "--by", "role", "--k", "2"]) == 0
+    bs = _lines(capsys)
+    assert 0 < len(bs) <= 2 and {"role", "doc_count"} <= set(bs[0])
