@@ -149,3 +149,16 @@ def test_match_phrase_prefix(pos_index):
     # first 'b*' term ('b'), so 'alpha b*' loses its beta matches
     assert mpp("alpha b") == [0, 3]
     assert mpp("alpha b", max_expansions=1) == []
+
+
+def test_phrase_per_term_branch_scans(pos_index):
+    """Regression lock: every phrase join branch scans exactly ITS term
+    (EqualTo pushed to parquet) — the shared n-term scan shape decoded all
+    n terms' postings in every branch (n^2 decode work)."""
+    df = pos_index.match_phrase("alpha beta", k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "In(term, [" not in plan, plan
+    assert "EqualTo(term,alpha)" in plan
+    assert "EqualTo(term,beta)" in plan
