@@ -518,6 +518,29 @@ def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_bool_prefix("merge ba", k=20, round_scores=6)
 
 
+def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_not: 'part' occurrences NOT within +-2 positions of 'filter'
+    # (negative proximity); doc matches if any occurrence survives
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_not("part", "filter", pre=2, post=2, k=500).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _termvectors: one doc's analyzed term -> tf vector from stored text
+    ix = _documents_index(spark, sf_dir)
+    return ix.termvectors(7)
+
+
+def q_ft_histogram_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numeric histogram with min_doc_count=0 + extended_bounds
+    ix = _documents_index(spark, sf_dir)
+    return ix.histogram_filled(
+        "vector customer", "n_chars", 100, bounds=(-200, 100)
+    )
+
+
 def q_ft_dh_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES date_histogram with min_doc_count=0 + extended_bounds: empty
     # calendar buckets emitted as zeroes; bounds extend (never clip) the axis
@@ -1246,6 +1269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dh_filled": q_ft_dh_filled,
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_sort_field": q_ft_sort_field,
+        "ft_span_not": q_ft_span_not,
+        "ft_termvectors": q_ft_termvectors,
+        "ft_histogram_filled": q_ft_histogram_filled,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1811,6 +1837,48 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_span_not": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+inc AS (SELECT did, pos FROM tp WHERE term = 'part'),
+exc AS (SELECT did, pos FROM tp WHERE term = 'filter')
+SELECT DISTINCT i.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM exc e
+  WHERE e.did = i.did AND e.pos BETWEEN i.pos - 2 AND i.pos + 2
+)
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_termvectors": f"""
+WITH d AS (SELECT text FROM documents WHERE doc_id = 7),
+tok AS (SELECT unnest({tok}) AS term FROM d)
+SELECT term, count(*) AS tf FROM tok GROUP BY term ORDER BY term ASC
+""",
+        "ft_histogram_filled": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('customer', 'vector')),
+bux AS (
+  SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN docs USING (did)
+  GROUP BY 1
+),
+span AS (
+  SELECT least(CAST(-200 AS BIGINT), min(bucket)) AS lo,
+         greatest(CAST(100 AS BIGINT), max(bucket)) AS hi
+  FROM bux
+),
+axis AS (SELECT unnest(generate_series(lo, hi, 100)) AS bucket FROM span)
+SELECT axis.bucket AS bucket, CAST(COALESCE(bux.doc_count, 0) AS BIGINT) AS doc_count
+FROM axis LEFT JOIN bux ON bux.bucket = axis.bucket
+ORDER BY axis.bucket ASC LIMIT 1000
 """,
         "ft_dh_filled": _DOCS_CTE
         + """

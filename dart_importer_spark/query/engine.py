@@ -1512,6 +1512,86 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def span_not(
+        self,
+        include: str,
+        exclude: str,
+        pre: int = 0,
+        post: int = 0,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_not: match ``include`` occurrences NOT within ``pre``
+        positions before / ``post`` positions after any ``exclude``
+        occurrence — negative proximity ("apple but not near pie"). For
+        unit-width spans an include position p is killed iff an exclude
+        position q exists with p − pre ≤ q ≤ p + post; the doc matches if
+        ANY include position survives. Constant-score hits in doc_id
+        order (filter context).
+
+        Plan: two single-term positional decodes, one banded LEFT ANTI
+        hash join on doc_id (residual position-band condition), distinct.
+        Docs without the exclude term never decode exclude positions
+        (bucket-pruned scan of just the two terms)."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "span_not needs an index built with store_positions=True"
+            )
+        inc_t = self._analyze(include, field)
+        exc_t = self._analyze(exclude, field)
+        if len(inc_t) != 1 or len(exc_t) != 1:
+            raise ValueError(
+                "span_not: include and exclude must each analyze to "
+                f"exactly one term (got {inc_t!r}, {exc_t!r})"
+            )
+        fid = self._fid(field)
+        inc = self._positions_for_terms(inc_t, fid).alias("i")
+        exc = self._positions_for_terms(exc_t, fid).alias("e")
+        cond = (
+            (F.col("i.doc_id") == F.col("e.doc_id"))
+            & (F.col("e.pos") >= F.col("i.pos") - F.lit(int(pre)))
+            & (F.col("e.pos") <= F.col("i.pos") + F.lit(int(post)))
+        )
+        docs = self._live(
+            inc.join(exc, cond, "left_anti").select("doc_id").distinct()
+        )
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def termvectors(
+        self, *key_values, field: str | int | None = None
+    ) -> DataFrame:
+        """ES _termvectors: the analyzed term -> frequency vector of ONE
+        document, recomputed from the stored source field (the ES
+        ``_source``-backed path — this engine's postings are term-major,
+        so per-doc vectors come from the stored text, exactly like ES
+        regenerates them when term vectors aren't indexed). Requires the
+        text column in ``meta_cols``. Rows (term, tf) ordered by term.
+
+        Plan: one get-by-key point lookup (broadcast), tokenize that one
+        row JVM-side, explode + count — O(1) documents touched."""
+        from ..functions.tokenizer import tokenize_col
+
+        col = self.meta.get("fields", ["text"])[self._fid(field)]
+        if "._" in col:
+            raise ValueError(
+                "termvectors: use the base field, not a shingle subfield"
+            )
+        doc = self.get_by_key(*key_values)
+        if col not in doc.columns:
+            raise ValueError(
+                f"termvectors needs {col!r} stored in meta_cols"
+            )
+        return (
+            doc.select(F.explode(tokenize_col(F.col(col))).alias("term"))
+            .groupBy("term")
+            .agg(F.count("*").alias("tf"))
+            .orderBy(F.asc("term"))
+        )
+
     def _match_meta(self, query, field, cols):
         """Match-set doc_ids (docs containing ANY analyzed query term)
         joined with the named doc_stats columns — the shared preamble of
@@ -1771,6 +1851,48 @@ class InvertedIndex:
                 ),
             )
             .orderBy(F.asc("bucket"))
+        )
+
+    def histogram_filled(
+        self,
+        query: str,
+        by: str,
+        interval: int,
+        k: int = 1000,
+        field: str | int | None = None,
+        bounds: tuple | None = None,
+    ) -> DataFrame:
+        """Numeric histogram with ES ``min_doc_count=0`` (+ optional
+        ``extended_bounds``): empty buckets between the observed (or
+        extended) min and max appear with doc_count 0. Integral intervals
+        only (the dense axis is a `sequence()` of bucket keys — ES's
+        float-interval zero-fill has no exact integer axis). Same
+        O(buckets) axis-generation note as date_histogram_filled."""
+        if int(interval) != interval or interval <= 0:
+            raise ValueError(
+                f"histogram_filled: interval must be a positive integer, "
+                f"got {interval}"
+            )
+        step = int(interval)
+        got = self.histogram(query, by, step, k=k, field=field)
+        span = got.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        if bounds is not None:
+            blo = F.lit(int(bounds[0]) // step * step).cast("long")
+            bhi = F.lit(int(bounds[1]) // step * step).cast("long")
+            span = span.select(
+                F.least(blo, F.coalesce(F.col("lo"), blo)).alias("lo"),
+                F.greatest(bhi, F.coalesce(F.col("hi"), bhi)).alias("hi"),
+            )
+        axis = span.where(F.col("lo").isNotNull()).select(
+            F.explode(F.sequence("lo", "hi", F.lit(step))).alias("bucket")
+        )
+        return (
+            axis.join(got, "bucket", "left")
+            .select(
+                "bucket", F.coalesce("doc_count", F.lit(0)).alias("doc_count")
+            )
+            .orderBy(F.asc("bucket"))
+            .limit(k)
         )
 
     def date_histogram_filled(

@@ -41,7 +41,7 @@ def span_index(spark, tmp_path_factory):
     build_index(
         spark, df, out,
         BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
-        meta_cols=("ts", "nc"),
+        meta_cols=("ts", "nc", "text"),
     )
     return InvertedIndex(spark, out)
 
@@ -137,6 +137,46 @@ def test_span_first(span_index):
         == [0, 1, 2, 3, 4, 5, 6]
     with pytest.raises(ValueError, match="exactly one term"):
         span_index.span_first("a b", 3)
+
+
+def test_span_not(span_index):
+    # doc 0 "a b c d e": c@2 is within +-1 of d@3 -> killed; doc 5 "b c a"
+    # has c but no d -> survives
+    got = [r["doc_id"] for r in
+           span_index.span_not("c", "d", pre=1, post=1, k=100).collect()]
+    assert got == [5]
+    # b@1 is NOT within +-1 of d@3 -> doc 0 survives
+    got = [r["doc_id"] for r in
+           span_index.span_not("b", "d", pre=1, post=1, k=100).collect()]
+    assert 0 in got
+    # pre/post = 0: unit spans of different terms never overlap
+    got = [r["doc_id"] for r in span_index.span_not("c", "d", k=100).collect()]
+    assert got == [0, 5]
+
+
+def test_termvectors(span_index):
+    rows = span_index.termvectors("c4", 0).collect()  # "a q a"
+    assert [(r["term"], r["tf"]) for r in rows] == [("a", 2), ("q", 1)]
+    with pytest.raises(ValueError, match="shingle"):
+        ix = span_index
+        if "text._2gram" in ix.meta.get("fields", []):
+            ix.termvectors("c4", 0, field="text._2gram")
+        else:
+            raise ValueError("no shingle subfield in this index")
+
+
+def test_histogram_filled(span_index):
+    # "c" matches docs 0 (nc=100) and 5 (nc=350): bucket 200 must be zero
+    rows = span_index.histogram_filled("c", "nc", 100).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == [
+        (100, 1), (200, 0), (300, 1),
+    ]
+    rows = span_index.histogram_filled("c", "nc", 100, bounds=(0, 400)).collect()
+    assert [(r["bucket"], r["doc_count"]) for r in rows] == [
+        (0, 0), (100, 1), (200, 0), (300, 1), (400, 0),
+    ]
+    with pytest.raises(ValueError, match="positive integer"):
+        span_index.histogram_filled("c", "nc", 0.5)
 
 
 def test_pipeline_aggs(span_index):
