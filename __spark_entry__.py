@@ -518,6 +518,53 @@ def q_ft_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_bool_prefix("merge ba", k=20, round_scores=6)
 
 
+_MULTI_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _documents_split_indexes(spark: SparkSession, sf_dir: str):
+    """Two physical indexes over the documents table split by src_id
+    parity — the reference's one-index-per-corp/data-type layout, used
+    by the multi-index (index-pattern) search entry."""
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    key = os.path.abspath(sf_dir)
+    if key not in _MULTI_CACHE:
+        base = os.path.join(
+            "/tmp/dis_entry_multi_v1", key.strip("/").replace("/", "_")
+        )
+        docs = _load(spark, sf_dir, "documents").withColumnRenamed(
+            "doc_id", "src_id"
+        )
+        paths = []
+        for tag, rem in (("even", 0), ("odd", 1)):
+            out = os.path.join(base, tag)
+            build_index(
+                spark,
+                docs.filter(F.col("src_id") % 2 == rem),
+                out,
+                BuildConfig(n_segments=2, n_buckets=8),
+                doc_key_cols=("src_id",),
+                meta_cols=(),
+            )
+            paths.append(out)
+        _MULTI_CACHE[key] = tuple(paths)
+    even, odd = _MULTI_CACHE[key]
+    return {
+        "even": InvertedIndex(spark, even),
+        "odd": InvertedIndex(spark, odd),
+    }
+
+
+def q_ft_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES index-pattern search (dart-*): per-index BM25 top-k with LOCAL
+    # statistics (ES default query_then_fetch), merged by score
+    from dart_importer_spark.query.engine import multi_index_topk
+
+    idxs = _documents_split_indexes(spark, sf_dir)
+    return multi_index_topk(idxs, "data merge", k=20, round_scores=6)
+
+
 def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES span_not: 'part' occurrences NOT within +-2 positions of 'filter'
     # (negative proximity); doc matches if any occurrence survives
@@ -1272,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_not": q_ft_span_not,
         "ft_termvectors": q_ft_termvectors,
         "ft_histogram_filled": q_ft_histogram_filled,
+        "ft_multi_index": q_ft_multi_index,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1837,6 +1885,41 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_multi_index": f"""
+WITH docs AS (
+  SELECT doc_id % 2 AS half,
+         row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS did,
+         text
+  FROM documents
+),
+tok AS (SELECT half, did, unnest({tok}) AS term FROM docs),
+tf AS (
+  SELECT half, did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+dl AS (SELECT half, did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (
+  SELECT half, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1
+),
+dft AS (SELECT half, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(term) AS (VALUES ('data'), ('merge')),
+scored AS (
+  SELECT tf.half, tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft ON dft.half = tf.half AND dft.term = tf.term
+  JOIN dl ON dl.half = tf.half AND dl.did = tf.did
+  JOIN stats s ON s.half = tf.half
+  GROUP BY 1, 2
+)
+SELECT CASE half WHEN 0 THEN 'even' ELSE 'odd' END AS index,
+       did AS doc_id, round(raw, 6) AS score
+FROM scored
+ORDER BY score DESC, index ASC, doc_id ASC LIMIT 20
 """,
         "ft_span_not": f"""
 WITH docs AS (

@@ -3510,3 +3510,39 @@ class InvertedIndex:
                 os.path.join(self.dir, "tombstones")
             )
         return n
+
+
+def multi_index_topk(
+    indexes: dict[str, InvertedIndex],
+    query: str,
+    k: int = 10,
+    round_scores: int | None = None,
+    **topk_kwargs,
+) -> DataFrame:
+    """ES index-pattern search (``GET dart-*/_search``): one query over
+    several physical indexes, hits merged by score with an ``index``
+    column, exactly the reference's multi-index layout (one index per
+    corp/data type, import_dart_data.py index naming + Running-ELK.md's
+    dart-* patterns). ES's DEFAULT query_then_fetch scores each shard
+    with ITS OWN statistics — global IDF is the opt-in
+    dfs_query_then_fetch — so the honest equivalent is per-index BM25
+    top-k unioned and re-ranked, which is what this does.
+
+    Scale shape: each index's top-k is already distributed and
+    block-max-pruned; the merge unions n·k rows (tiny) and re-sorts —
+    the coordinating-node step of a cross-index ES search, never a
+    cross-index shuffle. Ties: (score desc, index asc, doc_id asc)."""
+    if not indexes:
+        raise ValueError("multi_index_topk: need at least one index")
+    parts = []
+    for name, ix in sorted(indexes.items()):
+        df = ix.topk(query, k=k, round_scores=round_scores, **topk_kwargs)
+        parts.append(
+            df.select(F.lit(name).alias("index"), "doc_id", "score")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy(
+        F.desc("score"), F.asc("index"), F.asc("doc_id")
+    ).limit(k)

@@ -305,3 +305,44 @@ def test_match_bool_prefix_single_token(span_index):
     out = span_index.match_bool_prefix("q", k=100).collect()
     assert {r["doc_id"] for r in out} == {6, 7}
     assert all(r["score"] == pytest.approx(1.0) for r in out)
+
+
+def test_multi_index_topk(spark, tmp_path_factory):
+    """Cross-index merge == ES query_then_fetch: per-index local stats,
+    union of per-index top-k, re-ranked (score desc, index asc, doc_id)."""
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex, multi_index_topk
+
+    base = tmp_path_factory.mktemp("multi")
+    corpora = {
+        "a": [("x", 0, "apple banana"), ("x", 1, "apple apple cherry")],
+        "b": [("y", 0, "apple date"), ("y", 1, "elderberry fig")],
+    }
+    idxs = {}
+    for name, rows in corpora.items():
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string"
+        )
+        out = str(base / name)
+        build_index(spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+                    meta_cols=())
+        idxs[name] = InvertedIndex(spark, out)
+
+    got = multi_index_topk(idxs, "apple", k=10, round_scores=6).collect()
+    # every per-index hit present, labeled, globally sorted
+    assert {(r["index"], r["doc_id"]) for r in got} == {
+        ("a", 0), ("a", 1), ("b", 0)
+    }
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # per-index scores must equal that index's own topk (LOCAL stats)
+    for name, ix in idxs.items():
+        own = {r["doc_id"]: r["score"]
+               for r in ix.topk("apple", k=10, round_scores=6).collect()}
+        for r in got:
+            if r["index"] == name:
+                assert r["score"] == own[r["doc_id"]]
+    # k truncates globally
+    assert len(multi_index_topk(idxs, "apple", k=2).collect()) == 2
+    with pytest.raises(ValueError, match="at least one"):
+        multi_index_topk({}, "apple")
