@@ -104,8 +104,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--operator", choices=["or", "and"], default="or")
     p.add_argument("--slop", type=int, default=0)
     p.add_argument("--max-expansions", type=int, default=50)
-    p.add_argument("--in-order", action="store_true",
-                   help="span_near: require clause order")
+    p.add_argument("--unordered", action="store_true",
+                   help="span_near: allow clauses in any order "
+                        "(default requires order, the ES/Lucene default)")
     p.add_argument("--end", type=int, default=3,
                    help="span_first: first N token positions")
     p.add_argument("--by", default=None,
@@ -212,7 +213,7 @@ def main(argv: list[str] | None = None) -> int:
                                        max_expansions=args.max_expansions)
         elif t == "span_near":
             df = ix.span_near(
-                q.split(), slop=args.slop, in_order=args.in_order,
+                q.split(), slop=args.slop, in_order=not args.unordered,
                 k=k, field=fld,
             )
         elif t == "span_first":

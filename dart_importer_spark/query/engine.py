@@ -1144,7 +1144,7 @@ class InvertedIndex:
         return float(rows[-1]["score"])
 
     def _positions_for_terms(
-        self, terms: list[str], fid: int, allowed: np.ndarray | None = None
+        self, terms: list[str], fid: int, allowed=None
     ) -> DataFrame:
         """Exploded (term, doc_id, pos) rows for the given terms — the
         positional scan backing match_phrase. Decode is Arrow-batched; only
@@ -1160,7 +1160,7 @@ class InvertedIndex:
         return self._decode_positions(self._candidate_postings(terms, fid), allowed)
 
     def _positions_for_terms_df(
-        self, terms_df: DataFrame, fid: int, allowed: np.ndarray | None = None
+        self, terms_df: DataFrame, fid: int, allowed=None
     ) -> DataFrame:
         """Positional scan for an EXPANDED term set (match_phrase_prefix's
         last-term rewrite): the expansion stays a broadcast semi-join, same
@@ -1170,10 +1170,19 @@ class InvertedIndex:
         )
 
     def _decode_positions(
-        self, cand: DataFrame, allowed: np.ndarray | None = None
+        self, cand: DataFrame, allowed=None
     ) -> DataFrame:
+        # ``allowed``: a sorted doc_id ndarray OR an already-built Broadcast
+        # of one — phrase/span callers broadcast the candidate mask ONCE and
+        # pass the handle into every per-term scan (n scans would otherwise
+        # re-ship an up-to-id_push_budget-sized array n times)
+        from pyspark.broadcast import Broadcast
+
         sc = self.spark.sparkContext
-        bc_allowed = sc.broadcast(allowed) if allowed is not None else None
+        if isinstance(allowed, Broadcast):
+            bc_allowed = allowed
+        else:
+            bc_allowed = sc.broadcast(allowed) if allowed is not None else None
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             allow = bc_allowed.value if bc_allowed is not None else None
@@ -1267,8 +1276,12 @@ class InvertedIndex:
         # one single-term positional scan per phrase slot (see span_near:
         # per-term scans push term+bucket into each branch's parquet scan —
         # n decodes total instead of n²)
+        bc_cand = (
+            self.spark.sparkContext.broadcast(cand_ids)
+            if cand_ids is not None else None
+        )
         rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            t: self._positions_for_terms([t], fid, allowed=bc_cand)
             for t in set(terms)
         }
         if slop == 0:
@@ -1362,8 +1375,12 @@ class InvertedIndex:
         if missing:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # per-term scans (see span_near): n decodes total instead of n²
+        bc_cand = (
+            self.spark.sparkContext.broadcast(cand_ids)
+            if cand_ids is not None else None
+        )
         rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            t: self._positions_for_terms([t], fid, allowed=bc_cand)
             for t in set(complete)
         }
         base = rows_by_term[complete[0]].select("doc_id", "pos")
@@ -1373,7 +1390,7 @@ class InvertedIndex:
             )
             base = base.join(nxt, ["doc_id", "pos"], "left_semi")
         # any expanded term at the slot after the exact prefix of the phrase
-        tail = self._positions_for_terms_df(pref_df, fid, allowed=cand_ids).select(
+        tail = self._positions_for_terms_df(pref_df, fid, allowed=bc_cand).select(
             "doc_id", (F.col("pos") - len(complete)).alias("pos")
         )
         base = base.join(tail, ["doc_id", "pos"], "left_semi")
@@ -1434,8 +1451,12 @@ class InvertedIndex:
         # reads but push term = t (hence its exact bucket) into that
         # branch's parquet scan — n decodes total instead of n² (a shared
         # n-term scan decodes every clause's postings in every branch)
+        bc_cand = (
+            self.spark.sparkContext.broadcast(cand_ids)
+            if cand_ids is not None else None
+        )
         rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=cand_ids)
+            t: self._positions_for_terms([t], fid, allowed=bc_cand)
             for t in set(terms)
         }
         width = slop + n - 1  # max (last - first) inside a matching window
@@ -1575,10 +1596,17 @@ class InvertedIndex:
         row JVM-side, explode + count — O(1) documents touched."""
         from ..functions.tokenizer import tokenize_col
 
-        col = self.meta.get("fields", ["text"])[self._fid(field)]
+        col = self.fields[self._fid(field)]
         if "._" in col:
             raise ValueError(
                 "termvectors: use the base field, not a shingle subfield"
+            )
+        key_cols = list(self.meta.get("doc_key_cols") or [])
+        if key_cols and len(key_values) != len(key_cols):
+            raise ValueError(
+                f"termvectors is strictly per-document: need the full key "
+                f"{key_cols}, got {len(key_values)} value(s) — a partial "
+                f"key would silently merge several documents' vectors"
             )
         doc = self.get_by_key(*key_values)
         if col not in doc.columns:
@@ -1873,12 +1901,16 @@ class InvertedIndex:
                 f"histogram_filled: interval must be a positive integer, "
                 f"got {interval}"
             )
+        import math
+
         step = int(interval)
         got = self.histogram(query, by, step, k=k, field=field)
         span = got.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
         if bounds is not None:
-            blo = F.lit(int(bounds[0]) // step * step).cast("long")
-            bhi = F.lit(int(bounds[1]) // step * step).cast("long")
+            # floor (not int(): truncation-toward-zero mis-buckets
+            # negative fractional bounds, e.g. -0.5 -> 0 instead of -100)
+            blo = F.lit(int(math.floor(bounds[0] / step)) * step).cast("long")
+            bhi = F.lit(int(math.floor(bounds[1] / step)) * step).cast("long")
             span = span.select(
                 F.least(blo, F.coalesce(F.col("lo"), blo)).alias("lo"),
                 F.greatest(bhi, F.coalesce(F.col("hi"), bhi)).alias("hi"),
@@ -1934,7 +1966,12 @@ class InvertedIndex:
                 F.least(blo, F.coalesce(F.col("lo"), blo)).alias("lo"),
                 F.greatest(bhi, F.coalesce(F.col("hi"), bhi)).alias("hi"),
             )
-        step = F.expr(f"interval 1 {interval}")
+        # Spark's interval parser has no 'quarter' unit; 1 quarter = 3 months
+        step = (
+            F.expr("interval 3 month")
+            if interval == "quarter"
+            else F.expr(f"interval 1 {interval}")
+        )
         axis = span.where(F.col("lo").isNotNull()).select(
             F.explode(F.sequence("lo", "hi", step)).alias("b")
         )
@@ -2013,9 +2050,14 @@ class InvertedIndex:
             parent = self.date_histogram(query, by, interval, k=k, field=field)
             key = "bucket"
         else:
-            # terms-agg parent, but bucket_sort re-sorts below, so take
-            # ALL buckets (k) here, not the display cap
-            parent = self.facet(query, by, k=k, field=field)
+            # terms-agg parent WITHOUT truncation: facet's top-k-by-count
+            # cut would silently drop exactly the low-count buckets an
+            # ascending bucket_sort must return
+            parent = (
+                self._match_meta(query, field, [by])
+                .groupBy(by)
+                .agg(F.count("*").alias("doc_count"))
+            )
             key = by
         order = F.asc(sort_on) if ascending else F.desc(sort_on)
         return (
@@ -2197,6 +2239,10 @@ class InvertedIndex:
             raise ValueError(f"decay_score: scale must be > 0, got {scale}")
         if boost_mode not in ("multiply", "sum"):
             raise ValueError(f"decay_score: unknown boost_mode {boost_mode!r}")
+        if fn not in ("gauss", "exp", "linear"):
+            # validate BEFORE the empty-match early return below, or a
+            # typo'd fn passes silently on non-matching queries
+            raise ValueError(f"decay_score: unknown fn {fn!r}")
         fid = self._fid(field)
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)

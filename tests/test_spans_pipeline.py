@@ -154,15 +154,23 @@ def test_span_not(span_index):
     assert got == [0, 5]
 
 
-def test_termvectors(span_index):
+def test_termvectors(span_index, spark, tmp_path_factory):
     rows = span_index.termvectors("c4", 0).collect()  # "a q a"
     assert [(r["term"], r["tf"]) for r in rows] == [("a", 2), ("q", 1)]
+    # partial key must raise, not silently merge several docs' vectors
+    with pytest.raises(ValueError, match="full key"):
+        span_index.termvectors("c4")
+    # shingle subfields rejected (the vector comes from the stored base text)
+    df = spark.createDataFrame(
+        [("s", 0, "a b")], "conv_id string, turn_idx int, text string"
+    )
+    out = str(tmp_path_factory.mktemp("tv_sh") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+        shingle_fields=(("text", 2),), meta_cols=("text",),
+    )
     with pytest.raises(ValueError, match="shingle"):
-        ix = span_index
-        if "text._2gram" in ix.meta.get("fields", []):
-            ix.termvectors("c4", 0, field="text._2gram")
-        else:
-            raise ValueError("no shingle subfield in this index")
+        InvertedIndex(spark, out).termvectors("s", 0, field="text._2gram")
 
 
 def test_histogram_filled(span_index):
@@ -177,6 +185,26 @@ def test_histogram_filled(span_index):
     ]
     with pytest.raises(ValueError, match="positive integer"):
         span_index.histogram_filled("c", "nc", 0.5)
+    # negative FRACTIONAL bound floors to the bucket below, not toward 0
+    rows = span_index.histogram_filled(
+        "c", "nc", 100, bounds=(-0.5, 100)
+    ).collect()
+    assert rows[0]["bucket"] == -100 and rows[0]["doc_count"] == 0
+
+
+def test_date_histogram_filled_quarter(span_index):
+    # 'quarter' is whitelisted but Spark's interval parser has no quarter
+    # unit — the axis step must map to 3 months
+    rows = span_index.date_histogram_filled("a", "ts", "quarter").collect()
+    assert [(r["bucket"][:10], r["doc_count"]) for r in rows] == [
+        ("2024-01-01", 7)
+    ]
+    rows = span_index.date_histogram_filled(
+        "a", "ts", "quarter", bounds=("2023-07-01 00:00:00", "2024-01-01 00:00:00")
+    ).collect()
+    assert [(r["bucket"][:10], r["doc_count"]) for r in rows] == [
+        ("2023-07-01", 0), ("2023-10-01", 0), ("2024-01-01", 7),
+    ]
 
 
 def test_pipeline_aggs(span_index):
@@ -276,8 +304,10 @@ def test_decay_score_validation(span_index):
         span_index.decay_score("a", decay=1.0)
     with pytest.raises(ValueError, match="scale must be"):
         span_index.decay_score("a", scale=0.0)
+    # bogus fn must raise even when the query matches nothing (validation
+    # runs before the empty-match early return)
     with pytest.raises(ValueError, match="unknown fn"):
-        span_index.decay_score("a", fn="cosine")
+        span_index.decay_score("zz_not_a_term", fn="cosine")
 
 
 def test_match_bool_prefix(span_index):
