@@ -461,6 +461,13 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match_phrase in QUERY context (Lucene PhraseQuery BM25): tf =
+    # phrase occurrence count, idf = sum of the terms' idfs
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase_scored("part filter", k=100, round_scores=6)
+
+
 def q_ft_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES span_near, in_order: one position per clause, strictly increasing,
     # total window (max-min+1)-n <= slop — Lucene proximity beyond phrase
@@ -1320,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_termvectors": q_ft_termvectors,
         "ft_histogram_filled": q_ft_histogram_filled,
         "ft_multi_index": q_ft_multi_index,
+        "ft_phrase_scored": q_ft_phrase_scored,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1885,6 +1893,37 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_phrase_scored": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tp GROUP BY 1),
+idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM (VALUES ('part'), ('filter')) q(term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter'),
+starts AS (SELECT p0.did, p0.pos FROM p0 JOIN p1 USING (did, pos)),
+ptf AS (SELECT did, count(*)::DOUBLE AS ptf FROM starts GROUP BY 1)
+SELECT ptf.did AS doc_id,
+       round(i.isum * ptf.ptf
+             / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 6)
+         AS score
+FROM ptf
+JOIN dl ON dl.did = ptf.did
+CROSS JOIN stats s
+CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 100
 """,
         "ft_multi_index": f"""
 WITH docs AS (

@@ -1336,6 +1336,82 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def match_phrase_scored(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES match_phrase in QUERY context — Lucene PhraseQuery BM25:
+        tf is the document's exact-phrase occurrence count (overlapping
+        matches counted, as ExactPhraseMatcher does), idf is the SUM of
+        the phrase terms' idfs (each instance of a duplicated term
+        counted), score = idf_sum · tf / (tf + k1·(1−b+b·dl/avgdl)).
+        ``match_phrase()`` remains the filter-context constant-score
+        variant (ES scores phrases only when the clause sits in query
+        context). Primary analyzed field only: per-field dl lives inside
+        the posting blobs; doc_stats stores the primary field's dl.
+
+        Plan: the same rarest-first masked per-term positional chain as
+        match_phrase, but keeping one row per matching START position —
+        the group-count is the phrase tf; one broadcast join to doc_stats
+        for dl. No new scan shapes."""
+        fid = self._fid(field)
+        if fid != 0:
+            raise ValueError(
+                "match_phrase_scored supports the primary field only "
+                "(doc_stats stores the primary field's dl)"
+            )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        terms = self._analyze(query, field)
+        if not terms:
+            return empty
+        dfs = self.term_stats(terms, fid)
+        if any(t not in dfs for t in terms):
+            return empty
+        idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
+        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        if missing:
+            return empty
+        bc_cand = (
+            self.spark.sparkContext.broadcast(cand_ids)
+            if cand_ids is not None else None
+        )
+        rows_by_term = {
+            t: self._positions_for_terms([t], fid, allowed=bc_cand)
+            for t in set(terms)
+        }
+        starts = rows_by_term[terms[0]].select("doc_id", "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = rows_by_term[t].select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            starts = starts.join(nxt, ["doc_id", "pos"], "left_semi")
+        ptf = starts.groupBy("doc_id").agg(
+            F.count("*").cast("double").alias("ptf")
+        )
+        avgdl = self.avgdl_by_field[fid]
+        joined = self._live(ptf).join(
+            self.doc_stats().select("doc_id", "dl"), "doc_id"
+        )
+        score = (
+            F.lit(float(idf_sum))
+            * F.col("ptf")
+            / (
+                F.col("ptf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+        out = joined.select("doc_id", score.alias("score"))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def match_phrase_prefix(
         self,
         query: str,

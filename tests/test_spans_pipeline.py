@@ -376,3 +376,56 @@ def test_multi_index_topk(spark, tmp_path_factory):
     assert len(multi_index_topk(idxs, "apple", k=2).collect()) == 2
     with pytest.raises(ValueError, match="at least one"):
         multi_index_topk({}, "apple")
+
+
+def test_match_phrase_scored(spark, tmp_path_factory):
+    """Lucene PhraseQuery BM25: tf = phrase occurrences (overlaps count),
+    idf = sum of term idfs — values checked against the closed formula."""
+    import math
+
+    rows = [("p", 0, "x y"), ("p", 1, "x y z x y"),
+            ("p", 2, "b b b"), ("p", 3, "y x")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("pscore") / "idx")
+    build_index(spark, df, out,
+                BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
+                meta_cols=())
+    ix = InvertedIndex(spark, out)
+
+    def idf(n, dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def expect(isum, tf, dl, avgdl):
+        return isum * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    avgdl = (2 + 5 + 3 + 2) / 4.0
+    got = {r["doc_id"]: r["score"]
+           for r in ix.match_phrase_scored("x y", k=10).collect()}
+    isum = idf(4, 3) + idf(4, 3)  # x in docs 0,1,3; y in docs 0,1,3
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(expect(isum, 1, 2, avgdl), rel=1e-9)
+    assert got[1] == pytest.approx(expect(isum, 2, 5, avgdl), rel=1e-9)
+
+    # overlapping matches: "b b" in "b b b" -> tf 2; idf counts BOTH b's
+    got = {r["doc_id"]: r["score"]
+           for r in ix.match_phrase_scored("b b", k=10).collect()}
+    isum = 2 * idf(4, 1)
+    assert got == {2: pytest.approx(expect(isum, 2, 3, avgdl), rel=1e-9)}
+
+    # filter-context variant unchanged: constant score
+    fc = ix.match_phrase("x y", k=10).collect()
+    assert all(r["score"] == 1.0 for r in fc)
+
+    # non-primary fields rejected (doc_stats stores the primary dl only)
+    rows2 = [("p", 0, "x y", "u v")]
+    df2 = spark.createDataFrame(
+        rows2, "conv_id string, turn_idx int, text string, other string"
+    )
+    out2 = str(tmp_path_factory.mktemp("pscore2") / "idx")
+    build_index(
+        spark, df2, out2,
+        BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
+        text_cols=("text", "other"), meta_cols=(),
+    )
+    with pytest.raises(ValueError, match="primary field"):
+        InvertedIndex(spark, out2).match_phrase_scored("u v", field="other")
