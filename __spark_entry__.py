@@ -461,6 +461,13 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES phrase suggester: per-token Damerau candidates composed into
+    # whole-phrase rewrites under a pinned unigram-LM + edit-penalty score
+    ix = _documents_index(spark, sf_dir)
+    return ix.suggest_phrase("kee vale", k=3, per_token=3)
+
+
 def q_ft_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES match_phrase in QUERY context (Lucene PhraseQuery BM25): tf =
     # phrase occurrence count, idf = sum of the terms' idfs
@@ -1328,6 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram_filled": q_ft_histogram_filled,
         "ft_multi_index": q_ft_multi_index,
         "ft_phrase_scored": q_ft_phrase_scored,
+        "ft_suggest_phrase": q_ft_suggest_phrase,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1893,6 +1901,33 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_suggest_phrase": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (SELECT did, unnest({tok}) AS term FROM docs),
+dft AS (SELECT term, count(DISTINCT did)::BIGINT AS df FROM tok GROUP BY 1),
+c1 AS (
+  SELECT term, df, damerau_levenshtein(term, 'kee') AS dist
+  FROM dft WHERE damerau_levenshtein(term, 'kee') <= 2
+  ORDER BY dist ASC, df DESC, term ASC LIMIT 3
+),
+c2 AS (
+  SELECT term, df, damerau_levenshtein(term, 'vale') AS dist
+  FROM dft WHERE damerau_levenshtein(term, 'vale') <= 2
+  ORDER BY dist ASC, df DESC, term ASC LIMIT 3
+),
+combos AS (
+  SELECT c1.term || ' ' || c2.term AS suggestion,
+         round(ln(1 + c1.df) + ln(1 + c2.df)
+               - 1.0 * (c1.dist + c2.dist), 6) AS score,
+         (CASE WHEN c1.term <> 'kee' THEN 1 ELSE 0 END
+          + CASE WHEN c2.term <> 'vale' THEN 1 ELSE 0 END) AS n_edits
+  FROM c1 CROSS JOIN c2
+)
+SELECT suggestion, score, CAST(n_edits AS INTEGER) AS n_edits
+FROM combos ORDER BY score DESC, suggestion ASC LIMIT 3
 """,
         "ft_phrase_scored": f"""
 WITH docs AS (
@@ -2545,7 +2580,7 @@ ORDER BY doc_id ASC LIMIT 50
         + """
 , fz AS (
   SELECT term FROM (
-    SELECT DISTINCT term FROM tok WHERE damerau_levenshtein(term, 'tabel') <= 1
+    SELECT DISTINCT term FROM tok WHERE damerau_levenshtein(term, 'kee') <= 1
   ) ORDER BY term LIMIT 50
 )
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score

@@ -96,6 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
             "fuzzy", "regexp", "suggest", "sayt", "highlight",
             "span_near", "span_first", "bool_prefix", "sort",
+            "suggest_phrase",
         ],
     )
     p.add_argument("--q", required=True)
@@ -222,6 +223,8 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.match_bool_prefix(
                 q, k=k, field=fld, max_expansions=args.max_expansions
             )
+        elif t == "suggest_phrase":
+            df = ix.suggest_phrase(q, k=k, field=fld)
         elif t == "sort":
             if not args.by:
                 ap.error("search --type sort requires --by <column>")

@@ -880,6 +880,89 @@ class InvertedIndex:
         )
         return out
 
+    def suggest_phrase(
+        self,
+        text: str,
+        k: int = 3,
+        max_dist: int = 2,
+        per_token: int = 3,
+        edit_penalty: float = 1.0,
+        field: str | int | None = None,
+        collate: bool = False,
+    ) -> DataFrame:
+        """ES phrase suggester ("did you mean") with a pinned,
+        oracle-exact model: per-token candidates come from the term
+        suggester ranking (dist asc, df desc, term asc — top
+        ``per_token``; the token itself rides at dist 0 when indexed; an
+        un-indexed token with no candidates is kept verbatim at df 0),
+        composed into whole-phrase rewrites scored
+
+            score = Σ ln(1 + df(termᵢ)) − edit_penalty · Σ distᵢ
+
+        — the ES generator + language-model shape (candidate generator →
+        unigram Stupid-Backoff-flavoured LM with an additive edit
+        confidence), ranked (score desc, suggestion asc), top-k.
+        ``collate=True`` drops rewrites with zero exact-phrase hits —
+        ES collation runs the phrase query per surviving candidate, and
+        so does this (needs ``store_positions``).
+
+        Scale shape: candidate generation is the term suggester's ONE
+        dictionary scan; composition handles ≤ per_token^n_tokens rows
+        for a human-typed query on the coordinator, exactly where ES
+        composes them; collation probes ≤ k phrases, each a bounded
+        positional query. Returns (suggestion, score, n_edits)."""
+        import itertools
+        import math
+
+        empty = self.spark.createDataFrame(
+            [], "suggestion string, score double, n_edits int"
+        )
+        toks = self._analyze(text, field)
+        if not toks:
+            return empty
+        if collate and not self.meta.get("store_positions"):
+            raise ValueError(
+                "suggest_phrase(collate=True) needs an index built with "
+                "store_positions=True"
+            )
+        cand_rows = self.suggest_terms(
+            text, k=per_token, max_dist=max_dist, field=field
+        ).collect()  # ≤ n_tokens · per_token rows — the suggester's cap
+        by_tok: dict[str, list[tuple[str, int, int]]] = {}
+        for r in cand_rows:
+            by_tok.setdefault(r["token"], []).append(
+                (r["term"], int(r["dist"]), int(r["df"]))
+            )
+        cand_lists = [by_tok.get(t) or [(t, 0, 0)] for t in toks]
+        scored: dict[str, tuple[float, int]] = {}
+        for combo in itertools.product(*cand_lists):
+            s = sum(math.log1p(c[2]) for c in combo) - edit_penalty * sum(
+                c[1] for c in combo
+            )
+            sug = " ".join(c[0] for c in combo)
+            ned = sum(1 for c, t0 in zip(combo, toks) if c[0] != t0)
+            if sug not in scored or scored[sug][0] < s:
+                scored[sug] = (s, ned)
+        ranked = sorted(
+            ((round(s, 6), sug, ned) for sug, (s, ned) in scored.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if collate:
+            fid = self._fid(field)
+            kept = []
+            for s, sug, ned in ranked:
+                if len(kept) >= k:
+                    break
+                if self._phrase_doc_set(sug.split(), fid).limit(1).count():
+                    kept.append((s, sug, ned))
+            ranked = kept
+        else:
+            ranked = ranked[:k]
+        return self.spark.createDataFrame(
+            [(sug, s, ned) for s, sug, ned in ranked],
+            "suggestion string, score double, n_edits int",
+        )
+
     def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Driver-side convenience wrapper around expand_prefix_df (NOT used
         by any query path — those stay distributed)."""

@@ -429,3 +429,39 @@ def test_match_phrase_scored(spark, tmp_path_factory):
     )
     with pytest.raises(ValueError, match="primary field"):
         InvertedIndex(spark, out2).match_phrase_scored("u v", field="other")
+
+
+def test_suggest_phrase(spark, tmp_path_factory):
+    """Phrase suggester: per-token Damerau candidates -> whole-phrase
+    rewrites under score = sum(ln(1+df)) - penalty*sum(dist); collation
+    keeps only rewrites with exact-phrase hits."""
+    import math
+
+    rows = [("s", 0, "apple pie"), ("s", 1, "apple tart"),
+            ("s", 2, "maple pie")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("didyoumean") / "idx")
+    build_index(spark, df, out,
+                BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
+                meta_cols=())
+    ix = InvertedIndex(spark, out)
+
+    got = ix.suggest_phrase("aple pie", k=5).collect()
+    by_sug = {r["suggestion"]: (r["score"], r["n_edits"]) for r in got}
+    # apple: df 2 dist 1; maple: df 1 dist 1; pie: df 2 dist 0
+    assert by_sug["apple pie"] == (
+        round(math.log1p(2) + math.log1p(2) - 1.0, 6), 1)
+    assert by_sug["maple pie"] == (
+        round(math.log1p(1) + math.log1p(2) - 1.0, 6), 1)
+    assert got[0]["suggestion"] == "apple pie"  # higher df wins at equal edits
+
+    # collation: "maple tart" never occurs as a phrase -> dropped
+    col = [r["suggestion"]
+           for r in ix.suggest_phrase("aple tart", k=5, collate=True).collect()]
+    assert "apple tart" in col and "maple tart" not in col
+
+    # un-indexed token kept verbatim at df 0
+    got = ix.suggest_phrase("zzz pie", k=2).collect()
+    assert got[0]["suggestion"] == "zzz pie"
+    assert got[0]["score"] == round(math.log1p(2), 6)
+    assert got[0]["n_edits"] == 0
