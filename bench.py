@@ -70,6 +70,10 @@ HEADLINE = [
     "ft_dh_filled",
     "ft_decay",
     "ft_match_bool_prefix",
+    "ft_span_not",
+    "ft_phrase_scored",
+    "ft_suggest_phrase",
+    "ft_multi_index",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",
