@@ -461,6 +461,42 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES weighted_avg: sum(value*weight)/sum(weight) over the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.weighted_avg("data", "n_chars", "dl")
+
+
+def q_ft_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES value_count: non-null values of a sparse field over the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.value_count("data", "opt_tag")
+
+
+def q_ft_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES boxplot: min/q1/median/q3/max (exact interpolated quantiles)
+    ix = _documents_index(spark, sf_dir)
+    return ix.boxplot("data", "n_chars")
+
+
+def q_ft_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES median_absolute_deviation, exact: median(|x - median(x)|)
+    ix = _documents_index(spark, sf_dir)
+    return ix.median_absolute_deviation("data", "n_chars")
+
+
+def q_ft_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES top_metrics (size=1): metric at the extreme sort value (max_by)
+    ix = _documents_index(spark, sf_dir)
+    return ix.top_metrics("data", "n_chars", "doc_id")
+
+
+def q_ft_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES matrix_stats: correlation + sample covariance of two fields
+    ix = _documents_index(spark, sf_dir)
+    return ix.matrix_stats("data", "n_chars", "dl")
+
+
 def q_ft_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES phrase suggester: per-token Damerau candidates composed into
     # whole-phrase rewrites under a pinned unigram-LM + edit-penalty score
@@ -1336,6 +1372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_index": q_ft_multi_index,
         "ft_phrase_scored": q_ft_phrase_scored,
         "ft_suggest_phrase": q_ft_suggest_phrase,
+        "ft_weighted_avg": q_ft_weighted_avg,
+        "ft_value_count": q_ft_value_count,
+        "ft_boxplot": q_ft_boxplot,
+        "ft_mad": q_ft_mad,
+        "ft_top_metrics": q_ft_top_metrics,
+        "ft_matrix_stats": q_ft_matrix_stats,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1901,6 +1943,66 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_weighted_avg": _DOCS_CTE
+        + f"""
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+dl AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM documents
+)
+SELECT round(sum(d.n_chars * dl.dl) / sum(dl.dl), 6) AS value
+FROM hits JOIN docs d USING (did) JOIN dl USING (did)
+""",
+        "ft_value_count": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS opt_tag
+  FROM documents
+)
+SELECT count(opt_tag) AS value
+FROM hits JOIN meta USING (did)
+""",
+        "ft_boxplot": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT n_chars::DOUBLE AS x FROM hits JOIN docs USING (did))
+SELECT min(x) AS min,
+       round(quantile_cont(x, 0.25), 6) AS q1,
+       round(quantile_cont(x, 0.5), 6) AS q2,
+       round(quantile_cont(x, 0.75), 6) AS q3,
+       max(x) AS max
+FROM vals
+""",
+        "ft_mad": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT n_chars::DOUBLE AS x FROM hits JOIN docs USING (did)),
+med AS (SELECT quantile_cont(x, 0.5) AS m FROM vals)
+SELECT round(quantile_cont(abs(x - m), 0.5), 6) AS value
+FROM vals CROSS JOIN med
+""",
+        "ft_top_metrics": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT arg_max(n_chars, did) AS metric, max(did) AS sort
+FROM hits JOIN docs USING (did)
+""",
+        "ft_matrix_stats": _DOCS_CTE
+        + f"""
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+dl AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM documents
+)
+SELECT round(corr(d.n_chars::DOUBLE, dl.dl), 6) AS correlation,
+       round(covar_samp(d.n_chars::DOUBLE, dl.dl), 6) AS covariance,
+       count(*) AS doc_count
+FROM hits JOIN docs d USING (did) JOIN dl USING (did)
 """,
         "ft_suggest_phrase": f"""
 WITH docs AS (

@@ -1990,6 +1990,95 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def weighted_avg(
+        self, query: str, value: str, weight: str,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES weighted_avg aggregation: Σ(value·weight)/Σ(weight) over the
+        match set — one row, one partial-aggregated pass."""
+        j = self._match_meta(query, field, [value, weight])
+        return j.agg(
+            F.round(
+                F.sum(F.col(value) * F.col(weight)) / F.sum(F.col(weight)), 6
+            ).alias("value")
+        )
+
+    def value_count(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES value_count aggregation: number of NON-NULL values of a
+        field across the match set (≠ doc count when the field is sparse,
+        e.g. the optional-tag column)."""
+        j = self._match_meta(query, field, [on])
+        return j.agg(F.count(F.col(on)).alias("value"))
+
+    def boxplot(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES boxplot aggregation: min / q1 / median / q3 / max of a
+        numeric field over the match set. Exact linearly-interpolated
+        quantiles (the same contract as percentiles(exact=True); ES's
+        TDigest converges to this). One row."""
+        j = self._match_meta(query, field, [on])
+        c = F.col(on).cast("double")
+        return j.agg(
+            F.min(c).alias("min"),
+            F.round(F.percentile(c, F.lit(0.25)), 6).alias("q1"),
+            F.round(F.percentile(c, F.lit(0.5)), 6).alias("q2"),
+            F.round(F.percentile(c, F.lit(0.75)), 6).alias("q3"),
+            F.max(c).alias("max"),
+        )
+
+    def median_absolute_deviation(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES median_absolute_deviation: median(|x − median(x)|) — EXACT
+        here (ES approximates with TDigest). Two aggregation passes over
+        the match set with the 1-row median broadcast into the second —
+        never a per-doc self-join."""
+        j = self._match_meta(query, field, [on])
+        c = F.col(on).cast("double")
+        med = j.agg(F.percentile(c, F.lit(0.5)).alias("_med"))
+        return (
+            j.crossJoin(F.broadcast(med))
+            .agg(
+                F.round(
+                    F.percentile(F.abs(c - F.col("_med")), F.lit(0.5)), 6
+                ).alias("value")
+            )
+        )
+
+    def top_metrics(
+        self, query: str, metric: str, sort: str,
+        ascending: bool = False, field: str | int | None = None,
+    ) -> DataFrame:
+        """ES top_metrics (size=1): the ``metric`` value carried by the
+        match-set row with the extreme ``sort`` value — max_by/min_by, a
+        single partial-aggregated pass (no global sort). Deterministic
+        only when ``sort`` is tie-free on the match set (doc_id, a
+        keyset); ES has the same caveat."""
+        j = self._match_meta(query, field, ([metric, sort] if metric != sort
+                                            else [metric]))
+        agg = F.min_by(metric, sort) if ascending else F.max_by(metric, sort)
+        srt = F.min(sort) if ascending else F.max(sort)
+        return j.agg(agg.alias("metric"), srt.alias("sort"))
+
+    def matrix_stats(
+        self, query: str, col_a: str, col_b: str,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES matrix_stats (two-field case): correlation and sample
+        covariance between two numeric fields over the match set — one
+        partial-aggregated pass (Spark's corr/covar_samp are the same
+        streaming co-moment update ES computes per shard and merges)."""
+        j = self._match_meta(query, field, [col_a, col_b])
+        a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
+        return j.agg(
+            F.round(F.corr(a, b), 6).alias("correlation"),
+            F.round(F.covar_samp(a, b), 6).alias("covariance"),
+            F.count("*").alias("doc_count"),
+        )
+
     def date_histogram_pipeline(
         self,
         query: str,

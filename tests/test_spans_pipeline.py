@@ -465,3 +465,40 @@ def test_suggest_phrase(spark, tmp_path_factory):
     assert got[0]["suggestion"] == "zzz pie"
     assert got[0]["score"] == round(math.log1p(2), 6)
     assert got[0]["n_edits"] == 0
+
+
+def test_metric_aggs(span_index):
+    """weighted_avg / value_count / boxplot / MAD / top_metrics /
+    matrix_stats over the match set of "a" (docs 0-6; nc 100..400,
+    dl 5,4,2,7,1,3,3) — every value hand-computed."""
+    nc = [100, 150, 200, 250, 300, 350, 400]
+    dl = [5, 4, 2, 7, 1, 3, 3]
+
+    (wa,) = span_index.weighted_avg("a", "nc", "dl").collect()
+    assert wa["value"] == round(
+        sum(x * w for x, w in zip(nc, dl)) / sum(dl), 6)  # 232.0
+
+    (vc,) = span_index.value_count("a", "nc").collect()
+    assert vc["value"] == 7
+
+    (bp,) = span_index.boxplot("a", "nc").collect()
+    assert (bp["min"], bp["q1"], bp["q2"], bp["q3"], bp["max"]) == (
+        100.0, 175.0, 250.0, 325.0, 400.0)
+
+    (mad,) = span_index.median_absolute_deviation("a", "nc").collect()
+    assert mad["value"] == 100.0
+
+    (tm,) = span_index.top_metrics("a", "nc", "doc_id").collect()
+    assert (tm["metric"], tm["sort"]) == (400, 6)
+    (tm,) = span_index.top_metrics("a", "nc", "doc_id", ascending=True).collect()
+    assert (tm["metric"], tm["sort"]) == (100, 0)
+
+    (ms,) = span_index.matrix_stats("a", "nc", "dl").collect()
+    n = len(nc)
+    xm, ym = sum(nc) / n, sum(dl) / n
+    cov = sum((x - xm) * (y - ym) for x, y in zip(nc, dl)) / (n - 1)
+    var_x = sum((x - xm) ** 2 for x in nc) / (n - 1)
+    var_y = sum((y - ym) ** 2 for y in dl) / (n - 1)
+    assert ms["covariance"] == round(cov, 6)
+    assert ms["correlation"] == round(cov / (var_x ** 0.5 * var_y ** 0.5), 6)
+    assert ms["doc_count"] == 7
