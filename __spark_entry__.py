@@ -2682,7 +2682,7 @@ ORDER BY doc_id ASC LIMIT 50
         + """
 , fz AS (
   SELECT term FROM (
-    SELECT DISTINCT term FROM tok WHERE damerau_levenshtein(term, 'kee') <= 1
+    SELECT DISTINCT term FROM tok WHERE damerau_levenshtein(term, 'tabel') <= 1
   ) ORDER BY term LIMIT 50
 )
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
