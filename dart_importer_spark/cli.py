@@ -96,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
             "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
             "fuzzy", "regexp", "suggest", "sayt", "highlight",
             "span_near", "span_first", "bool_prefix", "sort",
-            "suggest_phrase",
+            "suggest_phrase", "phrase_scored",
         ],
     )
     p.add_argument("--q", required=True)
@@ -121,6 +121,8 @@ def main(argv: list[str] | None = None) -> int:
             "terms", "stats", "histogram", "date_histogram", "cardinality",
             "percentiles", "facet_stats", "top_hits", "sig_terms", "collapse",
             "dh_pipeline", "dh_filled", "bucket_stats", "bucket_sort",
+            "weighted_avg", "value_count", "boxplot", "mad",
+            "top_metrics", "matrix_stats",
         ],
     )
     p.add_argument("--q", required=True)
@@ -225,6 +227,8 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif t == "suggest_phrase":
             df = ix.suggest_phrase(q, k=k, field=fld)
+        elif t == "phrase_scored":
+            df = ix.match_phrase_scored(q, k=k, field=fld)
         elif t == "sort":
             if not args.by:
                 ap.error("search --type sort requires --by <column>")
@@ -240,9 +244,11 @@ def main(argv: list[str] | None = None) -> int:
         a, q, k = args.agg, args.q, args.k
         needs_on = {"stats", "histogram", "date_histogram", "cardinality",
                     "percentiles", "facet_stats", "dh_pipeline", "dh_filled",
-                    "bucket_stats"}
+                    "bucket_stats", "weighted_avg", "value_count", "boxplot",
+                    "mad", "top_metrics", "matrix_stats"}
         needs_by = {"terms", "facet_stats", "top_hits", "collapse",
-                    "bucket_sort"}
+                    "bucket_sort", "weighted_avg", "top_metrics",
+                    "matrix_stats"}
         if a in needs_on and not args.on:
             ap.error(f"agg --agg {a} requires --on <column>")
         if a in needs_by and not args.by:
@@ -281,6 +287,18 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.bucket_stats_pipeline(q, on=args.on, interval=args.interval)
         elif a == "bucket_sort":
             df = ix.bucket_sort(q, by=args.by, size=k)
+        elif a == "weighted_avg":   # --on value, --by weight
+            df = ix.weighted_avg(q, value=args.on, weight=args.by)
+        elif a == "value_count":
+            df = ix.value_count(q, on=args.on)
+        elif a == "boxplot":
+            df = ix.boxplot(q, on=args.on)
+        elif a == "mad":
+            df = ix.median_absolute_deviation(q, on=args.on)
+        elif a == "top_metrics":    # --on metric, --by sort column
+            df = ix.top_metrics(q, metric=args.on, sort=args.by)
+        elif a == "matrix_stats":   # --on first column, --by second
+            df = ix.matrix_stats(q, col_a=args.on, col_b=args.by)
         else:  # collapse
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():

@@ -920,6 +920,12 @@ class InvertedIndex:
         toks = self._analyze(text, field)
         if not toks:
             return empty
+        if max(1, per_token) ** len(toks) > 4096:
+            raise ValueError(
+                f"suggest_phrase: {len(toks)} tokens x per_token="
+                f"{per_token} exceeds the 4096-combo budget — shorten "
+                "the input or lower per_token"
+            )
         if collate and not self.meta.get("store_positions"):
             raise ValueError(
                 "suggest_phrase(collate=True) needs an index built with "
@@ -950,9 +956,7 @@ class InvertedIndex:
         if collate:
             fid = self._fid(field)
             kept = []
-            for s, sug, ned in ranked:
-                if len(kept) >= k:
-                    break
+            for s, sug, ned in ranked[:k]:  # <= k probes, per the contract
                 if self._phrase_doc_set(sug.split(), fid).limit(1).count():
                     kept.append((s, sug, ned))
             ranked = kept
@@ -1301,13 +1305,15 @@ class InvertedIndex:
 
     def _phrase_candidate_ids(
         self, terms: list[str], fid: int
-    ) -> tuple[np.ndarray | None, bool]:
+    ) -> tuple[np.ndarray | None, bool, dict[str, int]]:
         """Rarest-first bootstrap for match_phrase: per-term df from one
         bucket-pruned metadata scan, then the rarest term's doc_ids as the
         candidate mask (a phrase hit must contain EVERY term, so the rarest
         term's doc set bounds the result). Returns (sorted ids | None,
-        any_term_missing): None means the rarest df exceeded the push budget
-        (stay distributed — decode everything, joins intersect)."""
+        any_term_missing, per-term dfs): None ids means the rarest df
+        exceeded the push budget (stay distributed — decode everything,
+        joins intersect). The dfs ride along so scoring callers
+        (match_phrase_scored) don't pay a second metadata scan."""
         uniq = sorted(set(terms))
         stat_rows = (
             self._candidate_postings(uniq, fid)
@@ -1317,12 +1323,39 @@ class InvertedIndex:
         )
         dfs = {r["term"]: int(r["df"]) for r in stat_rows}
         if len(dfs) < len(uniq):
-            return None, True  # some phrase term absent -> no hit possible
+            return None, True, dfs  # some phrase term absent -> no hits
         rarest = min(uniq, key=lambda t: dfs[t])
         if dfs[rarest] > self.id_push_budget:
-            return None, False
+            return None, False, dfs
         ids = self._bounded_ids(self._docs_for_terms([rarest], fid))
-        return ids, False
+        return ids, False, dfs
+
+    def _bc_ids(self, ids):
+        """Broadcast a candidate-id mask ONCE for reuse across the
+        per-term positional scans of one query (None passes through)."""
+        return (
+            self.spark.sparkContext.broadcast(ids)
+            if ids is not None else None
+        )
+
+    def _phrase_starts(self, terms, fid, bc_cand) -> DataFrame:
+        """(doc_id, pos) of every EXACT-phrase match start — the shared
+        slop-0 kernel: per-term single-term positional scans (term + its
+        bucket pushed into each branch's parquet scan) chained with
+        left-semi joins on (doc_id, pos − slot). _phrase_doc_set reduces
+        this with distinct(); match_phrase_scored group-counts it (the
+        phrase tf)."""
+        rows_by_term = {
+            t: self._positions_for_terms([t], fid, allowed=bc_cand)
+            for t in set(terms)
+        }
+        starts = rows_by_term[terms[0]].select("doc_id", "pos")
+        for i, t in enumerate(terms[1:], start=1):
+            nxt = rows_by_term[t].select(
+                "doc_id", (F.col("pos") - i).alias("pos")
+            )
+            starts = starts.join(nxt, ["doc_id", "pos"], "left_semi")
+        return starts
 
     def _phrase_doc_set(
         self, terms: list[str], fid: int, slop: int = 0,
@@ -1347,7 +1380,7 @@ class InvertedIndex:
         empty = self.spark.createDataFrame([], "doc_id long")
         if not terms:
             return empty
-        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        cand_ids, missing, _ = self._phrase_candidate_ids(terms, fid)
         if missing:
             return empty
         if allowed is not None:
@@ -1359,22 +1392,14 @@ class InvertedIndex:
         # one single-term positional scan per phrase slot (see span_near:
         # per-term scans push term+bucket into each branch's parquet scan —
         # n decodes total instead of n²)
-        bc_cand = (
-            self.spark.sparkContext.broadcast(cand_ids)
-            if cand_ids is not None else None
-        )
-        rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=bc_cand)
-            for t in set(terms)
-        }
+        bc_cand = self._bc_ids(cand_ids)
         if slop == 0:
-            base = rows_by_term[terms[0]].select("doc_id", "pos")
-            for i, t in enumerate(terms[1:], start=1):
-                nxt = rows_by_term[t].select(
-                    "doc_id", (F.col("pos") - i).alias("pos")
-                )
-                base = base.join(nxt, ["doc_id", "pos"], "left_semi")
+            base = self._phrase_starts(terms, fid, bc_cand)
         else:
+            rows_by_term = {
+                t: self._positions_for_terms([t], fid, allowed=bc_cand)
+                for t in set(terms)
+            }
             base = rows_by_term[terms[0]].select(
                 "doc_id", F.col("pos").alias("p0")
             )
@@ -1446,31 +1471,21 @@ class InvertedIndex:
                 "match_phrase_scored supports the primary field only "
                 "(doc_stats stores the primary field's dl)"
             )
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "match_phrase_scored needs an index built with "
+                "store_positions=True"
+            )
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         terms = self._analyze(query, field)
         if not terms:
             return empty
-        dfs = self.term_stats(terms, fid)
-        if any(t not in dfs for t in terms):
-            return empty
-        idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
-        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        # ONE metadata scan: the bootstrap's dfs double as the idf source
+        cand_ids, missing, dfs = self._phrase_candidate_ids(terms, fid)
         if missing:
             return empty
-        bc_cand = (
-            self.spark.sparkContext.broadcast(cand_ids)
-            if cand_ids is not None else None
-        )
-        rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=bc_cand)
-            for t in set(terms)
-        }
-        starts = rows_by_term[terms[0]].select("doc_id", "pos")
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = rows_by_term[t].select(
-                "doc_id", (F.col("pos") - i).alias("pos")
-            )
-            starts = starts.join(nxt, ["doc_id", "pos"], "left_semi")
+        idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
+        starts = self._phrase_starts(terms, fid, self._bc_ids(cand_ids))
         ptf = starts.groupBy("doc_id").agg(
             F.count("*").cast("double").alias("ptf")
         )
@@ -1530,14 +1545,11 @@ class InvertedIndex:
                 .orderBy(F.asc("doc_id"))
                 .limit(k)
             )
-        cand_ids, missing = self._phrase_candidate_ids(complete, fid)
+        cand_ids, missing, _ = self._phrase_candidate_ids(complete, fid)
         if missing:
             return self.spark.createDataFrame([], "doc_id long, score double")
         # per-term scans (see span_near): n decodes total instead of n²
-        bc_cand = (
-            self.spark.sparkContext.broadcast(cand_ids)
-            if cand_ids is not None else None
-        )
+        bc_cand = self._bc_ids(cand_ids)
         rows_by_term = {
             t: self._positions_for_terms([t], fid, allowed=bc_cand)
             for t in set(complete)
@@ -1602,7 +1614,7 @@ class InvertedIndex:
             return empty
         fid = self._fid(field)
         n = len(terms)
-        cand_ids, missing = self._phrase_candidate_ids(terms, fid)
+        cand_ids, missing, _ = self._phrase_candidate_ids(terms, fid)
         if missing:
             return empty
         # one single-term positional scan PER clause: each join branch
@@ -1610,10 +1622,7 @@ class InvertedIndex:
         # reads but push term = t (hence its exact bucket) into that
         # branch's parquet scan — n decodes total instead of n² (a shared
         # n-term scan decodes every clause's postings in every branch)
-        bc_cand = (
-            self.spark.sparkContext.broadcast(cand_ids)
-            if cand_ids is not None else None
-        )
+        bc_cand = self._bc_ids(cand_ids)
         rows_by_term = {
             t: self._positions_for_terms([t], fid, allowed=bc_cand)
             for t in set(terms)

@@ -118,7 +118,7 @@ def test_rarest_first_bounds_stopword_decode(spark, tmp_path):
     ix = InvertedIndex(spark, out)
 
     terms = ["the", "zebra"]
-    cand_ids, missing = ix._phrase_candidate_ids(terms, 0)
+    cand_ids, missing, _ = ix._phrase_candidate_ids(terms, 0)
     assert not missing
     assert cand_ids is not None and len(cand_ids) == 2  # zebra's 2 docs
     decoded = ix._positions_for_terms(sorted(set(terms)), 0, allowed=cand_ids)

@@ -502,3 +502,8 @@ def test_metric_aggs(span_index):
     assert ms["covariance"] == round(cov, 6)
     assert ms["correlation"] == round(cov / (var_x ** 0.5 * var_y ** 0.5), 6)
     assert ms["doc_count"] == 7
+
+
+def test_scored_phrase_requires_positions(built_index):
+    with pytest.raises(ValueError, match="store_positions"):
+        built_index.match_phrase_scored("the and")
