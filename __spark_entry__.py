@@ -461,6 +461,33 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_auto_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES auto_date_histogram: finest calendar interval with <= target
+    # buckets (one 6-way countDistinct pass, then the picked histogram)
+    ix = _documents_index(spark, sf_dir)
+    return ix.auto_date_histogram("data merge", "ts", target_buckets=10)
+
+
+def q_ft_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES serial_diff pipeline (lag=7 on a day axis: week-over-week)
+    ix = _documents_index(spark, sf_dir)
+    return ix.serial_diff("data merge", "ts", "day", lag=7)
+
+
+def q_ft_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rare_terms: the long-tail buckets (doc_count <= 1), rarest first
+    ix = _documents_index(spark, sf_dir)
+    return ix.rare_terms("data", "n_chars", max_doc_count=1)
+
+
+def q_ft_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES adjacency_matrix: named filters + pairwise intersections
+    ix = _documents_index(spark, sf_dir)
+    return ix.adjacency_matrix(
+        {"A": ["merge"], "B": ["batch"], "C": ["vector"]}
+    )
+
+
 def q_ft_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES weighted_avg: sum(value*weight)/sum(weight) over the match set
     ix = _documents_index(spark, sf_dir)
@@ -1372,6 +1399,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_index": q_ft_multi_index,
         "ft_phrase_scored": q_ft_phrase_scored,
         "ft_suggest_phrase": q_ft_suggest_phrase,
+        "ft_auto_dh": q_ft_auto_dh,
+        "ft_serial_diff": q_ft_serial_diff,
+        "ft_rare_terms": q_ft_rare_terms,
+        "ft_adjacency": q_ft_adjacency,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
         "ft_boxplot": q_ft_boxplot,
@@ -1943,6 +1974,89 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_auto_dh": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+tsv AS (SELECT ts FROM hits JOIN meta USING (did)),
+spans AS (
+  SELECT count(DISTINCT date_trunc('hour', ts)) AS h,
+         count(DISTINCT date_trunc('day', ts)) AS d,
+         count(DISTINCT date_trunc('week', ts)) AS w,
+         count(DISTINCT date_trunc('month', ts)) AS mo,
+         count(DISTINCT date_trunc('quarter', ts)) AS q,
+         count(DISTINCT date_trunc('year', ts)) AS y
+  FROM tsv
+),
+pick AS (
+  SELECT CASE WHEN h <= 10 THEN 'hour' WHEN d <= 10 THEN 'day'
+              WHEN w <= 10 THEN 'week' WHEN mo <= 10 THEN 'month'
+              WHEN q <= 10 THEN 'quarter' ELSE 'year' END AS iv
+  FROM spans
+)
+SELECT strftime(CASE p.iv
+         WHEN 'hour' THEN date_trunc('hour', ts)
+         WHEN 'day' THEN date_trunc('day', ts)
+         WHEN 'week' THEN date_trunc('week', ts)
+         WHEN 'month' THEN date_trunc('month', ts)
+         WHEN 'quarter' THEN date_trunc('quarter', ts)
+         ELSE date_trunc('year', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count, p.iv AS interval
+FROM tsv CROSS JOIN pick p
+GROUP BY 1, 3 ORDER BY bucket ASC LIMIT 10000
+""",
+        "ft_serial_diff": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bux AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1
+)
+SELECT bucket, doc_count,
+       CAST(doc_count - lag(doc_count, 7) OVER (ORDER BY bucket) AS DOUBLE)
+         AS diff
+FROM bux ORDER BY bucket ASC LIMIT 10000
+""",
+        "ft_rare_terms": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT n_chars, count(*) AS doc_count
+FROM hits JOIN docs USING (did)
+GROUP BY 1 HAVING count(*) <= 1
+ORDER BY doc_count ASC, n_chars ASC LIMIT 1000
+""",
+        "ft_adjacency": _DOCS_CTE
+        + """
+, sets AS (
+  SELECT 'A' AS name, did
+  FROM (SELECT DISTINCT did FROM tok WHERE term = 'merge')
+  UNION ALL
+  SELECT 'B', did FROM (SELECT DISTINCT did FROM tok WHERE term = 'batch')
+  UNION ALL
+  SELECT 'C', did FROM (SELECT DISTINCT did FROM tok WHERE term = 'vector')
+),
+singles AS (SELECT name, count(*) AS doc_count FROM sets GROUP BY 1),
+pairs AS (
+  SELECT a.name || '&' || b.name AS name, count(*) AS doc_count
+  FROM sets a JOIN sets b ON a.did = b.did AND a.name < b.name
+  GROUP BY 1
+)
+SELECT * FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+ORDER BY name ASC
 """,
         "ft_weighted_avg": _DOCS_CTE
         + f"""

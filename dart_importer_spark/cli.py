@@ -122,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
             "percentiles", "facet_stats", "top_hits", "sig_terms", "collapse",
             "dh_pipeline", "dh_filled", "bucket_stats", "bucket_sort",
             "weighted_avg", "value_count", "boxplot", "mad",
-            "top_metrics", "matrix_stats",
+            "top_metrics", "matrix_stats", "auto_date_histogram",
+            "serial_diff", "rare_terms",
         ],
     )
     p.add_argument("--q", required=True)
@@ -245,7 +246,8 @@ def main(argv: list[str] | None = None) -> int:
         needs_on = {"stats", "histogram", "date_histogram", "cardinality",
                     "percentiles", "facet_stats", "dh_pipeline", "dh_filled",
                     "bucket_stats", "weighted_avg", "value_count", "boxplot",
-                    "mad", "top_metrics", "matrix_stats"}
+                    "mad", "top_metrics", "matrix_stats",
+                    "auto_date_histogram", "serial_diff"}
         needs_by = {"terms", "facet_stats", "top_hits", "collapse",
                     "bucket_sort", "weighted_avg", "top_metrics",
                     "matrix_stats"}
@@ -299,6 +301,14 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.top_metrics(q, metric=args.on, sort=args.by)
         elif a == "matrix_stats":   # --on first column, --by second
             df = ix.matrix_stats(q, col_a=args.on, col_b=args.by)
+        elif a == "auto_date_histogram":
+            df = ix.auto_date_histogram(q, on=args.on, target_buckets=k)
+        elif a == "serial_diff":
+            df = ix.serial_diff(q, on=args.on, interval=args.interval)
+        elif a == "rare_terms":
+            if not args.by:
+                ap.error("agg --agg rare_terms requires --by <column>")
+            df = ix.rare_terms(q, by=args.by)
         else:  # collapse
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():

@@ -2285,6 +2285,148 @@ class InvertedIndex:
         order = F.asc(by) if ascending else F.desc(by)
         return joined.select("doc_id", by).orderBy(order, F.asc("doc_id")).limit(k)
 
+    def auto_date_histogram(
+        self,
+        query: str,
+        on: str,
+        target_buckets: int = 10,
+        k: int = 10000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES auto_date_histogram: pick the FINEST calendar interval
+        whose bucket count stays ≤ ``target_buckets`` (hour → day → week
+        → month → quarter → year; year is the floor even when it still
+        exceeds the target — ES coarsens the same way at reduce time).
+        Output rows carry the chosen interval as a column.
+
+        Plan: ONE aggregation computes all six candidate bucket counts
+        (six countDistinct over date_truncs of the same pass), the pick
+        is a 1-row driver decision, then the normal date_histogram runs
+        at the chosen interval — two jobs total, no per-interval
+        re-scan loop."""
+        cal = ["hour", "day", "week", "month", "quarter", "year"]
+        j = self._match_meta(query, field, [on])
+        row = j.agg(
+            *[
+                F.countDistinct(F.date_trunc(iv, F.col(on))).alias(iv)
+                for iv in cal
+            ]
+        ).collect()[0]
+        pick = next(
+            (iv for iv in cal if int(row[iv]) <= target_buckets), "year"
+        )
+        return self.date_histogram(query, on, pick, k=k, field=field).select(
+            "bucket", "doc_count", F.lit(pick).alias("interval")
+        )
+
+    def serial_diff(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        lag: int = 1,
+        k: int = 10000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES serial_diff pipeline: doc_count minus the value ``lag``
+        buckets earlier (lag=1 is the derivative; lag=7 on a day axis is
+        week-over-week seasonality removal). NULL for the first ``lag``
+        buckets, as ES omits them; emitted DOUBLE (nullable-int pandas
+        drift lesson). Same coordinator-side bucket-table reduction as
+        the other pipeline aggs."""
+        if lag < 1:
+            raise ValueError(f"serial_diff: lag must be >= 1, got {lag}")
+        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        w = Window.orderBy("bucket")
+        return (
+            buckets.withColumn(
+                "diff",
+                (
+                    F.col("doc_count") - F.lag("doc_count", lag).over(w)
+                ).cast("double"),
+            )
+            .orderBy(F.asc("bucket"))
+        )
+
+    def rare_terms(
+        self,
+        query: str,
+        by: str,
+        max_doc_count: int = 1,
+        k: int = 1000,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES rare_terms aggregation: the long-tail buckets a terms agg
+        hides — values of ``by`` matched by at most ``max_doc_count``
+        docs, rarest first. One full (untruncated) group-count over the
+        match set, then the ≤max filter; the result is small by
+        definition even when the bucket space is huge (ES uses a CuckooFilter
+        for the same reason — only the tail survives the reduce)."""
+        parent = (
+            self._match_meta(query, field, [by])
+            .groupBy(by)
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return (
+            parent.filter(F.col("doc_count") <= F.lit(int(max_doc_count)))
+            .orderBy(F.asc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+
+    def adjacency_matrix(
+        self,
+        filters: dict[str, Sequence[str]],
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES adjacency_matrix aggregation: named term-set filters →
+        doc_count per filter AND per pairwise intersection ("A&B", ES's
+        separator), the co-occurrence matrix behind graph dashboards.
+
+        Plan: one constant-score doc-set per filter (bucket-pruned
+        postings scans), unioned with the filter name; singles are one
+        group-count, pairs one self-equi-join on doc_id with name1 <
+        name2 (n filters is user-bounded and tiny; the join is on doc_id
+        — never a cartesian over docs)."""
+        if not filters:
+            raise ValueError("adjacency_matrix: need at least one filter")
+        fid = self._fid(field)
+        parts = []
+        for name, terms in sorted(filters.items()):
+            if "&" in name:
+                raise ValueError(
+                    f"adjacency_matrix: filter name {name!r} may not "
+                    "contain '&' (ES reserves it for intersections)"
+                )
+            docs = self._docs_for_terms(
+                sorted({t for q in terms for t in self._analyze(q, field)}),
+                fid,
+            )
+            parts.append(docs.withColumn("name", F.lit(name)))
+        allsets = parts[0]
+        for p in parts[1:]:
+            allsets = allsets.unionByName(p)
+        allsets = self._live(allsets)
+        singles = allsets.groupBy("name").agg(
+            F.count("*").alias("doc_count")
+        )
+        a = allsets.alias("a")
+        b = allsets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.name") < F.col("b.name")),
+            )
+            .select(
+                F.concat_ws("&", F.col("a.name"), F.col("b.name")).alias(
+                    "name"
+                )
+            )
+            .groupBy("name")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return singles.unionByName(pairs).orderBy(F.asc("name"))
+
     def bucket_sort(
         self,
         query: str,

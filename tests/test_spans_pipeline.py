@@ -507,3 +507,46 @@ def test_metric_aggs(span_index):
 def test_scored_phrase_requires_positions(built_index):
     with pytest.raises(ValueError, match="store_positions"):
         built_index.match_phrase_scored("the and")
+
+
+def test_auto_date_histogram(span_index):
+    # 7 distinct hours <= 10 -> 'hour' is the finest fitting interval
+    rows = span_index.auto_date_histogram("a", "ts", target_buckets=10).collect()
+    assert all(r["interval"] == "hour" for r in rows)
+    assert len(rows) == 7 and all(r["doc_count"] == 1 for r in rows)
+    # target 5: hour(7) > 5, day(3) <= 5 -> day
+    rows = span_index.auto_date_histogram("a", "ts", target_buckets=5).collect()
+    assert all(r["interval"] == "day" for r in rows)
+    assert [r["doc_count"] for r in rows] == [1, 2, 4]
+    # target 2: day(3) > 2, week(1) <= 2 -> week
+    rows = span_index.auto_date_histogram("a", "ts", target_buckets=2).collect()
+    assert [(r["interval"], r["doc_count"]) for r in rows] == [("week", 7)]
+
+
+def test_serial_diff(span_index):
+    rows = span_index.serial_diff("a", "ts", "day", lag=2).collect()
+    assert [r["diff"] for r in rows] == [None, None, 3.0]  # 4 - 1
+    with pytest.raises(ValueError, match="lag must be"):
+        span_index.serial_diff("a", "ts", lag=0)
+
+
+def test_rare_terms(span_index):
+    # nc values are unique per doc -> every matched value is "rare"
+    rows = span_index.rare_terms("a", "nc", max_doc_count=1).collect()
+    assert [r["nc"] for r in rows] == [100, 150, 200, 250, 300, 350, 400]
+    assert all(r["doc_count"] == 1 for r in rows)
+    # doc_count floor: nothing has <= 0
+    assert span_index.rare_terms("a", "nc", max_doc_count=0).count() == 0
+
+
+def test_adjacency_matrix(span_index):
+    # a: docs 0-6; b: docs 0,1,2,3,5; c: docs 0,5
+    out = {r["name"]: r["doc_count"]
+           for r in span_index.adjacency_matrix(
+               {"A": ["a"], "B": ["b"], "C": ["c"]}).collect()}
+    assert out == {"A": 7, "B": 5, "C": 2,
+                   "A&B": 5, "A&C": 2, "B&C": 2}
+    with pytest.raises(ValueError, match="may not contain"):
+        span_index.adjacency_matrix({"A&B": ["a"]})
+    with pytest.raises(ValueError, match="at least one"):
+        span_index.adjacency_matrix({})
