@@ -461,6 +461,19 @@ def q_ft_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8 hybrid search (retriever: rrf): BM25 leg + cosine leg fused by
+    # Reciprocal Rank Fusion (rank_constant=60, window=100 — ES defaults)
+    ix = _documents_index(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    return ix.hybrid_rrf("data merge", qvec, emb, k=20, window=100)
+
+
 def q_ft_auto_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES auto_date_histogram: finest calendar interval with <= target
     # buckets (one 6-way countDistinct pass, then the picked histogram)
@@ -1399,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_index": q_ft_multi_index,
         "ft_phrase_scored": q_ft_phrase_scored,
         "ft_suggest_phrase": q_ft_suggest_phrase,
+        "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "ft_auto_dh": q_ft_auto_dh,
         "ft_serial_diff": q_ft_serial_diff,
         "ft_rare_terms": q_ft_rare_terms,
@@ -1973,6 +1987,51 @@ SELECT COALESCE(bm.did, pd.did) AS doc_id,
        round(COALESCE(bm.s, 0.0)
              + CASE WHEN pd.did IS NOT NULL THEN 1.0 ELSE 0.0 END, 6) AS score
 FROM bm FULL OUTER JOIN pd ON bm.did = pd.did
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_hybrid_rrf": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (SELECT did, unnest({tok}) AS term FROM docs),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('data'), ('merge')),
+lex AS (
+  SELECT tf.did AS doc_id,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY tf.did
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (
+    ORDER BY round(raw, 6) DESC, doc_id ASC) AS lrank
+  FROM lex QUALIFY lrank <= 100
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+vecs AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+           e.embedding::DOUBLE[], qv.v::DOUBLE[]), 6) AS c
+  FROM embeddings e CROSS JOIN qv
+),
+vecr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS vrank
+  FROM vecs QUALIFY vrank <= 100
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(1.0::DOUBLE / (60 + l.lrank), 0.0)
+             + COALESCE(1.0::DOUBLE / (60 + v.vrank), 0.0), 6) AS score
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "ft_auto_dh": _DOCS_CTE

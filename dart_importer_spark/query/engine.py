@@ -3156,6 +3156,77 @@ class InvertedIndex:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def hybrid_rrf(
+        self,
+        query: str,
+        qvec: Sequence[float],
+        emb: DataFrame,
+        k: int = 10,
+        window: int = 100,
+        rank_constant: int = 60,
+        field: str | int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ES 8 hybrid search (``retriever: rrf``): a lexical BM25 leg
+        and a vector cosine leg fused by Reciprocal Rank Fusion —
+        score(d) = Σ_legs 1/(rank_constant + rank_leg(d)), ES defaults
+        rank_constant=60 and window=100 per leg. ``emb`` is the
+        embedding table whose ``id_col`` aligns with this index's
+        doc_ids (the documents↔embeddings contract). Docs appearing in
+        only one leg still score (the other leg contributes 0), exactly
+        ES's RRF.
+
+        Each leg ranks by (ROUNDED-to-6 leg score desc, id asc): the
+        rounding pins rank identity across engines — an unrounded sort
+        would let float ulp drift swap adjacent ranks and perturb every
+        downstream RRF sum.
+
+        Scale shape: the lexical leg is the block-max-pruned topk; the
+        vector leg is one projection + TakeOrderedAndProject over the
+        embedding table (swap in an ANN index probe for the 100-TB
+        path); the fuse joins ≤ 2·window rows — the ES
+        coordinating-node step."""
+        from ..operators.similarity import _cosine
+
+        lex = self.topk(query, k=window, field=field, round_scores=6)
+        wl = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        lexr = lex.select(
+            "doc_id", F.row_number().over(wl).alias("lrank")
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        vec = (
+            emb.select(
+                F.col(id_col).alias("doc_id"),
+                F.round(_cosine(F.col(vec_col), qcol), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(window)
+        )
+        wv = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+        vecr = vec.select(
+            "doc_id", F.row_number().over(wv).alias("vrank")
+        )
+        fused = lexr.join(vecr, "doc_id", "full_outer").select(
+            "doc_id",
+            F.round(
+                F.coalesce(
+                    1.0 / (F.lit(float(rank_constant)) + F.col("lrank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    1.0 / (F.lit(float(rank_constant)) + F.col("vrank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("score"),
+        )
+        return (
+            self._live(fused)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def match_bool_prefix(
         self,
         query: str,

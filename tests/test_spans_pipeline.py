@@ -550,3 +550,28 @@ def test_adjacency_matrix(span_index):
         span_index.adjacency_matrix({"A&B": ["a"]})
     with pytest.raises(ValueError, match="at least one"):
         span_index.adjacency_matrix({})
+
+
+def test_hybrid_rrf(spark, tmp_path_factory):
+    """RRF fusion: per-leg local ranks (BM25 / cosine), score =
+    sum 1/(60+rank); single-leg docs still score — hand-checked."""
+    rows = [("h", 0, "x y"), ("h", 1, "x"), ("h", 2, "z")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("rrf") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+                meta_cols=())
+    ix = InvertedIndex(spark, out)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.6, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["doc_id"]: r["score"]
+           for r in ix.hybrid_rrf("x", [1.0, 0.0], emb, k=10).collect()}
+    # lexical: doc1 (dl=1) rank1, doc0 (dl=2) rank2; doc2 unmatched
+    # vector:  v0 cos=1.0 rank1, v2 cos=0.6 rank2, v1 cos=0.0 rank3
+    assert got == {
+        0: round(1 / 62 + 1 / 61, 6),
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(0 + 1 / 62, 6),
+    }
+    assert len(ix.hybrid_rrf("x", [1.0, 0.0], emb, k=2).collect()) == 2
