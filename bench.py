@@ -74,6 +74,9 @@ HEADLINE = [
     "ft_phrase_scored",
     "ft_suggest_phrase",
     "ft_multi_index",
+    "ft_hybrid_rrf",
+    "ft_auto_dh",
+    "ft_adjacency",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",
