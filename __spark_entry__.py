@@ -2044,31 +2044,59 @@ meta AS (
   FROM documents
 ),
 tsv AS (SELECT ts FROM hits JOIN meta USING (did)),
-spans AS (
-  SELECT count(DISTINCT date_trunc('hour', ts)) AS h,
-         count(DISTINCT date_trunc('day', ts)) AS d,
-         count(DISTINCT date_trunc('week', ts)) AS w,
-         count(DISTINCT date_trunc('month', ts)) AS mo,
-         count(DISTINCT date_trunc('quarter', ts)) AS q,
-         count(DISTINCT date_trunc('year', ts)) AS y
-  FROM tsv
+span AS (SELECT min(ts) AS lo, max(ts) AS hi FROM tsv),
+sizes AS (
+  SELECT
+    len(generate_series(date_trunc('hour', lo), date_trunc('hour', hi),
+        INTERVAL 1 HOUR)) AS h,
+    len(generate_series(date_trunc('day', lo), date_trunc('day', hi),
+        INTERVAL 1 DAY)) AS d,
+    len(generate_series(date_trunc('week', lo), date_trunc('week', hi),
+        INTERVAL 1 WEEK)) AS w,
+    len(generate_series(date_trunc('month', lo), date_trunc('month', hi),
+        INTERVAL 1 MONTH)) AS mo,
+    len(generate_series(date_trunc('quarter', lo), date_trunc('quarter', hi),
+        INTERVAL 3 MONTH)) AS q
+  FROM span
 ),
 pick AS (
   SELECT CASE WHEN h <= 10 THEN 'hour' WHEN d <= 10 THEN 'day'
               WHEN w <= 10 THEN 'week' WHEN mo <= 10 THEN 'month'
               WHEN q <= 10 THEN 'quarter' ELSE 'year' END AS iv
-  FROM spans
+  FROM sizes
+),
+bux AS (
+  SELECT CASE p.iv
+           WHEN 'hour' THEN date_trunc('hour', ts)
+           WHEN 'day' THEN date_trunc('day', ts)
+           WHEN 'week' THEN date_trunc('week', ts)
+           WHEN 'month' THEN date_trunc('month', ts)
+           WHEN 'quarter' THEN date_trunc('quarter', ts)
+           ELSE date_trunc('year', ts) END AS b,
+         count(*) AS cnt
+  FROM tsv CROSS JOIN pick p GROUP BY 1
+),
+axis AS (
+  SELECT unnest(CASE p.iv
+    WHEN 'hour' THEN generate_series(date_trunc('hour', s.lo),
+         date_trunc('hour', s.hi), INTERVAL 1 HOUR)
+    WHEN 'day' THEN generate_series(date_trunc('day', s.lo),
+         date_trunc('day', s.hi), INTERVAL 1 DAY)
+    WHEN 'week' THEN generate_series(date_trunc('week', s.lo),
+         date_trunc('week', s.hi), INTERVAL 1 WEEK)
+    WHEN 'month' THEN generate_series(date_trunc('month', s.lo),
+         date_trunc('month', s.hi), INTERVAL 1 MONTH)
+    WHEN 'quarter' THEN generate_series(date_trunc('quarter', s.lo),
+         date_trunc('quarter', s.hi), INTERVAL 3 MONTH)
+    ELSE generate_series(date_trunc('year', s.lo),
+         date_trunc('year', s.hi), INTERVAL 1 YEAR) END) AS b
+  FROM span s CROSS JOIN pick p
 )
-SELECT strftime(CASE p.iv
-         WHEN 'hour' THEN date_trunc('hour', ts)
-         WHEN 'day' THEN date_trunc('day', ts)
-         WHEN 'week' THEN date_trunc('week', ts)
-         WHEN 'month' THEN date_trunc('month', ts)
-         WHEN 'quarter' THEN date_trunc('quarter', ts)
-         ELSE date_trunc('year', ts) END, '%Y-%m-%d %H:%M:%S') AS bucket,
-       count(*) AS doc_count, p.iv AS interval
-FROM tsv CROSS JOIN pick p
-GROUP BY 1, 3 ORDER BY bucket ASC LIMIT 10000
+SELECT strftime(axis.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COALESCE(bux.cnt, 0) AS BIGINT) AS doc_count,
+       p.iv AS interval
+FROM axis CROSS JOIN pick p LEFT JOIN bux ON bux.b = axis.b
+ORDER BY bucket ASC LIMIT 10000
 """,
         "ft_serial_diff": _DOCS_CTE
         + """
@@ -2080,15 +2108,23 @@ meta AS (
   FROM documents
 ),
 bux AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
-         count(*) AS doc_count
+  SELECT date_trunc('day', ts) AS b, count(*) AS cnt
   FROM hits JOIN meta USING (did)
   GROUP BY 1
+),
+span AS (SELECT min(b) AS lo, max(b) AS hi FROM bux),
+axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS b FROM span
+),
+dense AS (
+  SELECT strftime(axis.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+         CAST(COALESCE(bux.cnt, 0) AS BIGINT) AS doc_count
+  FROM axis LEFT JOIN bux ON bux.b = axis.b
 )
 SELECT bucket, doc_count,
        CAST(doc_count - lag(doc_count, 7) OVER (ORDER BY bucket) AS DOUBLE)
          AS diff
-FROM bux ORDER BY bucket ASC LIMIT 10000
+FROM dense ORDER BY bucket ASC LIMIT 10000
 """,
         "ft_rare_terms": _DOCS_CTE
         + """

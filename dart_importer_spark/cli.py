@@ -131,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--by", default=None, help="bucket column")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--interval", default="month")
+    p.add_argument("--target-buckets", type=int, default=10,
+                   help="auto_date_histogram: coarsen until <= this many "
+                        "buckets (--k stays the output row limit)")
 
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
@@ -250,7 +253,7 @@ def main(argv: list[str] | None = None) -> int:
                     "auto_date_histogram", "serial_diff"}
         needs_by = {"terms", "facet_stats", "top_hits", "collapse",
                     "bucket_sort", "weighted_avg", "top_metrics",
-                    "matrix_stats"}
+                    "matrix_stats", "rare_terms"}
         if a in needs_on and not args.on:
             ap.error(f"agg --agg {a} requires --on <column>")
         if a in needs_by and not args.by:
@@ -302,13 +305,13 @@ def main(argv: list[str] | None = None) -> int:
         elif a == "matrix_stats":   # --on first column, --by second
             df = ix.matrix_stats(q, col_a=args.on, col_b=args.by)
         elif a == "auto_date_histogram":
-            df = ix.auto_date_histogram(q, on=args.on, target_buckets=k)
+            df = ix.auto_date_histogram(
+                q, on=args.on, target_buckets=args.target_buckets
+            )
         elif a == "serial_diff":
             df = ix.serial_diff(q, on=args.on, interval=args.interval)
         elif a == "rare_terms":
-            if not args.by:
-                ap.error("agg --agg rare_terms requires --by <column>")
-            df = ix.rare_terms(q, by=args.by)
+            df = ix.rare_terms(q, by=args.by, k=k)
         else:  # collapse
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():

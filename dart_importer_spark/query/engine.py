@@ -2294,30 +2294,49 @@ class InvertedIndex:
         field: str | int | None = None,
     ) -> DataFrame:
         """ES auto_date_histogram: pick the FINEST calendar interval
-        whose bucket count stays ≤ ``target_buckets`` (hour → day → week
-        → month → quarter → year; year is the floor even when it still
-        exceeds the target — ES coarsens the same way at reduce time).
-        Output rows carry the chosen interval as a column.
+        whose AXIS-SPAN bucket count stays ≤ ``target_buckets`` (hour →
+        day → week → month → quarter → year; year is the floor even when
+        it still exceeds the target). The count is the DENSE calendar
+        axis between the match set's min and max — NOT the number of
+        non-empty buckets: sparse data scattered over years must coarsen
+        to year grain even though few buckets hold docs (ES sizes from
+        the rounded span the same way). Output is the dense zero-filled
+        histogram at the chosen interval (ES emits empty buckets), with
+        the interval as a column.
 
-        Plan: ONE aggregation computes all six candidate bucket counts
-        (six countDistinct over date_truncs of the same pass), the pick
-        is a 1-row driver decision, then the normal date_histogram runs
-        at the chosen interval — two jobs total, no per-interval
+        Plan: one min/max aggregation, six `sequence()` sizes on that
+        1-row result, a 1-row driver pick, then date_histogram_filled at
+        the chosen interval — two data jobs total, no per-interval
         re-scan loop."""
         cal = ["hour", "day", "week", "month", "quarter", "year"]
         j = self._match_meta(query, field, [on])
-        row = j.agg(
+        span = j.agg(F.min(F.col(on)).alias("lo"), F.max(F.col(on)).alias("hi"))
+        sizes = span.select(
             *[
-                F.countDistinct(F.date_trunc(iv, F.col(on))).alias(iv)
+                F.size(
+                    F.sequence(
+                        F.date_trunc(iv, F.col("lo")),
+                        F.date_trunc(iv, F.col("hi")),
+                        F.expr(
+                            "interval 3 month"
+                            if iv == "quarter"
+                            else f"interval 1 {iv}"
+                        ),
+                    )
+                ).alias(iv)
                 for iv in cal
             ]
         ).collect()[0]
+        if sizes["year"] is None:  # empty match set
+            return self.spark.createDataFrame(
+                [], "bucket string, doc_count long, interval string"
+            )
         pick = next(
-            (iv for iv in cal if int(row[iv]) <= target_buckets), "year"
+            (iv for iv in cal if int(sizes[iv]) <= target_buckets), "year"
         )
-        return self.date_histogram(query, on, pick, k=k, field=field).select(
-            "bucket", "doc_count", F.lit(pick).alias("interval")
-        )
+        return self.date_histogram_filled(
+            query, on, pick, k=k, field=field
+        ).select("bucket", "doc_count", F.lit(pick).alias("interval"))
 
     def serial_diff(
         self,
@@ -2330,13 +2349,20 @@ class InvertedIndex:
     ) -> DataFrame:
         """ES serial_diff pipeline: doc_count minus the value ``lag``
         buckets earlier (lag=1 is the derivative; lag=7 on a day axis is
-        week-over-week seasonality removal). NULL for the first ``lag``
-        buckets, as ES omits them; emitted DOUBLE (nullable-int pandas
-        drift lesson). Same coordinator-side bucket-table reduction as
-        the other pipeline aggs."""
+        week-over-week seasonality removal). The axis is the DENSE
+        zero-filled calendar axis (date_histogram_filled): ES
+        date_histogram emits empty buckets (min_doc_count=0 default), so
+        the lag counts CALENDAR buckets — lagging over non-empty rows
+        would compare the wrong week whenever a day had no matches.
+        NULL for the first ``lag`` buckets, as ES omits them; emitted
+        DOUBLE (nullable-int pandas drift lesson). Same
+        coordinator-side bucket-table reduction as the other pipeline
+        aggs."""
         if lag < 1:
             raise ValueError(f"serial_diff: lag must be >= 1, got {lag}")
-        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        buckets = self.date_histogram_filled(
+            query, on, interval, k=k, field=field
+        )
         w = Window.orderBy("bucket")
         return (
             buckets.withColumn(
@@ -2405,7 +2431,7 @@ class InvertedIndex:
         allsets = parts[0]
         for p in parts[1:]:
             allsets = allsets.unionByName(p)
-        allsets = self._live(allsets)
+        # per-filter doc sets are already tombstone-filtered (_decode_doc_ids)
         singles = allsets.groupBy("name").agg(
             F.count("*").alias("doc_count")
         )
@@ -3195,8 +3221,18 @@ class InvertedIndex:
             "doc_id", F.row_number().over(wl).alias("lrank")
         )
         qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        tomb = self._tombstones()
+        vec_src = emb
+        if tomb is not None:
+            # exclude deleted docs BEFORE ranking: a tombstoned near-
+            # neighbour must not consume a window slot or shift every
+            # live doc's vector rank (the lexical leg already excludes
+            # them inside topk — the legs must agree on the live set)
+            vec_src = emb.join(
+                tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+            )
         vec = (
-            emb.select(
+            vec_src.select(
                 F.col(id_col).alias("doc_id"),
                 F.round(_cosine(F.col(vec_col), qcol), 6).alias("cosine"),
             )

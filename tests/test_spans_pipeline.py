@@ -510,22 +510,51 @@ def test_scored_phrase_requires_positions(built_index):
 
 
 def test_auto_date_histogram(span_index):
-    # 7 distinct hours <= 10 -> 'hour' is the finest fitting interval
-    rows = span_index.auto_date_histogram("a", "ts", target_buckets=10).collect()
+    # span Jan1 05:00 .. Jan3 04:00 -> 48 dense hours, 3 dense days.
+    # target 48: hour axis fits exactly -> hour grain, zero-filled
+    rows = span_index.auto_date_histogram("a", "ts", target_buckets=48).collect()
     assert all(r["interval"] == "hour" for r in rows)
-    assert len(rows) == 7 and all(r["doc_count"] == 1 for r in rows)
-    # target 5: hour(7) > 5, day(3) <= 5 -> day
-    rows = span_index.auto_date_histogram("a", "ts", target_buckets=5).collect()
+    assert len(rows) == 48 and sum(r["doc_count"] for r in rows) == 7
+    # target 10: hour(48) > 10, day(3) <= 10 -> day
+    rows = span_index.auto_date_histogram("a", "ts", target_buckets=10).collect()
     assert all(r["interval"] == "day" for r in rows)
     assert [r["doc_count"] for r in rows] == [1, 2, 4]
     # target 2: day(3) > 2, week(1) <= 2 -> week
     rows = span_index.auto_date_histogram("a", "ts", target_buckets=2).collect()
     assert [(r["interval"], r["doc_count"]) for r in rows] == [("week", 7)]
+    # empty match set -> empty frame, stable schema
+    assert span_index.auto_date_histogram("zz", "ts").count() == 0
+
+
+def test_auto_date_histogram_sparse_span(spark, tmp_path_factory):
+    # 2 docs YEARS apart: only 2 non-empty buckets at any grain, but the
+    # span must drive the pick -> year grain with the gap year zero-filled
+    from datetime import datetime as dt
+    rows = [("s", 0, "x", dt(2020, 3, 1)), ("s", 1, "x", dt(2022, 5, 1))]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp"
+    )
+    out = str(tmp_path_factory.mktemp("sparse_dh") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=1, n_buckets=2),
+                meta_cols=("ts",))
+    ix = InvertedIndex(spark, out)
+    # target 10: the 10-quarter span fits exactly -> quarter grain
+    rows = ix.auto_date_histogram("x", "ts", target_buckets=10).collect()
+    assert all(r["interval"] == "quarter" for r in rows) and len(rows) == 10
+    # target 5: quarters(10) > 5 -> year grain, gap year zero-filled
+    rows = ix.auto_date_histogram("x", "ts", target_buckets=5).collect()
+    assert [(r["bucket"][:4], r["doc_count"], r["interval"]) for r in rows] \
+        == [("2020", 1, "year"), ("2021", 0, "year"), ("2022", 1, "year")]
 
 
 def test_serial_diff(span_index):
     rows = span_index.serial_diff("a", "ts", "day", lag=2).collect()
     assert [r["diff"] for r in rows] == [None, None, 3.0]  # 4 - 1
+    # CALENDAR lag over a gappy axis: "c" matches Jan 1 and Jan 3 only;
+    # the dense axis [1, 0, 1] must lag through the zero bucket
+    rows = span_index.serial_diff("c", "ts", "day", lag=2).collect()
+    assert [(r["doc_count"], r["diff"]) for r in rows] == [
+        (1, None), (0, None), (1, 0.0)]
     with pytest.raises(ValueError, match="lag must be"):
         span_index.serial_diff("a", "ts", lag=0)
 
@@ -575,3 +604,13 @@ def test_hybrid_rrf(spark, tmp_path_factory):
         2: round(0 + 1 / 62, 6),
     }
     assert len(ix.hybrid_rrf("x", [1.0, 0.0], emb, k=2).collect()) == 2
+
+    # deleting the top vector neighbour must NOT leave a ghost rank:
+    # doc 0 gone -> v2 is vector rank 1, doc1 lexical rank 1 + vector rank 3
+    ix.delete_by_query(F.col("doc_id") == 0)
+    got = {r["doc_id"]: r["score"]
+           for r in ix.hybrid_rrf("x", [1.0, 0.0], emb, k=10).collect()}
+    assert got == {
+        1: round(1 / 61 + 1 / 62, 6),   # lexical rank 1, vector rank 2 now
+        2: round(0 + 1 / 61, 6),        # vector rank 1 now
+    }
