@@ -537,6 +537,79 @@ def q_ft_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.matrix_stats("data", "n_chars", "dl")
 
 
+def q_ft_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES extended_stats: stats + sum_of_squares / population variance /
+    # std deviation / 2-sigma bounds in one aggregation pass
+    ix = _documents_index(spark, sf_dir)
+    out = ix.extended_stats_agg("data", on="n_chars")
+    return out.select(
+        "count", "min", "max", "sum",
+        F.round("avg", 6).alias("avg"),
+        F.col("sum_of_squares").cast("long").alias("sum_of_squares"),
+        F.round("variance", 6).alias("variance"),
+        F.round("std_deviation", 6).alias("std_deviation"),
+        F.round("std_upper", 6).alias("std_upper"),
+        F.round("std_lower", 6).alias("std_lower"),
+    )
+
+
+def q_ft_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES range aggregation: overlapping-capable (from, to] buckets as
+    # conditional counts in ONE pass over the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.range_agg(
+        "data", on="n_chars", ranges=[(None, 100), (100, 400), (400, None)]
+    )
+
+
+def q_ft_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES filters aggregation: named predicate buckets, one aggregation pass
+    ix = _documents_index(spark, sf_dir)
+    return ix.filters_agg(
+        "data",
+        {"en": F.col("lang") == "en", "long": F.col("n_chars") >= 300},
+        cols=["lang", "n_chars"],
+    )
+
+
+def q_ft_missing_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES missing aggregation over the deterministically-nullable opt_tag
+    ix = _documents_index(spark, sf_dir)
+    return ix.missing_agg("data", on="opt_tag")
+
+
+def q_ft_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentile_ranks (exact; midpoint-at-ties, the TDigest cdf limit)
+    ix = _documents_index(spark, sf_dir)
+    return ix.percentile_ranks("data", on="n_chars", values=[150.0, 300.0, 450.0])
+
+
+def q_ft_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES string_stats: length stats + Shannon entropy of the char
+    # distribution over the match set's source strings
+    ix = _documents_index(spark, sf_dir)
+    return ix.string_stats("data", on="source")
+
+
+def q_ft_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES t_test (Welch): n_chars of en vs non-en docs in the match set;
+    # the exactly-checkable statistic + Welch–Satterthwaite dof
+    ix = _documents_index(spark, sf_dir)
+    return ix.t_test("data", on="n_chars", split=F.col("lang") == "en", cols=["lang"])
+
+
+def q_ft_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_terms: (lang, source) tuple buckets, doc_count desc
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_terms("data merge", by=["lang", "source"], k=10)
+
+
+def q_ft_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES global bucket: match-set metrics next to whole-index metrics
+    ix = _documents_index(spark, sf_dir)
+    return ix.global_agg("vector", on="n_chars")
+
+
 def q_ft_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES phrase suggester: per-token Damerau candidates composed into
     # whole-phrase rewrites under a pinned unigram-LM + edit-penalty score
@@ -1423,6 +1496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mad": q_ft_mad,
         "ft_top_metrics": q_ft_top_metrics,
         "ft_matrix_stats": q_ft_matrix_stats,
+        "ft_extended_stats": q_ft_extended_stats,
+        "ft_range_agg": q_ft_range_agg,
+        "ft_filters_agg": q_ft_filters_agg,
+        "ft_missing_agg": q_ft_missing_agg,
+        "ft_percentile_ranks": q_ft_percentile_ranks,
+        "ft_string_stats": q_ft_string_stats,
+        "ft_t_test": q_ft_t_test,
+        "ft_multi_terms": q_ft_multi_terms,
+        "ft_global_agg": q_ft_global_agg,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -2193,6 +2275,134 @@ vals AS (SELECT n_chars::DOUBLE AS x FROM hits JOIN docs USING (did)),
 med AS (SELECT quantile_cont(x, 0.5) AS m FROM vals)
 SELECT round(quantile_cont(abs(x - m), 0.5), 6) AS value
 FROM vals CROSS JOIN med
+""",
+        "ft_extended_stats": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT n_chars FROM hits JOIN docs USING (did))
+SELECT count(*) AS count, min(n_chars) AS min, max(n_chars) AS max,
+       CAST(sum(n_chars) AS BIGINT) AS sum,
+       round(avg(n_chars), 6) AS avg,
+       CAST(sum(n_chars::DOUBLE * n_chars::DOUBLE) AS BIGINT) AS sum_of_squares,
+       round(var_pop(n_chars), 6) AS variance,
+       round(stddev_pop(n_chars), 6) AS std_deviation,
+       round(avg(n_chars) + 2 * stddev_pop(n_chars), 6) AS std_upper,
+       round(avg(n_chars) - 2 * stddev_pop(n_chars), 6) AS std_lower
+FROM vals
+""",
+        "ft_range_agg": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT n_chars FROM hits JOIN docs USING (did))
+SELECT key, doc_count FROM (
+  SELECT '*-100' AS key, 0 AS ord,
+         CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+  FROM vals
+  UNION ALL
+  SELECT '100-400', 1,
+         CAST(sum(CASE WHEN n_chars >= 100 AND n_chars < 400 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM vals
+  UNION ALL
+  SELECT '400-*', 2,
+         CAST(sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM vals
+) ORDER BY ord
+""",
+        "ft_filters_agg": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT lang, n_chars FROM hits JOIN docs USING (did))
+SELECT 'en' AS key,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+FROM vals
+UNION ALL
+SELECT 'long',
+       CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+FROM vals
+""",
+        "ft_missing_agg": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS opt_tag
+  FROM documents
+)
+SELECT CAST(sum(CASE WHEN opt_tag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS doc_count
+FROM hits JOIN meta USING (did)
+""",
+        "ft_percentile_ranks": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT n_chars::DOUBLE AS x FROM hits JOIN docs USING (did)),
+probes(value) AS (VALUES (150.0), (300.0), (450.0))
+SELECT p.value,
+       round(100.0 * (sum(CASE WHEN v.x < p.value THEN 1.0 ELSE 0.0 END)
+              + 0.5 * sum(CASE WHEN v.x = p.value THEN 1.0 ELSE 0.0 END))
+             / count(*), 6) AS rank
+FROM probes p CROSS JOIN vals v
+GROUP BY p.value ORDER BY p.value
+""",
+        "ft_string_stats": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT source AS s FROM hits JOIN docs USING (did) WHERE source IS NOT NULL),
+lstats AS (
+  SELECT count(*) AS count, min(len(s)) AS min_length, max(len(s)) AS max_length,
+         round(avg(len(s)), 6) AS avg_length
+  FROM vals
+),
+chars AS (
+  SELECT unnest(regexp_extract_all(s, '(?s).')) AS ch FROM vals
+),
+cc AS (SELECT ch, count(*)::DOUBLE AS cnt FROM chars GROUP BY ch),
+ent AS (
+  SELECT round(coalesce(sum(-(cnt / t.tot) * log2(cnt / t.tot)), 0.0), 6) AS entropy
+  FROM cc CROSS JOIN (SELECT sum(cnt) AS tot FROM cc) t
+)
+SELECT * FROM lstats CROSS JOIN ent
+""",
+        "ft_t_test": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (SELECT lang, n_chars::DOUBLE AS x FROM hits JOIN docs USING (did)),
+g AS (
+  SELECT avg(CASE WHEN lang = 'en' THEN x END) AS m1,
+         var_samp(CASE WHEN lang = 'en' THEN x END) AS v1,
+         count(CASE WHEN lang = 'en' THEN x END)::DOUBLE AS n1,
+         avg(CASE WHEN lang <> 'en' THEN x END) AS m2,
+         var_samp(CASE WHEN lang <> 'en' THEN x END) AS v2,
+         count(CASE WHEN lang <> 'en' THEN x END)::DOUBLE AS n2
+  FROM vals
+)
+SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6) AS dof,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
+FROM g
+""",
+        "ft_multi_terms": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge'))
+SELECT lang, source, count(*) AS doc_count
+FROM hits JOIN docs USING (did)
+WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, source ASC
+LIMIT 10
+""",
+        "ft_global_agg": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('vector')),
+scoped AS (
+  SELECT count(*) AS query_count, round(avg(n_chars), 6) AS query_avg
+  FROM hits JOIN docs USING (did)
+),
+everything AS (
+  SELECT count(*) AS global_count, round(avg(n_chars), 6) AS global_avg
+  FROM docs
+)
+SELECT * FROM scoped CROSS JOIN everything
 """,
         "ft_top_metrics": _DOCS_CTE
         + """

@@ -123,7 +123,9 @@ def main(argv: list[str] | None = None) -> int:
             "dh_pipeline", "dh_filled", "bucket_stats", "bucket_sort",
             "weighted_avg", "value_count", "boxplot", "mad",
             "top_metrics", "matrix_stats", "auto_date_histogram",
-            "serial_diff", "rare_terms",
+            "serial_diff", "rare_terms", "extended_stats", "range",
+            "filters", "missing", "percentile_ranks", "string_stats",
+            "t_test", "multi_terms", "global",
         ],
     )
     p.add_argument("--q", required=True)
@@ -134,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--target-buckets", type=int, default=10,
                    help="auto_date_histogram: coarsen until <= this many "
                         "buckets (--k stays the output row limit)")
+    p.add_argument("--values", default=None,
+                   help="percentile_ranks: comma-separated probe values")
+    p.add_argument("--ranges", default=None,
+                   help="range: comma-separated from:to pairs, blank = open "
+                        "(e.g. ':100,100:400,400:')")
+    p.add_argument("--filters", default=None,
+                   help="filters: semicolon-separated name=SQL-expr pairs")
+    p.add_argument("--cols", default=None,
+                   help="filters/t_test: comma-separated doc_stats columns "
+                        "the expressions reference")
+    p.add_argument("--split", default=None,
+                   help="t_test: SQL boolean expr naming sample A")
 
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
@@ -250,10 +264,12 @@ def main(argv: list[str] | None = None) -> int:
                     "percentiles", "facet_stats", "dh_pipeline", "dh_filled",
                     "bucket_stats", "weighted_avg", "value_count", "boxplot",
                     "mad", "top_metrics", "matrix_stats",
-                    "auto_date_histogram", "serial_diff"}
+                    "auto_date_histogram", "serial_diff", "extended_stats",
+                    "range", "missing", "percentile_ranks", "string_stats",
+                    "t_test", "global"}
         needs_by = {"terms", "facet_stats", "top_hits", "collapse",
                     "bucket_sort", "weighted_avg", "top_metrics",
-                    "matrix_stats", "rare_terms"}
+                    "matrix_stats", "rare_terms", "multi_terms"}
         if a in needs_on and not args.on:
             ap.error(f"agg --agg {a} requires --on <column>")
         if a in needs_by and not args.by:
@@ -312,6 +328,51 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.serial_diff(q, on=args.on, interval=args.interval)
         elif a == "rare_terms":
             df = ix.rare_terms(q, by=args.by, k=k)
+        elif a == "extended_stats":
+            df = ix.extended_stats_agg(q, on=args.on)
+        elif a == "missing":
+            df = ix.missing_agg(q, on=args.on)
+        elif a == "string_stats":
+            df = ix.string_stats(q, on=args.on)
+        elif a == "global":
+            df = ix.global_agg(q, on=args.on)
+        elif a == "percentile_ranks":
+            if not args.values:
+                ap.error("agg --agg percentile_ranks requires --values")
+            df = ix.percentile_ranks(
+                q, on=args.on,
+                values=[float(v) for v in args.values.split(",") if v.strip()],
+            )
+        elif a == "range":
+            if not args.ranges:
+                ap.error("agg --agg range requires --ranges")
+            ranges = []
+            for pair in args.ranges.split(","):
+                lo, _, hi = pair.partition(":")
+                ranges.append(
+                    (float(lo) if lo.strip() else None,
+                     float(hi) if hi.strip() else None)
+                )
+            df = ix.range_agg(q, on=args.on, ranges=ranges)
+        elif a == "filters":
+            if not args.filters or not args.cols:
+                ap.error("agg --agg filters requires --filters and --cols")
+            named = {}
+            for pair in args.filters.split(";"):
+                name, _, expr = pair.partition("=")
+                if not name.strip() or not expr.strip():
+                    ap.error(f"agg --filters: malformed pair {pair!r}")
+                named[name.strip()] = F.expr(expr)
+            df = ix.filters_agg(q, named, cols=args.cols.split(","))
+        elif a == "t_test":
+            if not args.split:
+                ap.error("agg --agg t_test requires --split <bool expr>")
+            df = ix.t_test(
+                q, on=args.on, split=F.expr(args.split),
+                cols=args.cols.split(",") if args.cols else (),
+            )
+        elif a == "multi_terms":
+            df = ix.multi_terms(q, by=args.by.split(","), k=k)
         else:  # collapse
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():

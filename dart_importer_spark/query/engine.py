@@ -1973,6 +1973,158 @@ class InvertedIndex:
             .alias("doc_count")
         )
 
+    def percentile_ranks(
+        self,
+        query: str,
+        on: str,
+        values: Sequence[float],
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES percentile_ranks aggregation: for each probe value, the percent
+        of match-set observations at or below it. Exact (ES approximates via
+        TDigest): rank(v) = 100 * (count(x < v) + 0.5 * count(x == v)) / n —
+        the midpoint-at-ties convention TDigest's cdf converges to. One
+        conditional aggregation pass, one row per probe value."""
+        if not values:
+            raise ValueError("percentile_ranks: at least one probe value")
+        joined = self._match_meta(query, field, [on])
+        aggs = [F.count("*").alias("_n")]
+        for i, v in enumerate(values):
+            aggs.append(
+                (
+                    F.sum(F.when(F.col(on) < F.lit(float(v)), 1.0).otherwise(0.0))
+                    + 0.5
+                    * F.sum(F.when(F.col(on) == F.lit(float(v)), 1.0).otherwise(0.0))
+                ).alias(f"_r{i}")
+            )
+        row = joined.agg(*aggs)
+        out = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(v)).alias("value"),
+                        (100.0 * F.col(f"_r{i}") / F.col("_n")).alias("rank"),
+                    )
+                    for i, v in enumerate(values)
+                ]
+            )
+        ).alias("b")
+        return row.select(out).select(
+            "b.value", F.round("b.rank", 6).alias("rank")
+        )
+
+    def string_stats(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES string_stats aggregation over a stored string column of the
+        match set: count, min_length, max_length, avg_length, and Shannon
+        entropy (bits) of the character distribution across all values.
+        Two partial-agg passes (length stats + char counts) joined as
+        single-row frames — no driver-side iteration."""
+        joined = self._match_meta(query, field, [on])
+        vals = joined.filter(F.col(on).isNotNull())
+        lstats = vals.agg(
+            F.count("*").alias("count"),
+            F.min(F.length(on)).alias("min_length"),
+            F.max(F.length(on)).alias("max_length"),
+            F.round(F.avg(F.length(on)), 6).alias("avg_length"),
+        )
+        chars = (
+            vals.select(F.explode(F.split(F.col(on), "(?!^)")).alias("ch"))
+            .filter(F.length("ch") > 0)
+            .groupBy("ch")
+            .agg(F.count("*").cast("double").alias("cnt"))
+        )
+        total = chars.agg(F.sum("cnt").alias("tot"))
+        ent = (
+            chars.crossJoin(F.broadcast(total))
+            .select(
+                (
+                    -(F.col("cnt") / F.col("tot"))
+                    * F.log2(F.col("cnt") / F.col("tot"))
+                ).alias("h")
+            )
+            .agg(F.round(F.coalesce(F.sum("h"), F.lit(0.0)), 6).alias("entropy"))
+        )
+        return lstats.crossJoin(F.broadcast(ent))
+
+    def t_test(
+        self,
+        query: str,
+        on: str,
+        split: Column,
+        cols: Sequence[str] = (),
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES t_test aggregation, heteroscedastic (Welch) flavor: the two
+        samples are the match-set docs where ``split`` is true vs false.
+        Returns the t statistic and Welch–Satterthwaite degrees of freedom
+        (ES reports the p-value; the t→p conversion needs the regularized
+        incomplete beta, which has no SQL-expressible closed form — the
+        statistic itself is the exactly-checkable part). One aggregation
+        pass; ``cols`` names extra doc_stats columns ``split`` references."""
+        joined = self._match_meta(query, field, [on, *cols])
+        row = joined.agg(
+            F.avg(F.when(split, F.col(on))).alias("m1"),
+            F.var_samp(F.when(split, F.col(on))).alias("v1"),
+            F.count(F.when(split, F.col(on))).cast("double").alias("n1"),
+            F.avg(F.when(~split, F.col(on))).alias("m2"),
+            F.var_samp(F.when(~split, F.col(on))).alias("v2"),
+            F.count(F.when(~split, F.col(on))).cast("double").alias("n2"),
+        )
+        se1 = F.col("v1") / F.col("n1")
+        se2 = F.col("v2") / F.col("n2")
+        t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
+        dof = (se1 + se2) * (se1 + se2) / (
+            se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
+        )
+        return row.select(
+            F.round(t, 6).alias("t"),
+            F.round(dof, 6).alias("dof"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+        )
+
+    def multi_terms(
+        self,
+        query: str,
+        by: Sequence[str],
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES multi_terms aggregation: buckets keyed by a TUPLE of doc_stats
+        columns over the match set, doc_count desc then keys asc (the ES
+        order). Docs with a null in any key column are dropped, like ES
+        (missing-bucket handling is opt-in there). One groupBy pass."""
+        if not by:
+            raise ValueError("multi_terms: at least one key column")
+        joined = self._match_meta(query, field, list(by))
+        for c in by:
+            joined = joined.filter(F.col(c).isNotNull())
+        return (
+            joined.groupBy(*by)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), *[F.asc(c) for c in by])
+            .limit(k)
+        )
+
+    def global_agg(
+        self, query: str, on: str, field: str | int | None = None
+    ) -> DataFrame:
+        """ES global bucket: metrics over ALL live docs alongside the same
+        metrics over the query's match set (the global agg escapes the
+        query scope — the classic 'category share vs whole catalog'
+        pattern). Two single-row aggregations, broadcast-joined."""
+        scoped = self._match_meta(query, field, [on]).agg(
+            F.count("*").alias("query_count"),
+            F.round(F.avg(on), 6).alias("query_avg"),
+        )
+        everything = self.doc_stats().select("doc_id", on).agg(
+            F.count("*").alias("global_count"),
+            F.round(F.avg(on), 6).alias("global_avg"),
+        )
+        return scoped.crossJoin(F.broadcast(everything))
+
     def date_histogram(
         self,
         query: str,

@@ -461,3 +461,133 @@ def test_range_filters_missing_aggs(spark, tmp_path_factory):
         ix.range_agg("alpha", on="n", ranges=[])
     with _pt.raises(ValueError):
         ix.filters_agg("alpha", {}, cols=[])
+
+
+def test_percentile_ranks_midpoint_ties(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    vals = [10.0, 20.0, 20.0, 30.0, 40.0]
+    rows = [("c1", i, "alpha", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, x double"
+    )
+    out = str(tmp_path_factory.mktemp("pr") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("x",))
+    ix = InvertedIndex(spark, out)
+    got = {
+        r["value"]: r["rank"]
+        for r in ix.percentile_ranks("alpha", on="x",
+                                     values=[5.0, 20.0, 40.0, 99.0]).collect()
+    }
+    # midpoint convention: rank = 100*(count(x<v) + 0.5*count(x==v))/n
+    assert got[5.0] == 0.0
+    assert abs(got[20.0] - 100.0 * (1 + 0.5 * 2) / 5) < 1e-9
+    assert abs(got[40.0] - 100.0 * (4 + 0.5) / 5) < 1e-9
+    assert got[99.0] == 100.0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ix.percentile_ranks("alpha", on="x", values=[])
+
+
+def test_string_stats_entropy(spark, tmp_path_factory):
+    import math
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha", "aab"),
+        ("c1", 1, "alpha", "b"),
+        ("c2", 0, "alpha", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, s string"
+    )
+    out = str(tmp_path_factory.mktemp("ss") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("s",))
+    ix = InvertedIndex(spark, out)
+    r = ix.string_stats("alpha", on="s").collect()[0]
+    assert r["count"] == 2  # null value excluded, like ES
+    assert r["min_length"] == 1 and r["max_length"] == 3
+    assert abs(r["avg_length"] - 2.0) < 1e-9
+    # chars: a:2, b:2 over 4 -> entropy = 1 bit
+    assert abs(r["entropy"] - 1.0) < 1e-9
+    # skewed distribution: -0.75*log2(0.75) - 0.25*log2(0.25)
+    rows2 = [("c1", 0, "alpha", "aaab")]
+    df2 = spark.createDataFrame(
+        rows2, "conv_id string, turn_idx int, text string, s string"
+    )
+    out2 = str(tmp_path_factory.mktemp("ss2") / "idx")
+    build_index(spark, df2, out2, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("s",))
+    r2 = InvertedIndex(spark, out2).string_stats("alpha", on="s").collect()[0]
+    want = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert abs(r2["entropy"] - round(want, 6)) < 1e-9
+
+
+def test_t_test_welch_matches_formula(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+    from pyspark.sql import functions as F
+
+    a = [12.0, 15.0, 11.0, 18.0]
+    b = [22.0, 25.0, 19.0]
+    rows = [("c1", i, "alpha", v, "x") for i, v in enumerate(a)] + [
+        ("c2", i, "alpha", v, "y") for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, v double, grp string"
+    )
+    out = str(tmp_path_factory.mktemp("tt") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("v", "grp"))
+    ix = InvertedIndex(spark, out)
+    r = ix.t_test("alpha", on="v", split=F.col("grp") == "x", cols=["grp"]).collect()[0]
+    import numpy as np
+
+    A, B = np.array(a), np.array(b)
+    se = A.var(ddof=1) / len(A) + B.var(ddof=1) / len(B)
+    t = (A.mean() - B.mean()) / se ** 0.5
+    dof = se ** 2 / (
+        (A.var(ddof=1) / len(A)) ** 2 / (len(A) - 1)
+        + (B.var(ddof=1) / len(B)) ** 2 / (len(B) - 1)
+    )
+    assert abs(r["t"] - round(float(t), 6)) < 1e-9
+    assert abs(r["dof"] - round(float(dof), 6)) < 1e-9
+    assert r["n1"] == 4 and r["n2"] == 3
+
+
+def test_multi_terms_and_global(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha", "en", "web", 10),
+        ("c1", 1, "alpha", "en", "web", 20),
+        ("c2", 0, "alpha", "en", "book", 30),
+        ("c2", 1, "alpha", None, "book", 40),
+        ("c3", 0, "beta only", "de", "web", 50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, text string, lang string, src string, n int",
+    )
+    out = str(tmp_path_factory.mktemp("mt") / "idx")
+    build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("lang", "src", "n"))
+    ix = InvertedIndex(spark, out)
+    got = [
+        (r["lang"], r["src"], r["doc_count"])
+        for r in ix.multi_terms("alpha", by=["lang", "src"], k=10).collect()
+    ]
+    # null-keyed doc dropped; (en, web)=2 first, then (en, book)=1
+    assert got == [("en", "web", 2), ("en", "book", 1)]
+    g = ix.global_agg("alpha", on="n").collect()[0]
+    assert g["query_count"] == 4 and g["global_count"] == 5
+    assert abs(g["query_avg"] - 25.0) < 1e-9 and abs(g["global_avg"] - 30.0) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ix.multi_terms("alpha", by=[], k=10)
