@@ -610,6 +610,52 @@ def q_ft_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.global_agg("vector", on="n_chars")
 
 
+def q_ft_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rank_feature (saturation): BM25 + n_chars/(n_chars+pivot)
+    ix = _documents_index(spark, sf_dir)
+    return ix.rank_feature(
+        "data merge", k=15, on="n_chars", fn="saturation", pivot=250.0,
+        round_scores=6,
+    )
+
+
+def q_ft_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES distance_feature: BM25 + pivot/(pivot + |n_chars - origin|)
+    ix = _documents_index(spark, sf_dir)
+    return ix.distance_feature(
+        "data merge", k=15, on="n_chars", origin=300.0, pivot=50.0,
+        round_scores=6,
+    )
+
+
+def q_ft_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES pinned query: ids [42, 7] first in that order, then organic hits
+    ix = _documents_index(spark, sf_dir)
+    return ix.pinned("data merge", ids=[42, 7], k=10)
+
+
+def q_ft_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES function_score random_score(seed): deterministic portable-hash
+    # pseudo-random ranking of the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.random_score("data", seed=13, k=10)
+
+
+def q_ft_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES combined_fields over (text, source): BM25 with summed tf, summed
+    # dl, and exact any-field df — "as if indexed into one combined field"
+    ix = _documents_index(spark, sf_dir)
+    return ix.combined_fields("data src7", fields=["text", "source"], k=15,
+                              round_scores=6)
+
+
+def q_ft_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms lookup: the term list comes from doc 7's stored source
+    # value; constant-score hits on the source field
+    ix = _documents_index(spark, sf_dir)
+    return ix.terms_lookup((7,), "source", field="source", k=1000)
+
+
 def q_ft_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES phrase suggester: per-token Damerau candidates composed into
     # whole-phrase rewrites under a pinned unigram-LM + edit-penalty score
@@ -1505,6 +1551,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_t_test": q_ft_t_test,
         "ft_multi_terms": q_ft_multi_terms,
         "ft_global_agg": q_ft_global_agg,
+        "ft_rank_feature": q_ft_rank_feature,
+        "ft_distance_feature": q_ft_distance_feature,
+        "ft_pinned": q_ft_pinned,
+        "ft_random_score": q_ft_random_score,
+        "ft_combined_fields": q_ft_combined_fields,
+        "ft_terms_lookup": q_ft_terms_lookup,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -1786,6 +1838,8 @@ bm AS (
          * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS sc
   FROM tf JOIN dft USING (term) JOIN dl ON dl.did = tf.did CROSS JOIN st s
 )"""
+    # seeded random_score: identical portable 60-bit md5 hash both sides
+    duckdb_md5_60_expr = duckdb_md5_60("'13:' || did")
     # sqs adds the phrase "part filter" match set
     sqs_ctes = f"""{bm_ctes},
 phr AS (
@@ -2861,6 +2915,128 @@ fsc AS (
 )
 SELECT did AS doc_id, score FROM fsc
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "ft_rank_feature": f"""{bm_ctes},
+scored AS (
+  SELECT did, sum(sc) AS raw FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+),
+fsc AS (
+  SELECT s.did,
+         round(s.raw + m.n_chars::DOUBLE / (m.n_chars::DOUBLE + 250.0), 6)
+           AS score
+  FROM scored s JOIN meta m USING (did)
+)
+SELECT did AS doc_id, score FROM fsc
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+        "ft_distance_feature": f"""{bm_ctes},
+scored AS (
+  SELECT did, sum(sc) AS raw FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars FROM documents
+),
+fsc AS (
+  SELECT s.did,
+         round(s.raw + 50.0 / (50.0 + abs(m.n_chars::DOUBLE - 300.0)), 6)
+           AS score
+  FROM scored s JOIN meta m USING (did)
+)
+SELECT did AS doc_id, score FROM fsc
+ORDER BY score DESC, doc_id ASC LIMIT 15
+""",
+        "ft_pinned": f"""{bm_ctes},
+org AS (
+  SELECT did AS doc_id, round(sum(sc), 6) AS s FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+pin(doc_id, pord) AS (VALUES (42, 0), (7, 1)),
+organic AS (
+  SELECT doc_id, 1 AS grp,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC)::DOUBLE AS ord
+  FROM org WHERE doc_id NOT IN (SELECT doc_id FROM pin)
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+un AS (
+  SELECT doc_id::BIGINT AS doc_id, 0 AS grp, pord::DOUBLE AS ord FROM pin
+  UNION ALL
+  SELECT doc_id, grp, ord FROM organic
+)
+SELECT row_number() OVER (ORDER BY grp, ord, doc_id)::INT AS rank,
+       doc_id, grp = 0 AS pinned
+FROM un ORDER BY rank LIMIT 10
+""",
+        "ft_random_score": _DOCS_CTE
+        + f"""
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT did AS doc_id,
+       round({duckdb_md5_60_expr}::DOUBLE / 1152921504606846976.0, 6) AS score
+FROM hits
+ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "ft_combined_fields": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source
+  FROM documents
+),
+tokt AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+toks AS (
+  SELECT did, unnest(regexp_extract_all(lower(source), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tfc AS (
+  SELECT did, term, count(*)::DOUBLE AS tfc
+  FROM (SELECT * FROM tokt UNION ALL SELECT * FROM toks)
+  GROUP BY 1, 2
+),
+dlc AS (
+  SELECT did,
+         (len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+          + len(regexp_extract_all(lower(source), '{TOKEN_PATTERN}')))::DOUBLE
+           AS dlc
+  FROM docs
+),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dlc) AS avgdl FROM dlc),
+dft AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfc
+  WHERE term IN ('data', 'src7') GROUP BY 1
+),
+scored AS (
+  SELECT tfc.did AS doc_id,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tfc.tfc / (tfc.tfc + {K1} * (1 - {B} + {B} * dlc.dlc / s.avgdl))
+         ) AS raw
+  FROM tfc
+  JOIN dft USING (term)
+  JOIN dlc ON dlc.did = tfc.did
+  CROSS JOIN st s
+  GROUP BY tfc.did
+)
+SELECT doc_id, round(raw, 6) AS score FROM scored
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT 15
+""",
+        "ft_terms_lookup": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, source
+  FROM documents
+),
+stok AS (
+  SELECT did, unnest(regexp_extract_all(lower(source), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+lk AS (SELECT DISTINCT term FROM stok WHERE did = 7)
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM stok JOIN lk USING (term)
+ORDER BY doc_id ASC LIMIT 1000
 """,
         "ft_collapse": f"""{bm_ctes},
 scored AS (

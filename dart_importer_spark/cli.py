@@ -96,7 +96,9 @@ def main(argv: list[str] | None = None) -> int:
             "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
             "fuzzy", "regexp", "suggest", "sayt", "highlight",
             "span_near", "span_first", "bool_prefix", "sort",
-            "suggest_phrase", "phrase_scored",
+            "suggest_phrase", "phrase_scored", "rank_feature",
+            "distance_feature", "pinned", "random_score",
+            "combined_fields", "terms_lookup",
         ],
     )
     p.add_argument("--q", required=True)
@@ -112,6 +114,26 @@ def main(argv: list[str] | None = None) -> int:
                    help="span_first: first N token positions")
     p.add_argument("--by", default=None,
                    help="sort: stored field to rank by (desc)")
+    p.add_argument("--on", default=None,
+                   help="rank_feature/distance_feature: numeric doc column")
+    p.add_argument("--pivot", type=float, default=None,
+                   help="rank_feature saturation/sigmoid pivot; "
+                        "distance_feature pivot distance")
+    p.add_argument("--origin", type=float, default=0.0,
+                   help="distance_feature origin")
+    p.add_argument("--fn", default="saturation",
+                   choices=["saturation", "log", "sigmoid"],
+                   help="rank_feature function")
+    p.add_argument("--ids", default=None,
+                   help="pinned: comma-separated doc ids, promoted order")
+    p.add_argument("--seed", type=int, default=0,
+                   help="random_score seed")
+    p.add_argument("--fields", default=None,
+                   help="combined_fields: comma-separated field[^boost] list")
+    p.add_argument("--lookup-key", default=None,
+                   help="terms_lookup: comma-separated doc key values")
+    p.add_argument("--lookup-col", default=None,
+                   help="terms_lookup: stored column supplying the terms")
 
     p = sub.add_parser("agg", help="aggregations over the match set")
     p.add_argument("--index", required=True)
@@ -251,6 +273,37 @@ def main(argv: list[str] | None = None) -> int:
             if not args.by:
                 ap.error("search --type sort requires --by <column>")
             df = ix.sort_by(q, by=args.by, k=k, field=fld)
+        elif t == "rank_feature":
+            if not args.on:
+                ap.error("search --type rank_feature requires --on <column>")
+            df = ix.rank_feature(q, k=k, on=args.on, fn=args.fn,
+                                 pivot=args.pivot, field=fld)
+        elif t == "distance_feature":
+            if not args.on or args.pivot is None:
+                ap.error("search --type distance_feature requires --on and "
+                         "--pivot")
+            df = ix.distance_feature(q, k=k, on=args.on, origin=args.origin,
+                                     pivot=args.pivot, field=fld)
+        elif t == "pinned":
+            if not args.ids:
+                ap.error("search --type pinned requires --ids")
+            df = ix.pinned(q, ids=[int(i) for i in args.ids.split(",")],
+                           k=k, field=fld)
+        elif t == "random_score":
+            df = ix.random_score(q, seed=args.seed, k=k, field=fld)
+        elif t == "combined_fields":
+            if not args.fields:
+                ap.error("search --type combined_fields requires --fields")
+            df = ix.combined_fields(q, fields=args.fields.split(","), k=k)
+        elif t == "terms_lookup":
+            if not args.lookup_key or not args.lookup_col:
+                ap.error("search --type terms_lookup requires --lookup-key "
+                         "and --lookup-col (--q is unused)")
+            key = tuple(
+                int(v) if v.lstrip("-").isdigit() else v
+                for v in args.lookup_key.split(",")
+            )
+            df = ix.terms_lookup(key, args.lookup_col, field=fld, k=k)
         else:  # highlight
             df = ix.highlight(q, k=k, field=fld)
         for r in df.collect():

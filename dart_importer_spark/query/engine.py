@@ -419,6 +419,7 @@ class InvertedIndex:
         avgdl: float | None = None,
         extra_ub: float = 0.0,
         keep_term: bool = False,
+        keep_tf: bool = False,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
         ``keep_term=True`` emits the contributing term per row (the batched
@@ -481,11 +482,15 @@ class InvertedIndex:
                     }
                     if keep_term:
                         cols = {"term": row.term, **cols}
+                    if keep_tf:
+                        cols["tf"] = tfs
                     outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
         schema = ("term string, " + SCORED_SCHEMA) if keep_term else SCORED_SCHEMA
+        if keep_tf:
+            schema = schema + ", tf double"
         return cand.select(
             "term", "docs", "tfs", "dls", "block_max_tf", "block_min_dl"
         ).mapInPandas(score_batches, schema=schema)
@@ -2852,6 +2857,308 @@ class InvertedIndex:
         if round_scores is not None:
             out = out.withColumn("score", F.round("score", round_scores))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def rank_feature(
+        self,
+        query: str,
+        k: int = 10,
+        on: str = "dl",
+        fn: str = "saturation",
+        pivot: float | None = None,
+        boost: float = 1.0,
+        exponent: float = 1.0,
+        scaling_factor: float = 1.0,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES rank_feature query in a bool should: BM25 plus an additive
+        static-relevance contribution from a positive numeric doc_stats
+        column —
+
+          saturation: boost · x / (x + pivot)
+          log:        boost · ln(scaling_factor + x)
+          sigmoid:    boost · x^exp / (x^exp + pivot^exp)
+
+        When pivot is omitted, ES uses an approximate geometric mean of the
+        field; here it's the EXACT geometric mean exp(avg(ln x)) over live
+        docs with x > 0 (deterministic, one scalar aggregate). Negative
+        values clamp to 0 (ES rank_feature fields are positive by
+        construction). Re-ranking by a stored field invalidates θ-pruning,
+        so the full match set is scored — the honest ES cost too."""
+        if fn not in ("saturation", "log", "sigmoid"):
+            raise ValueError(f"rank_feature: unknown fn {fn!r}")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if pivot is None and fn in ("saturation", "sigmoid"):
+            row = (
+                self.doc_stats()
+                .select(F.col(on).cast("double").alias("x"))
+                .filter(F.col("x") > 0)
+                .agg(F.exp(F.avg(F.log(F.col("x")))).alias("p"))
+                .collect()[0]
+            )
+            pivot = float(row["p"]) if row["p"] is not None else 1.0
+        sc = self._live(sc)
+        joined = sc.join(self.doc_stats().select("doc_id", on), "doc_id")
+        x = F.greatest(F.lit(0.0), F.col(on).cast("double"))
+        if fn == "saturation":
+            contrib = x / (x + F.lit(float(pivot)))
+        elif fn == "log":
+            contrib = F.log(F.lit(float(scaling_factor)) + x)
+        else:  # sigmoid
+            xe = F.pow(x, F.lit(float(exponent)))
+            contrib = xe / (xe + F.lit(float(pivot) ** float(exponent)))
+        out = joined.select(
+            "doc_id",
+            (F.col("score") + F.lit(float(boost)) * contrib).alias("score"),
+        )
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def distance_feature(
+        self,
+        query: str,
+        k: int = 10,
+        on: str = "dl",
+        origin: float = 0.0,
+        pivot: float = 1.0,
+        boost: float = 1.0,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES distance_feature query: BM25 plus an additive closeness boost
+        boost · pivot / (pivot + |x − origin|) over a numeric or timestamp
+        doc_stats column (timestamps compare as fractional epoch seconds;
+        origin/pivot are then seconds too — the recency-boost shape).
+        Scores the full match set unpruned, like rank_feature."""
+        if pivot <= 0:
+            raise ValueError(f"distance_feature: pivot must be > 0, got {pivot}")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        sc = self._live(sc)
+        stats = self.doc_stats().select("doc_id", on)
+        dtype = stats.schema[on].dataType.simpleString()
+        col = F.col(on)
+        if dtype.startswith("timestamp"):
+            # TIMESTAMP_NTZ cannot cast straight to double
+            col = col.cast("timestamp").cast("double")
+        else:
+            col = col.cast("double")
+        joined = sc.join(stats, "doc_id")
+        dist = F.abs(col - F.lit(float(origin)))
+        contrib = F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+        out = joined.select(
+            "doc_id",
+            (F.col("score") + F.lit(float(boost)) * contrib).alias("score"),
+        )
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def pinned(
+        self,
+        query: str,
+        ids: Sequence[int],
+        k: int = 10,
+        field: str | int | None = None,
+        round_scores: int = 6,
+    ) -> DataFrame:
+        """ES pinned query: the given doc ids rank first IN THE GIVEN ORDER
+        (whether or not they match), followed by organic BM25 hits with the
+        pinned ids excluded. Pinned ids that don't exist (or are deleted)
+        are dropped, like ES. Returns (rank, doc_id, pinned). The final
+        row_number window runs over ≤ k + len(ids) rows — driver-scale by
+        construction, not a data-scale shuffle."""
+        if not ids:
+            raise ValueError("pinned: at least one pinned doc id")
+        pin = self.spark.createDataFrame(
+            [(int(d), i) for i, d in enumerate(ids)], "doc_id long, pin_ord int"
+        )
+        live_pin = pin.join(self.doc_stats().select("doc_id"), "doc_id")
+        part_pin = live_pin.select(
+            "doc_id",
+            F.lit(0).alias("grp"),
+            F.col("pin_ord").cast("double").alias("ord"),
+        )
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is not None:
+            organic = (
+                self._live(sc)
+                .join(F.broadcast(pin.select("doc_id")), "doc_id", "left_anti")
+                .withColumn("score", F.round("score", round_scores))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+            both = part_pin.unionByName(
+                organic.select(
+                    "doc_id", F.lit(1).alias("grp"), (-F.col("score")).alias("ord")
+                )
+            )
+        else:
+            both = part_pin
+        w = Window.orderBy("grp", "ord", "doc_id")
+        return (
+            both.select(
+                F.row_number().over(w).alias("rank"),
+                "doc_id",
+                (F.col("grp") == 0).alias("pinned"),
+            )
+            .orderBy("rank")
+            .limit(k)
+        )
+
+    def random_score(
+        self,
+        query: str,
+        seed: int = 0,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES function_score random_score with a seed + field: a
+        deterministic pseudo-random score per matching doc. The generator
+        is the engine's portable 60-bit md5 hash of "seed:doc_id" scaled
+        to [0, 1) — reproducible across engines (the DuckDB oracle computes
+        the identical value), which is the property ES's seeded
+        random_score promises."""
+        from dart_importer_spark.functions.hashing import N_HASH_BITS, md5_60
+
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        docs = self._live(self._docs_for_terms(terms, fid))
+        frac = md5_60(
+            F.concat(F.lit(f"{int(seed)}:"), F.col("doc_id").cast("string"))
+        ) / F.lit(float(2**N_HASH_BITS))
+        return (
+            docs.select("doc_id", F.round(frac, 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def combined_fields(
+        self,
+        query: str,
+        fields: Sequence[str],
+        k: int = 10,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES combined_fields query: score as if the fields' contents had
+        been indexed into ONE combined field (the ES semantics statement) —
+        per-doc tf is the SUM of per-field tfs (^boost weights multiply a
+        field's tf), dl is the summed per-field length, avgdl/df/N are the
+        combined-field statistics (df = docs containing the term in ANY of
+        the fields, computed exactly). One raw-tf kernel pass per field,
+        one (term, doc) combine, one scoring join — no driver-side data."""
+        if not fields:
+            raise ValueError("combined_fields: at least one field")
+        parsed: list[tuple[int, float, str]] = []
+        for f in fields:
+            name, _, b = f.partition("^")
+            parsed.append((self._fid(name), float(b) if b else 1.0, name))
+        terms = sorted(set(self._analyze(query, None)))
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        legs = []
+        for fid, w, _ in parsed:
+            raw = self._score_terms(
+                terms, {t: 1.0 for t in terms}, fid=fid, keep_term=True,
+                keep_tf=True,
+            )
+            legs.append(
+                raw.select(
+                    "term", "doc_id", (F.col("tf") * F.lit(w)).alias("tf")
+                )
+            )
+        union = legs[0]
+        for leg in legs[1:]:
+            union = union.unionByName(leg)
+        combined_tf = union.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tfc")
+        )
+        combined_tf = self._live(combined_tf)
+        # combined per-doc length = sum of weighted per-field lengths
+        dl_cols = [
+            (F.col("dl" if fid == 0 else f"dl_f{fid}").cast("double") * F.lit(w))
+            for fid, w, _ in parsed
+        ]
+        dlc = sum(dl_cols[1:], dl_cols[0])
+        stats = self.doc_stats().select("doc_id", dlc.alias("dlc"))
+        avgdlc = float(
+            stats.agg(F.avg("dlc").alias("a")).collect()[0]["a"] or 0.0
+        )
+        # exact combined df per term (union across fields) — a terms-sized
+        # aggregate, collected like term_stats
+        dfs = {
+            r["term"]: int(r["df"])
+            for r in combined_tf.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .collect()
+        }
+        if not dfs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        idf_map = F.create_map(
+            *[
+                x
+                for t in dfs
+                for x in (F.lit(t), F.lit(_idf(self.n_docs, dfs[t])))
+            ]
+        )
+        scored = combined_tf.join(stats, "doc_id").select(
+            "doc_id",
+            (
+                idf_map[F.col("term")]
+                * F.col("tfc")
+                / (
+                    F.col("tfc")
+                    + K1 * (1 - B + B * F.col("dlc") / F.lit(avgdlc))
+                )
+            ).alias("partial"),
+        )
+        out = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def terms_lookup(
+        self,
+        lookup_key: Sequence,
+        lookup_col: str,
+        field: str | int | None = None,
+        k: int = 1000,
+    ) -> DataFrame:
+        """ES terms lookup: a terms query whose term list is fetched from
+        ANOTHER document's stored column (the "find docs sharing this
+        doc's tags" pattern). The looked-up value is analyzed and the
+        resulting term set — which never lands on the driver — is
+        broadcast-semi-joined through the same (bucket, term) path as
+        dictionary expansions, so partition pruning still applies.
+        Constant-score hits in doc_id order, like ES terms."""
+        from dart_importer_spark.functions.tokenizer import tokenize_col
+
+        src = self.get_by_key(*lookup_key).select(
+            F.explode(tokenize_col(F.col(lookup_col).cast("string"))).alias(
+                "term"
+            )
+        ).distinct()
+        fid = self._fid(field)
+        # attach buckets from the term dictionary for partition pruning
+        terms_df = self._field_dict(field).join(
+            F.broadcast(src), "term", "left_semi"
+        )
+        docs = self._docs_for_terms_df(terms_df, fid)
+        return (
+            docs.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
 
     def collapse(
         self,
