@@ -783,6 +783,24 @@ def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_or: union of span clauses — an exact-phrase span leg plus a
+    # span_term leg, each bucket-pruned to its own terms
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_or(["part filter", "batch"], k=500).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_containing: ordered (part .. value) windows (slop 4) that
+    # contain a 'fast' occurrence within the window bounds
+    ix = _documents_index(spark, sf_dir)
+    return ix.span_containing(
+        ["part", "value"], "fast", slop=4, in_order=True, k=500
+    ).select("doc_id", F.col("score").cast("double").alias("score"))
+
+
 def q_ft_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: one doc's analyzed term -> tf vector from stored text
     ix = _documents_index(spark, sf_dir)
@@ -1557,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_random_score": q_ft_random_score,
         "ft_combined_fields": q_ft_combined_fields,
         "ft_terms_lookup": q_ft_terms_lookup,
+        "ft_span_or": q_ft_span_or,
+        "ft_span_containing": q_ft_span_containing,
         # --- last driver row was r02 — refresh ---
         "ft_match_all": q_ft_match_all,
         "ft_count": q_ft_count,
@@ -2020,6 +2040,41 @@ tp AS (
 )
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM tp WHERE term = 'merge' AND pos <= 3
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_span_or": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+a AS (SELECT did, pos FROM tp WHERE term = 'part'),
+b AS (SELECT did, pos FROM tp WHERE term = 'filter'),
+ph AS (SELECT a.did FROM a JOIN b ON b.did = a.did AND b.pos = a.pos + 1),
+tm AS (SELECT did FROM tp WHERE term = 'batch')
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM (SELECT did FROM ph UNION ALL SELECT did FROM tm)
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_span_containing": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+a AS (SELECT did, pos FROM tp WHERE term = 'part'),
+b AS (SELECT did, pos FROM tp WHERE term = 'value'),
+w AS (
+  SELECT a.did, a.pos AS s, b.pos AS e
+  FROM a JOIN b ON b.did = a.did AND b.pos > a.pos AND b.pos <= a.pos + 5
+),
+l AS (SELECT did, pos FROM tp WHERE term = 'fast')
+SELECT DISTINCT w.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM w JOIN l ON l.did = w.did AND l.pos >= w.s AND l.pos <= w.e
 ORDER BY doc_id ASC LIMIT 500
 """,
         "ft_pipeline_aggs": _DOCS_CTE

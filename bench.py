@@ -77,6 +77,15 @@ HEADLINE = [
     "ft_hybrid_rrf",
     "ft_auto_dh",
     "ft_adjacency",
+    "ft_rare_terms",
+    "ft_multi_terms",
+    "ft_string_stats",
+    "ft_rank_feature",
+    "ft_combined_fields",
+    "ft_pinned",
+    "ft_terms_lookup",
+    "ft_span_or",
+    "ft_span_containing",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",

@@ -95,7 +95,8 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "sqs", "qs", "mlt", "phrase", "phrase_prefix", "wildcard",
             "fuzzy", "regexp", "suggest", "sayt", "highlight",
-            "span_near", "span_first", "bool_prefix", "sort",
+            "span_near", "span_first", "span_or", "span_containing",
+            "bool_prefix", "sort",
             "suggest_phrase", "phrase_scored", "rank_feature",
             "distance_feature", "pinned", "random_score",
             "combined_fields", "terms_lookup",
@@ -112,6 +113,9 @@ def main(argv: list[str] | None = None) -> int:
                         "(default requires order, the ES/Lucene default)")
     p.add_argument("--end", type=int, default=3,
                    help="span_first: first N token positions")
+    p.add_argument("--little", default=None,
+                   help="span_containing: the contained span term "
+                        "(--q holds the big span's clause terms)")
     p.add_argument("--by", default=None,
                    help="sort: stored field to rank by (desc)")
     p.add_argument("--on", default=None,
@@ -261,6 +265,17 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif t == "span_first":
             df = ix.span_first(q, args.end, k=k, field=fld)
+        elif t == "span_or":
+            df = ix.span_or(
+                [c.strip() for c in q.split(",") if c.strip()], k=k, field=fld
+            )
+        elif t == "span_containing":
+            if not args.little:
+                raise SystemExit("span_containing requires --little")
+            df = ix.span_containing(
+                q.split(), args.little, slop=args.slop,
+                in_order=not args.unordered, k=k, field=fld,
+            )
         elif t == "bool_prefix":
             df = ix.match_bool_prefix(
                 q, k=k, field=fld, max_expansions=args.max_expansions

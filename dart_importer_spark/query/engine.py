@@ -1618,10 +1618,28 @@ class InvertedIndex:
         if not terms:
             return empty
         fid = self._fid(field)
+        wins = self._span_windows(terms, slop, in_order, fid)
+        if wins is None:
+            return empty
+        docs = self._live(wins.select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _span_windows(
+        self, terms: list[str], slop: int, in_order: bool, fid: int
+    ) -> DataFrame | None:
+        """Every matching span_near window as (doc_id, start, end) token
+        positions — the shared span-composition primitive (span_near takes
+        distinct docs; span_containing/span_within join further spans
+        against the window bounds). None when a clause term is absent from
+        the dictionary (no window can match)."""
         n = len(terms)
         cand_ids, missing, _ = self._phrase_candidate_ids(terms, fid)
         if missing:
-            return empty
+            return None
         # one single-term positional scan PER clause: each join branch
         # re-executes its subtree anyway, so per-term scans cost no extra
         # reads but push term = t (hence its exact bucket) into that
@@ -1661,11 +1679,131 @@ class InvertedIndex:
             ) & (
                 F.greatest(*pos_cols) - F.least(*pos_cols) <= F.lit(width)
             ) if n > 1 else F.lit(True)
-        docs = self._live(base.filter(fit).select("doc_id").distinct())
+        return base.filter(fit).select(
+            "doc_id",
+            F.least(*pos_cols).alias("start") if n > 1
+            else F.col("p0").alias("start"),
+            F.greatest(*pos_cols).alias("end") if n > 1
+            else F.col("p0").alias("end"),
+        )
+
+    def span_or(
+        self,
+        clauses: Sequence[str],
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_or: docs where ANY clause span matches. A clause that
+        analyzes to one term is a span_term; a multi-token clause is the
+        exact-phrase span (span_near slop 0 in order). Constant-score hits
+        in doc_id order (filter context).
+
+        Plan: per-clause doc sets (term decode or phrase-start chain),
+        unioned then distinct — each leg bucket-pruned to its own terms."""
+        if not clauses:
+            raise ValueError("span_or: at least one clause")
+        fid = self._fid(field)
+        legs = []
+        for c in clauses:
+            toks = self._analyze(c, field)
+            if not toks:
+                continue
+            if len(toks) == 1:
+                legs.append(self._docs_for_terms(toks, fid))
+            else:
+                legs.append(self._phrase_doc_set(toks, fid))
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not legs:
+            return empty
+        union = legs[0]
+        for leg in legs[1:]:
+            union = union.unionByName(leg)
+        docs = self._live(union.distinct())
         return (
             docs.withColumn("score", F.lit(1.0))
             .orderBy(F.asc("doc_id"))
             .limit(k)
+        )
+
+    def span_containing(
+        self,
+        big: Sequence[str],
+        little: str,
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_containing: matches of the ``big`` span (a span_near
+        over single-term clauses) that CONTAIN a match of ``little`` (a
+        span_term) — i.e. some little occurrence lies within the big
+        window's [start, end]. In filter context this doc set equals
+        span_within's (the two differ in WHICH spans they emit, which
+        only matters for span scoring/highlighting). Constant-score hits
+        in doc_id order.
+
+        Plan: the span_near window chain keeps (start, end); one extra
+        banded hash join against the little term's positional decode."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "span_containing needs an index built with "
+                "store_positions=True"
+            )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        big_terms: list[str] = []
+        for c in big:
+            toks = self._analyze(c, field)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_containing: big clause {c!r} must analyze to "
+                    f"exactly one term (got {toks!r})"
+                )
+            big_terms.append(toks[0])
+        lt = self._analyze(little, field)
+        if len(lt) != 1:
+            raise ValueError(
+                f"span_containing: little must analyze to exactly one "
+                f"term (got {lt!r})"
+            )
+        if not big_terms:
+            return empty
+        fid = self._fid(field)
+        wins = self._span_windows(big_terms, slop, in_order, fid)
+        if wins is None:
+            return empty
+        lp = self._positions_for_terms(lt, fid).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("lp")
+        )
+        cond = (
+            (F.col("doc_id") == F.col("_d"))
+            & (F.col("lp") >= F.col("start"))
+            & (F.col("lp") <= F.col("end"))
+        )
+        docs = self._live(
+            wins.join(lp, cond, "left_semi").select("doc_id").distinct()
+        )
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def span_within(
+        self,
+        little: str,
+        big: Sequence[str],
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES span_within: matches of ``little`` that lie within a ``big``
+        span. Doc-for-doc this is span_containing with the roles stated
+        from the little span's side — the emitted DOC SET is identical
+        (only the returned spans differ in ES, which affects span scoring
+        we don't model in filter context)."""
+        return self.span_containing(
+            big, little, slop=slop, in_order=in_order, k=k, field=field
         )
 
     def span_first(

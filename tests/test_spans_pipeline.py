@@ -154,6 +154,94 @@ def test_span_not(span_index):
     assert got == [0, 5]
 
 
+def test_span_or(span_index):
+    # term legs: c -> {0,5}, q -> {6,7}
+    got = [r["doc_id"] for r in span_index.span_or(["c", "q"], k=100).collect()]
+    assert got == [0, 5, 6, 7]
+    # phrase leg ("b c" exact span) unioned with a term leg
+    got = [r["doc_id"] for r in span_index.span_or(["b c", "w"], k=100).collect()]
+    assert got == [0, 5, 7]
+    # absent clause contributes nothing; all-absent -> empty
+    assert [r["doc_id"] for r in span_index.span_or(["c", "zz"], k=100).collect()] \
+        == [0, 5]
+    assert span_index.span_or(["zz"], k=100).count() == 0
+    with pytest.raises(ValueError, match="at least one"):
+        span_index.span_or([])
+
+
+def test_span_containing_within(span_index):
+    # big = ordered (a, b) windows, little = x inside the window bounds
+    # slop 5 (width 6): windows doc0 [0,1], doc1 [0,3], doc3 [0,6];
+    # x lies inside only in docs 1 and 3
+    got = [r["doc_id"] for r in span_index.span_containing(
+        ["a", "b"], "x", slop=5, in_order=True, k=100).collect()]
+    assert got == [1, 3]
+    # slop 2 (width 3): doc3's window no longer forms -> only doc 1
+    got = [r["doc_id"] for r in span_index.span_containing(
+        ["a", "b"], "x", slop=2, in_order=True, k=100).collect()]
+    assert got == [1]
+    # span_within emits the same doc set with roles swapped
+    got = [r["doc_id"] for r in span_index.span_within(
+        "x", ["a", "b"], slop=5, in_order=True, k=100).collect()]
+    assert got == [1, 3]
+    # absent little / absent big term -> empty
+    assert span_index.span_containing(["a", "b"], "zz", slop=5, k=100).count() == 0
+    assert span_index.span_containing(["a", "zz"], "x", slop=5, k=100).count() == 0
+    with pytest.raises(ValueError, match="exactly one"):
+        span_index.span_containing(["a b"], "x")
+    with pytest.raises(ValueError, match="exactly one"):
+        span_index.span_containing(["a"], "b c")
+
+
+def brute_span_containing(tokens: list[str], big: list[str], little: str,
+                          slop: int, in_order: bool) -> bool:
+    pos_lists = [[i for i, t in enumerate(tokens) if t == c] for c in big]
+    lp = [i for i, t in enumerate(tokens) if t == little]
+    if any(not pl for pl in pos_lists) or not lp:
+        return False
+    n = len(big)
+    for combo in itertools.product(*pos_lists):
+        if len(set(combo)) != n:
+            continue
+        if in_order and any(combo[i] >= combo[i + 1] for i in range(n - 1)):
+            continue
+        if (max(combo) - min(combo) + 1) - n > slop:
+            continue
+        if any(min(combo) <= p <= max(combo) for p in lp):
+            return True
+    return False
+
+
+def test_span_containing_matches_bruteforce(spark, tmp_path_factory):
+    rng = random.Random(43)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [("r", i, t) for i, t in enumerate(docs)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path_factory.mktemp("spans_cont") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=(),
+    )
+    ix = InvertedIndex(spark, out)
+    cases = [
+        (["a", "b"], "c", 2, True), (["a", "b"], "c", 4, False),
+        (["a", "c"], "d", 3, True), (["b", "d"], "a", 2, False),
+    ]
+    for big, little, slop, in_order in cases:
+        got = [r["doc_id"] for r in ix.span_containing(
+            big, little, slop=slop, in_order=in_order, k=100).collect()]
+        want = [i for i, t in enumerate(docs)
+                if brute_span_containing(t.split(), big, little, slop, in_order)]
+        assert got == want, (big, little, slop, in_order)
+
+
 def test_termvectors(span_index, spark, tmp_path_factory):
     rows = span_index.termvectors("c4", 0).collect()  # "a q a"
     assert [(r["term"], r["tf"]) for r in rows] == [("a", 2), ("q", 1)]
