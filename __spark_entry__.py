@@ -1514,6 +1514,58 @@ def q_etl_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _load(spark, sf_dir, "events").select("event_type").distinct()
 
 
+def q_ft_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # An ES _search request body run VERBATIM through the DSL dispatcher
+    # (the reference's documented surface is curl bodies of exactly this
+    # bool must+filter shape, Running-ELK.md:234-247, plus a must_not leg):
+    # the dispatcher must compile it to the same plan the direct topk call
+    # emits — scored match, range filter pushed into the doc_stats scan,
+    # term-level exclusion on the tombstone mask machinery
+    ix = _documents_index(spark, sf_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "join"}}],
+            "filter": [{"range": {"n_chars": {"gte": 80}}}],
+            "must_not": [{"match": {"text": "sort"}}],
+        }},
+        "size": 20,
+    }
+    return ix.search(body, round_scores=6)
+
+
+def q_ft_dsl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pure filter-context body (term + range + must_not exists) ->
+    # constant-score hits in doc_id order; every predicate compiles to one
+    # Catalyst conjunction pushed into the doc_stats parquet scan
+    ix = _documents_index(spark, sf_dir)
+    body = {
+        "query": {"bool": {
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"n_chars": {"gte": 150, "lt": 600}}},
+            ],
+            "must_not": [{"exists": {"field": "opt_tag"}}],
+        }},
+        "size": 300,
+    }
+    return ix.search(body)
+
+
+def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The aggs section of an ES body whose query context carries a FILTER:
+    # the compiled filter Column rides the agg family's threaded filters=
+    # param, so the terms agg buckets only filtered match-set docs
+    ix = _documents_index(spark, sf_dir)
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"text": "data merge"}}],
+            "filter": [{"range": {"n_chars": {"gte": 120}}}],
+        }},
+        "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}},
+    }
+    return ix.search_aggs(body)["langs"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-sampled before r04 — evidence priority ---
@@ -1531,8 +1583,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_percolate": q_ft_percolate,
         "ft_highlight_frag": q_ft_highlight_frag,
         "ft_histogram": q_ft_histogram,
-        # --- new this round (r04): span family, pipeline aggs, decay,
-        # match_bool_prefix — first driver evidence ---
+        # --- new this round (r04): ES-body DSL dispatcher, span family,
+        # pipeline aggs, decay, match_bool_prefix — first driver evidence ---
+        "ft_dsl_search": q_ft_dsl_search,
+        "ft_dsl_filter": q_ft_dsl_filter,
+        "ft_dsl_aggs": q_ft_dsl_aggs,
         "ft_span_near": q_ft_span_near,
         "ft_span_near_unordered": q_ft_span_near_unordered,
         "ft_span_first": q_ft_span_first,
@@ -1997,6 +2052,33 @@ p1 AS (SELECT did, pos - 1 AS pos FROM tp JOIN ex USING (term))
 SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
 FROM p0 JOIN p1 USING (did, pos)
 ORDER BY doc_id ASC LIMIT 200
+""",
+        "ft_dsl_search": _bm25_oracle(
+            ["join"], 20, doc_filter="d.n_chars >= 80",
+            must_not_terms=["sort"],
+        ),
+        "ft_dsl_filter": """
+WITH meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang, n_chars
+  FROM documents
+)
+SELECT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM meta
+WHERE lang = 'en' AND n_chars >= 150 AND n_chars < 600 AND did % 3 = 0
+ORDER BY doc_id ASC LIMIT 300
+""",
+        "ft_dsl_aggs": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang, n_chars
+  FROM documents
+)
+SELECT lang, count(*) AS doc_count
+FROM hits JOIN meta USING (did)
+WHERE n_chars >= 120
+GROUP BY lang
+ORDER BY doc_count DESC, lang ASC LIMIT 10
 """,
         "ft_span_near": f"""
 WITH docs AS (

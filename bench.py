@@ -86,6 +86,8 @@ HEADLINE = [
     "ft_terms_lookup",
     "ft_span_or",
     "ft_span_containing",
+    "ft_dsl_search",
+    "ft_dsl_aggs",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",

@@ -175,6 +175,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--split", default=None,
                    help="t_test: SQL boolean expr naming sample A")
 
+    p = sub.add_parser(
+        "dsl", help="run an ES _search request body verbatim"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--body", default=None,
+                   help="the JSON request body (a curl _search payload)")
+    p.add_argument("--body-file", default=None,
+                   help="path to a file holding the JSON body")
+    p.add_argument("--aggs", action="store_true",
+                   help="run the body's aggs section instead of the hits")
+    p.add_argument("--count", action="store_true",
+                   help="run the body as _count instead of _search")
+    p.add_argument("--round", type=int, default=6,
+                   help="round scores to this many decimals")
+
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
     p.add_argument("--where", default=None)
@@ -445,6 +460,27 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.collapse(q, by=args.by, k=k)
         for r in df.collect():
             print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "dsl":
+        from .query.engine import InvertedIndex
+
+        if (args.body is None) == (args.body_file is None):
+            raise SystemExit("dsl: pass exactly one of --body / --body-file")
+        raw = (
+            args.body if args.body is not None
+            else open(args.body_file).read()
+        )
+        body = json.loads(raw)
+        ix = InvertedIndex(spark, args.index)
+        if args.count:
+            print(json.dumps({"count": ix.count_body(body)}))
+        elif args.aggs:
+            for name, df in ix.search_aggs(body).items():
+                for r in df.collect():
+                    print(json.dumps({"agg": name, **r.asDict()},
+                                     default=str))
+        else:
+            for r in ix.search(body, round_scores=args.round).collect():
+                print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "count":
         from .query.engine import InvertedIndex
 

@@ -1,0 +1,1432 @@
+"""ES ``_search`` request-body dispatcher: run Elasticsearch JSON bodies
+verbatim against an :class:`InvertedIndex`.
+
+The reference's documented query surface is literally curl ``_search``
+bodies (Running-ELK.md:110-293 — match, wildcard, fuzzy, match_all, bool
+must+filter, term triples with boost, exists; import_dart_data.py's
+match_all / count / get flows). :func:`search` compiles such a dict into
+the engine's Spark plans: scoring clauses dispatch to the BM25 /
+positional operators, filter-context clauses compile to pure Catalyst
+``Column`` predicates pushed into the doc_stats scan, and :func:`aggs`
+maps the ES aggregation families onto the engine's aggregation methods.
+
+Everything stays declarative: the compiler emits exactly the DataFrame
+plan the equivalent direct method call would — no collect, no Python row
+loops — so Catalyst sees the same pushdowns (term/bucket pruning into the
+postings scan, predicate pushdown into the doc_stats scan) the
+hand-written calls get. At cluster scale the dispatcher adds zero work:
+it is driver-side plan construction only.
+
+Deliberate scope limits raise :class:`DslError` with the supported
+alternative spelled out, never a silently-wrong result:
+
+- filter context accepts metadata predicates (term / terms / range /
+  exists / ids over doc_stats columns, arbitrarily nested in bool);
+  full-text clauses belong in ``must`` — in filter context their score
+  is constant anyway, so the must spelling is equivalent.
+- a scoring bool takes ONE primary full-text clause (plus optional
+  match-family ``should`` / ``must_not`` legs and any number of metadata
+  clauses), or several single-term match/term clauses over one field
+  (compiled to the AND-mode BM25 path, which sums the same per-term
+  contributions ES would).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DslError(ValueError):
+    """An ES body shape the dispatcher does not support (the message
+    names the supported alternative)."""
+
+
+# --------------------------------------------------------------------------
+# clause-spec helpers
+# --------------------------------------------------------------------------
+_SIDE_KEYS = {"boost", "rewrite", "case_insensitive", "_name", "analyzer"}
+
+
+def _field_spec(typ: str, spec: Any) -> tuple[str, Any, dict]:
+    """Split a ``{field: value-or-params}`` clause body into
+    (field, value, side-params). Tolerates the legacy flattened form the
+    reference uses (``{"term": {"corp_code": "xxx", "boost": 1.0}}``,
+    Running-ELK.md:287-291) where side params sit beside the field."""
+    if not isinstance(spec, dict) or not spec:
+        raise DslError(f"{typ}: expected {{field: ...}}, got {spec!r}")
+    side = {k: v for k, v in spec.items() if k in _SIDE_KEYS}
+    rest = {k: v for k, v in spec.items() if k not in _SIDE_KEYS}
+    if len(rest) != 1:
+        raise DslError(f"{typ}: expected exactly one field, got {list(rest)}")
+    ((f, v),) = rest.items()
+    if isinstance(v, dict):
+        side.update({k: vv for k, vv in v.items() if k in _SIDE_KEYS})
+    return f, v, side
+
+
+def _as_list(x) -> list:
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def _not_null_safe(c: Column) -> Column:
+    # ES must_not matches docs where the inner clause does NOT match —
+    # including docs where the field is NULL; plain ~ would yield NULL there
+    return ~F.coalesce(c, F.lit(False))
+
+
+class _Compiler:
+    def __init__(self, ix):
+        self.ix = ix
+        self.meta_cols = set(ix.doc_stats().columns)
+
+    def is_indexed(self, f: str) -> bool:
+        return f in self.ix.fields
+
+    def is_meta(self, f: str) -> bool:
+        return f in self.meta_cols
+
+    # ------------------------------------------------------- filter context
+    def compile_filter(self, clause: dict, cols: set | None = None) -> Column:
+        """ES filter context -> one Catalyst Column over doc_stats.
+
+        Supports term / terms / range / exists / ids / match_all and
+        arbitrarily nested bool. ``cols`` (when given) collects the
+        doc_stats columns the predicate references."""
+        typ, spec = self._clause(clause)
+        if typ == "match_all":
+            return F.lit(True)
+        if typ == "bool":
+            return self._filter_bool(spec, cols)
+        if typ == "ids":
+            vals = spec.get("values")
+            if not isinstance(vals, (list, tuple)) or not vals:
+                raise DslError("ids: expected {'values': [...]}")
+            if cols is not None:
+                cols.add("doc_id")
+            return F.col("doc_id").isin([int(v) for v in vals])
+        if typ == "exists":
+            f = spec.get("field")
+            self._meta_field(typ, f, cols)
+            return F.col(f).isNotNull()
+        if typ in ("term", "terms", "range"):
+            f, v, _side = _field_spec(typ, spec)
+            self._meta_field(typ, f, cols)
+            if typ == "term":
+                if isinstance(v, dict):
+                    v = v.get("value")
+                return F.col(f) == F.lit(v)
+            if typ == "terms":
+                if not isinstance(v, (list, tuple)):
+                    raise DslError(f"terms: expected a list for {f!r}")
+                return F.col(f).isin(list(v))
+            return self._range_col(f, v)
+        if typ in ("match", "match_phrase", "wildcard", "prefix", "fuzzy"):
+            raise DslError(
+                f"{typ} in filter context: full-text clauses belong in "
+                f"'must' (their score is constant in filter context, so "
+                f"the must spelling is equivalent)"
+            )
+        raise DslError(f"unsupported clause in filter context: {typ!r}")
+
+    def _meta_field(self, typ: str, f, cols: set | None) -> None:
+        if not isinstance(f, str) or not self.is_meta(f):
+            hint = (
+                f" ({f!r} is an indexed full-text field — use a scoring "
+                f"clause)" if isinstance(f, str) and self.is_indexed(f)
+                else ""
+            )
+            raise DslError(
+                f"{typ}: {f!r} is not a stored metadata column "
+                f"(doc_stats columns: {sorted(self.meta_cols)}){hint}"
+            )
+        if cols is not None:
+            cols.add(f)
+
+    @staticmethod
+    def _range_col(f: str, v: Any) -> Column:
+        if not isinstance(v, dict):
+            raise DslError(f"range: expected bounds dict for {f!r}")
+        conds = []
+        for op, val in v.items():
+            if op == "gte":
+                conds.append(F.col(f) >= F.lit(val))
+            elif op == "gt":
+                conds.append(F.col(f) > F.lit(val))
+            elif op == "lte":
+                conds.append(F.col(f) <= F.lit(val))
+            elif op == "lt":
+                conds.append(F.col(f) < F.lit(val))
+            elif op in ("boost", "format", "time_zone", "relation"):
+                continue
+            else:
+                raise DslError(f"range: unknown bound {op!r}")
+        if not conds:
+            raise DslError(f"range: no bounds for {f!r}")
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def _filter_bool(self, spec: dict, cols: set | None) -> Column:
+        must = [
+            self.compile_filter(c, cols)
+            for c in _as_list(spec.get("must")) + _as_list(spec.get("filter"))
+        ]
+        must_not = [
+            _not_null_safe(self.compile_filter(c, cols))
+            for c in _as_list(spec.get("must_not"))
+        ]
+        should = [
+            self.compile_filter(c, cols)
+            for c in _as_list(spec.get("should"))
+        ]
+        out = F.lit(True)
+        for c in must + must_not:
+            out = out & c
+        if should:
+            # ES: in a bool with no must/filter sibling, minimum_should_match
+            # defaults to 1; with one present it defaults to 0
+            msm = spec.get("minimum_should_match")
+            if msm is None:
+                msm = 0 if (must or spec.get("filter")) else 1
+            msm = int(msm)
+            if msm > 0:
+                n = sum(
+                    F.coalesce(c.cast("int"), F.lit(0)) for c in should
+                )
+                out = out & (n >= F.lit(msm))
+        return out
+
+    # ------------------------------------------------------------ utilities
+    @staticmethod
+    def _clause(clause: Any) -> tuple[str, Any]:
+        if not isinstance(clause, dict) or len(clause) != 1:
+            raise DslError(
+                f"expected a single-key clause dict, got {clause!r}"
+            )
+        ((typ, spec),) = clause.items()
+        return typ, spec
+
+    def _text_field(self, typ: str, f: str) -> str | None:
+        if not self.is_indexed(f):
+            hint = (
+                f" ({f!r} is a metadata column — use it in filter "
+                f"context)" if self.is_meta(f) else ""
+            )
+            raise DslError(
+                f"{typ}: {f!r} is not an indexed field "
+                f"(indexed: {self.ix.fields}){hint}"
+            )
+        return None if f == self.ix.fields[0] else f
+
+    def is_filterish(self, clause: dict) -> bool:
+        """True when the clause compiles in filter context (metadata
+        predicate / pure-filter bool) — used to split a scoring bool."""
+        try:
+            self.compile_filter(clause)
+            return True
+        except DslError:
+            return False
+
+    @staticmethod
+    def _match_params(typ: str, v: Any) -> dict:
+        """Normalize a match-family value (bare string or params dict)."""
+        if isinstance(v, dict):
+            if "query" not in v and "value" not in v:
+                raise DslError(f"{typ}: missing 'query' in {v!r}")
+            out = dict(v)
+            out["query"] = v.get("query", v.get("value"))
+            return out
+        return {"query": v}
+
+
+# --------------------------------------------------------------------------
+# scoring dispatch
+# --------------------------------------------------------------------------
+def _and_all(cols: list[Column]) -> Column | None:
+    if not cols:
+        return None
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _const_hits(
+    ix, filters: Column | None, k: int, offset: int,
+    must_not_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Constant-score hits (pure filter-context query): live docs under
+    the predicate, score 1.0, doc_id order — the same shape every other
+    constant-score operator in the engine emits."""
+    ds = ix.doc_stats()
+    if filters is not None:
+        ds = ds.filter(filters)
+    docs = ds.select("doc_id")
+    if must_not_docs is not None:
+        docs = docs.join(must_not_docs, "doc_id", "left_anti")
+    out = (
+        docs.withColumn("score", F.lit(1.0))
+        .orderBy(F.asc("doc_id"))
+        .limit(k + offset)
+    )
+    if offset:
+        out = _apply_offset(out, offset, by_score=False)
+    return out
+
+
+def _apply_offset(df: DataFrame, offset: int, by_score: bool) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.desc("score"), F.asc("doc_id")] if by_score else [F.asc("doc_id")]
+    )
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .drop("_rn")
+    )
+
+
+def _require_no_filters(typ: str, filters: Column | None) -> None:
+    if filters is not None:
+        raise DslError(
+            f"{typ} under a bool filter is not supported through the DSL — "
+            f"call the engine method directly, or express the predicate "
+            f"with the match/term/terms/wildcard clause types (which "
+            f"accept filters)"
+        )
+
+
+def _span_clause_terms(cp: _Compiler, clause: dict, typ: str) -> str:
+    """A span sub-clause -> the engine's clause string: span_term {f: v}
+    -> 'v'; a slop-0 in-order span_near of span_terms -> the phrase."""
+    t, spec = cp._clause(clause)
+    if t == "span_term":
+        f, v, _ = _field_spec("span_term", spec)
+        cp._text_field("span_term", f)
+        if isinstance(v, dict):
+            v = v.get("value")
+        return str(v)
+    if t == "span_near":
+        if spec.get("slop", 0) != 0 or not spec.get("in_order", True):
+            raise DslError(
+                f"{typ}: nested span_near legs must be slop=0 in_order "
+                f"(an exact phrase)"
+            )
+        return " ".join(
+            _span_clause_terms(cp, c, typ) for c in spec.get("clauses", [])
+        )
+    raise DslError(f"{typ}: unsupported span sub-clause {t!r}")
+
+
+def _dispatch_leaf(
+    cp: _Compiler,
+    typ: str,
+    spec: Any,
+    *,
+    k: int,
+    filters: Column | None,
+    round_scores: int | None,
+    offset: int = 0,
+    should: str | None = None,
+    must_not: str | None = None,
+    msm: int | None = None,
+    search_after: tuple | None = None,
+) -> DataFrame:
+    ix = cp.ix
+    topk_extras = dict(
+        should=should, must_not=must_not, min_should_match=msm,
+        search_after=search_after,
+    )
+
+    def plain(name):
+        # leaves that take none of the bool-leg extras
+        for key, v in topk_extras.items():
+            if v is not None:
+                raise DslError(
+                    f"{name}: bool {key} legs are only supported around "
+                    f"match/term clauses"
+                )
+        if offset:
+            raise DslError(f"{name}: 'from' pagination not supported")
+
+    if typ == "match":
+        f, v, side = _field_spec(typ, spec)
+        p = cp._match_params(typ, v)
+        field = cp._text_field(typ, f)
+        mode = str(p.get("operator", "or")).lower()
+        if mode not in ("or", "and"):
+            raise DslError(f"match: unknown operator {p['operator']!r}")
+        boost = float(side.get("boost", p.get("boost", 1.0)))
+        boosts = None
+        if boost != 1.0:
+            toks = ix._analyze(p["query"], field)
+            boosts = {t: boost for t in toks}
+        m = p.get("minimum_should_match")
+        return ix.topk(
+            p["query"], k=k, mode=mode, filters=filters, field=field,
+            round_scores=round_scores, offset=offset, boosts=boosts,
+            should=should, must_not=must_not,
+            min_should_match=msm if msm is not None
+            else (int(m) if m is not None else None),
+            search_after=search_after,
+        )
+    if typ == "match_all":
+        plain(typ)
+        return _const_hits(ix, filters, k, offset)
+    if typ == "term":
+        f, v, side = _field_spec(typ, spec)
+        if isinstance(v, dict):
+            side.update({kk: vv for kk, vv in v.items() if kk in _SIDE_KEYS})
+            v = v.get("value")
+        field = cp._text_field(typ, f)
+        boost = float(side.get("boost", 1.0))
+        return ix.topk(
+            str(v), k=k, filters=filters, field=field,
+            round_scores=round_scores, offset=offset,
+            boosts=(
+                {t: boost for t in ix._analyze(str(v), field)}
+                if boost != 1.0 else None
+            ),
+            should=should, must_not=must_not, min_should_match=msm,
+            search_after=search_after,
+        )
+    if typ == "terms":
+        f, v, _side = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        if isinstance(v, dict):
+            # terms lookup: {field: {index/id/path}} — the engine resolves
+            # the id against its own doc store
+            key = v.get("id")
+            path = v.get("path")
+            if key is None or path is None:
+                raise DslError("terms lookup: need 'id' and 'path'")
+            return ix.terms_lookup((key,), path, field=field, k=k)
+        return ix.terms_query(list(v), k=k, field=field, filters=filters)
+    if typ == "terms_set":
+        f, v, _side = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        mmf = (v or {}).get("minimum_should_match_field")
+        if not mmf:
+            raise DslError("terms_set: need minimum_should_match_field")
+        return ix.terms_set(list(v.get("terms", [])), mmf, k=k, field=field)
+    if typ in ("wildcard", "prefix"):
+        f, v, _side = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        if isinstance(v, dict):
+            v = v.get("value")
+        pat = str(v)
+        if typ == "prefix":
+            return ix.wildcard(pat, k=k, filters=filters, field=field)
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            return ix.wildcard(pat[:-1], k=k, filters=filters, field=field)
+        # general wildcard pattern -> the regexp operator
+        _require_no_filters("wildcard (non-prefix pattern)", filters)
+        import re as _re
+
+        rx = "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in pat
+        )
+        return ix.regexp(rx, k=k, field=field)
+    if typ == "fuzzy":
+        f, v, _side = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        p = v if isinstance(v, dict) else {"value": v}
+        return ix.fuzzy(
+            str(p["value"]), k=k, field=field,
+            max_dist=p.get("fuzziness", "AUTO"),
+            transpositions=bool(p.get("transpositions", True)),
+            prefix_length=int(p.get("prefix_length", 0)),
+            max_expansions=int(p.get("max_expansions", 50)),
+        )
+    if typ == "regexp":
+        f, v, _side = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        if isinstance(v, dict):
+            v = v.get("value")
+        return ix.regexp(str(v), k=k, field=field)
+    if typ == "match_phrase":
+        f, v, _side = _field_spec(typ, spec)
+        p = cp._match_params(typ, v)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.match_phrase(
+            p["query"], k=k, field=field, slop=int(p.get("slop", 0))
+        )
+    if typ == "match_phrase_prefix":
+        f, v, _side = _field_spec(typ, spec)
+        p = cp._match_params(typ, v)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.match_phrase_prefix(
+            p["query"], k=k, field=field,
+            max_expansions=int(p.get("max_expansions", 50)),
+        )
+    if typ == "match_bool_prefix":
+        f, v, _side = _field_spec(typ, spec)
+        p = cp._match_params(typ, v)
+        field = cp._text_field(typ, f)
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.match_bool_prefix(
+            p["query"], k=k, field=field, round_scores=round_scores,
+            max_expansions=int(p.get("max_expansions", 50)),
+        )
+    if typ == "multi_match":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise DslError("multi_match: need 'query' and 'fields'")
+        fields = spec.get("fields") or []
+        if not fields:
+            raise DslError("multi_match: need non-empty 'fields'")
+        mt = spec.get("type", "most_fields")
+        if mt == "bool_prefix":
+            return ix.search_as_you_type(
+                spec["query"], k=k, round_scores=round_scores
+            )
+        if mt not in ("most_fields", "best_fields"):
+            raise DslError(f"multi_match: unsupported type {mt!r}")
+        return ix.multi_match(
+            spec["query"], fields=list(fields), k=k, match_type=mt,
+            tie_breaker=float(spec.get("tie_breaker", 0.0)),
+            round_scores=round_scores,
+        )
+    if typ == "combined_fields":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.combined_fields(
+            spec["query"], fields=list(spec.get("fields") or []),
+            k=k, round_scores=round_scores,
+        )
+    if typ == "query_string":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.query_string(
+            spec["query"], k=k,
+            default_operator=str(spec.get("default_operator", "or")).lower(),
+            field=(
+                cp._text_field(typ, spec["default_field"])
+                if spec.get("default_field") else None
+            ),
+            round_scores=round_scores,
+        )
+    if typ == "simple_query_string":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.simple_query_string(
+            spec["query"], k=k,
+            default_operator=str(spec.get("default_operator", "or")).lower(),
+            round_scores=round_scores,
+        )
+    if typ == "more_like_this":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        like = spec.get("like")
+        if isinstance(like, (list, tuple)):
+            like = " ".join(str(x) for x in like)
+        kwargs = {}
+        m = spec.get("minimum_should_match")
+        if m is not None:
+            kwargs["min_should_match"] = int(m)
+        return ix.more_like_this(
+            str(like), k=k,
+            max_query_terms=int(spec.get("max_query_terms", 25)),
+            min_term_freq=int(spec.get("min_term_freq", 2)),
+            min_doc_freq=int(spec.get("min_doc_freq", 5)),
+            round_scores=round_scores, **kwargs,
+        )
+    if typ == "boosting":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        pos = cp._match_params(typ, _field_spec(
+            typ, cp._clause(spec["positive"])[1])[1])
+        neg = cp._match_params(typ, _field_spec(
+            typ, cp._clause(spec["negative"])[1])[1])
+        return ix.boosting(
+            pos["query"], neg["query"],
+            negative_boost=float(spec.get("negative_boost", 0.5)),
+            k=k, round_scores=round_scores,
+        )
+    if typ == "constant_score":
+        plain(typ)
+        inner = spec.get("filter")
+        if inner is None:
+            raise DslError("constant_score: need 'filter'")
+        col = cp.compile_filter(inner)
+        if filters is not None:
+            col = col & filters
+        boost = float(spec.get("boost", 1.0))
+        hits = _const_hits(ix, col, k, offset)
+        if boost != 1.0:
+            hits = hits.withColumn(
+                "score", (F.col("score") * F.lit(boost)).cast("double")
+            )
+        return hits
+    if typ == "ids":
+        plain(typ)
+        col = cp.compile_filter({"ids": spec})
+        if filters is not None:
+            col = col & filters
+        return _const_hits(ix, col, k, offset)
+    if typ in ("exists", "range"):
+        plain(typ)
+        col = cp.compile_filter({typ: spec})
+        if filters is not None:
+            col = col & filters
+        return _const_hits(ix, col, k, offset)
+    if typ == "function_score":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return _function_score(cp, spec, k, round_scores)
+    if typ == "pinned":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        org_t, org_s = cp._clause(spec["organic"])
+        if org_t != "match":
+            raise DslError("pinned: organic must be a match clause")
+        f, v, _ = _field_spec("match", org_s)
+        p = cp._match_params("match", v)
+        cp._text_field("match", f)
+        return ix.pinned(
+            p["query"], [int(i) for i in spec.get("ids", [])], k=k
+        )
+    if typ == "span_near":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        terms = [
+            _span_clause_terms(cp, c, typ) for c in spec.get("clauses", [])
+        ]
+        return ix.span_near(
+            terms, slop=int(spec.get("slop", 0)),
+            in_order=bool(spec.get("in_order", True)), k=k,
+        )
+    if typ == "span_or":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.span_or(
+            [_span_clause_terms(cp, c, typ) for c in spec.get("clauses", [])],
+            k=k,
+        )
+    if typ == "span_term":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.span_or([_span_clause_terms(cp, {typ: spec}, typ)], k=k)
+    if typ == "span_first":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.span_first(
+            _span_clause_terms(cp, spec["match"], typ),
+            int(spec["end"]), k=k,
+        )
+    if typ == "span_not":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.span_not(
+            _span_clause_terms(cp, spec["include"], typ),
+            _span_clause_terms(cp, spec["exclude"], typ),
+            pre=int(spec.get("pre", 0)), post=int(spec.get("post", 0)), k=k,
+        )
+    if typ in ("span_containing", "span_within"):
+        plain(typ)
+        _require_no_filters(typ, filters)
+        big_t, big_s = cp._clause(spec["big"])
+        if big_t == "span_near":
+            big = [
+                _span_clause_terms(cp, c, typ)
+                for c in big_s.get("clauses", [])
+            ]
+            slop = int(big_s.get("slop", 0))
+            in_order = bool(big_s.get("in_order", True))
+        else:
+            big = [_span_clause_terms(cp, spec["big"], typ)]
+            slop, in_order = 0, True
+        little = _span_clause_terms(cp, spec["little"], typ)
+        if typ == "span_containing":
+            return ix.span_containing(
+                big, little, slop=slop, in_order=in_order, k=k
+            )
+        return ix.span_within(little, big, slop=slop, in_order=in_order, k=k)
+    raise DslError(f"unsupported query clause: {typ!r}")
+
+
+def _function_score(cp: _Compiler, spec: dict, k, round_scores) -> DataFrame:
+    ix = cp.ix
+    inner_t, inner_s = cp._clause(spec.get("query", {"match_all": {}}))
+    if inner_t != "match":
+        raise DslError("function_score: inner query must be a match clause")
+    f, v, _ = _field_spec("match", inner_s)
+    p = cp._match_params("match", v)
+    field = cp._text_field("match", f)
+    boost_mode = spec.get("boost_mode", "multiply")
+    fns = _as_list(spec.get("functions"))
+    if "field_value_factor" in spec or any(
+        "field_value_factor" in fn for fn in fns
+    ):
+        fvf = spec.get("field_value_factor") or next(
+            fn["field_value_factor"] for fn in fns
+            if "field_value_factor" in fn
+        )
+        return ix.function_score(
+            p["query"], k=k, factor_col=fvf["field"],
+            modifier=fvf.get("modifier", "none"),
+            factor=float(fvf.get("factor", 1.0)),
+            boost_mode=boost_mode, field=field, round_scores=round_scores,
+        )
+    if "random_score" in spec or any("random_score" in fn for fn in fns):
+        rs = spec.get("random_score") or next(
+            fn["random_score"] for fn in fns if "random_score" in fn
+        )
+        return ix.random_score(
+            p["query"], seed=int(rs.get("seed", 0)), k=k, field=field
+        )
+    for decay_fn in ("gauss", "exp", "linear"):
+        holder = (
+            spec if decay_fn in spec
+            else next((fn for fn in fns if decay_fn in fn), None)
+        )
+        if holder is not None:
+            df_, dv, _ = _field_spec(decay_fn, holder[decay_fn])
+            return ix.decay_score(
+                p["query"], k=k, on=df_,
+                origin=float(dv["origin"]), scale=float(dv["scale"]),
+                offset=float(dv.get("offset", 0.0)),
+                decay=float(dv.get("decay", 0.5)),
+                fn=decay_fn, boost_mode=boost_mode, field=field,
+                round_scores=round_scores,
+            )
+    raise DslError(
+        "function_score: supported functions are field_value_factor, "
+        "random_score, gauss/exp/linear decay"
+    )
+
+
+# --------------------------------------------------------------------------
+# the scoring bool
+# --------------------------------------------------------------------------
+_MATCHISH = ("match", "term")
+
+
+def _bool_query(
+    cp: _Compiler,
+    spec: dict,
+    *,
+    k: int,
+    offset: int,
+    round_scores: int | None,
+    search_after: tuple | None,
+) -> DataFrame:
+    ix = cp.ix
+    must = _as_list(spec.get("must"))
+    should = _as_list(spec.get("should"))
+    must_not = _as_list(spec.get("must_not"))
+    filt = _as_list(spec.get("filter"))
+    msm_raw = spec.get("minimum_should_match")
+
+    filter_cols: list[Column] = [cp.compile_filter(c) for c in filt]
+    text_must, text_should, text_must_not = [], [], []
+    for c in must:
+        if cp.is_filterish(c):
+            filter_cols.append(cp.compile_filter(c))
+        else:
+            text_must.append(c)
+    for c in must_not:
+        if cp.is_filterish(c):
+            filter_cols.append(_not_null_safe(cp.compile_filter(c)))
+        else:
+            text_must_not.append(c)
+    for c in should:
+        if cp.is_filterish(c):
+            raise DslError(
+                "bool should with a metadata clause: wrap it in a nested "
+                "pure-filter bool inside 'filter' instead (optional "
+                "metadata clauses only affect constant scores)"
+            )
+        text_should.append(c)
+    filters = _and_all(filter_cols)
+
+    # must_not text legs -> one analyzed exclusion string (the engine's
+    # term-level anti-set rides the tombstone mask machinery)
+    mn_query = None
+    if text_must_not:
+        parts = []
+        for c in text_must_not:
+            t, s = cp._clause(c)
+            if t not in _MATCHISH:
+                raise DslError(
+                    f"bool must_not supports match/term text clauses "
+                    f"(got {t!r}) besides metadata predicates"
+                )
+            f, v, _ = _field_spec(t, s)
+            cp._text_field(t, f)
+            p = cp._match_params(t, v)
+            parts.append(str(p["query"]))
+        mn_query = " ".join(parts)
+
+    # should text legs -> one optional-scoring string
+    sh_query = None
+    if text_should:
+        parts = []
+        for c in text_should:
+            t, s = cp._clause(c)
+            if t not in _MATCHISH:
+                raise DslError(
+                    f"bool should supports match/term clauses (got {t!r})"
+                )
+            f, v, _ = _field_spec(t, s)
+            cp._text_field(t, f)
+            p = cp._match_params(t, v)
+            parts.append(str(p["query"]))
+        sh_query = " ".join(parts)
+
+    msm = int(msm_raw) if msm_raw is not None else None
+
+    if not text_must and not text_should:
+        # pure filter bool: constant score
+        if search_after is not None:
+            raise DslError("search_after needs a scored query")
+        mn_docs = None
+        if mn_query is not None:
+            mn_docs = ix._docs_for_terms(
+                sorted(set(ix._analyze(mn_query, None))), 0
+            ).select("doc_id")
+        return _const_hits(ix, filters, k, offset, must_not_docs=mn_docs)
+
+    if not text_must:
+        # should-only bool: ≥1 should clause must match (ES default);
+        # clauses merge into one OR-mode BM25 pass
+        return ix.topk(
+            sh_query, k=k, mode="or", filters=filters,
+            round_scores=round_scores, offset=offset, must_not=mn_query,
+            min_should_match=msm, search_after=search_after,
+        )
+
+    if len(text_must) == 1:
+        t, s = cp._clause(text_must[0])
+        return _dispatch_leaf(
+            cp, t, s, k=k, filters=filters, round_scores=round_scores,
+            offset=offset, should=sh_query, must_not=mn_query, msm=msm,
+            search_after=search_after,
+        )
+
+    # several must clauses: each must reduce to terms over ONE field; the
+    # AND-mode BM25 pass sums the same per-term contributions ES would
+    # (Running-ELK.md:234-239 — bool must of two match clauses)
+    queries, fields = [], set()
+    for c in text_must:
+        t, s = cp._clause(c)
+        if t not in _MATCHISH:
+            raise DslError(
+                f"bool with multiple must clauses supports match/term "
+                f"legs (got {t!r}); put the single complex clause alone "
+                f"in must"
+            )
+        f, v, _ = _field_spec(t, s)
+        fields.add(cp._text_field(t, f))
+        p = cp._match_params(t, v)
+        queries.append(str(p["query"]))
+    if len(fields) > 1:
+        raise DslError(
+            "bool must clauses across different fields: use multi_match "
+            "or combined_fields"
+        )
+    return ix.topk(
+        " ".join(queries), k=k, mode="and", filters=filters,
+        field=next(iter(fields)), round_scores=round_scores, offset=offset,
+        should=sh_query, must_not=mn_query, search_after=search_after,
+    )
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+def search(
+    ix, body: dict, round_scores: int | None = None
+) -> DataFrame:
+    """Run an ES ``_search`` request body, returning the hits DataFrame
+    (doc_id, score). Top-level keys: ``query`` (default match_all),
+    ``size`` / ``from``, ``search_after``, ``min_score``, ``sort``,
+    ``collapse``, ``highlight``, ``rescore``, ``_source``. Aggregations
+    run through :func:`aggs`."""
+    if not isinstance(body, dict):
+        raise DslError("body must be a dict")
+    cp = _Compiler(ix)
+    size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
+    q = body.get("query", {"match_all": {}})
+    sa = body.get("search_after")
+    search_after = tuple(sa) if sa is not None else None
+
+    # ------- exclusive decorated forms: sort / collapse / highlight / rescore
+    decorated = [
+        kk for kk in ("sort", "collapse", "highlight", "rescore")
+        if body.get(kk) is not None
+    ]
+    if len(decorated) > 1:
+        raise DslError(
+            f"only one of sort/collapse/highlight/rescore per body "
+            f"(got {decorated})"
+        )
+    if decorated:
+        if offset or search_after is not None:
+            raise DslError(
+                f"{decorated[0]}: 'from'/'search_after' pagination is not "
+                f"supported on decorated queries"
+            )
+        return _decorated(cp, decorated[0], body, q, size, round_scores)
+
+    typ, spec = cp._clause(q)
+    if typ == "bool":
+        hits = _bool_query(
+            cp, spec, k=size, offset=offset, round_scores=round_scores,
+            search_after=search_after,
+        )
+    elif typ in ("term", "terms") and not isinstance(spec, dict):
+        raise DslError(f"{typ}: expected {{field: ...}}")
+    elif typ in ("term", "terms") and not cp.is_indexed(
+        _field_spec(typ, spec)[0]
+    ):
+        # the reference's documented shape: term/terms over a stored
+        # metadata column is a constant-score filter query
+        # (Running-ELK.md:257-263, 287-291)
+        if search_after is not None:
+            raise DslError("search_after needs a scored query")
+        hits = _const_hits(cp.ix, cp.compile_filter(q), size, offset)
+    else:
+        hits = _dispatch_leaf(
+            cp, typ, spec, k=size, filters=None, round_scores=round_scores,
+            offset=offset, search_after=search_after,
+        )
+    ms = body.get("min_score")
+    if ms is not None:
+        hits = hits.filter(F.col("score") >= F.lit(float(ms)))
+    src = body.get("_source")
+    if isinstance(src, (list, tuple)) and src:
+        for c in src:
+            if c not in cp.meta_cols:
+                raise DslError(
+                    f"_source: {c!r} is not a stored column "
+                    f"({sorted(cp.meta_cols)})"
+                )
+        hits = hits.join(
+            ix.doc_stats().select("doc_id", *src), "doc_id", "left"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return hits
+
+
+def _decorated(
+    cp: _Compiler, kind: str, body: dict, q: dict, size: int, round_scores
+) -> DataFrame:
+    """sort / collapse / highlight / rescore — each needs the query in
+    match shape (they dispatch to the dedicated engine operator)."""
+    ix = cp.ix
+    typ, spec = cp._clause(q)
+    filters = None
+    if typ == "bool":
+        # allow bool{must: [match], filter: [...]} under sort
+        sub = _as_list(spec.get("must"))
+        filt = [cp.compile_filter(c) for c in _as_list(spec.get("filter"))]
+        for extra in ("should", "must_not"):
+            if spec.get(extra):
+                raise DslError(f"{kind}: bool {extra} not supported here")
+        if len(sub) != 1:
+            raise DslError(f"{kind}: need exactly one must clause")
+        typ, spec = cp._clause(sub[0])
+        filters = _and_all(filt)
+    if typ == "match_all" and kind == "sort":
+        query, field = None, None
+    else:
+        if typ not in _MATCHISH:
+            raise DslError(f"{kind}: query must be match/term (got {typ!r})")
+        f, v, _ = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        query = str(cp._match_params(typ, v)["query"])
+
+    if kind == "sort":
+        s = body["sort"]
+        s = s[0] if isinstance(s, (list, tuple)) and s else s
+        if isinstance(s, str):
+            by, order = s, "desc"
+        elif isinstance(s, dict) and len(s) == 1:
+            ((by, o),) = s.items()
+            order = (
+                o.get("order", "desc") if isinstance(o, dict) else str(o)
+            )
+        else:
+            raise DslError(f"sort: unsupported spec {body['sort']!r}")
+        if by == "_score":
+            raise DslError("sort by _score is the default — omit 'sort'")
+        if by not in cp.meta_cols:
+            raise DslError(f"sort: {by!r} is not a stored column")
+        return ix.sort_by(
+            query, by=by, k=size, ascending=(order == "asc"),
+            field=field, filters=filters,
+        )
+    if query is None:
+        raise DslError(f"{kind}: match_all is only supported under sort")
+    if kind == "collapse":
+        _require_no_filters(kind, filters)
+        return ix.collapse(
+            query, by=body["collapse"]["field"], k=size, field=field,
+            round_scores=round_scores,
+        )
+    if kind == "highlight":
+        _require_no_filters(kind, filters)
+        h = body["highlight"]
+        hf = h.get("fields") or {}
+        if len(hf) != 1:
+            raise DslError("highlight: exactly one entry in 'fields'")
+        ((col, hspec),) = hf.items()
+        nfrag = int(
+            hspec.get("number_of_fragments", h.get("number_of_fragments", 0))
+        )
+        fsize = int(hspec.get("fragment_size", h.get("fragment_size", 100)))
+        return ix.highlight(
+            query, k=size, text_col=col, field=field,
+            pre_tag=_as_list(h.get("pre_tags", ["<em>"]))[0],
+            post_tag=_as_list(h.get("post_tags", ["</em>"]))[0],
+            round_scores=round_scores,
+            number_of_fragments=nfrag, fragment_size=fsize,
+        )
+    # rescore
+    _require_no_filters(kind, filters)
+    r = body["rescore"]
+    rq = r.get("query", {})
+    rtyp, rspec = cp._clause(rq.get("rescore_query", {}))
+    if rtyp != "match_phrase":
+        raise DslError("rescore: rescore_query must be match_phrase")
+    rf, rv, _ = _field_spec(rtyp, rspec)
+    phrase = str(cp._match_params(rtyp, rv)["query"])
+    return ix.rescore(
+        query, phrase, k=size, window_size=int(r.get("window_size", 50)),
+        weight=float(rq.get("rescore_query_weight", 1.0)),
+        field=field, round_scores=round_scores,
+    )
+
+
+def count(ix, body: dict) -> int:
+    """ES ``_count`` with a request body."""
+    cp = _Compiler(ix)
+    q = (body or {}).get("query", {"match_all": {}})
+    typ, spec = cp._clause(q)
+    if typ == "match_all":
+        return ix.count()
+    if cp.is_filterish(q):
+        return ix.count(cp.compile_filter(q))
+    if typ in _MATCHISH:
+        f, v, _ = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        p = cp._match_params(typ, v)
+        mode = str(p.get("operator", "or")).lower()
+        return ix.count_query(p["query"], mode=mode, field=field)
+    if typ == "bool":
+        # _count accepts any _search body; must_not text legs become an
+        # exclusion doc-set (count_query subtracts it) rather than the
+        # aggs context's hard error
+        spec2 = dict(spec)
+        exclude = []
+        kept_mn = []
+        for c in _as_list(spec2.get("must_not")):
+            if cp.is_filterish(c):
+                kept_mn.append(c)
+                continue
+            t, s = cp._clause(c)
+            if t not in _MATCHISH:
+                raise DslError(
+                    f"_count: must_not supports match/term legs, got {t!r}"
+                )
+            f, v, _ = _field_spec(t, s)
+            exclude.append(
+                (str(cp._match_params(t, v)["query"]), cp._text_field(t, f))
+            )
+        spec2["must_not"] = kept_mn
+        qs, field, filters = _agg_context(cp, {"bool": spec2})
+        if qs is None and not exclude:
+            return ix.count(filters if filters is not None else None)
+        return ix.count_query(qs, field=field, filters=filters,
+                              exclude=exclude)
+    raise DslError(f"_count: unsupported clause {typ!r}")
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+def _agg_context(
+    cp: _Compiler, q: dict
+) -> tuple[str | None, str | None, Column | None]:
+    """The query context an ES body applies to its aggs: -> (match query
+    or None for match_all, field, filter Column)."""
+    typ, spec = cp._clause(q)
+    if typ == "match_all":
+        return None, None, None
+    if cp.is_filterish(q):
+        return None, None, cp.compile_filter(q)
+    if typ in _MATCHISH:
+        f, v, _ = _field_spec(typ, spec)
+        field = cp._text_field(typ, f)
+        p = cp._match_params(typ, v)
+        if str(p.get("operator", "or")).lower() != "or":
+            raise DslError(
+                "aggs: the match context must use the default OR operator "
+                "(the aggregation family matches docs containing ANY term)"
+            )
+        return str(p["query"]), field, None
+    if typ == "bool":
+        must = _as_list(spec.get("must"))
+        filt = [
+            cp.compile_filter(c) for c in _as_list(spec.get("filter"))
+        ]
+        text = []
+        for c in must:
+            if cp.is_filterish(c):
+                filt.append(cp.compile_filter(c))
+            else:
+                text.append(c)
+        for c in _as_list(spec.get("must_not")):
+            if not cp.is_filterish(c):
+                raise DslError("aggs: bool must_not text legs unsupported")
+            filt.append(_not_null_safe(cp.compile_filter(c)))
+        if spec.get("should"):
+            raise DslError("aggs: bool should legs unsupported")
+        if len(text) > 1:
+            raise DslError("aggs: at most one full-text clause in the body")
+        if not text:
+            return None, None, _and_all(filt)
+        t, s = cp._clause(text[0])
+        if t not in _MATCHISH:
+            raise DslError(f"aggs: text context must be match/term ({t!r})")
+        f, v, _ = _field_spec(t, s)
+        field = cp._text_field(t, f)
+        p = cp._match_params(t, v)
+        return str(p["query"]), field, _and_all(filt)
+    raise DslError(f"aggs: unsupported query context {typ!r}")
+
+
+_DH_INTERVALS = {
+    "1h": "hour", "hour": "hour", "1d": "day", "day": "day",
+    "1w": "week", "week": "week", "1M": "month", "month": "month",
+    "1q": "quarter", "quarter": "quarter", "1y": "year", "year": "year",
+}
+
+
+def _dh_interval(spec: dict) -> str:
+    raw = (
+        spec.get("calendar_interval")
+        or spec.get("fixed_interval")
+        or spec.get("interval")
+        or "month"
+    )
+    if raw not in _DH_INTERVALS:
+        raise DslError(
+            f"date_histogram: unsupported interval {raw!r} "
+            f"(supported: {sorted(set(_DH_INTERVALS))})"
+        )
+    return _DH_INTERVALS[raw]
+
+
+def aggs(ix, body: dict) -> dict[str, DataFrame]:
+    """Run the ``aggs`` section of an ES body: one DataFrame per named
+    aggregation, each computed over the body's query context (match /
+    match_all / bool{match + filter})."""
+    cp = _Compiler(ix)
+    spec = body.get("aggs", body.get("aggregations"))
+    if not isinstance(spec, dict) or not spec:
+        raise DslError("body has no 'aggs' section")
+    query, field, filters = _agg_context(
+        cp, body.get("query", {"match_all": {}})
+    )
+    out = {}
+    for name, aspec in spec.items():
+        out[name] = _one_agg(cp, name, aspec, query, field, filters)
+    return out
+
+
+def _metric_on(cp: _Compiler, typ: str, spec: dict) -> str:
+    f = spec.get("field")
+    cp._meta_field(typ, f, None)
+    return f
+
+
+def _one_agg(
+    cp: _Compiler, name: str, aspec: dict, query, field, filters
+) -> DataFrame:
+    ix = cp.ix
+    sub = aspec.get("aggs", aspec.get("aggregations")) or {}
+    kinds = [kk for kk in aspec if kk not in ("aggs", "aggregations", "meta")]
+    if len(kinds) != 1:
+        raise DslError(f"agg {name!r}: expected one agg type, got {kinds}")
+    typ = kinds[0]
+    spec = aspec[typ] or {}
+    base = dict(query=query, field=field, filters=filters)
+
+    if typ == "terms":
+        by = _metric_on(cp, typ, spec)
+        size = int(spec.get("size", 10))
+        if not sub:
+            return ix.facet(by=by, k=size, **base)
+        return _terms_sub(cp, name, by, size, sub, base)
+    if typ == "multi_terms":
+        by = [t["field"] for t in spec.get("terms", [])]
+        for f in by:
+            cp._meta_field(typ, f, None)
+        return ix.multi_terms(by=by, k=int(spec.get("size", 10)), **base)
+    if typ == "rare_terms":
+        return ix.rare_terms(
+            by=_metric_on(cp, typ, spec),
+            max_doc_count=int(spec.get("max_doc_count", 1)), **base,
+        )
+    if typ == "significant_terms":
+        if filters is not None:
+            raise DslError("significant_terms: filtered context unsupported")
+        if query is None:
+            raise DslError("significant_terms needs a match query context")
+        return ix.significant_terms(
+            query, k=int(spec.get("size", 10)), field=field
+        )
+    if typ == "histogram":
+        by = _metric_on(cp, typ, spec)
+        interval = spec.get("interval")
+        if interval is None:
+            raise DslError("histogram: need 'interval'")
+        if int(spec.get("min_doc_count", 1)) == 0:
+            eb = spec.get("extended_bounds")
+            bounds = (eb["min"], eb["max"]) if eb else None
+            return ix.histogram_filled(
+                by=by, interval=int(interval), bounds=bounds, **base
+            )
+        return ix.histogram(by=by, interval=float(interval), **base)
+    if typ == "date_histogram":
+        on = _metric_on(cp, typ, spec)
+        interval = _dh_interval(spec)
+        if sub:
+            return _dh_sub(cp, name, on, interval, sub, base)
+        if int(spec.get("min_doc_count", 1)) == 0:
+            eb = spec.get("extended_bounds")
+            bounds = (eb["min"], eb["max"]) if eb else None
+            return ix.date_histogram_filled(
+                on=on, interval=interval, bounds=bounds, **base
+            )
+        return ix.date_histogram(on=on, interval=interval, **base)
+    if typ == "auto_date_histogram":
+        return ix.auto_date_histogram(
+            on=_metric_on(cp, typ, spec),
+            target_buckets=int(spec.get("buckets", 10)), **base,
+        )
+    if typ == "range":
+        rs = [
+            (r.get("from"), r.get("to")) for r in spec.get("ranges", [])
+        ]
+        return ix.range_agg(on=_metric_on(cp, typ, spec), ranges=rs, **base)
+    if typ == "filters":
+        named = spec.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise DslError("filters agg: need named filters dict")
+        cols: set = set()
+        compiled = {
+            nm: cp.compile_filter(c, cols) for nm, c in named.items()
+        }
+        cols.discard("doc_id")
+        return ix.filters_agg(
+            query, compiled, sorted(cols), field=field, doc_filters=filters
+        )
+    if typ == "adjacency_matrix":
+        named = spec.get("filters")
+        if not isinstance(named, dict) or not named:
+            raise DslError("adjacency_matrix: need named filters dict")
+        if filters is not None or query is not None:
+            raise DslError("adjacency_matrix: runs over the whole index")
+        sets = {}
+        for nm, c in named.items():
+            t, s = cp._clause(c)
+            if t != "terms":
+                raise DslError(
+                    "adjacency_matrix filters must be terms clauses over "
+                    "an indexed field"
+                )
+            f, v, _ = _field_spec(t, s)
+            cp._text_field(t, f)
+            sets[nm] = list(v)
+        return ix.adjacency_matrix(sets)
+    if typ == "missing":
+        return ix.missing_agg(on=_metric_on(cp, typ, spec), **base)
+    if typ == "global":
+        mtypes = [
+            (mt, ms) for a in sub.values()
+            for mt, ms in a.items() if mt != "aggs"
+        ]
+        if len(mtypes) != 1 or mtypes[0][0] not in (
+            "stats", "avg", "min", "max", "sum"
+        ):
+            raise DslError("global: need exactly one stats-family sub-agg")
+        return ix.global_agg(
+            on=_metric_on(cp, "global", mtypes[0][1]), **base
+        )
+    if typ == "cardinality":
+        return ix.cardinality(on=_metric_on(cp, typ, spec), **base)
+    if typ == "percentiles":
+        kwargs = {}
+        if spec.get("percents"):
+            kwargs["percents"] = [float(x) for x in spec["percents"]]
+        return ix.percentiles(
+            on=_metric_on(cp, typ, spec), **kwargs, **base
+        )
+    if typ == "percentile_ranks":
+        return ix.percentile_ranks(
+            on=_metric_on(cp, typ, spec),
+            values=[float(x) for x in spec.get("values", [])], **base,
+        )
+    if typ in ("stats", "extended_stats"):
+        m = (
+            ix.stats_agg if typ == "stats" else ix.extended_stats_agg
+        )
+        return m(on=_metric_on(cp, typ, spec), **base)
+    if typ in ("avg", "min", "max", "sum"):
+        on = _metric_on(cp, typ, spec)
+        return ix.stats_agg(on=on, **base).select(
+            F.col(typ).alias("value")
+        )
+    if typ == "value_count":
+        return ix.value_count(on=_metric_on(cp, typ, spec), **base)
+    if typ == "weighted_avg":
+        v = (spec.get("value") or {}).get("field")
+        w = (spec.get("weight") or {}).get("field")
+        cp._meta_field(typ, v, None)
+        cp._meta_field(typ, w, None)
+        return ix.weighted_avg(value=v, weight=w, **base)
+    if typ == "boxplot":
+        return ix.boxplot(on=_metric_on(cp, typ, spec), **base)
+    if typ == "median_absolute_deviation":
+        return ix.median_absolute_deviation(
+            on=_metric_on(cp, typ, spec), **base
+        )
+    if typ == "string_stats":
+        return ix.string_stats(on=_metric_on(cp, typ, spec), **base)
+    if typ == "top_metrics":
+        metrics = _as_list(spec.get("metrics"))
+        if len(metrics) != 1:
+            raise DslError("top_metrics: exactly one metric supported")
+        m = metrics[0]["field"]
+        s = spec.get("sort")
+        s = s[0] if isinstance(s, (list, tuple)) and s else s
+        if isinstance(s, dict) and len(s) == 1:
+            ((sf, so),) = s.items()
+            asc = (
+                so.get("order", "desc") if isinstance(so, dict) else str(so)
+            ) == "asc"
+        else:
+            raise DslError("top_metrics: need sort {field: order}")
+        cp._meta_field(typ, m, None)
+        cp._meta_field(typ, sf, None)
+        return ix.top_metrics(metric=m, sort=sf, ascending=asc, **base)
+    if typ == "matrix_stats":
+        fl = spec.get("fields") or []
+        if len(fl) != 2:
+            raise DslError("matrix_stats: exactly two fields supported")
+        for f in fl:
+            cp._meta_field(typ, f, None)
+        return ix.matrix_stats(col_a=fl[0], col_b=fl[1], **base)
+    if typ == "composite":
+        sources = []
+        for s in spec.get("sources", []):
+            ((nm, sdef),) = s.items()
+            src_f = (sdef.get("terms") or {}).get("field")
+            cp._meta_field(typ, src_f, None)
+            sources.append(src_f)
+        after = spec.get("after")
+        after_t = (
+            tuple(after[s] for s in sources) if isinstance(after, dict)
+            else tuple(after) if after is not None else None
+        )
+        return ix.composite_agg(
+            sources=sources, size=int(spec.get("size", 10)),
+            after=after_t, **base,
+        )
+    raise DslError(f"unsupported aggregation type: {typ!r}")
+
+
+def _terms_sub(cp, name, by, size, sub, base) -> DataFrame:
+    """terms agg with ONE sub-agg: stats-family -> facet_stats,
+    top_hits -> top_hits, bucket_sort -> bucket_sort."""
+    ix = cp.ix
+    if len(sub) != 1:
+        raise DslError(f"agg {name!r}: one sub-agg under terms supported")
+    ((sname, sspec),) = sub.items()
+    stypes = [kk for kk in sspec if kk not in ("aggs", "aggregations")]
+    if len(stypes) != 1:
+        raise DslError(f"sub-agg {sname!r}: expected one type")
+    st = stypes[0]
+    ss = sspec[st] or {}
+    if st in ("stats", "avg", "min", "max", "sum"):
+        return ix.facet_stats(
+            by=by, on=_metric_on(cp, st, ss), k=size, **base
+        )
+    if st == "top_hits":
+        if base["filters"] is not None:
+            raise DslError("top_hits: filtered context unsupported")
+        if base["query"] is None:
+            raise DslError("top_hits needs a match query context")
+        return ix.top_hits(
+            base["query"], by=by, size=int(ss.get("size", 3)),
+            field=base["field"],
+        )
+    if st == "bucket_sort":
+        s = _as_list(ss.get("sort"))
+        sort_on, asc = "doc_count", False
+        if s:
+            ((sf, so),) = s[0].items()
+            sort_on = sf
+            asc = (
+                so.get("order", "desc") if isinstance(so, dict) else str(so)
+            ) == "asc"
+        return ix.bucket_sort(
+            by=by, sort_on=sort_on, ascending=asc,
+            size=int(ss.get("size", 10)), offset=int(ss.get("from", 0)),
+            **base,
+        )
+    raise DslError(f"unsupported sub-agg under terms: {st!r}")
+
+
+def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
+    """date_histogram with pipeline sub-aggs: cumulative_sum / derivative
+    / moving_fn -> the pipeline bundle; serial_diff -> serial_diff;
+    avg/min/max/sum_bucket -> the sibling bucket-stats bundle."""
+    ix = cp.ix
+    stypes = {
+        st for a in sub.values()
+        for st in a if st not in ("aggs", "aggregations")
+    }
+    if stypes <= {"cumulative_sum", "derivative", "moving_fn", "moving_avg"}:
+        window = 3
+        for a in sub.values():
+            for st, ss in a.items():
+                if st in ("moving_fn", "moving_avg") and ss.get("window"):
+                    window = int(ss["window"])
+        return ix.date_histogram_pipeline(
+            on=on, interval=interval, window=window, **base
+        )
+    if stypes == {"serial_diff"}:
+        ((_, a),) = sub.items()
+        lag = int((a.get("serial_diff") or {}).get("lag", 1))
+        return ix.serial_diff(on=on, interval=interval, lag=lag, **base)
+    if stypes <= {"avg_bucket", "min_bucket", "max_bucket", "sum_bucket"}:
+        return ix.bucket_stats_pipeline(on=on, interval=interval, **base)
+    raise DslError(
+        f"unsupported date_histogram sub-aggs: {sorted(stypes)}"
+    )

@@ -520,38 +520,52 @@ class InvertedIndex:
 
     def count_query(
         self,
-        query: str,
+        query: str | None,
         mode: str = "or",
         field: str | int | None = None,
         filters: Column | None = None,
+        exclude: Sequence[tuple[str, str | int | None]] = (),
     ) -> int:
         """ES _count WITH a query body (the reference counts its indices
         this way: import_dart_data.py:305-321, Running-ELK.md:214-218):
         the match-set size (docs containing any/all query terms),
         optionally under a metadata filter — no scoring, no top-k, just
-        the distinct-doc count."""
+        the distinct-doc count. ``query=None`` is match_all (every live
+        doc); ``exclude`` is the bool must_not text context — (query,
+        field) pairs whose match sets are subtracted (a doc is excluded
+        if it contains ANY analyzed term of ANY pair, exactly the
+        constant-score exclusion _search's must_not leg applies)."""
         if mode not in ("or", "and"):
             raise ValueError(f"count_query: unknown mode {mode!r}")
-        fid = self._fid(field)
-        terms = sorted(set(self._analyze(query, field)))
-        if not terms:
-            return 0
-        if mode == "or":
-            docs = self._docs_for_terms(terms, fid)
-        else:  # and: every term present
-            dfs = self.term_stats(terms, field)
-            if len(dfs) < len(terms):
+        if query is None:
+            docs = self.doc_stats().select("doc_id")
+        else:
+            fid = self._fid(field)
+            terms = sorted(set(self._analyze(query, field)))
+            if not terms:
                 return 0
-            idf = {t: 1.0 for t in terms}
-            scored = self._live(self._score_terms(terms, idf, fid=fid))
-            docs = (
-                scored.groupBy("doc_id")
-                .agg(F.sum("matched").alias("nm"))
-                .filter(F.col("nm") == len(terms))
-            )
+            if mode == "or":
+                docs = self._docs_for_terms(terms, fid)
+            else:  # and: every term present
+                dfs = self.term_stats(terms, field)
+                if len(dfs) < len(terms):
+                    return 0
+                idf = {t: 1.0 for t in terms}
+                scored = self._live(self._score_terms(terms, idf, fid=fid))
+                docs = (
+                    scored.groupBy("doc_id")
+                    .agg(F.sum("matched").alias("nm"))
+                    .filter(F.col("nm") == len(terms))
+                )
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
             docs = docs.join(allowed, "doc_id", "left_semi")
+        for ex_query, ex_field in exclude:
+            ex_terms = sorted(set(self._analyze(ex_query, ex_field)))
+            if not ex_terms:
+                continue
+            bad = self._docs_for_terms(ex_terms, self._fid(ex_field))
+            docs = docs.join(bad, "doc_id", "left_anti")
         return docs.count()
 
     def get_by_key(self, *key_values) -> DataFrame:
@@ -1931,14 +1945,23 @@ class InvertedIndex:
             .orderBy(F.asc("term"))
         )
 
-    def _match_meta(self, query, field, cols):
+    def _match_meta(self, query, field, cols, filters=None):
         """Match-set doc_ids (docs containing ANY analyzed query term)
         joined with the named doc_stats columns — the shared preamble of
-        the aggregation family."""
+        the aggregation family. ``query=None`` is ES match_all (every
+        live doc); ``filters`` is a Column predicate over doc_stats
+        columns — the bool filter context an ES search body applies to
+        its aggregations as well as its hits."""
+        ds = self.doc_stats()
+        if filters is not None:
+            ds = ds.filter(filters)
+        ds = ds.select("doc_id", *cols)
+        if query is None:
+            return ds
         fid = self._fid(field)
         terms = sorted(set(self._analyze(query, field)))
         docs = self._docs_for_terms(terms, fid)
-        return docs.join(self.doc_stats().select("doc_id", *cols), "doc_id")
+        return docs.join(ds, "doc_id")
 
     def facet(
         self,
@@ -1946,12 +1969,13 @@ class InvertedIndex:
         by: str,
         k: int = 10,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES terms aggregation over the match set: docs containing ANY query
         term (constant-score match), bucketed by a doc_stats column, count
         desc. The ES `aggs: {terms: {field: ...}}` shape the reference's
         Kibana dashboards use over these indexes."""
-        joined = self._match_meta(query, field, [by])
+        joined = self._match_meta(query, field, [by], filters)
         return (
             joined.groupBy(by)
             .agg(F.count("*").alias("doc_count"))
@@ -1966,6 +1990,7 @@ class InvertedIndex:
         interval: float,
         k: int = 1000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES histogram aggregation over the match set: docs containing ANY
         query term, bucketed by floor(doc_stats.by / interval) * interval,
@@ -1976,7 +2001,7 @@ class InvertedIndex:
         0.5 buckets)."""
         if not interval > 0:
             raise ValueError(f"histogram: interval must be > 0, got {interval}")
-        joined = self._match_meta(query, field, [by])
+        joined = self._match_meta(query, field, [by], filters)
         bucket = F.floor(F.col(by) / F.lit(interval)) * F.lit(interval)
         bucket = (
             bucket.cast("long")
@@ -1991,11 +2016,12 @@ class InvertedIndex:
         )
 
     def stats_agg(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES stats aggregation (count/min/max/sum/avg of a doc_stats column
         over the match set) — one row."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         return joined.agg(
             F.count("*").alias("count"),
             F.min(on).alias("min"),
@@ -2005,12 +2031,13 @@ class InvertedIndex:
         )
 
     def extended_stats_agg(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES extended_stats: stats plus sum_of_squares, variance (population,
         like ES), std_deviation, and the +/- 2-sigma std_deviation_bounds —
         one row, one aggregation pass."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         row = joined.agg(
             F.count("*").alias("count"),
             F.min(on).alias("min"),
@@ -2033,6 +2060,7 @@ class InvertedIndex:
         on: str,
         ranges: Sequence[tuple[float | None, float | None]],
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES range aggregation: one bucket per (from, to) pair — from
         inclusive, to exclusive, None = unbounded, buckets may overlap
@@ -2041,7 +2069,7 @@ class InvertedIndex:
         not a scan per range."""
         if not ranges:
             raise ValueError("range_agg: at least one (from, to) range")
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         aggs = []
         keys = []
         for i, (lo, hi) in enumerate(ranges):
@@ -2075,6 +2103,7 @@ class InvertedIndex:
         filters: dict[str, Column],
         cols: Sequence[str],
         field: str | int | None = None,
+        doc_filters: Column | None = None,
     ) -> DataFrame:
         """ES filters aggregation: a named bucket per filter expression over
         the match set (buckets overlap freely). ``cols`` names the
@@ -2083,7 +2112,7 @@ class InvertedIndex:
         counts in ONE aggregation over one match-set pass."""
         if not filters:
             raise ValueError("filters_agg: at least one named filter")
-        joined = self._match_meta(query, field, list(cols))
+        joined = self._match_meta(query, field, list(cols), doc_filters)
         names = sorted(filters)
         row = joined.agg(
             *[
@@ -2105,11 +2134,12 @@ class InvertedIndex:
         return row.select(buckets).select("b.key", "b.doc_count")
 
     def missing_agg(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES missing aggregation: how many match-set docs lack a value in
         the given doc_stats column — one row."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         return joined.agg(
             F.sum(F.when(F.col(on).isNull(), 1).otherwise(0))
             .cast("long")
@@ -2122,6 +2152,7 @@ class InvertedIndex:
         on: str,
         values: Sequence[float],
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES percentile_ranks aggregation: for each probe value, the percent
         of match-set observations at or below it. Exact (ES approximates via
@@ -2130,7 +2161,7 @@ class InvertedIndex:
         conditional aggregation pass, one row per probe value."""
         if not values:
             raise ValueError("percentile_ranks: at least one probe value")
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         aggs = [F.count("*").alias("_n")]
         for i, v in enumerate(values):
             aggs.append(
@@ -2157,14 +2188,15 @@ class InvertedIndex:
         )
 
     def string_stats(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES string_stats aggregation over a stored string column of the
         match set: count, min_length, max_length, avg_length, and Shannon
         entropy (bits) of the character distribution across all values.
         Two partial-agg passes (length stats + char counts) joined as
         single-row frames — no driver-side iteration."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         vals = joined.filter(F.col(on).isNotNull())
         lstats = vals.agg(
             F.count("*").alias("count"),
@@ -2198,6 +2230,7 @@ class InvertedIndex:
         split: Column,
         cols: Sequence[str] = (),
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES t_test aggregation, heteroscedastic (Welch) flavor: the two
         samples are the match-set docs where ``split`` is true vs false.
@@ -2206,7 +2239,7 @@ class InvertedIndex:
         incomplete beta, which has no SQL-expressible closed form — the
         statistic itself is the exactly-checkable part). One aggregation
         pass; ``cols`` names extra doc_stats columns ``split`` references."""
-        joined = self._match_meta(query, field, [on, *cols])
+        joined = self._match_meta(query, field, [on, *cols], filters)
         row = joined.agg(
             F.avg(F.when(split, F.col(on))).alias("m1"),
             F.var_samp(F.when(split, F.col(on))).alias("v1"),
@@ -2234,6 +2267,7 @@ class InvertedIndex:
         by: Sequence[str],
         k: int = 10,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES multi_terms aggregation: buckets keyed by a TUPLE of doc_stats
         columns over the match set, doc_count desc then keys asc (the ES
@@ -2241,7 +2275,7 @@ class InvertedIndex:
         (missing-bucket handling is opt-in there). One groupBy pass."""
         if not by:
             raise ValueError("multi_terms: at least one key column")
-        joined = self._match_meta(query, field, list(by))
+        joined = self._match_meta(query, field, list(by), filters)
         for c in by:
             joined = joined.filter(F.col(c).isNotNull())
         return (
@@ -2252,13 +2286,14 @@ class InvertedIndex:
         )
 
     def global_agg(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES global bucket: metrics over ALL live docs alongside the same
         metrics over the query's match set (the global agg escapes the
         query scope — the classic 'category share vs whole catalog'
         pattern). Two single-row aggregations, broadcast-joined."""
-        scoped = self._match_meta(query, field, [on]).agg(
+        scoped = self._match_meta(query, field, [on], filters).agg(
             F.count("*").alias("query_count"),
             F.round(F.avg(on), 6).alias("query_avg"),
         )
@@ -2275,6 +2310,7 @@ class InvertedIndex:
         interval: str = "month",
         k: int = 10000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES date_histogram (calendar_interval) over the match set — the
         date axis of the reference's Kibana dashboards over its time_frame
@@ -2283,7 +2319,7 @@ class InvertedIndex:
         doc_stats timestamp column, bucket ascending. Bucket emitted as a
         'yyyy-MM-dd HH:mm:ss' string (oracle-portable across timestamp
         dialects)."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         bucket = F.date_format(
             F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
         )
@@ -2297,10 +2333,11 @@ class InvertedIndex:
     def weighted_avg(
         self, query: str, value: str, weight: str,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES weighted_avg aggregation: Σ(value·weight)/Σ(weight) over the
         match set — one row, one partial-aggregated pass."""
-        j = self._match_meta(query, field, [value, weight])
+        j = self._match_meta(query, field, [value, weight], filters)
         return j.agg(
             F.round(
                 F.sum(F.col(value) * F.col(weight)) / F.sum(F.col(weight)), 6
@@ -2308,22 +2345,24 @@ class InvertedIndex:
         )
 
     def value_count(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES value_count aggregation: number of NON-NULL values of a
         field across the match set (≠ doc count when the field is sparse,
         e.g. the optional-tag column)."""
-        j = self._match_meta(query, field, [on])
+        j = self._match_meta(query, field, [on], filters)
         return j.agg(F.count(F.col(on)).alias("value"))
 
     def boxplot(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES boxplot aggregation: min / q1 / median / q3 / max of a
         numeric field over the match set. Exact linearly-interpolated
         quantiles (the same contract as percentiles(exact=True); ES's
         TDigest converges to this). One row."""
-        j = self._match_meta(query, field, [on])
+        j = self._match_meta(query, field, [on], filters)
         c = F.col(on).cast("double")
         return j.agg(
             F.min(c).alias("min"),
@@ -2334,13 +2373,14 @@ class InvertedIndex:
         )
 
     def median_absolute_deviation(
-        self, query: str, on: str, field: str | int | None = None
+        self, query: str, on: str, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES median_absolute_deviation: median(|x − median(x)|) — EXACT
         here (ES approximates with TDigest). Two aggregation passes over
         the match set with the 1-row median broadcast into the second —
         never a per-doc self-join."""
-        j = self._match_meta(query, field, [on])
+        j = self._match_meta(query, field, [on], filters)
         c = F.col(on).cast("double")
         med = j.agg(F.percentile(c, F.lit(0.5)).alias("_med"))
         return (
@@ -2355,6 +2395,7 @@ class InvertedIndex:
     def top_metrics(
         self, query: str, metric: str, sort: str,
         ascending: bool = False, field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES top_metrics (size=1): the ``metric`` value carried by the
         match-set row with the extreme ``sort`` value — max_by/min_by, a
@@ -2362,7 +2403,7 @@ class InvertedIndex:
         only when ``sort`` is tie-free on the match set (doc_id, a
         keyset); ES has the same caveat."""
         j = self._match_meta(query, field, ([metric, sort] if metric != sort
-                                            else [metric]))
+                                            else [metric]), filters)
         agg = F.min_by(metric, sort) if ascending else F.max_by(metric, sort)
         srt = F.min(sort) if ascending else F.max(sort)
         return j.agg(agg.alias("metric"), srt.alias("sort"))
@@ -2370,12 +2411,13 @@ class InvertedIndex:
     def matrix_stats(
         self, query: str, col_a: str, col_b: str,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES matrix_stats (two-field case): correlation and sample
         covariance between two numeric fields over the match set — one
         partial-aggregated pass (Spark's corr/covar_samp are the same
         streaming co-moment update ES computes per shard and merges)."""
-        j = self._match_meta(query, field, [col_a, col_b])
+        j = self._match_meta(query, field, [col_a, col_b], filters)
         a, b = F.col(col_a).cast("double"), F.col(col_b).cast("double")
         return j.agg(
             F.round(F.corr(a, b), 6).alias("correlation"),
@@ -2391,6 +2433,7 @@ class InvertedIndex:
         window: int = 3,
         k: int = 10000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES pipeline aggregations over a date_histogram's buckets:
         ``cumulative_sum`` (running doc_count), ``derivative``
@@ -2413,7 +2456,9 @@ class InvertedIndex:
             raise ValueError(f"pipeline: window must be >= 1, got {window}")
         from pyspark.sql.window import Window
 
-        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
         w = Window.orderBy("bucket")
         wmov = w.rowsBetween(-(window - 1), 0)
         return (
@@ -2441,6 +2486,7 @@ class InvertedIndex:
         k: int = 1000,
         field: str | int | None = None,
         bounds: tuple | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """Numeric histogram with ES ``min_doc_count=0`` (+ optional
         ``extended_bounds``): empty buckets between the observed (or
@@ -2456,7 +2502,9 @@ class InvertedIndex:
         import math
 
         step = int(interval)
-        got = self.histogram(query, by, step, k=k, field=field)
+        got = self.histogram(
+            query, by, step, k=k, field=field, filters=filters
+        )
         span = got.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
         if bounds is not None:
             # floor (not int(): truncation-toward-zero mis-buckets
@@ -2487,6 +2535,7 @@ class InvertedIndex:
         k: int = 10000,
         field: str | int | None = None,
         bounds: tuple | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES date_histogram with ``min_doc_count=0``: calendar buckets
         with no matching docs appear with doc_count 0 — the shape every
@@ -2505,7 +2554,9 @@ class InvertedIndex:
             raise ValueError(
                 f"date_histogram_filled: unsupported interval {interval!r}"
             )
-        got = self.date_histogram(query, on, interval, k=k, field=field)
+        got = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
         got_ts = got.select(
             F.to_timestamp("bucket").alias("b"), "doc_count"
         )
@@ -2544,13 +2595,16 @@ class InvertedIndex:
         interval: str = "day",
         k: int = 10000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES avg_bucket / min_bucket / max_bucket / sum_bucket sibling
         pipeline aggs in one row: statistics OF a date_histogram's
         doc_counts (not of documents). Same coordinator-side-reduction
         scale note as date_histogram_pipeline — this aggregates the
         already-reduced bucket table."""
-        buckets = self.date_histogram(query, on, interval, k=k, field=field)
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
         return buckets.agg(
             F.round(F.avg("doc_count"), 6).alias("avg_bucket"),
             F.min("doc_count").alias("min_bucket"),
@@ -2566,6 +2620,7 @@ class InvertedIndex:
         k: int = 10,
         ascending: bool = False,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES ``sort`` clause: rank the match set by a stored field
         instead of relevance (``sort: [{by: desc}, {_id: asc}]``); ES
@@ -2576,7 +2631,7 @@ class InvertedIndex:
         doc-set path every agg uses) joined to doc_stats, then
         TakeOrderedAndProject on (by, doc_id) — top-k per partition then
         merge, no global sort materialization."""
-        joined = self._live(self._match_meta(query, field, [by]))
+        joined = self._live(self._match_meta(query, field, [by], filters))
         order = F.asc(by) if ascending else F.desc(by)
         return joined.select("doc_id", by).orderBy(order, F.asc("doc_id")).limit(k)
 
@@ -2587,6 +2642,7 @@ class InvertedIndex:
         target_buckets: int = 10,
         k: int = 10000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES auto_date_histogram: pick the FINEST calendar interval
         whose AXIS-SPAN bucket count stays ≤ ``target_buckets`` (hour →
@@ -2604,7 +2660,7 @@ class InvertedIndex:
         the chosen interval — two data jobs total, no per-interval
         re-scan loop."""
         cal = ["hour", "day", "week", "month", "quarter", "year"]
-        j = self._match_meta(query, field, [on])
+        j = self._match_meta(query, field, [on], filters)
         span = j.agg(F.min(F.col(on)).alias("lo"), F.max(F.col(on)).alias("hi"))
         sizes = span.select(
             *[
@@ -2641,6 +2697,7 @@ class InvertedIndex:
         lag: int = 1,
         k: int = 10000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES serial_diff pipeline: doc_count minus the value ``lag``
         buckets earlier (lag=1 is the derivative; lag=7 on a day axis is
@@ -2676,6 +2733,7 @@ class InvertedIndex:
         max_doc_count: int = 1,
         k: int = 1000,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES rare_terms aggregation: the long-tail buckets a terms agg
         hides — values of ``by`` matched by at most ``max_doc_count``
@@ -2684,7 +2742,7 @@ class InvertedIndex:
         definition even when the bucket space is huge (ES uses a CuckooFilter
         for the same reason — only the tail survives the reduce)."""
         parent = (
-            self._match_meta(query, field, [by])
+            self._match_meta(query, field, [by], filters)
             .groupBy(by)
             .agg(F.count("*").alias("doc_count"))
         )
@@ -2759,6 +2817,7 @@ class InvertedIndex:
         size: int = 10,
         offset: int = 0,
         interval: str | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES bucket_sort pipeline: re-sort the parent aggregation's
         buckets on a metric and truncate (from/size) — "top N buckets by
@@ -2774,7 +2833,7 @@ class InvertedIndex:
             # cut would silently drop exactly the low-count buckets an
             # ascending bucket_sort must return
             parent = (
-                self._match_meta(query, field, [by])
+                self._match_meta(query, field, [by], filters)
                 .groupBy(by)
                 .agg(F.count("*").alias("doc_count"))
             )
@@ -2793,13 +2852,14 @@ class InvertedIndex:
         field: str | int | None = None,
         exact: bool = True,
         rsd: float = 0.05,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES cardinality aggregation: distinct values of a doc_stats
         column over the match set. ``exact=False`` uses HyperLogLog++
         (approx_count_distinct, relative error ``rsd``) — ES's actual
         algorithm and the only shape that scales to high-cardinality
         columns at 100 TB (the exact path shuffles every distinct value)."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         agg = (
             F.countDistinct(on)
             if exact
@@ -2815,6 +2875,7 @@ class InvertedIndex:
         field: str | int | None = None,
         exact: bool = True,
         round_values: int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES percentiles aggregation over the match set — one row per
         requested percent, linear interpolation (Spark ``percentile`` ≡
@@ -2822,7 +2883,7 @@ class InvertedIndex:
         ``approx_percentile`` (t-digest-style sketch, ES's TDigest
         analogue) for the 100-TB path where the exact sort-based
         percentile would shuffle the full column."""
-        joined = self._match_meta(query, field, [on])
+        joined = self._match_meta(query, field, [on], filters)
         fracs = [float(p) / 100.0 for p in percents]
         fn = F.percentile if exact else F.approx_percentile
         row = joined.agg(
@@ -2855,12 +2916,13 @@ class InvertedIndex:
         k: int = 10,
         field: str | int | None = None,
         round_avg: int | None = 6,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES terms aggregation WITH a stats sub-aggregation: buckets of a
         doc_stats column over the match set, each carrying count/min/max/
         sum/avg of a numeric column — the nested-agg shape Kibana builds
         (terms: {field: by, aggs: {stats: {field: on}}})."""
-        joined = self._match_meta(query, field, [by, on])
+        joined = self._match_meta(query, field, [by, on], filters)
         avg = F.avg(on)
         if round_avg is not None:
             avg = F.round(avg, round_avg)
@@ -3538,6 +3600,7 @@ class InvertedIndex:
         size: int = 10,
         after: tuple | None = None,
         field: str | int | None = None,
+        filters: Column | None = None,
     ) -> DataFrame:
         """ES composite aggregation: multi-source buckets over the match
         set, ordered by the bucket key tuple, paginated with ``after``
@@ -3548,7 +3611,7 @@ class InvertedIndex:
         default) — this also keeps every emitted key usable as an
         after-key."""
         cols = list(sources)
-        joined = self._match_meta(query, field, cols).na.drop(subset=cols)
+        joined = self._match_meta(query, field, cols, filters).na.drop(subset=cols)
         agg = joined.groupBy(*cols).agg(F.count("*").alias("doc_count"))
         if after is not None:
             if len(after) != len(cols):
@@ -4644,6 +4707,30 @@ class InvertedIndex:
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # ------------------------------------------------------ ES body dispatch
+    def search(
+        self, body: dict, round_scores: int | None = None
+    ) -> DataFrame:
+        """Run an ES ``_search`` request body verbatim (the reference's
+        documented query surface, Running-ELK.md:110-293) — hits
+        DataFrame. See :mod:`dart_importer_spark.query.dsl`."""
+        from .dsl import search as _dsl_search
+
+        return _dsl_search(self, body, round_scores=round_scores)
+
+    def search_aggs(self, body: dict) -> dict[str, DataFrame]:
+        """Run the ``aggs`` section of an ES ``_search`` body: one
+        DataFrame per named aggregation, over the body's query context."""
+        from .dsl import aggs as _dsl_aggs
+
+        return _dsl_aggs(self, body)
+
+    def count_body(self, body: dict) -> int:
+        """ES ``_count`` with a request body (Running-ELK.md:214-218)."""
+        from .dsl import count as _dsl_count
+
+        return _dsl_count(self, body)
 
     # ----------------------------------------------------------- mutation ops
     def delete_by_query(self, filters: Column) -> int:

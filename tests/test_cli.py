@@ -127,3 +127,42 @@ def test_cli_search_and_agg(spark, transcripts_df, tmp_path, capsys):
                  "--q", "the", "--by", "role", "--k", "2"]) == 0
     bs = _lines(capsys)
     assert 0 < len(bs) <= 2 and {"role", "doc_count"} <= set(bs[0])
+
+
+def test_cli_dsl_body(spark, transcripts_df, tmp_path, capsys):
+    """The dsl subcommand runs a verbatim ES _search JSON body."""
+    inp = str(tmp_path / "tx_parquet4")
+    transcripts_df.write.parquet(inp)
+    idx = str(tmp_path / "idx4")
+    assert main(["build", "--input", inp, "--index", idx,
+                 "--segments", "2", "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    body = json.dumps({
+        "query": {"bool": {
+            "must": [{"match": {"text": "the"}}],
+            "filter": [{"term": {"role": "user"}}],
+        }},
+        "size": 5,
+    })
+    assert main(["dsl", "--index", idx, "--body", body]) == 0
+    hits = _lines(capsys)
+    assert 0 < len(hits) <= 5 and {"doc_id", "score"} <= set(hits[0])
+
+    assert main(["dsl", "--index", idx, "--body", body, "--count"]) == 0
+    (c,) = _lines(capsys)
+    assert c["count"] >= len(hits)
+
+    agg_body = json.dumps({
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {"terms": {"field": "role", "size": 5}}},
+    })
+    assert main(["dsl", "--index", idx, "--body", agg_body, "--aggs"]) == 0
+    buckets = _lines(capsys)
+    assert buckets and buckets[0]["agg"] == "roles"
+    assert {"role", "doc_count"} <= set(buckets[0])
+
+    bf = tmp_path / "body.json"
+    bf.write_text(body)
+    assert main(["dsl", "--index", idx, "--body-file", str(bf)]) == 0
+    assert _lines(capsys) == hits

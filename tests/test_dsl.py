@@ -1,0 +1,709 @@
+"""ES ``_search`` request-body dispatcher: every body must compile to
+exactly the plan the equivalent direct engine call emits — checked by
+row-for-row equality against that call (the engine methods themselves are
+oracle-verified; the dispatcher's job is faithful translation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.query.dsl import DslError
+from dart_importer_spark.query import dsl
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def same(got, want):
+    assert rows(got) == rows(want)
+
+
+# --------------------------------------------------------------------------
+# scoring leaves
+# --------------------------------------------------------------------------
+def test_match(built_index):
+    body = {"query": {"match": {"text": "the and"}}, "size": 15}
+    same(built_index.search(body, round_scores=6),
+         built_index.topk("the and", k=15, round_scores=6))
+
+
+def test_match_operator_and_msm(built_index):
+    same(
+        built_index.search(
+            {"query": {"match": {"text": {
+                "query": "the and", "operator": "and"}}}}
+        ),
+        built_index.topk("the and", k=10, mode="and"),
+    )
+    same(
+        built_index.search(
+            {"query": {"match": {"text": {
+                "query": "the and data", "minimum_should_match": 2}}}}
+        ),
+        built_index.topk("the and data", k=10, min_should_match=2),
+    )
+
+
+def test_match_boost(built_index):
+    same(
+        built_index.search(
+            {"query": {"match": {"text": {"query": "the", "boost": 2.5}}}}
+        ),
+        built_index.topk("the", k=10, boosts={"the": 2.5}),
+    )
+
+
+def test_term_on_indexed_field_scores(built_index):
+    same(
+        built_index.search({"query": {"term": {"text": "data"}}}),
+        built_index.topk("data", k=10),
+    )
+
+
+def test_term_on_meta_column_is_filter(built_index):
+    # the reference's documented term-query shape (Running-ELK.md:287-291)
+    got = built_index.search(
+        {"query": {"term": {"role": "user", "boost": 1.0}}, "size": 50}
+    )
+    want = (
+        built_index.doc_stats()
+        .filter(F.col("role") == "user")
+        .select("doc_id")
+        .withColumn("score", F.lit(1.0))
+        .orderBy("doc_id")
+        .limit(50)
+    )
+    same(got, want)
+
+
+def test_match_all_and_size(built_index):
+    got = built_index.search({"query": {"match_all": {}}, "size": 7})
+    assert [r["score"] for r in got.collect()] == [1.0] * 7
+    assert [r["doc_id"] for r in got.collect()] == list(range(7))
+
+
+def test_wildcard_prefix_fuzzy_regexp(built_index):
+    same(built_index.search(
+            {"query": {"wildcard": {"text": {"value": "th*"}}}, "size": 30}),
+         built_index.wildcard("th", k=30))
+    same(built_index.search({"query": {"prefix": {"text": "th"}}, "size": 30}),
+         built_index.wildcard("th", k=30))
+    # non-prefix wildcard pattern routes through regexp
+    same(built_index.search(
+            {"query": {"wildcard": {"text": "t?e"}}, "size": 30}),
+         built_index.regexp("t.e", k=30))
+    same(built_index.search(
+            {"query": {"fuzzy": {"text": {
+                "value": "thw", "fuzziness": 1, "prefix_length": 1}}},
+             "size": 30}),
+         built_index.fuzzy("thw", k=30, max_dist=1, prefix_length=1))
+    same(built_index.search(
+            {"query": {"regexp": {"text": {"value": "th[a-z]+"}}},
+             "size": 30}),
+         built_index.regexp("th[a-z]+", k=30))
+
+
+def test_terms_query(built_index):
+    same(
+        built_index.search(
+            {"query": {"terms": {"text": ["data", "tool"]}}, "size": 25}
+        ),
+        built_index.terms_query(["data", "tool"], k=25),
+    )
+
+
+def test_query_string_family(built_index):
+    same(
+        built_index.search(
+            {"query": {"query_string": {
+                "query": "(the AND data) OR tool"}}, "size": 12},
+            round_scores=6,
+        ),
+        built_index.query_string(
+            "(the AND data) OR tool", k=12, round_scores=6
+        ),
+    )
+    same(
+        built_index.search(
+            {"query": {"simple_query_string": {
+                "query": "the data -tool", "default_operator": "AND"}}},
+            round_scores=6,
+        ),
+        built_index.simple_query_string(
+            "the data -tool", k=10, default_operator="and", round_scores=6
+        ),
+    )
+
+
+def test_more_like_this(built_index):
+    seed = "the user asks about data and the tool output"
+    same(
+        built_index.search(
+            {"query": {"more_like_this": {
+                "like": seed, "min_term_freq": 1, "min_doc_freq": 2}}},
+            round_scores=6,
+        ),
+        built_index.more_like_this(
+            seed, k=10, min_term_freq=1, min_doc_freq=2, round_scores=6
+        ),
+    )
+
+
+def test_function_score_forms(built_index):
+    same(
+        built_index.search(
+            {"query": {"function_score": {
+                "query": {"match": {"text": "the"}},
+                "field_value_factor": {
+                    "field": "dl", "modifier": "log1p", "factor": 2.0},
+                "boost_mode": "multiply"}}},
+            round_scores=6,
+        ),
+        built_index.function_score(
+            "the", k=10, factor_col="dl", modifier="log1p", factor=2.0,
+            round_scores=6,
+        ),
+    )
+    same(
+        built_index.search(
+            {"query": {"function_score": {
+                "query": {"match": {"text": "the"}},
+                "functions": [{"gauss": {"turn_idx": {
+                    "origin": 0, "scale": 5}}}]}}},
+            round_scores=6,
+        ),
+        built_index.decay_score(
+            "the", k=10, on="turn_idx", origin=0.0, scale=5.0,
+            fn="gauss", round_scores=6,
+        ),
+    )
+    same(
+        built_index.search(
+            {"query": {"function_score": {
+                "query": {"match": {"text": "the"}},
+                "random_score": {"seed": 7}}}},
+        ),
+        built_index.random_score("the", seed=7, k=10),
+    )
+
+
+def test_boosting(built_index):
+    same(
+        built_index.search(
+            {"query": {"boosting": {
+                "positive": {"match": {"text": "the"}},
+                "negative": {"match": {"text": "tool"}},
+                "negative_boost": 0.4}}},
+            round_scores=6,
+        ),
+        built_index.boosting(
+            "the", "tool", negative_boost=0.4, k=10, round_scores=6
+        ),
+    )
+
+
+def test_constant_score_ids_exists_range(built_index):
+    got = built_index.search(
+        {"query": {"constant_score": {
+            "filter": {"term": {"role": "user"}}, "boost": 3.0}},
+         "size": 5}
+    )
+    r = got.collect()
+    assert all(x["score"] == 3.0 for x in r) and len(r) == 5
+    same(
+        built_index.search({"query": {"ids": {"values": [3, 1, 8]}}}),
+        built_index.doc_stats().filter(F.col("doc_id").isin([1, 3, 8]))
+        .select("doc_id").withColumn("score", F.lit(1.0)).orderBy("doc_id"),
+    )
+    got = built_index.search(
+        {"query": {"range": {"turn_idx": {"gte": 2, "lt": 4}}}, "size": 500}
+    )
+    want = (
+        built_index.doc_stats()
+        .filter((F.col("turn_idx") >= 2) & (F.col("turn_idx") < 4))
+        .select("doc_id").withColumn("score", F.lit(1.0)).orderBy("doc_id")
+        .limit(500)
+    )
+    same(got, want)
+    n_exists = built_index.search(
+        {"query": {"exists": {"field": "tool"}}, "size": 10000}
+    ).count()
+    assert n_exists == built_index.count(F.col("tool").isNotNull())
+
+
+# --------------------------------------------------------------------------
+# bool composition
+# --------------------------------------------------------------------------
+def test_bool_reference_shape(built_index):
+    # Running-ELK.md:234-247 — must matches + filter legs
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "filter": [
+            {"term": {"role": "user"}},
+            {"range": {"turn_idx": {"gte": 1}}},
+        ],
+    }}, "size": 20}
+    same(
+        built_index.search(body, round_scores=6),
+        built_index.topk(
+            "the", k=20,
+            filters=(F.col("role") == "user") & (F.col("turn_idx") >= 1),
+            round_scores=6,
+        ),
+    )
+
+
+def test_bool_must_not_and_should(built_index):
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "must_not": [{"match": {"text": "tool"}}],
+        "should": [{"match": {"text": "data"}}],
+    }}, "size": 20}
+    same(
+        built_index.search(body, round_scores=6),
+        built_index.topk(
+            "the", k=20, must_not="tool", should="data", round_scores=6
+        ),
+    )
+
+
+def test_bool_multiple_must_is_and_mode(built_index):
+    # Running-ELK.md:234-239: two single-term match clauses in must
+    body = {"query": {"bool": {"must": [
+        {"match": {"text": "the"}}, {"match": {"text": "data"}},
+    ]}}, "size": 20}
+    same(
+        built_index.search(body, round_scores=6),
+        built_index.topk("the data", k=20, mode="and", round_scores=6),
+    )
+
+
+def test_bool_should_only(built_index):
+    body = {"query": {"bool": {
+        "should": [{"match": {"text": "the"}}, {"match": {"text": "data"}}],
+        "minimum_should_match": 2,
+    }}, "size": 20}
+    same(
+        built_index.search(body, round_scores=6),
+        built_index.topk(
+            "the data", k=20, min_should_match=2, round_scores=6
+        ),
+    )
+
+
+def test_bool_pure_filter(built_index):
+    body = {"query": {"bool": {
+        "filter": [{"term": {"role": "assistant"}}],
+        "must_not": [{"exists": {"field": "tool"}}],
+    }}, "size": 100}
+    want = (
+        built_index.doc_stats()
+        .filter((F.col("role") == "assistant")
+                & ~F.coalesce(F.col("tool").isNotNull(), F.lit(False)))
+        .select("doc_id").withColumn("score", F.lit(1.0))
+        .orderBy("doc_id").limit(100)
+    )
+    same(built_index.search(body), want)
+
+
+def test_bool_nested_filter_bool(built_index):
+    body = {"query": {"bool": {"filter": [{"bool": {
+        "should": [
+            {"term": {"role": "user"}},
+            {"term": {"role": "assistant"}},
+        ]}}]}}, "size": 400}
+    got_n = built_index.search(body).count()
+    want_n = built_index.count(F.col("role").isin("user", "assistant"))
+    assert got_n == min(400, want_n)
+
+
+# --------------------------------------------------------------------------
+# top-level decorations
+# --------------------------------------------------------------------------
+def test_from_offset_and_search_after(built_index):
+    full = built_index.topk("the", k=15, round_scores=6).collect()
+    got = built_index.search(
+        {"query": {"match": {"text": "the"}}, "from": 5, "size": 10},
+        round_scores=6,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in full[5:]]
+    cursor = (full[4]["score"], full[4]["doc_id"])
+    got = built_index.search(
+        {"query": {"match": {"text": "the"}}, "size": 10,
+         "search_after": list(cursor)},
+        round_scores=6,
+    ).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in full[5:]]
+
+
+def test_min_score_and_source(built_index):
+    hits = built_index.search(
+        {"query": {"match": {"text": "the"}}, "min_score": 0.5, "size": 50},
+        round_scores=6,
+    )
+    assert all(r["score"] >= 0.5 for r in hits.collect())
+    got = built_index.search(
+        {"query": {"match": {"text": "the"}}, "size": 5,
+         "_source": ["role", "ts"]},
+        round_scores=6,
+    )
+    assert got.columns == ["doc_id", "score", "role", "ts"]
+    base = built_index.topk("the", k=5, round_scores=6).collect()
+    assert [r["doc_id"] for r in got.collect()] == [
+        r["doc_id"] for r in base
+    ]
+
+
+def test_sort_collapse(built_index):
+    same(
+        built_index.search(
+            {"query": {"match": {"text": "the"}},
+             "sort": [{"ts": {"order": "asc"}}], "size": 8}
+        ),
+        built_index.sort_by("the", by="ts", k=8, ascending=True),
+    )
+    # sort under a bool filter rides the threaded filters param
+    same(
+        built_index.search(
+            {"query": {"bool": {
+                "must": [{"match": {"text": "the"}}],
+                "filter": [{"term": {"role": "user"}}]}},
+             "sort": [{"ts": "desc"}], "size": 8}
+        ),
+        built_index.sort_by(
+            "the", by="ts", k=8, ascending=False,
+            filters=F.col("role") == "user",
+        ),
+    )
+    same(
+        built_index.search(
+            {"query": {"match": {"text": "the"}},
+             "collapse": {"field": "role"}, "size": 3},
+            round_scores=6,
+        ),
+        built_index.collapse("the", by="role", k=3, round_scores=6),
+    )
+
+
+def test_rescore(pos_index):
+    body = {
+        "query": {"match": {"text": "alpha beta"}},
+        "rescore": {
+            "window_size": 30,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "alpha beta"}},
+                "rescore_query_weight": 2.0,
+            },
+        },
+        "size": 10,
+    }
+    same(
+        pos_index.search(body, round_scores=6),
+        pos_index.rescore(
+            "alpha beta", "alpha beta", k=10, window_size=30, weight=2.0,
+            round_scores=6,
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# positional clauses on a positional mini-index
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    docs = [
+        "alpha beta gamma delta", "beta alpha beta gamma",
+        "gamma delta alpha", "alpha beta", "delta delta beta gamma alpha",
+    ]
+    df = spark.createDataFrame(
+        [("c", i, t) for i, t in enumerate(docs)],
+        "conv_id string, turn_idx int, text string",
+    )
+    out = str(tmp_path_factory.mktemp("dsl_pos") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=("text",),
+    )
+    return InvertedIndex(spark, out)
+
+
+def test_match_phrase_and_prefix(pos_index):
+    same(
+        pos_index.search(
+            {"query": {"match_phrase": {"text": {
+                "query": "alpha beta", "slop": 1}}}, "size": 10}
+        ),
+        pos_index.match_phrase("alpha beta", k=10, slop=1),
+    )
+    same(
+        pos_index.search(
+            {"query": {"match_phrase_prefix": {"text": "beta ga"}},
+             "size": 10}
+        ),
+        pos_index.match_phrase_prefix("beta ga", k=10),
+    )
+
+
+def test_span_bodies(pos_index):
+    t = lambda v: {"span_term": {"text": v}}
+    same(
+        pos_index.search(
+            {"query": {"span_near": {
+                "clauses": [t("alpha"), t("gamma")],
+                "slop": 2, "in_order": True}}, "size": 10}
+        ),
+        pos_index.span_near(["alpha", "gamma"], slop=2, in_order=True, k=10),
+    )
+    same(
+        pos_index.search(
+            {"query": {"span_or": {"clauses": [t("delta"), t("beta")]}},
+             "size": 10}
+        ),
+        pos_index.span_or(["delta", "beta"], k=10),
+    )
+    same(
+        pos_index.search(
+            {"query": {"span_first": {"match": t("beta"), "end": 2}},
+             "size": 10}
+        ),
+        pos_index.span_first("beta", 2, k=10),
+    )
+    same(
+        pos_index.search(
+            {"query": {"span_not": {
+                "include": t("beta"), "exclude": t("gamma"),
+                "pre": 1, "post": 1}}, "size": 10}
+        ),
+        pos_index.span_not("beta", "gamma", pre=1, post=1, k=10),
+    )
+    same(
+        pos_index.search(
+            {"query": {"span_containing": {
+                "big": {"span_near": {
+                    "clauses": [t("alpha"), t("delta")], "slop": 3}},
+                "little": t("beta")}}, "size": 10}
+        ),
+        pos_index.span_containing(
+            ["alpha", "delta"], "beta", slop=3, in_order=True, k=10
+        ),
+    )
+
+
+def test_highlight_body(pos_index):
+    body = {
+        "query": {"match": {"text": "alpha"}},
+        "highlight": {"fields": {"text": {}},
+                      "pre_tags": ["<b>"], "post_tags": ["</b>"]},
+        "size": 5,
+    }
+    same(
+        pos_index.search(body, round_scores=6),
+        pos_index.highlight(
+            "alpha", k=5, text_col="text", pre_tag="<b>", post_tag="</b>",
+            round_scores=6,
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# aggregations
+# --------------------------------------------------------------------------
+def test_aggs_terms_and_stats(built_index):
+    out = built_index.search_aggs({
+        "query": {"match": {"text": "the"}},
+        "aggs": {
+            "roles": {"terms": {"field": "role", "size": 5}},
+            "len": {"stats": {"field": "dl"}},
+            "avg_len": {"avg": {"field": "dl"}},
+        },
+    })
+    assert set(out) == {"roles", "len", "avg_len"}
+    same(out["roles"], built_index.facet("the", by="role", k=5))
+    same(out["len"], built_index.stats_agg("the", on="dl"))
+    want_avg = built_index.stats_agg("the", on="dl").collect()[0]["avg"]
+    assert out["avg_len"].collect()[0]["value"] == want_avg
+
+
+def test_aggs_match_all_context(built_index, transcripts_pdf):
+    out = built_index.search_aggs({
+        "aggs": {"roles": {"terms": {"field": "role", "size": 10}}},
+    })
+    got = {r["role"]: r["doc_count"] for r in out["roles"].collect()}
+    want = transcripts_pdf["role"].value_counts().to_dict()
+    assert got == want
+
+
+def test_aggs_filtered_context(built_index, transcripts_pdf):
+    # bool {match + filter}: the filter context applies to aggs too
+    out = built_index.search_aggs({
+        "query": {"bool": {
+            "must": [{"match": {"text": "the"}}],
+            "filter": [{"term": {"role": "user"}}],
+        }},
+        "aggs": {"n": {"value_count": {"field": "dl"}}},
+    })
+    got = out["n"].collect()[0]["value"]
+    # cross-check: matching docs that are role=user
+    ids = {
+        r["doc_id"]
+        for r in built_index.topk("the", k=10**6, prune=False,
+                                  filters=F.col("role") == "user").collect()
+    }
+    assert got == len(ids)
+
+
+def test_aggs_date_histogram_and_pipeline(built_index):
+    out = built_index.search_aggs({
+        "query": {"match": {"text": "the"}},
+        "aggs": {
+            "per_day": {"date_histogram": {
+                "field": "ts", "calendar_interval": "1d"}},
+            "smooth": {
+                "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+                "aggs": {"m": {"moving_fn": {"window": 4}}},
+            },
+        },
+    })
+    same(out["per_day"], built_index.date_histogram("the", on="ts",
+                                                    interval="day"))
+    same(out["smooth"],
+         built_index.date_histogram_pipeline("the", on="ts", interval="day",
+                                             window=4))
+
+
+def test_aggs_misc(built_index):
+    out = built_index.search_aggs({
+        "query": {"match": {"text": "the"}},
+        "aggs": {
+            "card": {"cardinality": {"field": "role"}},
+            "pct": {"percentiles": {"field": "dl",
+                                    "percents": [50.0, 90.0]}},
+            "rng": {"range": {"field": "turn_idx",
+                              "ranges": [{"to": 2}, {"from": 2}]}},
+            "miss": {"missing": {"field": "tool"}},
+            "hist": {"histogram": {"field": "turn_idx", "interval": 2}},
+            "comp": {"composite": {
+                "sources": [{"r": {"terms": {"field": "role"}}}],
+                "size": 5}},
+            "named": {"filters": {"filters": {
+                "early": {"range": {"turn_idx": {"lt": 3}}},
+                "users": {"term": {"role": "user"}}}}},
+        },
+    })
+    same(out["card"], built_index.cardinality("the", on="role"))
+    same(out["pct"],
+         built_index.percentiles("the", on="dl", percents=[50.0, 90.0]))
+    same(out["rng"],
+         built_index.range_agg("the", on="turn_idx",
+                               ranges=[(None, 2), (2, None)]))
+    same(out["miss"], built_index.missing_agg("the", on="tool"))
+    same(out["hist"], built_index.histogram("the", by="turn_idx",
+                                            interval=2.0))
+    same(out["comp"], built_index.composite_agg("the", sources=["role"],
+                                                size=5))
+    same(out["named"], built_index.filters_agg(
+        "the",
+        {"early": F.col("turn_idx") < 3, "users": F.col("role") == "user"},
+        ["turn_idx", "role"],
+    ))
+
+
+def test_filters_threading_correctness(built_index, transcripts_pdf,
+                                       spark):
+    # the threaded filters param must behave exactly like pre-filtering
+    # the corpus: recompute the facet under the filter in pandas
+    from tests.oracle import BM25Oracle
+    import numpy as np
+
+    src = transcripts_pdf.sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    src["doc_id"] = np.arange(len(src), dtype=np.int64)
+    orc = BM25Oracle(src)
+    hits = {
+        int(did) for did, toks in zip(orc.doc_ids, orc.tokens)
+        if "the" in toks
+    }
+    sub = src[src["doc_id"].isin(hits) & (src["role"] == "user")]
+    want = sub["turn_idx"].value_counts().sort_index()
+    got = built_index.histogram(
+        "the", by="turn_idx", interval=1.0,
+        filters=F.col("role") == "user",
+    ).collect()
+    assert {r["bucket"]: r["doc_count"] for r in got} == {
+        int(k): int(v) for k, v in want.items()
+    }
+
+
+def test_count_bodies(built_index):
+    assert built_index.count_body({}) == built_index.count()
+    assert built_index.count_body(
+        {"query": {"term": {"role": "user"}}}
+    ) == built_index.count(F.col("role") == "user")
+    assert built_index.count_body(
+        {"query": {"match": {"text": {"query": "the data",
+                                      "operator": "and"}}}}
+    ) == built_index.count_query("the data", mode="and")
+    assert built_index.count_body(
+        {"query": {"bool": {
+            "must": [{"match": {"text": "the"}}],
+            "filter": [{"term": {"role": "user"}}]}}}
+    ) == built_index.count_query("the", filters=F.col("role") == "user")
+
+
+def test_count_body_must_not(built_index):
+    """_count accepts the same must_not text legs _search does: the count
+    equals the number of hits the search path returns for that body."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "filter": [{"term": {"role": "user"}}],
+        "must_not": [{"match": {"text": "data"}}],
+    }}}
+    n = built_index.count_body(body)
+    hits = built_index.search({**body, "size": 100000})
+    assert n == hits.count()
+    # pure-filter context with a text exclusion
+    n2 = built_index.count_body({"query": {"bool": {
+        "filter": [{"term": {"role": "user"}}],
+        "must_not": [{"match": {"text": "the"}}],
+    }}})
+    base = built_index.count(F.col("role") == "user")
+    with_the = built_index.count_query(
+        "the", filters=F.col("role") == "user")
+    assert n2 == base - with_the
+
+
+# --------------------------------------------------------------------------
+# deliberate-scope errors
+# --------------------------------------------------------------------------
+def test_dsl_errors(built_index):
+    with pytest.raises(DslError, match="unsupported query clause"):
+        built_index.search({"query": {"nope": {}}})
+    with pytest.raises(DslError, match="filter context"):
+        built_index.search({"query": {"bool": {
+            "filter": [{"match": {"text": "the"}}]}}})
+    with pytest.raises(DslError, match="not a stored metadata column"):
+        built_index.search({"query": {"bool": {
+            "filter": [{"term": {"nope_col": 1}}]}}})
+    with pytest.raises(DslError, match="not an indexed field"):
+        built_index.search({"query": {"bool": {"must": [
+            {"match": {"text": "a"}}, {"match": {"nope": "b"}}]}}})
+    with pytest.raises(DslError, match="only one of"):
+        built_index.search({
+            "query": {"match": {"text": "the"}},
+            "sort": [{"ts": "asc"}], "collapse": {"field": "role"}})
+    with pytest.raises(DslError, match="not supported"):
+        # fuzzy can't take a bool filter leg
+        built_index.search({"query": {"bool": {
+            "must": [{"fuzzy": {"text": "thw"}}],
+            "filter": [{"term": {"role": "user"}}]}}})
+    with pytest.raises(DslError, match="aggs"):
+        built_index.search_aggs({"query": {"match": {"text": "x"}}})
+    with pytest.raises(DslError, match="one agg type"):
+        built_index.search_aggs({"aggs": {"bad": {
+            "terms": {"field": "role"}, "stats": {"field": "dl"}}}})
