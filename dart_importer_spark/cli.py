@@ -189,6 +189,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="run the body as _count instead of _search")
     p.add_argument("--round", type=int, default=6,
                    help="round scores to this many decimals")
+    p.add_argument("--emb", default=None,
+                   help="embedding table parquet path (knn/retriever bodies)")
+    p.add_argument("--emb-id-col", default="vec_id")
+    p.add_argument("--emb-vec-col", default="embedding")
 
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
@@ -471,6 +475,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         body = json.loads(raw)
         ix = InvertedIndex(spark, args.index)
+        emb = spark.read.parquet(args.emb) if args.emb else None
         if args.count:
             print(json.dumps({"count": ix.count_body(body)}))
         elif args.aggs:
@@ -479,7 +484,11 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps({"agg": name, **r.asDict()},
                                      default=str))
         else:
-            for r in ix.search(body, round_scores=args.round).collect():
+            df = ix.search(
+                body, round_scores=args.round, emb=emb,
+                emb_id_col=args.emb_id_col, emb_vec_col=args.emb_vec_col,
+            )
+            for r in df.collect():
                 print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "count":
         from .query.engine import InvertedIndex

@@ -857,18 +857,122 @@ def _bool_query(
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
+def _vector_search(
+    cp: _Compiler, body: dict, size: int, round_scores,
+    emb: DataFrame | None, id_col: str, vec_col: str,
+) -> DataFrame:
+    """ES 8 vector request forms: a top-level ``knn`` section (pure kNN
+    with optional metadata ``filter``) or ``retriever: {rrf: ...}``
+    (hybrid BM25 + cosine legs fused by Reciprocal Rank Fusion). Both
+    need the embedding table passed via ``search(..., emb=...)`` — the
+    engine keeps embeddings as a separate aligned table (the
+    documents↔embeddings contract) rather than an index-internal
+    column. ``num_candidates`` is accepted and ignored: the leg here is
+    exact brute-force (swap an ANN index probe in for the 100-TB path)."""
+    ix = cp.ix
+    if emb is None:
+        raise DslError(
+            "knn/retriever bodies need the embedding table: "
+            "search(body, emb=<DataFrame>, emb_id_col=..., emb_vec_col=...)"
+        )
+    if "retriever" in body:
+        r = body["retriever"]
+        if not isinstance(r, dict) or set(r) != {"rrf"}:
+            raise DslError(
+                f"retriever: only 'rrf' is supported "
+                f"(got {sorted(r) if isinstance(r, dict) else r!r})"
+            )
+        rr = r["rrf"]
+        std = knn = None
+        for sub in _as_list(rr.get("retrievers")):
+            if "standard" in sub:
+                std = sub["standard"].get("query", {})
+            elif "knn" in sub:
+                knn = sub["knn"]
+            else:
+                raise DslError(f"rrf: unsupported retriever {sorted(sub)}")
+        if std is None or knn is None:
+            raise DslError(
+                "rrf: need exactly one standard and one knn retriever"
+            )
+        t, s = cp._clause(std)
+        if t not in _MATCHISH:
+            raise DslError(
+                f"rrf: the standard retriever must be match/term (got {t!r})"
+            )
+        f, v, _ = _field_spec(t, s)
+        return ix.hybrid_rrf(
+            str(cp._match_params(t, v)["query"]),
+            [float(x) for x in knn["query_vector"]],
+            emb,
+            k=size,
+            window=int(rr.get("rank_window_size", 100)),
+            rank_constant=int(rr.get("rank_constant", 60)),
+            field=cp._text_field(t, f),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    # ---- top-level knn section
+    if body.get("query") not in (None, {}, {"match_all": {}}):
+        raise DslError(
+            "knn + query combined scoring is not supported — use "
+            "retriever: {rrf: ...} for hybrid ranking"
+        )
+    spec = body["knn"]
+    qv = spec.get("query_vector")
+    if not qv:
+        raise DslError("knn: need 'query_vector'")
+    fld = spec.get("field", vec_col)
+    if fld != vec_col:
+        raise DslError(
+            f"knn: field {fld!r} is not the embedding column ({vec_col!r})"
+        )
+    k = int(spec.get("k", size))
+    src = emb
+    tomb = ix._tombstones()
+    if tomb is not None:
+        # deleted docs must not hold neighbour slots (same live-set rule
+        # as hybrid_rrf's vector leg)
+        src = src.join(
+            tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        )
+    if spec.get("filter") is not None:
+        allowed = (
+            ix.doc_stats()
+            .filter(cp.compile_filter(spec["filter"]))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        src = src.join(allowed, id_col, "left_semi")
+    from ..operators.similarity import brute_force_cosine_topk
+
+    hits = brute_force_cosine_topk(
+        src, [float(x) for x in qv], k=min(k, size),
+        id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("doc_id"), F.col("cosine").alias("score"))
+    if round_scores is not None:
+        hits = hits.withColumn("score", F.round("score", round_scores))
+    return hits.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def search(
-    ix, body: dict, round_scores: int | None = None
+    ix, body: dict, round_scores: int | None = None,
+    emb: DataFrame | None = None, emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> DataFrame:
     """Run an ES ``_search`` request body, returning the hits DataFrame
     (doc_id, score). Top-level keys: ``query`` (default match_all),
     ``size`` / ``from``, ``search_after``, ``min_score``, ``sort``,
-    ``collapse``, ``highlight``, ``rescore``, ``_source``. Aggregations
-    run through :func:`aggs`."""
+    ``collapse``, ``highlight``, ``rescore``, ``_source``, ``knn``,
+    ``retriever`` (vector forms need ``emb``). Aggregations run through
+    :func:`aggs`."""
     if not isinstance(body, dict):
         raise DslError("body must be a dict")
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
+    if "retriever" in body or "knn" in body:
+        return _vector_search(
+            cp, body, size, round_scores, emb, emb_id_col, emb_vec_col
+        )
     offset = int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
     sa = body.get("search_after")

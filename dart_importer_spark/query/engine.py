@@ -4710,14 +4710,21 @@ class InvertedIndex:
 
     # ------------------------------------------------------ ES body dispatch
     def search(
-        self, body: dict, round_scores: int | None = None
+        self, body: dict, round_scores: int | None = None,
+        emb: DataFrame | None = None, emb_id_col: str = "vec_id",
+        emb_vec_col: str = "embedding",
     ) -> DataFrame:
         """Run an ES ``_search`` request body verbatim (the reference's
         documented query surface, Running-ELK.md:110-293) — hits
-        DataFrame. See :mod:`dart_importer_spark.query.dsl`."""
+        DataFrame. Vector forms (top-level ``knn``, ``retriever: rrf``)
+        take the aligned embedding table via ``emb``. See
+        :mod:`dart_importer_spark.query.dsl`."""
         from .dsl import search as _dsl_search
 
-        return _dsl_search(self, body, round_scores=round_scores)
+        return _dsl_search(
+            self, body, round_scores=round_scores, emb=emb,
+            emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+        )
 
     def search_aggs(self, body: dict) -> dict[str, DataFrame]:
         """Run the ``aggs`` section of an ES ``_search`` body: one

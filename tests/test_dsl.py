@@ -679,6 +679,111 @@ def test_count_body_must_not(built_index):
 
 
 # --------------------------------------------------------------------------
+# vector forms: top-level knn + retriever rrf
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb_table(built_index):
+    """Deterministic embeddings aligned to the index's doc_ids."""
+    import numpy as np
+
+    ids = [r.doc_id for r in
+           built_index.doc_stats().select("doc_id").limit(300).collect()]
+    rng = np.random.default_rng(7)
+    rows_ = [(int(i), [float(x) for x in rng.standard_normal(8)])
+             for i in sorted(ids)]
+    return built_index.spark.createDataFrame(
+        rows_, "vec_id long, embedding array<double>"
+    )
+
+
+QVEC = [0.5, -1.0, 0.25, 0.0, 1.5, -0.75, 0.3, 0.9]
+
+
+def test_knn_body(built_index, emb_table):
+    from dart_importer_spark.operators.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    got = built_index.search(
+        {"knn": {"field": "embedding", "query_vector": QVEC, "k": 7,
+                 "num_candidates": 50}},
+        emb=emb_table,
+    )
+    want = brute_force_cosine_topk(emb_table, QVEC, k=7).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    same(got, want)
+
+
+def test_knn_body_filter(built_index, emb_table):
+    from dart_importer_spark.operators.similarity import (
+        brute_force_cosine_topk,
+    )
+
+    got = built_index.search(
+        {"knn": {"field": "embedding", "query_vector": QVEC, "k": 5,
+                 "filter": {"term": {"role": "user"}}}},
+        emb=emb_table,
+    )
+    allowed = built_index.doc_stats().filter(
+        F.col("role") == "user"
+    ).select(F.col("doc_id").alias("vec_id"))
+    src = emb_table.join(allowed, "vec_id", "left_semi")
+    want = brute_force_cosine_topk(src, QVEC, k=5).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    same(got, want)
+    # every hit passes the filter
+    roles = {r.role for r in got.join(
+        built_index.doc_stats().select("doc_id", "role"), "doc_id"
+    ).collect()}
+    assert roles <= {"user"}
+
+
+def test_retriever_rrf_body(built_index, emb_table):
+    got = built_index.search(
+        {"retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "the data"}}}},
+                {"knn": {"field": "embedding", "query_vector": QVEC,
+                         "k": 10, "num_candidates": 50}},
+            ],
+            "rank_window_size": 40, "rank_constant": 20,
+        }}, "size": 12},
+        emb=emb_table,
+    )
+    want = built_index.hybrid_rrf(
+        "the data", QVEC, emb_table, k=12, window=40, rank_constant=20
+    )
+    same(got, want)
+
+
+def test_vector_body_errors(built_index, emb_table):
+    with pytest.raises(DslError, match="embedding table"):
+        built_index.search(
+            {"knn": {"field": "embedding", "query_vector": QVEC, "k": 3}})
+    with pytest.raises(DslError, match="retriever"):
+        built_index.search(
+            {"knn": {"field": "embedding", "query_vector": QVEC, "k": 3},
+             "query": {"match": {"text": "the"}}},
+            emb=emb_table,
+        )
+    with pytest.raises(DslError, match="not the embedding column"):
+        built_index.search(
+            {"knn": {"field": "nope", "query_vector": QVEC, "k": 3}},
+            emb=emb_table,
+        )
+    with pytest.raises(DslError, match="standard retriever"):
+        built_index.search(
+            {"retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"bool": {"must": []}}}},
+                {"knn": {"query_vector": QVEC}},
+            ]}}},
+            emb=emb_table,
+        )
+
+
+# --------------------------------------------------------------------------
 # deliberate-scope errors
 # --------------------------------------------------------------------------
 def test_dsl_errors(built_index):
