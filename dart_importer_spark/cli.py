@@ -73,6 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--force", action="store_true")
     add_build_opts(p)
 
+    p = sub.add_parser(
+        "create", help="build an index from an ES indices.create body"
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--body-file", required=True,
+                   help="JSON {mappings: {...}, settings: {...}}")
+    p.add_argument("--key-cols", nargs="+", default=["conv_id", "turn_idx"])
+    p.add_argument("--buckets", type=int, default=16)
+    p.add_argument("--force", action="store_true")
+
+    p = sub.add_parser("mapping", help="GET _mapping")
+    p.add_argument("--index", required=True)
+
     p = sub.add_parser("append")
     p.add_argument("--input", required=True)
     p.add_argument("--index", required=True)
@@ -224,6 +238,27 @@ def main(argv: list[str] | None = None) -> int:
             force=args.force, **_build_kwargs(args),
         )
         print(json.dumps({k: v for k, v in m.items() if k != "phases"}, default=str))
+    elif args.cmd == "create":
+        from .index.build import BuildConfig
+        from .index.ddl import create_index
+
+        with open(args.body_file) as fh:
+            ddl_body = json.load(fh)
+        m = create_index(
+            spark, spark.read.parquet(args.input), args.index,
+            mappings=ddl_body.get("mappings", {}),
+            settings=ddl_body.get("settings"),
+            doc_key_cols=tuple(args.key_cols),
+            config=BuildConfig(n_buckets=args.buckets),
+            force=args.force,
+        )
+        print(json.dumps({k: v for k, v in m.items() if k != "phases"},
+                         default=str))
+    elif args.cmd == "mapping":
+        from .query.engine import InvertedIndex
+
+        print(json.dumps(InvertedIndex(spark, args.index).mapping(),
+                         indent=1))
     elif args.cmd == "append":
         from .index.build import append_index
 

@@ -4739,6 +4739,36 @@ class InvertedIndex:
 
         return _dsl_count(self, body)
 
+    def mapping(self) -> dict:
+        """ES ``GET _mapping`` (+ settings): the creation body stored by
+        :func:`dart_importer_spark.index.ddl.create_index`, or a mapping
+        synthesized from the index layout for indexes built directly
+        with build_index (subfields reported as the multi-field entries
+        ES shows for search_as_you_type)."""
+        import json as _json
+        import os as _os
+
+        p = _os.path.join(self.dir, "mapping.json")
+        if _os.path.exists(p):
+            with open(p) as fh:
+                return _json.load(fh)
+        props: dict = {}
+        for f in self.meta.get("fields", []):
+            if "._" in f:  # shingle subfield rides its source field
+                continue
+            props[f] = {"type": "text"}
+        for f in self.meta.get("fields", []):
+            if "._" in f:
+                src = f.split("._", 1)[0]
+                if src in props:
+                    props[src] = {"type": "search_as_you_type"}
+        for c in self.meta.get("meta_cols", []):
+            props[c] = {"type": "keyword"}
+        return {
+            "mappings": {"properties": props},
+            "settings": {"number_of_shards": self.meta.get("n_segments")},
+        }
+
     # ----------------------------------------------------------- mutation ops
     def delete_by_query(self, filters: Column) -> int:
         """ES delete_by_query (import_dart_data.py:473-475,
