@@ -1346,6 +1346,77 @@ def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embeddings_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with 40 planted near-duplicates: a copy of each vec_id<40
+    with element 0 perturbed by +0.01 (cosine vs the original ~0.99995;
+    every non-planted pair in the synthetic uniform corpus is <= ~0.52, so
+    a 0.99 threshold separates them with enormous margin). All arithmetic
+    is float->double promotion then one double add — bit-identical in the
+    DuckDB oracle, which derives the same table in SQL."""
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(planted)
+
+
+def q_dd_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, EXACT baseline: block-matmul all-pairs
+    scan (similarity.brute_force_cosine_pairs — O(n*B) communication,
+    BLAS flops) at cosine >= 0.99 over the planted-dup table. The oracle
+    recomputes every pair in DuckDB; this is a true equality."""
+    emb = _embeddings_planted(spark, sf_dir)
+    pairs = similarity.brute_force_cosine_pairs(emb, threshold=0.99, n_blocks=8)
+    return pairs.select("a", "b", F.round("cosine", 5).alias("cosine"))
+
+
+def q_dd_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, LSH scale path: 4-table x 8-plane
+    hyperplane buckets + exact cosine verify (dedup.embedding_near_dups).
+    Same oracle as dd_embed_exact — a true equality here because at the
+    planted pairs' angle (~0.01 rad) the per-table collision probability is
+    (1 - 0.01/pi)^8 ~ 0.975, so the 4-table miss probability is ~4e-7 per
+    pair: under the fixed seed the planted pairs all collide (verified at
+    sf0.001/0.01/0.1), and no background pair (cosine <= 0.52) can pass the
+    0.99 verify. Recall for general thresholds is < 1 by design — this
+    entry pins the planted-near-dup regime the operator exists for."""
+    emb = _embeddings_planted(spark, sf_dir)
+    pairs = dedup.embedding_near_dups(
+        emb, n_planes=8, threshold=0.99, seed=42, n_tables=4, max_bucket=4096
+    )
+    return pairs.select("a", "b", F.round("cosine", 5).alias("cosine"))
+
+
+def _documents_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with planted NEAR-duplicates (not exact): a copy of every
+    17th doc with three novel tokens appended, so the copy's shingle set
+    gains a tail of new 3-grams and pairwise Jaccard lands strictly inside
+    (0, 1) — exercising the near-dup regime instead of the exact one."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq0 qq1 qq2")).alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def q_dd_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs at >= 0.6 via the inverted shingle join
+    (dedup.ngram_jaccard_pairs — candidates only for pairs sharing a
+    shingle, never O(n^2)) over the planted near-dup table. jaccard =
+    inter/union is an exact integer rational evaluated in doubles — the
+    DuckDB oracle reproduces it bit-for-bit."""
+    docs = _documents_planted(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 _ANN_CACHE: dict[str, str] = {}
 
 
@@ -1646,6 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": q_dd_exact,
         "dd_near_identical": q_dd_near_identical,
         "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_jaccard_ngram": q_dd_jaccard_ngram,
+        "dd_embed_exact": q_dd_embed_exact,
+        "dd_embed_lsh": q_dd_embed_lsh,
         "sim_bruteforce_cosine": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "mm_frame_plan": q_mm_frame_plan,
@@ -1715,6 +1789,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sqs_and": q_ft_sqs_and,
         "ft_mlt": q_ft_mlt,
     }
+
+
+# shared by dd_embed_exact (block-matmul scan) and dd_embed_lsh (bucketed
+# LSH + verify): both compute the same exact pair set — see the gate
+# functions' equality arguments.
+_EMBED_PAIRS_SQL = """
+WITH emb2 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(embedding::DOUBLE[],
+                        (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+  FROM embeddings WHERE vec_id < 40
+),
+pc AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         list_cosine_similarity(a.v, b.v) AS c
+  FROM emb2 a JOIN emb2 b ON a.vec_id < b.vec_id
+)
+SELECT a, b, round(c, 5) AS cosine FROM pc WHERE c >= 0.99
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3476,10 +3571,43 @@ SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
 FROM best WHERE rn = 1
 """,
         "dd_near_identical": shingle_set
-        + """
++ """
 SELECT a.doc_id AS a, b.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
 FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
 """,
+        "dd_jaccard_ngram": f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' qq0 qq1 qq2' FROM documents
+  WHERE doc_id % 17 = 0
+),
+t AS (SELECT doc_id, {tok} AS lst FROM docs2),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(lst) - 2),
+             i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])))
+         ELSE [array_to_string(lst, ' ')] END AS s
+  FROM t
+),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+ex AS (SELECT doc_id, unnest(s) AS shg FROM sh),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM ex x JOIN ex y ON x.shg = y.shg AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(j, 6) AS jaccard FROM (
+  SELECT a, b, n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) AS j
+  FROM inter
+  JOIN sz sa ON sa.doc_id = a
+  JOIN sz sb ON sb.doc_id = b
+) WHERE j >= 0.6
+""",
+        "dd_embed_exact": _EMBED_PAIRS_SQL,
+        "dd_embed_lsh": _EMBED_PAIRS_SQL,
         "mm_frame_plan": """
 SELECT doc_id AS media_id,
        unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS frame_ts_ms

@@ -49,6 +49,70 @@ def _shingles(text_col: str, n: int = 3):
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_shingle_df: int | None = None,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """EXACT token n-gram Jaccard pairs at jaccard >= threshold, via an
+    inverted shingle join (never an O(n^2) cross product): only pairs that
+    share at least one shingle can have jaccard > 0, so the candidate set is
+    sum over shingles of C(df_shingle, 2).
+
+    Plan shape: explode(distinct shingles) -> self-equi-join on shingle
+    (shuffle hash join keyed by the shingle) -> groupBy(a, b) count = |A&B|
+    (map-side partial agg) -> two joins against the per-doc set-size table
+    -> jaccard = inter / (|A| + |B| - inter), exact rational in doubles.
+
+    Scale: the cost driver is hot shingles (df^2 candidate blowup — the
+    stop-phrase analogue of stopword skew). ``max_shingle_df`` caps it by
+    dropping shingles with df > cap before the join. The intersection count
+    then only sees surviving shingles while the union keeps full set sizes,
+    so the reported jaccard is a LOWER BOUND: precision is preserved (every
+    reported pair truly meets the threshold), recall is not (a pair whose
+    shared shingles are all hot is missed). Dropped shingles are reported
+    via ``metrics_out['capped_shingles']``. For the 100 TB path,
+    run minhash_lsh_pairs first and jaccard_verify the candidates; this
+    operator is the exact small/medium-corpus baseline (and the semantics
+    oracle for the approximate path)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), _shingles(text_col, shingle_n).alias("s")
+    )
+    sizes = sh.select("_id", F.size("s").alias("sz"))
+    ex = sh.select("_id", F.explode("s").alias("sh"))
+    if max_shingle_df is not None:
+        dfs = ex.groupBy("sh").agg(F.count("*").alias("df"))
+        keep = dfs.filter(F.col("df") <= max_shingle_df)
+        if metrics_out is not None:
+            metrics_out["capped_shingles"] = dfs.filter(
+                F.col("df") > max_shingle_df
+            )
+        ex = ex.join(keep.select("sh"), "sh")
+    inter = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.sh") == F.col("y.sh")) & (F.col("x._id") < F.col("y._id")),
+        )
+        .groupBy(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    j = (
+        inter.join(sizes.select(F.col("_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -297,18 +361,42 @@ def embedding_near_dups(
     threshold: float = 0.95,
     seed: int = 42,
     max_bucket: int = 256,
+    n_tables: int = 1,
     metrics_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets +
     exact cosine verify inside buckets (see similarity.py for the plane
     construction). Oversized buckets are reported via ``metrics_out``
     (``oversized_buckets``: lazy (sig, n) DataFrame; ``dropped_ids``), never
-    dropped without a trace."""
+    dropped without a trace.
+
+    ``n_tables`` is the recall dial that does NOT grow buckets: each table
+    hashes with an independent seeded plane set, a pair is a candidate if it
+    collides in ANY table, and the final ``distinct()`` collapses multi-table
+    hits. For pairs at cosine c (angle theta), per-table collision is
+    (1 - theta/pi)^n_planes, so miss probability falls exponentially in
+    n_tables while per-bucket size (pair-expansion cost) stays set by
+    n_planes alone — the same table/plane trade as LshAnnIndex."""
     from .similarity import _cosine, _hyperplane_sig
 
     dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
     sig = emb.select(
-        id_col, vec_col, _hyperplane_sig(vec_col, int(dim_row["d"]), n_planes, seed).alias("sig")
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _hyperplane_sig(
+                            vec_col, dim, n_planes, seed + 7919 * t
+                        ).alias("s"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("sig"),
     )
     buckets = sig.groupBy("sig").agg(
         F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))).alias("xs"),

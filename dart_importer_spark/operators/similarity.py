@@ -75,6 +75,91 @@ def brute_force_cosine_topk(
     )
 
 
+def brute_force_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold by block matrix product — the
+    brute-force baseline behind the LSH near-dup path
+    (dedup.embedding_near_dups is the 100 TB path; this is its semantics
+    oracle and the right tool when n is small enough that n^2/B flops is
+    acceptable).
+
+    Plan shape: vectors are grouped into B deterministic blocks
+    (pmod(xxhash64(id), B)); the B*(B+1)/2 unordered block pairs are formed
+    by a self-join on blk_left <= blk_right; each joined row carries two
+    whole blocks and one Arrow-batched pandas pass runs a normalized numpy
+    matmul per block pair (float64), emitting only pairs above threshold.
+    Communication is O(n * B) vector copies (each block meets B others) —
+    never the O(n^2) row blowup of a naive pair join — and the n^2 * d
+    flops run vectorized in BLAS, not per-row expressions. Within a block
+    pair only i<j / cross combinations are emitted, so each unordered pair
+    appears exactly once."""
+    b = emb.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    blocks = b.groupBy("blk").agg(
+        F.collect_list(F.struct("i", "v")).alias("xs")
+    )
+    joined = (
+        blocks.alias("L")
+        .join(blocks.alias("R"), F.col("L.blk") <= F.col("R.blk"))
+        .select(
+            F.col("L.blk").alias("bl"),
+            F.col("R.blk").alias("br"),
+            F.col("L.xs").alias("xl"),
+            F.col("R.xs").alias("xr"),
+        )
+    )
+
+    thr = float(threshold)
+    if thr <= 0.0:
+        # the triu() dedup below marks excluded cells with 0.0
+        raise ValueError("brute_force_cosine_pairs requires threshold > 0")
+
+    def _block_pairs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for bl, br, xl, xr in zip(pdf["bl"], pdf["br"], pdf["xl"], pdf["xr"]):
+                ia = np.asarray([r["i"] for r in xl], dtype=np.int64)
+                ib = np.asarray([r["i"] for r in xr], dtype=np.int64)
+                ma = np.asarray([r["v"] for r in xl], dtype=np.float64)
+                mb = np.asarray([r["v"] for r in xr], dtype=np.float64)
+                na = np.linalg.norm(ma, axis=1)
+                nb = np.linalg.norm(mb, axis=1)
+                ma = ma / np.maximum(na, 1e-12)[:, None]
+                mb = mb / np.maximum(nb, 1e-12)[:, None]
+                cos = ma @ mb.T
+                if bl == br:
+                    cos = np.triu(cos, k=1)  # i<j within a block, by position
+                r_idx, c_idx = np.nonzero(cos >= thr)
+                if r_idx.size == 0:
+                    continue
+                aa, bb = ia[r_idx], ib[c_idx]
+                lo = np.minimum(aa, bb)
+                hi = np.maximum(aa, bb)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cos[r_idx, c_idx])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    return joined.mapInPandas(_block_pairs, "a long, b long, cosine double")
+
+
 class LshAnnIndex:
     """Multi-table random-hyperplane ANN: L independent signature tables of
     b bits each; a vector is a candidate if it collides with the query in ANY
