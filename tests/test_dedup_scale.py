@@ -102,3 +102,101 @@ def test_embedding_near_dups_reports_oversized_buckets(spark):
     assert (100, 101) in got
     dropped = {r["vec_id"] for r in metrics["dropped_ids"].collect()}
     assert dropped == set(range(20))
+
+
+def test_ngram_jaccard_pairs_exact(spark):
+    rows = [
+        (1, "a b c d e f"),          # shingles: abc bcd cde def (4)
+        (2, "a b c d e f g"),        # + efg (5); inter=4, union=5 -> 0.8
+        (3, "x y z w"),              # xyz yzw (2)
+        (4, "p q"),                  # <3 tokens -> single whole-text shingle
+        (5, "p q"),                  # identical -> jaccard 1.0 with 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 6)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 0.8, (4, 5): 1.0}
+
+
+def test_ngram_jaccard_cap_is_lower_bound(spark):
+    # doc 1/2 share ONLY the hot shingle "a b c" (df=3 with doc 3's copies)
+    rows = [
+        (1, "a b c q1 q2"),
+        (2, "a b c r1 r2"),
+        (3, "a b c s1 s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["a"], r["b"]) for r in
+            dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert full == {(1, 2), (1, 3), (2, 3)}
+    metrics: dict = {}
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.1, max_shingle_df=2, metrics_out=metrics
+    )
+    # the only shared shingle has df=3 > cap -> no candidates, and the
+    # dropped shingle is reported, never silently lost
+    assert capped.count() == 0
+    hot = {r["sh"] for r in metrics["capped_shingles"].collect()}
+    assert hot == {"a b c"}
+
+
+def test_brute_force_cosine_pairs_matches_numpy(spark):
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs[41] = vecs[40] + 0.01  # planted near-dup
+    vecs[41] /= np.linalg.norm(vecs[41])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 0.35
+    got = {
+        (r["a"], r["b"]): round(r["cosine"], 9)
+        for r in similarity.brute_force_cosine_pairs(
+            emb, threshold=thr, n_blocks=5
+        ).collect()
+    }
+    cos = vecs @ vecs.T
+    want = {
+        (i, j): round(cos[i, j], 9)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if cos[i, j] >= thr
+    }
+    assert got == want
+    assert (40, 41) in got
+    with pytest.raises(ValueError):
+        similarity.brute_force_cosine_pairs(emb, threshold=0.0)
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, v.tolist()))
+        w = v + rng.standard_normal(32) * 0.005
+        w /= np.linalg.norm(w)
+        rows.append((i * 2 + 1, w.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(i * 2, i * 2 + 1) for i in range(40)}
+
+    def recall(n_tables):
+        nd = dedup.embedding_near_dups(
+            emb, n_planes=10, threshold=0.99, seed=42, n_tables=n_tables
+        )
+        got = {(r["a"], r["b"]) for r in nd.collect()}
+        assert got <= planted  # verify step: precision is always exact
+        return len(got & planted) / len(planted)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1  # more tables never lose pairs
+    assert r4 >= 0.95  # 4 tables x 10 planes recovers (nearly) all planted
