@@ -168,6 +168,42 @@ LIMIT {k} OFFSET {offset}
 """
 
 
+def _SCORED_CTE(term_literals: str) -> str:
+    """docs/tok/tf/dl/stats/dft/scored CTE chain: raw BM25 totals per doc
+    for the given term IN-list — the shared front half of the sampler /
+    significant_text oracles (same formula as _bm25_oracle, no boosts)."""
+    return f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, lang, source, n_chars
+  FROM documents
+),
+tok AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM docs
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS s
+  FROM tf
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  WHERE tf.term IN ({term_literals})
+  GROUP BY tf.did
+)
+"""
+
+
 _DOCS_CTE = f"""
 WITH docs AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, lang, source, n_chars
@@ -1064,6 +1100,56 @@ def q_ft_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.significant_terms("merge", k=15, min_doc_count=3)
 
 
+def q_ft_sig_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES significant_text: JLH over the ANALYZED text of the top-50 hits
+    # (sample_size = the sampler wrapper ES docs recommend), foreground
+    # deduplicated by exact text (filter_duplicate_text) while background
+    # df keeps duplicates
+    ix = _documents_index(spark, sf_dir)
+    return ix.significant_text(
+        "merge", k=15, min_doc_count=2, sample_size=50,
+        filter_duplicate_text=True,
+    )
+
+
+def q_ft_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES sampler agg: terms sub-agg over ONLY the top-40 scored hits
+    ix = _documents_index(spark, sf_dir)
+    return ix.sampler_agg("data merge", by="lang", shard_size=40, k=10)
+
+
+def q_ft_div_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES diversified_sampler: at most 8 docs per source value may enter
+    # the 40-doc sample (de-biasing before the cut), then terms on lang
+    ix = _documents_index(spark, sf_dir)
+    return ix.sampler_agg(
+        "data merge", by="lang", shard_size=40, k=10,
+        diversify_on="source", max_docs_per_value=8,
+    )
+
+
+def q_ft_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES intervals query: all_of(ordered, max_gaps=3) over a 2-term ordered
+    # match (max_gaps=1) followed by a prefix leaf — the structured
+    # proximity algebra over one positional decode per leaf
+    ix = _documents_index(spark, sf_dir)
+    src = {"all_of": {"ordered": True, "max_gaps": 3, "intervals": [
+        {"match": {"query": "data merge", "max_gaps": 1, "ordered": True}},
+        {"prefix": "fil"},
+    ]}}
+    return ix.intervals_query(src, k=500)
+
+
+def q_ft_intervals_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # any_of union of an unordered banded match and a fuzzy leaf
+    ix = _documents_index(spark, sf_dir)
+    src = {"any_of": {"intervals": [
+        {"match": {"query": "vector join", "max_gaps": 0, "ordered": False}},
+        {"fuzzy": {"term": "bacth", "fuzziness": 2}},
+    ]}}
+    return ix.intervals_query(src, k=500)
+
+
 def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES stats aggregation: count/min/max/sum/avg of n_chars over the match set
     ix = _documents_index(spark, sf_dir)
@@ -1656,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_histogram": q_ft_histogram,
         # --- new this round (r04): ES-body DSL dispatcher, span family,
         # pipeline aggs, decay, match_bool_prefix — first driver evidence ---
+        "ft_sig_text": q_ft_sig_text,
+        "ft_sampler": q_ft_sampler,
+        "ft_div_sampler": q_ft_div_sampler,
+        "ft_intervals": q_ft_intervals,
+        "ft_intervals_any": q_ft_intervals_any,
         "ft_dsl_search": q_ft_dsl_search,
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
@@ -3390,6 +3481,98 @@ SELECT term, round(s, 6) AS score FROM sc
 ORDER BY round(s, 6) DESC, term ASC LIMIT 15
 """,
         "ft_search_after": _bm25_oracle(["merge", "sort"], 10, offset=10),
+        "ft_sig_text": _SCORED_CTE("'merge'")
+        + """
+, top AS (SELECT did FROM scored ORDER BY s DESC, did ASC LIMIT 50),
+fgdocs AS (
+  SELECT min(d.did) AS did
+  FROM docs d JOIN top USING (did)
+  GROUP BY d.text
+),
+fgn AS (SELECT count(*)::DOUBLE AS n FROM fgdocs),
+bgn AS (SELECT count(*)::DOUBLE AS n FROM docs),
+tdoc AS (SELECT DISTINCT did, term FROM tok),
+fg AS (
+  SELECT term, count(*)::DOUBLE AS fgc FROM tdoc JOIN fgdocs USING (did)
+  GROUP BY 1 HAVING count(*) >= 2
+),
+bg AS (SELECT term, count(*)::DOUBLE AS bgc FROM tdoc GROUP BY 1),
+sc AS (
+  SELECT fg.term,
+         ((fg.fgc / f.n) - (bg.bgc / b.n))
+           * ((fg.fgc / f.n) / (bg.bgc / b.n)) AS s
+  FROM fg JOIN bg USING (term), fgn f, bgn b
+)
+SELECT term, round(s, 6) AS score FROM sc
+ORDER BY round(s, 6) DESC, term ASC LIMIT 15
+""",
+        "ft_sampler": _SCORED_CTE("'data', 'merge'")
+        + """
+, top AS (SELECT did FROM scored ORDER BY s DESC, did ASC LIMIT 40)
+SELECT d.lang, count(*)::BIGINT AS doc_count
+FROM docs d JOIN top USING (did)
+GROUP BY d.lang
+ORDER BY doc_count DESC, d.lang ASC LIMIT 10
+""",
+        "ft_div_sampler": _SCORED_CTE("'data', 'merge'")
+        + """
+, ranked AS (
+  SELECT s.did, s.s,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.s DESC, s.did ASC
+         ) AS rn
+  FROM scored s JOIN docs d USING (did)
+),
+top AS (
+  SELECT did FROM ranked WHERE rn <= 8
+  ORDER BY s DESC, did ASC LIMIT 40
+)
+SELECT d.lang, count(*)::BIGINT AS doc_count
+FROM docs d JOIN top USING (did)
+GROUP BY d.lang
+ORDER BY doc_count DESC, d.lang ASC LIMIT 10
+""",
+        "ft_intervals": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+c1 AS (
+  SELECT a.did, a.pos AS s, b.pos AS e
+  FROM tp a JOIN tp b
+    ON b.did = a.did AND a.term = 'data' AND b.term = 'merge'
+   AND b.pos > a.pos AND b.pos <= a.pos + 2
+),
+c2 AS (SELECT did, pos FROM tp WHERE term LIKE 'fil%')
+SELECT DISTINCT c1.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM c1 JOIN c2 ON c2.did = c1.did AND c2.pos > c1.e
+ AND (c2.pos - c1.s + 1) - (c1.e - c1.s + 2) <= 3
+ORDER BY doc_id ASC LIMIT 500
+""",
+        "ft_intervals_any": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+leg1 AS (
+  SELECT DISTINCT a.did
+  FROM tp a JOIN tp b
+    ON b.did = a.did AND a.term = 'vector' AND b.term = 'join'
+   AND b.pos <> a.pos AND abs(b.pos - a.pos) <= 1
+),
+fz AS (SELECT DISTINCT term FROM tp WHERE damerau_levenshtein(term, 'bacth') <= 2),
+leg2 AS (SELECT DISTINCT did FROM tp JOIN fz USING (term))
+SELECT DISTINCT doc_id, CAST(1.0 AS DOUBLE) AS score FROM (
+  SELECT did AS doc_id FROM leg1 UNION ALL SELECT did FROM leg2
+)
+ORDER BY doc_id ASC LIMIT 500
+""",
         "etl_asof_join": """
 WITH snaps AS (
   SELECT u.user_id,

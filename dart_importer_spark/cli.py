@@ -166,6 +166,7 @@ def main(argv: list[str] | None = None) -> int:
             "serial_diff", "rare_terms", "extended_stats", "range",
             "filters", "missing", "percentile_ranks", "string_stats",
             "t_test", "multi_terms", "global",
+            "sig_text", "sampler", "div_sampler",
         ],
     )
     p.add_argument("--q", required=True)
@@ -173,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--by", default=None, help="bucket column")
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--interval", default="month")
+    p.add_argument("--shard-size", type=int, default=0,
+                   help="sampler/div_sampler sample size; sig_text "
+                        "foreground sample (0 = default / whole match set)")
+    p.add_argument("--max-per-value", type=int, default=1,
+                   help="div_sampler: max docs per --on value in the sample")
     p.add_argument("--target-buckets", type=int, default=10,
                    help="auto_date_histogram: coarsen until <= this many "
                         "buckets (--k stays the output row limit)")
@@ -422,6 +428,26 @@ def main(argv: list[str] | None = None) -> int:
             df = ix.top_hits(q, by=args.by, size=k)
         elif a == "sig_terms":
             df = ix.significant_terms(q, k=k)
+        elif a == "sig_text":
+            # duplicate-text filtering needs the text meta column; the CLI
+            # build does not store it by default, so expose the sampled
+            # foreground here and leave dup-filtering to the dsl command
+            # over indexes that carry text
+            df = ix.significant_text(
+                q, k=k, filter_duplicate_text="text" in ix.doc_stats().columns,
+                sample_size=args.shard_size if args.shard_size > 0 else None,
+            )
+        elif a == "sampler":
+            df = ix.sampler_agg(
+                q, by=args.by, k=k,
+                shard_size=args.shard_size if args.shard_size > 0 else 100,
+            )
+        elif a == "div_sampler":
+            df = ix.sampler_agg(
+                q, by=args.by, k=k,
+                shard_size=args.shard_size if args.shard_size > 0 else 100,
+                diversify_on=args.on, max_docs_per_value=args.max_per_value,
+            )
         elif a == "dh_pipeline":
             df = ix.date_histogram_pipeline(q, on=args.on, interval=args.interval)
         elif a == "dh_filled":

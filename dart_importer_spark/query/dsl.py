@@ -608,6 +608,17 @@ def _dispatch_leaf(
         return ix.pinned(
             p["query"], [int(i) for i in spec.get("ids", [])], k=k
         )
+    if typ == "intervals":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        # ES shape: {"intervals": {"<field>": {<source>}}} — one field key
+        if len(spec) != 1:
+            raise DslError("intervals: exactly one field key expected")
+        fld, source = next(iter(spec.items()))
+        cp._text_field(typ, fld)
+        return ix.intervals_query(
+            source, k=k, field=None if fld == "text" else fld
+        )
     if typ == "span_near":
         plain(typ)
         _require_no_filters(typ, filters)
@@ -1304,6 +1315,52 @@ def _one_agg(
         return ix.significant_terms(
             query, k=int(spec.get("size", 10)), field=field
         )
+    if typ == "significant_text":
+        if filters is not None:
+            raise DslError("significant_text: filtered context unsupported")
+        if query is None:
+            raise DslError("significant_text needs a match query context")
+        fld = spec.get("field", "text")
+        cp._text_field(typ, fld)
+        return ix.significant_text(
+            query,
+            k=int(spec.get("size", 10)),
+            field=None if fld == "text" else fld,
+            min_doc_count=int(spec.get("min_doc_count", 3)),
+            filter_duplicate_text=bool(
+                spec.get("filter_duplicate_text", True)
+            ),
+            sample_size=(
+                int(spec["sample_size"]) if "sample_size" in spec else None
+            ),
+        )
+    if typ in ("sampler", "diversified_sampler"):
+        if filters is not None:
+            raise DslError(f"{typ}: filtered context unsupported")
+        if query is None:
+            raise DslError(f"{typ} needs a match query context")
+        if len(sub or {}) != 1:
+            raise DslError(f"{typ} needs exactly one terms sub-aggregation")
+        sub_spec = next(iter(sub.values()))
+        if list(sub_spec.keys()) != ["terms"]:
+            raise DslError(f"{typ}: only a terms sub-aggregation is supported")
+        by = _metric_on(cp, typ, sub_spec["terms"])
+        kwargs = dict(
+            by=by,
+            shard_size=int(spec.get("shard_size", 100)),
+            k=int(sub_spec["terms"].get("size", 10)),
+            field=field,
+        )
+        if typ == "diversified_sampler":
+            dv = spec.get("field")
+            if not dv:
+                raise DslError("diversified_sampler needs 'field'")
+            cp._meta_field(typ, dv, None)
+            kwargs.update(
+                diversify_on=dv,
+                max_docs_per_value=int(spec.get("max_docs_per_value", 1)),
+            )
+        return ix.sampler_agg(query, **kwargs)
     if typ == "histogram":
         by = _metric_on(cp, typ, spec)
         interval = spec.get("interval")

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -56,6 +57,20 @@ def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
     idx = np.searchsorted(sorted_ids, docs)
     idx[idx == sorted_ids.size] = 0  # past-the-end can never match [0]
     return sorted_ids[idx] == docs
+
+
+def _wildcard_to_regexp(pattern: str) -> str:
+    """ES wildcard pattern (* = any run, ? = any char) as an anchored-later
+    regexp body; every other char is matched literally."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
 
 
 def _idf(n_docs: int, df: int) -> float:
@@ -1907,6 +1922,173 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def intervals_query(
+        self,
+        source: dict,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES ``intervals`` query — the structured proximity algebra that
+        subsumes span queries. Supported sources (each a one-key dict):
+
+        - ``{"match": {"query": str, "max_gaps": int, "ordered": bool}}`` —
+          the analyzed tokens within a window of at most ``len + max_gaps``
+          positions (``ordered`` forces increasing positions). Multi-term
+          match REQUIRES ``max_gaps >= 0`` (the unbounded default would be
+          an all-positions product; ES bodies in the wild always bound it —
+          use a plain ``match`` query for unbounded co-occurrence).
+        - ``{"prefix": str}`` / ``{"wildcard": str}`` /
+          ``{"fuzzy": {"term": str, "fuzziness": int}}`` — dictionary
+          expansion (capped, distributed — the same broadcast-semi-join
+          rewrite as the wildcard/fuzzy queries), each occurrence a
+          unit-width interval.
+        - ``{"any_of": {"intervals": [...]}}`` — union of child windows.
+        - ``{"all_of": {"intervals": [...], "ordered": bool,
+          "max_gaps": int}}`` — every child matches; ``ordered`` chains
+          children strictly after one another (non-overlapping, in order);
+          ``max_gaps >= 0`` bounds the positions inside the combined window
+          not covered by children (ordered children are disjoint, so
+          gaps = combined_width - sum(child widths); the unordered form
+          follows Lucene's overlap-permitting UNORDERED source, where that
+          same expression can go negative and the bound still applies).
+
+        Doc-level equivalence with Lucene's minimal-interval semantics: our
+        window sets contain every satisfying window (minimal ones
+        included), and all constraints are monotone under shrinking, so a
+        doc matches here iff some minimal-interval assignment matches.
+        Constant-score hits in doc_id order (filter context), like the
+        span family.
+
+        Plan: one bucket-pruned positional decode per leaf term set,
+        banded hash joins per all_of/match composition, distinct windows
+        per child to bound join width."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "intervals_query needs an index built with "
+                "store_positions=True"
+            )
+        fid = self._fid(field)
+        wins = self._intervals_windows(source, field, fid)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if wins is None:
+            return empty
+        docs = self._live(wins.select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _intervals_windows(
+        self, src: dict, field, fid: int
+    ) -> DataFrame | None:
+        """Window set (doc_id, start, end) for one intervals source — the
+        recursive compiler behind intervals_query. None = provably empty
+        (a leaf term missing from the dictionary)."""
+        if not isinstance(src, dict) or len(src) != 1:
+            raise ValueError(
+                f"intervals source must be a one-key dict, got {src!r}"
+            )
+        kind, body = next(iter(src.items()))
+        if kind == "match":
+            terms = self._analyze(body["query"], field)
+            if not terms:
+                return None
+            if len(terms) == 1:
+                return self._unit_windows_for_terms(terms, fid)
+            max_gaps = int(body.get("max_gaps", -1))
+            if max_gaps < 0:
+                raise ValueError(
+                    "intervals match with multiple terms requires "
+                    "max_gaps >= 0 (unbounded would be an all-positions "
+                    "product; use a match query for plain co-occurrence)"
+                )
+            return self._span_windows(
+                terms, max_gaps, bool(body.get("ordered", False)), fid
+            )
+        if kind in ("prefix", "wildcard", "fuzzy"):
+            if kind == "prefix":
+                tdf = self.expand_prefix_df(str(body), field)
+            elif kind == "wildcard":
+                tdf = self.expand_regexp_df(
+                    _wildcard_to_regexp(str(body)), field
+                )
+            else:
+                tdf = self.expand_fuzzy_df(
+                    body["term"], int(body.get("fuzziness", 1)), field
+                )
+            pos = self._positions_for_terms_df(tdf, fid)
+            return pos.select(
+                "doc_id", F.col("pos").alias("start"), F.col("pos").alias("end")
+            )
+        if kind == "any_of":
+            kids = [
+                self._intervals_windows(s, field, fid)
+                for s in body["intervals"]
+            ]
+            kids = [w for w in kids if w is not None]
+            if not kids:
+                return None
+            out = kids[0]
+            for w in kids[1:]:
+                out = out.unionByName(w)
+            return out
+        if kind == "all_of":
+            kids = [
+                self._intervals_windows(s, field, fid)
+                for s in body["intervals"]
+            ]
+            if any(w is None for w in kids) or not kids:
+                return None
+            ordered = bool(body.get("ordered", False))
+            max_gaps = int(body.get("max_gaps", -1))
+            base = kids[0].select(
+                "doc_id",
+                F.col("start").alias("s0"),
+                F.col("end").alias("e0"),
+            ).distinct()
+            for i, w in enumerate(kids[1:], start=1):
+                nxt = w.select(
+                    F.col("doc_id").alias("_d"),
+                    F.col("start").alias(f"s{i}"),
+                    F.col("end").alias(f"e{i}"),
+                ).distinct()
+                cond = F.col("doc_id") == F.col("_d")
+                if ordered:
+                    cond = cond & (F.col(f"s{i}") > F.col(f"e{i - 1}"))
+                base = base.join(nxt, cond, "inner").drop("_d")
+            n = len(kids)
+            starts = [F.col(f"s{i}") for i in range(n)]
+            ends = [F.col(f"e{i}") for i in range(n)]
+            lo = F.least(*starts) if n > 1 else starts[0]
+            hi = F.greatest(*ends) if n > 1 else ends[0]
+            if max_gaps >= 0:
+                covered = sum(
+                    (F.col(f"e{i}") - F.col(f"s{i}") + F.lit(1))
+                    for i in range(n)
+                )
+                base = base.filter(
+                    (hi - lo + F.lit(1)) - covered <= F.lit(max_gaps)
+                )
+            return base.select(
+                "doc_id", lo.alias("start"), hi.alias("end")
+            ).distinct()
+        raise ValueError(f"unsupported intervals source kind: {kind!r}")
+
+    def _unit_windows_for_terms(
+        self, terms: list[str], fid: int
+    ) -> DataFrame | None:
+        """Unit-width windows (doc_id, pos, pos) for literal terms; None if
+        none are in the dictionary."""
+        known = self.term_stats(terms, fid)
+        live = [t for t in terms if known.get(t)]
+        if not live:
+            return None
+        pos = self._positions_for_terms(live, fid)
+        return pos.select(
+            "doc_id", F.col("pos").alias("start"), F.col("pos").alias("end")
+        )
+
     def termvectors(
         self, *key_values, field: str | int | None = None
     ) -> DataFrame:
@@ -3551,6 +3733,22 @@ class InvertedIndex:
         if not qterms:
             return self.spark.createDataFrame([], out_schema)
         docs = self._docs_for_terms(qterms, fid)
+        return self._jlh_scores(docs, fid, k, min_doc_count, round_scores)
+
+    def _jlh_scores(
+        self,
+        docs: DataFrame,
+        fid: int,
+        k: int,
+        min_doc_count: int,
+        round_scores: int | None,
+    ) -> DataFrame:
+        """JLH-scored over-represented terms for an arbitrary foreground doc
+        set — the shared engine behind significant_terms (foreground = the
+        match set) and significant_text (foreground = deduplicated and/or
+        sampled hits). Background stats are always the WHOLE index
+        (term_dict df over n_docs), exactly like ES."""
+        out_schema = "term string, score double"
         fg_n = docs.count()
         if fg_n == 0:
             return self.spark.createDataFrame([], out_schema)
@@ -3592,6 +3790,114 @@ class InvertedIndex:
         if round_scores is not None:
             scored = scored.withColumn("score", F.round("score", round_scores))
         return scored.orderBy(F.desc("score"), F.asc("term")).limit(k)
+
+    def significant_text(
+        self,
+        query: str,
+        k: int = 10,
+        field: str | int | None = None,
+        min_doc_count: int = 3,
+        filter_duplicate_text: bool = True,
+        sample_size: int | None = None,
+        round_scores: int | None = 6,
+    ) -> DataFrame:
+        """ES significant_text: significant_terms over the analyzed text of
+        the hits, with the two behaviors that make it its own agg in ES —
+        ``filter_duplicate_text`` drops copy-paste duplicates from the
+        FOREGROUND only (one representative per identical text, min doc_id;
+        background df keeps the duplicates, exactly like ES, so boilerplate
+        stops dominating the numerator without deflating the denominator),
+        and ``sample_size`` restricts the foreground to the top-scored hits
+        (ES docs recommend wrapping significant_text in a sampler; here it
+        is one BM25 top-k instead of a wrapper). Re-analysis is free in
+        this engine: the index's postings ARE the analyzed text, so the
+        JLH pass reads term/doc pairs from the index rather than
+        re-tokenizing source text per hit.
+
+        Requires ``text`` in meta_cols when filter_duplicate_text (the
+        dedup key is xxhash64(text) + length, collision-safe like
+        exact_dedup)."""
+        fid = self._fid(field)
+        qterms = sorted(set(self._analyze(query, field)))
+        out_schema = "term string, score double"
+        if not qterms:
+            return self.spark.createDataFrame([], out_schema)
+        if sample_size is not None:
+            docs = self.topk(query, k=int(sample_size)).select("doc_id")
+        else:
+            docs = self._docs_for_terms(qterms, fid)
+        if filter_duplicate_text:
+            stats_cols = self.doc_stats().columns
+            if "text" not in stats_cols:
+                raise ValueError(
+                    "significant_text filter_duplicate_text needs 'text' "
+                    "in the index's meta_cols"
+                )
+            meta = self.doc_stats().select(
+                "doc_id",
+                F.xxhash64("text").alias("_h"),
+                F.length("text").alias("_l"),
+            )
+            w = Window.partitionBy("_h", "_l").orderBy(F.asc("doc_id"))
+            docs = (
+                docs.join(meta, "doc_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("doc_id")
+            )
+        return self._jlh_scores(docs, fid, k, min_doc_count, round_scores)
+
+    def sampler_agg(
+        self,
+        query: str,
+        by: str,
+        shard_size: int = 100,
+        k: int = 10,
+        field: str | int | None = None,
+        diversify_on: str | None = None,
+        max_docs_per_value: int = 1,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES sampler / diversified_sampler wrapping a terms sub-agg: the
+        sub-aggregation sees only the ``shard_size`` BEST-scoring hits
+        (single logical shard here, so the sample is the deterministic
+        global top — score desc, doc_id asc). With ``diversify_on``, docs
+        beyond ``max_docs_per_value`` per distinct value of that column are
+        skipped BEFORE the sample is filled (ES's de-biasing semantics:
+        the sample keeps pulling from lower-ranked hits to reach
+        shard_size), implemented as a row_number window per value over the
+        scored match set, then the top-shard_size cut.
+
+        Plan: one scored match pass (the diversified form scores the full
+        match set — the honest ES cost: every shard scores all its matches
+        before sampling), a window per diversify value, a global top-k
+        (TakeOrderedAndProject), then a tiny groupBy on the sample."""
+        if diversify_on is None:
+            hits = self.topk(query, k=int(shard_size), field=field)
+        else:
+            scored = self.topk(
+                query, k=int(self.n_docs), prune=False, field=field
+            )
+            dv = self.doc_stats().select("doc_id", diversify_on)
+            w = Window.partitionBy(diversify_on).orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            hits = (
+                scored.join(dv, "doc_id")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= int(max_docs_per_value))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(int(shard_size))
+                .select("doc_id", "score")
+            )
+        meta = self.doc_stats().select("doc_id", by)
+        return (
+            hits.join(meta, "doc_id")
+            .groupBy(by)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(int(k))
+        )
 
     def composite_agg(
         self,

@@ -591,3 +591,84 @@ def test_multi_terms_and_global(spark, tmp_path_factory):
     import pytest as _pt
     with _pt.raises(ValueError):
         ix.multi_terms("alpha", by=[], k=10)
+
+
+def test_sampler_agg_counts_top_sample(built_index, src, oracle):
+    got = built_index.sampler_agg("the and", by="role", shard_size=20).toPandas()
+    top = oracle.topk("the and", k=20)
+    sub = src[src["doc_id"].isin(set(top["doc_id"]))]
+    want = (
+        sub.groupby("role").size().reset_index(name="n")
+        .sort_values(["n", "role"], ascending=[False, True])
+    )
+    assert list(got["role"]) == list(want["role"])
+    assert list(got["doc_count"]) == list(want["n"])
+
+
+def test_diversified_sampler_caps_per_value(built_index, src, oracle):
+    got = built_index.sampler_agg(
+        "the and", by="role", shard_size=15,
+        diversify_on="conv_id", max_docs_per_value=1,
+    ).toPandas()
+    s = oracle.scores("the and").merge(
+        src[["doc_id", "conv_id", "role"]], on="doc_id"
+    ).sort_values(["score", "doc_id"], ascending=[False, True])
+    div = s.groupby("conv_id", sort=False).head(1).head(15)
+    want = (
+        div.groupby("role").size().reset_index(name="n")
+        .sort_values(["n", "role"], ascending=[False, True])
+    )
+    assert list(got["role"]) == list(want["role"])
+    assert list(got["doc_count"]) == list(want["n"])
+    # the sample really is diversified: one doc per conv_id
+    assert div["conv_id"].is_unique
+
+
+def test_significant_text_dedups_foreground(spark, tmp_path_factory):
+    from datetime import datetime
+
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    boiler = "alert system notice qqmarker qqmarker qqmarker"
+    rows = [(f"c{i}", 0, boiler, datetime(2024, 3, 1), 10) for i in range(5)]
+    rows += [
+        ("d1", 0, "alert threshold breached on disk", datetime(2024, 3, 2), 20),
+        ("d2", 0, "alert for memory and swap", datetime(2024, 3, 3), 30),
+        ("d3", 0, "unrelated filler text entirely", datetime(2024, 3, 4), 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, ts timestamp, nc long"
+    )
+    out = str(tmp_path_factory.mktemp("sigtext") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=1, n_buckets=4),
+        meta_cols=("ts", "text"),
+    )
+    ix = InvertedIndex(spark, out)
+    # duplicates kept: the copy-paste marker dominates the foreground
+    raw = {r["term"] for r in ix.significant_text(
+        "alert", k=5, min_doc_count=3, filter_duplicate_text=False
+    ).collect()}
+    assert "qqmarker" in raw
+    # duplicates filtered: one representative left -> marker drops below
+    # min_doc_count, while genuinely recurring terms survive
+    dedup = {r["term"] for r in ix.significant_text(
+        "alert", k=5, min_doc_count=3, filter_duplicate_text=True
+    ).collect()}
+    assert "qqmarker" not in dedup
+    # sample_size restricts the foreground to top-scored hits and still runs
+    top = ix.significant_text(
+        "alert", k=5, min_doc_count=1, sample_size=2,
+        filter_duplicate_text=True,
+    )
+    assert top.count() >= 1
+    # without text meta the dup filter refuses instead of silently skipping
+    with pytest.raises(ValueError):
+        InvertedIndex(spark, out)  # reopen is fine...
+        bad_out = str(tmp_path_factory.mktemp("sigtext2") / "idx")
+        build_index(
+            spark, df, bad_out, BuildConfig(n_segments=1, n_buckets=4),
+            meta_cols=("ts",),
+        )
+        InvertedIndex(spark, bad_out).significant_text("alert").collect()

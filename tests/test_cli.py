@@ -128,6 +128,22 @@ def test_cli_search_and_agg(spark, transcripts_df, tmp_path, capsys):
     bs = _lines(capsys)
     assert 0 < len(bs) <= 2 and {"role", "doc_count"} <= set(bs[0])
 
+    # this round's surface: sampler / diversified_sampler / significant_text
+    assert main(["agg", "--index", idx, "--agg", "sampler",
+                 "--q", "the and", "--by", "role", "--shard-size", "12",
+                 "--k", "5"]) == 0
+    sm = _lines(capsys)
+    assert sm and sum(r["doc_count"] for r in sm) == 12
+    assert main(["agg", "--index", idx, "--agg", "div_sampler",
+                 "--q", "the and", "--by", "role", "--on", "conv_id",
+                 "--shard-size", "8", "--max-per-value", "1", "--k", "5"]) == 0
+    dv = _lines(capsys)
+    assert dv and sum(r["doc_count"] for r in dv) <= 8
+    assert main(["agg", "--index", idx, "--agg", "sig_text",
+                 "--q", "the", "--k", "5", "--shard-size", "10"]) == 0
+    st = _lines(capsys)
+    assert st and {"term", "score"} <= set(st[0])
+
 
 def test_cli_dsl_body(spark, transcripts_df, tmp_path, capsys):
     """The dsl subcommand runs a verbatim ES _search JSON body."""

@@ -812,3 +812,60 @@ def test_dsl_errors(built_index):
     with pytest.raises(DslError, match="one agg type"):
         built_index.search_aggs({"aggs": {"bad": {
             "terms": {"field": "role"}, "stats": {"field": "dl"}}}})
+
+
+def test_intervals_body(pos_index):
+    src = {"all_of": {"ordered": True, "max_gaps": 1, "intervals": [
+        {"match": {"query": "alpha beta", "max_gaps": 0, "ordered": True}},
+        {"match": {"query": "gamma"}},
+    ]}}
+    same(
+        pos_index.search({"query": {"intervals": {"text": src}}, "size": 10}),
+        pos_index.intervals_query(src, k=10),
+    )
+    with pytest.raises(DslError):
+        pos_index.search({"query": {"intervals": {"a": {}, "b": {}}}})
+
+
+def test_sampler_and_significant_text_aggs(built_index):
+    got = built_index.search_aggs({
+        "query": {"match": {"text": "the and"}},
+        "aggs": {"sample": {
+            "sampler": {"shard_size": 20},
+            "aggs": {"roles": {"terms": {"field": "role", "size": 5}}},
+        }},
+    })["sample"]
+    same(got, built_index.sampler_agg("the and", by="role",
+                                      shard_size=20, k=5))
+    got = built_index.search_aggs({
+        "query": {"match": {"text": "the and"}},
+        "aggs": {"sample": {
+            "diversified_sampler": {
+                "field": "conv_id", "shard_size": 15,
+                "max_docs_per_value": 1},
+            "aggs": {"roles": {"terms": {"field": "role", "size": 5}}},
+        }},
+    })["sample"]
+    same(got, built_index.sampler_agg(
+        "the and", by="role", shard_size=15, k=5,
+        diversify_on="conv_id", max_docs_per_value=1,
+    ))
+    with pytest.raises(DslError):
+        built_index.search_aggs({
+            "query": {"match": {"text": "the"}},
+            "aggs": {"s": {"sampler": {"shard_size": 5}}},  # no sub-agg
+        })
+
+
+def test_significant_text_agg_body(pos_index):
+    got = pos_index.search_aggs({
+        "query": {"match": {"text": "alpha"}},
+        "aggs": {"kw": {"significant_text": {
+            "field": "text", "size": 5, "min_doc_count": 1,
+            "sample_size": 3,
+        }}},
+    })["kw"]
+    same(got, pos_index.significant_text(
+        "alpha", k=5, min_doc_count=1, sample_size=3,
+        filter_duplicate_text=True,
+    ))

@@ -702,3 +702,79 @@ def test_hybrid_rrf(spark, tmp_path_factory):
         1: round(1 / 61 + 1 / 62, 6),   # lexical rank 1, vector rank 2 now
         2: round(0 + 1 / 61, 6),        # vector rank 1 now
     }
+
+
+# ---------------------------------------------------------------- intervals
+IV_ROWS = [
+    ("i1", 0, "a b c d e", datetime(2024, 2, 1), 10),      # doc 0
+    ("i1", 1, "a x x b", datetime(2024, 2, 2), 20),        # doc 1
+    ("i2", 0, "b a", datetime(2024, 2, 3), 30),            # doc 2
+    ("i2", 1, "a x x x x x b", datetime(2024, 2, 4), 40),  # doc 3
+    ("i3", 0, "alpha beta q", datetime(2024, 2, 5), 50),   # doc 4
+    ("i3", 1, "b c a q w", datetime(2024, 2, 6), 60),      # doc 5
+]
+
+
+@pytest.fixture(scope="module")
+def iv_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        IV_ROWS, "conv_id string, turn_idx int, text string, ts timestamp, nc long"
+    )
+    out = str(tmp_path_factory.mktemp("intervals") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=2, n_buckets=4, store_positions=True),
+        meta_cols=("ts", "nc"),
+    )
+    return InvertedIndex(spark, out)
+
+
+def _iv(ix, src):
+    return [r["doc_id"] for r in ix.intervals_query(src, k=100).collect()]
+
+
+def test_intervals_match(iv_index):
+    m = {"match": {"query": "a b", "max_gaps": 0, "ordered": True}}
+    assert _iv(iv_index, m) == [0]
+    m = {"match": {"query": "a b", "max_gaps": 2, "ordered": True}}
+    assert _iv(iv_index, m) == [0, 1]
+    m = {"match": {"query": "a b", "max_gaps": 0, "ordered": False}}
+    assert _iv(iv_index, m) == [0, 2]
+    # single-term match needs no max_gaps
+    assert _iv(iv_index, {"match": {"query": "q"}}) == [4, 5]
+    # multi-term without max_gaps is rejected, not silently unbounded
+    with pytest.raises(ValueError):
+        _iv(iv_index, {"match": {"query": "a b"}})
+    # unknown term -> empty, not an error
+    assert _iv(iv_index, {"match": {"query": "zzz"}}) == []
+
+
+def test_intervals_any_of_and_leaves(iv_index):
+    src = {"any_of": {"intervals": [
+        {"match": {"query": "e"}}, {"match": {"query": "q"}},
+    ]}}
+    assert _iv(iv_index, src) == [0, 4, 5]
+    assert _iv(iv_index, {"prefix": "alp"}) == [4]
+    assert _iv(iv_index, {"wildcard": "?eta"}) == [4]
+    assert _iv(iv_index, {"fuzzy": {"term": "betA", "fuzziness": 1}}) == [4]
+
+
+def test_intervals_all_of(iv_index):
+    def allof(max_gaps, ordered, kids):
+        return {"all_of": {
+            "ordered": ordered, "max_gaps": max_gaps,
+            "intervals": [{"match": {"query": t}} for t in kids],
+        }}
+    # a then b, combined window gaps <= 1: doc 0 (adjacent); doc 1 has 2 gaps
+    assert _iv(iv_index, allof(1, True, ["a", "b"])) == [0]
+    assert _iv(iv_index, allof(2, True, ["a", "b"])) == [0, 1]
+    # unordered: doc 2 ("b a") joins at gaps=0
+    assert _iv(iv_index, allof(0, False, ["a", "b"])) == [0, 2]
+    # unlimited gaps (-1): pure ordered co-occurrence
+    assert _iv(iv_index, allof(-1, True, ["a", "b"])) == [0, 1, 3]
+    # nested composition: (a b adjacent) then c
+    nested = {"all_of": {"ordered": True, "max_gaps": 0, "intervals": [
+        {"match": {"query": "a b", "max_gaps": 0, "ordered": True}},
+        {"match": {"query": "c"}},
+    ]}}
+    assert _iv(iv_index, nested) == [0]
