@@ -1514,7 +1514,7 @@ def _ann_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _ANN_CACHE:
-        out = os.path.join("/tmp/dis_entry_ann_v2", key.strip("/").replace("/", "_"))
+        out = os.path.join("/tmp/dis_entry_ann_v3", key.strip("/").replace("/", "_"))
         if not os.path.exists(os.path.join(out, "meta.json")):
             emb = _load(spark, sf_dir, "embeddings")
             # bucket-granularity dial: ~32 vectors per bucket per table —
@@ -1747,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_div_sampler": q_ft_div_sampler,
         "ft_intervals": q_ft_intervals,
         "ft_intervals_any": q_ft_intervals_any,
+        "dd_jaccard_ngram": q_dd_jaccard_ngram,
+        "dd_embed_exact": q_dd_embed_exact,
+        "dd_embed_lsh": q_dd_embed_lsh,
         "ft_dsl_search": q_ft_dsl_search,
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
@@ -1808,9 +1811,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": q_dd_exact,
         "dd_near_identical": q_dd_near_identical,
         "dd_simhash_pairs": q_dd_simhash_pairs,
-        "dd_jaccard_ngram": q_dd_jaccard_ngram,
-        "dd_embed_exact": q_dd_embed_exact,
-        "dd_embed_lsh": q_dd_embed_lsh,
         "sim_bruteforce_cosine": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "mm_frame_plan": q_mm_frame_plan,

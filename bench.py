@@ -88,12 +88,20 @@ HEADLINE = [
     "ft_span_containing",
     "ft_dsl_search",
     "ft_dsl_aggs",
+    "ft_intervals",
+    "ft_intervals_any",
+    "ft_sampler",
+    "ft_div_sampler",
+    "ft_sig_text",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",
     "dd_exact",
     "dd_near_identical",
     "dd_simhash_pairs",
+    "dd_jaccard_ngram",
+    "dd_embed_exact",
+    "dd_embed_lsh",
     "sim_bruteforce_cosine",
     "sim_ann_lsh",
     "mm_features",
@@ -163,7 +171,7 @@ def main() -> None:
 
     # --- ANN: build-once (timed separately), then the pure probe+rerank
     # query — an index recomputed per query would be a full scan in disguise
-    shutil.rmtree(os.path.join("/tmp/dis_entry_ann_v2", key), ignore_errors=True)
+    shutil.rmtree(os.path.join("/tmp/dis_entry_ann_v3", key), ignore_errors=True)
     t0 = time.time()
     ann = entry._ann_index(spark, SF_DIR)
     timings["sim_ann_build"] = round(time.time() - t0, 4)

@@ -236,11 +236,40 @@ class LshAnnIndex:
         self.id_col, self.vec_col = id_col, vec_col
         self.n_tables, self.n_planes, self.seed = n_tables, n_planes, seed
         self.dim = int(emb.select(F.size(vec_col).alias("d")).first()["d"])
-        sigs = [
-            _hyperplane_sig(vec_col, self.dim, n_planes, seed + 7919 * t).alias(f"sig{t}")
+        # all L*b signature bits in ONE Arrow-batched numpy matmul pass —
+        # the Catalyst per-bit aggregate form costs O(L*b*dim) literal plan
+        # nodes per row (see hyperplane_sigs_pandas); probe-side sigs use
+        # the same planes @ vec > 0 rule (_query_sigs), so build and probe
+        # agree bit-for-bit up to BLAS-vs-sequential rounding at dots
+        # within ~1e-15 of zero
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        plane_sets = [
+            _planes(self.dim, n_planes, seed + 7919 * t)
             for t in range(n_tables)
         ]
-        self.table = emb.select("*", *sigs)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        vc = vec_col
+
+        def _sig_batches(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vc]]
+                )
+                out = pdf.copy()
+                for t, planes in enumerate(plane_sets):
+                    out[f"sig{t}"] = (((mat @ planes.T) > 0) * weights).sum(
+                        axis=1
+                    )
+                yield out
+
+        schema = StructType(
+            list(emb.schema.fields)
+            + [StructField(f"sig{t}", LongType()) for t in range(n_tables)]
+        )
+        self.table = emb.mapInPandas(_sig_batches, schema=schema)
         if persist:
             self.table = self.table.persist()
 

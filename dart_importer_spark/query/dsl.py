@@ -565,6 +565,26 @@ def _dispatch_leaf(
             negative_boost=float(spec.get("negative_boost", 0.5)),
             k=k, round_scores=round_scores,
         )
+    if typ == "match_none":
+        plain(typ)
+        return ix.spark.createDataFrame([], "doc_id long, score double")
+    if typ == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query, dispatched as if
+        # it appeared inline (clients that must smuggle queries through
+        # strict JSON schemas use this)
+        import base64
+        import json as _json
+
+        plain(typ)
+        try:
+            inner = _json.loads(base64.b64decode(spec["query"]))
+        except Exception as exc:
+            raise DslError(f"wrapper: undecodable query payload: {exc}")
+        inner_t, inner_s = cp._clause(inner)
+        return _dispatch_leaf(
+            cp, inner_t, inner_s, k=k, filters=filters,
+            round_scores=round_scores, offset=offset,
+        )
     if typ == "constant_score":
         plain(typ)
         inner = spec.get("filter")

@@ -869,3 +869,19 @@ def test_significant_text_agg_body(pos_index):
         "alpha", k=5, min_doc_count=1, sample_size=3,
         filter_duplicate_text=True,
     ))
+
+
+def test_wrapper_and_match_none(built_index):
+    import base64
+    import json
+
+    inner = {"match": {"text": "the and"}}
+    b64 = base64.b64encode(json.dumps(inner).encode()).decode()
+    same(
+        built_index.search({"query": {"wrapper": {"query": b64}},
+                            "size": 12}, round_scores=6),
+        built_index.topk("the and", k=12, round_scores=6),
+    )
+    assert built_index.search({"query": {"match_none": {}}}).count() == 0
+    with pytest.raises(DslError):
+        built_index.search({"query": {"wrapper": {"query": "!!notb64json"}}})
