@@ -1150,6 +1150,39 @@ def q_ft_intervals_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.intervals_query(src, k=500)
 
 
+def q_ft_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _rank_eval with normalized DCG: two rated requests scored
+    # against their BM25 top-10 (one search per request, one broadcast
+    # ratings join, metric math in Catalyst); '_mean' row = ES's overall
+    # metric_score. Doc 999999 never retrieves but still shapes q1's
+    # ideal-DCG divisor, exactly like ES.
+    ix = _documents_index(spark, sf_dir)
+    reqs = [
+        {"id": "q1", "query": "data merge",
+         "ratings": {0: 2, 3: 1, 17: 3, 999999: 1}},
+        {"id": "q2", "query": "filter window",
+         "ratings": {5: 1, 11: 2}},
+    ]
+    return ix.rank_eval(reqs, {"dcg": {"k": 10, "normalize": True}})
+
+
+def q_sim_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Batch exact kNN: top-5 cosine neighbors for four query vectors in
+    # ONE job (block-matmul, per-block local top-k, global window) — the
+    # embedding-retrieval shape of a training-data pipeline; a per-query
+    # loop would pay one corpus scan per query
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 14, 21])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.brute_force_cosine_topk_batch(
+        emb, queries, k=5, n_blocks=8
+    )
+    return out.select(
+        "q_id", "vec_id", F.round("cosine", 5).alias("cosine"), "rank"
+    )
+
+
 def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES stats aggregation: count/min/max/sum/avg of n_chars over the match set
     ix = _documents_index(spark, sf_dir)
@@ -1750,6 +1783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_jaccard_ngram": q_dd_jaccard_ngram,
         "dd_embed_exact": q_dd_embed_exact,
         "dd_embed_lsh": q_dd_embed_lsh,
+        "ft_rank_eval": q_ft_rank_eval,
+        "sim_knn_batch": q_sim_knn_batch,
         "ft_dsl_search": q_ft_dsl_search,
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
@@ -3791,6 +3826,86 @@ SELECT a, b, round(j, 6) AS jaccard FROM (
 """,
         "dd_embed_exact": _EMBED_PAIRS_SQL,
         "dd_embed_lsh": _EMBED_PAIRS_SQL,
+        "ft_rank_eval": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM docs
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+qmap(req, term) AS (VALUES
+  ('q1', 'data'), ('q1', 'merge'), ('q2', 'filter'), ('q2', 'window')),
+scored AS (
+  SELECT q.req, tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS s
+  FROM tf
+  JOIN qmap q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY q.req, tf.did
+),
+top AS (
+  SELECT req, did, rank FROM (
+    SELECT req, did,
+           row_number() OVER (PARTITION BY req ORDER BY s DESC, did ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+ratings(req, did, rating) AS (VALUES
+  ('q1', 0, 2), ('q1', 3, 1), ('q1', 17, 3), ('q1', 999999, 1),
+  ('q2', 5, 1), ('q2', 11, 2)),
+dcg AS (
+  SELECT t.req, sum((pow(2, r.rating) - 1) / log2(t.rank + 1)) AS v
+  FROM top t JOIN ratings r ON r.req = t.req AND r.did = t.did
+  GROUP BY t.req
+),
+ideal AS (
+  SELECT req, sum((pow(2, rating) - 1) / log2(rk + 1)) AS idcg FROM (
+    SELECT req, rating,
+           row_number() OVER (PARTITION BY req ORDER BY rating DESC, did ASC) AS rk
+    FROM ratings
+  ) WHERE rk <= 10 GROUP BY req
+),
+per AS (
+  SELECT i.req,
+         CASE WHEN i.idcg > 0 THEN coalesce(d.v, 0) / i.idcg ELSE 0 END AS score
+  FROM ideal i LEFT JOIN dcg d ON d.req = i.req
+)
+SELECT req AS req_id, round(score, 6) AS score FROM per
+UNION ALL
+SELECT '_mean', round(avg(score), 6) FROM per
+ORDER BY req_id
+""",
+        "sim_knn_batch": """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id IN (0, 7, 14, 21)
+),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+)
+SELECT q_id, vec_id, round(c, 5) AS cosine, rank::BIGINT AS rank
+FROM scored WHERE rank <= 5
+""",
         "mm_frame_plan": """
 SELECT doc_id AS media_id,
        unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 500)) AS frame_ts_ms

@@ -100,6 +100,8 @@ HEADLINE = [
     "dd_near_identical",
     "dd_simhash_pairs",
     "dd_jaccard_ngram",
+    "ft_rank_eval",
+    "sim_knn_batch",
     "dd_embed_exact",
     "dd_embed_lsh",
     "sim_bruteforce_cosine",

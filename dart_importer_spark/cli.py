@@ -214,6 +214,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--emb-id-col", default="vec_id")
     p.add_argument("--emb-vec-col", default="embedding")
 
+    p = sub.add_parser(
+        "rank-eval", help="ES _rank_eval: score ranked results vs ratings"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--body-file", required=True,
+                   help='JSON {"requests": [{"id", "query", "ratings":'
+                        ' {doc_id: rating}}], "metric": {...}}')
+
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
     p.add_argument("--where", default=None)
@@ -551,6 +559,17 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in df.collect():
                 print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "rank-eval":
+        from .query.engine import InvertedIndex
+
+        body = json.loads(open(args.body_file).read())
+        ix = InvertedIndex(spark, args.index)
+        reqs = [
+            {**r, "ratings": {int(k): v for k, v in r["ratings"].items()}}
+            for r in body["requests"]
+        ]
+        for r in ix.rank_eval(reqs, body["metric"]).collect():
+            print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "count":
         from .query.engine import InvertedIndex
 

@@ -75,6 +75,94 @@ def brute_force_cosine_topk(
     )
 
 
+def brute_force_cosine_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact top-k neighbors for a WHOLE TABLE of query vectors in one job
+    — the batch shape an embedding-dedup / retrieval-eval pipeline needs
+    (a per-query topk loop pays one full corpus scan per query; msearch
+    logic, applied to vectors). Returns (q_id, vec_id, cosine, rank) with
+    rank 1..k per query, cosine desc, id-asc tie-break.
+
+    Plan: corpus grouped into B blocks; queries grouped into Q blocks; the
+    B x Q block-pair join carries whole blocks, one numpy matmul per pair
+    emits each query's LOCAL top-k against that corpus block (k rows per
+    query per block, never the full n x m score matrix), and a window
+    keeps the global top-k. Communication O(n*Q + m*B) vector copies +
+    O(q * k * B) candidate rows."""
+    from pyspark.sql.window import Window
+
+    c = emb.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("cb"),
+    ).groupBy("cb").agg(F.collect_list(F.struct("i", "v")).alias("cxs"))
+    qb = max(1, n_blocks // 4)
+    q = queries.select(
+        F.col(q_id_col).alias("qi"),
+        F.col(q_vec_col).cast("array<double>").alias("qv"),
+        F.pmod(F.xxhash64(F.col(q_id_col)), F.lit(qb)).alias("qb"),
+    ).groupBy("qb").agg(F.collect_list(F.struct("qi", "qv")).alias("qxs"))
+    joined = c.crossJoin(q).select("cxs", "qxs")
+    kk = int(k)
+
+    def _block_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for cxs, qxs in zip(pdf["cxs"], pdf["qxs"]):
+                ci = np.asarray([r["i"] for r in cxs], dtype=np.int64)
+                cm = np.asarray([r["v"] for r in cxs], dtype=np.float64)
+                qi = np.asarray([r["qi"] for r in qxs], dtype=np.int64)
+                qm = np.asarray([r["qv"] for r in qxs], dtype=np.float64)
+                cm = cm / np.maximum(
+                    np.linalg.norm(cm, axis=1), 1e-12
+                )[:, None]
+                qm = qm / np.maximum(
+                    np.linalg.norm(qm, axis=1), 1e-12
+                )[:, None]
+                cos = qm @ cm.T  # (q, n_block)
+                take = min(kk, cos.shape[1])
+                # local top-k per query: argpartition then exact sort of
+                # the k survivors (cosine desc, corpus id asc)
+                part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+                for row in range(cos.shape[0]):
+                    idx = part[row]
+                    sc = cos[row, idx]
+                    order = np.lexsort((ci[idx], -sc))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": qi[row],
+                                "vec_id": ci[idx][order],
+                                "cosine": sc[order],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    local = joined.mapInPandas(
+        _block_topk, "q_id long, vec_id long, cosine double"
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
+
+
 def hyperplane_sigs_pandas(
     emb: DataFrame,
     id_col: str,

@@ -3899,6 +3899,132 @@ class InvertedIndex:
             .limit(int(k))
         )
 
+    def rank_eval(
+        self,
+        requests: Sequence[dict],
+        metric: dict,
+        round_scores: int | None = 6,
+    ) -> DataFrame:
+        """ES ``_rank_eval``: score ranked results against human relevance
+        ratings — the search-quality harness (precision@k,
+        mean_reciprocal_rank, dcg with optional NDCG normalization).
+
+        ``requests``: [{"id": str, "query": str, "ratings": {doc_id:
+        rating}}, ...]; ``metric``: one-key dict, e.g.
+        {"precision": {"k": 10, "relevant_rating_threshold": 1}} /
+        {"mean_reciprocal_rank": {"k": 10}} / {"dcg": {"k": 10,
+        "normalize": True}}. Returns (req_id, score) per request plus a
+        ``_mean`` row (ES's overall metric_score = unweighted mean).
+
+        Plan: one BM25 top-k per request (rated query sets are small by
+        nature — ES runs one search per request too), unioned into a
+        single (req, rank, doc) DataFrame, one broadcast join against the
+        ratings literals, one groupBy(req). The metric math is pure
+        Catalyst; NDCG's ideal-DCG divisor comes from each request's own
+        ratings (top-k by rating desc), like ES."""
+        if len(metric) != 1:
+            raise ValueError("metric must be a one-key dict")
+        mname, mspec = next(iter(metric.items()))
+        if mname not in ("precision", "mean_reciprocal_rank", "dcg"):
+            raise ValueError(f"unsupported rank_eval metric: {mname!r}")
+        mspec = mspec or {}
+        k = int(mspec.get("k", 10))
+        thr = int(mspec.get("relevant_rating_threshold", 1))
+
+        hit_parts = []
+        rating_rows = []
+        for req in requests:
+            rid = str(req["id"])
+            hits = (
+                self.topk(req["query"], k=k)
+                .select(
+                    F.lit(rid).alias("req"),
+                    F.col("doc_id"),
+                    F.row_number()
+                    .over(
+                        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+                    )
+                    .alias("rank"),
+                )
+            )
+            hit_parts.append(hits)
+            for did, rating in dict(req.get("ratings", {})).items():
+                rating_rows.append((rid, int(did), int(rating)))
+        if not hit_parts:
+            return self.spark.createDataFrame([], "req_id string, score double")
+        all_hits = hit_parts[0]
+        for h in hit_parts[1:]:
+            all_hits = all_hits.unionByName(h)
+        ratings = self.spark.createDataFrame(
+            rating_rows or [("", -1, 0)],
+            "req string, doc_id long, rating int",
+        )
+        joined = all_hits.join(
+            F.broadcast(ratings), ["req", "doc_id"], "left"
+        ).withColumn("rating", F.coalesce("rating", F.lit(0)))
+
+        if mname == "precision":
+            per = joined.groupBy("req").agg(
+                (
+                    F.count(F.when(F.col("rating") >= thr, 1))
+                    / F.count("*")
+                ).alias("score")
+            )
+        elif mname == "mean_reciprocal_rank":
+            per = joined.groupBy("req").agg(
+                F.coalesce(
+                    F.lit(1.0)
+                    / F.min(
+                        F.when(F.col("rating") >= thr, F.col("rank"))
+                    ),
+                    F.lit(0.0),
+                ).alias("score")
+            )
+        else:  # dcg
+            gain = (
+                F.pow(F.lit(2.0), F.col("rating")) - 1.0
+            ) / (F.log2(F.col("rank") + 1))
+            per = joined.groupBy("req").agg(F.sum(gain).alias("score"))
+            if bool(mspec.get("normalize", False)):
+                iw = Window.partitionBy("req").orderBy(
+                    F.desc("rating"), F.asc("doc_id")
+                )
+                ideal = (
+                    ratings.withColumn("rank", F.row_number().over(iw))
+                    .filter(F.col("rank") <= k)
+                    .groupBy("req")
+                    .agg(
+                        F.sum(
+                            (F.pow(F.lit(2.0), F.col("rating")) - 1.0)
+                            / F.log2(F.col("rank") + 1)
+                        ).alias("idcg")
+                    )
+                )
+                per = per.join(ideal, "req", "left").select(
+                    "req",
+                    F.when(
+                        F.col("idcg") > 0, F.col("score") / F.col("idcg")
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("score"),
+                )
+        # requests whose query matched nothing: ES scores them 0
+        req_ids = self.spark.createDataFrame(
+            [(str(r["id"]),) for r in requests], "req string"
+        )
+        per = req_ids.join(per, "req", "left").withColumn(
+            "score", F.coalesce("score", F.lit(0.0))
+        )
+        mean = per.agg(
+            F.lit("_mean").alias("req"), F.avg("score").alias("score")
+        )
+        out = per.unionByName(mean).select(
+            F.col("req").alias("req_id"), "score"
+        )
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy("req_id")
+
     def composite_agg(
         self,
         query: str,

@@ -672,3 +672,63 @@ def test_significant_text_dedups_foreground(spark, tmp_path_factory):
             meta_cols=("ts",),
         )
         InvertedIndex(spark, bad_out).significant_text("alert").collect()
+
+
+def test_rank_eval_metrics(built_index, oracle):
+    top1 = oracle.topk("the and", k=5)["doc_id"].tolist()
+    top2 = oracle.topk("the", k=5)["doc_id"].tolist()
+    # rate: first and third of q1 relevant (2/1), second of q2 relevant
+    reqs = [
+        {"id": "q1", "query": "the and",
+         "ratings": {top1[0]: 2, top1[2]: 1, 999999: 3}},
+        {"id": "q2", "query": "the", "ratings": {top2[1]: 1}},
+        {"id": "q3", "query": "zzznotaterm", "ratings": {1: 1}},
+    ]
+    got = {r["req_id"]: r["score"] for r in built_index.rank_eval(
+        reqs, {"precision": {"k": 5, "relevant_rating_threshold": 1}}
+    ).collect()}
+    assert got["q1"] == 0.4 and got["q2"] == 0.2 and got["q3"] == 0.0
+    assert abs(got["_mean"] - (0.4 + 0.2) / 3) < 1e-9
+
+    got = {r["req_id"]: r["score"] for r in built_index.rank_eval(
+        reqs, {"mean_reciprocal_rank": {"k": 5}}
+    ).collect()}
+    assert got["q1"] == 1.0 and got["q2"] == 0.5 and got["q3"] == 0.0
+
+    import numpy as np
+    got = {r["req_id"]: r["score"] for r in built_index.rank_eval(
+        reqs, {"dcg": {"k": 5, "normalize": True}}
+    ).collect()}
+    # q1: gains (2^2-1) at rank1 + (2^1-1) at rank3; ideal: ratings
+    # 3,2,1 at ranks 1,2,3 (the unretrieved doc 999999 still shapes IDCG)
+    dcg = 3 / np.log2(2) + 1 / np.log2(4)
+    idcg = 7 / np.log2(2) + 3 / np.log2(3) + 1 / np.log2(4)
+    assert abs(got["q1"] - round(dcg / idcg, 6)) < 1e-9
+    assert got["q3"] == 0.0
+
+
+def test_brute_force_topk_batch_matches_per_query(spark):
+    import numpy as np
+
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(13)
+    V = rng.standard_normal((80, 12))
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + j, V[j * 7].tolist()) for j in range(5)],
+        "q_id long, q_vec array<double>",
+    )
+    got = similarity.brute_force_cosine_topk_batch(
+        emb, queries, k=4, n_blocks=6
+    ).toPandas()
+    for j in range(5):
+        want = similarity.brute_force_cosine_topk(
+            emb, V[j * 7].tolist(), k=4
+        ).toPandas()
+        sub = got[got["q_id"] == 100 + j].sort_values("rank")
+        assert list(sub["vec_id"]) == list(want["vec_id"])
+        assert np.allclose(sub["cosine"], want["cosine"], atol=1e-9)

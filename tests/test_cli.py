@@ -144,6 +144,21 @@ def test_cli_search_and_agg(spark, transcripts_df, tmp_path, capsys):
     st = _lines(capsys)
     assert st and {"term", "score"} <= set(st[0])
 
+    import json as _json
+    body = tmp_path / "rank_eval.json"
+    body.write_text(_json.dumps({
+        "requests": [
+            {"id": "a", "query": "the and", "ratings": {"0": 2, "3": 1}},
+            {"id": "b", "query": "zzznotaterm", "ratings": {"1": 1}},
+        ],
+        "metric": {"precision": {"k": 5}},
+    }))
+    assert main(["rank-eval", "--index", idx,
+                 "--body-file", str(body)]) == 0
+    re_rows = _lines(capsys)
+    byid = {r["req_id"]: r["score"] for r in re_rows}
+    assert set(byid) == {"a", "b", "_mean"} and byid["b"] == 0.0
+
 
 def test_cli_dsl_body(spark, transcripts_df, tmp_path, capsys):
     """The dsl subcommand runs a verbatim ES _search JSON body."""
