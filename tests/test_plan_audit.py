@@ -177,3 +177,40 @@ def test_stored_text_is_column_pruned_for_non_highlight(spark, tmp_path_factory)
     assert "text" in hplan.split("ReadSchema:")[-1].splitlines()[0] or (
         "text" in hplan
     )
+
+
+def test_late_round_operators_arrow_only(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta %d" % (i % 3)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert_no_row_python(dedup.ngram_jaccard_pairs(docs, threshold=0.3))
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    assert_no_row_python(
+        dedup.embedding_near_dups(emb, n_planes=4, threshold=0.9, n_tables=2)
+    )
+    assert_no_row_python(
+        similarity.brute_force_cosine_pairs(emb, threshold=0.9, n_blocks=2)
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "q_id long, q_vec array<double>"
+    )
+    assert_no_row_python(
+        similarity.brute_force_cosine_topk_batch(emb, q, k=3, n_blocks=2)
+    )
+
+
+def test_intervals_and_sampler_plans_arrow_only(built_index):
+    # sampler / significant_text / rank_eval over the session index
+    assert_no_row_python(
+        built_index.sampler_agg("the and", by="role", shard_size=10)
+    )
+    assert_no_row_python(
+        built_index.rank_eval(
+            [{"id": "a", "query": "the", "ratings": {0: 1}}],
+            {"precision": {"k": 5}},
+        )
+    )
