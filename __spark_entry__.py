@@ -1628,6 +1628,30 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(10, recall >= 0.7)], "k int, recall_ok boolean")
 
 
+def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN through the IVF index: top-10 for four query vectors in
+    one list-grouped job (IvfAnnIndex.topk_batch). ANN recall < 1 by
+    design, so like sim_ann_ivf the entry computes recall against the
+    exact batch (brute_force_cosine_topk_batch) IN-query and returns a
+    deterministic per-query contract row."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 14, 21])).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    ann = _ivf_index(spark, sf_dir)
+    nprobe = max(2, (ann.n_lists + 1) // 2)
+    got = ann.topk_batch(queries, k=10, nprobe=nprobe).toPandas()
+    exact = similarity.brute_force_cosine_topk_batch(
+        emb, queries, k=10, n_blocks=8
+    ).toPandas()
+    rows = []
+    for qid in sorted(got["q_id"].unique()):
+        g = set(got[got["q_id"] == qid]["vec_id"])
+        e = set(exact[exact["q_id"] == qid]["vec_id"])
+        rows.append((int(qid), 10, len(g & e) / 10.0 >= 0.7))
+    return spark.createDataFrame(rows, "q_id long, k int, recall_ok boolean")
+
+
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents: payload = utf-8
     text bytes, kind by doc_id mod 3, duration from n_chars."""
@@ -1785,6 +1809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_lsh": q_dd_embed_lsh,
         "ft_rank_eval": q_ft_rank_eval,
         "sim_knn_batch": q_sim_knn_batch,
+        "sim_ivf_batch": q_sim_ivf_batch,
         "ft_dsl_search": q_ft_dsl_search,
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
@@ -3681,6 +3706,10 @@ ORDER BY round(s.s, 6) DESC, doc_id ASC LIMIT 20
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",
+        "sim_ivf_batch": (
+            "SELECT unnest([0, 7, 14, 21])::BIGINT AS q_id, 10 AS k, "
+            "true AS recall_ok"
+        ),
         "etl_xml_source": "SELECT n_nationkey, n_name FROM nation",
         "etl_sessionize": """
 SELECT event_id, user_id,

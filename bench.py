@@ -102,6 +102,7 @@ HEADLINE = [
     "dd_jaccard_ngram",
     "ft_rank_eval",
     "sim_knn_batch",
+    "sim_ivf_batch",
     "dd_embed_exact",
     "dd_embed_lsh",
     "sim_bruteforce_cosine",

@@ -75,6 +75,51 @@ def brute_force_cosine_topk(
     )
 
 
+def _grouped_topk_kernel(kk: int):
+    """mapInPandas kernel shared by the batch-kNN paths: each input row
+    carries one corpus block (``cxs``: structs of i, v) and one query
+    block (``qxs``: structs of qi, qv); one normalized numpy matmul per
+    row emits each query's LOCAL top-k against that block (cosine desc,
+    corpus-id-asc tie-break) — never the full score matrix."""
+
+    def _block_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for cxs, qxs in zip(pdf["cxs"], pdf["qxs"]):
+                ci = np.asarray([r["i"] for r in cxs], dtype=np.int64)
+                cm = np.asarray([r["v"] for r in cxs], dtype=np.float64)
+                qi = np.asarray([r["qi"] for r in qxs], dtype=np.int64)
+                qm = np.asarray([r["qv"] for r in qxs], dtype=np.float64)
+                cm = cm / np.maximum(
+                    np.linalg.norm(cm, axis=1), 1e-12
+                )[:, None]
+                qm = qm / np.maximum(
+                    np.linalg.norm(qm, axis=1), 1e-12
+                )[:, None]
+                cos = qm @ cm.T  # (q, n_block)
+                take = min(kk, cos.shape[1])
+                part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
+                for row in range(cos.shape[0]):
+                    idx = part[row]
+                    sc = cos[row, idx]
+                    order = np.lexsort((ci[idx], -sc))
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "q_id": qi[row],
+                                "vec_id": ci[idx][order],
+                                "cosine": sc[order],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return _block_topk
+
+
 def brute_force_cosine_topk_batch(
     emb: DataFrame,
     queries: DataFrame,
@@ -111,54 +156,15 @@ def brute_force_cosine_topk_batch(
         F.pmod(F.xxhash64(F.col(q_id_col)), F.lit(qb)).alias("qb"),
     ).groupBy("qb").agg(F.collect_list(F.struct("qi", "qv")).alias("qxs"))
     joined = c.crossJoin(q).select("cxs", "qxs")
-    kk = int(k)
-
-    def _block_topk(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            outs = []
-            for cxs, qxs in zip(pdf["cxs"], pdf["qxs"]):
-                ci = np.asarray([r["i"] for r in cxs], dtype=np.int64)
-                cm = np.asarray([r["v"] for r in cxs], dtype=np.float64)
-                qi = np.asarray([r["qi"] for r in qxs], dtype=np.int64)
-                qm = np.asarray([r["qv"] for r in qxs], dtype=np.float64)
-                cm = cm / np.maximum(
-                    np.linalg.norm(cm, axis=1), 1e-12
-                )[:, None]
-                qm = qm / np.maximum(
-                    np.linalg.norm(qm, axis=1), 1e-12
-                )[:, None]
-                cos = qm @ cm.T  # (q, n_block)
-                take = min(kk, cos.shape[1])
-                # local top-k per query: argpartition then exact sort of
-                # the k survivors (cosine desc, corpus id asc)
-                part = np.argpartition(-cos, take - 1, axis=1)[:, :take]
-                for row in range(cos.shape[0]):
-                    idx = part[row]
-                    sc = cos[row, idx]
-                    order = np.lexsort((ci[idx], -sc))
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "q_id": qi[row],
-                                "vec_id": ci[idx][order],
-                                "cosine": sc[order],
-                            }
-                        )
-                    )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
     local = joined.mapInPandas(
-        _block_topk, "q_id long, vec_id long, cosine double"
+        _grouped_topk_kernel(int(k)), "q_id long, vec_id long, cosine double"
     )
     w = Window.partitionBy("q_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
+        .filter(F.col("rank") <= int(k))
         .select("q_id", "vec_id", "cosine", "rank")
     )
 
@@ -630,4 +636,123 @@ class IvfAnnIndex:
             )
             .orderBy(F.desc("cosine"), F.asc(self.id_col))
             .limit(k)
+        )
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        nprobe: int = 4,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "q_vec",
+    ) -> DataFrame:
+        """ANN top-k for a WHOLE TABLE of queries in one job — the IVF
+        sibling of brute_force_cosine_topk_batch: each query is assigned
+        its nprobe nearest lists, probe pairs group by list_id, and one
+        matmul per (list, query-block) emits local top-k; a window keeps
+        the global top-k per query. Returns (q_id, vec_id, cosine, rank).
+
+        List assignment: with the quantizer in memory (n_lists <=
+        DRIVER_RANK_MAX) one Arrow pass ranks centroids for all queries
+        via a broadcast centroid matrix; above that, a distributed
+        crossJoin(centroid table) + per-query window — only nprobe rows
+        per query survive either way. Scanned corpus fraction stays
+        ~nprobe/n_lists per query, independent of corpus size; the
+        list-grouped matmul touches only probed list directories
+        (partition-pruned parquet read)."""
+        from pyspark.sql.window import Window
+
+        npb = max(1, int(nprobe))
+        qn = queries.select(
+            F.col(q_id_col).alias("qi"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+        if self.centroids is not None:
+            cents = self.centroids
+            c2 = (cents**2).sum(axis=1)
+
+            def assign(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    qm = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+                    )
+                    qm = qm / np.maximum(
+                        np.linalg.norm(qm, axis=1), 1e-12
+                    )[:, None]
+                    # |c - q|^2 = |c|^2 - 2 c.q + 1: same ordering as the
+                    # per-query path up to rounding at exact ties
+                    d2 = c2[None, :] - 2.0 * (qm @ cents.T)
+                    idx = np.argsort(d2, axis=1, kind="stable")[:, :npb]
+                    n = len(pdf)
+                    yield pd.DataFrame(
+                        {
+                            "qi": np.repeat(pdf["qi"].to_numpy(), npb),
+                            "qv": [
+                                v for v in pdf["qv"] for _ in range(npb)
+                            ],
+                            "list_id": idx.reshape(n * npb).astype("int32"),
+                        }
+                    )
+
+            probes = qn.mapInPandas(
+                assign, "qi long, qv array<double>, list_id int"
+            )
+        else:
+            d2c = F.aggregate(
+                F.zip_with(
+                    F.col("centroid"),
+                    F.col("qv"),
+                    lambda c, x: (c - x) * (c - x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("qv"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            )
+            unit = qn.select(
+                "qi",
+                F.transform(
+                    "qv", lambda x: x / F.greatest(nrm, F.lit(1e-12))
+                ).alias("qv"),
+            )
+            w = Window.partitionBy("qi").orderBy(
+                F.asc("d2"), F.asc("list_id")
+            )
+            probes = (
+                unit.crossJoin(self._centroid_df)
+                .select("qi", "qv", "list_id", d2c.alias("d2"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= npb)
+                .select("qi", "qv", "list_id")
+            )
+        qgrp = probes.groupBy("list_id").agg(
+            F.collect_list(F.struct("qi", "qv")).alias("qxs")
+        )
+        cgrp = self.table.groupBy("list_id").agg(
+            F.collect_list(
+                F.struct(
+                    F.col(self.id_col).alias("i"),
+                    F.col(self.vec_col).cast("array<double>").alias("v"),
+                )
+            ).alias("cxs")
+        )
+        joined = cgrp.join(qgrp, "list_id").select("cxs", "qxs")
+        local = joined.mapInPandas(
+            _grouped_topk_kernel(int(k)),
+            "q_id long, vec_id long, cosine double",
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id")
+        )
+        return (
+            local.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select("q_id", "vec_id", "cosine", "rank")
         )

@@ -732,3 +732,27 @@ def test_brute_force_topk_batch_matches_per_query(spark):
         sub = got[got["q_id"] == 100 + j].sort_values("rank")
         assert list(sub["vec_id"]) == list(want["vec_id"])
         assert np.allclose(sub["cosine"], want["cosine"], atol=1e-9)
+
+
+def test_ivf_topk_batch_matches_per_query(spark):
+    import numpy as np
+
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(29)
+    V = rng.standard_normal((120, 16))
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = similarity.IvfAnnIndex(emb, n_lists=8, seed=7, persist=False)
+    queries = spark.createDataFrame(
+        [(200 + j, V[j * 11].tolist()) for j in range(4)],
+        "q_id long, q_vec array<double>",
+    )
+    got = ivf.topk_batch(queries, k=5, nprobe=3).toPandas()
+    for j in range(4):
+        want = ivf.topk(V[j * 11].tolist(), k=5, nprobe=3).toPandas()
+        sub = got[got["q_id"] == 200 + j].sort_values("rank")
+        assert list(sub["vec_id"]) == list(want["vec_id"])
+        assert np.allclose(sub["cosine"], want["cosine"], atol=1e-9)
