@@ -234,6 +234,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", required=True)
     p.add_argument("--out", required=True)
 
+    p = sub.add_parser(
+        "reindex", help="ES _reindex: re-analyze live docs into a new index"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--where", default=None,
+                   help="SQL predicate over stored doc columns")
+    p.add_argument("--segments", type=int, default=0,
+                   help="new layout (0 = keep source layout)")
+    p.add_argument("--buckets", type=int, default=0)
+
     p = sub.add_parser("refresh")
     p.add_argument("--landing", required=True)
     p.add_argument("--index", required=True)
@@ -585,6 +596,26 @@ def main(argv: list[str] | None = None) -> int:
         from .index.merge import compact_index
 
         print(json.dumps(compact_index(spark, args.index, args.out), default=str))
+    elif args.cmd == "reindex":
+        from .index.build import BuildConfig
+        from .index.merge import reindex_index
+
+        cfg = None
+        if args.segments or args.buckets:
+            import json as _json
+
+            with open(f"{args.index}/meta.json") as fh:
+                m = _json.load(fh)
+            cfg = BuildConfig(
+                n_segments=args.segments or int(m["n_segments"]),
+                n_buckets=args.buckets or int(m["n_buckets"]),
+                store_positions=bool(m.get("store_positions")),
+            )
+        out = reindex_index(
+            spark, args.index, args.out, config=cfg,
+            where=F.expr(args.where) if args.where else None,
+        )
+        print(json.dumps(out, default=str))
     elif args.cmd == "refresh":
         from .datagen import TRANSCRIPTS_SCHEMA
         from .streaming.refresh import incremental_refresh

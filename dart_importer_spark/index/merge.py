@@ -472,3 +472,69 @@ def compact_index(
         "n_tombstones_dropped": int(tomb_n),
         "elapsed_sec": time.time() - t0,
     }
+
+
+def reindex_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    config=None,
+    where=None,
+    force: bool = False,
+) -> dict:
+    """ES ``_reindex``: rebuild ``src_dir``'s LIVE documents (tombstones
+    applied, optional ``where`` filter — reindex-with-query) into a fresh
+    index at ``out_dir``, optionally under a new layout ``config`` (the
+    change-shards / change-analysis use of reindex). The source must store
+    every analyzed field's source column in doc_stats (built with the
+    field in ``meta_cols``); shingle subfields (``src._Ngram``) are
+    re-derived, not copied.
+
+    Plan shape: one doc_stats scan (anti-joined against tombstones) ->
+    the normal build pipeline. No postings are copied — reindex is a
+    re-analysis, exactly like ES (copying compacted runs instead is
+    compact_index's job)."""
+    import re as _re
+
+    from .build import BuildConfig, build_index
+    from ..query.engine import InvertedIndex
+
+    if os.path.realpath(out_dir) == os.path.realpath(src_dir):
+        raise ValueError("reindex_index: out_dir must differ from src_dir")
+    ix = InvertedIndex(spark, src_dir)
+    meta = ix.meta
+    keys = list(meta.get("doc_key_cols") or ["conv_id", "turn_idx"])
+    meta_cols = list(meta.get("meta_cols") or [])
+    fields = list(meta.get("fields") or ["text"])
+    base_fields, shingles = [], []
+    for f in fields:
+        m = _re.fullmatch(r"(.+)\._(\d+)gram", f)
+        if m:
+            shingles.append((m.group(1), int(m.group(2))))
+        else:
+            base_fields.append(f)
+    stored = set(keys) | set(meta_cols)
+    missing = [f for f in base_fields if f not in stored]
+    if missing:
+        raise ValueError(
+            f"reindex needs the analyzed field source(s) {missing} stored "
+            f"in doc_stats — rebuild the source index with them in "
+            f"meta_cols"
+        )
+    cols = list(dict.fromkeys(keys + meta_cols + base_fields))
+    docs = ix._live(ix.doc_stats()).select(*cols)
+    if where is not None:
+        docs = docs.filter(where)
+    cfg = config or BuildConfig(
+        n_segments=int(meta["n_segments"]),
+        n_buckets=int(meta["n_buckets"]),
+        store_positions=bool(meta.get("store_positions")),
+    )
+    kwargs: dict = {"doc_key_cols": tuple(keys), "meta_cols": tuple(meta_cols)}
+    if len(base_fields) > 1:
+        kwargs["text_cols"] = tuple(base_fields)
+    else:
+        kwargs["text_col"] = base_fields[0]
+    if shingles:
+        kwargs["shingle_fields"] = tuple(shingles)
+    return build_index(spark, docs, out_dir, cfg, force=force, **kwargs)

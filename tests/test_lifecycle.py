@@ -161,3 +161,61 @@ def test_empty_build_refuses_to_overwrite_live_tables(spark, tmp_path):
         build_index(spark, empty, out, BuildConfig(n_segments=2, n_buckets=4))
     # the data tables survived the refused attempt
     assert spark.read.parquet(f"{out}/doc_stats").count() == 2
+
+
+def test_reindex_rebuilds_live_docs(spark, tmp_path):
+    from dart_importer_spark.index.merge import reindex_index
+
+    tx = generate_transcripts(spark, 30)
+    src = str(tmp_path / "re_src")
+    build_index(
+        spark, tx, src, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("role", "tool", "ts", "text"),
+    )
+    ix = InvertedIndex(spark, src)
+    ix.delete_by_query(F.col("role") == "tool")
+    live = ix.count()
+
+    out = str(tmp_path / "re_out")
+    m = reindex_index(spark, src, out)
+    assert m["n_docs"] == live
+    ix2 = InvertedIndex(spark, out)
+    assert ix2.count() == live
+    # rank-identical on the live corpus (reindex = re-analysis, no
+    # drift); doc ids are reassigned densely, so compare by stable keys
+    am = [(r["conv_id"], r["turn_idx"])
+          for r in ix.topk("the and", k=10, with_meta=True)
+          .select("conv_id", "turn_idx").collect()]
+    bm = [(r["conv_id"], r["turn_idx"])
+          for r in ix2.topk("the and", k=10, with_meta=True)
+          .select("conv_id", "turn_idx").collect()]
+    assert am == bm
+
+    # reindex-with-query: only assistant turns survive
+    out2 = str(tmp_path / "re_out2")
+    reindex_index(spark, src, out2, where=F.col("role") == "assistant")
+    ix3 = InvertedIndex(spark, out2)
+    assert 0 < ix3.count() < live
+
+    # new layout on the way through
+    from dart_importer_spark.index.merge import reindex_index as ri
+    out3 = str(tmp_path / "re_out3")
+    ri(spark, src, out3,
+       config=BuildConfig(n_segments=3, n_buckets=2))
+    assert InvertedIndex(spark, out3).meta["n_segments"] == 3
+
+    # refuses without the stored text source
+    bare = str(tmp_path / "re_bare")
+    build_index(spark, tx, bare, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("role",))
+    with pytest.raises(ValueError, match="stored"):
+        reindex_index(spark, bare, str(tmp_path / "re_never"))
+    with pytest.raises(ValueError, match="differ"):
+        reindex_index(spark, src, src)
+
+    # CLI wrapper: new layout via flags
+    from dart_importer_spark.cli import main
+    out4 = str(tmp_path / "re_out4")
+    assert main(["reindex", "--index", src, "--out", out4,
+                 "--segments", "2", "--where", "role = 'user'"]) == 0
+    assert InvertedIndex(spark, out4).count() > 0
