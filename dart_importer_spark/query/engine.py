@@ -2127,6 +2127,35 @@ class InvertedIndex:
             .orderBy(F.asc("term"))
         )
 
+    def mtermvectors(
+        self, keys: Sequence[tuple], field: str | int | None = None
+    ) -> DataFrame:
+        """ES _mtermvectors: term vectors for SEVERAL documents in one
+        pass — one multi-key broadcast lookup (get_by_keys) + one
+        tokenize/explode/count, instead of len(keys) point jobs. Rows
+        (key cols..., term, tf), term-ascending within a document."""
+        from ..functions.tokenizer import tokenize_col
+
+        col = self.fields[self._fid(field)]
+        if "._" in col:
+            raise ValueError(
+                "mtermvectors: use the base field, not a shingle subfield"
+            )
+        key_cols = list(self.meta.get("doc_key_cols") or [])
+        docs = self.get_by_keys(list(keys))
+        if col not in docs.columns:
+            raise ValueError(
+                f"mtermvectors needs {col!r} stored in meta_cols"
+            )
+        return (
+            docs.select(
+                *key_cols, F.explode(tokenize_col(F.col(col))).alias("term")
+            )
+            .groupBy(*key_cols, "term")
+            .agg(F.count("*").alias("tf"))
+            .orderBy(*[F.asc(c) for c in key_cols], F.asc("term"))
+        )
+
     def _match_meta(self, query, field, cols, filters=None):
         """Match-set doc_ids (docs containing ANY analyzed query term)
         joined with the named doc_stats columns — the shared preamble of

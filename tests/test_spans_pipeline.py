@@ -261,6 +261,19 @@ def test_termvectors(span_index, spark, tmp_path_factory):
         InvertedIndex(spark, out).termvectors("s", 0, field="text._2gram")
 
 
+def test_mtermvectors(span_index):
+    rows = span_index.mtermvectors([("c4", 0), ("c2", 0)]).collect()
+    got = [
+        ((r["conv_id"], r["turn_idx"]), r["term"], r["tf"]) for r in rows
+    ]
+    # key-ordered, term-ascending within each doc: "b a" then "a q a"
+    assert got == [
+        (("c2", 0), "a", 1), (("c2", 0), "b", 1),
+        (("c4", 0), "a", 2), (("c4", 0), "q", 1),
+    ]
+    assert span_index.mtermvectors([]).count() == 0
+
+
 def test_histogram_filled(span_index):
     # "c" matches docs 0 (nc=100) and 5 (nc=350): bucket 200 must be zero
     rows = span_index.histogram_filled("c", "nc", 100).collect()
