@@ -756,3 +756,35 @@ def test_ivf_topk_batch_matches_per_query(spark):
         sub = got[got["q_id"] == 200 + j].sort_values("rank")
         assert list(sub["vec_id"]) == list(want["vec_id"])
         assert np.allclose(sub["cosine"], want["cosine"], atol=1e-9)
+
+
+def test_ivf_topk_batch_distributed_centroid_path(spark):
+    """Force the big-quantizer branch (centroids not held on the driver):
+    results must match the in-memory branch exactly."""
+    import numpy as np
+
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    V = rng.standard_normal((60, 8))
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = similarity.IvfAnnIndex(emb, n_lists=6, seed=3, persist=False)
+    queries = spark.createDataFrame(
+        [(0, V[5].tolist()), (1, V[30].tolist())],
+        "q_id long, q_vec array<double>",
+    )
+    mem = ivf.topk_batch(queries, k=4, nprobe=2).toPandas()
+
+    ivf._centroid_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(ivf.centroids)],
+        "list_id int, centroid array<double>",
+    )
+    ivf.centroids = None  # what load() does past DRIVER_RANK_MAX
+    dist = ivf.topk_batch(queries, k=4, nprobe=2).toPandas()
+    key = ["q_id", "rank"]
+    assert list(mem.sort_values(key)["vec_id"]) == list(
+        dist.sort_values(key)["vec_id"]
+    )
