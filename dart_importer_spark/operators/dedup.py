@@ -434,6 +434,11 @@ def embedding_near_dups(
     (``oversized_buckets``: lazy (sig, n) DataFrame; ``dropped_ids``), never
     dropped without a trace.
 
+    With ``n_tables > 1`` the oversized-bucket report is PER TABLE: an id
+    in ``dropped_ids`` lost one table's bucket but may still pair through
+    another table — the report is a recall-risk trace, not a statement of
+    global exclusion.
+
     ``n_tables`` is the recall dial that does NOT grow buckets: each table
     hashes with an independent seeded plane set, a pair is a candidate if it
     collides in ANY table, and the final ``distinct()`` collapses multi-table

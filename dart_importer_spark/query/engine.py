@@ -190,7 +190,7 @@ class InvertedIndex:
     def topk(
         self,
         query: str,
-        k: int = 10,
+        k: int | None = 10,
         mode: str = "or",
         filters: Column | None = None,
         prune: bool = True,
@@ -236,6 +236,16 @@ class InvertedIndex:
         """
         if search_after is not None and offset:
             raise ValueError("topk: search_after and offset are exclusive")
+        if k is None:
+            # k=None: ALL scored matches, UNSORTED — for consumers that
+            # re-partition anyway (sampler windows, rank fusion); skipping
+            # the global sort+limit matters when the match set is the
+            # corpus. Pruning needs a k to bound the threshold, so it is
+            # meaningless here.
+            if prune:
+                raise ValueError("topk: k=None requires prune=False")
+            if offset or search_after is not None:
+                raise ValueError("topk: k=None has no pagination")
         # reset BEFORE any early return: a reader of the ES _profile-parity
         # record must never see the previous query's plan after an
         # empty-analysis / unknown-term call
@@ -299,7 +309,9 @@ class InvertedIndex:
             ).select("doc_id")
             allowed_ids = self._bounded_ids(allowed_df)
 
-        need = k + offset  # pruning must preserve ranks up to offset+k
+        # pruning must preserve ranks up to offset+k (k=None disables
+        # pruning at the guard above; the sentinel is never used)
+        need = (k + offset) if k is not None else 0
         msm = int(min_should_match or 0)
         theta = 0.0
         if (
@@ -362,6 +374,10 @@ class InvertedIndex:
                 (F.col("score") < sa_s)
                 | ((F.col("score") == sa_s) & (F.col("doc_id") > sa_d))
             )
+        if k is None:
+            if with_meta:
+                return agg.join(self.doc_stats(), "doc_id", "inner")
+            return agg
         top = agg.orderBy(F.desc("score"), F.asc("doc_id"))
         if offset:
             top = top.offset(offset)
@@ -3904,9 +3920,10 @@ class InvertedIndex:
         if diversify_on is None:
             hits = self.topk(query, k=int(shard_size), field=field)
         else:
-            scored = self.topk(
-                query, k=int(self.n_docs), prune=False, field=field
-            )
+            # k=None: all scored matches, no global sort — the window
+            # below partition-sorts per value and only the shard_size cut
+            # needs global order
+            scored = self.topk(query, k=None, prune=False, field=field)
             dv = self.doc_stats().select("doc_id", diversify_on)
             w = Window.partitionBy(diversify_on).orderBy(
                 F.desc("score"), F.asc("doc_id")
@@ -3953,6 +3970,9 @@ class InvertedIndex:
         ratings (top-k by rating desc), like ES."""
         if len(metric) != 1:
             raise ValueError("metric must be a one-key dict")
+        ids = [str(r["id"]) for r in requests]
+        if len(set(ids)) != len(ids):
+            raise ValueError("rank_eval: request ids must be unique")
         mname, mspec = next(iter(metric.items()))
         if mname not in ("precision", "mean_reciprocal_rank", "dcg"):
             raise ValueError(f"unsupported rank_eval metric: {mname!r}")
