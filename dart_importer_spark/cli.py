@@ -462,6 +462,10 @@ def main(argv: list[str] | None = None) -> int:
                 shard_size=args.shard_size if args.shard_size > 0 else 100,
             )
         elif a == "div_sampler":
+            if not args.on:
+                raise SystemExit(
+                    "div_sampler requires --on (the de-biasing value column)"
+                )
             df = ix.sampler_agg(
                 q, by=args.by, k=k,
                 shard_size=args.shard_size if args.shard_size > 0 else 100,

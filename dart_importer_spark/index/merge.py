@@ -514,14 +514,15 @@ def reindex_index(
         else:
             base_fields.append(f)
     stored = set(keys) | set(meta_cols)
-    missing = [f for f in base_fields if f not in stored]
+    needed = list(dict.fromkeys(base_fields + [src for src, _ in shingles]))
+    missing = [f for f in needed if f not in stored]
     if missing:
         raise ValueError(
             f"reindex needs the analyzed field source(s) {missing} stored "
             f"in doc_stats — rebuild the source index with them in "
             f"meta_cols"
         )
-    cols = list(dict.fromkeys(keys + meta_cols + base_fields))
+    cols = list(dict.fromkeys(keys + meta_cols + needed))
     docs = ix._live(ix.doc_stats()).select(*cols)
     if where is not None:
         docs = docs.filter(where)

@@ -94,6 +94,11 @@ def ngram_jaccard_pairs(
     ex = sh.select("_id", F.explode("s").alias("shs")).select(
         "_id", "shs", F.xxhash64("shs").alias("h")
     )
+    # set sizes from the PRE-cap sets: the jaccard denominator must keep
+    # the true union, or a capped pair's reported value could EXCEED the
+    # true one (the cap may only shrink the numerator — that is what
+    # makes the reported jaccard a lower bound)
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
         dfs_all = ex.groupBy("h").agg(
             F.count("*").alias("df"), F.first("shs").alias("sh")
@@ -111,7 +116,6 @@ def ngram_jaccard_pairs(
     # (lazy local checkpoint: computed at the first action, executor-local
     # blocks, auto-cleaned when the DataFrame is dereferenced).
     ex = ex.select("_id", "h").localCheckpoint(eager=False)
-    sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
     if prefix_filter:
         # AllPairs/SSJoin prefix filtering (Bayardo et al., WWW'07;
         # Chaudhuri et al., ICDE'06): order every set by a global total

@@ -662,7 +662,7 @@ class IvfAnnIndex:
         (partition-pruned parquet read)."""
         from pyspark.sql.window import Window
 
-        npb = max(1, int(nprobe))
+        npb = max(1, min(int(nprobe), self.n_lists))
         qn = queries.select(
             F.col(q_id_col).alias("qi"),
             F.col(q_vec_col).cast("array<double>").alias("qv"),

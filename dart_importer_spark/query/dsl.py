@@ -571,11 +571,11 @@ def _dispatch_leaf(
     if typ == "wrapper":
         # ES wrapper query: a base64-encoded JSON query, dispatched as if
         # it appeared inline (clients that must smuggle queries through
-        # strict JSON schemas use this)
+        # strict JSON schemas use this) — fully transparent: pagination
+        # and bool legs pass through to the decoded query
         import base64
         import json as _json
 
-        plain(typ)
         try:
             inner = _json.loads(base64.b64decode(spec["query"]))
         except Exception as exc:
@@ -584,6 +584,8 @@ def _dispatch_leaf(
         return _dispatch_leaf(
             cp, inner_t, inner_s, k=k, filters=filters,
             round_scores=round_scores, offset=offset,
+            should=should, must_not=must_not, msm=msm,
+            search_after=search_after,
         )
     if typ == "constant_score":
         plain(typ)
@@ -635,9 +637,8 @@ def _dispatch_leaf(
         if len(spec) != 1:
             raise DslError("intervals: exactly one field key expected")
         fld, source = next(iter(spec.items()))
-        cp._text_field(typ, fld)
         return ix.intervals_query(
-            source, k=k, field=None if fld == "text" else fld
+            source, k=k, field=cp._text_field(typ, fld)
         )
     if typ == "span_near":
         plain(typ)
@@ -1340,12 +1341,11 @@ def _one_agg(
             raise DslError("significant_text: filtered context unsupported")
         if query is None:
             raise DslError("significant_text needs a match query context")
-        fld = spec.get("field", "text")
-        cp._text_field(typ, fld)
+        fld = spec.get("field", ix.fields[0])
         return ix.significant_text(
             query,
             k=int(spec.get("size", 10)),
-            field=None if fld == "text" else fld,
+            field=cp._text_field(typ, fld),
             min_doc_count=int(spec.get("min_doc_count", 3)),
             filter_duplicate_text=bool(
                 spec.get("filter_duplicate_text", True)

@@ -2023,15 +2023,22 @@ class InvertedIndex:
                 terms, max_gaps, bool(body.get("ordered", False)), fid
             )
         if kind in ("prefix", "wildcard", "fuzzy"):
+            # Lucene's IntervalsSource expansion budget is 128 terms; an
+            # explicit {"...", "max_expansions": N} in the source overrides
+            cap = 128
+            if isinstance(body, dict) and "max_expansions" in body:
+                cap = int(body["max_expansions"])
             if kind == "prefix":
-                tdf = self.expand_prefix_df(str(body), field)
+                pat = body["prefix"] if isinstance(body, dict) else body
+                tdf = self.expand_prefix_df(str(pat), field, cap)
             elif kind == "wildcard":
+                pat = body["wildcard"] if isinstance(body, dict) else body
                 tdf = self.expand_regexp_df(
-                    _wildcard_to_regexp(str(body)), field
+                    _wildcard_to_regexp(str(pat)), field, cap
                 )
             else:
                 tdf = self.expand_fuzzy_df(
-                    body["term"], int(body.get("fuzziness", 1)), field
+                    body["term"], int(body.get("fuzziness", 1)), field, cap
                 )
             pos = self._positions_for_terms_df(tdf, fid)
             return pos.select(
@@ -3868,7 +3875,9 @@ class InvertedIndex:
         if not qterms:
             return self.spark.createDataFrame([], out_schema)
         if sample_size is not None:
-            docs = self.topk(query, k=int(sample_size)).select("doc_id")
+            docs = self.topk(
+                query, k=int(sample_size), field=field
+            ).select("doc_id")
         else:
             docs = self._docs_for_terms(qterms, fid)
         if filter_duplicate_text:

@@ -788,3 +788,24 @@ def test_ivf_topk_batch_distributed_centroid_path(spark):
     assert list(mem.sort_values(key)["vec_id"]) == list(
         dist.sort_values(key)["vec_id"]
     )
+
+
+def test_ivf_topk_batch_clamps_nprobe(spark):
+    import numpy as np
+
+    from dart_importer_spark.operators import similarity
+
+    rng = np.random.default_rng(41)
+    V = rng.standard_normal((30, 8))
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(V)],
+        "vec_id long, embedding array<double>",
+    )
+    ivf = similarity.IvfAnnIndex(emb, n_lists=4, seed=5, persist=False)
+    q = spark.createDataFrame(
+        [(0, V[3].tolist())], "q_id long, q_vec array<double>"
+    )
+    # nprobe beyond n_lists: full probe, no reshape crash, exact result
+    got = ivf.topk_batch(q, k=3, nprobe=99).toPandas()
+    want = similarity.brute_force_cosine_topk(emb, V[3].tolist(), k=3).toPandas()
+    assert list(got.sort_values("rank")["vec_id"]) == list(want["vec_id"])

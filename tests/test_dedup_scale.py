@@ -200,3 +200,37 @@ def test_embedding_near_dups_multi_table_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # more tables never lose pairs
     assert r4 >= 0.95  # 4 tables x 10 planes recovers (nearly) all planted
+
+
+def test_ngram_jaccard_cap_never_inflates(spark):
+    """The review counterexample: sizes must come from PRE-cap sets, or a
+    capped pair's reported jaccard can exceed the true value. A={h1,h2,x},
+    B={x,y}: true J = 1/4; with post-cap sizes the buggy value was
+    1/(1+2-1) = 0.5 — a false positive at threshold 0.5."""
+    rows = [
+        (1, "h1 h2 x"),
+        (2, "x y"),
+        (3, "h1 h2 q1"),
+        (4, "h1 h2 q2"),
+        (5, "h1 h2 q3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, shingle_n=1, max_shingle_df=3
+    ).collect()
+    assert all((r["a"], r["b"]) != (1, 2) for r in got)
+    # and every reported value is a true lower bound
+    low = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, shingle_n=1, max_shingle_df=3
+        ).collect()
+    }
+    true = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, shingle_n=1
+        ).collect()
+    }
+    for pair, v in low.items():
+        assert v <= true[pair] + 1e-12

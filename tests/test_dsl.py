@@ -885,3 +885,40 @@ def test_wrapper_and_match_none(built_index):
     assert built_index.search({"query": {"match_none": {}}}).count() == 0
     with pytest.raises(DslError):
         built_index.search({"query": {"wrapper": {"query": "!!notb64json"}}})
+
+
+def test_intervals_and_sig_text_resolve_nonprimary_field(spark, tmp_path_factory):
+    """Review regression: on a multi-field index where 'text' is NOT
+    fields[0], intervals/significant_text bodies naming 'text' must hit
+    the text postings, not silently run against fields[0]."""
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c", 0, "zebra yak", "alpha beta gamma"),
+        ("c", 1, "zebra emu", "alpha delta"),
+        ("c", 2, "walrus emu", "beta gamma"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, title string, text string"
+    )
+    out = str(tmp_path_factory.mktemp("mf") / "idx")
+    build_index(
+        spark, df, out,
+        BuildConfig(n_segments=1, n_buckets=4, store_positions=True),
+        text_cols=("title", "text"), meta_cols=("text",),
+    )
+    ix = InvertedIndex(spark, out)
+    assert ix.fields[0] == "title"
+    got = ix.search({"query": {"intervals": {"text": {
+        "match": {"query": "beta gamma", "max_gaps": 0, "ordered": True}
+    }}}, "size": 10})
+    assert [r["doc_id"] for r in got.collect()] == [0, 2]
+    # 'beta gamma' never appears in title — the old bug returned []
+    sig = ix.search_aggs({
+        "query": {"match": {"text": "beta"}},
+        "aggs": {"kw": {"significant_text": {
+            "field": "text", "size": 5, "min_doc_count": 1,
+        }}},
+    })["kw"]
+    assert {r["term"] for r in sig.collect()} & {"beta", "gamma"}
