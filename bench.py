@@ -118,6 +118,25 @@ HEADLINE = [
 ]
 
 
+def _host_microbench() -> dict:
+    """Host-state stamp for every recorded run: this box is multi-tenant
+    with measured 10-50x swings on UNCHANGED queries between back-to-back
+    runs (BENCH.md). Single-thread streaming bandwidth has ranged
+    0.5-6.0 GB/s within one session — a run's timings are only
+    interpretable next to the host state they were taken under."""
+    import numpy as np
+
+    a = np.random.rand(32_000_000)
+    t0 = time.time()
+    a.sum()
+    bw = a.nbytes / max(time.time() - t0, 1e-9) / 1e9
+    b = np.random.rand(1200, 1200)
+    t0 = time.time()
+    b @ b
+    gflops = 2 * 1200**3 / max(time.time() - t0, 1e-9) / 1e9
+    return {"mem_bw_gbps": round(bw, 2), "matmul_gflops": round(gflops, 1)}
+
+
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
     try:
@@ -231,6 +250,7 @@ def main() -> None:
                 "build_turns_per_sec": build_turns_per_sec,
                 "build_samples": samples,  # best-of-3; spread shows host noise
                 "query_samples": query_samples,  # best-of-3 tracked queries
+                "host_state": _host_microbench(),  # normalize across runs
                 "cpus": CPUS,
             }
         )
