@@ -1192,6 +1192,47 @@ def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sm_map(state, pdf):
+    # vectorized map phase: fold one Arrow batch of (lang, n_chars) rows
+    n, en_sq, oth = state
+    en = (pdf["lang"] == "en").to_numpy()
+    ch = pdf["n_chars"].to_numpy().astype("int64")
+    return (
+        n + len(pdf),
+        en_sq + int((ch[en] * ch[en]).sum()),
+        oth + int(ch[~en].sum()),
+    )
+
+
+def q_ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _terms_enum over the indexed text field: term-dictionary prefix
+    # scan (bucket/field-pruned parquet read), sorted, first 15 — the
+    # keyword-autocomplete API
+    ix = _documents_index(spark, sf_dir)
+    return ix.terms_enum("text", string="s", size=15)
+
+
+def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES scripted_metric (init/map/combine/reduce) in its Python-callable
+    # form: a conditional two-branch metric over the match set that no
+    # single built-in agg expresses. One mapInPandas fold per partition
+    # (= ES shard), one pickled partial each, driver-side reduce — the
+    # coordinating-node shape. Integer arithmetic throughout so the DuckDB
+    # oracle is exact.
+    ix = _documents_index(spark, sf_dir)
+    result = ix.scripted_metric(
+        "data",
+        cols=["lang", "n_chars"],
+        init_fn=lambda: (0, 0, 0),
+        map_fn=_sm_map,
+        combine_fn=lambda s: s,
+        reduce_fn=lambda ps: tuple(int(sum(x)) for x in zip(*ps)),
+    )
+    return spark.createDataFrame(
+        [result], "n long, en_sq long, other_chars long"
+    )
+
+
 def q_ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES search_after keyset pagination: page 2 via the last hit of page 1
     ix = _documents_index(spark, sf_dir)
@@ -1835,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rare_terms": q_ft_rare_terms,
         "ft_adjacency": q_ft_adjacency,
         "ft_weighted_avg": q_ft_weighted_avg,
+        "ft_terms_enum": q_ft_terms_enum,
+        "ft_scripted_metric": q_ft_scripted_metric,
         "ft_value_count": q_ft_value_count,
         "ft_boxplot": q_ft_boxplot,
         "ft_mad": q_ft_mad,
@@ -3060,6 +3103,21 @@ SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
        count(*) AS doc_count
 FROM hits JOIN meta USING (did)
 GROUP BY 1 ORDER BY bucket ASC LIMIT 1000
+""",
+        "ft_terms_enum": _DOCS_CTE
+        + """
+SELECT DISTINCT term FROM tok WHERE term LIKE 's%'
+ORDER BY term LIMIT 15
+""",
+        "ft_scripted_metric": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT count(*) AS n,
+       CAST(coalesce(sum(CASE WHEN lang = 'en'
+                          THEN n_chars * n_chars END), 0) AS BIGINT) AS en_sq,
+       CAST(coalesce(sum(CASE WHEN lang <> 'en'
+                          THEN n_chars END), 0) AS BIGINT) AS other_chars
+FROM hits JOIN docs USING (did)
 """,
         "ft_stats": _DOCS_CTE
         + """

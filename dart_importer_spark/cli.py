@@ -222,6 +222,16 @@ def main(argv: list[str] | None = None) -> int:
                    help='JSON {"requests": [{"id", "query", "ratings":'
                         ' {doc_id: rating}}], "metric": {...}}')
 
+    p = sub.add_parser(
+        "terms-enum", help="ES _terms_enum: enumerate a field's terms"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--field", required=True)
+    p.add_argument("--string", default=None, help="prefix to match")
+    p.add_argument("--size", type=int, default=10)
+    p.add_argument("--case-insensitive", action="store_true")
+    p.add_argument("--search-after", default=None)
+
     p = sub.add_parser("count")
     p.add_argument("--index", required=True)
     p.add_argument("--where", default=None)
@@ -585,6 +595,16 @@ def main(argv: list[str] | None = None) -> int:
         ]
         for r in ix.rank_eval(reqs, body["metric"]).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "terms-enum":
+        from .query.engine import InvertedIndex
+
+        ix = InvertedIndex(spark, args.index)
+        rows = ix.terms_enum(
+            args.field, string=args.string, size=args.size,
+            case_insensitive=args.case_insensitive,
+            search_after=args.search_after,
+        ).collect()
+        print(json.dumps({"terms": [r["term"] for r in rows]}))
     elif args.cmd == "count":
         from .query.engine import InvertedIndex
 

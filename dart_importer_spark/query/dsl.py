@@ -1539,6 +1539,19 @@ def _one_agg(
             sources=sources, size=int(spec.get("size", 10)),
             after=after_t, **base,
         )
+    if typ == "scripted_metric":
+        # ES ships Painless source strings here; there is no Painless
+        # runtime on Spark, and silently mis-running a script would be
+        # worse than refusing. The same four-phase contract is available
+        # as Python callables (vectorized per Arrow batch) via
+        # InvertedIndex.scripted_metric(init_fn, map_fn, combine_fn,
+        # reduce_fn).
+        raise DslError(
+            "scripted_metric: Painless scripts are not executable on this "
+            "engine — pass Python callables to "
+            "InvertedIndex.scripted_metric(query, cols, init_fn, map_fn, "
+            "combine_fn, reduce_fn) instead"
+        )
     raise DslError(f"unsupported aggregation type: {typ!r}")
 
 

@@ -34,7 +34,7 @@ import json
 import math
 import os
 import re
-from typing import Iterator, Sequence
+from typing import Any, Callable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -1141,6 +1141,51 @@ class InvertedIndex:
             allowed = self.doc_stats().filter(filters).select("doc_id")
             out = out.join(allowed, "doc_id", "left_semi")
         return out.orderBy(F.asc("doc_id")).limit(k)
+
+    def terms_enum(
+        self,
+        field: str,
+        string: str | None = None,
+        size: int = 10,
+        case_insensitive: bool = False,
+        search_after: str | None = None,
+    ) -> DataFrame:
+        """ES ``_terms_enum``: enumerate a field's terms that start with
+        ``string``, sorted, first ``size`` — the keyword-field autocomplete
+        API. Two paths, both the honest ES cost:
+
+        - an INDEXED field (``self.fields``): read the term dictionary —
+          bucket/field-partitioned parquet, so the scan prunes to the
+          field's directories and the prefix predicate pushes into
+          row-group stats. Like ES, dictionary terms may include terms
+          whose only docs are deleted (the ES docs carry the same caveat).
+          Terms are analyzer-lowercased, so ``case_insensitive`` only
+          lowercases the prefix.
+        - a doc_stats META column (ES keyword field): distinct over the
+          live column values — one partial-agg shuffle of the (short)
+          distinct set, column-pruned scan.
+
+        ``search_after`` resumes strictly after a term (keyset pagination,
+        same as the ES parameter). One column out: ``term``."""
+        if field in self.fields:
+            vals = self._field_dict(field).select("term")
+        else:
+            ds = self.doc_stats()
+            if field not in ds.columns:
+                raise ValueError(
+                    f"terms_enum: {field!r} is neither an indexed field "
+                    f"{self.fields} nor a doc_stats column"
+                )
+            vals = ds.select(
+                F.col(field).cast("string").alias("term")
+            ).filter(F.col("term").isNotNull()).distinct()
+        if string:
+            pref = string.lower() if case_insensitive else string
+            col = F.lower(F.col("term")) if case_insensitive else F.col("term")
+            vals = vals.filter(col.startswith(pref))
+        if search_after is not None:
+            vals = vals.filter(F.col("term") > F.lit(str(search_after)))
+        return vals.orderBy(F.asc("term")).limit(int(size))
 
     def boosting(
         self,
@@ -2287,6 +2332,59 @@ class InvertedIndex:
             (F.col("avg") + 2 * F.col("std_deviation")).alias("std_upper"),
             (F.col("avg") - 2 * F.col("std_deviation")).alias("std_lower"),
         )
+
+    def scripted_metric(
+        self,
+        query: str | None,
+        cols: Sequence[str],
+        init_fn: Callable[[], Any],
+        map_fn: Callable[[Any, pd.DataFrame], Any],
+        combine_fn: Callable[[Any], Any] | None = None,
+        reduce_fn: Callable[[list[Any]], Any] | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> Any:
+        """ES scripted_metric aggregation, Spark-first: the user supplies the
+        same four-phase contract ES expresses in Painless
+        (init/map/combine/reduce — Running-ELK.md's ES 8.6.2 supports it as
+        the escape-hatch agg), as Python callables instead of scripts:
+
+          init_fn()                 -> state         (per partition ≙ shard)
+          map_fn(state, batch_pdf)  -> state         (per ARROW BATCH)
+          combine_fn(state)         -> partial       (per partition ≙ shard)
+          reduce_fn([partials])     -> result        (driver ≙ coordinator)
+
+        The one deliberate deviation from ES: map runs per Arrow batch
+        (a pandas.DataFrame of match-set rows with the requested doc_stats
+        ``cols``), not per document — the vectorized form is the reason to
+        run this on Spark at all, and any per-doc map is expressible as a
+        batch fold. Execution is a single ``mapInPandas`` over the match
+        set; each partition emits ONE pickled partial, so the driver
+        collects O(n_partitions) small blobs (exactly the coordinating
+        node's burden in ES) and never sees match-set rows. Empty
+        partitions still contribute combine(init()) — same as empty ES
+        shards. State/partials must be picklable; the callables travel in
+        the task closure via Spark's cloudpickle (lambdas fine).
+
+        Returns reduce_fn's value, or the raw list of partials when no
+        reduce_fn is given (ES's default reduce is also "hand back the
+        shard states")."""
+        import pickle
+
+        joined = self._match_meta(query, field, list(cols), filters)
+
+        def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            state = init_fn()
+            for pdf in batches:
+                state = map_fn(state, pdf)
+            partial = combine_fn(state) if combine_fn is not None else state
+            yield pd.DataFrame({"partial": [pickle.dumps(partial)]})
+
+        rows = joined.mapInPandas(fold, schema="partial binary").collect()
+        partials = [pickle.loads(r["partial"]) for r in rows]
+        if reduce_fn is not None:
+            return reduce_fn(partials)
+        return partials
 
     def range_agg(
         self,

@@ -809,3 +809,94 @@ def test_ivf_topk_batch_clamps_nprobe(spark):
     got = ivf.topk_batch(q, k=3, nprobe=99).toPandas()
     want = similarity.brute_force_cosine_topk(emb, V[3].tolist(), k=3).toPandas()
     assert list(got.sort_values("rank")["vec_id"]) == list(want["vec_id"])
+
+
+# --- scripted_metric: ES init/map/combine/reduce as Python callables ------
+def _sm_fns():
+    def init():
+        return {"n": 0, "user_turns": 0, "asst_docs": 0}
+
+    def map_batch(state, pdf):
+        role = pdf["role"].to_numpy()
+        state["n"] += len(pdf)
+        state["user_turns"] += int(
+            pdf["turn_idx"].to_numpy()[role == "user"].sum()
+        )
+        state["asst_docs"] += int((role == "assistant").sum())
+        return state
+
+    def combine(state):
+        return state
+
+    def reduce(partials):
+        return {
+            k: sum(p[k] for p in partials) for k in ("n", "user_turns", "asst_docs")
+        }
+
+    return init, map_batch, combine, reduce
+
+
+def test_scripted_metric_matches_pandas(built_index, src, oracle):
+    init, map_batch, combine, reduce = _sm_fns()
+    got = built_index.scripted_metric(
+        "the", cols=["role", "turn_idx"],
+        init_fn=init, map_fn=map_batch, combine_fn=combine, reduce_fn=reduce,
+    )
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    assert got == {
+        "n": len(sub),
+        "user_turns": int(sub.loc[sub["role"] == "user", "turn_idx"].sum()),
+        "asst_docs": int((sub["role"] == "assistant").sum()),
+    }
+
+
+def test_scripted_metric_partials_are_per_partition(built_index, src, oracle):
+    # no reduce_fn -> the raw shard states, one per partition (ES default
+    # reduce); their sum must equal the reduced result regardless of
+    # partitioning — the associativity contract
+    init, map_batch, combine, _ = _sm_fns()
+    partials = built_index.scripted_metric(
+        "the", cols=["role", "turn_idx"],
+        init_fn=init, map_fn=map_batch, combine_fn=combine,
+    )
+    assert isinstance(partials, list) and len(partials) >= 1
+    hits = _match_set(oracle, ["the"])
+    assert sum(p["n"] for p in partials) == len(
+        src[src["doc_id"].isin(hits)]
+    )
+
+
+def test_scripted_metric_match_all_and_no_hits(built_index):
+    init, map_batch, combine, reduce = _sm_fns()
+    # query=None = match_all over live docs
+    got = built_index.scripted_metric(
+        None, cols=["role", "turn_idx"],
+        init_fn=init, map_fn=map_batch, combine_fn=combine, reduce_fn=reduce,
+    )
+    assert got["n"] == built_index.count()
+    # a term not in the dictionary: empty match set, reduce of init states
+    empty = built_index.scripted_metric(
+        "zzzzunseenterm", cols=["role", "turn_idx"],
+        init_fn=init, map_fn=map_batch, combine_fn=combine, reduce_fn=reduce,
+    )
+    assert empty == {"n": 0, "user_turns": 0, "asst_docs": 0}
+
+
+def test_scripted_metric_dsl_refuses_painless(built_index):
+    from dart_importer_spark.query.dsl import DslError, aggs
+
+    body = {
+        "aggs": {
+            "m": {
+                "scripted_metric": {
+                    "init_script": "state.n = 0",
+                    "map_script": "state.n += 1",
+                    "combine_script": "return state",
+                    "reduce_script": "return states",
+                }
+            }
+        }
+    }
+    with pytest.raises(DslError, match="scripted_metric"):
+        aggs(built_index, body)

@@ -188,3 +188,40 @@ def test_terms_lookup(feature_index):
     assert got == [0, 1, 3, 4]
     # unknown key -> empty, not an error
     assert feature_index.terms_lookup(("zz", 9), "tag", field="tag").count() == 0
+
+
+# --- _terms_enum ----------------------------------------------------------
+def test_terms_enum_indexed_field(built_index, transcripts_pdf):
+    import re
+
+    from dart_importer_spark.functions.tokenizer import TOKEN_PATTERN
+
+    pat = re.compile(TOKEN_PATTERN)
+    all_terms = sorted(
+        {t for txt in transcripts_pdf["text"] for t in pat.findall(txt.lower())}
+    )
+    want = [t for t in all_terms if t.startswith("th")][:5]
+    got = built_index.terms_enum("text", string="th", size=5).toPandas()
+    assert list(got["term"]) == want
+
+
+def test_terms_enum_meta_column_and_pagination(built_index, transcripts_pdf):
+    roles = sorted(transcripts_pdf["role"].unique())
+    got = built_index.terms_enum("role", size=100).toPandas()
+    assert list(got["term"]) == roles
+    # keyset pagination: strictly after the first value
+    page2 = built_index.terms_enum(
+        "role", size=100, search_after=roles[0]
+    ).toPandas()
+    assert list(page2["term"]) == roles[1:]
+
+
+def test_terms_enum_case_insensitive_and_unknown_field(built_index):
+    import pytest as _pytest
+
+    ci = built_index.terms_enum("text", string="TH", size=3,
+                                case_insensitive=True).toPandas()
+    plain = built_index.terms_enum("text", string="th", size=3).toPandas()
+    assert list(ci["term"]) == list(plain["term"])
+    with _pytest.raises(ValueError, match="terms_enum"):
+        built_index.terms_enum("no_such_col")
