@@ -1204,6 +1204,29 @@ def _sm_map(state, pdf):
     )
 
 
+def q_ft_runtime_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES runtime_mappings: a query-time computed field — the script is a
+    # Spark SQL expression (this engine's scripting dialect) compiled into
+    # the Catalyst plan, never stored — used here by a terms agg over the
+    # match set
+    from dart_importer_spark.query import dsl
+
+    ix = _documents_index(spark, sf_dir)
+    return dsl.aggs(ix, {
+        "runtime_mappings": {
+            "size_class": {
+                "type": "keyword",
+                "script": {
+                    "source": "CASE WHEN n_chars >= 300 "
+                              "THEN 'long' ELSE 'short' END"
+                },
+            }
+        },
+        "query": {"match": {"text": "data"}},
+        "aggs": {"by_size": {"terms": {"field": "size_class", "size": 10}}},
+    })["by_size"]
+
+
 def q_ft_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _terms_enum over the indexed text field: term-dictionary prefix
     # scan (bucket/field-pruned parquet read), sorted, first 15 — the
@@ -1875,9 +1898,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_serial_diff": q_ft_serial_diff,
         "ft_rare_terms": q_ft_rare_terms,
         "ft_adjacency": q_ft_adjacency,
-        "ft_weighted_avg": q_ft_weighted_avg,
+        "ft_runtime_fields": q_ft_runtime_fields,
         "ft_terms_enum": q_ft_terms_enum,
         "ft_scripted_metric": q_ft_scripted_metric,
+        "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
         "ft_boxplot": q_ft_boxplot,
         "ft_mad": q_ft_mad,
@@ -3103,6 +3127,14 @@ SELECT CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
        count(*) AS doc_count
 FROM hits JOIN meta USING (did)
 GROUP BY 1 ORDER BY bucket ASC LIMIT 1000
+""",
+        "ft_runtime_fields": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS size_class,
+       count(*) AS doc_count
+FROM hits JOIN docs USING (did)
+GROUP BY 1 ORDER BY doc_count DESC, size_class ASC LIMIT 10
 """,
         "ft_terms_enum": _DOCS_CTE
         + """

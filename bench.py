@@ -93,6 +93,7 @@ HEADLINE = [
     "ft_sampler",
     "ft_div_sampler",
     "ft_sig_text",
+    "ft_runtime_fields",
     "ft_scripted_metric",
     "sim_ann_ivf",
     "tx_langid",

@@ -999,6 +999,7 @@ def search(
     :func:`aggs`."""
     if not isinstance(body, dict):
         raise DslError("body must be a dict")
+    ix = _apply_runtime(ix, body)
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
     if "retriever" in body or "knn" in body:
@@ -1157,8 +1158,37 @@ def _decorated(
     )
 
 
+def _apply_runtime(ix, body: dict):
+    """ES ``runtime_mappings`` section: compile each script.source — a
+    Spark SQL expression in this engine, the documented stand-in for
+    Painless — into a runtime-field view of the index
+    (:meth:`InvertedIndex.with_runtime_fields`). Every downstream
+    consumer of the body (filter context, aggs, sort, _source) then sees
+    the runtime fields as ordinary doc_stats columns."""
+    rm = (body or {}).get("runtime_mappings")
+    if not rm:
+        return ix
+    if not isinstance(rm, dict):
+        raise DslError("runtime_mappings must be a dict of field -> spec")
+    mappings = {}
+    for name, spec in rm.items():
+        script = spec.get("script") if isinstance(spec, dict) else None
+        src = script.get("source") if isinstance(script, dict) else script
+        if not isinstance(src, str) or not src.strip():
+            raise DslError(
+                f"runtime_mappings {name!r}: need script.source — a Spark "
+                f"SQL expression string (this engine's scripting dialect)"
+            )
+        mappings[str(name)] = src
+    try:
+        return ix.with_runtime_fields(mappings)
+    except ValueError as e:
+        raise DslError(str(e)) from e
+
+
 def count(ix, body: dict) -> int:
     """ES ``_count`` with a request body."""
+    ix = _apply_runtime(ix, body)
     cp = _Compiler(ix)
     q = (body or {}).get("query", {"match_all": {}})
     typ, spec = cp._clause(q)
@@ -1281,6 +1311,7 @@ def aggs(ix, body: dict) -> dict[str, DataFrame]:
     """Run the ``aggs`` section of an ES body: one DataFrame per named
     aggregation, each computed over the body's query context (match /
     match_all / bool{match + filter})."""
+    ix = _apply_runtime(ix, body)
     cp = _Compiler(ix)
     spec = body.get("aggs", body.get("aggregations"))
     if not isinstance(spec, dict) or not spec:

@@ -154,8 +154,60 @@ class InvertedIndex:
             return df
         return df.join(tomb, "doc_id", "left_anti")
 
+    def _doc_stats_raw(self) -> DataFrame:
+        """doc_stats WITHOUT the tombstone anti-join (callers that manage
+        dead docs themselves), runtime fields applied."""
+        ds = self.spark.read.parquet(f"{self.dir}/doc_stats")
+        for name, expr in getattr(self, "_runtime", {}).items():
+            ds = ds.withColumn(name, F.expr(expr))
+        return ds
+
     def doc_stats(self) -> DataFrame:
-        return self._live(self.spark.read.parquet(f"{self.dir}/doc_stats"))
+        return self._live(self._doc_stats_raw())
+
+    # internal columns the engine's joins/scoring depend on — a runtime
+    # field may shadow any USER meta column (ES runtime fields shadow
+    # mapped fields of the same name) but never these
+    _PROTECTED_COLS = frozenset({"doc_id", "seg", "dl"})
+
+    def with_runtime_fields(self, mappings: dict[str, str]) -> "InvertedIndex":
+        """ES ``runtime_mappings``: fields computed at query time instead of
+        stored — here each script is a **Spark SQL expression** over the
+        stored doc columns (the engine's scripting dialect, in place of
+        Painless), compiled once with ``F.expr`` into the Catalyst plan.
+
+        Returns a cheap VIEW of this index (same directory, same segment
+        tables, nothing written): ``doc_stats()`` appends the expressions
+        as projected columns, so every consumer — filter context, the
+        aggregation family, ``sort``, ``exists``, ``terms_enum``,
+        ``_source`` — sees runtime fields exactly like stored ones. This
+        is the Spark-native reading of ES's feature: a runtime field IS a
+        projection, it participates in whole-stage codegen, and filters on
+        it are evaluated inside the same scan (they cannot push to parquet
+        row-group stats — the honest cost, identical to ES, where runtime
+        fields are computed per doc at query time).
+
+        Expressions may reference earlier runtime fields (evaluated in
+        mapping order). Shadowing a stored meta column is allowed (ES
+        semantics); shadowing an engine-internal column
+        (doc_id/seg/dl) raises. Invalid expressions fail HERE, not at
+        first use."""
+        import copy
+
+        bad = set(mappings) & self._PROTECTED_COLS
+        if bad:
+            raise ValueError(
+                f"runtime fields may not shadow engine columns: {sorted(bad)}"
+            )
+        view = copy.copy(self)
+        view._runtime = {**getattr(self, "_runtime", {}), **{
+            str(k): str(v) for k, v in mappings.items()
+        }}
+        try:
+            view.doc_stats().schema  # force parse + analysis eagerly
+        except Exception as e:
+            raise ValueError(f"runtime field does not compile: {e}") from e
+        return view
 
     def term_dict(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.dir}/term_dict")
@@ -304,9 +356,7 @@ class InvertedIndex:
         allowed_df = None
         allowed_ids = None
         if filters is not None:
-            allowed_df = self.spark.read.parquet(f"{self.dir}/doc_stats").filter(
-                filters
-            ).select("doc_id")
+            allowed_df = self._doc_stats_raw().filter(filters).select("doc_id")
             allowed_ids = self._bounded_ids(allowed_df)
 
         # pruning must preserve ranks up to offset+k (k=None disables
