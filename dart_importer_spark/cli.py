@@ -207,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="run the body's aggs section instead of the hits")
     p.add_argument("--count", action="store_true",
                    help="run the body as _count instead of _search")
+    p.add_argument("--validate", action="store_true",
+                   help="ES _validate/query: compile only, report validity")
     p.add_argument("--round", type=int, default=6,
                    help="round scores to this many decimals")
     p.add_argument("--emb", default=None,
@@ -221,6 +223,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--body-file", required=True,
                    help='JSON {"requests": [{"id", "query", "ratings":'
                         ' {doc_id: rating}}], "metric": {...}}')
+
+    p = sub.add_parser(
+        "field-caps", help="ES _field_caps: per-field capabilities"
+    )
+    p.add_argument("--index", required=True)
 
     p = sub.add_parser(
         "terms-enum", help="ES _terms_enum: enumerate a field's terms"
@@ -570,7 +577,11 @@ def main(argv: list[str] | None = None) -> int:
         body = json.loads(raw)
         ix = InvertedIndex(spark, args.index)
         emb = spark.read.parquet(args.emb) if args.emb else None
-        if args.count:
+        if args.validate:
+            from .query.dsl import validate as _dsl_validate
+
+            print(json.dumps(_dsl_validate(ix, body)))
+        elif args.count:
             print(json.dumps({"count": ix.count_body(body)}))
         elif args.aggs:
             for name, df in ix.search_aggs(body).items():
@@ -595,6 +606,11 @@ def main(argv: list[str] | None = None) -> int:
         ]
         for r in ix.rank_eval(reqs, body["metric"]).collect():
             print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "field-caps":
+        from .query.engine import InvertedIndex
+
+        print(json.dumps(InvertedIndex(spark, args.index).field_caps(),
+                         indent=1))
     elif args.cmd == "terms-enum":
         from .query.engine import InvertedIndex
 

@@ -1068,6 +1068,28 @@ def search(
     return hits
 
 
+def validate(ix, body: dict) -> dict:
+    """ES ``_validate/query`` (rewrite=true form): compile the body through
+    the full dispatcher and force Catalyst analysis of the resulting plan,
+    WITHOUT executing it — returns ``{"valid": bool, "explanation": ...}``
+    instead of raising, the ES response shape. Like ES's rewrite pass this
+    may read per-term dictionary stats for scoring queries (bounded,
+    driver-side), but never scans postings or doc_stats rows."""
+    try:
+        df = search(ix, dict(body or {}))
+        df.schema  # force analysis; no job runs
+        return {"valid": True, "explanation": None}
+    except DslError as e:
+        return {"valid": False, "explanation": str(e)}
+    except (ValueError, KeyError) as e:
+        return {"valid": False, "explanation": f"{type(e).__name__}: {e}"}
+    except Exception as e:  # AnalysisException and friends
+        return {
+            "valid": False,
+            "explanation": f"{type(e).__name__}: {str(e).splitlines()[0]}",
+        }
+
+
 def _decorated(
     cp: _Compiler, kind: str, body: dict, q: dict, size: int, round_scores
 ) -> DataFrame:

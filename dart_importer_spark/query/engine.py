@@ -5407,6 +5407,42 @@ class InvertedIndex:
             "settings": {"number_of_shards": self.meta.get("n_segments")},
         }
 
+    # ES numeric/temporal type names for Spark dtypes (field_caps)
+    _ES_TYPES = {
+        "string": "keyword", "long": "long", "int": "integer",
+        "integer": "integer", "short": "short", "byte": "byte",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "timestamp": "date", "date": "date", "binary": "binary",
+    }
+
+    def field_caps(self) -> dict:
+        """ES ``_field_caps``: per-field capabilities — type, searchable,
+        aggregatable. Indexed fields are ES ``text`` (searchable, not
+        aggregatable — no doc_values on analyzed text); shingle subfields
+        report their search_as_you_type roles; doc_stats meta columns map
+        Spark dtypes onto ES field types (searchable AND aggregatable —
+        they serve filter context and the aggregation family). Runtime
+        fields (``with_runtime_fields``) appear like stored columns, as in
+        ES. Pure metadata — answered from the schema, no job runs."""
+        caps: dict[str, dict] = {}
+        for f in self.fields:
+            typ = "search_as_you_type" if "._" in f else "text"
+            caps[f] = {
+                "type": typ, "searchable": True, "aggregatable": False,
+            }
+        internal = {"doc_id", "seg", "dl"}
+        for fld in self.doc_stats().schema.fields:
+            if fld.name in internal or fld.name in caps:
+                continue
+            caps[fld.name] = {
+                "type": self._ES_TYPES.get(
+                    fld.dataType.simpleString(), fld.dataType.simpleString()
+                ),
+                "searchable": True,
+                "aggregatable": True,
+            }
+        return {"fields": dict(sorted(caps.items()))}
+
     # ----------------------------------------------------------- mutation ops
     def delete_by_query(self, filters: Column) -> int:
         """ES delete_by_query (import_dart_data.py:473-475,

@@ -197,3 +197,32 @@ def test_cli_dsl_body(spark, transcripts_df, tmp_path, capsys):
     bf.write_text(body)
     assert main(["dsl", "--index", idx, "--body-file", str(bf)]) == 0
     assert _lines(capsys) == hits
+
+
+def test_cli_field_caps_terms_enum_validate(spark, transcripts_df, tmp_path,
+                                            capsys):
+    inp = str(tmp_path / "tx_parquet5")
+    transcripts_df.write.parquet(inp)
+    idx = str(tmp_path / "idx5")
+    assert main(["build", "--input", inp, "--index", idx,
+                 "--segments", "2", "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    assert main(["field-caps", "--index", idx]) == 0
+    caps = json.loads(capsys.readouterr().out)["fields"]
+    assert caps["text"]["type"] == "text"
+    assert caps["role"]["aggregatable"] is True
+
+    assert main(["terms-enum", "--index", idx, "--field", "role"]) == 0
+    (te,) = _lines(capsys)
+    assert te["terms"] == sorted(te["terms"]) and len(te["terms"]) >= 2
+
+    good = json.dumps({"query": {"match": {"text": "the"}}})
+    assert main(["dsl", "--index", idx, "--body", good, "--validate"]) == 0
+    (v,) = _lines(capsys)
+    assert v["valid"] is True
+
+    bad = json.dumps({"query": {"bogus_clause": {}}})
+    assert main(["dsl", "--index", idx, "--body", bad, "--validate"]) == 0
+    (v,) = _lines(capsys)
+    assert v["valid"] is False and "bogus_clause" in v["explanation"]

@@ -922,3 +922,43 @@ def test_intervals_and_sig_text_resolve_nonprimary_field(spark, tmp_path_factory
         }}},
     })["kw"]
     assert {r["term"] for r in sig.collect()} & {"beta", "gamma"}
+
+
+# --- _validate/query and _field_caps ---------------------------------------
+def test_validate_query(built_index):
+    from dart_importer_spark.query.dsl import validate
+
+    ok = validate(built_index, {"query": {"match": {"text": "the"}}})
+    assert ok == {"valid": True, "explanation": None}
+    # unknown clause type -> DslError surfaced, not raised
+    bad = validate(built_index, {"query": {"nope": {}}})
+    assert bad["valid"] is False and "nope" in bad["explanation"]
+    # unknown metadata column in filter context
+    badf = validate(built_index, {"query": {"term": {"no_such": 1}}})
+    assert badf["valid"] is False
+    # broken runtime-field script caught at compile
+    rt = validate(built_index, {
+        "runtime_mappings": {"x": {"script": {"source": "bogus_col + 1"}}},
+        "query": {"match_all": {}},
+    })
+    assert rt["valid"] is False and "compile" in rt["explanation"]
+
+
+def test_field_caps(built_index):
+    caps = built_index.field_caps()["fields"]
+    assert caps["text"] == {
+        "type": "text", "searchable": True, "aggregatable": False,
+    }
+    assert caps["role"] == {
+        "type": "keyword", "searchable": True, "aggregatable": True,
+    }
+    assert caps["turn_idx"]["type"] == "integer"
+    assert caps["ts"]["type"] == "date"
+    # engine-internal columns are not user fields
+    for hidden in ("doc_id", "seg", "dl"):
+        assert hidden not in caps
+    # runtime fields appear like stored columns (ES behavior)
+    view = built_index.with_runtime_fields({"tb": "turn_idx % 3"})
+    assert view.field_caps()["fields"]["tb"] == {
+        "type": "integer", "searchable": True, "aggregatable": True,
+    }
