@@ -230,6 +230,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--index", required=True)
 
     p = sub.add_parser(
+        "stats", help="ES _stats: docs/deleted/store-size/segments"
+    )
+    p.add_argument("--index", required=True)
+
+    p = sub.add_parser(
         "terms-enum", help="ES _terms_enum: enumerate a field's terms"
     )
     p.add_argument("--index", required=True)
@@ -610,6 +615,11 @@ def main(argv: list[str] | None = None) -> int:
         from .query.engine import InvertedIndex
 
         print(json.dumps(InvertedIndex(spark, args.index).field_caps(),
+                         indent=1))
+    elif args.cmd == "stats":
+        from .query.engine import InvertedIndex
+
+        print(json.dumps(InvertedIndex(spark, args.index).index_stats(),
                          indent=1))
     elif args.cmd == "terms-enum":
         from .query.engine import InvertedIndex

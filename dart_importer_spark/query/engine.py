@@ -5443,6 +5443,36 @@ class InvertedIndex:
             }
         return {"fields": dict(sorted(caps.items()))}
 
+    def index_stats(self) -> dict:
+        """ES ``GET /index/_stats`` (primaries): docs.count (live),
+        docs.deleted (tombstoned, pending compaction), store size, and
+        segment/field/bucket layout counts. Sizes come from filesystem
+        metadata of the index directory (what ES reads from its shard
+        stores) — a driver-side walk of O(#files), never a data scan; the
+        one job is the tombstone count."""
+        tomb = self._tombstones()
+        deleted = int(tomb.count()) if tomb is not None else 0
+        sizes: dict[str, int] = {}
+        total = 0
+        for sub in sorted(os.listdir(self.dir)):
+            p = os.path.join(self.dir, sub)
+            if not os.path.isdir(p):
+                continue
+            n = 0
+            for root, _dirs, files in os.walk(p):
+                n += sum(
+                    os.path.getsize(os.path.join(root, f)) for f in files
+                )
+            sizes[sub] = n
+            total += n
+        return {
+            "docs": {"count": self.n_docs - deleted, "deleted": deleted},
+            "store": {"size_in_bytes": total, "by_table": sizes},
+            "segments": {"count": int(self.meta.get("n_segments", 0))},
+            "fields": list(self.fields),
+            "n_buckets": self.n_buckets,
+        }
+
     # ----------------------------------------------------------- mutation ops
     def delete_by_query(self, filters: Column) -> int:
         """ES delete_by_query (import_dart_data.py:473-475,

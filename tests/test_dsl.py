@@ -962,3 +962,13 @@ def test_field_caps(built_index):
     assert view.field_caps()["fields"]["tb"] == {
         "type": "integer", "searchable": True, "aggregatable": True,
     }
+
+
+def test_index_stats(built_index):
+    s = built_index.index_stats()
+    assert s["docs"]["count"] == built_index.count()
+    assert s["docs"]["deleted"] >= 0
+    assert s["store"]["size_in_bytes"] > 0
+    assert set(s["store"]["by_table"]) >= {"doc_stats", "postings", "term_dict"}
+    assert s["segments"]["count"] == 4
+    assert s["fields"] == ["text"]
