@@ -585,7 +585,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.validate:
             from .query.dsl import validate as _dsl_validate
 
-            print(json.dumps(_dsl_validate(ix, body)))
+            print(json.dumps(_dsl_validate(
+                ix, body, emb=emb,
+                emb_id_col=args.emb_id_col, emb_vec_col=args.emb_vec_col,
+            )))
         elif args.count:
             print(json.dumps({"count": ix.count_body(body)}))
         elif args.aggs:

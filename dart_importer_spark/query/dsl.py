@@ -1068,26 +1068,40 @@ def search(
     return hits
 
 
-def validate(ix, body: dict) -> dict:
+def validate(
+    ix, body: dict,
+    emb: DataFrame | None = None, emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+) -> dict:
     """ES ``_validate/query`` (rewrite=true form): compile the body through
-    the full dispatcher and force Catalyst analysis of the resulting plan,
-    WITHOUT executing it — returns ``{"valid": bool, "explanation": ...}``
-    instead of raising, the ES response shape. Like ES's rewrite pass this
-    may read per-term dictionary stats for scoring queries (bounded,
-    driver-side), but never scans postings or doc_stats rows."""
+    the full dispatcher and force Catalyst analysis of the resulting plan
+    — returns ``{"valid": bool, "explanation": ...}`` instead of raising,
+    the ES response shape. ``emb`` is the same embedding table ``search``
+    takes, so knn/retriever bodies validate against what would actually
+    run. Like ES's rewrite pass this may execute BOUNDED driver-side
+    pre-flight steps for scoring queries (per-term dictionary stats; the
+    block-max threshold bootstrap over the rarest term's postings) but
+    never a full scoring scan; the filter path's id-push probe is forced
+    to its distributed fallback (budget 0) so no id set is collected."""
+    import copy as _copy
+
+    probe = _copy.copy(ix)
+    probe.id_push_budget = 0  # take(1) instead of take(budget+1)
     try:
-        df = search(ix, dict(body or {}))
-        df.schema  # force analysis; no job runs
+        df = search(
+            probe, dict(body or {}),
+            emb=emb, emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+        )
+        df.schema  # force analysis; no result computation
         return {"valid": True, "explanation": None}
     except DslError as e:
         return {"valid": False, "explanation": str(e)}
     except (ValueError, KeyError) as e:
         return {"valid": False, "explanation": f"{type(e).__name__}: {e}"}
     except Exception as e:  # AnalysisException and friends
-        return {
-            "valid": False,
-            "explanation": f"{type(e).__name__}: {str(e).splitlines()[0]}",
-        }
+        msg = str(e)
+        first = msg.splitlines()[0] if msg else type(e).__name__
+        return {"valid": False, "explanation": f"{type(e).__name__}: {first}"}
 
 
 def _decorated(

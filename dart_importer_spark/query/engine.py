@@ -189,15 +189,20 @@ class InvertedIndex:
 
         Expressions may reference earlier runtime fields (evaluated in
         mapping order). Shadowing a stored meta column is allowed (ES
-        semantics); shadowing an engine-internal column
-        (doc_id/seg/dl) raises. Invalid expressions fail HERE, not at
-        first use."""
+        semantics — the runtime value wins in every consumer). Shadowing
+        an engine-internal column (doc_id/seg/dl) or an INDEXED text
+        field raises: scoring clauses read postings, not doc_stats, so a
+        shadow of an indexed field could not win consistently — half the
+        surface (aggs/filters) would see the runtime value while
+        match/phrase/terms_enum kept reading the index, which is worse
+        than refusing. Invalid expressions fail HERE, not at first use."""
         import copy
 
-        bad = set(mappings) & self._PROTECTED_COLS
+        bad = set(mappings) & (self._PROTECTED_COLS | set(self.fields))
         if bad:
             raise ValueError(
-                f"runtime fields may not shadow engine columns: {sorted(bad)}"
+                f"runtime fields may not shadow engine or indexed-field "
+                f"columns: {sorted(bad)}"
             )
         view = copy.copy(self)
         view._runtime = {**getattr(self, "_runtime", {}), **{
@@ -5407,10 +5412,12 @@ class InvertedIndex:
             "settings": {"number_of_shards": self.meta.get("n_segments")},
         }
 
-    # ES numeric/temporal type names for Spark dtypes (field_caps)
+    # ES field-type names for Spark dataType.simpleString() values
+    # (field_caps): bigint/smallint/tinyint are what Spark's Long/Short/
+    # ByteType actually render as
     _ES_TYPES = {
-        "string": "keyword", "long": "long", "int": "integer",
-        "integer": "integer", "short": "short", "byte": "byte",
+        "string": "keyword", "bigint": "long", "int": "integer",
+        "smallint": "short", "tinyint": "byte",
         "double": "double", "float": "float", "boolean": "boolean",
         "timestamp": "date", "date": "date", "binary": "binary",
     }
@@ -5430,9 +5437,8 @@ class InvertedIndex:
             caps[f] = {
                 "type": typ, "searchable": True, "aggregatable": False,
             }
-        internal = {"doc_id", "seg", "dl"}
         for fld in self.doc_stats().schema.fields:
-            if fld.name in internal or fld.name in caps:
+            if fld.name in self._PROTECTED_COLS or fld.name in caps:
                 continue
             caps[fld.name] = {
                 "type": self._ES_TYPES.get(

@@ -972,3 +972,41 @@ def test_index_stats(built_index):
     assert set(s["store"]["by_table"]) >= {"doc_stats", "postings", "term_dict"}
     assert s["segments"]["count"] == 4
     assert s["fields"] == ["text"]
+
+
+def test_validate_knn_body_with_emb(built_index, emb_table):
+    from dart_importer_spark.query.dsl import validate
+
+    body = {"knn": {"field": "embedding", "query_vector": QVEC, "k": 5,
+                    "num_candidates": 50}}
+    ok = validate(built_index, body, emb=emb_table)
+    assert ok == {"valid": True, "explanation": None}
+    # without the embedding table the same body is honestly un-runnable
+    missing = validate(built_index, body)
+    assert missing["valid"] is False
+
+
+def test_validate_scored_filtered_uses_distributed_probe(built_index):
+    # validate must not mutate the caller's index view and must report
+    # a scored+filtered body valid via the budget-0 (distributed) path
+    from dart_importer_spark.query.dsl import validate
+
+    before = built_index.id_push_budget
+    out = validate(built_index, {"query": {"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "filter": [{"range": {"turn_idx": {"gte": 1}}}],
+    }}})
+    assert out["valid"] is True
+    assert built_index.id_push_budget == before
+
+
+def test_runtime_field_cannot_shadow_indexed_field(built_index):
+    with pytest.raises(ValueError, match="indexed-field"):
+        built_index.with_runtime_fields({"text": "upper(role)"})
+
+
+def test_field_caps_long_type_via_runtime_field(built_index):
+    view = built_index.with_runtime_fields(
+        {"big": "cast(turn_idx as bigint)"}
+    )
+    assert view.field_caps()["fields"]["big"]["type"] == "long"
