@@ -214,3 +214,47 @@ def test_intervals_and_sampler_plans_arrow_only(built_index):
             {"precision": {"k": 5}},
         )
     )
+
+
+def test_terms_enum_prefix_pushdown_and_arrow_free(built_index):
+    """terms_enum's dictionary path must push the prefix predicate into
+    the term_dict parquet scan (StringStartsWith reaches row-group stats)
+    and stay pure-JVM; the meta path must stay column-pruned."""
+    df = built_index.terms_enum("text", string="th", size=5)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "StartsWith" in pushed or "term" in pushed, plan
+    meta = built_index.terms_enum("role", size=5)
+    mplan = _plan(meta)
+    read_schema = mplan.split("ReadSchema:")[1].splitlines()[0]
+    assert "role" in read_schema and "text" not in read_schema
+
+
+def test_scripted_metric_match_meta_plan(built_index):
+    """scripted_metric's fold is the ONLY Python node (MapInPandas), and
+    the doc_stats side of its match-set join is pruned to the requested
+    columns."""
+    joined = built_index._match_meta("the", None, ["role", "turn_idx"])
+    plan = _plan(joined)
+    assert "BatchEvalPython" not in plan
+    # doc_stats scan reads only doc_id + requested cols (find its scan by
+    # the conv_id-free ReadSchema)
+    schemas = [
+        s.splitlines()[0] for s in plan.split("ReadSchema:")[1:]
+    ]
+    ds_schemas = [s for s in schemas if "role" in s]
+    assert ds_schemas and all("conv_id" not in s for s in ds_schemas)
+
+
+def test_runtime_field_filter_plan_stays_in_scan_stage(built_index):
+    """A filter on a runtime field cannot reach row-group stats (the value
+    does not exist on disk) but must evaluate as a JVM Filter over the
+    pruned scan — no Python nodes, and the scan reads only the columns
+    the expression needs."""
+    view = built_index.with_runtime_fields({"tb": "turn_idx % 3"})
+    df = view.doc_stats().filter(F.col("tb") == 1).select("doc_id")
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "turn_idx" in read_schema and "conv_id" not in read_schema
