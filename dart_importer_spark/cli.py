@@ -217,6 +217,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--emb-vec-col", default="embedding")
 
     p = sub.add_parser(
+        "msearch", help="ES _msearch: an NDJSON file of header/body lines"
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--body-file", required=True,
+                   help="NDJSON: alternating header and body lines "
+                        "(headers may be empty {}; single-index engine)")
+    p.add_argument("--round", type=int, default=6)
+
+    p = sub.add_parser(
         "rank-eval", help="ES _rank_eval: score ranked results vs ratings"
     )
     p.add_argument("--index", required=True)
@@ -603,6 +612,24 @@ def main(argv: list[str] | None = None) -> int:
             )
             for r in df.collect():
                 print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "msearch":
+        from .query.dsl import msearch as _dsl_msearch
+        from .query.engine import InvertedIndex
+
+        lines = [
+            json.loads(s) for s in open(args.body_file)
+            if s.strip()
+        ]
+        if len(lines) % 2:
+            raise SystemExit(
+                "msearch: NDJSON must alternate header and body lines"
+            )
+        bodies = {f"s{i}": lines[2 * i + 1] for i in range(len(lines) // 2)}
+        ix = InvertedIndex(spark, args.index)
+        for qid, df in _dsl_msearch(ix, bodies, round_scores=args.round).items():
+            for r in df.collect():
+                print(json.dumps({"query_id": qid, **r.asDict()},
+                                 default=str))
     elif args.cmd == "rank-eval":
         from .query.engine import InvertedIndex
 

@@ -226,3 +226,29 @@ def test_cli_field_caps_terms_enum_validate(spark, transcripts_df, tmp_path,
     assert main(["dsl", "--index", idx, "--body", bad, "--validate"]) == 0
     (v,) = _lines(capsys)
     assert v["valid"] is False and "bogus_clause" in v["explanation"]
+
+
+def test_cli_msearch_ndjson(spark, transcripts_df, tmp_path, capsys):
+    inp = str(tmp_path / "tx_parquet6")
+    transcripts_df.write.parquet(inp)
+    idx = str(tmp_path / "idx6")
+    assert main(["build", "--input", inp, "--index", idx,
+                 "--segments", "2", "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    nd = tmp_path / "msearch.ndjson"
+    nd.write_text("\n".join([
+        "{}",
+        json.dumps({"query": {"match": {"text": "the"}}, "size": 3}),
+        "{}",
+        json.dumps({"query": {"term": {"role": "user"}}, "size": 2}),
+    ]) + "\n")
+    assert main(["msearch", "--index", idx, "--body-file", str(nd)]) == 0
+    rows = _lines(capsys)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"s0", "s1"}
+    assert len(by_q["s0"]) == 3 and len(by_q["s1"]) == 2
+    scores = [r["score"] for r in by_q["s0"]]
+    assert scores == sorted(scores, reverse=True)

@@ -1010,3 +1010,46 @@ def test_field_caps_long_type_via_runtime_field(built_index):
         {"big": "cast(turn_idx as bigint)"}
     )
     assert view.field_caps()["fields"]["big"]["type"] == "long"
+
+
+# --- _msearch over full request bodies -------------------------------------
+def test_msearch_bodies_match_individual_search(built_index):
+    from dart_importer_spark.query.dsl import msearch, search
+
+    bodies = {
+        "a": {"query": {"match": {"text": "the"}}, "size": 5},
+        "b": {"query": {"match": {"text": {"query": "the and",
+                                           "operator": "and"}}}, "size": 5},
+        "c": {"query": {"bool": {
+            "must": [{"match": {"text": "the"}}],
+            "filter": [{"term": {"role": "user"}}],
+        }}, "size": 5},
+        "d": {"query": {"term": {"role": "tool"}}, "size": 3},
+    }
+    got = msearch(built_index, bodies, round_scores=6)
+    assert set(got) == set(bodies)
+    for qid, body in bodies.items():
+        want = search(built_index, body, round_scores=6).toPandas()
+        have = got[qid].toPandas()
+        assert list(have["doc_id"]) == list(want["doc_id"]), qid
+        assert list(have["score"]) == list(want["score"]), qid
+
+
+def test_msearch_bodies_batches_kernel_once(built_index, monkeypatch):
+    # the two same-shape match bodies must share ONE kernel invocation
+    from dart_importer_spark.query import dsl
+
+    calls = []
+    orig = type(built_index).msearch
+
+    def spy(self, queries, **kw):
+        calls.append(dict(queries))
+        return orig(self, queries, **kw)
+
+    monkeypatch.setattr(type(built_index), "msearch", spy)
+    dsl.msearch(built_index, {
+        "x": {"query": {"match": {"text": "the"}}, "size": 5},
+        "y": {"query": {"match": {"text": "and"}}, "size": 5},
+        "z": {"query": {"term": {"role": "user"}}, "size": 5},
+    })
+    assert len(calls) == 1 and set(calls[0]) == {"x", "y"}
