@@ -1000,6 +1000,17 @@ def search(
     if not isinstance(body, dict):
         raise DslError("body must be a dict")
     ix = _apply_runtime(ix, body)
+    pit = body.get("pit")
+    if pit is not None:
+        # ES carries {"pit": {"id": ..., "keep_alive": ...}}; the id here
+        # is open_pit()'s snapshot dict (keep_alive has no meaning — the
+        # snapshot lives until compaction drops its tombstone files)
+        spec = pit.get("id", pit) if isinstance(pit, dict) else None
+        if not isinstance(spec, dict) or "tombstone_files" not in spec:
+            raise DslError(
+                "pit: expected {'id': <InvertedIndex.open_pit() result>}"
+            )
+        ix = ix.with_pit(spec)
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
     if "retriever" in body or "knn" in body:

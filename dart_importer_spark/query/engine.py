@@ -139,7 +139,24 @@ class InvertedIndex:
     def _tombstones(self) -> DataFrame | None:
         """Deleted doc_ids awaiting physical drop at the next compaction —
         ES-style delete semantics (deleted docs vanish from results at once;
-        df/N/avgdl stay stale until merge, as in Lucene)."""
+        df/N/avgdl stay stale until merge, as in Lucene). A PIT view
+        (:meth:`with_pit`) pins this to the tombstone files that existed
+        when the PIT was opened, so deletes issued after the snapshot do
+        not affect its results."""
+        pit = getattr(self, "_pit", None)
+        if pit is not None:
+            if not pit:
+                return None
+            missing = [f for f in pit if not os.path.exists(f)]
+            if missing:
+                raise RuntimeError(
+                    f"point-in-time expired: {len(missing)} tombstone "
+                    f"file(s) were dropped by compaction since open_pit() "
+                    f"(first: {missing[0]})"
+                )
+            return (
+                self.spark.read.parquet(*pit).select("doc_id").distinct()
+            )
         path = os.path.join(self.dir, "tombstones")
         if not os.path.isdir(path):
             return None
@@ -147,6 +164,37 @@ class InvertedIndex:
             return self.spark.read.parquet(path).select("doc_id").distinct()
         except Exception:
             return None
+
+    def open_pit(self) -> dict:
+        """ES ``open point in time``: freeze the search view. Segments are
+        immutable and deletes are append-only tombstone files, so the
+        whole snapshot is just the LIST of tombstone files that exist
+        right now (the Iceberg-snapshot reading: a PIT pins the delete-
+        file manifest). Returns an id dict for :meth:`with_pit`. The
+        snapshot stays valid until ``merge.compact_index`` physically
+        drops tombstones — a PIT search after that raises with an
+        explicit 'expired' error (ES PITs likewise die when their
+        segment refs are released)."""
+        path = os.path.join(self.dir, "tombstones")
+        files: list[str] = []
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return {"tombstone_files": files}
+
+    def with_pit(self, pit: dict) -> "InvertedIndex":
+        """A view of this index whose live set is pinned to ``pit`` (from
+        :meth:`open_pit`): deletes issued after the snapshot are invisible,
+        so search_after pagination stays consistent across concurrent
+        delete_by_query — the ES PIT + search_after contract."""
+        import copy
+
+        view = copy.copy(self)
+        view._pit = list(pit.get("tombstone_files", []))
+        return view
 
     def _live(self, df: DataFrame) -> DataFrame:
         tomb = self._tombstones()

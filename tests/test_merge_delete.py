@@ -134,3 +134,67 @@ def test_compaction_oversized_tombstones_anti_join_path(
     assert a.n_docs == b.n_docs
     for q in QUERIES:
         assert _topk_rows(a, q) == _topk_rows(b, q), q
+
+
+def test_point_in_time_pins_deletes(spark, built_index, tmp_path):
+    """ES PIT + search_after: a snapshot opened before a delete keeps
+    returning the deleted docs (consistent deep pagination), while the
+    live index drops them immediately; compaction expires the PIT with
+    an explicit error."""
+    import os
+
+    dst = str(tmp_path / "pit_idx")
+    shutil.copytree(built_index.dir, dst)
+    ix = InvertedIndex(spark, dst)
+
+    pit0 = ix.open_pit()           # before any delete: no tombstone files
+    n0 = ix.count()
+    n_tool = ix.delete_by_query(F.col("role") == "tool")
+    assert n_tool > 0
+
+    snap = ix.with_pit(pit0)
+    assert snap.count() == n0                      # snapshot: pre-delete view
+    assert ix.count() == n0 - n_tool               # live: post-delete view
+    assert snap.match_all().filter(F.col("role") == "tool").count() == n_tool
+
+    # a PIT opened AFTER the delete sees the delete, and pins out any
+    # further deletes
+    pit1 = ix.open_pit()
+    assert len(pit1["tombstone_files"]) > 0
+    snap1 = ix.with_pit(pit1)
+    more = ix.delete_by_query(F.col("role") == "user")
+    assert more > 0
+    assert snap1.count() == n0 - n_tool
+    assert ix.count() == n0 - n_tool - more
+
+    # expiry: dropping a snapshot's tombstone file (what compaction does)
+    # must raise an explicit 'expired' error, never silently resurrect
+    os.remove(pit1["tombstone_files"][0])
+    with pytest.raises(RuntimeError, match="expired"):
+        snap1.count()
+    # the empty-snapshot PIT (pit0) is unaffected by tombstone drops
+    assert snap.count() == n0
+
+
+def test_pit_in_search_body(spark, built_index, tmp_path):
+    """The ES body form: {"pit": {"id": <open_pit() dict>}} pins the
+    search view through the DSL dispatcher."""
+    from dart_importer_spark.query.dsl import DslError, search
+
+    dst = str(tmp_path / "pit_dsl_idx")
+    shutil.copytree(built_index.dir, dst)
+    ix = InvertedIndex(spark, dst)
+    pit = ix.open_pit()
+    before = {
+        r["doc_id"] for r in search(ix, {
+            "query": {"term": {"role": "tool"}}, "size": 10000,
+        }).collect()
+    }
+    assert before
+    ix.delete_by_query(F.col("role") == "tool")
+    body = {"query": {"term": {"role": "tool"}}, "size": 10000}
+    assert search(ix, body).count() == 0
+    pinned = search(ix, {**body, "pit": {"id": pit}})
+    assert {r["doc_id"] for r in pinned.collect()} == before
+    with pytest.raises(DslError, match="pit"):
+        search(ix, {**body, "pit": {"id": "not-a-snapshot"}})
