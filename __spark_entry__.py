@@ -1256,6 +1256,22 @@ def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES helpers.scan — the scroll iterator the reference drains whole
+    # indexes with (import_dart_data.py:562, test.py:72-80) — as its
+    # distributed form scan_df: the snapshot-pinned, unscored filter-
+    # context match set with the _source columns projected (match_all /
+    # pure-filter bodies compile to ONE pruned doc_stats scan, no join)
+    ix = _documents_index(spark, sf_dir)
+    return ix.scan_df({
+        "query": {"bool": {
+            "must": [{"match": {"text": "data merge"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }},
+        "_source": ["src_id", "lang"],
+    }).orderBy("doc_id")
+
+
 def q_ft_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES search_after keyset pagination: page 2 via the last hit of page 1
     ix = _documents_index(spark, sf_dir)
@@ -1901,6 +1917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_runtime_fields": q_ft_runtime_fields,
         "ft_terms_enum": q_ft_terms_enum,
         "ft_scripted_metric": q_ft_scripted_metric,
+        # --- position 50+: replica+pytest evidence (outside the driver's
+        # --- first-50 sample window) ---
+        "ft_scan": q_ft_scan,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
         "ft_boxplot": q_ft_boxplot,
@@ -3150,6 +3169,19 @@ SELECT count(*) AS n,
        CAST(coalesce(sum(CASE WHEN lang <> 'en'
                           THEN n_chars END), 0) AS BIGINT) AS other_chars
 FROM hits JOIN docs USING (did)
+""",
+        "ft_scan": _DOCS_CTE
+        + """
+, meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         doc_id AS src_id, lang
+  FROM documents
+),
+hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge'))
+SELECT m.did AS doc_id, m.src_id AS src_id, m.lang AS lang
+FROM hits h JOIN meta m ON m.did = h.did
+WHERE m.lang = 'en'
+ORDER BY doc_id
 """,
         "ft_stats": _DOCS_CTE
         + """

@@ -209,6 +209,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="run the body as _count instead of _search")
     p.add_argument("--validate", action="store_true",
                    help="ES _validate/query: compile only, report validity")
+    p.add_argument("--scan", action="store_true",
+                   help="ES helpers.scan: stream every matching doc as "
+                        "NDJSON (unscored, snapshot-pinned scroll)")
     p.add_argument("--round", type=int, default=6,
                    help="round scores to this many decimals")
     p.add_argument("--emb", default=None,
@@ -600,6 +603,9 @@ def main(argv: list[str] | None = None) -> int:
             )))
         elif args.count:
             print(json.dumps({"count": ix.count_body(body)}))
+        elif args.scan:
+            for doc in ix.scan(body):
+                print(json.dumps(doc, default=str))
         elif args.aggs:
             for name, df in ix.search_aggs(body).items():
                 for r in df.collect():

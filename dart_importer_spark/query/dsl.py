@@ -986,6 +986,24 @@ def _vector_search(
     return hits.orderBy(F.desc("score"), F.asc("doc_id"))
 
 
+def _apply_pit(ix, body: dict, default_pin: bool = False):
+    """Apply a body's ``pit`` key — ES carries ``{"pit": {"id": ...,
+    "keep_alive": ...}}``; the id here is :meth:`open_pit`'s snapshot
+    dict (keep_alive has no meaning — the snapshot lives until compaction
+    drops its tombstone files). With ``default_pin``, open a fresh
+    snapshot when the body has none (scan's scroll-consistency
+    default)."""
+    pit = body.get("pit")
+    if pit is None:
+        return ix.with_pit(ix.open_pit()) if default_pin else ix
+    spec = pit.get("id", pit) if isinstance(pit, dict) else None
+    if not isinstance(spec, dict) or "tombstone_files" not in spec:
+        raise DslError(
+            "pit: expected {'id': <InvertedIndex.open_pit() result>}"
+        )
+    return ix.with_pit(spec)
+
+
 def search(
     ix, body: dict, round_scores: int | None = None,
     emb: DataFrame | None = None, emb_id_col: str = "vec_id",
@@ -1000,17 +1018,7 @@ def search(
     if not isinstance(body, dict):
         raise DslError("body must be a dict")
     ix = _apply_runtime(ix, body)
-    pit = body.get("pit")
-    if pit is not None:
-        # ES carries {"pit": {"id": ..., "keep_alive": ...}}; the id here
-        # is open_pit()'s snapshot dict (keep_alive has no meaning — the
-        # snapshot lives until compaction drops its tombstone files)
-        spec = pit.get("id", pit) if isinstance(pit, dict) else None
-        if not isinstance(spec, dict) or "tombstone_files" not in spec:
-            raise DslError(
-                "pit: expected {'id': <InvertedIndex.open_pit() result>}"
-            )
-        ix = ix.with_pit(spec)
+    ix = _apply_pit(ix, body)
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
     if "retriever" in body or "knn" in body:
@@ -1077,6 +1085,113 @@ def search(
             ix.doc_stats().select("doc_id", *src), "doc_id", "left"
         ).orderBy(F.desc("score"), F.asc("doc_id"))
     return hits
+
+
+def _scan_docs(cp: _Compiler, q: dict, op: str = "scan") -> DataFrame:
+    """The unscored filter-context match set (``doc_id``) of a query
+    clause — shared by :func:`count` and :func:`scan` (both evaluate in
+    filter context: ES counts without scores and sorts scan by _doc)."""
+    ix = cp.ix
+    typ, spec = cp._clause(q)
+    if typ == "match_all":
+        return ix.doc_stats().select("doc_id")
+    if cp.is_filterish(q):
+        return ix.match_docs(filters=cp.compile_filter(q))
+    if typ in _MATCHISH:
+        f, v, _ = _field_spec(typ, spec)
+        p = cp._match_params(typ, v)
+        return ix.match_docs(
+            str(p["query"]), mode=str(p.get("operator", "or")).lower(),
+            field=cp._text_field(typ, f),
+        )
+    if typ == "bool":
+        # must_not text legs become an exclusion doc-set (match_docs
+        # subtracts it) rather than the aggs context's hard error
+        spec2 = dict(spec)
+        exclude = []
+        kept_mn = []
+        for c in _as_list(spec2.get("must_not")):
+            if cp.is_filterish(c):
+                kept_mn.append(c)
+                continue
+            t, s = cp._clause(c)
+            if t not in _MATCHISH:
+                raise DslError(
+                    f"{op}: must_not supports match/term legs, got {t!r}"
+                )
+            f, v, _ = _field_spec(t, s)
+            exclude.append(
+                (str(cp._match_params(t, v)["query"]), cp._text_field(t, f))
+            )
+        spec2["must_not"] = kept_mn
+        qs, field, filters = _agg_context(cp, {"bool": spec2})
+        return ix.match_docs(qs, field=field, filters=filters,
+                             exclude=exclude)
+    raise DslError(
+        f"{op}: unsupported clause {typ!r} (scored queries go through "
+        f"search())"
+    )
+
+
+def scan_df(ix, body: dict | None = None) -> DataFrame:
+    """The ES scroll/scan result set as ONE DataFrame: every live doc
+    matching the body's query (filter context, unscored — ES scan sorts
+    by _doc and disables scoring), with the ``_source`` columns
+    projected. Pinned to a point-in-time snapshot opened at CALL time
+    (pass a ``pit`` body key to reuse an existing snapshot), so deletes
+    issued after the call never change the result — the ES scroll
+    consistency contract. match_all and pure-filter bodies compile to a
+    single pruned doc_stats scan, no join."""
+    body = dict(body or {})
+    ix = _apply_runtime(ix, body)
+    ix = _apply_pit(ix, body, default_pin=True)
+    cp = _Compiler(ix)
+    q = body.get("query", {"match_all": {}})
+    ds = ix.doc_stats()
+    prot = getattr(ix, "_PROTECTED_COLS", frozenset({"doc_id", "seg", "dl"}))
+    src = body.get("_source")
+    if src is None or src is True:
+        cols = [c for c in ds.columns if c not in prot]
+    elif src is False:
+        cols = []
+    elif isinstance(src, (list, tuple)) and src:
+        for c in src:
+            if c not in cp.meta_cols:
+                raise DslError(
+                    f"_source: {c!r} is not a stored column "
+                    f"({sorted(cp.meta_cols)})"
+                )
+        cols = list(src)
+    else:
+        raise DslError("_source: expected true/false or a column list")
+    typ, _spec = cp._clause(q)
+    if typ == "match_all":
+        return ds.select("doc_id", *cols)
+    if cp.is_filterish(q):
+        return ds.filter(cp.compile_filter(q)).select("doc_id", *cols)
+    docs = _scan_docs(cp, q)
+    return docs.join(ds.select("doc_id", *cols), "doc_id")
+
+
+def scan(ix, body: dict | None = None):
+    """ES ``helpers.scan`` parity — the scroll iterator the reference
+    drains whole indexes with (import_dart_data.py:562, test.py:72-80):
+    returns an iterator of ``{"_id": ..., "_source": {...}}`` dicts, one
+    per live doc matching the body, unscored, snapshot-pinned at call
+    time. Spark-first transport: ONE job whose partitions stream to the
+    driver lazily via ``toLocalIterator`` — a scroll page ≙ one
+    partition fetch, so driver memory holds one partition at a time,
+    never the corpus (ES's fixed-size scroll batches are an HTTP
+    artifact; the partition is the batch here)."""
+    rows = scan_df(ix, body)  # eager pin: snapshot opens NOW, not at next()
+    src_cols = [c for c in rows.columns if c != "doc_id"]
+
+    def _iter():
+        for r in rows.toLocalIterator(prefetchPartitions=True):
+            yield {"_id": r["doc_id"],
+                   "_source": {c: r[c] for c in src_cols}}
+
+    return _iter()
 
 
 def validate(
@@ -1306,48 +1421,13 @@ def _apply_runtime(ix, body: dict):
 
 
 def count(ix, body: dict) -> int:
-    """ES ``_count`` with a request body."""
+    """ES ``_count`` with a request body — the size of the unscored
+    filter-context match set :func:`_scan_docs` computes (scan and count
+    are the same document set; one counts it, the other streams it)."""
     ix = _apply_runtime(ix, body)
     cp = _Compiler(ix)
     q = (body or {}).get("query", {"match_all": {}})
-    typ, spec = cp._clause(q)
-    if typ == "match_all":
-        return ix.count()
-    if cp.is_filterish(q):
-        return ix.count(cp.compile_filter(q))
-    if typ in _MATCHISH:
-        f, v, _ = _field_spec(typ, spec)
-        field = cp._text_field(typ, f)
-        p = cp._match_params(typ, v)
-        mode = str(p.get("operator", "or")).lower()
-        return ix.count_query(p["query"], mode=mode, field=field)
-    if typ == "bool":
-        # _count accepts any _search body; must_not text legs become an
-        # exclusion doc-set (count_query subtracts it) rather than the
-        # aggs context's hard error
-        spec2 = dict(spec)
-        exclude = []
-        kept_mn = []
-        for c in _as_list(spec2.get("must_not")):
-            if cp.is_filterish(c):
-                kept_mn.append(c)
-                continue
-            t, s = cp._clause(c)
-            if t not in _MATCHISH:
-                raise DslError(
-                    f"_count: must_not supports match/term legs, got {t!r}"
-                )
-            f, v, _ = _field_spec(t, s)
-            exclude.append(
-                (str(cp._match_params(t, v)["query"]), cp._text_field(t, f))
-            )
-        spec2["must_not"] = kept_mn
-        qs, field, filters = _agg_context(cp, {"bool": spec2})
-        if qs is None and not exclude:
-            return ix.count(filters if filters is not None else None)
-        return ix.count_query(qs, field=field, filters=filters,
-                              exclude=exclude)
-    raise DslError(f"_count: unsupported clause {typ!r}")
+    return _scan_docs(cp, q, op="_count").count()
 
 
 # --------------------------------------------------------------------------

@@ -669,27 +669,51 @@ class InvertedIndex:
         field) pairs whose match sets are subtracted (a doc is excluded
         if it contains ANY analyzed term of ANY pair, exactly the
         constant-score exclusion _search's must_not leg applies)."""
+        return self.match_docs(
+            query, mode=mode, field=field, filters=filters, exclude=exclude
+        ).count()
+
+    def match_docs(
+        self,
+        query: str | None = None,
+        mode: str = "or",
+        field: str | int | None = None,
+        filters: Column | None = None,
+        exclude: Sequence[tuple[str, str | int | None]] = (),
+    ) -> DataFrame:
+        """The unscored filter-context match set as a ``doc_id`` DataFrame —
+        the document set ES's ``_count`` measures and ``helpers.scan``
+        iterates (the reference scrolls whole indexes this way:
+        import_dart_data.py:562, test.py:75). Same contract as
+        :meth:`count_query` (which is this ``.count()``): ``query=None``
+        is match_all, ``mode`` any/all terms, ``filters`` a doc_stats
+        predicate, ``exclude`` the must_not text context."""
         if mode not in ("or", "and"):
-            raise ValueError(f"count_query: unknown mode {mode!r}")
+            raise ValueError(f"match_docs: unknown mode {mode!r}")
         if query is None:
-            docs = self.doc_stats().select("doc_id")
+            ds = self.doc_stats()
+            if filters is not None:
+                ds = ds.filter(filters)
+                filters = None  # applied on the scan itself, no semi-join
+            docs = ds.select("doc_id")
         else:
             fid = self._fid(field)
             terms = sorted(set(self._analyze(query, field)))
             if not terms:
-                return 0
+                return self.spark.createDataFrame([], "doc_id long")
             if mode == "or":
                 docs = self._docs_for_terms(terms, fid)
             else:  # and: every term present
                 dfs = self.term_stats(terms, field)
                 if len(dfs) < len(terms):
-                    return 0
+                    return self.spark.createDataFrame([], "doc_id long")
                 idf = {t: 1.0 for t in terms}
                 scored = self._live(self._score_terms(terms, idf, fid=fid))
                 docs = (
                     scored.groupBy("doc_id")
                     .agg(F.sum("matched").alias("nm"))
                     .filter(F.col("nm") == len(terms))
+                    .select("doc_id")
                 )
         if filters is not None:
             allowed = self.doc_stats().filter(filters).select("doc_id")
@@ -700,7 +724,7 @@ class InvertedIndex:
                 continue
             bad = self._docs_for_terms(ex_terms, self._fid(ex_field))
             docs = docs.join(bad, "doc_id", "left_anti")
-        return docs.count()
+        return docs
 
     def get_by_key(self, *key_values) -> DataFrame:
         """Point lookup by document key — ES get-by-_id
@@ -5429,6 +5453,24 @@ class InvertedIndex:
         from .dsl import count as _dsl_count
 
         return _dsl_count(self, body)
+
+    def scan(self, body: dict | None = None):
+        """ES ``helpers.scan`` — the scroll iterator the reference drains
+        whole indexes with (import_dart_data.py:562, test.py:72-80):
+        yields ``{"_id", "_source"}`` dicts, snapshot-pinned at call
+        time. See :func:`dart_importer_spark.query.dsl.scan`."""
+        from .dsl import scan as _dsl_scan
+
+        return _dsl_scan(self, body)
+
+    def scan_df(self, body: dict | None = None) -> DataFrame:
+        """The scroll/scan result set as one snapshot-pinned DataFrame
+        (the distributed form of :meth:`scan` — hand THIS to downstream
+        Spark stages instead of round-tripping rows through the
+        driver)."""
+        from .dsl import scan_df as _dsl_scan_df
+
+        return _dsl_scan_df(self, body)
 
     def mapping(self) -> dict:
         """ES ``GET _mapping`` (+ settings): the creation body stored by

@@ -198,6 +198,13 @@ def test_cli_dsl_body(spark, transcripts_df, tmp_path, capsys):
     assert main(["dsl", "--index", idx, "--body-file", str(bf)]) == 0
     assert _lines(capsys) == hits
 
+    # --scan streams every matching doc as NDJSON (helpers.scan parity)
+    assert main(["dsl", "--index", idx, "--body", body, "--scan"]) == 0
+    docs = _lines(capsys)
+    assert len(docs) == c["count"]
+    assert {"_id", "_source"} <= set(docs[0])
+    assert docs[0]["_source"]["role"] == "user"
+
 
 def test_cli_field_caps_terms_enum_validate(spark, transcripts_df, tmp_path,
                                             capsys):
