@@ -95,6 +95,7 @@ HEADLINE = [
     "ft_sig_text",
     "ft_runtime_fields",
     "ft_scripted_metric",
+    "ft_scan",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",

@@ -286,6 +286,45 @@ def main(argv: list[str] | None = None) -> int:
                    help="DDL schema of landing files (default: transcripts)")
     add_build_opts(p)
 
+    p = sub.add_parser(
+        "alias", help="ES _aliases: add/remove/list (file-backed registry)"
+    )
+    p.add_argument("--registry", required=True)
+    p.add_argument("--add", nargs=2, metavar=("ALIAS", "INDEX"), default=None)
+    p.add_argument("--filter", default=None,
+                   help="query-DSL clause JSON for a filtered alias")
+    p.add_argument("--write", action="store_true",
+                   help="mark the added index as the alias's write index")
+    p.add_argument("--remove", nargs="+", metavar="ALIAS_THEN_INDEX",
+                   default=None,
+                   help="alias name, optionally followed by one index dir")
+    p.add_argument("--list", action="store_true")
+
+    p = sub.add_parser(
+        "rollover",
+        help="ES _rollover: repoint the alias's write index when a "
+             "max-docs/size/age condition is met",
+    )
+    p.add_argument("--registry", required=True)
+    p.add_argument("--alias", required=True)
+    p.add_argument("--new-index", required=True)
+    p.add_argument("--max-docs", type=int, default=None)
+    p.add_argument("--max-size-bytes", type=int, default=None)
+    p.add_argument("--max-age-seconds", type=float, default=None)
+    p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser(
+        "alias-search",
+        help="GET <alias>/_search: body across member indexes, stored "
+             "alias filters applied, merged by score",
+    )
+    p.add_argument("--registry", required=True)
+    p.add_argument("--alias", required=True)
+    p.add_argument("--body", default=None)
+    p.add_argument("--body-file", default=None)
+    p.add_argument("--count", action="store_true")
+    p.add_argument("--round", type=int, default=6)
+
     args = ap.parse_args(argv)
     spark = _spark(args)
 
@@ -657,6 +696,54 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(InvertedIndex(spark, args.index).index_stats(),
                          indent=1))
+    elif args.cmd == "alias":
+        from .index.aliases import AliasRegistry
+
+        reg = AliasRegistry(args.registry)
+        if args.add:
+            filt = json.loads(args.filter) if args.filter else None
+            reg.put(args.add[0], args.add[1], filter=filt,
+                    is_write_index=args.write)
+            print(json.dumps({"acknowledged": True}))
+        elif args.remove:
+            if len(args.remove) > 2:
+                raise SystemExit("alias --remove takes ALIAS [INDEX]")
+            reg.remove(args.remove[0],
+                       args.remove[1] if len(args.remove) > 1 else None)
+            print(json.dumps({"acknowledged": True}))
+        else:
+            print(json.dumps(reg.get(), indent=1))
+    elif args.cmd == "rollover":
+        from .index.aliases import AliasRegistry
+        from .index.aliases import rollover as _rollover
+
+        print(json.dumps(_rollover(
+            spark, AliasRegistry(args.registry), args.alias, args.new_index,
+            max_docs=args.max_docs, max_size_bytes=args.max_size_bytes,
+            max_age_seconds=args.max_age_seconds, dry_run=args.dry_run,
+        )))
+    elif args.cmd == "alias-search":
+        from .index.aliases import AliasRegistry, count_alias, search_alias
+
+        if (args.body is None) == (args.body_file is None):
+            raise SystemExit(
+                "alias-search: pass exactly one of --body / --body-file"
+            )
+        raw = (
+            args.body if args.body is not None
+            else open(args.body_file).read()
+        )
+        body = json.loads(raw)
+        reg = AliasRegistry(args.registry)
+        if args.count:
+            print(json.dumps(
+                {"count": count_alias(spark, reg, args.alias, body)}
+            ))
+        else:
+            hits = search_alias(spark, reg, args.alias, body,
+                                round_scores=args.round)
+            for r in hits.collect():
+                print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "terms-enum":
         from .query.engine import InvertedIndex
 
