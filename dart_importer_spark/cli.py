@@ -212,6 +212,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--scan", action="store_true",
                    help="ES helpers.scan: stream every matching doc as "
                         "NDJSON (unscored, snapshot-pinned scroll)")
+    p.add_argument("--params", default=None,
+                   help="ES _search/template: treat the body as a mustache "
+                        "template source and render it with this params "
+                        "JSON first")
     p.add_argument("--round", type=int, default=6,
                    help="round scores to this many decimals")
     p.add_argument("--emb", default=None,
@@ -633,6 +637,10 @@ def main(argv: list[str] | None = None) -> int:
         body = json.loads(raw)
         ix = InvertedIndex(spark, args.index)
         emb = spark.read.parquet(args.emb) if args.emb else None
+        if args.params is not None:
+            from .query.dsl import render_template
+
+            body = render_template(body, json.loads(args.params))
         if args.validate:
             from .query.dsl import validate as _dsl_validate
 

@@ -1194,6 +1194,137 @@ def scan(ix, body: dict | None = None):
     return _iter()
 
 
+def render_template(source, params: dict | None):
+    """ES ``_render/template``: resolve the mustache subset search
+    templates actually use against ``params``, returning the concrete
+    request body.
+
+    Supported (the documented ES template idioms):
+    - ``"{{name}}"`` as an ENTIRE string value substitutes the raw param
+      (typed — numbers stay numbers, lists stay lists);
+    - ``{{name}}`` inside a longer string interpolates ``str(value)``;
+    - ``{{#toJson}}name{{/toJson}}`` embeds ``json.dumps(value)``;
+    - ``{{var}}{{^var}}default{{/var}}`` — the inverted-section default
+      for a missing/falsy param.
+
+    A param still unresolved after defaults raises :class:`DslError`
+    (ES renders empty string there, which silently corrupts queries —
+    refusing beats mis-running). ``source`` may be a dict or a JSON
+    string (both ES forms)."""
+    import json as _json
+    import re as _re
+
+    params = dict(params or {})
+    tojson = _re.compile(r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}")
+    inverted = _re.compile(r"\{\{\^(\w+)\}\}(.*?)\{\{/\1\}\}", _re.S)
+    var = _re.compile(r"\{\{(\w+)\}\}")
+    # the default idiom {{k}}{{^k}}default{{/k}} must resolve BEFORE the
+    # strict pass (a missing k is exactly the case the default is for)
+    combo = _re.compile(r"\{\{(\w+)\}\}\{\{\^\1\}\}(.*?)\{\{/\1\}\}", _re.S)
+
+    def render_str(s: str):
+        exact = var.fullmatch(s)
+        if exact:  # whole-string substitution keeps the param's type
+            name = exact.group(1)
+            if name not in params:
+                raise DslError(f"template: missing param {name!r}")
+            return params[name]
+
+        def sub_tojson(m):
+            name = m.group(1)
+            if name not in params:
+                raise DslError(f"template: missing param {name!r}")
+            return _json.dumps(params[name])
+
+        s = tojson.sub(sub_tojson, s)
+        s = combo.sub(
+            lambda m: str(params[m.group(1)])
+            if params.get(m.group(1)) else m.group(2),
+            s,
+        )
+        s = inverted.sub(
+            lambda m: "" if params.get(m.group(1)) else m.group(2), s
+        )
+
+        def sub_var(m):
+            name = m.group(1)
+            if name not in params:
+                raise DslError(f"template: missing param {name!r}")
+            return str(params[name])
+
+        return var.sub(sub_var, s)
+
+    def walk(node):
+        if isinstance(node, str):
+            return render_str(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    if isinstance(source, str):
+        # ES's string form: mustache over the raw JSON text, then parse.
+        # Only toJson/inverted/interpolation make sense here (a bare
+        # {{k}} in JSON text must render a JSON literal, so substitute
+        # json.dumps for unquoted-value positions conservatively via str)
+        def need(name: str):
+            if name not in params:
+                raise DslError(f"template: missing param {name!r}")
+            return params[name]
+
+        def sub_all(m):
+            v = need(m.group(1))
+            return v if isinstance(v, str) else _json.dumps(v)
+
+        s = tojson.sub(lambda m: _json.dumps(need(m.group(1))), source)
+        s = combo.sub(
+            lambda m: (
+                params[m.group(1)]
+                if isinstance(params.get(m.group(1)), str)
+                else _json.dumps(params[m.group(1)])
+            )
+            if params.get(m.group(1)) else m.group(2),
+            s,
+        )
+        s = inverted.sub(
+            lambda m: "" if params.get(m.group(1)) else m.group(2), s
+        )
+        s = var.sub(sub_all, s)
+        try:
+            return _json.loads(s)
+        except Exception as e:
+            raise DslError(f"template: rendered source is not JSON: {e}")
+    return walk(source)
+
+
+def search_template(
+    ix, body: dict, round_scores: int | None = None,
+    emb: DataFrame | None = None, emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
+) -> DataFrame:
+    """ES ``_search/template``: ``{"source": <template>, "params": {...}}``
+    rendered by :func:`render_template`, then dispatched through
+    :func:`search` — rendering is driver-side string work; the plan is
+    whatever the concrete body compiles to. Stored-template ``id`` refs
+    are not kept (there is no cluster state here) — pass the source
+    inline; the error names that."""
+    if not isinstance(body, dict) or "source" not in body:
+        if isinstance(body, dict) and "id" in body:
+            raise DslError(
+                "search_template: stored-template ids are not supported — "
+                "pass the template inline as {'source': ..., 'params': ...}"
+            )
+        raise DslError("search_template: body needs a 'source' key")
+    rendered = render_template(body["source"], body.get("params"))
+    if not isinstance(rendered, dict):
+        raise DslError("search_template: source must render to a body dict")
+    return search(
+        ix, rendered, round_scores=round_scores,
+        emb=emb, emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+    )
+
+
 def validate(
     ix, body: dict,
     emb: DataFrame | None = None, emb_id_col: str = "vec_id",

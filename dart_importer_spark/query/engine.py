@@ -5454,6 +5454,22 @@ class InvertedIndex:
 
         return _dsl_count(self, body)
 
+    def search_template(
+        self, body: dict, round_scores: int | None = None,
+        emb: DataFrame | None = None, emb_id_col: str = "vec_id",
+        emb_vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ES ``_search/template``: ``{"source": <mustache template>,
+        "params": {...}}`` rendered then dispatched through
+        :meth:`search`. See :func:`dart_importer_spark.query.dsl.render_template`
+        for the supported mustache subset."""
+        from .dsl import search_template as _dsl_st
+
+        return _dsl_st(
+            self, body, round_scores=round_scores, emb=emb,
+            emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+        )
+
     def scan(self, body: dict | None = None):
         """ES ``helpers.scan`` — the scroll iterator the reference drains
         whole indexes with (import_dart_data.py:562, test.py:72-80):
