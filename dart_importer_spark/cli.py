@@ -279,9 +279,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--where", default=None,
                    help="SQL predicate over stored doc columns")
+    p.add_argument("--body", default=None,
+                   help="ES query body JSON (reindex-with-query)")
+    p.add_argument("--script", default=None,
+                   help="transform JSON {column: SQL expression}")
     p.add_argument("--segments", type=int, default=0,
                    help="new layout (0 = keep source layout)")
     p.add_argument("--buckets", type=int, default=0)
+
+    p = sub.add_parser(
+        "update-by-query",
+        help="ES _update_by_query: rewrite matching docs by a script "
+             "into a new index epoch (copy-on-write; swap via alias "
+             "rollover)",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--body", default=None,
+                   help="ES query body JSON (default: match_all)")
+    p.add_argument("--script", required=True,
+                   help="transform JSON {column: SQL expression}")
 
     p = sub.add_parser("refresh")
     p.add_argument("--landing", required=True)
@@ -795,6 +812,17 @@ def main(argv: list[str] | None = None) -> int:
         out = reindex_index(
             spark, args.index, args.out, config=cfg,
             where=F.expr(args.where) if args.where else None,
+            body=json.loads(args.body) if args.body else None,
+            script=json.loads(args.script) if args.script else None,
+        )
+        print(json.dumps(out, default=str))
+    elif args.cmd == "update-by-query":
+        from .index.merge import update_by_query_index
+
+        out = update_by_query_index(
+            spark, args.index, args.out,
+            body=json.loads(args.body) if args.body else None,
+            script=json.loads(args.script),
         )
         print(json.dumps(out, default=str))
     elif args.cmd == "refresh":

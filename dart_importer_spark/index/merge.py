@@ -474,33 +474,17 @@ def compact_index(
     }
 
 
-def reindex_index(
-    spark: SparkSession,
-    src_dir: str,
-    out_dir: str,
-    config=None,
-    where=None,
-    force: bool = False,
-) -> dict:
-    """ES ``_reindex``: rebuild ``src_dir``'s LIVE documents (tombstones
-    applied, optional ``where`` filter — reindex-with-query) into a fresh
-    index at ``out_dir``, optionally under a new layout ``config`` (the
-    change-shards / change-analysis use of reindex). The source must store
-    every analyzed field's source column in doc_stats (built with the
-    field in ``meta_cols``); shingle subfields (``src._Ngram``) are
-    re-derived, not copied.
-
-    Plan shape: one doc_stats scan (anti-joined against tombstones) ->
-    the normal build pipeline. No postings are copied — reindex is a
-    re-analysis, exactly like ES (copying compacted runs instead is
-    compact_index's job)."""
+def _reindex_frame(spark: SparkSession, src_dir: str):
+    """Shared source prep for :func:`reindex_index` /
+    :func:`update_by_query_index`: the LIVE documents (tombstones
+    applied) with ``doc_id`` plus every stored column an analysis
+    rebuild needs, and the build config/kwargs that reproduce the
+    source layout."""
     import re as _re
 
-    from .build import BuildConfig, build_index
+    from .build import BuildConfig
     from ..query.engine import InvertedIndex
 
-    if os.path.realpath(out_dir) == os.path.realpath(src_dir):
-        raise ValueError("reindex_index: out_dir must differ from src_dir")
     ix = InvertedIndex(spark, src_dir)
     meta = ix.meta
     keys = list(meta.get("doc_key_cols") or ["conv_id", "turn_idx"])
@@ -523,10 +507,8 @@ def reindex_index(
             f"meta_cols"
         )
     cols = list(dict.fromkeys(keys + meta_cols + needed))
-    docs = ix._live(ix.doc_stats()).select(*cols)
-    if where is not None:
-        docs = docs.filter(where)
-    cfg = config or BuildConfig(
+    docs = ix.doc_stats().select("doc_id", *cols)
+    cfg = BuildConfig(
         n_segments=int(meta["n_segments"]),
         n_buckets=int(meta["n_buckets"]),
         store_positions=bool(meta.get("store_positions")),
@@ -538,4 +520,153 @@ def reindex_index(
         kwargs["text_col"] = base_fields[0]
     if shingles:
         kwargs["shingle_fields"] = tuple(shingles)
-    return build_index(spark, docs, out_dir, cfg, force=force, **kwargs)
+    return ix, docs, keys, cols, cfg, kwargs
+
+
+def _apply_script(docs, script: dict, keys: list, cols: list, flag=None):
+    """Apply an ES reindex/update script — here ``{column: Spark SQL
+    expression}``, the engine's scripting dialect (the runtime-fields
+    treatment of Painless) — to ``docs``. Expressions see the stored
+    columns; earlier entries' results are visible to later ones
+    (mapping order, like chained runtime fields). Results are cast back
+    to the column's stored type so the new epoch keeps the source
+    layout. ``flag`` limits the rewrite to matching rows
+    (update_by_query); doc-key columns are immutable (ES ``_id``
+    semantics — delete + re-import to change identity)."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(script, dict) or not script:
+        raise ValueError(
+            "script: need a non-empty {column: SQL expression} dict"
+        )
+    dtypes = dict(docs.dtypes)
+    mutable = [c for c in cols if c not in keys]
+    for col, expr in script.items():
+        if col in keys:
+            raise ValueError(
+                f"script: {col!r} is a doc-key column — doc identity is "
+                f"immutable (delete_by_query + re-import to change keys)"
+            )
+        if col not in mutable:
+            raise ValueError(
+                f"script: {col!r} is not a stored column "
+                f"(stored: {sorted(mutable)})"
+            )
+        new = F.expr(str(expr)).cast(dtypes[col])
+        if flag is not None:
+            new = F.when(flag, new).otherwise(F.col(col))
+        docs = docs.withColumn(col, new)
+    return docs
+
+
+def _body_match_flag(ix, docs, body: dict | None):
+    """-> ``(docs, flag)`` where ``flag`` is a boolean Column marking
+    the ES query body's match set over ``docs``. Filter-context bodies
+    compile to ONE Catalyst predicate evaluated inside the doc_stats
+    scan (no join); text queries take one postings pass for the doc-id
+    set and a left join against it — the raw text never shuffles."""
+    from pyspark.sql import functions as F
+
+    from ..query.dsl import _Compiler, _scan_docs
+
+    q = (body or {}).get("query", {"match_all": {}})
+    cp = _Compiler(ix)
+    typ, _spec = cp._clause(q)
+    if typ == "match_all":
+        return docs, F.lit(True)
+    if cp.is_filterish(q):
+        return docs, cp.compile_filter(q)
+    ids = _scan_docs(cp, q, op="update_by_query").withColumn(
+        "__matched", F.lit(True)
+    )
+    docs = docs.join(ids, "doc_id", "left")
+    docs = docs.withColumn(
+        "__matched", F.coalesce(F.col("__matched"), F.lit(False))
+    )
+    return docs, F.col("__matched")
+
+
+def reindex_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    config=None,
+    where=None,
+    body: dict | None = None,
+    script: dict | None = None,
+    force: bool = False,
+) -> dict:
+    """ES ``_reindex``: rebuild ``src_dir``'s LIVE documents (tombstones
+    applied) into a fresh index at ``out_dir``, optionally under a new
+    layout ``config`` (the change-shards / change-analysis use of
+    reindex), restricted by ``where`` (a Column) or ``body`` (an ES
+    query body — reindex-with-query), and transformed by ``script``
+    ({column: Spark SQL expression} — ES's reindex script, applied to
+    every surviving doc; see :func:`_apply_script`). The source must
+    store every analyzed field's source column in doc_stats (built with
+    the field in ``meta_cols``); shingle subfields (``src._Ngram``) are
+    re-derived, not copied.
+
+    Plan shape: one doc_stats scan (tombstone anti-join; filterish
+    bodies fold into the scan predicate, text bodies cost one postings
+    pass for the doc-id set) -> the normal build pipeline. No postings
+    are copied — reindex is a re-analysis, exactly like ES (copying
+    compacted runs instead is compact_index's job)."""
+    from .build import build_index
+
+    if os.path.realpath(out_dir) == os.path.realpath(src_dir):
+        raise ValueError("reindex_index: out_dir must differ from src_dir")
+    ix, docs, keys, cols, cfg, kwargs = _reindex_frame(spark, src_dir)
+    if body is not None:
+        docs, flag = _body_match_flag(ix, docs, body)
+        docs = docs.filter(flag)
+    if where is not None:
+        docs = docs.filter(where)
+    if script is not None:
+        docs = _apply_script(docs, script, keys, cols)
+    docs = docs.select(*cols)
+    return build_index(
+        spark, docs, out_dir, config or cfg, force=force, **kwargs
+    )
+
+
+def update_by_query_index(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    body: dict | None,
+    script: dict,
+    config=None,
+    force: bool = False,
+) -> dict:
+    """ES ``_update_by_query`` realized over immutable segments as
+    copy-on-write into a new index epoch: every live doc survives, docs
+    matching ``body``'s query are rewritten by ``script`` ({column:
+    Spark SQL expression}), and the result is re-analyzed into
+    ``out_dir``. ES itself implements this API as snapshot + per-doc
+    reindex of the matches; with immutable segment files the
+    scale-correct form is ONE rewrite pass (Iceberg copy-on-write
+    UPDATE / Delta MERGE shape), and the alias layer
+    (``index/aliases.py`` rollover) makes the epoch swap atomic for
+    readers. Returns the build metrics plus ``updated`` (the matched
+    live-doc count, the ES response field)."""
+    from .build import build_index
+
+    if os.path.realpath(out_dir) == os.path.realpath(src_dir):
+        raise ValueError(
+            "update_by_query_index: out_dir must differ from src_dir "
+            "(segments are immutable — updates write a new epoch; swap "
+            "readers over with an alias rollover)"
+        )
+    ix, docs, keys, cols, cfg, kwargs = _reindex_frame(spark, src_dir)
+    docs, flag = _body_match_flag(ix, docs, body)
+    # script validation is driver-side and lazy — run it before paying
+    # for the matched-count job (flag is untouched by the rewrite)
+    docs = _apply_script(docs, script, keys, cols, flag=flag)
+    updated = int(docs.filter(flag).count())
+    docs = docs.select(*cols)
+    res = build_index(
+        spark, docs, out_dir, config or cfg, force=force, **kwargs
+    )
+    res["updated"] = updated
+    return res

@@ -219,3 +219,82 @@ def test_reindex_rebuilds_live_docs(spark, tmp_path):
     assert main(["reindex", "--index", src, "--out", out4,
                  "--segments", "2", "--where", "role = 'user'"]) == 0
     assert InvertedIndex(spark, out4).count() > 0
+
+
+def test_update_by_query_copy_on_write(spark, tmp_path):
+    """ES _update_by_query over immutable segments: copy-on-write into a
+    new epoch — every live doc survives, matches are rewritten by a
+    {column: SQL expression} script, `updated` reports the match count,
+    and rewriting an ANALYZED field re-analyzes it (the new token is
+    searchable in the new epoch)."""
+    from dart_importer_spark.index.merge import (
+        reindex_index,
+        update_by_query_index,
+    )
+
+    tx = generate_transcripts(spark, 30)
+    src = str(tmp_path / "ub_src")
+    build_index(spark, tx, src, BuildConfig(n_segments=2, n_buckets=4),
+                meta_cols=("role", "tool", "ts", "text"))
+    ix = InvertedIndex(spark, src)
+    total = ix.count()
+    n_user = ix.match_docs(filters=F.col("role") == "user").count()
+
+    # filterish body -> pure scan-predicate path; meta-column rewrite
+    out = str(tmp_path / "ub_out")
+    m = update_by_query_index(
+        spark, src, out,
+        body={"query": {"term": {"role": "user"}}},
+        script={"tool": "'rewritten'"},
+    )
+    assert m["updated"] == n_user > 0 and m["n_docs"] == total
+    ds = InvertedIndex(spark, out).doc_stats()
+    assert ds.filter((F.col("role") == "user")
+                     & (F.col("tool") != "rewritten")).count() == 0
+    assert ds.filter((F.col("role") != "user")
+                     & (F.col("tool") == "rewritten")).count() == 0
+
+    # text-query body -> doc-id semi-join path; rewriting the analyzed
+    # field re-analyzes: the injected token is searchable afterwards
+    out2 = str(tmp_path / "ub_out2")
+    matched = ix.match_docs("the").count()
+    m2 = update_by_query_index(
+        spark, src, out2,
+        body={"query": {"match": {"text": "the"}}},
+        script={"text": "concat(text, ' zzupdated')"},
+    )
+    assert m2["updated"] == matched > 0 and m2["n_docs"] == total
+    ix2 = InvertedIndex(spark, out2)
+    assert ix2.count_query("zzupdated") == matched
+    # untouched docs kept their text verbatim
+    assert ix2.doc_stats().filter(
+        F.col("text").contains("zzupdated")).count() == matched
+
+    # ES _reindex script: applies to EVERY surviving doc (with-query)
+    out3 = str(tmp_path / "ub_out3")
+    reindex_index(spark, src, out3,
+                  body={"query": {"term": {"role": "user"}}},
+                  script={"tool": "upper(coalesce(tool, 'none'))"})
+    ds3 = InvertedIndex(spark, out3).doc_stats()
+    assert ds3.count() == n_user
+    assert ds3.filter(F.col("tool") != F.upper(F.col("tool"))).count() == 0
+
+    # refusals: key columns are immutable, unknown columns refuse,
+    # in-place updates refuse (immutable segments)
+    with pytest.raises(ValueError, match="doc-key"):
+        update_by_query_index(spark, src, str(tmp_path / "nv"),
+                              None, {"conv_id": "'x'"})
+    with pytest.raises(ValueError, match="not a stored column"):
+        update_by_query_index(spark, src, str(tmp_path / "nv2"),
+                              None, {"nope": "1"})
+    with pytest.raises(ValueError, match="differ"):
+        update_by_query_index(spark, src, src, None, {"tool": "'x'"})
+
+    # CLI round-trip
+    from dart_importer_spark.cli import main
+    out4 = str(tmp_path / "ub_cli")
+    assert main(["update-by-query", "--index", src, "--out", out4,
+                 "--body", '{"query": {"term": {"role": "user"}}}',
+                 "--script", '{"tool": "\'cli\'"}']) == 0
+    assert InvertedIndex(spark, out4).doc_stats().filter(
+        F.col("tool") == "cli").count() == n_user
