@@ -335,6 +335,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true")
 
     p = sub.add_parser(
+        "snapshot",
+        help="ES _snapshot: create/list/delete incremental file-level "
+             "backups in a repository directory",
+    )
+    p.add_argument("--repo", required=True)
+    p.add_argument("--create", default=None, metavar="NAME")
+    p.add_argument("--index", default=None,
+                   help="index dir to snapshot (with --create)")
+    p.add_argument("--delete", default=None, metavar="NAME")
+    p.add_argument("--list", action="store_true")
+
+    p = sub.add_parser(
+        "restore",
+        help="ES _restore: materialize a snapshot as a fresh index dir",
+    )
+    p.add_argument("--repo", required=True)
+    p.add_argument("--name", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser(
         "alias-search",
         help="GET <alias>/_search: body across member indexes, stored "
              "alias filters applied, merged by score",
@@ -747,6 +767,23 @@ def main(argv: list[str] | None = None) -> int:
             max_docs=args.max_docs, max_size_bytes=args.max_size_bytes,
             max_age_seconds=args.max_age_seconds, dry_run=args.dry_run,
         )))
+    elif args.cmd == "snapshot":
+        from .index.snapshot import SnapshotRepo
+
+        repo = SnapshotRepo(args.repo)
+        if args.create:
+            if not args.index:
+                raise SystemExit("snapshot --create needs --index")
+            print(json.dumps(repo.create(args.create, args.index)))
+        elif args.delete:
+            print(json.dumps(repo.delete(args.delete)))
+        else:
+            print(json.dumps(repo.list(), indent=1))
+    elif args.cmd == "restore":
+        from .index.snapshot import SnapshotRepo
+
+        print(json.dumps(SnapshotRepo(args.repo).restore(args.name,
+                                                         args.out)))
     elif args.cmd == "alias-search":
         from .index.aliases import AliasRegistry, count_alias, search_alias
 
