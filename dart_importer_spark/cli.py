@@ -335,6 +335,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dry-run", action="store_true")
 
     p = sub.add_parser(
+        "sql",
+        help="ES _sql: SQL over the index with MATCH()/QUERY()/SCORE() "
+             "full-text extensions (FROM idx)",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--table", default="idx")
+    p.add_argument("--round", type=int, default=6,
+                   help="round SCORE() to this many decimals")
+
+    p = sub.add_parser(
         "snapshot",
         help="ES _snapshot: create/list/delete incremental file-level "
              "backups in a repository directory",
@@ -767,6 +778,13 @@ def main(argv: list[str] | None = None) -> int:
             max_docs=args.max_docs, max_size_bytes=args.max_size_bytes,
             max_age_seconds=args.max_age_seconds, dry_run=args.dry_run,
         )))
+    elif args.cmd == "sql":
+        from .query.engine import InvertedIndex
+
+        ix = InvertedIndex(spark, args.index)
+        for r in ix.sql(args.query, table=args.table,
+                        round_scores=args.round).collect():
+            print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "snapshot":
         from .index.snapshot import SnapshotRepo
 

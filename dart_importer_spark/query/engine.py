@@ -5470,6 +5470,22 @@ class InvertedIndex:
             emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
         )
 
+    def sql(
+        self,
+        statement: str,
+        table: str = "idx",
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES SQL (``POST _sql``): Spark SQL over the index with the ES
+        full-text extensions ``MATCH(field, 'q'[, 'operator=and'])``,
+        ``QUERY('query string')`` and ``SCORE()``. The index is
+        ``FROM idx`` (rename via ``table``). See
+        :func:`dart_importer_spark.query.sql.es_sql`."""
+        from .sql import es_sql as _es_sql
+
+        return _es_sql(self, statement, table=table,
+                       round_scores=round_scores)
+
     def scan(self, body: dict | None = None):
         """ES ``helpers.scan`` — the scroll iterator the reference drains
         whole indexes with (import_dart_data.py:562, test.py:72-80):
