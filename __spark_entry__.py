@@ -1256,6 +1256,18 @@ def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES _sql endpoint, Spark-first: the statement runs on Catalyst
+    # verbatim; MATCH(text, ...) compiles to ONE postings pass whose
+    # doc-id set becomes a boolean column in the scanned view
+    ix = _documents_index(spark, sf_dir)
+    return ix.sql(
+        "SELECT lang, count(*) AS n FROM idx "
+        "WHERE MATCH(text, 'data merge') "
+        "GROUP BY lang ORDER BY n DESC, lang ASC"
+    )
+
+
 def q_ft_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES helpers.scan — the scroll iterator the reference drains whole
     # indexes with (import_dart_data.py:562, test.py:72-80) — as its
@@ -2025,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sqs_or": q_ft_sqs_or,
         "ft_sqs_and": q_ft_sqs_and,
         "ft_mlt": q_ft_mlt,
+        "ft_es_sql": q_ft_es_sql,
     }
 
 
@@ -4135,4 +4148,15 @@ FROM events
 SELECT doc_id, regexp_extract(source, '([0-9]+)', 1)::BIGINT AS src_num FROM documents
 """,
         "etl_json": "SELECT event_id, json_extract(props, '$.k')::INT AS k FROM events",
+        "ft_es_sql": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+)
+SELECT lang, count(*) AS n
+FROM hits JOIN meta USING (did)
+GROUP BY lang
+ORDER BY n DESC, lang ASC
+""",
     }
