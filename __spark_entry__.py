@@ -1256,6 +1256,18 @@ def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES dfs_query_then_fetch: one term-stats pass per index merged into
+    # GLOBAL df/N/avgdl, then per-index top-k scored with the global
+    # statistics — cross-index scores become comparable (rank+score
+    # identical to one index over the union corpus, pytest-asserted)
+    from dart_importer_spark.query.engine import multi_index_topk
+
+    idxs = _documents_split_indexes(spark, sf_dir)
+    return multi_index_topk(idxs, "data merge", k=20, round_scores=6,
+                            search_type="dfs_query_then_fetch")
+
+
 def q_ft_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _sql endpoint, Spark-first: the statement runs on Catalyst
     # verbatim; MATCH(text, ...) compiles to ONE postings pass whose
@@ -2038,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sqs_and": q_ft_sqs_and,
         "ft_mlt": q_ft_mlt,
         "ft_es_sql": q_ft_es_sql,
+        "ft_multi_index_dfs": q_ft_multi_index_dfs,
     }
 
 
@@ -4158,5 +4171,38 @@ SELECT lang, count(*) AS n
 FROM hits JOIN meta USING (did)
 GROUP BY lang
 ORDER BY n DESC, lang ASC
+""",
+        "ft_multi_index_dfs": f"""
+WITH docs AS (
+  SELECT doc_id % 2 AS half,
+         row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS did,
+         text
+  FROM documents
+),
+tok AS (SELECT half, did, unnest({tok}) AS term FROM docs),
+tf AS (
+  SELECT half, did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+dl AS (SELECT half, did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('data'), ('merge')),
+scored AS (
+  SELECT tf.half, tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft ON dft.term = tf.term
+  JOIN dl ON dl.half = tf.half AND dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT CASE half WHEN 0 THEN 'even' ELSE 'odd' END AS index,
+       did AS doc_id, round(raw, 6) AS score
+FROM scored
+ORDER BY score DESC, index ASC, doc_id ASC LIMIT 20
 """,
     }

@@ -308,8 +308,13 @@ class InvertedIndex:
         must_not: str | None = None,
         min_should_match: int | None = None,
         search_after: tuple | None = None,
+        dfs_stats: dict | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
+
+        ``dfs_stats`` overrides the scoring statistics with global ones
+        (``{"df": {term: df}, "n_docs": N, "avgdl": a}``) — the fetch
+        phase of ``dfs_query_then_fetch`` (see :func:`multi_index_topk`).
 
         ``filters`` is a Column predicate over doc_stats columns (the
         non-scoring ``filter`` clauses of an ES bool query, e.g.
@@ -377,7 +382,18 @@ class InvertedIndex:
         terms = [t for t in terms if t in dfs]
         if not terms:
             return self._empty_scored(with_meta)
-        idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
+        if dfs_stats is not None:
+            # dfs_query_then_fetch: score with the caller's GLOBAL
+            # statistics (cross-index df / doc count / avgdl) instead of
+            # this index's local ones. Pruning bounds (ubs, θ) derive
+            # from the same overridden idf/avgdl below, so pruned ≡
+            # exhaustive is preserved under the override.
+            avgdl = float(dfs_stats.get("avgdl", avgdl))
+            g_df = dfs_stats.get("df") or {}
+            g_n = int(dfs_stats.get("n_docs", self.n_docs))
+            idf = {t: _idf(g_n, int(g_df.get(t, dfs[t]))) for t in terms}
+        else:
+            idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
         if boosts:
             idf = {t: w * float(boosts.get(t, 1.0)) for t, w in idf.items()}
         ubs = {
@@ -672,6 +688,29 @@ class InvertedIndex:
         return self.match_docs(
             query, mode=mode, field=field, filters=filters, exclude=exclude
         ).count()
+
+    def term_stats(
+        self, query: str, field: str | int | None = None
+    ) -> tuple[dict[str, int], int, float]:
+        """The DFS phase of ES ``dfs_query_then_fetch``: this index's
+        ``({term: df}, n_docs, avgdl)`` for the analyzed query — one
+        bucket-pruned postings-stats pass, O(#query terms) rows to the
+        caller (exactly the payload of ES's DFS round-trip). n_docs and
+        avgdl follow the engine's Lucene convention (stale under deletes
+        until compaction)."""
+        fid = self._fid(field)
+        avgdl = self.avgdl_by_field[fid]
+        terms = sorted(set(self._analyze(query, field)))
+        if not terms:
+            return {}, self.n_docs, avgdl
+        rows = (
+            self._candidate_postings(terms, fid)
+            .groupBy("term")
+            .agg(F.sum("n").alias("df"))
+            .collect()
+        )
+        return ({r["term"]: int(r["df"]) for r in rows},
+                self.n_docs, avgdl)
 
     def match_docs(
         self,
@@ -5622,6 +5661,7 @@ def multi_index_topk(
     query: str,
     k: int = 10,
     round_scores: int | None = None,
+    search_type: str = "query_then_fetch",
     **topk_kwargs,
 ) -> DataFrame:
     """ES index-pattern search (``GET dart-*/_search``): one query over
@@ -5629,9 +5669,19 @@ def multi_index_topk(
     column, exactly the reference's multi-index layout (one index per
     corp/data type, import_dart_data.py index naming + Running-ELK.md's
     dart-* patterns). ES's DEFAULT query_then_fetch scores each shard
-    with ITS OWN statistics — global IDF is the opt-in
-    dfs_query_then_fetch — so the honest equivalent is per-index BM25
+    with ITS OWN statistics, so the honest equivalent is per-index BM25
     top-k unioned and re-ranked, which is what this does.
+
+    ``search_type="dfs_query_then_fetch"`` runs ES's opt-in DFS phase
+    first: one :meth:`InvertedIndex.term_stats` pass per index
+    (O(#query terms) rows each, the DFS round-trip payload), merged
+    driver-side into global df / doc count / length-weighted avgdl, and
+    every index scores with the GLOBAL statistics via ``topk``'s
+    ``dfs_stats`` override. Because global scores are comparable across
+    indexes and each index contributes its k best, the merged top-k is
+    EXACTLY the top-k a single index over the union corpus would return
+    (rank and score identity — the property dfs exists for; pytest
+    asserts it against a physically-merged index).
 
     Scale shape: each index's top-k is already distributed and
     block-max-pruned; the merge unions n·k rows (tiny) and re-sorts —
@@ -5639,12 +5689,34 @@ def multi_index_topk(
     cross-index shuffle. Ties: (score desc, index asc, doc_id asc)."""
     if not indexes:
         raise ValueError("multi_index_topk: need at least one index")
+    if search_type not in ("query_then_fetch", "dfs_query_then_fetch"):
+        raise ValueError(
+            f"multi_index_topk: unknown search_type {search_type!r}"
+        )
+    dfs_stats = None
+    if search_type == "dfs_query_then_fetch":
+        g_df: dict[str, int] = {}
+        g_n, dl_sum = 0, 0.0
+        for _name, ix in sorted(indexes.items()):
+            d, n, a = ix.term_stats(query, field=topk_kwargs.get("field"))
+            for t, c in d.items():
+                g_df[t] = g_df.get(t, 0) + c
+            g_n += n
+            dl_sum += a * n
+        dfs_stats = {
+            "df": g_df,
+            "n_docs": g_n,
+            "avgdl": (dl_sum / g_n) if g_n else 1.0,
+        }
     parts = []
     for name, ix in sorted(indexes.items()):
-        df = ix.topk(query, k=k, round_scores=round_scores, **topk_kwargs)
-        parts.append(
-            df.select(F.lit(name).alias("index"), "doc_id", "score")
-        )
+        df = ix.topk(query, k=k, round_scores=round_scores,
+                     dfs_stats=dfs_stats, **topk_kwargs)
+        # with_meta keeps the per-index hit columns (ES returns _source
+        # across indexes); identical layouts union cleanly
+        cols = df.columns if topk_kwargs.get("with_meta") \
+            else ["doc_id", "score"]
+        parts.append(df.select(F.lit(name).alias("index"), *cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -791,3 +791,55 @@ def test_intervals_all_of(iv_index):
         {"match": {"query": "c"}},
     ]}}
     assert _iv(iv_index, nested) == [0]
+
+
+def test_multi_index_dfs_equals_merged_corpus(spark, tmp_path_factory):
+    """dfs_query_then_fetch: the DFS phase merges per-index term stats
+    into GLOBAL df/N/avgdl, every index scores with them, so the merged
+    top-k is exactly the top-k of ONE index over the union corpus —
+    rank and score identity, the property the DFS phase exists for
+    (local-stats query_then_fetch does not have it)."""
+    from dart_importer_spark.datagen import generate_transcripts
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import (
+        InvertedIndex,
+        multi_index_topk,
+    )
+
+    base = tmp_path_factory.mktemp("dfs")
+    tx = generate_transcripts(spark, 40).persist()
+    cfg = BuildConfig(n_segments=2, n_buckets=4)
+    idxs = {}
+    for name, par in (("h0", 0), ("h1", 1)):
+        out = str(base / name)
+        build_index(
+            spark, tx.filter(F.crc32(F.col("conv_id")) % 2 == par),
+            out, cfg, meta_cols=("role",),
+        )
+        idxs[name] = InvertedIndex(spark, out)
+    full_dir = str(base / "full")
+    build_index(spark, tx, full_dir, cfg, meta_cols=("role",))
+    full = InvertedIndex(spark, full_dir)
+
+    q = "the data and"
+    n_matches = int(full.match_docs(q).count())
+    got = multi_index_topk(
+        idxs, q, k=n_matches, with_meta=True,
+        search_type="dfs_query_then_fetch",
+    ).collect()
+    want = full.topk(q, k=n_matches, with_meta=True).collect()
+    gd = {(r["conv_id"], r["turn_idx"]): r["score"] for r in got}
+    wd = {(r["conv_id"], r["turn_idx"]): r["score"] for r in want}
+    assert set(gd) == set(wd) and len(gd) == n_matches > 0
+    for key in gd:
+        assert gd[key] == pytest.approx(wd[key], abs=1e-9), key
+
+    # local-stats mode really uses LOCAL stats: for at least one doc the
+    # score differs from the global-stats one (halves have different df)
+    loc = multi_index_topk(idxs, q, k=n_matches, with_meta=True).collect()
+    ld = {(r["conv_id"], r["turn_idx"]): r["score"] for r in loc}
+    assert any(abs(ld[key] - gd[key]) > 1e-9 for key in ld if key in gd)
+
+    with pytest.raises(ValueError, match="search_type"):
+        multi_index_topk(idxs, q, search_type="nope")
+    tx.unpersist()
