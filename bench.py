@@ -96,6 +96,8 @@ HEADLINE = [
     "ft_runtime_fields",
     "ft_scripted_metric",
     "ft_scan",
+    "ft_es_sql",
+    "ft_multi_index_dfs",
     "sim_ann_ivf",
     "tx_langid",
     "tx_fingerprint",

@@ -689,28 +689,21 @@ class InvertedIndex:
             query, mode=mode, field=field, filters=filters, exclude=exclude
         ).count()
 
-    def term_stats(
+    def dfs_term_stats(
         self, query: str, field: str | int | None = None
     ) -> tuple[dict[str, int], int, float]:
         """The DFS phase of ES ``dfs_query_then_fetch``: this index's
         ``({term: df}, n_docs, avgdl)`` for the analyzed query — one
-        bucket-pruned postings-stats pass, O(#query terms) rows to the
-        caller (exactly the payload of ES's DFS round-trip). n_docs and
-        avgdl follow the engine's Lucene convention (stale under deletes
-        until compaction)."""
-        fid = self._fid(field)
-        avgdl = self.avgdl_by_field[fid]
+        bucket-pruned term-dictionary lookup (df is a dictionary column;
+        no postings touched), O(#query terms) rows to the caller —
+        exactly the payload of ES's DFS round-trip. n_docs and avgdl
+        follow the engine's Lucene convention (stale under deletes until
+        compaction)."""
+        avgdl = self.avgdl_by_field[self._fid(field)]
         terms = sorted(set(self._analyze(query, field)))
         if not terms:
             return {}, self.n_docs, avgdl
-        rows = (
-            self._candidate_postings(terms, fid)
-            .groupBy("term")
-            .agg(F.sum("n").alias("df"))
-            .collect()
-        )
-        return ({r["term"]: int(r["df"]) for r in rows},
-                self.n_docs, avgdl)
+        return self.term_stats(terms, field), self.n_docs, avgdl
 
     def match_docs(
         self,
@@ -5673,7 +5666,7 @@ def multi_index_topk(
     top-k unioned and re-ranked, which is what this does.
 
     ``search_type="dfs_query_then_fetch"`` runs ES's opt-in DFS phase
-    first: one :meth:`InvertedIndex.term_stats` pass per index
+    first: one :meth:`InvertedIndex.dfs_term_stats` pass per index
     (O(#query terms) rows each, the DFS round-trip payload), merged
     driver-side into global df / doc count / length-weighted avgdl, and
     every index scores with the GLOBAL statistics via ``topk``'s
@@ -5698,7 +5691,7 @@ def multi_index_topk(
         g_df: dict[str, int] = {}
         g_n, dl_sum = 0, 0.0
         for _name, ix in sorted(indexes.items()):
-            d, n, a = ix.term_stats(query, field=topk_kwargs.get("field"))
+            d, n, a = ix.dfs_term_stats(query, field=topk_kwargs.get("field"))
             for t, c in d.items():
                 g_df[t] = g_df.get(t, 0) + c
             g_n += n
