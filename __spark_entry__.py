@@ -1640,6 +1640,36 @@ def q_dd_jaccard_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dd_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: the exact Jaccard pair graph resolved
+    into connected components (dedup.dedup_clusters — hash-min label
+    propagation with pointer jumping, lineage cut per round), so
+    transitive dup evidence (a~b, b~c) lands in ONE cluster. Oracle is a
+    DuckDB recursive CTE computing min-reachable-id over the same
+    symmetric edge set."""
+    docs = _documents_planted(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    cl = dedup.dedup_clusters(pairs.select("a", "b"))
+    sizes = cl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        cl.join(sizes, "cluster_id")
+        .select("cluster_id", "doc_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+def q_dd_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation step after clustering: keep ONE representative per
+    dup cluster (longest text, ties -> min doc_id; dedup.keep_canonical),
+    singletons untouched — the surviving corpus a training pipeline
+    would feed downstream. Returns the surviving doc_ids."""
+    docs = _documents_planted(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    cl = dedup.dedup_clusters(pairs.select("a", "b"))
+    kept = dedup.keep_canonical(docs, cl, prefer=F.length("text"))
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 _ANN_CACHE: dict[str, str] = {}
 
 
@@ -1937,12 +1967,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_auto_dh": q_ft_auto_dh,
         "ft_serial_diff": q_ft_serial_diff,
         "ft_rare_terms": q_ft_rare_terms,
-        "ft_adjacency": q_ft_adjacency,
+        # dup-graph connected components + canonical selection — a NEW
+        # operator class (iterative graph op); first driver evidence
+        # matters more than two more same-class agg variants, so these
+        # displace ft_adjacency / ft_terms_enum to 51+ (SURVEY §7)
+        "dd_clusters": q_dd_clusters,
+        "dd_canonical": q_dd_canonical,
         "ft_runtime_fields": q_ft_runtime_fields,
-        "ft_terms_enum": q_ft_terms_enum,
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
+        "ft_adjacency": q_ft_adjacency,
+        "ft_terms_enum": q_ft_terms_enum,
         "ft_scan": q_ft_scan,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
@@ -2085,6 +2121,49 @@ def oracle_sql() -> dict[str, str]:
         "('%s', [%s])" % (lang, ", ".join(f"'{w}'" for w in words))
         for lang, words in LANG_PROFILES.items()
     )
+    # shared by dd_clusters / dd_canonical: the dd_jaccard_ngram pair set
+    # resolved into connected components via a recursive CTE
+    # (min-reachable-id over the symmetric edge set == cluster id)
+    dd_comp_ctes = f"""
+WITH RECURSIVE docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' qq0 qq1 qq2' FROM documents
+  WHERE doc_id % 17 = 0
+),
+t2 AS (SELECT doc_id, {tok} AS lst FROM docs2),
+sh2 AS (
+  SELECT doc_id,
+         CASE WHEN len(lst) >= 3 THEN
+           list_sort(list_distinct(list_transform(
+             generate_series(1, len(lst) - 2),
+             i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])))
+         ELSE [array_to_string(lst, ' ')] END AS s
+  FROM t2
+),
+sz2 AS (SELECT doc_id, len(s) AS sz FROM sh2),
+ex2 AS (SELECT doc_id, unnest(s) AS shg FROM sh2),
+inter2 AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM ex2 x JOIN ex2 y ON x.shg = y.shg AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT a, b FROM (
+    SELECT a, b, n_inter::DOUBLE / (sa.sz + sb.sz - n_inter) AS j
+    FROM inter2
+    JOIN sz2 sa ON sa.doc_id = a
+    JOIN sz2 sb ON sb.doc_id = b
+  ) WHERE j >= 0.6
+),
+edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+reach(id, root) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(root) AS cluster_id FROM reach GROUP BY id)
+"""
     shingle_set = f"""
 WITH t AS (SELECT doc_id, {tok} AS lst FROM documents),
 sh AS (
@@ -4000,6 +4079,20 @@ SELECT a, b, round(j, 6) AS jaccard FROM (
   JOIN sz sa ON sa.doc_id = a
   JOIN sz sb ON sb.doc_id = b
 ) WHERE j >= 0.6
+""",
+        "dd_clusters": dd_comp_ctes + """
+SELECT cluster_id, id AS doc_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comp ORDER BY cluster_id, doc_id
+""",
+        "dd_canonical": dd_comp_ctes + """
+SELECT doc_id FROM (
+  SELECT d.doc_id,
+         row_number() OVER (
+           PARTITION BY coalesce(c.cluster_id, d.doc_id)
+           ORDER BY len(d.text) DESC, d.doc_id ASC) AS rn
+  FROM docs2 d LEFT JOIN comp c ON c.id = d.doc_id
+) WHERE rn = 1 ORDER BY doc_id
 """,
         "dd_embed_exact": _EMBED_PAIRS_SQL,
         "dd_embed_lsh": _EMBED_PAIRS_SQL,

@@ -105,6 +105,7 @@ HEADLINE = [
     "dd_near_identical",
     "dd_simhash_pairs",
     "dd_jaccard_ngram",
+    "dd_clusters",
     "ft_rank_eval",
     "sim_knn_batch",
     "sim_ivf_batch",

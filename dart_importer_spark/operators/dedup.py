@@ -494,3 +494,116 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    left_col: str = "a",
+    right_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph →
+    ``(id_col, cluster_id)`` with ``cluster_id = min(member ids)`` — the
+    step AFTER pair generation (minhash_lsh_pairs / simhash_near_dups /
+    ngram_jaccard_pairs / embedding_near_dups all emit (a, b) edges) that
+    turns transitive duplicate evidence into groups a curation pass can
+    act on: a~b and b~c must land in ONE cluster even when a~c was never
+    emitted as a pair.
+
+    Algorithm: hash-min label propagation with pointer jumping. Each
+    round (1) takes the min label over graph neighbours (one shuffle
+    join + map-side-combined min agg) and (2) replaces every label with
+    ITS OWN current label (one self-join) — path halving, so rounds
+    needed are O(log diameter) instead of O(diameter). Lineage is cut
+    every round with an eager localCheckpoint (executor-local blocks; on
+    a cluster use spark.sparkContext.setCheckpointDir + .checkpoint for
+    fault tolerance) so the plan never deepens. Convergence is detected
+    by the sum of labels (min-propagation only ever DECREASES a label,
+    so an unchanged sum means a fixpoint); that is one cheap agg per
+    round on the just-materialized table, no diff join. For adversarially
+    chained graphs at 10^12 edges the same loop holds — near-dup cluster
+    diameters are small, and the log-rounds bound caps the worst case
+    (cf. Kiveris et al., "Connected Components in MapReduce and Beyond"
+    for the star-contraction alternative).
+
+    ``ids`` (optional, a DataFrame carrying ``id_col``) adds isolated
+    nodes: every id appears in the output, singletons as their own
+    cluster. Without it the node set is derived from the pairs alone.
+    """
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    if ids is not None:
+        nodes = nodes.union(ids.select(F.col(id_col).alias("id"))).distinct()
+    # pair graphs are tiny next to the corpus (edges ≪ docs); keep the
+    # edge list hot across rounds instead of re-shuffling it from source
+    edges = edges.localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("lbl", "nlbl").alias("lbl"))
+        )
+        # pointer jumping: lbl <- label-of-lbl (path halving)
+        jump = stepped.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.lbl == jump.jid, "left")
+            .select("id", F.least("lbl", "jlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
+
+
+def keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    prefer=None,
+) -> DataFrame:
+    """One representative row per duplicate cluster — the dedup pass a
+    training pipeline runs after :func:`dedup_clusters`: rows absent from
+    ``clusters`` are singletons and survive untouched; within a cluster
+    the row maximizing ``prefer`` (a Column, e.g. ``F.length("text")``)
+    wins, ties broken by min id — deterministic, so reruns keep the SAME
+    representative. Returns ``df``'s rows (original columns) for the
+    survivors only. One broadcast-sized join (clusters ≪ corpus) plus a
+    per-cluster window; singleton rows take the window keyed by their own
+    id, so no skewed giant partition exists by construction."""
+    from pyspark.sql.window import Window
+
+    joined = df.join(
+        clusters.select(
+            F.col(id_col).alias("_cid_key"), F.col("cluster_id").alias("_cl")
+        ),
+        df[id_col] == F.col("_cid_key"),
+        "left",
+    ).withColumn("_cl", F.coalesce(F.col("_cl"), df[id_col]))
+    order = [F.asc(id_col)] if prefer is None else [
+        F.desc_nulls_last(prefer),
+        F.asc(id_col),
+    ]
+    w = Window.partitionBy("_cl").orderBy(*order)
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_cid_key", "_cl", "_rn")
+    )

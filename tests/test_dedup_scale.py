@@ -234,3 +234,72 @@ def test_ngram_jaccard_cap_never_inflates(spark):
     }
     for pair, v in low.items():
         assert v <= true[pair] + 1e-12
+
+
+# ---------------------------------------------------------------- clusters
+
+
+def test_dedup_clusters_merges_chains(spark):
+    """a~b, b~c, c~d must land in ONE cluster even though a~c, a~d, b~d
+    were never emitted as pairs — the transitivity the pair operators
+    themselves cannot express."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "a long, b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_long_chain_and_reverse_ids(spark):
+    """A 40-node path with ids DESCENDING along the chain (worst case for
+    min-propagation: the min label must travel the full diameter) still
+    converges inside max_iter thanks to pointer jumping, and every node
+    gets the global min id."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "a long, b long"
+    )
+    rows = dedup.dedup_clusters(pairs, max_iter=12).collect()
+    assert {r["cluster_id"] for r in rows} == {1}
+    assert len(rows) == n
+
+
+def test_dedup_clusters_singletons_via_ids(spark):
+    pairs = spark.createDataFrame([(5, 6)], "a long, b long")
+    ids = spark.createDataFrame([(5,), (6,), (7,), (8,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(pairs, ids=ids).collect()
+    }
+    assert got == {5: 5, 6: 5, 7: 7, 8: 8}
+    # empty pair set: everything is a singleton
+    empty = spark.createDataFrame([], "a long, b long")
+    got2 = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(empty, ids=ids).collect()
+    }
+    assert got2 == {5: 5, 6: 6, 7: 7, 8: 8}
+
+
+def test_keep_canonical_prefers_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest text here"), (3, "midlen text"),
+         (4, "same len"), (5, "same len"), (9, "untouched singleton")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "a long, b long")
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.keep_canonical(
+        docs, clusters, prefer=F.length("text")
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 4, 9]
+    # prefer=None: min id wins
+    kept2 = dedup.keep_canonical(docs, clusters)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 4, 9]
+    # original columns come back untouched
+    assert kept.columns == docs.columns
