@@ -1352,6 +1352,18 @@ def q_ft_multi_match_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_cross_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match type=cross_fields (term-centric, Lucene
+    # BlendedTermQuery): per-term df blended to the max across
+    # (text, source), each field scored with its own tf/length norms,
+    # per (doc, term) dis_max with tie_breaker 0.3, summed over terms
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match(
+        "data src7", fields=["text", "source"], k=20,
+        match_type="cross_fields", tie_breaker=0.3, round_scores=6,
+    )
+
+
 def q_ft_multi_match_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES per-field boost syntax fields=["text^2", "source"]: the text leg's
     # contributions scale 2x before the most_fields sum
@@ -2087,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mlt": q_ft_mlt,
         "ft_es_sql": q_ft_es_sql,
         "ft_multi_index_dfs": q_ft_multi_index_dfs,
+        "ft_cross_fields": q_ft_cross_fields,
     }
 
 
@@ -2320,6 +2333,45 @@ WITH docs AS (
 SELECT did AS doc_id, round(sum(sc), 6) AS score
 FROM allsc GROUP BY did
 ORDER BY round(sum(sc), 6) DESC, did ASC LIMIT 20
+"""
+    # cross_fields: per-term df blended to max across fields (shared idf),
+    # per-field tf/length norms, per (did, term) dis_max tie 0.3, summed
+    def _cf_field_block(i: int, col: str, qlist: str) -> str:
+        return f"""
+tok{i} AS (SELECT did, unnest(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')) AS term FROM docs),
+tf{i} AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok{i} GROUP BY 1, 2),
+dl{i} AS (SELECT did, len(regexp_extract_all(lower({col}), '{TOKEN_PATTERN}'))::DOUBLE AS dl FROM docs),
+st{i} AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl{i}),
+dft{i} AS (SELECT term, count(*)::DOUBLE AS df FROM tf{i} GROUP BY 1),
+psc{i} AS (
+  SELECT tf{i}.did, tf{i}.term,
+    ln(1 + (s.n - b.df + 0.5) / (b.df + 0.5))
+    * tf{i}.tf / (tf{i}.tf + {K1} * (1 - {B} + {B} * dl{i}.dl / s.avgdl)) AS sc
+  FROM tf{i} JOIN bdf b USING (term) JOIN dl{i} ON dl{i}.did = tf{i}.did
+  CROSS JOIN st{i} s
+  WHERE tf{i}.term IN ({qlist}))"""
+
+    cross_fields_sql = f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text, source FROM documents
+),
+tokb0 AS (SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term FROM docs),
+tokb1 AS (SELECT did, unnest(regexp_extract_all(lower(source), '{TOKEN_PATTERN}')) AS term FROM docs),
+bdf AS (
+  SELECT term, max(df) AS df FROM (
+    SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tokb0 GROUP BY term
+    UNION ALL
+    SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tokb1 GROUP BY term
+  ) GROUP BY term
+),{_cf_field_block(0, "text", mm_q)},{_cf_field_block(1, "source", mm_q)}
+, allsc AS (SELECT * FROM psc0 UNION ALL SELECT * FROM psc1),
+pt AS (
+  SELECT did, term, max(sc) + 0.3 * (sum(sc) - max(sc)) AS ts
+  FROM allsc GROUP BY did, term
+)
+SELECT did AS doc_id, round(sum(ts), 6) AS score
+FROM pt GROUP BY did
+ORDER BY round(sum(ts), 6) DESC, did ASC LIMIT 20
 """
     # best_fields: dis_max with tie_breaker 0.3 over the same field blocks
     multi_match_best_sql = f"""
@@ -3930,6 +3982,7 @@ FROM gate g JOIN scores s USING (did)
 ORDER BY round(s.s, 6) DESC, doc_id ASC LIMIT 20
 """,
         "ft_multi_match_best": multi_match_best_sql,
+        "ft_cross_fields": cross_fields_sql,
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",

@@ -56,6 +56,7 @@ HEADLINE = [
     "ft_mlt",
     "ft_percolate",
     "ft_multi_match_best",
+    "ft_cross_fields",
     "ft_sig_terms",
     "ft_highlight",
     "ft_highlight_frag",

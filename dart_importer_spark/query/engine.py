@@ -4430,6 +4430,7 @@ class InvertedIndex:
         prune: bool = True,
         match_type: str = "most_fields",
         tie_breaker: float = 0.0,
+        operator: str = "or",
     ) -> DataFrame:
         """ES ``multi_match``. ``match_type='most_fields'`` scores the query
         against each named field with that field's own BM25 statistics and
@@ -4446,12 +4447,35 @@ class InvertedIndex:
         exhaustive plan (property-tested): a doc's final score — sum, or
         max + tie_breaker·rest with tie_breaker ≤ 1 — always sits between
         any single-leg partial (≥, the bootstrap) and the all-legs sum of
-        upper bounds (≤, the skip test)."""
-        if match_type not in ("most_fields", "best_fields"):
+        upper bounds (≤, the skip test).
+
+        ``match_type='cross_fields'`` is TERM-centric (Lucene
+        BlendedTermQuery): every term's df is BLENDED to the max df across
+        the queried fields (so a term common in one field isn't over-
+        rewarded for being rare in another), each field still scores with
+        its OWN tf / length norms, and per (doc, term) the field scores
+        combine as max + tie_breaker·rest; the doc score sums the per-term
+        combines. ``operator='and'`` (cross_fields only) keeps docs whose
+        per-field matches cover EVERY analyzed query term — a term may be
+        satisfied by ANY field, ES's cross_fields AND. θ-pruning is
+        disabled under AND (a leg's top-k may be AND-rejected, so the
+        bootstrap would not be a valid lower bound); the OR path keeps it
+        with ubs rescaled by the blended idf, so the skip inequality stays
+        conservative."""
+        if match_type not in ("most_fields", "best_fields", "cross_fields"):
             raise ValueError(f"multi_match: unknown type {match_type!r}")
         if not 0.0 <= tie_breaker <= 1.0:
             raise ValueError("multi_match: tie_breaker must be in [0, 1]")
+        if operator not in ("or", "and"):
+            raise ValueError(f"multi_match: unknown operator {operator!r}")
+        if operator == "and" and match_type != "cross_fields":
+            raise ValueError(
+                "multi_match: operator='and' is the cross_fields term-"
+                "centric form; best/most_fields apply operators per field "
+                "(use topk(mode='and') on each field instead)"
+            )
         legs: list[tuple] = []
+        analyzed_all: set[str] = set()
         for f in fields:
             boost = 1.0
             if isinstance(f, str) and "^" in f:  # ES "field^2.5" boost syntax
@@ -4471,6 +4495,7 @@ class InvertedIndex:
                     )
             fid = self._fid(f)
             terms = sorted(set(self._analyze(query, fid)))
+            analyzed_all.update(terms)
             if not terms:
                 continue
             dfs, idf, ubs = self._leg_stats(terms, fid)
@@ -4484,28 +4509,73 @@ class InvertedIndex:
                 legs.append((fid, terms, dfs, idf, ubs))
         if not legs:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        if match_type == "cross_fields":
+            # blend df to the MAX across legs; rescale each leg's idf AND
+            # ubs by the blended/local idf ratio (ubs are idf-proportional:
+            # ub = idf * tf-saturation bound), so the skip inequality keeps
+            # holding under the blended scores
+            bdf: dict[str, int] = {}
+            for _, terms, dfs, _, _ in legs:
+                for t in terms:
+                    bdf[t] = max(bdf.get(t, 0), dfs[t])
+            if operator == "and" and not analyzed_all <= set(bdf):
+                # some query term matches NO field: cross_fields AND is empty
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score double"
+                )
+            legs = [
+                (
+                    fid, terms, dfs,
+                    {t: idf[t] * _idf(self.n_docs, bdf[t]) / _idf(self.n_docs, dfs[t])
+                     for t in terms},
+                    {t: ubs[t] * _idf(self.n_docs, bdf[t]) / _idf(self.n_docs, dfs[t])
+                     for t in terms},
+                )
+                for fid, terms, dfs, idf, ubs in legs
+            ]
         theta = 0.0
         n_terms_total = sum(len(l[1]) for l in legs)
-        if prune and n_terms_total > 1:
+        if prune and n_terms_total > 1 and operator == "or":
             theta = self._multi_leg_theta(legs, k)
         ub_total = sum(sum(l[4].values()) for l in legs)
+        term_centric = match_type == "cross_fields"
         parts: list[DataFrame] = []
         for fid, terms, dfs, idf, ubs in legs:
             scored = self._score_terms(
                 terms, idf, theta=theta, ubs=ubs, fid=fid,
                 extra_ub=ub_total - sum(ubs.values()),
+                keep_term=term_centric,
             )
+            keys = ["doc_id", "term"] if term_centric else ["doc_id"]
             parts.append(
-                scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                scored.groupBy(*keys).agg(F.sum("score").alias("score"))
             )
         allp = parts[0]
         for p in parts[1:]:
             allp = allp.unionByName(p)
-        per_doc = allp.groupBy("doc_id")
-        if match_type == "most_fields":
-            agg = per_doc.agg(F.sum("score").alias("score"))
+        if term_centric:
+            # per (doc, term): dis_max across fields, then sum over terms —
+            # two partial-aggregated shuffles on (doc_id[, term]), no
+            # per-posting shuffle beyond what the kernel already emits
+            per_term = allp.groupBy("doc_id", "term").agg(
+                (
+                    F.max("score")
+                    + F.lit(float(tie_breaker))
+                    * (F.sum("score") - F.max("score"))
+                ).alias("ts")
+            )
+            gb = per_term.groupBy("doc_id")
+            if operator == "and":
+                agg = gb.agg(
+                    F.sum("ts").alias("score"),
+                    F.count("*").alias("_nt"),
+                ).filter(F.col("_nt") == len(analyzed_all)).drop("_nt")
+            else:
+                agg = gb.agg(F.sum("ts").alias("score"))
+        elif match_type == "most_fields":
+            agg = allp.groupBy("doc_id").agg(F.sum("score").alias("score"))
         else:  # best_fields: max + tie_breaker * (sum of the other legs)
-            agg = per_doc.agg(
+            agg = allp.groupBy("doc_id").agg(
                 (
                     F.max("score")
                     + F.lit(float(tie_breaker))

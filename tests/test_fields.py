@@ -257,10 +257,85 @@ def test_multi_match_best_fields(built_index, fielded_index):
     import pytest as _pt
 
     with _pt.raises(ValueError):
-        built_index.multi_match("x", ["text"], match_type="cross_fields")
+        built_index.multi_match("x", ["text"], match_type="nope_fields")
     with _pt.raises(ValueError):
         built_index.multi_match("x", ["text"], match_type="best_fields",
                                 tie_breaker=1.5)
+    with _pt.raises(ValueError, match="operator"):
+        built_index.multi_match("x", ["text"], match_type="best_fields",
+                                operator="and")
+
+
+def _cross_fields_oracle(rows, query_terms, tie=0.0, operator="or", k=5):
+    """Pure-python cross_fields: blended (max-across-fields) df per term,
+    per-field tf/length norms, per (doc, term) dis_max, summed."""
+    body = [tokenize_text(r[2]) for r in rows]
+    title = [tokenize_text(r[3]) for r in rows]
+    n = len(rows)
+    fields = [body, title]
+    av = [sum(map(len, f)) / n for f in fields]
+    scores: dict[int, float] = {}
+    matched: dict[int, set] = {}
+    for term in set(query_terms):
+        bdf = max(sum(1 for t in f if term in t) for f in fields)
+        if bdf == 0:
+            continue
+        idf = math.log(1 + (n - bdf + 0.5) / (bdf + 0.5))
+        for did in range(n):
+            per_f = []
+            for fi, f in enumerate(fields):
+                tf = f[did].count(term)
+                if tf:
+                    dl = len(f[did])
+                    per_f.append(
+                        idf * tf / (tf + K1 * (1 - B + B * dl / av[fi]))
+                    )
+            if per_f:
+                s = max(per_f) + tie * (sum(per_f) - max(per_f))
+                scores[did] = scores.get(did, 0.0) + s
+                matched.setdefault(did, set()).add(term)
+    if operator == "and":
+        req = set(query_terms)
+        scores = {d: s for d, s in scores.items() if matched[d] >= req}
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_multi_match_cross_fields(fielded_index):
+    """cross_fields: blended-df term-centric scoring matches the python
+    oracle exactly; operator AND keeps only docs covering every term (in
+    ANY field); pruned == exhaustive on the OR path."""
+    for q, tie in [("beta news", 0.3), ("alpha beta two", 0.0),
+                   ("beta news", 1.0)]:
+        got = _rows6(fielded_index.multi_match(
+            q, ["body", "title"], k=5, match_type="cross_fields",
+            tie_breaker=tie,
+        ))
+        want = [
+            (d, round(s, 6))
+            for d, s in _cross_fields_oracle(ROWS, q.split(), tie=tie)
+        ]
+        assert got == want, (q, tie)
+        assert got == _rows6(fielded_index.multi_match(
+            q, ["body", "title"], k=5, match_type="cross_fields",
+            tie_breaker=tie, prune=False,
+        ))
+    # AND: 'beta' (body of 0,1,4) AND 'news' (title of 0,2,4) -> {0, 4}
+    got_and = _rows6(fielded_index.multi_match(
+        "beta news", ["body", "title"], k=5, match_type="cross_fields",
+        operator="and",
+    ))
+    assert sorted(d for d, _ in got_and) == [0, 4]
+    assert got_and == [
+        (d, round(s, 6))
+        for d, s in _cross_fields_oracle(
+            ROWS, ["beta", "news"], operator="and"
+        )
+    ]
+    # AND with a term matching no field at all -> empty
+    assert fielded_index.multi_match(
+        "beta zzzzterm", ["body", "title"], match_type="cross_fields",
+        operator="and",
+    ).count() == 0
 
 
 def test_sayt_pruned_equals_exhaustive(built_index, fielded_index):
