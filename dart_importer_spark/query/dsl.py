@@ -502,11 +502,18 @@ def _dispatch_leaf(
             return ix.search_as_you_type(
                 spec["query"], k=k, round_scores=round_scores
             )
-        if mt not in ("most_fields", "best_fields"):
+        if mt not in ("most_fields", "best_fields", "cross_fields"):
             raise DslError(f"multi_match: unsupported type {mt!r}")
+        op = str(spec.get("operator", "or")).lower()
+        if op != "or" and mt != "cross_fields":
+            raise DslError(
+                "multi_match: 'operator' is only supported for "
+                "type=cross_fields (term-centric AND)"
+            )
         return ix.multi_match(
             spec["query"], fields=list(fields), k=k, match_type=mt,
             tie_breaker=float(spec.get("tie_breaker", 0.0)),
+            operator=op,
             round_scores=round_scores,
         )
     if typ == "combined_fields":

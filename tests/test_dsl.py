@@ -1053,3 +1053,23 @@ def test_msearch_bodies_batches_kernel_once(built_index, monkeypatch):
         "z": {"query": {"term": {"role": "user"}}, "size": 5},
     })
     assert len(calls) == 1 and set(calls[0]) == {"x", "y"}
+
+
+def test_multi_match_cross_fields_body(built_index):
+    body = {"query": {"multi_match": {
+        "query": "the and", "fields": ["text"],
+        "type": "cross_fields", "operator": "and", "tie_breaker": 0.3,
+    }}, "size": 5}
+    same(
+        built_index.search(body, round_scores=6),
+        built_index.multi_match(
+            "the and", ["text"], k=5, match_type="cross_fields",
+            operator="and", tie_breaker=0.3, round_scores=6,
+        ),
+    )
+    # operator on a field-centric type is refused, as in the engine API
+    with pytest.raises(DslError, match="operator"):
+        built_index.search({"query": {"multi_match": {
+            "query": "x", "fields": ["text"],
+            "type": "best_fields", "operator": "and",
+        }}})
