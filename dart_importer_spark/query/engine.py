@@ -919,15 +919,22 @@ class InvertedIndex:
         <= max_dist (ES caps fuzziness at 2), ``max_dist + 1`` beyond.
         Matches DuckDB's ``damerau_levenshtein`` on the <= max_dist range,
         so value oracles stay exact. Whole-stage-codegen friendly: one
-        levenshtein per adjacent transposition of ``q`` plus one In-list."""
+        THRESHOLDED levenshtein per adjacent transposition of ``q`` plus
+        one In-list — the threshold form early-exits the DP at
+        O(len·max_dist) per row instead of O(len²), and any value past
+        the cap comes back as -1, which maps to the same ``max_dist + 1``
+        sentinel the unthresholded construction produced."""
         t1, t0 = cls._dl_variants(q, max_dist)
         big = F.lit(max_dist + 1)
-        exprs = [F.least(F.levenshtein(col, F.lit(q)), big)]
+
+        def capped(v: str, add: int) -> Column:
+            lev = F.levenshtein(col, F.lit(v), max_dist)
+            out = (lev + F.lit(add)) if add else lev
+            return F.when(lev < 0, big).otherwise(F.least(out, big))
+
+        exprs = [capped(q, 0)]
         if max_dist >= 1:
-            exprs += [
-                F.least(F.levenshtein(col, F.lit(v)) + F.lit(1), big)
-                for v in t1
-            ]
+            exprs += [capped(v, 1) for v in t1]
         if t0:
             exprs.append(F.when(col.isin(t0), F.lit(2)).otherwise(big))
         return F.least(*exprs) if len(exprs) > 1 else exprs[0]
