@@ -258,3 +258,30 @@ def test_runtime_field_filter_plan_stays_in_scan_stage(built_index):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "turn_idx" in read_schema and "conv_id" not in read_schema
+
+
+def test_session3_operators_arrow_only(spark, built_index):
+    """dd_clusters / keep_canonical / cross_fields / dfs stay inside the
+    no-row-Python contract, and the cluster loop's per-round tables are
+    pure JVM (joins + partial aggs over checkpointed blocks)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 10)], "a long, b long"
+    )
+    cl = dedup.dedup_clusters(pairs)
+    assert_no_row_python(cl)
+    docs = spark.createDataFrame(
+        [(i, "t" * (i + 1)) for i in (1, 2, 3, 9, 10, 20)],
+        "doc_id long, text string",
+    )
+    assert_no_row_python(
+        dedup.keep_canonical(docs, cl, prefer=F.length("text"))
+    )
+    # cross_fields: the per-leg kernels are the same Arrow decode topk
+    # uses; the term-centric combine adds only JVM hash aggregates
+    plan = _plan(
+        built_index.multi_match(
+            "the and", ["text"], k=5, match_type="cross_fields",
+            tie_breaker=0.3,
+        )
+    )
+    assert "BatchEvalPython" not in plan, plan
