@@ -503,6 +503,7 @@ def dedup_clusters(
     left_col: str = "a",
     right_col: str = "b",
     max_iter: int = 50,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph →
     ``(id_col, cluster_id)`` with ``cluster_id = min(member ids)`` — the
@@ -546,7 +547,9 @@ def dedup_clusters(
     edges = edges.localCheckpoint(eager=False)
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    converged, rounds = False, 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -568,8 +571,24 @@ def dedup_clusters(
         cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if metrics_out is not None:
+        metrics_out["rounds"] = rounds
+        metrics_out["converged"] = converged
+    if not converged:
+        # never silently: labels past max_iter may still be mid-merge —
+        # a cluster could be split in the returned assignment
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: no fixpoint after max_iter={max_iter} "
+            "rounds — returned clusters may be under-merged; raise "
+            "max_iter (rounds needed are O(log graph diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id").alias(id_col), F.col("lbl").alias("cluster_id"))
 
 

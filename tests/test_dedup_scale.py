@@ -303,3 +303,19 @@ def test_keep_canonical_prefers_then_min_id(spark):
     assert sorted(r["doc_id"] for r in kept2.collect()) == [1, 4, 9]
     # original columns come back untouched
     assert kept.columns == docs.columns
+
+
+def test_dedup_clusters_reports_convergence(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    m = {}
+    dedup.dedup_clusters(pairs, metrics_out=m).collect()
+    assert m["converged"] and 1 <= m["rounds"] <= 4
+    # max_iter too small for the chain: warned + reported, never silent
+    n = 24
+    chain = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "a long, b long"
+    )
+    m2 = {}
+    with pytest.warns(RuntimeWarning, match="under-merged"):
+        dedup.dedup_clusters(chain, max_iter=1, metrics_out=m2).collect()
+    assert not m2["converged"] and m2["rounds"] == 1
