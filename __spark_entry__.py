@@ -1569,6 +1569,29 @@ def q_dd_near_identical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch (exact copies of every 23rd doc,
+    ids +200000) checked against the EXISTING corpus — banded signatures
+    equi-joined across sides (dedup.minhash_lsh_pairs_incremental; the
+    corpus is never re-paired against itself), then exact-Jaccard
+    verified at ~1.0. Identical texts -> identical signatures -> same
+    buckets, so LSH recall is exactly 1 and the DuckDB oracle (canonical
+    shingle-set key join across the corpus/new boundary) is a true
+    equality."""
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    cand = dedup.minhash_lsh_pairs_incremental(
+        dedup.minhash_signatures(new, n_perm=32),
+        dedup.minhash_signatures(docs, n_perm=32),
+        bands=8,
+    )
+    both = docs.unionByName(new)
+    verified = dedup.jaccard_verify(both, cand, threshold=0.999999)
+    return verified.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SimHash (portable md5-60 token hash) + 4-chunk Hamming<=3 pairing.
     # The chunk-bucket join is complete for Hamming<=3 (pigeonhole), so the
@@ -2029,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact": q_dd_exact,
         "dd_near_identical": q_dd_near_identical,
         "dd_simhash_pairs": q_dd_simhash_pairs,
+        "dd_incremental": q_dd_incremental,
         "sim_bruteforce_cosine": q_sim_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "mm_frame_plan": q_mm_frame_plan,
@@ -4101,6 +4125,11 @@ FROM best WHERE rn = 1
 + """
 SELECT a.doc_id AS a, b.doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard
 FROM keyed a JOIN keyed b ON a.key = b.key AND a.doc_id < b.doc_id
+""",
+        "dd_incremental": shingle_set
++ """
+SELECT a.doc_id AS a, b.doc_id + 200000 AS b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM keyed a JOIN keyed b ON a.key = b.key AND b.doc_id % 23 = 0
 """,
         "dd_jaccard_ngram": f"""
 WITH docs2 AS (

@@ -107,6 +107,7 @@ HEADLINE = [
     "dd_simhash_pairs",
     "dd_jaccard_ngram",
     "dd_clusters",
+    "dd_incremental",
     "ft_rank_eval",
     "sim_knn_batch",
     "sim_ivf_batch",

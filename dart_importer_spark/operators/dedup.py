@@ -206,22 +206,13 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    sigs: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 8,
-    max_bucket: int = 64,
-    metrics_out: dict | None = None,
-) -> DataFrame:
-    """LSH banding: hash each signature band -> bucket-join -> candidate
-    pairs (a < b). Buckets larger than ``max_bucket`` (typically boilerplate
-    clusters) are NOT silently dropped: pass ``metrics_out`` to receive
-    ``oversized_buckets`` — a lazy DataFrame of (band, bh, n) for every
-    dropped bucket (count it, or route its members through a re-banding
-    pass) — and ``dropped_ids``, the distinct member ids of those buckets."""
+def _banded_rows(sigs: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, band, bh) — the signature split into ``bands`` slices, each
+    hashed to a 64-bit bucket key. Shared by the self-join and the
+    incremental (new-vs-corpus) pairing so both sides band identically."""
     n_perm_col = F.size("sig")
     rows_per_band = (n_perm_col / bands).cast("int")
-    banded = sigs.select(
+    return sigs.select(
         id_col,
         F.explode(
             F.transform(
@@ -241,6 +232,22 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """LSH banding: hash each signature band -> bucket-join -> candidate
+    pairs (a < b). Buckets larger than ``max_bucket`` (typically boilerplate
+    clusters) are NOT silently dropped: pass ``metrics_out`` to receive
+    ``oversized_buckets`` — a lazy DataFrame of (band, bh, n) for every
+    dropped bucket (count it, or route its members through a re-banding
+    pass) — and ``dropped_ids``, the distinct member ids of those buckets."""
+    banded = _banded_rows(sigs, id_col, bands)
     buckets = banded.groupBy("band", "bh").agg(
         F.collect_list(id_col).alias("ids"), F.count("*").alias("n")
     )
@@ -269,6 +276,53 @@ def minhash_lsh_pairs(
         ).alias("p")
     ).select("p.a", "p.b").distinct()
     return pairs
+
+
+def minhash_lsh_pairs_incremental(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 64,
+    metrics_out: dict | None = None,
+) -> DataFrame:
+    """Candidate pairs ``(a=corpus id, b=new id)`` for a NEW batch against
+    an EXISTING corpus — the O(batch) dedup step a training pipeline runs
+    per ingest instead of re-pairing the whole corpus: both sides are
+    banded with the SAME expressions (:func:`_banded_rows`, so a new doc
+    whose signature equals a corpus doc's is guaranteed to collide), then
+    one (band, bh) equi-join. The corpus side never self-joins; pairs
+    WITHIN the new batch come from ``minhash_lsh_pairs(new_sigs)``
+    separately. Ids must be disjoint across sides (monotone append ids,
+    as append_index enforces — a shared id would silently alias).
+
+    Scale/skew: hot corpus buckets (boilerplate) would otherwise multiply
+    EVERY future batch forever, so corpus-side buckets larger than
+    ``max_bucket`` are excluded and reported via ``metrics_out``
+    (``oversized_buckets``: (band, bh, n); ``dropped_ids``), never
+    silently. The banded corpus is a candidate for persisting next to the
+    corpus (it is pure column math over the signature table, so storing
+    signatures alone — one slim table — suffices)."""
+    nb = _banded_rows(new_sigs, id_col, bands).select(
+        F.col(id_col).alias("b"), "band", "bh"
+    )
+    cb = _banded_rows(corpus_sigs, id_col, bands).select(
+        F.col(id_col).alias("a"), "band", "bh"
+    )
+    sizes = cb.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    if metrics_out is not None:
+        oversized = sizes.filter(F.col("n") > max_bucket)
+        metrics_out["oversized_buckets"] = oversized
+        metrics_out["dropped_ids"] = (
+            cb.join(oversized.select("band", "bh"), ["band", "bh"])
+            .select(F.col("a").alias(id_col))
+            .distinct()
+        )
+    cb = cb.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "bh"),
+        ["band", "bh"],
+    )
+    return cb.join(nb, ["band", "bh"]).select("a", "b").distinct()
 
 
 def jaccard_verify(

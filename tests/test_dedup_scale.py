@@ -319,3 +319,40 @@ def test_dedup_clusters_reports_convergence(spark):
     with pytest.warns(RuntimeWarning, match="under-merged"):
         dedup.dedup_clusters(chain, max_iter=1, metrics_out=m2).collect()
     assert not m2["converged"] and m2["rounds"] == 1
+
+
+def test_minhash_incremental_pairs(spark):
+    """New-batch-vs-corpus banding join: finds the copy, never pairs the
+    corpus with itself, and reports (not silently drops) hot corpus
+    buckets."""
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)]
+        + [(50, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1050, "the quick brown fox jumps over the lazy dog"),  # copy of 50
+         (1051, "completely unrelated text with novel words only")],
+        "doc_id long, text string",
+    )
+    cs = dedup.minhash_signatures(corpus, n_perm=32)
+    ns = dedup.minhash_signatures(new, n_perm=32)
+    cand = dedup.minhash_lsh_pairs_incremental(ns, cs, bands=8)
+    rows = {(r["a"], r["b"]) for r in cand.collect()}
+    assert (50, 1050) in rows
+    # only cross-boundary pairs: a from corpus, b from new
+    assert all(a < 1000 <= b for a, b in rows)
+    ver = dedup.jaccard_verify(
+        corpus.unionByName(new), cand, threshold=0.999999
+    )
+    assert {(r["a"], r["b"]) for r in ver.collect()} == {(50, 1050)}
+    # max_bucket=1: every corpus bucket the 20 near-identical docs share
+    # is oversized -> excluded but REPORTED
+    m = {}
+    cand2 = dedup.minhash_lsh_pairs_incremental(
+        ns, cs, bands=8, max_bucket=1, metrics_out=m
+    )
+    cand2.collect()
+    assert m["oversized_buckets"].count() > 0
+    dropped = {r["doc_id"] for r in m["dropped_ids"].collect()}
+    assert dropped and dropped <= set(range(20)) | {50}
