@@ -1256,6 +1256,20 @@ def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8 filtered kNN: the metadata filter (label = 1) composes BEFORE
+    # the exact rerank — k survivors are k survivors OF THE FILTER, not
+    # post-filtered ANN output that can come back short. Full probe makes
+    # IVF exact, so the brute-force-over-the-filtered-set DuckDB oracle
+    # is a true equality.
+    ivf = _ivf_index(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    allowed = emb.filter(F.col("label") == 1).select("vec_id")
+    out = ivf.topk(qvec, k=10, nprobe=ivf.n_lists, allowed=allowed)
+    return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
+
+
 def q_ft_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES dfs_query_then_fetch: one term-stats pass per index merged into
     # GLOBAL df/N/avgdl, then per-index top-k scored with the global
@@ -2124,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_es_sql": q_ft_es_sql,
         "ft_multi_index_dfs": q_ft_multi_index_dfs,
         "ft_cross_fields": q_ft_cross_fields,
+        "sim_knn_filtered": q_sim_knn_filtered,
     }
 
 
@@ -4007,6 +4022,15 @@ ORDER BY round(s.s, 6) DESC, doc_id ASC LIMIT 20
 """,
         "ft_multi_match_best": multi_match_best_sql,
         "ft_cross_fields": cross_fields_sql,
+        "sim_knn_filtered": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 5) AS cosine
+FROM embeddings e CROSS JOIN q
+WHERE e.label = 1
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+LIMIT 10
+""",
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",

@@ -111,6 +111,7 @@ HEADLINE = [
     "ft_rank_eval",
     "sim_knn_batch",
     "sim_ivf_batch",
+    "sim_knn_filtered",
     "dd_embed_exact",
     "dd_embed_lsh",
     "sim_bruteforce_cosine",
