@@ -569,6 +569,99 @@ class IvfAnnIndex:
                 f,
             )
 
+    def append(self, new_emb: DataFrame, path: str) -> dict:
+        """IVF add: assign NEW vectors to their nearest EXISTING centroid
+        (the quantizer is FROZEN — standard IVF append semantics; lists
+        drift from the k-means optimum as the data distribution shifts,
+        so rebuild when the appended fraction grows large) and append the
+        rows into the list table's partition directories — O(batch) work,
+        untouched lists are never read or rewritten. Ids must be strictly
+        greater than every existing id (the same monotone-append contract
+        as ``index.build.append_index``; checked via one parquet
+        stats-backed max). Returns ``{"appended", "lists_touched"}`` and
+        reloads ``self.table`` from disk so subsequent probes see the new
+        rows.
+
+        Assignment is the in-memory Arrow matmul when the quantizer fits
+        the driver (argmin of |c|² − 2c·v over unit vectors — exactly the
+        euclidean order KMeans.transform used at build), else one
+        crossJoin(centroid table) + per-vector window, batch × n_lists
+        rows — the same distributed fallback topk_batch uses."""
+        import pandas as pd
+        from pyspark.sql.window import Window
+
+        spark = new_emb.sparkSession
+        id_col, vec_col = self.id_col, self.vec_col
+        prev_max = self.table.agg(F.max(id_col)).first()[0]
+        new_min = new_emb.agg(F.min(id_col)).first()[0]
+        if new_min is None:
+            return {"appended": 0, "lists_touched": 0}
+        if prev_max is not None and new_min <= prev_max:
+            raise ValueError(
+                f"IvfAnnIndex.append: new ids must be > {prev_max} "
+                f"(got min {new_min}) — duplicate ids would alias"
+            )
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        unit = F.transform(
+            F.col(vec_col),
+            lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
+        )
+        based = new_emb.select(id_col, vec_col, unit.alias("_unit"))
+        if self.centroids is not None:
+            cents, c2 = self.centroids, (self.centroids**2).sum(axis=1)
+
+            def assign(batches):
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    vm = np.asarray([np.asarray(v) for v in pdf["_unit"]])
+                    d2 = c2[None, :] - 2.0 * (vm @ cents.T)
+                    out = pdf[[id_col]].copy()
+                    out["list_id"] = d2.argmin(axis=1).astype("int32")
+                    yield out
+
+            assigned = based.select(id_col, "_unit").mapInPandas(
+                assign, f"{id_col} long, list_id int"
+            )
+        else:
+            d2c = F.aggregate(
+                F.zip_with(
+                    F.col("centroid"), F.col("_unit"),
+                    lambda c, x: (c - x) * (c - x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            w = Window.partitionBy(id_col).orderBy(
+                F.asc("d2"), F.asc("list_id")
+            )
+            assigned = (
+                based.select(id_col, "_unit")
+                .crossJoin(self._centroid_df)
+                .select(id_col, "list_id", d2c.alias("d2"))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(id_col, "list_id")
+            )
+        # materialize the assignment once: it feeds the write AND the
+        # returned stats (batches are small next to the corpus)
+        assigned = assigned.localCheckpoint()
+        based.select(id_col, vec_col).join(assigned, id_col).write.mode(
+            "append"
+        ).partitionBy("list_id").parquet(f"{path}/lists")
+        self.table = spark.read.parquet(f"{path}/lists")
+        stats = assigned.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("list_id").alias("m"),
+        ).first()
+        return {"appended": int(stats["n"]), "lists_touched": int(stats["m"])}
+
     @classmethod
     def load(cls, spark, path: str) -> "IvfAnnIndex":
         import json

@@ -359,3 +359,88 @@ def test_ivf_distributed_centroid_ranking_matches_driver(spark, tmp_path):
     # force the big-quantizer path: drop the driver copy
     loaded.centroids = None
     assert loaded._probe_lists(q, 3) == driver_lists
+
+
+def test_ivf_append_o_batch(spark, tmp_path):
+    """IVF add: appended vectors land in their nearest existing list
+    (quantizer frozen), full probe over the grown index equals brute
+    force over the UNION, untouched list files are never rewritten, and
+    the monotone-id contract is enforced."""
+    import os
+
+    rng = np.random.default_rng(31)
+    mk = lambda i, v: (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+    rows = [mk(i, v) for i, v in enumerate(rng.standard_normal((60, 12)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = similarity.IvfAnnIndex(emb, n_lists=5, seed=7, persist=False)
+    path = str(tmp_path / "ivf_grow")
+    ivf.save(path)
+    loaded = similarity.IvfAnnIndex.load(spark, path)
+
+    before = {
+        d: sorted(os.listdir(os.path.join(path, "lists", d)))
+        for d in os.listdir(os.path.join(path, "lists"))
+        if d.startswith("list_id=")
+    }
+    new_rows = [mk(100 + i, v) for i, v in enumerate(rng.standard_normal((20, 12)))]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+    m = loaded.append(new, path)
+    assert m["appended"] == 20 and 1 <= m["lists_touched"] <= 5
+
+    # untouched list dirs keep exactly their old files
+    after = {
+        d: sorted(os.listdir(os.path.join(path, "lists", d)))
+        for d in os.listdir(os.path.join(path, "lists"))
+        if d.startswith("list_id=")
+    }
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(untouched) == 5 - m["lists_touched"]
+    for d in before:  # append never deletes old files
+        assert set(before[d]) <= set(after[d])
+
+    both = emb.unionByName(new)
+    q = new_rows[3][1]
+    bf = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.brute_force_cosine_topk(both, q, k=7).collect()
+    ]
+    got = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in loaded.topk(q, k=7, nprobe=5).collect()
+    ]
+    assert got == bf
+    # a reload sees the appended rows too
+    again = similarity.IvfAnnIndex.load(spark, path)
+    assert again.table.count() == 80
+    with pytest.raises(ValueError, match="monotone|> "):
+        loaded.append(new, path)  # overlapping ids refused
+    # empty batch is a no-op
+    assert loaded.append(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"), path
+    ) == {"appended": 0, "lists_touched": 0}
+
+
+def test_ivf_append_distributed_assignment_matches_driver(spark, tmp_path):
+    """append with centroids = None (big-quantizer regime) assigns via the
+    crossJoin+window fallback — identical list choice to the in-memory
+    Arrow matmul."""
+    rng = np.random.default_rng(13)
+    mk = lambda i, v: (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+    rows = [mk(i, v) for i, v in enumerate(rng.standard_normal((40, 8)))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    new_rows = [mk(200 + i, v) for i, v in enumerate(rng.standard_normal((10, 8)))]
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<float>")
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (p1, p2):
+        similarity.IvfAnnIndex(emb, n_lists=4, seed=5, persist=False).save(p)
+    mem = similarity.IvfAnnIndex.load(spark, p1)
+    mem.append(new, p1)
+    dist = similarity.IvfAnnIndex.load(spark, p2)
+    dist.centroids = None  # force the distributed branch
+    dist.append(new, p2)
+    a = {(r["vec_id"], r["list_id"]) for r in
+         spark.read.parquet(f"{p1}/lists").filter("vec_id >= 200").collect()}
+    b = {(r["vec_id"], r["list_id"]) for r in
+         spark.read.parquet(f"{p2}/lists").filter("vec_id >= 200").collect()}
+    assert a == b and len(a) == 10
