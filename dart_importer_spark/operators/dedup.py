@@ -600,7 +600,11 @@ def dedup_clusters(
     # edge list hot across rounds instead of re-shuffling it from source
     edges = edges.localCheckpoint(eager=False)
     labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # decimal(38,0) sum: at 10^12 nodes with 10^12-scale ids an int64 sum
+    # wraps (non-ANSI), and a wrapped sum could spuriously equal the
+    # previous round's — the monotone-convergence argument needs exactness
+    lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    prev_sum = labels.agg(lbl_sum).first()[0]
     converged, rounds = False, 0
     for _ in range(max_iter):
         rounds += 1
@@ -622,7 +626,7 @@ def dedup_clusters(
             .select("id", F.least("lbl", "jlbl").alias("lbl"))
             .localCheckpoint()
         )
-        cur_sum = new_labels.agg(F.sum("lbl")).first()[0]
+        cur_sum = new_labels.agg(lbl_sum).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
