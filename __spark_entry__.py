@@ -1270,6 +1270,39 @@ def q_sim_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 5).alias("cosine"))
 
 
+def q_ft_mm_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match type=phrase: the phrase runs against EACH field with
+    # that field's own PhraseQuery BM25 stats, combined dis_max with
+    # tie_breaker; text leg boosted 1.5x via the ES ^ syntax (the source
+    # vocab is disjoint, so its leg is provably empty — the oracle is the
+    # boosted text phrase score)
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match_phrase(
+        "part filter", fields=["text^1.5", "source"], k=20,
+        tie_breaker=0.3, round_scores=6,
+    )
+
+
+def q_ft_mm_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES multi_match type=phrase_prefix: per-field phrase-prefix legs
+    # (constant-score filter context, see match_phrase_prefix), dis_max
+    # combined — a doc's score is its best matching leg's boost
+    ix = _documents_index(spark, sf_dir)
+    return ix.multi_match_phrase(
+        "part fil", fields=["text", "source"], k=200,
+        match_type="phrase_prefix", round_scores=6,
+    )
+
+
+def q_ft_phrase_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # match_phrase_scored on a NON-primary field: per-doc dl decoded from
+    # the field's posting runs (doc_stats holds only the primary field's
+    # dl). A one-term phrase degenerates to TermQuery, as in Lucene; every
+    # source value is a single token, so score = idf/(1+k1) exactly.
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase_scored("src7", field="source", k=50, round_scores=6)
+
+
 def q_ft_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES dfs_query_then_fetch: one term-stats pass per index merged into
     # GLOBAL df/N/avgdl, then per-index top-k scored with the global
@@ -2139,6 +2172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_index_dfs": q_ft_multi_index_dfs,
         "ft_cross_fields": q_ft_cross_fields,
         "sim_knn_filtered": q_sim_knn_filtered,
+        "ft_mm_phrase": q_ft_mm_phrase,
+        "ft_mm_phrase_prefix": q_ft_mm_phrase_prefix,
+        "ft_phrase_field": q_ft_phrase_field,
     }
 
 
@@ -4030,6 +4066,78 @@ FROM embeddings e CROSS JOIN q
 WHERE e.label = 1
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
 LIMIT 10
+""",
+        # multi_match type=phrase: the source leg is provably empty (the
+        # phrase terms are absent from the source vocabulary), so dis_max
+        # reduces to the 1.5x-boosted text phrase BM25
+        "ft_mm_phrase": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tp GROUP BY 1),
+idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM (VALUES ('part'), ('filter')) q(term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter'),
+starts AS (SELECT p0.did, p0.pos FROM p0 JOIN p1 USING (did, pos)),
+ptf AS (SELECT did, count(*)::DOUBLE AS ptf FROM starts GROUP BY 1)
+SELECT ptf.did AS doc_id,
+       round(1.5 * i.isum * ptf.ptf
+             / (ptf.ptf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 6)
+         AS score
+FROM ptf
+JOIN dl ON dl.did = ptf.did
+CROSS JOIN stats s
+CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        # multi_match type=phrase_prefix over (text, source): the source
+        # leg is empty, so hits = the text phrase-prefix doc set at 1.0
+        "ft_mm_phrase_prefix": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+ex AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tp WHERE term LIKE 'fil%')
+  ORDER BY term LIMIT 50
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp JOIN ex USING (term))
+SELECT DISTINCT did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM p0 JOIN p1 USING (did, pos)
+ORDER BY doc_id ASC LIMIT 200
+""",
+        # scored one-term phrase on the source field: tf=1, dl=avgdl=1
+        # (every source value is one token), so score = idf/(1+k1)
+        "ft_phrase_field": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, source FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         count(*) FILTER (WHERE source = 'src7')::DOUBLE AS df
+  FROM docs
+)
+SELECT did AS doc_id,
+       round(ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) / (1 + {K1}), 6)
+         AS score
+FROM docs CROSS JOIN stats s
+WHERE source = 'src7'
+ORDER BY doc_id ASC LIMIT 50
 """,
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",

@@ -57,6 +57,8 @@ HEADLINE = [
     "ft_percolate",
     "ft_multi_match_best",
     "ft_cross_fields",
+    "ft_mm_phrase",
+    "ft_mm_phrase_prefix",
     "ft_sig_terms",
     "ft_highlight",
     "ft_highlight_frag",

@@ -1705,6 +1705,94 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def _dls_for_term(self, term: str, fid: int, allowed=None) -> DataFrame:
+        """(doc_id, dl) decoded from ONE term's postings — the per-field
+        document length stored next to each tf in the posting runs
+        (index/build.py pack_runs_bulk). Backs phrase scoring on
+        non-primary fields, whose per-doc dl is not in doc_stats; the
+        caller picks a term every result doc is guaranteed to contain
+        (for a phrase: any of its terms). ``allowed`` masks right after
+        decode, same contract as _decode_positions."""
+        from pyspark.broadcast import Broadcast
+
+        sc = self.spark.sparkContext
+        if isinstance(allowed, Broadcast):
+            bc_allowed = allowed
+        else:
+            bc_allowed = sc.broadcast(allowed) if allowed is not None else None
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            allow = bc_allowed.value if bc_allowed is not None else None
+            for pdf in batches:
+                outs = []
+                for row in pdf.itertuples(index=False):
+                    docs = delta_decode(row.docs).astype(np.int64)
+                    dls = varbyte_decode(row.dls).astype(np.float64)
+                    if allow is not None:
+                        m = _member(docs, allow)
+                        if not m.any():
+                            continue
+                        docs, dls = docs[m], dls[m]
+                    outs.append(pd.DataFrame({"doc_id": docs, "dl": dls}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._candidate_postings([term], fid).select(
+            "docs", "dls"
+        ).mapInPandas(decode, schema="doc_id long, dl double")
+
+    def _phrase_scores(self, query: str, fid: int) -> DataFrame | None:
+        """Full (doc_id, score) Lucene-PhraseQuery-BM25 frame for ONE
+        field — unlimited and live-filtered, the shared kernel under
+        match_phrase_scored and multi_match(type=phrase). Returns None
+        when the query analyzes to nothing or a term is absent from the
+        field's dictionary (no doc can match the phrase).
+
+        Plan: the same rarest-first masked per-term positional chain as
+        match_phrase, keeping one row per matching START position — the
+        group-count is the phrase tf. dl: fid 0 broadcast-joins
+        doc_stats; other fields decode (doc_id, dl) from the rarest
+        phrase term's postings (every phrase hit contains it), so no
+        per-field dl table is ever materialized."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "phrase scoring needs an index built with "
+                "store_positions=True"
+            )
+        terms = self._analyze(query, fid)
+        if not terms:
+            return None
+        # ONE metadata scan: the bootstrap's dfs double as the idf source
+        cand_ids, missing, dfs = self._phrase_candidate_ids(terms, fid)
+        if missing:
+            return None
+        idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
+        bc_cand = self._bc_ids(cand_ids)
+        starts = self._phrase_starts(terms, fid, bc_cand)
+        ptf = starts.groupBy("doc_id").agg(
+            F.count("*").cast("double").alias("ptf")
+        )
+        avgdl = self.avgdl_by_field[fid]
+        if fid == 0:
+            dl = self.doc_stats().select("doc_id", "dl")
+        else:
+            rarest = min(set(terms), key=lambda t: dfs[t])
+            dl = self._dls_for_term(rarest, fid, allowed=bc_cand)
+        joined = self._live(ptf).join(dl, "doc_id")
+        score = (
+            F.lit(float(idf_sum))
+            * F.col("ptf")
+            / (
+                F.col("ptf")
+                + F.lit(K1)
+                * (
+                    F.lit(1.0 - B)
+                    + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
+                )
+            )
+        )
+        return joined.select("doc_id", score.alias("score"))
+
     def match_phrase_scored(
         self,
         query: str,
@@ -1719,54 +1807,11 @@ class InvertedIndex:
         counted), score = idf_sum · tf / (tf + k1·(1−b+b·dl/avgdl)).
         ``match_phrase()`` remains the filter-context constant-score
         variant (ES scores phrases only when the clause sits in query
-        context). Primary analyzed field only: per-field dl lives inside
-        the posting blobs; doc_stats stores the primary field's dl.
-
-        Plan: the same rarest-first masked per-term positional chain as
-        match_phrase, but keeping one row per matching START position —
-        the group-count is the phrase tf; one broadcast join to doc_stats
-        for dl. No new scan shapes."""
-        fid = self._fid(field)
-        if fid != 0:
-            raise ValueError(
-                "match_phrase_scored supports the primary field only "
-                "(doc_stats stores the primary field's dl)"
-            )
-        if not self.meta.get("store_positions"):
-            raise ValueError(
-                "match_phrase_scored needs an index built with "
-                "store_positions=True"
-            )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
-        terms = self._analyze(query, field)
-        if not terms:
-            return empty
-        # ONE metadata scan: the bootstrap's dfs double as the idf source
-        cand_ids, missing, dfs = self._phrase_candidate_ids(terms, fid)
-        if missing:
-            return empty
-        idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
-        starts = self._phrase_starts(terms, fid, self._bc_ids(cand_ids))
-        ptf = starts.groupBy("doc_id").agg(
-            F.count("*").cast("double").alias("ptf")
-        )
-        avgdl = self.avgdl_by_field[fid]
-        joined = self._live(ptf).join(
-            self.doc_stats().select("doc_id", "dl"), "doc_id"
-        )
-        score = (
-            F.lit(float(idf_sum))
-            * F.col("ptf")
-            / (
-                F.col("ptf")
-                + F.lit(K1)
-                * (
-                    F.lit(1.0 - B)
-                    + F.lit(B) * F.col("dl").cast("double") / F.lit(avgdl)
-                )
-            )
-        )
-        out = joined.select("doc_id", score.alias("score"))
+        context). Any analyzed field: non-primary dl comes from the
+        rarest phrase term's posting runs (see _phrase_scores)."""
+        out = self._phrase_scores(query, self._fid(field))
+        if out is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
         if round_scores is not None:
             out = out.withColumn("score", F.round("score", round_scores))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -1788,27 +1833,39 @@ class InvertedIndex:
         ``max_expansions`` (ES default 50, first terms lexicographically).
         Complete terms bootstrap rarest-first exactly like match_phrase; a
         single-term query degenerates to a prefix-presence check."""
+        fid = self._fid(field)
+        docs = self._phrase_prefix_docs(query, fid, max_expansions)
+        if docs is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _phrase_prefix_docs(
+        self, query: str, fid: int, max_expansions: int | None = 50
+    ) -> DataFrame | None:
+        """Unlimited live doc_id frame of match_phrase_prefix hits for ONE
+        field — the shared kernel under match_phrase_prefix and
+        multi_match(type=phrase_prefix). None when the query analyzes to
+        nothing or a complete (non-last) term is absent from the field's
+        dictionary."""
         if not self.meta.get("store_positions"):
             raise ValueError(
                 "match_phrase_prefix needs an index built with "
                 "store_positions=True"
             )
-        fid = self._fid(field)
-        terms = self._analyze(query, field)
+        terms = self._analyze(query, fid)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return None
         complete, last = terms[:-1], terms[-1]
         pref_df = self.expand_prefix_df(last, fid, max_expansions)
         if not complete:
-            docs = self._docs_for_terms_df(pref_df, fid)
-            return (
-                docs.withColumn("score", F.lit(1.0))
-                .orderBy(F.asc("doc_id"))
-                .limit(k)
-            )
+            return self._docs_for_terms_df(pref_df, fid)
         cand_ids, missing, _ = self._phrase_candidate_ids(complete, fid)
         if missing:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return None
         # per-term scans (see span_near): n decodes total instead of n²
         bc_cand = self._bc_ids(cand_ids)
         rows_by_term = {
@@ -1826,12 +1883,7 @@ class InvertedIndex:
             "doc_id", (F.col("pos") - len(complete)).alias("pos")
         )
         base = base.join(tail, ["doc_id", "pos"], "left_semi")
-        docs = self._live(base.select("doc_id").distinct())
-        return (
-            docs.withColumn("score", F.lit(1.0))
-            .orderBy(F.asc("doc_id"))
-            .limit(k)
-        )
+        return self._live(base.select("doc_id").distinct())
 
     def span_near(
         self,
@@ -4590,6 +4642,93 @@ class InvertedIndex:
                 ).alias("score")
             )
         agg = self._live(agg)
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def multi_match_phrase(
+        self,
+        query: str,
+        fields: Sequence[str | int],
+        k: int = 10,
+        match_type: str = "phrase",
+        tie_breaker: float = 0.0,
+        round_scores: int | None = None,
+        max_expansions: int | None = 50,
+    ) -> DataFrame:
+        """ES ``multi_match`` type=phrase / type=phrase_prefix: the phrase
+        (or phrase-prefix) query runs against EACH named field and the
+        per-field scores combine as dis_max — best field's score plus
+        ``tie_breaker`` × every other matching field's score (ES rewrites
+        both types through best_fields combination).
+
+        type=phrase legs are the scored PhraseQuery BM25 of
+        match_phrase_scored (_phrase_scores, per-field stats and dl —
+        non-primary dl decoded from posting runs). type=phrase_prefix
+        legs are constant-score 1.0 (this engine scores phrase_prefix in
+        filter context, see match_phrase_prefix), so a leg contributes
+        its boost. Field boosts use the ES ``field^2.5`` syntax.
+
+        Exactness of the combine: each leg is the FULL unlimited score
+        frame (phrase hits are df-bounded by the rarest term, so a leg is
+        never bigger than one posting list) — the dis_max groupBy sees
+        every contribution, making top-k exact even with tie_breaker > 0;
+        per-leg top-k-then-merge would drop cross-field tie contributions.
+        One partial-aggregated shuffle on doc_id."""
+        if match_type not in ("phrase", "phrase_prefix"):
+            raise ValueError(
+                f"multi_match_phrase: unknown type {match_type!r}"
+            )
+        if not 0.0 <= tie_breaker <= 1.0:
+            raise ValueError("multi_match_phrase: tie_breaker must be in [0, 1]")
+        legs: list[DataFrame] = []
+        for f in fields:
+            boost = 1.0
+            if isinstance(f, str) and "^" in f:  # ES "field^2.5" boost syntax
+                f, _, b = f.rpartition("^")
+                try:
+                    boost = float(b)
+                except ValueError:
+                    raise ValueError(
+                        f"multi_match_phrase: malformed field boost "
+                        f"{f + '^' + b!r}"
+                    ) from None
+                if boost <= 0:
+                    raise ValueError(
+                        f"multi_match_phrase: boost must be > 0, got {boost}"
+                    )
+            fid = self._fid(f)
+            if match_type == "phrase":
+                sc = self._phrase_scores(query, fid)
+                if sc is None:
+                    continue
+                legs.append(
+                    sc.select(
+                        "doc_id",
+                        (F.col("score") * F.lit(float(boost))).alias("score"),
+                    )
+                )
+            else:
+                docs = self._phrase_prefix_docs(query, fid, max_expansions)
+                if docs is None:
+                    continue
+                legs.append(
+                    docs.select(
+                        "doc_id", F.lit(float(boost)).alias("score")
+                    )
+                )
+        if not legs:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        allp = legs[0]
+        for p in legs[1:]:
+            allp = allp.unionByName(p)
+        agg = allp.groupBy("doc_id").agg(
+            (
+                F.max("score")
+                + F.lit(float(tie_breaker))
+                * (F.sum("score") - F.max("score"))
+            ).alias("score")
+        )
         if round_scores is not None:
             agg = agg.withColumn("score", F.round("score", round_scores))
         return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -517,7 +517,8 @@ def test_match_phrase_scored(spark, tmp_path_factory):
     fc = ix.match_phrase("x y", k=10).collect()
     assert all(r["score"] == 1.0 for r in fc)
 
-    # non-primary fields rejected (doc_stats stores the primary dl only)
+    # non-primary field: dl decoded from the field's posting runs (the
+    # doc_stats dl is the primary field's) — one doc, tf 1, dl 2 = avgdl
     rows2 = [("p", 0, "x y", "u v")]
     df2 = spark.createDataFrame(
         rows2, "conv_id string, turn_idx int, text string, other string"
@@ -528,8 +529,11 @@ def test_match_phrase_scored(spark, tmp_path_factory):
         BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
         text_cols=("text", "other"), meta_cols=(),
     )
-    with pytest.raises(ValueError, match="primary field"):
-        InvertedIndex(spark, out2).match_phrase_scored("u v", field="other")
+    got2 = {r["doc_id"]: r["score"]
+            for r in InvertedIndex(spark, out2)
+            .match_phrase_scored("u v", field="other").collect()}
+    isum2 = idf(1, 1) + idf(1, 1)
+    assert got2 == {0: pytest.approx(expect(isum2, 1, 2, 2.0), rel=1e-9)}
 
 
 def test_suggest_phrase(spark, tmp_path_factory):
