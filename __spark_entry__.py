@@ -1303,6 +1303,62 @@ def q_ft_phrase_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_phrase_scored("src7", field="source", k=50, round_scores=6)
 
 
+_COMPLETION_CACHE: dict[str, str] = {}
+
+
+def _completion_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the ES completion-suggester structure:
+    inputs = the first two analyzed tokens of each document's text,
+    weight = n_chars, context column = lang."""
+    from dart_importer_spark.functions.tokenizer import tokenize_col
+    from dart_importer_spark.index.completion import (
+        CompletionIndex,
+        build_completion,
+    )
+
+    key = os.path.abspath(sf_dir)
+    if key not in _COMPLETION_CACHE:
+        out = os.path.join(
+            "/tmp/dis_entry_completion_v1", key.strip("/").replace("/", "_")
+        )
+        if not os.path.exists(os.path.join(out, "meta.json")):
+            docs = _load(spark, sf_dir, "documents")
+            toks = tokenize_col(F.col("text"))
+            inp = F.when(
+                F.size(toks) >= 2,
+                F.concat_ws(" ", toks.getItem(0), toks.getItem(1)),
+            )
+            build_completion(
+                spark,
+                docs.select(
+                    inp.alias("input"),
+                    F.col("n_chars").alias("weight"),
+                    "doc_id",
+                    "lang",
+                ),
+                out,
+                context_cols=("lang",),
+            )
+        _COMPLETION_CACHE[key] = out
+    return CompletionIndex(spark, _COMPLETION_CACHE[key])
+
+
+def q_ft_suggest_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES completion suggester with a category context: p1-partition-pruned
+    # prefix lookup, top-k by (weight desc, input asc, doc_id asc), lang
+    # context filter
+    cx = _completion_index(spark, sf_dir)
+    return cx.suggest("ke", k=10, contexts={"lang": ["en"]})
+
+
+def q_ft_suggest_completion_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy completion (ES fuzziness=1, prefix_length=1 keeps the first
+    # char exact so partition pruning survives) + skip_duplicates: one
+    # entry per suggestion text, highest weight then lowest doc_id
+    cx = _completion_index(spark, sf_dir)
+    return cx.suggest("kye", k=10, fuzziness=1, skip_duplicates=True)
+
+
 def q_ft_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES dfs_query_then_fetch: one term-stats pass per index merged into
     # GLOBAL df/N/avgdl, then per-index top-k scored with the global
@@ -2175,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_mm_phrase": q_ft_mm_phrase,
         "ft_mm_phrase_prefix": q_ft_mm_phrase_prefix,
         "ft_phrase_field": q_ft_phrase_field,
+        "ft_suggest_completion": q_ft_suggest_completion,
+        "ft_suggest_completion_fuzzy": q_ft_suggest_completion_fuzzy,
     }
 
 
@@ -4138,6 +4196,48 @@ SELECT did AS doc_id,
 FROM docs CROSS JOIN stats s
 WHERE source = 'src7'
 ORDER BY doc_id ASC LIMIT 50
+""",
+        # completion suggester: inputs = first two analyzed tokens, weight
+        # = n_chars, lang category context; top-k (weight desc, input asc,
+        # doc_id asc)
+        "ft_suggest_completion": f"""
+WITH inp AS (
+  SELECT lst[1] || ' ' || lst[2] AS input, n_chars::BIGINT AS weight,
+         doc_id, lang
+  FROM (SELECT doc_id, {tok} AS lst, n_chars, lang FROM documents)
+  WHERE len(lst) >= 2
+)
+SELECT input, weight, doc_id FROM inp
+WHERE lang = 'en' AND input LIKE 'ke%'
+ORDER BY weight DESC, input ASC, doc_id ASC LIMIT 10
+""",
+        # fuzzy completion, the engine's documented contract: first char
+        # exact (prefix_length=1), Damerau distance on the same-length
+        # stored prefix <= 1, skip_duplicates keeps the highest-weight
+        # (then lowest doc_id) entry per suggestion text
+        "ft_suggest_completion_fuzzy": f"""
+WITH inp AS (
+  SELECT lst[1] || ' ' || lst[2] AS input, n_chars::BIGINT AS weight, doc_id
+  FROM (SELECT doc_id, {tok} AS lst, n_chars FROM documents)
+  WHERE len(lst) >= 2
+),
+hits AS (
+  SELECT input, weight, doc_id FROM inp
+  WHERE substr(input, 1, 1) = 'k' AND (
+    input LIKE 'kye%'
+    OR (length(input) >= 3
+        AND damerau_levenshtein(substr(input, 2, 2), 'ye') <= 1)
+  )
+),
+dedup AS (
+  SELECT input, weight, doc_id,
+         row_number() OVER (
+           PARTITION BY input ORDER BY weight DESC, doc_id ASC
+         ) AS rn
+  FROM hits
+)
+SELECT input, weight, doc_id FROM dedup WHERE rn = 1
+ORDER BY weight DESC, input ASC, doc_id ASC LIMIT 10
 """,
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",

@@ -59,6 +59,7 @@ HEADLINE = [
     "ft_cross_fields",
     "ft_mm_phrase",
     "ft_mm_phrase_prefix",
+    "ft_suggest_completion",
     "ft_sig_terms",
     "ft_highlight",
     "ft_highlight_frag",
