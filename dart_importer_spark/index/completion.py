@@ -69,6 +69,10 @@ def build_completion(
         rows.repartition("p1")
         .sortWithinPartitions("p1", "input_folded")
         .write.mode("overwrite")
+        # build_index sets the SESSION to dynamic partition overwrite; a
+        # completion rebuild must replace the whole table, not just the
+        # p1 partitions present in the new input (stale-prefix hazard)
+        .option("partitionOverwriteMode", "static")
         .partitionBy("p1")
         .parquet(os.path.join(out_dir, "entries"))
     )

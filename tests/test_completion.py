@@ -125,6 +125,30 @@ def test_prefix_query_is_partition_pruned(cx):
     assert "BatchEvalPython" not in plan  # pure-Catalyst suggest path
 
 
+def test_rebuild_replaces_all_partitions(spark, tmp_path):
+    # build_index sets the session to dynamic partition overwrite; a
+    # completion rebuild must still replace the WHOLE table — stale p1
+    # partitions from the previous build would resurrect dead suggestions
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out = str(tmp_path / "rebuild")
+        one = spark.createDataFrame(
+            [("apple", 1, 0), ("cherry", 2, 1)],
+            "input string, weight long, doc_id long",
+        )
+        build_completion(spark, one, out)
+        two = spark.createDataFrame(
+            [("cherry", 3, 2)], "input string, weight long, doc_id long"
+        )
+        build_completion(spark, two, out)
+        cx2 = CompletionIndex(spark, out)
+        assert cx2.suggest("a", k=5).collect() == []
+        assert _got(cx2.suggest("c", k=5)) == [("cherry", 3, 2)]
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def test_format_version_guard(cx, spark, tmp_path):
     import json
     import os
