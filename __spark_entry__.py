@@ -1359,6 +1359,15 @@ def q_ft_suggest_completion_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame
     return cx.suggest("kye", k=10, fuzziness=1, skip_duplicates=True)
 
 
+def q_ft_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES match with fuzziness=1: the typo'd "mrege windwo" reaches
+    # merge/window through Damerau dictionary expansion; expansion dfs
+    # blend to their max per source term, best expansion per (doc, source)
+    # counts, summed over source terms
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_fuzzy("mrege windwo", k=20, fuzziness=1, round_scores=6)
+
+
 def q_ft_multi_index_dfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES dfs_query_then_fetch: one term-stats pass per index merged into
     # GLOBAL df/N/avgdl, then per-index top-k scored with the global
@@ -2233,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_field": q_ft_phrase_field,
         "ft_suggest_completion": q_ft_suggest_completion,
         "ft_suggest_completion_fuzzy": q_ft_suggest_completion_fuzzy,
+        "ft_match_fuzzy": q_ft_match_fuzzy,
     }
 
 
@@ -4238,6 +4248,42 @@ dedup AS (
 )
 SELECT input, weight, doc_id FROM dedup WHERE rn = 1
 ORDER BY weight DESC, input ASC, doc_id ASC LIMIT 10
+""",
+        # fuzzy match: per-source Damerau expansion (lexicographic cap 50),
+        # dfs blended to their max, per (doc, source) dis_max over
+        # expansions, summed over sources
+        "ft_match_fuzzy": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tf AS (SELECT did, unnest(lst) AS term FROM t),
+tfc AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dict AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tf GROUP BY 1),
+src AS (SELECT unnest(['mrege', 'windwo']) AS s),
+exp AS (
+  SELECT s.s AS src, d.term, d.df
+  FROM src s JOIN dict d ON damerau_levenshtein(d.term, s.s) <= 1
+  QUALIFY row_number() OVER (PARTITION BY s.s ORDER BY d.term) <= 50
+),
+bdf AS (SELECT src, max(df) AS bdf FROM exp GROUP BY 1),
+contrib AS (
+  SELECT tfc.did, e.src,
+         max(ln(1 + (st.n - b.bdf + 0.5) / (b.bdf + 0.5))
+             * tfc.tf
+             / (tfc.tf + {K1} * (1 - {B} + {B} * dl.dl / st.avgdl))) AS s
+  FROM tfc
+  JOIN exp e USING (term)
+  JOIN bdf b ON b.src = e.src
+  JOIN dl ON dl.did = tfc.did
+  CROSS JOIN stats st
+  GROUP BY 1, 2
+)
+SELECT did AS doc_id, round(sum(s), 6) AS score
+FROM contrib GROUP BY did
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",

@@ -60,6 +60,7 @@ HEADLINE = [
     "ft_mm_phrase",
     "ft_mm_phrase_prefix",
     "ft_suggest_completion",
+    "ft_match_fuzzy",
     "ft_sig_terms",
     "ft_highlight",
     "ft_highlight_frag",

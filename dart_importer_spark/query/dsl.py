@@ -363,6 +363,16 @@ def _dispatch_leaf(
         mode = str(p.get("operator", "or")).lower()
         if mode not in ("or", "and"):
             raise DslError(f"match: unknown operator {p['operator']!r}")
+        if "fuzziness" in p:
+            plain(typ)
+            _require_no_filters(typ, filters)
+            return ix.match_fuzzy(
+                p["query"], k=k, fuzziness=p["fuzziness"], field=field,
+                max_expansions=int(p.get("max_expansions", 50)),
+                prefix_length=int(p.get("prefix_length", 0)),
+                transpositions=bool(p.get("fuzzy_transpositions", True)),
+                operator=mode, round_scores=round_scores,
+            )
         boost = float(side.get("boost", p.get("boost", 1.0)))
         boosts = None
         if boost != 1.0:

@@ -1285,6 +1285,115 @@ class InvertedIndex:
         )
         return docs.withColumn("score", F.lit(1.0)).orderBy(F.asc("doc_id")).limit(k)
 
+    def match_fuzzy(
+        self,
+        query: str,
+        k: int = 10,
+        fuzziness: int | str = "AUTO",
+        field: str | int | None = None,
+        max_expansions: int | None = 50,
+        prefix_length: int = 0,
+        transpositions: bool = True,
+        operator: str = "or",
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``match`` with ``fuzziness`` — typo-tolerant scored match
+        (the reference's analysts hand-type corp names; ES fuzzy match is
+        the standard recovery, Running-ELK.md:186-200). Engine-exact
+        contract, oracle-checkable:
+
+        - each analyzed source term (deduplicated) expands to dictionary
+          terms within Damerau-Levenshtein <= ``fuzziness`` (int or the
+          AUTO length bands), capped at the first ``max_expansions`` in
+          lexicographic order — the engine-wide rewrite budget
+          (_cap_expansion), shared with wildcard/regexp/fuzzy;
+        - expansion dfs BLEND to their max per source term, so a rare
+          typo variant never gets a giant idf (Lucene's
+          TopTermsBlendedFreqScoringRewrite blends expansion freqs);
+        - per (doc, source term) the best-scoring expansion counts
+          (dis_max — Lucene sums co-occurring variants of one term; this
+          engine keeps the dis_max shape of its cross_fields, documented
+          deviation);
+        - doc score = sum over source terms; ``operator='and'`` keeps
+          docs matching EVERY source term through some expansion.
+
+        Plan: one distributed dictionary expansion per source term
+        (length-banded, pushed to the dict scan), expansions collected
+        (<= max_expansions each, the same driver-side list ES
+        materializes per shard), ONE combined bucket-pruned stats scan,
+        ONE posting-scoring kernel over the union of expansions emitting
+        raw tf-norms, then a broadcast join to the tiny
+        (expansion, source, blended-idf) map and two partial-aggregated
+        shuffles on doc_id. No θ-pruning (fuzzy legs are few and the
+        blended bounds would need rescaling, as in cross_fields AND)."""
+        if operator not in ("or", "and"):
+            raise ValueError(f"match_fuzzy: unknown operator {operator!r}")
+        fid = self._fid(field)
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        src_terms = sorted(set(self._analyze(query, fid)))
+        if not src_terms:
+            return empty
+        exp2src: dict[str, list[str]] = {}
+        for t in src_terms:
+            exp = [
+                r["term"]
+                for r in self.expand_fuzzy_df(
+                    t, fuzziness, fid, max_expansions,
+                    transpositions=transpositions,
+                    prefix_length=prefix_length,
+                ).select("term").collect()
+            ]
+            if not exp and operator == "and":
+                return empty  # a source term with no expansion can't match
+            for e in exp:
+                exp2src.setdefault(e, []).append(t)
+        if not exp2src:
+            return empty
+        all_exp = sorted(exp2src)
+        dfs, _idf_unused, _ubs = self._leg_stats(all_exp, fid)
+        all_exp = [e for e in all_exp if e in dfs]
+        if not all_exp:
+            return empty
+        bdf: dict[str, int] = {}
+        for e in all_exp:
+            for t in exp2src[e]:
+                bdf[t] = max(bdf.get(t, 0), dfs[e])
+        if operator == "and" and set(src_terms) - set(bdf):
+            return empty
+        # raw tf-norms from the shared kernel (idf 1.0): one expansion can
+        # serve several source terms at DIFFERENT blended idfs, so the
+        # weight applies after the (expansion -> source) join
+        scored = self._score_terms(
+            all_exp, {e: 1.0 for e in all_exp}, fid=fid, keep_term=True
+        )
+        per_exp = scored.groupBy("doc_id", "term").agg(
+            F.sum("score").alias("tfn")
+        )
+        mapping = self.spark.createDataFrame(
+            [
+                (e, t, _idf(self.n_docs, bdf[t]))
+                for e in all_exp
+                for t in exp2src[e]
+            ],
+            "term string, src string, w double",
+        )
+        per_src = (
+            per_exp.join(F.broadcast(mapping), "term")
+            .groupBy("doc_id", "src")
+            .agg(F.max(F.col("tfn") * F.col("w")).alias("s"))
+        )
+        gb = per_src.groupBy("doc_id")
+        if operator == "and":
+            agg = gb.agg(
+                F.sum("s").alias("score"), F.count("*").alias("_n")
+            ).filter(F.col("_n") == len(src_terms)).drop("_n")
+        else:
+            agg = gb.agg(F.sum("s").alias("score"))
+        agg = self._live(agg)
+        if round_scores is not None:
+            agg = agg.withColumn("score", F.round("score", round_scores))
+        return agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def terms_query(
         self,
         terms: Sequence[str],
