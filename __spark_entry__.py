@@ -810,6 +810,18 @@ def q_ft_multi_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_index_topk(idxs, "data merge", k=20, round_scores=6)
 
 
+def q_ft_indices_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES indices_boost: a per-index positive multiplier applied before the
+    # cross-index merge (boost-then-round, per-index ranking preserved)
+    from dart_importer_spark.query.engine import multi_index_topk
+
+    idxs = _documents_split_indexes(spark, sf_dir)
+    return multi_index_topk(
+        idxs, "data merge", k=20, round_scores=6,
+        indices_boost={"even": 2.0},
+    )
+
+
 def q_ft_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES span_not: 'part' occurrences NOT within +-2 positions of 'filter'
     # (negative proximity); doc matches if any occurrence survives
@@ -2243,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_suggest_completion": q_ft_suggest_completion,
         "ft_suggest_completion_fuzzy": q_ft_suggest_completion_fuzzy,
         "ft_match_fuzzy": q_ft_match_fuzzy,
+        "ft_indices_boost": q_ft_indices_boost,
     }
 
 
@@ -3336,6 +3349,44 @@ scored AS (
 )
 SELECT CASE half WHEN 0 THEN 'even' ELSE 'odd' END AS index,
        did AS doc_id, round(raw, 6) AS score
+FROM scored
+ORDER BY score DESC, index ASC, doc_id ASC LIMIT 20
+""",
+        # indices_boost: the even index's scores doubled BEFORE rounding
+        # and the cross-index merge (same per-half BM25 as ft_multi_index)
+        "ft_indices_boost": f"""
+WITH docs AS (
+  SELECT doc_id % 2 AS half,
+         row_number() OVER (PARTITION BY doc_id % 2 ORDER BY doc_id) - 1 AS did,
+         text
+  FROM documents
+),
+tok AS (SELECT half, did, unnest({tok}) AS term FROM docs),
+tf AS (
+  SELECT half, did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3
+),
+dl AS (SELECT half, did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (
+  SELECT half, count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl GROUP BY 1
+),
+dft AS (SELECT half, term, count(*)::DOUBLE AS df FROM tf GROUP BY 1, 2),
+q(term) AS (VALUES ('data'), ('merge')),
+scored AS (
+  SELECT tf.half, tf.did,
+         sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft ON dft.half = tf.half AND dft.term = tf.term
+  JOIN dl ON dl.half = tf.half AND dl.did = tf.did
+  JOIN stats s ON s.half = tf.half
+  GROUP BY 1, 2
+)
+SELECT CASE half WHEN 0 THEN 'even' ELSE 'odd' END AS index,
+       did AS doc_id,
+       round(raw * CASE half WHEN 0 THEN 2.0 ELSE 1.0 END, 6) AS score
 FROM scored
 ORDER BY score DESC, index ASC, doc_id ASC LIMIT 20
 """,

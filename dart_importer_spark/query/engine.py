@@ -5980,6 +5980,7 @@ def multi_index_topk(
     k: int = 10,
     round_scores: int | None = None,
     search_type: str = "query_then_fetch",
+    indices_boost: dict[str, float] | None = None,
     **topk_kwargs,
 ) -> DataFrame:
     """ES index-pattern search (``GET dart-*/_search``): one query over
@@ -6001,6 +6002,14 @@ def multi_index_topk(
     (rank and score identity — the property dfs exists for; pytest
     asserts it against a physically-merged index).
 
+    ``indices_boost`` (ES request-body ``indices_boost``): a per-index
+    positive multiplier applied to that index's scores before the merge.
+    A constant factor per index preserves its internal ranking, so each
+    index's boosted top-k IS its true boosted top-k and the merged
+    result stays exact. With ``round_scores`` the rounding happens AFTER
+    the boost (round(s·b), not round(s)·b), so boosted scores stay
+    oracle-checkable.
+
     Scale shape: each index's top-k is already distributed and
     block-max-pruned; the merge unions n·k rows (tiny) and re-sorts —
     the coordinating-node step of a cross-index ES search, never a
@@ -6011,6 +6020,12 @@ def multi_index_topk(
         raise ValueError(
             f"multi_index_topk: unknown search_type {search_type!r}"
         )
+    boosts = {str(n): float(b) for n, b in (indices_boost or {}).items()}
+    for n, b in boosts.items():
+        if n not in indexes:
+            raise ValueError(f"indices_boost: unknown index {n!r}")
+        if b <= 0:
+            raise ValueError(f"indices_boost: boost must be > 0, got {b}")
     dfs_stats = None
     if search_type == "dfs_query_then_fetch":
         g_df: dict[str, int] = {}
@@ -6028,8 +6043,16 @@ def multi_index_topk(
         }
     parts = []
     for name, ix in sorted(indexes.items()):
-        df = ix.topk(query, k=k, round_scores=round_scores,
+        b = boosts.get(name, 1.0)
+        # boosted legs score unrounded and round AFTER the multiplier;
+        # the per-index top-k cut is unaffected (constant positive factor)
+        df = ix.topk(query, k=k,
+                     round_scores=None if b != 1.0 else round_scores,
                      dfs_stats=dfs_stats, **topk_kwargs)
+        if b != 1.0:
+            df = df.withColumn("score", F.col("score") * F.lit(b))
+            if round_scores is not None:
+                df = df.withColumn("score", F.round("score", round_scores))
         # with_meta keeps the per-index hit columns (ES returns _source
         # across indexes); identical layouts union cleanly
         cols = df.columns if topk_kwargs.get("with_meta") \

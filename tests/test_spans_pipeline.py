@@ -478,6 +478,26 @@ def test_multi_index_topk(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="at least one"):
         multi_index_topk({}, "apple")
 
+    # indices_boost: b's scores tripled BEFORE rounding; a's unchanged
+    boosted = multi_index_topk(
+        idxs, "apple", k=10, round_scores=6, indices_boost={"b": 3.0}
+    ).collect()
+    raw = {}
+    for name, ix in idxs.items():
+        for r in ix.topk("apple", k=10).collect():
+            raw[(name, r["doc_id"])] = r["score"]
+    for r in boosted:
+        mult = 3.0 if r["index"] == "b" else 1.0
+        assert r["score"] == pytest.approx(
+            round(raw[(r["index"], r["doc_id"])] * mult, 6), abs=1e-12
+        )
+    bs = [r["score"] for r in boosted]
+    assert bs == sorted(bs, reverse=True)
+    with pytest.raises(ValueError, match="unknown index"):
+        multi_index_topk(idxs, "apple", indices_boost={"zz": 2.0})
+    with pytest.raises(ValueError, match="boost must be > 0"):
+        multi_index_topk(idxs, "apple", indices_boost={"a": 0.0})
+
 
 def test_match_phrase_scored(spark, tmp_path_factory):
     """Lucene PhraseQuery BM25: tf = phrase occurrences (overlaps count),
