@@ -2085,11 +2085,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- changed this round — fresh driver evidence ---
         "ft_stats": q_ft_stats,
         "ft_facet_stats": q_ft_facet_stats,
-        "ft_fuzzy": q_ft_fuzzy,
-        "ft_suggest": q_ft_suggest,
+        # window curation (driver samples the FIRST 50): the three new
+        # operator classes of this session take the slots of r03-green
+        # sentinels ft_fuzzy / ft_suggest / ft_histogram, which move to the
+        # back (their r02/r03 driver evidence stands); ft_percolate stays
+        # as the in-window regression sentinel
+        "ft_suggest_completion": q_ft_suggest_completion,
+        "ft_match_fuzzy": q_ft_match_fuzzy,
         "ft_percolate": q_ft_percolate,
         "ft_highlight_frag": q_ft_highlight_frag,
-        "ft_histogram": q_ft_histogram,
+        "ft_phrase_field": q_ft_phrase_field,
         # --- new this round (r04): ES-body DSL dispatcher, span family,
         # pipeline aggs, decay, match_bool_prefix — first driver evidence ---
         "ft_sig_text": q_ft_sig_text,
@@ -2251,11 +2256,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_filtered": q_sim_knn_filtered,
         "ft_mm_phrase": q_ft_mm_phrase,
         "ft_mm_phrase_prefix": q_ft_mm_phrase_prefix,
-        "ft_phrase_field": q_ft_phrase_field,
-        "ft_suggest_completion": q_ft_suggest_completion,
         "ft_suggest_completion_fuzzy": q_ft_suggest_completion_fuzzy,
-        "ft_match_fuzzy": q_ft_match_fuzzy,
         "ft_indices_boost": q_ft_indices_boost,
+        "ft_fuzzy": q_ft_fuzzy,
+        "ft_suggest": q_ft_suggest,
+        "ft_histogram": q_ft_histogram,
     }
 
 
