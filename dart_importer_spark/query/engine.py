@@ -1328,6 +1328,8 @@ class InvertedIndex:
         blended bounds would need rescaling, as in cross_fields AND)."""
         if operator not in ("or", "and"):
             raise ValueError(f"match_fuzzy: unknown operator {operator!r}")
+        if isinstance(fuzziness, str) and fuzziness.isdigit():
+            fuzziness = int(fuzziness)  # ES accepts "1" as well as 1
         fid = self._fid(field)
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         src_terms = sorted(set(self._analyze(query, fid)))

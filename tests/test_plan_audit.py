@@ -32,6 +32,13 @@ def test_topk_plan_is_arrow_only(built_index):
     assert_no_row_python(df)
 
 
+def test_match_fuzzy_plan_is_arrow_only(built_index):
+    # fuzzy match: Catalyst DL expansion + Arrow scoring kernel +
+    # broadcast (expansion, source, idf) map — never row-wise Python
+    df = built_index.match_fuzzy("teh", k=10, fuzziness=1)
+    assert_no_row_python(df)
+
+
 def test_build_side_expressions_are_jvm(spark, transcripts_df):
     from dart_importer_spark.functions.tokenizer import tokenize_col
 
