@@ -1066,6 +1066,28 @@ def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.collapse("data merge", by="lang", k=10, round_scores=6)
 
 
+def q_ft_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES has_child (join field): rank PARENT keys (source groups — the
+    # conv_id-over-turns relation of the transcripts model) by the max BM25
+    # score of their matching children; min_children=21 gates on the number
+    # of matching children exactly as ES counts them
+    ix = _documents_index(spark, sf_dir)
+    return ix.has_child(
+        "data merge", join_field="source", score_mode="max",
+        k=10, min_children=21, round_scores=6,
+    )
+
+
+def q_ft_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES has_parent: children whose PARENT matches a parent-level query
+    # (here a wildcard on the parent key, src1? — ES wildcard over the
+    # parent's field); non-scoring, children in doc_id order
+    ix = _documents_index(spark, sf_dir)
+    return ix.has_parent(
+        F.col("parent").rlike("^src1[0-9]$"), join_field="source", k=20
+    )
+
+
 def q_ft_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES regexp query: anchored dictionary-regex expansion (distributed,
     # capped at 50), constant-score hits in doc_id order
@@ -2097,11 +2119,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_phrase_field": q_ft_phrase_field,
         # --- new this round (r04): ES-body DSL dispatcher, span family,
         # pipeline aggs, decay, match_bool_prefix — first driver evidence ---
+        # parent-child join field (has_child / has_parent) — a NEW operator
+        # class (hierarchical relation over the index, the conv->turns
+        # shape); takes the window slots of the second span/intervals
+        # variants (ft_span_near / ft_intervals stay as class sentinels)
+        "ft_has_child": q_ft_has_child,
+        "ft_has_parent": q_ft_has_parent,
         "ft_sig_text": q_ft_sig_text,
         "ft_sampler": q_ft_sampler,
         "ft_div_sampler": q_ft_div_sampler,
         "ft_intervals": q_ft_intervals,
-        "ft_intervals_any": q_ft_intervals_any,
         "dd_jaccard_ngram": q_dd_jaccard_ngram,
         "dd_embed_exact": q_dd_embed_exact,
         "dd_embed_lsh": q_dd_embed_lsh,
@@ -2112,7 +2139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
         "ft_span_near": q_ft_span_near,
-        "ft_span_near_unordered": q_ft_span_near_unordered,
         "ft_span_first": q_ft_span_first,
         "ft_pipeline_aggs": q_ft_pipeline_aggs,
         "ft_bucket_sort": q_ft_bucket_sort,
@@ -2143,6 +2169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- first-50 sample window) ---
         "ft_adjacency": q_ft_adjacency,
         "ft_terms_enum": q_ft_terms_enum,
+        "ft_intervals_any": q_ft_intervals_any,
+        "ft_span_near_unordered": q_ft_span_near_unordered,
         "ft_scan": q_ft_scan,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
@@ -4019,6 +4047,29 @@ SELECT term, round(s, 6) AS score FROM sc
 ORDER BY round(s, 6) DESC, term ASC LIMIT 15
 """,
         "ft_search_after": _bm25_oracle(["merge", "sort"], 10, offset=10),
+        # parent-child join field: parent score = max over children of the
+        # per-child ROUNDED score (the engine rounds child scores before the
+        # aggregate so sums/maxes reproduce bit-for-bit)
+        "ft_has_child": _SCORED_CTE("'data', 'merge'")
+        + """
+, par AS (
+  SELECT d.source AS parent, round(max(round(sc.s, 6)), 6) AS score,
+         count(*) AS n_children
+  FROM scored sc JOIN docs d ON d.did = sc.did
+  GROUP BY d.source
+  HAVING count(*) >= 21
+)
+SELECT parent, score, n_children FROM par
+ORDER BY score DESC, parent ASC LIMIT 10
+""",
+        "ft_has_parent": """
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, source FROM documents
+)
+SELECT did AS doc_id, source AS parent FROM docs
+WHERE regexp_matches(source, '^src1[0-9]$')
+ORDER BY did ASC LIMIT 20
+""",
         "ft_sig_text": _SCORED_CTE("'merge'")
         + """
 , top AS (SELECT did FROM scored ORDER BY s DESC, did ASC LIMIT 50),

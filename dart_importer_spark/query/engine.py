@@ -4055,6 +4055,129 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def parent_table(self, join_field: str = "source") -> DataFrame:
+        """Parent-level relation derived from the children (the ES join-field
+        model without materialized parent docs): one row per distinct
+        ``join_field`` value with ``n_children`` and the child doc_id span.
+        Tombstone-aware (a fully-deleted parent disappears). One hash
+        aggregate on the parent key — at 100 TB the parent cardinality is
+        orders of magnitude below the doc count, so the agg output is tiny
+        and broadcastable into :meth:`has_parent`."""
+        return (
+            self.doc_stats()
+            .groupBy(F.col(join_field).alias("parent"))
+            .agg(
+                F.count("*").alias("n_children"),
+                F.min("doc_id").alias("first_doc_id"),
+                F.max("doc_id").alias("last_doc_id"),
+            )
+        )
+
+    def has_child(
+        self,
+        query: str,
+        join_field: str = "source",
+        score_mode: str = "max",
+        k: int = 10,
+        min_children: int = 1,
+        max_children: int | None = None,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``has_child`` (join-field parent/child): return PARENT keys
+        whose children match the inner BM25 query, scored per
+        ``score_mode`` ('max' | 'sum' | 'avg' | 'none' — ES's modes; 'none'
+        ranks matching parents by key with score 0, ES's non-scoring form).
+        ``min_children`` / ``max_children`` gate on the number of MATCHING
+        children, exactly as ES counts them. The reference's conv-per-many-
+        turns layout (transcripts: conv_id -> turn rows) is this relation;
+        here any meta column is the join key.
+
+        Physical shape: one scoring pass over the match set (block-max
+        pruning disabled — every matching child must be counted, not just
+        top-k), one hash aggregate on the parent key. The aggregate input is
+        the MATCH SET, not the corpus, so at 100 TB this adds one small
+        shuffle after the same scan ``topk`` performs. Child scores are
+        rounded BEFORE aggregation when ``round_scores`` is given so the
+        DuckDB oracle can reproduce sums bit-for-bit."""
+        if score_mode not in ("max", "sum", "avg", "none"):
+            raise ValueError(f"has_child: unknown score_mode {score_mode!r}")
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame(
+                [], "parent string, score double, n_children long"
+            )
+        sc = self._live(sc)
+        if round_scores is not None:
+            sc = sc.withColumn("score", F.round("score", round_scores))
+        joined = sc.join(
+            self.doc_stats().select(
+                "doc_id", F.col(join_field).alias("parent")
+            ),
+            "doc_id",
+        )
+        agg_expr = {
+            "max": F.max("score"),
+            "sum": F.sum("score"),
+            "avg": F.avg("score"),
+            "none": F.lit(0.0),
+        }[score_mode]
+        grp = joined.groupBy("parent").agg(
+            agg_expr.alias("score"), F.count("*").alias("n_children")
+        )
+        grp = grp.filter(F.col("n_children") >= int(min_children))
+        if max_children is not None:
+            grp = grp.filter(F.col("n_children") <= int(max_children))
+        if round_scores is not None:
+            grp = grp.withColumn("score", F.round("score", round_scores))
+        return grp.select("parent", "score", "n_children").orderBy(
+            F.desc("score"), F.asc("parent")
+        ).limit(k)
+
+    def has_parent(
+        self,
+        parent_filter: Column,
+        join_field: str = "source",
+        k: int = 10,
+        parents: DataFrame | None = None,
+    ) -> DataFrame:
+        """ES ``has_parent``: return CHILD docs whose parent satisfies a
+        parent-level predicate (a Column over :meth:`parent_table`'s
+        ``parent`` / ``n_children`` / ``first_doc_id`` / ``last_doc_id``
+        columns, or over a caller-supplied ``parents`` relation keyed by
+        ``parent``). Non-scoring, like ES's default (score=false): children
+        come back in (doc_id) order with their parent key.
+
+        Physical shape: the filtered parent set is tiny (parent cardinality
+        << doc count) and broadcast-joined into doc_stats — no shuffle of
+        the children side."""
+        ptab = parents if parents is not None else self.parent_table(join_field)
+        keep = ptab.filter(parent_filter).select("parent")
+        kids = self.doc_stats().select(
+            "doc_id", F.col(join_field).alias("parent")
+        )
+        return (
+            kids.join(F.broadcast(keep), "parent")
+            .select("doc_id", "parent")
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def parent_id(
+        self, parent: str, join_field: str = "source", k: int = 10
+    ) -> DataFrame:
+        """ES ``parent_id`` query: all children of ONE parent. A pushed
+        equality filter on the doc_stats scan — no join at all."""
+        return (
+            self.doc_stats()
+            .filter(F.col(join_field) == parent)
+            .select("doc_id", F.col(join_field).alias("parent"))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def highlight(
         self,
         query: str,
