@@ -1066,6 +1066,28 @@ def q_ft_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.collapse("data merge", by="lang", k=10, round_scores=6)
 
 
+def q_ft_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES collapse + inner_hits: top-3 lang groups, each carrying its top-2
+    # hits (flat rows with hit_rank; groups ranked by their best hit)
+    ix = _documents_index(spark, sf_dir)
+    return ix.collapse(
+        "data merge", by="lang", k=3, inner_hits=2, round_scores=6
+    )
+
+
+def q_ft_sliced_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES sliced scroll: slice 1-of-3 of a filtered scan (the parallel
+    # export API — each worker drains a disjoint id-modulo slice)
+    ix = _documents_index(spark, sf_dir)
+    return ix.scan_df(
+        {
+            "slice": {"id": 1, "max": 3},
+            "query": {"term": {"lang": "en"}},
+            "_source": False,
+        }
+    )
+
+
 def q_ft_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES has_child (join field): rank PARENT keys (source groups — the
     # conv_id-over-turns relation of the transcripts model) by the max BM25
@@ -2171,6 +2193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_enum": q_ft_terms_enum,
         "ft_intervals_any": q_ft_intervals_any,
         "ft_span_near_unordered": q_ft_span_near_unordered,
+        "ft_collapse_inner": q_ft_collapse_inner,
+        "ft_sliced_scan": q_ft_sliced_scan,
         "ft_scan": q_ft_scan,
         "ft_weighted_avg": q_ft_weighted_avg,
         "ft_value_count": q_ft_value_count,
@@ -3944,6 +3968,38 @@ ranked AS (
 )
 SELECT lang, did AS doc_id, score FROM ranked WHERE rn = 1
 ORDER BY score DESC, doc_id ASC LIMIT 10
+""",
+        "ft_collapse_inner": f"""{bm_ctes},
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+),
+ranked AS (
+  SELECT m.lang, s.did, s.score,
+         row_number() OVER (
+           PARTITION BY m.lang ORDER BY s.score DESC, s.did ASC
+         ) AS hit_rank
+  FROM scored s JOIN meta m USING (did)
+),
+topg AS (
+  SELECT lang, score AS gs, did AS gd FROM ranked WHERE hit_rank = 1
+  ORDER BY gs DESC, gd ASC LIMIT 3
+)
+SELECT r.lang, r.did AS doc_id, r.score, r.hit_rank::INT AS hit_rank
+FROM ranked r JOIN topg g USING (lang)
+WHERE r.hit_rank <= 2
+ORDER BY g.gs DESC, g.gd ASC, r.hit_rank ASC
+""",
+        "ft_sliced_scan": """
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, lang FROM documents
+)
+SELECT did AS doc_id FROM docs
+WHERE lang = 'en' AND did % 3 = 1
+ORDER BY doc_id ASC
 """,
         "ft_regexp": _DOCS_CTE
         + """

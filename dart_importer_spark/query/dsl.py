@@ -1178,6 +1178,24 @@ def scan_df(ix, body: dict | None = None) -> DataFrame:
     cp = _Compiler(ix)
     q = body.get("query", {"match_all": {}})
     ds = ix.doc_stats()
+    sl = body.get("slice")
+    if sl is not None:
+        # ES sliced scroll: slice i of m drains a disjoint ~1/m of the
+        # result set — the parallel-export API (each worker opens its own
+        # slice). Deterministic split: pmod on doc_id (the _id here IS a
+        # dense long, so modulo is the honest hash) or on a named numeric
+        # field. A pushed filter on the doc_stats scan — slices never
+        # shuffle, and the m scans collectively read each row group once.
+        try:
+            sid, smax = int(sl["id"]), int(sl["max"])
+        except (KeyError, TypeError, ValueError):
+            raise DslError('slice: expected {"id": i, "max": m}')
+        if not 0 <= sid < smax:
+            raise DslError(f"slice: need 0 <= id < max, got id={sid} max={smax}")
+        scol = sl.get("field", "doc_id")
+        if scol != "doc_id" and scol not in ds.columns:
+            raise DslError(f"slice: field {scol!r} is not a doc_stats column")
+        ds = ds.filter(F.pmod(F.col(scol).cast("long"), F.lit(smax)) == sid)
     prot = getattr(ix, "_PROTECTED_COLS", frozenset({"doc_id", "seg", "dl"}))
     src = body.get("_source")
     if src is None or src is True:

@@ -4028,17 +4028,31 @@ class InvertedIndex:
         k: int = 10,
         field: str | int | None = None,
         round_scores: int | None = None,
+        inner_hits: int = 1,
     ) -> DataFrame:
         """ES field collapsing: the result list contains only each
         ``by``-value's best BM25 hit, ranked by that hit's score. One
         scoring pass + one window shuffle on the collapse key (the same
-        physical shape ES's collapse executes per shard)."""
+        physical shape ES's collapse executes per shard).
+
+        ``inner_hits > 1`` is ES's collapse inner_hits: each of the top-k
+        groups carries its top ``inner_hits`` hits (flat relational form —
+        one row per hit with ``hit_rank``; groups ordered by their best
+        hit's (score desc, doc_id asc), hits within a group likewise).
+        Same two shuffles — the per-group window just keeps N rows
+        instead of 1, and the group ranking reuses the rn=1 rows."""
+        if inner_hits < 1:
+            raise ValueError(f"collapse: inner_hits must be >= 1, got {inner_hits}")
         fid = self._fid(field)
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
+            if inner_hits == 1:
+                return self.spark.createDataFrame(
+                    [], f"{by} string, doc_id long, score double"
+                )
             return self.spark.createDataFrame(
-                [], f"{by} string, doc_id long, score double"
+                [], f"{by} string, doc_id long, score double, hit_rank int"
             )
         sc = self._live(sc)
         if round_scores is not None:
@@ -4047,12 +4061,31 @@ class InvertedIndex:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(by).orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
-            joined.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(by, "doc_id", "score")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked = joined.withColumn("rn", F.row_number().over(w))
+        if inner_hits == 1:
+            return (
+                ranked.filter(F.col("rn") == 1)
+                .select(by, "doc_id", "score")
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        top_groups = (
+            ranked.filter(F.col("rn") == 1)
+            .select(
+                F.col(by).alias("_g"),
+                F.col("score").alias("_gscore"),
+                F.col("doc_id").alias("_gdoc"),
+            )
+            .orderBy(F.desc("_gscore"), F.asc("_gdoc"))
             .limit(k)
+        )
+        return (
+            ranked.filter(F.col("rn") <= int(inner_hits))
+            .join(F.broadcast(top_groups), F.col(by) == F.col("_g"))
+            .select(by, "doc_id", "score", F.col("rn").alias("hit_rank"),
+                    "_gscore", "_gdoc")
+            .orderBy(F.desc("_gscore"), F.asc("_gdoc"), F.asc("hit_rank"))
+            .drop("_gscore", "_gdoc")
         )
 
     def parent_table(self, join_field: str = "source") -> DataFrame:

@@ -900,3 +900,66 @@ def test_scripted_metric_dsl_refuses_painless(built_index):
     }
     with pytest.raises(DslError, match="scripted_metric"):
         aggs(built_index, body)
+
+
+def test_collapse_inner_hits(built_index, src, oracle):
+    got = built_index.collapse(
+        "the and", by="role", k=3, inner_hits=2
+    ).toPandas()
+    s = oracle.scores("the and").merge(src[["doc_id", "role"]], on="doc_id")
+    s = s.sort_values(["score", "doc_id"], ascending=[False, True])
+    s["hit_rank"] = s.groupby("role").cumcount() + 1
+    top = s[s["hit_rank"] == 1].head(3)
+    want = (
+        s[s["role"].isin(top["role"]) & (s["hit_rank"] <= 2)]
+        .merge(
+            top[["role", "score", "doc_id"]].rename(
+                columns={"score": "gs", "doc_id": "gd"}
+            ),
+            on="role",
+        )
+        .sort_values(["gs", "gd", "hit_rank"], ascending=[False, True, True])
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["hit_rank"]) == list(want["hit_rank"])
+    assert np.allclose(got["score"], want["score"], atol=1e-9)
+    # every group's rank-1 row is that group's best hit
+    assert (got.groupby("role")["hit_rank"].min() == 1).all()
+    with pytest.raises(ValueError):
+        built_index.collapse("the", by="role", inner_hits=0)
+
+
+def test_sliced_scan_partitions_disjoint_and_complete(built_index, src):
+    m = 4
+    parts = [
+        built_index.scan_df(
+            {"slice": {"id": i, "max": m}, "_source": False}
+        ).toPandas()
+        for i in range(m)
+    ]
+    ids = [set(p["doc_id"]) for p in parts]
+    assert sum(len(s) for s in ids) == len(src)
+    assert set().union(*ids) == set(src["doc_id"])
+    for i in range(m):
+        assert ids[i] == {d for d in src["doc_id"] if d % m == i}
+    # slice composes with a query body
+    half = built_index.scan_df(
+        {
+            "slice": {"id": 0, "max": 2},
+            "query": {"term": {"role": "assistant"}},
+            "_source": False,
+        }
+    ).toPandas()
+    want = src[(src["role"] == "assistant") & (src["doc_id"] % 2 == 0)]
+    assert set(half["doc_id"]) == set(want["doc_id"])
+
+
+def test_sliced_scan_rejects_bad_slice(built_index):
+    from dart_importer_spark.query.dsl import DslError
+
+    with pytest.raises(DslError, match="slice"):
+        built_index.scan_df({"slice": {"id": 2, "max": 2}})
+    with pytest.raises(DslError, match="slice"):
+        built_index.scan_df({"slice": {"id": 0}})
+    with pytest.raises(DslError, match="slice"):
+        built_index.scan_df({"slice": {"id": 0, "max": 2, "field": "nope"}})
