@@ -2117,6 +2117,53 @@ def q_ft_dsl_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.search_aggs(body)["langs"]
 
 
+def q_ft_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES categorize_text (deterministic similarity_threshold=100 form):
+    # digit-bearing tokens dropped, first-3-stable-token category key
+    ix = _documents_index(spark, sf_dir)
+    return ix.categorize_text("data", on="text", k=10, max_tokens=3)
+
+
+def q_ft_var_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES variable_width_histogram, reproducible equal-count variant:
+    # ntile(4) under total order (value, doc_id) -> min/max/centroid/count
+    ix = _documents_index(spark, sf_dir)
+    return ix.variable_width_histogram("data", on="n_chars", buckets=4)
+
+
+def q_ft_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES normalize pipeline agg: percent_of_sum over day buckets
+    ix = _documents_index(spark, sf_dir)
+    return ix.normalize_pipeline("data", on="ts", interval="day")
+
+
+def q_ft_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES change_point agg (deterministic core): the binary-segmentation
+    # split of the day-bucket series maximizing between-segment SSE gain
+    ix = _documents_index(spark, sf_dir)
+    return ix.change_point("data", on="ts", interval="day")
+
+
+def q_fis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES frequent_item_sets over (user, event_type): distributed Apriori,
+    # sizes 1..3, broadcast frequent-singleton pruning
+    from dart_importer_spark.operators.mining import frequent_item_sets
+
+    ev = _load(spark, sf_dir, "events")
+    return frequent_item_sets(
+        ev, "user_id", "event_type", min_support=0.2, max_size=3
+    )
+
+
+def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc duplicated-5-gram fraction: the "shared boilerplate span"
+    # signal exact/MinHash dedup misses; one df-groupBy + one join back
+    from dart_importer_spark.operators.mining import dup_ngram_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return dup_ngram_stats(docs, "doc_id", "text", n=5, min_df=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-sampled before r04 — evidence priority ---
@@ -2161,24 +2208,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
         "ft_span_near": q_ft_span_near,
-        "ft_span_first": q_ft_span_first,
         "ft_pipeline_aggs": q_ft_pipeline_aggs,
-        "ft_bucket_sort": q_ft_bucket_sort,
         "ft_decay": q_ft_decay,
         "ft_match_bool_prefix": q_ft_match_bool_prefix,
         "ft_dh_filled": q_ft_dh_filled,
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_sort_field": q_ft_sort_field,
-        "ft_span_not": q_ft_span_not,
         "ft_termvectors": q_ft_termvectors,
-        "ft_histogram_filled": q_ft_histogram_filled,
         "ft_multi_index": q_ft_multi_index,
-        "ft_phrase_scored": q_ft_phrase_scored,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
         "ft_auto_dh": q_ft_auto_dh,
-        "ft_serial_diff": q_ft_serial_diff,
         "ft_rare_terms": q_ft_rare_terms,
+        # --- new this continuation: four NEW operator classes (text
+        # categorization, itemset mining, change-point detection,
+        # duplicate-span dedup) + two family variants; they take the
+        # window slots of same-class variants whose class sentinels stay
+        # in-window (span->ft_span_near, pipeline->ft_pipeline_aggs &
+        # ft_bucket_stats, filled->ft_dh_filled, phrase->ft_phrase_field)
+        "ft_categorize": q_ft_categorize,
+        "fis_events": q_fis_events,
+        "ft_change_point": q_ft_change_point,
+        "dd_dup_ngram": q_dd_dup_ngram,
+        "ft_var_width": q_ft_var_width,
+        "ft_normalize": q_ft_normalize,
         # dup-graph connected components + canonical selection — a NEW
         # operator class (iterative graph op); first driver evidence
         # matters more than two more same-class agg variants, so these
@@ -2189,6 +2242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
+        "ft_span_first": q_ft_span_first,
+        "ft_span_not": q_ft_span_not,
+        "ft_bucket_sort": q_ft_bucket_sort,
+        "ft_histogram_filled": q_ft_histogram_filled,
+        "ft_phrase_scored": q_ft_phrase_scored,
+        "ft_serial_diff": q_ft_serial_diff,
         "ft_adjacency": q_ft_adjacency,
         "ft_terms_enum": q_ft_terms_enum,
         "ft_intervals_any": q_ft_intervals_any,
@@ -4820,5 +4879,125 @@ SELECT CASE half WHEN 0 THEN 'even' ELSE 'odd' END AS index,
        did AS doc_id, round(raw, 6) AS score
 FROM scored
 ORDER BY score DESC, index ASC, doc_id ASC LIMIT 20
+""",
+        "ft_categorize": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+cats AS (
+  SELECT array_to_string(
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '' AND NOT regexp_matches(x, '[0-9]'))[1:3],
+           ' ') AS category
+  FROM hits JOIN docs USING (did)
+  WHERE text IS NOT NULL
+)
+SELECT category, count(*) AS doc_count FROM cats
+WHERE category <> ''
+GROUP BY category ORDER BY doc_count DESC, category ASC LIMIT 10
+""",
+        "ft_var_width": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+vals AS (
+  SELECT did, n_chars FROM hits JOIN docs USING (did)
+  WHERE n_chars IS NOT NULL
+),
+b AS (SELECT n_chars, ntile(4) OVER (ORDER BY n_chars, did) AS b FROM vals)
+SELECT min(n_chars) AS min, max(n_chars) AS max,
+       round(avg(n_chars), 6) AS centroid, count(*) AS doc_count
+FROM b GROUP BY b ORDER BY b
+""",
+        "ft_normalize": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bk AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN meta USING (did) GROUP BY 1
+)
+SELECT bucket, doc_count,
+       round(doc_count::DOUBLE * 100.0 / (SELECT sum(doc_count) FROM bk), 6)
+         AS normalized
+FROM bk ORDER BY bucket
+""",
+        "ft_change_point": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bk AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN meta USING (did) GROUP BY 1
+),
+c AS (
+  SELECT bucket, doc_count,
+         row_number() OVER (ORDER BY bucket) AS i,
+         sum(doc_count) OVER (ORDER BY bucket) AS cum,
+         count(*) OVER () AS n,
+         sum(doc_count) OVER () AS tot
+  FROM bk
+)
+SELECT bucket,
+       round((cum - doc_count)::DOUBLE / (i - 1), 6) AS left_mean,
+       round((tot - cum + doc_count)::DOUBLE / (n - i + 1), 6) AS right_mean,
+       round((cum - doc_count)::DOUBLE * (cum - doc_count)::DOUBLE / (i - 1)
+             + (tot - cum + doc_count)::DOUBLE
+               * (tot - cum + doc_count)::DOUBLE / (n - i + 1)
+             - tot::DOUBLE * tot::DOUBLE / n, 6) AS gain
+FROM c WHERE i - 1 >= 1 AND n - i + 1 >= 1
+ORDER BY gain DESC, bucket ASC LIMIT 1
+""",
+        "fis_events": """
+WITH it AS (
+  SELECT DISTINCT user_id AS g, CAST(event_type AS VARCHAR) AS i
+  FROM events WHERE event_type IS NOT NULL
+),
+ng AS (SELECT count(DISTINCT g) AS n FROM it),
+mc AS (SELECT greatest(1, CAST(ceil(0.2 * n) AS BIGINT)) AS m, n FROM ng),
+s1 AS (SELECT i AS items, 1 AS size, count(*) AS support_count
+       FROM it GROUP BY i),
+s2 AS (SELECT a.i || '|' || b.i AS items, 2 AS size,
+              count(*) AS support_count
+       FROM it a JOIN it b ON a.g = b.g AND a.i < b.i GROUP BY 1),
+s3 AS (SELECT a.i || '|' || b.i || '|' || c.i AS items, 3 AS size,
+              count(*) AS support_count
+       FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+                 JOIN it c ON a.g = c.g AND b.i < c.i GROUP BY 1)
+SELECT items, size, support_count,
+       round(support_count::DOUBLE / (SELECT n FROM mc), 6) AS support
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+WHERE support_count >= (SELECT m FROM mc)
+ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "dd_dup_ngram": """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT id, array_to_string(tk[gs:gs+4], ' ') AS ng
+  FROM (SELECT id, tk, unnest(range(1, greatest(len(tk) - 3, 1))) AS gs
+        FROM t)
+),
+d AS (SELECT ng, count(DISTINCT id) AS nd FROM g GROUP BY ng)
+SELECT id, count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_fraction
+FROM g JOIN d USING (ng)
+GROUP BY id ORDER BY id
 """,
     }

@@ -2884,6 +2884,187 @@ class InvertedIndex:
         )
         return lstats.crossJoin(F.broadcast(ent))
 
+    def categorize_text(
+        self,
+        query: str | None,
+        on: str,
+        k: int = 10,
+        max_tokens: int = 5,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``categorize_text`` aggregation (the ML log-categorization
+        agg, Running-ELK.md's dashboard family) over a stored text column
+        of the match set, in its deterministic form: lowercase, split on
+        non-alphanumerics, DROP tokens containing digits (ES's ml_standard
+        analyzer discards numbers / hex / ids as variable parts), keep the
+        first ``max_tokens`` stable tokens as the category key, then count
+        docs per category. This is the agg at similarity_threshold=100 —
+        the agglomerative sub-100 merge is a coordinator-side refinement
+        ES also applies after the exact grouping; the exact grouping is
+        the distributed part and what we verify.
+
+        Scale shape: one JVM-side projection (split/filter/slice — no
+        Python) + one groupBy on a short string key; the category key is
+        bounded by ``max_tokens`` words so shuffle rows are tiny. Returns
+        (category, doc_count) ordered doc_count desc, category asc."""
+        if max_tokens < 1:
+            raise ValueError(f"categorize_text: max_tokens >= 1, got {max_tokens}")
+        joined = self._match_meta(query, field, [on], filters)
+        toks = F.filter(
+            F.split(F.lower(F.col(on)), "[^a-z0-9]+"),
+            lambda x: (x != "") & ~x.rlike("[0-9]"),
+        )
+        cat = F.array_join(F.slice(toks, 1, max_tokens), " ")
+        return (
+            joined.filter(F.col(on).isNotNull())
+            .select(cat.alias("category"))
+            .filter(F.col("category") != "")
+            .groupBy("category")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("category"))
+            .limit(k)
+        )
+
+    def variable_width_histogram(
+        self,
+        query: str | None,
+        on: str,
+        buckets: int = 5,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``variable_width_histogram`` in a deterministic variant:
+        ES's native agg is an order-dependent online clustering (docs
+        arrive per shard; results are explicitly approximate and
+        non-reproducible across runs), which can never be oracle-verified.
+        This implements the reproducible equivalent — equal-count
+        (quantile) bucketing: rank the match-set values with ``ntile``
+        under a total order (value, doc_id), then report per-bucket min,
+        max, centroid (avg) and doc_count, the exact fields ES returns.
+
+        Scale shape: a global sort (rangepartition) + one partial agg —
+        the same cost profile as ES's reduce phase; no driver collect."""
+        if buckets < 1:
+            raise ValueError(f"variable_width_histogram: buckets >= 1, got {buckets}")
+        from pyspark.sql.window import Window
+
+        joined = self._match_meta(query, field, [on], filters)
+        vals = joined.filter(F.col(on).isNotNull())
+        w = Window.orderBy(F.asc(on), F.asc("doc_id"))
+        return (
+            vals.withColumn("b", F.ntile(buckets).over(w))
+            .groupBy("b")
+            .agg(
+                F.min(on).alias("min"),
+                F.max(on).alias("max"),
+                F.round(F.avg(on), 6).alias("centroid"),
+                F.count("*").alias("doc_count"),
+            )
+            .orderBy("b")
+            .drop("b")
+        )
+
+    def normalize_pipeline(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        method: str = "percent_of_sum",
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``normalize`` pipeline aggregation over a date_histogram's
+        buckets: rescale each bucket's doc_count by ``method`` —
+        ``percent_of_sum`` (share of total, ×100), ``mean`` normalization
+        ((x - avg) / (max - min)), or ``rescale_0_1``. Like the other
+        pipeline aggs this reduces the already-aggregated ≤k-row bucket
+        table (the ES coordinator phase), not per-doc data; the window
+        spans one tiny partition by construction."""
+        if method not in ("percent_of_sum", "mean", "rescale_0_1"):
+            raise ValueError(f"normalize: unknown method {method!r}")
+        from pyspark.sql.window import Window
+
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
+        w = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        x = F.col("doc_count").cast("double")
+        if method == "percent_of_sum":
+            norm = x * 100.0 / F.sum("doc_count").over(w)
+        elif method == "mean":
+            norm = (x - F.avg("doc_count").over(w)) / (
+                F.max("doc_count").over(w) - F.min("doc_count").over(w)
+            )
+        else:
+            norm = (x - F.min("doc_count").over(w)) / (
+                F.max("doc_count").over(w) - F.min("doc_count").over(w)
+            )
+        return buckets.withColumn("normalized", F.round(norm, 6)).orderBy(
+            "bucket"
+        )
+
+    def change_point(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``change_point`` aggregation (step-change detection over a
+        date_histogram's bucket counts) in its deterministic core: the
+        first split of binary segmentation — choose the boundary that
+        maximizes the between-segment sum-of-squares reduction
+        (equivalently, the two-segment fit with minimal residual SSE).
+        Returns ONE row: the first bucket of the right segment plus
+        left/right means and the SSE gain. ES layers a p-value on the same
+        statistic; the split selection is the distributed part.
+
+        All window arithmetic over the ≤k-row bucket table: cumulative
+        integer sums give every candidate split's left/right means exactly
+        — no driver loop, no per-doc pass beyond the histogram itself.
+        Ties break toward the earliest bucket."""
+        from pyspark.sql.window import Window
+
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
+        w = Window.orderBy("bucket")
+        wall = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        # candidate split BEFORE each row i (i = first right-segment row):
+        # left = rows [0, i), right = rows [i, n)
+        cand = (
+            buckets.withColumn("i", F.row_number().over(w))
+            .withColumn("cum", F.sum("doc_count").over(w))
+            .withColumn("n", F.count("*").over(wall))
+            .withColumn("tot", F.sum("doc_count").over(wall))
+        )
+        nl = F.col("i") - 1
+        nr = F.col("n") - nl
+        suml = (F.col("cum") - F.col("doc_count")).cast("double")
+        sumr = (F.col("tot") - F.col("cum") + F.col("doc_count")).cast("double")
+        # between-segment SSE gain vs the single-mean fit:
+        #   gain = suml^2/nl + sumr^2/nr - tot^2/n   (integer sums -> exact)
+        gain = (
+            suml * suml / nl
+            + sumr * sumr / nr
+            - F.col("tot").cast("double") * F.col("tot") / F.col("n")
+        )
+        scored = cand.filter((nl >= 1) & (nr >= 1)).select(
+            F.col("bucket"),
+            F.round(suml / nl, 6).alias("left_mean"),
+            F.round(sumr / nr, 6).alias("right_mean"),
+            F.round(gain, 6).alias("gain"),
+        )
+        return scored.orderBy(F.desc("gain"), F.asc("bucket")).limit(1)
+
     def t_test(
         self,
         query: str,

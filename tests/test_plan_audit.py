@@ -292,3 +292,39 @@ def test_session3_operators_arrow_only(spark, built_index):
         )
     )
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_mining_operators_plan_audit(spark, built_index):
+    """The session's mining additions stay pure JVM: categorize_text /
+    variable_width_histogram / normalize / change_point are expression +
+    window plans (no Python nodes of any kind), and frequent_item_sets'
+    candidate joins carry the broadcast frequent-singleton prune."""
+    from dart_importer_spark.operators.mining import (
+        dup_ngram_stats,
+        frequent_item_sets,
+    )
+
+    for df in (
+        built_index.categorize_text("the", on="role", max_tokens=2),
+        built_index.variable_width_histogram("the", on="turn_idx", buckets=3),
+        built_index.normalize_pipeline("the", on="ts", interval="day"),
+        built_index.change_point("the", on="ts", interval="day"),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a")], "g long, i string"
+    )
+    fis = frequent_item_sets(ev, "g", "i", min_support=0.5, max_size=3)
+    plan = _plan(fis)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # Apriori prune: the pair/triple joins read the broadcast frequent-1
+    # dictionary (BroadcastHashJoin / BroadcastExchange in the plan)
+    assert "BroadcastExchange" in plan, plan
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g")], "doc_id long, text string"
+    )
+    plan = _plan(dup_ngram_stats(docs, "doc_id", "text", n=5))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
