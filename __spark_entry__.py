@@ -2155,6 +2155,54 @@ def q_fis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES sparse_vector / text_expansion (SPLADE-style learned-sparse):
+    # score = sum of weight * tf-saturation — BM25's per-term form with
+    # the model weight in place of idf; block-max pruning stays active
+    ix = _documents_index(spark, sf_dir)
+    return ix.sparse_vector(
+        {"data": 2.0, "merge": 1.0, "filter": 0.5}, k=20, round_scores=6
+    )
+
+
+def q_ft_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8.18 retriever: linear — min-max-normalized legs fused by
+    # weighted sum (0.7 lexical + 0.3 vector), window=100 per leg
+    ix = _documents_index(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    return ix.hybrid_linear(
+        "data merge", qvec, emb, k=20, window=100,
+        lex_weight=0.7, vec_weight=0.3,
+    )
+
+
+def q_etl_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus mixing: deterministic per-stratum downsampling — affine hash
+    # of doc_id mod prime, no RNG, exactly reproducible by any engine
+    from dart_importer_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id", default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+def q_etl_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pretraining sequence packing (concat-then-chunk): per-stream running
+    # token offsets, chunk = floor(offset / budget)
+    from dart_importer_spark.operators.sampling import pack_chunks
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tok", F.size(F.split(F.col("text"), " ")))
+    return pack_chunks(d, "doc_id", "n_tok", budget=512, stream_col="source")
+
+
 def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc duplicated-5-gram fraction: the "shared boilerplate span"
     # signal exact/MinHash dedup misses; one df-groupBy + one join back
@@ -2196,16 +2244,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_has_parent": q_ft_has_parent,
         "ft_sig_text": q_ft_sig_text,
         "ft_sampler": q_ft_sampler,
-        "ft_div_sampler": q_ft_div_sampler,
         "ft_intervals": q_ft_intervals,
         "dd_jaccard_ngram": q_dd_jaccard_ngram,
         "dd_embed_exact": q_dd_embed_exact,
-        "dd_embed_lsh": q_dd_embed_lsh,
         "ft_rank_eval": q_ft_rank_eval,
         "sim_knn_batch": q_sim_knn_batch,
-        "sim_ivf_batch": q_sim_ivf_batch,
         "ft_dsl_search": q_ft_dsl_search,
-        "ft_dsl_filter": q_ft_dsl_filter,
         "ft_dsl_aggs": q_ft_dsl_aggs,
         "ft_span_near": q_ft_span_near,
         "ft_pipeline_aggs": q_ft_pipeline_aggs,
@@ -2232,6 +2276,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_dup_ngram": q_dd_dup_ngram,
         "ft_var_width": q_ft_var_width,
         "ft_normalize": q_ft_normalize,
+        # learned-sparse retrieval, linear hybrid fusion, and the two
+        # corpus-mixing stages (deterministic stratified sampling +
+        # sequence packing) — new classes; they take the slots of
+        # ft_dsl_filter (ft_dsl_search + ft_dsl_aggs stay as DSL
+        # sentinels), sim_ivf_batch (sim_knn_batch stays), dd_embed_lsh
+        # (dd_embed_exact + dd_jaccard_ngram stay) and ft_div_sampler
+        # (ft_sampler stays)
+        "ft_sparse_vector": q_ft_sparse_vector,
+        "ft_hybrid_linear": q_ft_hybrid_linear,
+        "etl_stratified": q_etl_stratified,
+        "etl_pack_chunks": q_etl_pack_chunks,
         # dup-graph connected components + canonical selection — a NEW
         # operator class (iterative graph op); first driver evidence
         # matters more than two more same-class agg variants, so these
@@ -2242,6 +2297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
+        "ft_dsl_filter": q_ft_dsl_filter,
+        "sim_ivf_batch": q_sim_ivf_batch,
+        "dd_embed_lsh": q_dd_embed_lsh,
+        "ft_div_sampler": q_ft_div_sampler,
         "ft_span_first": q_ft_span_first,
         "ft_span_not": q_ft_span_not,
         "ft_bucket_sort": q_ft_bucket_sort,
@@ -4979,6 +5038,110 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "ft_sparse_vector": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tf AS (SELECT did, unnest(lst) AS term FROM t),
+tfc AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+st AS (SELECT avg(dl) AS avgdl FROM dl),
+sv AS (
+  SELECT tfc.did,
+         CASE tfc.term WHEN 'data' THEN 2.0
+                       WHEN 'merge' THEN 1.0
+                       ELSE 0.5 END
+         * tfc.tf / (tfc.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)) AS sc
+  FROM tfc JOIN dl ON dl.did = tfc.did CROSS JOIN st s
+  WHERE tfc.term IN ('data', 'merge', 'filter')
+)
+SELECT did AS doc_id, round(sum(sc), 6) AS score
+FROM sv GROUP BY 1
+ORDER BY round(sum(sc), 6) DESC, doc_id ASC LIMIT 20
+""",
+        "ft_hybrid_linear": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (SELECT did, unnest({tok}) AS term FROM docs),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT did, len({tok})::DOUBLE AS dl FROM docs),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('data'), ('merge')),
+lex AS (
+  SELECT tf.did AS doc_id,
+         round(sum(
+           ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+           * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))
+         ), 6) AS sc
+  FROM tf
+  JOIN q USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did
+  CROSS JOIN stats s
+  GROUP BY tf.did
+),
+lexw AS (
+  SELECT doc_id, sc, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS r
+  FROM lex QUALIFY r <= 100
+),
+lexn AS (
+  SELECT doc_id,
+         CASE WHEN max(sc) OVER () = min(sc) OVER () THEN 1.0
+              ELSE (sc - min(sc) OVER ()) / (max(sc) OVER () - min(sc) OVER ())
+         END AS ln
+  FROM lexw
+),
+qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+vecs AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(
+           e.embedding::DOUBLE[], qv.v::DOUBLE[]), 6) AS c
+  FROM embeddings e CROSS JOIN qv
+),
+vecw AS (
+  SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+  FROM vecs QUALIFY r <= 100
+),
+vecn AS (
+  SELECT doc_id,
+         CASE WHEN max(c) OVER () = min(c) OVER () THEN 1.0
+              ELSE (c - min(c) OVER ()) / (max(c) OVER () - min(c) OVER ())
+         END AS vn
+  FROM vecw
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(l.ln, 0.0) * 0.7 + COALESCE(v.vn, 0.0) * 0.3, 6)
+         AS score
+FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "etl_stratified": """
+SELECT doc_id, source FROM documents
+WHERE (doc_id % 1000003) * 7919 % 1000003 <
+  CASE source WHEN 'src0' THEN 1000003
+              WHEN 'src1' THEN 500001
+              WHEN 'src2' THEN 250000
+              ELSE 100000 END
+""",
+        "etl_pack_chunks": """
+WITH d AS (
+  SELECT doc_id AS id, source AS stream,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT id, stream, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY id)
+              - n_tokens AS BIGINT) AS "offset"
+  FROM d
+)
+SELECT id, stream, n_tokens, "offset",
+       CAST(floor("offset"::DOUBLE / 512) AS BIGINT) AS chunk_id
+FROM o ORDER BY stream, "offset"
 """,
         "dd_dup_ngram": """
 WITH t AS (

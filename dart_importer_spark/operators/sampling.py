@@ -1,0 +1,103 @@
+"""Corpus-mixing operators for training-data pipelines.
+
+Two pipeline stages between curation and tokenization:
+
+- :func:`stratified_sample` — deterministic per-stratum downsampling
+  (the "mix 30% web, 5% code, 100% books" step). No RNG: membership is
+  an affine hash of the row id modulo a prime, so the same row always
+  gets the same verdict, reruns are reproducible, resume-safe, and the
+  sample is exactly reproducible by any engine (no seed plumbing).
+- :func:`pack_chunks` — pretraining sequence packing under the
+  concat-then-chunk model: documents are laid out in a deterministic
+  order per stream and the token stream is cut every ``budget`` tokens;
+  each doc reports its stream offset and the chunk its first token
+  lands in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+# affine-hash parameters: P prime modulus, A odd multiplier coprime to P.
+# (id % P) * A % P is a bijection on [0, P) — max intermediate value
+# (P-1)*A ~ 7.9e9 stays far below 2^63, so the arithmetic is exact (and
+# identical) in any 64-bit SQL engine; no overflow wrap semantics needed.
+_P = 1_000_003
+_A = 7_919
+
+
+def sample_hash(id_col: Column | str) -> Column:
+    """The deterministic per-row hash in [0, P): (id % P) * A % P."""
+    return F.pmod(F.pmod(F.col(id_col) if isinstance(id_col, str) else id_col, F.lit(_P)) * _A, F.lit(_P))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum s iff hash(id) < rate_s · P — an exact,
+    deterministic Bernoulli(rate_s) over the id space. Strata missing
+    from ``rates`` use ``default_rate`` (0.0 = drop, 1.0 = keep all).
+
+    Scale shape: a single narrow filter — no shuffle, no RNG state, no
+    driver involvement; pushes into the scan alongside any other
+    predicate. This is the corpus-mixing primitive: rates come from a
+    target token distribution computed upstream (one groupBy), and the
+    filter is re-runnable (append-only ingest keeps old verdicts)."""
+    for s, r in rates.items():
+        if not 0.0 <= float(r) <= 1.0:
+            raise ValueError(f"stratified_sample: rate for {s!r} not in [0,1]: {r}")
+    if not 0.0 <= float(default_rate) <= 1.0:
+        raise ValueError(f"stratified_sample: default_rate not in [0,1]")
+    h = sample_hash(id_col)
+    thr = F.lit(int(float(default_rate) * _P))
+    # build the threshold expression stratum by stratum (small dict —
+    # this is a CASE WHEN chain, constant-folded by Catalyst)
+    expr = thr
+    for s, r in sorted(rates.items()):
+        expr = F.when(F.col(strata_col) == s, F.lit(int(float(r) * _P))).otherwise(expr)
+    return df.filter(h < expr)
+
+
+def pack_chunks(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    stream_col: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each stream (all rows
+    if ``stream_col`` is None), lay documents out in (id) order, compute
+    each doc's token offset into the stream, and assign it the chunk its
+    first token falls in: chunk_id = floor(offset / budget). This is the
+    packing model LLM pretraining uses (documents concatenated, stream
+    split every `budget` tokens; a doc may straddle a boundary — it is
+    reported at its starting chunk).
+
+    Returns (id, stream, n_tokens, offset, chunk_id) ordered by stream,
+    offset.
+
+    Scale shape: ONE running-sum window per stream. Streams are the
+    parallelism unit — partition the corpus into many streams (e.g. by
+    source × hash bucket) so no window sees more than a partition's
+    worth; a None stream funnels everything through one task and is only
+    for small/test corpora (Spark will warn)."""
+    if budget < 1:
+        raise ValueError(f"pack_chunks: budget >= 1, got {budget}")
+    stream = F.col(stream_col) if stream_col else F.lit(0)
+    w = Window.partitionBy(stream).orderBy(F.asc(id_col))
+    offset = (F.sum(token_col).over(w) - F.col(token_col)).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            stream.alias("stream"),
+            F.col(token_col).cast("long").alias("n_tokens"),
+            offset.alias("offset"),
+        )
+        .withColumn("chunk_id", F.floor(F.col("offset") / budget))
+        .orderBy("stream", "offset")
+    )

@@ -309,8 +309,16 @@ class InvertedIndex:
         min_should_match: int | None = None,
         search_after: tuple | None = None,
         dfs_stats: dict | None = None,
+        term_weights: dict[str, float] | None = None,
     ) -> DataFrame:
         """ES ``match`` (mode='or') / ``bool must`` (mode='and') -> top-k.
+
+        ``term_weights`` REPLACES the idf map: a term's contribution
+        becomes weight × tf-saturation (idf drops out) — the sparse
+        dot-product scoring of :meth:`sparse_vector`. Terms without a
+        weight are dropped. Pruning bounds (ubs, θ) derive from the
+        overridden map, so pruned ≡ exhaustive is preserved exactly as
+        under ``dfs_stats``.
 
         ``dfs_stats`` overrides the scoring statistics with global ones
         (``{"df": {term: df}, "n_docs": N, "avgdl": a}``) — the fetch
@@ -396,6 +404,11 @@ class InvertedIndex:
             idf = {t: _idf(self.n_docs, dfs[t]) for t in terms}
         if boosts:
             idf = {t: w * float(boosts.get(t, 1.0)) for t, w in idf.items()}
+        if term_weights is not None:
+            idf = {t: float(term_weights[t]) for t in terms if t in term_weights}
+            terms = [t for t in terms if t in idf]
+            if not terms:
+                return self._empty_scored(with_meta)
         ubs = {
             r["term"]: idf[r["term"]]
             * _tfn(float(r["mtf"]), float(r["mdl"]), avgdl)
@@ -5332,6 +5345,131 @@ class InvertedIndex:
             self._live(fused)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
+        )
+
+    def hybrid_linear(
+        self,
+        query: str,
+        qvec: Sequence[float],
+        emb: DataFrame,
+        k: int = 10,
+        window: int = 100,
+        lex_weight: float = 1.0,
+        vec_weight: float = 1.0,
+        field: str | int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """ES 8.18 ``retriever: linear``: the weighted-sum alternative to
+        RRF — each leg's top-``window`` scores are min-max normalized to
+        [0, 1] within the leg (ES's ``normalizer: minmax``), then fused as
+        lex_weight·norm_lex + vec_weight·norm_vec. Docs in one leg only
+        contribute 0 from the missing leg, like RRF. A single-hit leg (or
+        a constant-score leg) normalizes to 1.0, matching ES's
+        max==min degenerate case.
+
+        Same scale shape as :meth:`hybrid_rrf`: pruned topk + one
+        TakeOrderedAndProject per leg, fuse over ≤ 2·window rows. Leg
+        scores are rounded to 6 BEFORE normalization so the min/max pins
+        identically across engines."""
+        from ..operators.similarity import _cosine
+
+        def _minmax(df: DataFrame, col: str) -> DataFrame:
+            w = Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            lo, hi = F.min(col).over(w), F.max(col).over(w)
+            return df.withColumn(
+                "norm",
+                F.when(hi == lo, F.lit(1.0)).otherwise(
+                    (F.col(col) - lo) / (hi - lo)
+                ),
+            ).select("doc_id", "norm")
+
+        lex = _minmax(
+            self.topk(query, k=window, field=field, round_scores=6), "score"
+        )
+        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        tomb = self._tombstones()
+        vec_src = emb
+        if tomb is not None:
+            vec_src = emb.join(
+                tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+            )
+        vec = _minmax(
+            vec_src.select(
+                F.col(id_col).alias("doc_id"),
+                F.round(_cosine(F.col(vec_col), qcol), 6).alias("cosine"),
+            )
+            .orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(window),
+            "cosine",
+        )
+        fused = lex.withColumnRenamed("norm", "ln").join(
+            vec.withColumnRenamed("norm", "vn"), "doc_id", "full_outer"
+        ).select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("ln"), F.lit(0.0)) * float(lex_weight)
+                + F.coalesce(F.col("vn"), F.lit(0.0)) * float(vec_weight),
+                6,
+            ).alias("score"),
+        )
+        return (
+            self._live(fused)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def sparse_vector(
+        self,
+        weights: dict[str, float],
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+        round_scores: int | None = None,
+        prune: bool = True,
+        with_meta: bool = False,
+    ) -> DataFrame:
+        """ES ``sparse_vector`` / ``text_expansion`` query (the learned-
+        sparse / SPLADE retrieval shape): score(d) = Σ_t w_t ·
+        saturation_t(d) — a sparse dot product between the query-side
+        expansion weights and the document's saturated term frequency
+        tf/(tf + k1·(1−b+b·dl/avgdl)), which is BM25's per-term form with
+        the idf replaced by the model-supplied weight (ES stores the
+        doc-side weights at index time; with tf-saturation as the stored
+        impact this engine computes the same dot product directly from
+        postings — no reindex needed to switch expansion models).
+
+        Keys are analyzed; a key must analyze to exactly one token.
+        Weights must be > 0 (ES rejects non-positive weights). Block-max
+        θ-pruning stays active — the bounds derive from the weight map
+        (see ``term_weights`` in :meth:`topk`)."""
+        if not weights:
+            raise ValueError("sparse_vector: weights must be non-empty")
+        toks: dict[str, float] = {}
+        for raw, w in weights.items():
+            w = float(w)
+            if w <= 0.0:
+                raise ValueError(
+                    f"sparse_vector: weight for {raw!r} must be > 0, got {w}"
+                )
+            ts = self._analyze(str(raw), field)
+            if len(ts) != 1:
+                raise ValueError(
+                    f"sparse_vector: token {raw!r} analyzes to {len(ts)} "
+                    "terms; each key must be a single analyzed token"
+                )
+            toks[ts[0]] = toks.get(ts[0], 0.0) + w
+        return self.topk(
+            " ".join(sorted(toks)),
+            k=k,
+            field=field,
+            filters=filters,
+            round_scores=round_scores,
+            prune=prune,
+            with_meta=with_meta,
+            term_weights=toks,
         )
 
     def match_bool_prefix(

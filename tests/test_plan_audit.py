@@ -328,3 +328,27 @@ def test_mining_operators_plan_audit(spark, built_index):
     )
     plan = _plan(dup_ngram_stats(docs, "doc_id", "text", n=5))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sparse_and_sampling_plan_audit(spark, built_index):
+    """sparse_vector rides the same Arrow scoring kernel as topk (no
+    row-wise Python); stratified_sample is a pure narrow filter (no
+    shuffle Exchange anywhere in its plan — the mixing step must not
+    repartition 100 TB); pack_chunks is one window per stream."""
+    plan = _plan(built_index.sparse_vector({"the": 2.0, "and": 1.0}, k=5))
+    assert "BatchEvalPython" not in plan, plan
+
+    from dart_importer_spark.operators.sampling import (
+        pack_chunks,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", 10) for i in range(20)],
+        "id long, s string, n long",
+    )
+    plan = _plan(stratified_sample(df, "s", {"a": 0.5}, "id"))
+    assert "Exchange" not in plan, plan  # narrow filter: zero shuffles
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = _plan(pack_chunks(df, "id", "n", budget=64, stream_col="s"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,164 @@
+"""sparse_vector (learned-sparse dot product), hybrid_linear (weighted
+min-max fusion), stratified_sample and pack_chunks — value-exact
+expectations against python recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.operators.sampling import (
+    _A,
+    _P,
+    pack_chunks,
+    stratified_sample,
+)
+from tests.oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def src(transcripts_pdf):
+    import numpy as np
+
+    s = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s["doc_id"] = np.arange(len(s), dtype=np.int64)
+    return s
+
+
+@pytest.fixture(scope="module")
+def oracle(src):
+    return BM25Oracle(src)
+
+
+def _sparse_scores(oracle, weights, k1=1.2, b=0.75):
+    """score(d) = sum_t w_t * tf/(tf + k1*(1-b+b*dl/avgdl))"""
+    dls = [len(t) for t in oracle.tokens]
+    avgdl = sum(dls) / len(dls)
+    out = {}
+    for did, toks in zip(oracle.doc_ids, oracle.tokens):
+        s = 0.0
+        dl = len(toks)
+        for t, w in weights.items():
+            tf = toks.count(t)
+            if tf:
+                s += w * tf / (tf + k1 * (1 - b + b * dl / avgdl))
+        if s > 0:
+            out[int(did)] = s
+    return out
+
+
+def test_sparse_vector_values(built_index, oracle):
+    weights = {"the": 2.0, "and": 1.0, "of": 0.5}
+    got = built_index.sparse_vector(weights, k=15, round_scores=6).toPandas()
+    want = _sparse_scores(oracle, weights)
+    ranked = sorted(want.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:15]
+    assert list(got["doc_id"]) == [d for d, _ in ranked]
+    for g, (_, w) in zip(got["score"], ranked):
+        assert abs(g - round(w, 6)) < 1e-9
+
+
+def test_sparse_vector_pruned_is_exhaustive(built_index):
+    w = {"the": 3.0, "and": 0.25, "of": 1.5}
+    a = built_index.sparse_vector(w, k=20, round_scores=6).collect()
+    b = built_index.sparse_vector(w, k=20, round_scores=6, prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in a] == [
+        (r["doc_id"], r["score"]) for r in b
+    ]
+
+
+def test_sparse_vector_validation(built_index):
+    with pytest.raises(ValueError):
+        built_index.sparse_vector({})
+    with pytest.raises(ValueError):
+        built_index.sparse_vector({"the": -1.0})
+    with pytest.raises(ValueError):
+        built_index.sparse_vector({"the and": 1.0})  # two tokens
+    # unknown term: empty result, no throw
+    assert built_index.sparse_vector({"zzzzunknownzzz": 1.0}).count() == 0
+
+
+def test_hybrid_linear_minmax(built_index, spark, src, oracle):
+    # vector leg: one-hot embeddings so cosine is deterministic
+    import numpy as np
+
+    n = len(src)
+    rows = [(int(i), [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = built_index.hybrid_linear(
+        "the and", [1.0, 0.0], emb, k=10, window=50,
+        lex_weight=0.7, vec_weight=0.3,
+    ).toPandas()
+    # recompute: lexical leg = rounded BM25 top-50 minmax; vector leg =
+    # cosine 1.0 for even ids, 0.0 for odd -> window keeps 50 even ids
+    # (all cosine 1.0 -> ties by id) and their norm is 1.0 (max==min)
+    lex = built_index.topk("the and", k=50, round_scores=6).toPandas()
+    lo, hi = lex["score"].min(), lex["score"].max()
+    ln = {
+        int(d): (1.0 if hi == lo else (s - lo) / (hi - lo))
+        for d, s in zip(lex["doc_id"], lex["score"])
+    }
+    vn = {i: 1.0 for i in range(n) if i % 2 == 0}
+    vn = dict(sorted(vn.items())[:50])
+    want = {}
+    for d in set(ln) | set(vn):
+        want[d] = round(0.7 * ln.get(d, 0.0) + 0.3 * vn.get(d, 0.0), 6)
+    ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(got["doc_id"]) == [d for d, _ in ranked]
+    for g, (_, w) in zip(got["score"], ranked):
+        assert abs(g - w) < 1e-9
+
+
+def test_stratified_sample_exact_membership(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = stratified_sample(
+        df, "s", {"a": 1.0, "b": 0.5}, "id", default_rate=0.0
+    ).toPandas()
+    want = set()
+    for i, s in rows:
+        h = (i % _P) * _A % _P
+        thr = {"a": int(1.0 * _P), "b": int(0.5 * _P)}.get(s, 0)
+        if h < thr:
+            want.add(i)
+    assert set(got["id"]) == want
+    # every 'a' kept, no 'c' kept, 'b' is a strict subset
+    assert set(got[got["s"] == "a"]["id"]) == {i for i in range(300) if i % 3 == 0}
+    assert (got["s"] == "c").sum() == 0
+    bs = (got["s"] == "b").sum()
+    assert 0 < bs < 100
+    with pytest.raises(ValueError):
+        stratified_sample(df, "s", {"a": 1.5}, "id")
+    with pytest.raises(ValueError):
+        stratified_sample(df, "s", {}, "id", default_rate=-0.1)
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    a = set(stratified_sample(df, "s", {"x": 0.3}, "id").toPandas()["id"])
+    b = set(stratified_sample(df, "s", {"x": 0.3}, "id").toPandas()["id"])
+    assert a == b  # no RNG: identical across runs
+
+
+def test_pack_chunks(spark):
+    rows = [
+        (0, "s1", 300), (1, "s1", 300), (2, "s1", 300),
+        (3, "s2", 600), (4, "s2", 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, stream string, n long")
+    got = pack_chunks(df, "id", "n", budget=512, stream_col="stream").toPandas()
+    r = {int(row["id"]): (int(row["offset"]), int(row["chunk_id"]))
+         for _, row in got.iterrows()}
+    # s1: offsets 0, 300, 600 -> chunks 0, 0, 1; s2: offsets 0, 600 -> 0, 1
+    assert r == {0: (0, 0), 1: (300, 0), 2: (600, 1), 3: (0, 0), 4: (600, 1)}
+    assert list(got.columns) == ["id", "stream", "n_tokens", "offset", "chunk_id"]
+    with pytest.raises(ValueError):
+        pack_chunks(df, "id", "n", budget=0)
+
+
+def test_pack_chunks_single_stream(spark):
+    df = spark.createDataFrame([(i, 100) for i in range(10)], "id long, n long")
+    got = pack_chunks(df, "id", "n", budget=250).toPandas()
+    assert list(got["chunk_id"]) == [math.floor(i * 100 / 250) for i in range(10)]
