@@ -2203,6 +2203,53 @@ def q_etl_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(d, "doc_id", "n_tok", budget=512, stream_col="source")
 
 
+def q_etl_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub with audit counts: plant deterministic emails/IPs/phones
+    # (no PII exists in the synthetic corpus), then redact and count
+    from dart_importer_spark.operators.quality import redact_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(
+                    " a%d@ex.com 10.0.0.%d",
+                    F.col("doc_id"),
+                    F.col("doc_id") % 256,
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" +1 555-000-1234"))
+            .otherwise(F.lit("")),
+        ).alias("text2"),
+    )
+    return redact_pii(planted, "text2").select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+
+
+def q_etl_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark-contamination audit: 8-gram overlap of every corpus doc
+    # with the benchmark subset (doc_id % 50 == 0); benchmark members
+    # score 1.0, planted near-duplicates score just below
+    from dart_importer_spark.operators.quality import contamination_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_stats(docs, bench, "doc_id", "text", n=8)
+
+
+def q_etl_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher repetition signals: per-doc duplicate-2-gram occurrence
+    # fraction + top-2-gram occupancy
+    from dart_importer_spark.operators.quality import repetition_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", n=2)
+
+
 def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc duplicated-5-gram fraction: the "shared boilerplate span"
     # signal exact/MinHash dedup misses; one df-groupBy + one join back
@@ -2241,7 +2288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape); takes the window slots of the second span/intervals
         # variants (ft_span_near / ft_intervals stay as class sentinels)
         "ft_has_child": q_ft_has_child,
-        "ft_has_parent": q_ft_has_parent,
         "ft_sig_text": q_ft_sig_text,
         "ft_sampler": q_ft_sampler,
         "ft_intervals": q_ft_intervals,
@@ -2262,8 +2308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_multi_index": q_ft_multi_index,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
-        "ft_auto_dh": q_ft_auto_dh,
-        "ft_rare_terms": q_ft_rare_terms,
         # --- new this continuation: four NEW operator classes (text
         # categorization, itemset mining, change-point detection,
         # duplicate-span dedup) + two family variants; they take the
@@ -2287,6 +2331,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_hybrid_linear": q_ft_hybrid_linear,
         "etl_stratified": q_etl_stratified,
         "etl_pack_chunks": q_etl_pack_chunks,
+        # training-data quality stages (PII scrub, contamination audit,
+        # Gopher repetition) — new classes; slots from ft_has_parent
+        # (ft_has_child stays as the join-field sentinel), ft_auto_dh
+        # (ft_dh_filled + date_histogram family stay) and ft_rare_terms
+        # (terms-agg family: ft_facet r02-green + ft_sig_text in-window)
+        "etl_redact_pii": q_etl_redact_pii,
+        "etl_contamination": q_etl_contamination,
+        "etl_repetition": q_etl_repetition,
         # dup-graph connected components + canonical selection — a NEW
         # operator class (iterative graph op); first driver evidence
         # matters more than two more same-class agg variants, so these
@@ -2297,6 +2349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
+        "ft_has_parent": q_ft_has_parent,
+        "ft_auto_dh": q_ft_auto_dh,
+        "ft_rare_terms": q_ft_rare_terms,
         "ft_dsl_filter": q_ft_dsl_filter,
         "sim_ivf_batch": q_sim_ivf_batch,
         "dd_embed_lsh": q_dd_embed_lsh,
@@ -5142,6 +5197,79 @@ o AS (
 SELECT id, stream, n_tokens, "offset",
        CAST(floor("offset"::DOUBLE / 512) AS BIGINT) AS chunk_id
 FROM o ORDER BY stream, "offset"
+""",
+        "etl_redact_pii": r"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' a' || doc_id || '@ex.com 10.0.0.' || (doc_id % 256)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' +1 555-000-1234' ELSE '' END
+           AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id,
+       len(regexp_extract_all(t0,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(t1,
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       len(regexp_extract_all(t2, '\+?\d[\d\- ]{7,}\d')) AS n_phones,
+       regexp_replace(t2, '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM s2
+""",
+        "etl_contamination": """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT id, array_to_string(tk[gs:gs+7], ' ') AS ng
+  FROM (SELECT id, tk, unnest(range(1, greatest(len(tk) - 6, 1))) AS gs
+        FROM t)
+),
+b AS (SELECT DISTINCT ng FROM g WHERE id % 50 = 0)
+SELECT g.id AS id, count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(CAST(sum(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS contamination
+FROM g LEFT JOIN b ON g.ng = b.ng
+GROUP BY g.id ORDER BY g.id
+""",
+        "etl_repetition": """
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS tk
+  FROM documents
+),
+g AS (
+  SELECT id, array_to_string(tk[gs:gs+1], ' ') AS ng
+  FROM (SELECT id, tk, unnest(range(1, greatest(len(tk), 1))) AS gs
+        FROM t)
+),
+per AS (SELECT id, ng, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+       round(CAST(sum(c) - count(*) AS BIGINT)::DOUBLE
+             / CAST(sum(c) AS BIGINT), 6) AS dup_frac,
+       round(max(c)::DOUBLE / CAST(sum(c) AS BIGINT), 6) AS top_frac
+FROM per GROUP BY id ORDER BY id
 """,
         "dd_dup_ngram": """
 WITH t AS (

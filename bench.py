@@ -128,6 +128,21 @@ HEADLINE = [
     "etl_window_topn",
     "etl_interval_join",
     "etl_sessionize",
+    # fifth-continuation additions: categorization / mining / change-point
+    # / dup-span / learned-sparse / linear-hybrid / corpus-mixing classes
+    "ft_categorize",
+    "ft_var_width",
+    "ft_normalize",
+    "ft_change_point",
+    "fis_events",
+    "dd_dup_ngram",
+    "ft_sparse_vector",
+    "ft_hybrid_linear",
+    "etl_stratified",
+    "etl_pack_chunks",
+    "etl_redact_pii",
+    "etl_contamination",
+    "etl_repetition",
 ]
 
 

@@ -356,6 +356,49 @@ def _dispatch_leaf(
         if offset:
             raise DslError(f"{name}: 'from' pagination not supported")
 
+    if typ == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query, decoded and
+        # dispatched as if written inline (all bool-leg extras pass
+        # through — wrapper is transparent to its surroundings)
+        import base64
+        import json as _json
+
+        if not isinstance(spec, dict) or "query" not in spec:
+            raise DslError("wrapper: expected {'query': '<base64>'}")
+        try:
+            inner = _json.loads(base64.b64decode(spec["query"]))
+        except Exception as e:  # noqa: BLE001 — surface as a DSL error
+            raise DslError(f"wrapper: undecodable query: {e}") from e
+        if not isinstance(inner, dict) or len(inner) != 1:
+            raise DslError("wrapper: decoded body must be one query clause")
+        (ityp, ispec), = inner.items()
+        return _dispatch_leaf(
+            cp, ityp, ispec, k=k, filters=filters,
+            round_scores=round_scores, offset=offset, should=should,
+            must_not=must_not, msm=msm, search_after=search_after,
+        )
+    if typ in ("sparse_vector", "text_expansion"):
+        # ES sparse_vector: {field|<field>: {tokens|model_text...}} —
+        # supported form: explicit query-side token weights
+        plain(typ)
+        body = spec
+        if typ == "text_expansion":  # legacy: {field: {"model_text"...}}
+            if not isinstance(spec, dict) or len(spec) != 1:
+                raise DslError("text_expansion: expected one field block")
+            body = next(iter(spec.values()))
+        if not isinstance(body, dict) or not isinstance(
+            body.get("tokens") or body.get("query_vector"), dict
+        ):
+            raise DslError(
+                f"{typ}: expected explicit token weights under 'tokens' "
+                f"(or 'query_vector'); model inference is not embedded"
+            )
+        weights = body.get("tokens") or body.get("query_vector")
+        fld = body.get("field")
+        return ix.sparse_vector(
+            {str(t): float(w) for t, w in weights.items()}, k=k,
+            field=fld, filters=filters, round_scores=round_scores,
+        )
     if typ == "match":
         f, v, side = _field_spec(typ, spec)
         p = cp._match_params(typ, v)

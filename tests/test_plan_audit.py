@@ -352,3 +352,29 @@ def test_sparse_and_sampling_plan_audit(spark, built_index):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = _plan(pack_chunks(df, "id", "n", budget=64, stream_col="s"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_operators_plan_audit(spark):
+    """PII redaction is a pure narrow projection (no shuffle — a scrub
+    over 100 TB must not repartition); contamination joins the corpus
+    n-gram stream against a BROADCAST benchmark set (the corpus is never
+    self-joined or shuffled by n-gram); repetition shuffles only on
+    per-doc keys. All three stay Python-free."""
+    from dart_importer_spark.operators.quality import (
+        contamination_stats,
+        redact_pii,
+        repetition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(4)],
+        "id long, text string",
+    )
+    plan = _plan(redact_pii(df, "text"))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = _plan(contamination_stats(df, df.limit(1), "id", "text", n=4))
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    plan = _plan(repetition_stats(df, "id", "text"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
