@@ -130,21 +130,24 @@ def dup_ngram_stats(
     """
     if n < 1:
         raise ValueError(f"dup_ngram_stats: n >= 1, got {n}")
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    # materialize the token array BEFORE the transform lambda: a split
+    # expression referenced inside the lambda is re-evaluated once per
+    # n-gram position — quadratic re-tokenization per document
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda x: x != "",
+        ).alias("_tk"),
     )
     ngrams = F.when(
-        F.size(toks) >= n,
+        F.size("_tk") >= n,
         F.expr(
-            f"transform(sequence(1, size(filter(split(lower({text_col}), "
-            f"'[^a-z0-9]+'), x -> x != '')) - {n - 1}), "
-            f"i -> array_join(slice(filter(split(lower({text_col}), "
-            f"'[^a-z0-9]+'), x -> x != ''), i, {n}), ' '))"
+            f"transform(sequence(1, size(_tk) - {n - 1}), "
+            f"i -> array_join(slice(_tk, i, {n}), ' '))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    rows = (
-        df.select(F.col(id_col).alias("id"), F.explode(ngrams).alias("ng"))
-    )
+    rows = toked.select("id", F.explode(ngrams).alias("ng"))
     dfreq = rows.groupBy("ng").agg(
         F.count_distinct("id").alias("ng_docs")
     )

@@ -1146,7 +1146,25 @@ def search(
     ms = body.get("min_score")
     if ms is not None:
         hits = hits.filter(F.col("score") >= F.lit(float(ms)))
+    tth = body.get("track_total_hits")
+    if tth is not None and tth is not False:
+        # ES track_total_hits: the accurate match-set size regardless of
+        # `size` — ES runs the same counting collector over the full match
+        # set; here it's the engine's count path (one posting-df pass, no
+        # scoring). Emitted as a constant column next to every hit (the
+        # hits.total.value of the response envelope). An integer threshold
+        # is accepted and still counts exactly (ES's cap is a latency
+        # trade; the count pass here is already the cheap path).
+        hits = hits.withColumn(
+            "total_hits", F.lit(int(count(ix, {"query": q})))
+        )
     src = body.get("_source")
+    if not (isinstance(src, (list, tuple)) and src):
+        # ES `fields` API: doc-value retrieval; stored meta columns ARE
+        # this engine's doc values, so it rides the _source join
+        fl = body.get("fields")
+        if isinstance(fl, (list, tuple)) and fl:
+            src = [f["field"] if isinstance(f, dict) else f for f in fl]
     if isinstance(src, (list, tuple)) and src:
         for c in src:
             if c not in cp.meta_cols:

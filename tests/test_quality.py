@@ -132,3 +132,21 @@ def test_dsl_wrapper_errors(built_index):
         built_index.search(
             {"query": {"sparse_vector": {"field": "text"}}}  # no tokens
         )
+
+
+def test_search_track_total_hits_and_fields(built_index):
+    got = built_index.search(
+        {"query": {"match": {"text": "the"}}, "size": 3,
+         "track_total_hits": True}
+    ).toPandas()
+    assert len(got) == 3
+    total = got["total_hits"].iloc[0]
+    assert (got["total_hits"] == total).all()
+    # the attached total is the full match-set count, not the page size
+    assert total == built_index.count_query("the")
+    # fields API rides the stored-column join; dict and string forms mix
+    got2 = built_index.search(
+        {"query": {"match": {"text": "the"}}, "size": 2,
+         "fields": ["role", {"field": "ts"}]}
+    ).toPandas()
+    assert {"role", "ts"}.issubset(got2.columns) and len(got2) == 2
