@@ -2250,6 +2250,28 @@ def q_etl_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "doc_id", "text", n=2)
 
 
+def q_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES ingest pipeline compiled to ONE Catalyst projection: set, script
+    # (SQL-expr dialect), rename, uppercase, gsub, convert — the processor
+    # chain the reference would run at index time (_ingest/pipeline)
+    from dart_importer_spark.ingest import compile_pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    pipe = compile_pipeline({
+        "processors": [
+            {"set": {"field": "pipe_tag", "value": "v1"}},
+            {"script": {"field": "n_words", "source": "size(split(text, ' '))"}},
+            {"rename": {"field": "source", "target_field": "src"}},
+            {"uppercase": {"field": "lang"}},
+            {"gsub": {"field": "text", "pattern": "[aeiou]", "replacement": "*"}},
+            {"convert": {"field": "n_chars", "type": "double",
+                         "target_field": "n_chars_d"}},
+            {"remove": {"field": "n_chars"}},
+        ]
+    })
+    return pipe(docs)
+
+
 def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc duplicated-5-gram fraction: the "shared boilerplate span"
     # signal exact/MinHash dedup misses; one df-groupBy + one join back
@@ -2328,7 +2350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (dd_embed_exact + dd_jaccard_ngram stay) and ft_div_sampler
         # (ft_sampler stays)
         "ft_sparse_vector": q_ft_sparse_vector,
-        "ft_hybrid_linear": q_ft_hybrid_linear,
+        # etl_ingest (pipeline compiler, new class) takes the window slot
+        # of ft_hybrid_linear (same hybrid class as in-window ft_hybrid_rrf)
+        "etl_ingest": q_etl_ingest,
         "etl_stratified": q_etl_stratified,
         "etl_pack_chunks": q_etl_pack_chunks,
         # training-data quality stages (PII scrub, contamination audit,
@@ -2349,6 +2373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
+        "ft_hybrid_linear": q_ft_hybrid_linear,
         "ft_has_parent": q_ft_has_parent,
         "ft_auto_dh": q_ft_auto_dh,
         "ft_rare_terms": q_ft_rare_terms,
@@ -5197,6 +5222,16 @@ o AS (
 SELECT id, stream, n_tokens, "offset",
        CAST(floor("offset"::DOUBLE / 512) AS BIGINT) AS chunk_id
 FROM o ORDER BY stream, "offset"
+""",
+        "etl_ingest": """
+SELECT doc_id,
+       regexp_replace(text, '[aeiou]', '*', 'g') AS text,
+       upper(lang) AS lang,
+       source AS src,
+       'v1' AS pipe_tag,
+       len(string_split(text, ' ')) AS n_words,
+       n_chars::DOUBLE AS n_chars_d
+FROM documents
 """,
         "etl_redact_pii": r"""
 WITH planted AS (
