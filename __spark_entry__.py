@@ -2272,6 +2272,20 @@ def q_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(docs)
 
 
+def q_ft_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES children aggregation: query selects parents (>=1 matching child),
+    # buckets run over ALL children of those parents grouped by lang
+    ix = _documents_index(spark, sf_dir)
+    return ix.children_agg("data merge", join_field="source", on="lang", k=10)
+
+
+def q_ft_pct_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES percentiles_bucket sibling pipeline: exact interpolated
+    # percentiles over the day-bucket doc_counts
+    ix = _documents_index(spark, sf_dir)
+    return ix.percentiles_bucket("data", on="ts", interval="day")
+
+
 def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc duplicated-5-gram fraction: the "shared boilerplate span"
     # signal exact/MinHash dedup misses; one df-groupBy + one join back
@@ -2381,6 +2395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_batch": q_sim_ivf_batch,
         "dd_embed_lsh": q_dd_embed_lsh,
         "ft_div_sampler": q_ft_div_sampler,
+        "ft_children": q_ft_children,
+        "ft_pct_bucket": q_ft_pct_bucket,
         "ft_span_first": q_ft_span_first,
         "ft_span_not": q_ft_span_not,
         "ft_bucket_sort": q_ft_bucket_sort,
@@ -5222,6 +5238,36 @@ o AS (
 SELECT id, stream, n_tokens, "offset",
        CAST(floor("offset"::DOUBLE / 512) AS BIGINT) AS chunk_id
 FROM o ORDER BY stream, "offset"
+""",
+        "ft_children": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+par AS (SELECT DISTINCT source FROM hits JOIN docs USING (did))
+SELECT lang AS key, count(*) AS doc_count
+FROM docs WHERE source IN (SELECT source FROM par)
+GROUP BY lang ORDER BY doc_count DESC, key ASC LIMIT 10
+""",
+        "ft_pct_bucket": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+bk AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count
+  FROM hits JOIN meta USING (did) GROUP BY 1
+)
+SELECT 25.0 AS percent, round(quantile_cont(doc_count, 0.25), 6) AS value
+FROM bk
+UNION ALL
+SELECT 50.0, round(quantile_cont(doc_count, 0.50), 6) FROM bk
+UNION ALL
+SELECT 75.0, round(quantile_cont(doc_count, 0.75), 6) FROM bk
+ORDER BY percent
 """,
         "etl_ingest": """
 SELECT doc_id,

@@ -3078,6 +3078,99 @@ class InvertedIndex:
         )
         return scored.orderBy(F.desc("gain"), F.asc("bucket")).limit(1)
 
+    def children_agg(
+        self,
+        query: str,
+        join_field: str = "source",
+        on: str = "lang",
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """ES ``children`` aggregation (the join-field bucket switch): the
+        query selects parents — here, parents with at least one matching
+        child, the derived-parent model of :meth:`has_child` — and the
+        aggregation then buckets over ALL children of those parents,
+        grouped by child column ``on``. Returns (key, doc_count) ordered
+        doc_count desc, key asc.
+
+        Physical shape: match set → distinct parent keys (tiny: parent
+        cardinality ≪ doc count) → BROADCAST semi-join back onto
+        doc_stats → one hash aggregate. The corpus-side scan is the same
+        doc_stats pass every agg performs; nothing is shuffled by child
+        row."""
+        terms = sorted(set(self._analyze(query, field)))
+        fid = self._fid(field)
+        ds = self.doc_stats()
+        empty = self.spark.createDataFrame([], "key string, doc_count long")
+        if not terms:
+            return empty
+        matched = self._docs_for_terms(terms, fid)
+        if matched is None:
+            return empty
+        parents = (
+            self._live(matched.select("doc_id"))
+            .join(ds.select("doc_id", F.col(join_field).alias("_p")), "doc_id")
+            .select("_p")
+            .distinct()
+        )
+        return (
+            ds.join(
+                F.broadcast(parents),
+                ds[join_field] == F.col("_p"),
+                "left_semi",
+            )
+            .groupBy(F.col(on).alias("key"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .limit(k)
+        )
+
+    def percentiles_bucket(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        percents: Sequence[float] = (25.0, 50.0, 75.0),
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``percentiles_bucket`` pipeline aggregation: exact linearly-
+        interpolated percentiles OVER the date_histogram's bucket
+        doc_counts (sibling pipeline — the input is the ≤k-row bucket
+        table, the ES coordinator reduction, not per-doc data). Returns
+        (percent, value) ordered by percent."""
+        if not percents:
+            raise ValueError("percentiles_bucket: need at least one percent")
+        for p in percents:
+            if not 0.0 <= float(p) <= 100.0:
+                raise ValueError(f"percentiles_bucket: bad percent {p}")
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
+        fracs = ", ".join(str(float(p) / 100.0) for p in percents)
+        plist = ", ".join(str(float(p)) for p in percents)
+        return (
+            buckets.agg(
+                F.expr(
+                    f"percentile(doc_count, array({fracs}))"
+                ).alias("_v")
+            )
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.expr(f"array({plist})").alias("percent"),
+                        F.col("_v").alias("value"),
+                    )
+                ).alias("z")
+            )
+            .select(
+                F.col("z.percent").alias("percent"),
+                F.round(F.col("z.value"), 6).alias("value"),
+            )
+            .orderBy("percent")
+        )
+
     def t_test(
         self,
         query: str,

@@ -118,3 +118,46 @@ def test_parent_table_matches_groupby(built_index, src):
     spans = src.groupby("conv_id")["doc_id"].agg(["min", "max"])
     assert (got["first_doc_id"].sort_index() == spans["min"].sort_index()).all()
     assert (got["last_doc_id"].sort_index() == spans["max"].sort_index()).all()
+
+
+def test_children_agg(built_index, spark):
+    """children agg: buckets over ALL children of parents that have >=1
+    matching child — recomputed in pandas over the generated corpus."""
+    import pandas as pd
+
+    got = built_index.children_agg(
+        "the and", join_field="conv_id", on="role", k=10
+    ).toPandas()
+    meta = built_index.doc_stats().select(
+        "doc_id", "conv_id", "role"
+    ).toPandas()
+    hits = built_index.topk("the and", k=None, prune=False).toPandas()
+    par = set(meta[meta["doc_id"].isin(set(hits["doc_id"]))]["conv_id"])
+    kids = meta[meta["conv_id"].isin(par)]
+    want = (
+        kids.groupby("role").size().reset_index(name="n")
+        .sort_values(["n", "role"], ascending=[False, True])
+    )
+    assert list(got["key"]) == list(want["role"])[:10]
+    assert list(got["doc_count"]) == list(want["n"])[:10]
+    assert built_index.children_agg(
+        "zzznotaterm", join_field="conv_id", on="role"
+    ).count() == 0
+
+
+def test_percentiles_bucket(built_index):
+    import numpy as np
+
+    buckets = built_index.date_histogram("the", on="ts", interval="day").toPandas()
+    got = built_index.percentiles_bucket(
+        "the", on="ts", interval="day", percents=(10.0, 50.0, 99.0)
+    ).toPandas()
+    want = np.percentile(buckets["doc_count"].to_numpy(), [10, 50, 99])
+    assert list(got["percent"]) == [10.0, 50.0, 99.0]
+    for g, w in zip(got["value"], want):
+        assert abs(g - round(float(w), 6)) < 1e-9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        built_index.percentiles_bucket("the", on="ts", percents=())
+    with _pt.raises(ValueError):
+        built_index.percentiles_bucket("the", on="ts", percents=(101.0,))
