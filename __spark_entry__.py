@@ -1927,7 +1927,7 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
 
     key = os.path.abspath(sf_dir)
     if key not in _IVF_CACHE:
-        out = os.path.join("/tmp/dis_entry_ivf_v2", key.strip("/").replace("/", "_"))
+        out = os.path.join("/tmp/dis_entry_ivf_v3", key.strip("/").replace("/", "_"))
         if not os.path.exists(os.path.join(out, "meta.json")):
             emb = _load(spark, sf_dir, "embeddings")
             # FAISS rule of thumb: n_lists ~ sqrt(n); probe a quarter
@@ -1936,7 +1936,9 @@ def _ivf_index(spark: SparkSession, sf_dir: str):
             ix = similarity.IvfAnnIndex(
                 emb, n_lists=n_lists, seed=42, persist=False
             )
-            ix.save(out)
+            # quantize=True also writes the SQ8 byte lists + per-dim
+            # min/max — enables the topk_sq probe (sim_ivf_sq gate row)
+            ix.save(out, quantize=True)
         _IVF_CACHE[key] = out
     return similarity.IvfAnnIndex.load(spark, _IVF_CACHE[key])
 
@@ -2272,6 +2274,35 @@ def q_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(docs)
 
 
+def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + SQ8 (int8 scalar quantization): the approximate pass scans
+    only 1-byte codes of the probed lists, the float vectors are read for
+    just the rescore window — ES int8_hnsw / FAISS SQ8 memory shape.
+    Recall gate vs exact brute force, same shape as sim_ann_ivf."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.filter(F.col("vec_id") == 3).select("embedding").first()[
+            "embedding"
+        ]
+    )
+    ann = _ivf_index(spark, sf_dir)
+    nprobe = max(2, (ann.n_lists + 1) // 2)
+    got = {
+        r["vec_id"]
+        for r in ann.topk_sq(qvec, k=10, nprobe=nprobe,
+                             rescore_window=40).collect()
+    }
+    # the SQ pass must recover the UNQUANTIZED probe's result: same
+    # lists, same exact rescore — quantization only ranks the window
+    flat = {
+        r["vec_id"] for r in ann.topk(qvec, k=10, nprobe=nprobe).collect()
+    }
+    recall = len(got & flat) / 10.0
+    return spark.createDataFrame(
+        [(10, recall >= 0.9)], "k int, recall_ok boolean"
+    )
+
+
 def q_ft_children(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES children aggregation: query selects parents (>=1 matching child),
     # buckets run over ALL children of those parents grouped by lang
@@ -2395,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_batch": q_sim_ivf_batch,
         "dd_embed_lsh": q_dd_embed_lsh,
         "ft_div_sampler": q_ft_div_sampler,
+        "sim_ivf_sq": q_sim_ivf_sq,
         "ft_children": q_ft_children,
         "ft_pct_bucket": q_ft_pct_bucket,
         "ft_span_first": q_ft_span_first,
@@ -4665,6 +4697,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",
+        "sim_ivf_sq": "SELECT 10 AS k, true AS recall_ok",
         "sim_ivf_batch": (
             "SELECT unnest([0, 7, 14, 21])::BIGINT AS q_id, 10 AS k, "
             "true AS recall_ok"

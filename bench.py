@@ -234,7 +234,7 @@ def main() -> None:
     timings["sim_ann_lsh"] = round(time.time() - t0, 4)
 
     # IVF ANN: one-time k-means build timed separately from the probe
-    shutil.rmtree(os.path.join("/tmp/dis_entry_ivf_v2", key), ignore_errors=True)
+    shutil.rmtree(os.path.join("/tmp/dis_entry_ivf_v3", key), ignore_errors=True)
     entry._IVF_CACHE.clear()
     t0 = time.time()
     ivf = entry._ivf_index(spark, SF_DIR)
@@ -242,6 +242,11 @@ def main() -> None:
     t0 = time.time()
     ivf.topk(qvec, k=10, nprobe=max(2, (ivf.n_lists + 1) // 2)).collect()
     timings["sim_ann_ivf"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    ivf.topk_sq(
+        qvec, k=10, nprobe=max(2, (ivf.n_lists + 1) // 2), rescore_window=40
+    ).collect()
+    timings["sim_ivf_sq"] = round(time.time() - t0, 4)
 
     # --- headline queries (forced with collect) ---
     # Best-of-3 for the queries whose round-over-round movement we track:

@@ -527,6 +527,8 @@ class IvfAnnIndex:
             predictionCol="_list",
         ).fit(train)
         self._centroid_df = None
+        self.quant = None
+        self._path = None
         self.centroids = np.array(
             [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
         )
@@ -542,11 +544,18 @@ class IvfAnnIndex:
     def unpersist(self) -> None:
         self.table.unpersist()
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, quantize: bool = False) -> None:
         """Materialize (id, vec, list_id) partitioned by list_id — the
         inverted-list layout: a probe scans only its lists' directories —
         plus the centroid table as parquet (n_lists rows; scales to 10⁵+
-        lists where JSON-in-meta would not)."""
+        lists where JSON-in-meta would not).
+
+        ``quantize=True`` additionally writes an int8 scalar-quantized
+        (SQ8) copy of the UNIT vectors (``lists_q``: 1 byte/dim — 8× less
+        scan IO than the float64 lists) plus the per-dimension min/max
+        table (``quant``). :meth:`topk_sq` then scans only the byte codes
+        for the approximate pass and touches float vectors for just the
+        rescore window — the ES ``int8_hnsw`` / FAISS SQ8 memory shape."""
         import json
         import os
 
@@ -554,6 +563,52 @@ class IvfAnnIndex:
         self.table.write.mode("overwrite").partitionBy("list_id").parquet(
             f"{path}/lists"
         )
+        if quantize:
+            id_col, vec_col = self.id_col, self.vec_col
+            norm = F.sqrt(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            unit = F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
+            )
+            based = self.table.select(id_col, "list_id", unit.alias("_u"))
+            # per-dimension min/max over the corpus: one explode + agg
+            # (build-time only; the probe path never pays this)
+            mm = (
+                based.select(F.posexplode("_u").alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+                .orderBy("pos")
+            )
+            rows = mm.collect()
+            vmin = [float(r["vmin"]) for r in rows]
+            vmax = [float(r["vmax"]) for r in rows]
+            self.quant = (
+                np.asarray(vmin, dtype=np.float64),
+                np.asarray(vmax, dtype=np.float64),
+            )
+            lo = F.array(*[F.lit(v) for v in vmin])
+            step = F.array(
+                *[F.lit(max(vmax[i] - vmin[i], 1e-12) / 255.0)
+                  for i in range(len(vmin))]
+            )
+            codes = F.zip_with(
+                F.col("_u"),
+                F.arrays_zip(lo, step),
+                lambda x, z: F.round(
+                    (x - z["0"]) / z["1"]
+                ).cast("int") - 128,
+            ).cast("array<tinyint>")
+            based.select(id_col, codes.alias("vec_q"), "list_id").write.mode(
+                "overwrite"
+            ).partitionBy("list_id").parquet(f"{path}/lists_q")
+            mm.coalesce(1).write.mode("overwrite").parquet(f"{path}/quant")
+            self._path = path
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "list_id int, centroid array<double>",
@@ -682,7 +737,77 @@ class IvfAnnIndex:
         else:  # rank centroids distributedly; never collect them all
             obj.centroids = None
         obj.table = spark.read.parquet(f"{path}/lists")
+        obj._path = path
+        obj.quant = None
+        if os.path.isdir(os.path.join(path, "quant")):
+            qrows = sorted(
+                spark.read.parquet(f"{path}/quant").collect(),
+                key=lambda r: int(r["pos"]),
+            )
+            obj.quant = (
+                np.asarray([r["vmin"] for r in qrows], dtype=np.float64),
+                np.asarray([r["vmax"] for r in qrows], dtype=np.float64),
+            )
         return obj
+
+    def topk_sq(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        nprobe: int = 4,
+        rescore_window: int | None = None,
+    ) -> DataFrame:
+        """SQ8 probe: the approximate pass scans ONLY the int8 codes of
+        the probed lists (1 byte/dim — the 8× IO cut is the point at
+        corpus scale), ranks by the dequantized dot product against the
+        unit query, keeps ``rescore_window`` candidates (default 4k, the
+        ES-style oversampling), and exact-rescores just those by cosine
+        against the float lists. Requires ``save(path, quantize=True)``.
+
+        The dequantized dot folds to one zip_with + aggregate per row:
+        approx = bias + Σ (code_d + 128)·w_d with w_d = step_d·qu_d and
+        bias = Σ vmin_d·qu_d precomputed driver-side from the query."""
+        if self.quant is None or getattr(self, "_path", None) is None:
+            raise ValueError(
+                "topk_sq: no quantized lists — save(path, quantize=True) first"
+            )
+        vmin, vmax = self.quant
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qu = qv / max(float(np.linalg.norm(qv)), 1e-12)
+        step = np.maximum(vmax - vmin, 1e-12) / 255.0
+        w = step * qu
+        bias = float(vmin @ qu)
+        window = int(rescore_window) if rescore_window else max(4 * k, k)
+        lists = self._probe_lists(query_vec, nprobe)
+        spark = self.table.sparkSession
+        codes = spark.read.parquet(f"{self._path}/lists_q").filter(
+            F.col("list_id").isin(lists)
+        )
+        wcol = F.array(*[F.lit(float(x)) for x in w])
+        approx = F.lit(bias) + F.aggregate(
+            F.zip_with(
+                F.col("vec_q"),
+                wcol,
+                lambda q, ww: (q.cast("double") + 128.0) * ww,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cand = (
+            codes.select(self.id_col, approx.alias("approx"))
+            .orderBy(F.desc("approx"), F.asc(self.id_col))
+            .limit(window)
+        )
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        floats = self.table.filter(F.col("list_id").isin(lists))
+        return (
+            floats.join(F.broadcast(cand.select(self.id_col)), self.id_col)
+            .select(
+                self.id_col, _cosine(F.col(self.vec_col), q).alias("cosine")
+            )
+            .orderBy(F.desc("cosine"), F.asc(self.id_col))
+            .limit(k)
+        )
 
     def _probe_lists(self, query_vec: list[float], nprobe: int) -> list[int]:
         v = np.asarray(query_vec, dtype=np.float64)

@@ -444,3 +444,45 @@ def test_ivf_append_distributed_assignment_matches_driver(spark, tmp_path):
     b = {(r["vec_id"], r["list_id"]) for r in
          spark.read.parquet(f"{p2}/lists").filter("vec_id >= 200").collect()}
     assert a == b and len(a) == 10
+
+
+def test_ivf_sq8_quantized_probe(spark, tmp_path):
+    """SQ8: full-probe + full-window topk_sq equals the exact float
+    probe (quantization only ranks the rescore window, and the window
+    here covers everything); save/load round-trips the quant table;
+    unquantized indexes refuse topk_sq; codes are genuinely int8."""
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, (v / np.linalg.norm(v)).astype("float32").tolist())
+        for i, v in enumerate(rng.standard_normal((80, 12)))
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ivf = similarity.IvfAnnIndex(emb, n_lists=4, seed=3, persist=False)
+    path = str(tmp_path / "sq_idx")
+    ivf.save(path, quantize=True)
+    q = rows[11][1]
+    exact = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf.topk(q, k=5, nprobe=4).collect()
+    ]
+    sq = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf.topk_sq(q, k=5, nprobe=4, rescore_window=80).collect()
+    ]
+    assert sq == exact
+    loaded = similarity.IvfAnnIndex.load(spark, path)
+    sq2 = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in loaded.topk_sq(q, k=5, nprobe=4, rescore_window=80).collect()
+    ]
+    assert sq2 == exact
+    # tight window still recalls well on this small corpus
+    tight = {r["vec_id"] for r in loaded.topk_sq(q, k=5, nprobe=4).collect()}
+    assert len(tight & {d for d, _ in exact}) >= 4
+    codes = spark.read.parquet(f"{path}/lists_q")
+    assert dict(codes.dtypes)["vec_q"] == "array<tinyint>"
+    # an index never saved with quantize=True refuses the SQ probe
+    ivf2 = similarity.IvfAnnIndex(emb, n_lists=4, seed=3, persist=False)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ivf2.topk_sq(q, k=5)
