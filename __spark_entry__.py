@@ -2274,6 +2274,24 @@ def q_etl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe(docs)
 
 
+def q_etl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable rollup: raw events folded ONCE into hourly partial
+    # aggregates (count/sum/min/max/sumsq), then a day-granularity query
+    # answered entirely from the rollup — exact (semigroup re-merge),
+    # proven by the oracle aggregating the raw table directly
+    from dart_importer_spark.operators.rollup import build_rollup, query_rollup
+
+    ev = _load(spark, sf_dir, "events")
+    # fixed-point metric (floor of cents): integer-valued doubles sum
+    # EXACTLY in any association, so the rollup's partial-merge order and
+    # the oracle's direct-sum order cannot drift by an ulp — the float
+    # metric's 6th decimal straddled a rounding boundary at sf0.01
+    ev = ev.withColumn("value_c", F.floor(F.col("value") * 100).cast("double"))
+    ru = build_rollup(ev, "ts", "value_c", interval="hour",
+                      dims=("event_type",))
+    return query_rollup(ru, "hour", "day", dims=("event_type",))
+
+
 def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + SQ8 (int8 scalar quantization): the approximate pass scans
     only 1-byte codes of the probed lists, the float vectors are read for
@@ -2405,6 +2423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ft_has_child stays as the join-field sentinel), ft_auto_dh
         # (ft_dh_filled + date_histogram family stay) and ft_rare_terms
         # (terms-agg family: ft_facet r02-green + ft_sig_text in-window)
+        # etl_rollup (continuous-aggregate class, brief-named) takes the
+        # slot of dd_canonical (variant of in-window dd_clusters)
+        "etl_rollup": q_etl_rollup,
         "etl_redact_pii": q_etl_redact_pii,
         "etl_contamination": q_etl_contamination,
         "etl_repetition": q_etl_repetition,
@@ -2413,7 +2434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matters more than two more same-class agg variants, so these
         # displace ft_adjacency / ft_terms_enum to 51+ (SURVEY §7)
         "dd_clusters": q_dd_clusters,
-        "dd_canonical": q_dd_canonical,
         "ft_runtime_fields": q_ft_runtime_fields,
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
@@ -2427,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_lsh": q_dd_embed_lsh,
         "ft_div_sampler": q_ft_div_sampler,
         "sim_ivf_sq": q_sim_ivf_sq,
+        "dd_canonical": q_dd_canonical,
         "ft_children": q_ft_children,
         "ft_pct_bucket": q_ft_pct_bucket,
         "ft_span_first": q_ft_span_first,
@@ -5301,6 +5322,24 @@ SELECT 50.0, round(quantile_cont(doc_count, 0.50), 6) FROM bk
 UNION ALL
 SELECT 75.0, round(quantile_cont(doc_count, 0.75), 6) FROM bk
 ORDER BY percent
+""",
+        "etl_rollup": """
+WITH e AS (
+  SELECT ts, event_type, floor(value * 100)::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       event_type,
+       count(v) AS count,
+       round(sum(v), 6) AS sum,
+       min(v) AS min,
+       max(v) AS max,
+       round(sum(v) / count(v), 6) AS avg,
+       round(sqrt(greatest(sum(v * v) / count(v)
+                           - (sum(v) / count(v)) * (sum(v) / count(v)),
+                           0)), 6) AS stddev_pop
+FROM e
+GROUP BY 1, 2 ORDER BY bucket, event_type
 """,
         "etl_ingest": """
 SELECT doc_id,
