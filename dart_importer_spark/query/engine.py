@@ -4771,6 +4771,99 @@ class InvertedIndex:
             )
         return self._jlh_scores(docs, fid, k, min_doc_count, round_scores)
 
+    def _term_doc_pairs(self, cand: DataFrame) -> DataFrame:
+        """Decode a candidate posting-run scan to distinct live
+        (term, doc_id) pairs — the pair-preserving sibling of
+        ``_decode_doc_ids`` (graph explore needs to know WHICH seed a doc
+        came from, not just the union)."""
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    ids = delta_decode(r.docs).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame({"term": r.term, "doc_id": ids})
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return self._live(
+            cand.select("term", "docs")
+            .mapInPandas(decode, schema="term string, doc_id long")
+            .distinct()
+        )
+
+    def graph_explore(
+        self,
+        query: str,
+        size: int = 10,
+        field: str | int | None = None,
+        min_doc_count: int = 3,
+        round_scores: int | None = 6,
+    ) -> DataFrame:
+        """ES Graph explore API (_graph/explore), deterministic core: from
+        the analyzed seed terms of ``query``, discover the ``size`` most
+        significant co-occurring vertex terms (JLH-scored against the whole
+        index as background, exactly like significant_terms) and the
+        seed->vertex connections with their co-occurrence doc counts.
+
+        Returns one row per connection: (src seed term, dst vertex term,
+        doc_count, score) — score is the DST vertex's significance, the
+        quantity ES uses to size graph vertices — ordered by score desc,
+        src asc, dst asc.
+
+        Plan shape (one ES-explore round trip): seed postings decode to
+        (seed, doc) pairs (bucket-pruned scan, few driver-known terms); the
+        foreground doc set feeds the same postings-pass JLH engine as
+        significant_terms; the <= size discovered vertex terms (a k-bounded
+        collect, same discipline as every top-k surface) prune a second
+        postings scan to vertex (term, doc) pairs semi-joined down to the
+        foreground; one equi-join on doc_id + one partial-agg count yields
+        the edges. Nothing all-pairs, no term list ever exceeds
+        size + #seeds driver-side."""
+        fid = self._fid(field)
+        seeds = sorted(set(self._analyze(query, field)))
+        out_schema = (
+            "src string, dst string, doc_count long, score double"
+        )
+        if not seeds:
+            return self.spark.createDataFrame([], out_schema)
+        seed_pairs = self._term_doc_pairs(
+            self._candidate_postings(seeds, fid)
+        ).select(F.col("term").alias("src"), "doc_id")
+        fg_docs = seed_pairs.select("doc_id").distinct()
+        verts = (
+            self._jlh_scores(
+                fg_docs, fid, size + len(seeds), min_doc_count, round_scores
+            )
+            .filter(~F.col("term").isin(seeds))
+            # re-sort: a filter between orderBy/limit stages does not
+            # guarantee order preservation; <= size + #seeds rows, free
+            .orderBy(F.desc("score"), F.asc("term"))
+            .limit(size)
+        )
+        vterms = [r["term"] for r in verts.select("term").collect()]
+        if not vterms:
+            return self.spark.createDataFrame([], out_schema)
+        vert_pairs = (
+            self._term_doc_pairs(self._candidate_postings(vterms, fid))
+            .join(fg_docs, "doc_id", "left_semi")
+            .select(F.col("term").alias("dst"), "doc_id")
+        )
+        edges = (
+            seed_pairs.join(vert_pairs, "doc_id")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        return (
+            edges.join(
+                verts.select(F.col("term").alias("dst"), "score"), "dst"
+            )
+            .select("src", "dst", "doc_count", "score")
+            .orderBy(F.desc("score"), F.asc("src"), F.asc("dst"))
+        )
+
     def sampler_agg(
         self,
         query: str,
