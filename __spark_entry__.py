@@ -1332,6 +1332,38 @@ def q_eql_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "e3")
 
 
+def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EQL until clause: an error event expires open partials (strictly
+    # newer than the partial's last step; time ties survive) — same
+    # one-shuffle chained-window plan, one extra column
+    from dart_importer_spark.operators.eql import eql_sequence
+
+    ev = _load(spark, sf_dir, "events")
+    return eql_sequence(
+        ev,
+        "user_id",
+        [
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        maxspan_s=86400,
+        until="event_type = 'error'",
+    ).orderBy("user_id", "e3")
+
+
+def q_etl_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR-style distribution-matched data selection: top-20 documents by
+    # smoothed 1+2-gram log-likelihood ratio against the lang='en' slice
+    # as target. One explode + three hash-aggs + one feature-keyed join.
+    from dart_importer_spark.operators.importance import select_by_importance
+
+    docs = _load(spark, sf_dir, "documents")
+    return select_by_importance(
+        docs, docs.filter(F.col("lang") == "en"), k=20
+    )
+
+
 def q_etl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES latest transform: one row per entity = most recent event by
     # (ts, event_id). max_by hash aggregate — partial agg runs map-side,
@@ -2421,7 +2453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rank_eval": q_ft_rank_eval,
         "sim_knn_batch": q_sim_knn_batch,
         "ft_dsl_search": q_ft_dsl_search,
-        "ft_dsl_aggs": q_ft_dsl_aggs,
         "ft_span_near": q_ft_span_near,
         "ft_pipeline_aggs": q_ft_pipeline_aggs,
         "ft_decay": q_ft_decay,
@@ -2437,6 +2468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_sequence": q_eql_sequence,
         "etl_latest": q_etl_latest,
         "ft_graph_explore": q_ft_graph_explore,
+        # DSIR importance weighting — NEW class (distribution-matched data
+        # selection); takes the slot of ft_dsl_aggs (ft_dsl_search stays as
+        # the DSL-dispatcher sentinel). eql_until is an eql-family variant
+        # and sits at 50+ (eql_sequence is the in-window sentinel).
+        "etl_importance": q_etl_importance,
         "ft_bucket_stats": q_ft_bucket_stats,
         "ft_termvectors": q_ft_termvectors,
         "ft_multi_index": q_ft_multi_index,
@@ -2489,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
+        "ft_dsl_aggs": q_ft_dsl_aggs,
+        "eql_until": q_eql_until,
         "ft_hybrid_linear": q_ft_hybrid_linear,
         "ft_has_parent": q_ft_has_parent,
         "ft_auto_dh": q_ft_auto_dh,
@@ -5260,6 +5298,63 @@ SELECT user_id, p2.e1 AS e1, p2.e2 AS e2, event_id AS e3,
 FROM w2
 WHERE event_type = 'purchase' AND p2 IS NOT NULL AND t - p2.t1 <= 86400
 ORDER BY user_id, e3
+""",
+        "eql_until": """
+WITH e AS (SELECT user_id, event_id, event_type, ts, epoch(ts) AS t FROM events),
+w0 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'error' THEN t END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS u
+  FROM e),
+w1 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view'
+                            THEN {'t1': t, 'e1': event_id} END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+  FROM w0),
+w2 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'click' AND p1 IS NOT NULL
+                             AND (u IS NULL OR u <= p1.t1)
+                            THEN {'t1': p1.t1, 'e1': p1.e1,
+                                  't2': t, 'e2': event_id} END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+  FROM w1)
+SELECT user_id, p2.e1 AS e1, p2.e2 AS e2, event_id AS e3,
+       CAST(floor(t - p2.t1) AS BIGINT) AS span_s
+FROM w2
+WHERE event_type = 'purchase' AND p2 IS NOT NULL
+  AND (u IS NULL OR u <= p2.t2) AND t - p2.t1 <= 86400
+ORDER BY user_id, e3
+""",
+        "etl_importance": f"""
+WITH t AS (SELECT doc_id, {tok} AS lst FROM documents),
+feats AS (
+  SELECT doc_id, unnest(list_concat(lst,
+    CASE WHEN len(lst) >= 2 THEN
+      list_transform(generate_series(1, len(lst) - 1),
+                     i -> lst[i] || ' ' || lst[i + 1])
+    ELSE [] END)) AS f
+  FROM t),
+dfc AS (SELECT doc_id, f, count(*)::DOUBLE AS c FROM feats GROUP BY 1, 2),
+rawm AS (SELECT f, sum(c) AS cr FROM dfc GROUP BY 1),
+tgtm AS (
+  SELECT dfc.f, sum(dfc.c) AS ct
+  FROM dfc JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(cr) FROM rawm) AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgtm) AS tt,
+         (SELECT count(*) FROM rawm)::DOUBLE AS v),
+ratio AS (
+  SELECT r.f,
+         ln((coalesce(g.ct, 0) + 1.0) / (tot.tt + tot.v))
+         - ln((r.cr + 1.0) / (tot.tr + tot.v)) AS lr
+  FROM rawm r LEFT JOIN tgtm g USING (f), tot)
+SELECT doc_id, round(sum(dfc.c * ratio.lr), 6) AS log_w
+FROM dfc JOIN ratio USING (f)
+GROUP BY doc_id
+ORDER BY log_w DESC, doc_id ASC LIMIT 20
 """,
         "etl_latest": """
 SELECT user_id, event_id, event_type FROM (

@@ -143,6 +143,13 @@ HEADLINE = [
     "etl_redact_pii",
     "etl_contamination",
     "etl_repetition",
+    # sixth-continuation additions: EQL sequences, latest transform,
+    # graph explore, DSIR importance selection
+    "eql_sequence",
+    "eql_until",
+    "etl_latest",
+    "ft_graph_explore",
+    "etl_importance",
 ]
 
 

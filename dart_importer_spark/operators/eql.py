@@ -39,13 +39,21 @@ def eql_sequence(
     on: str = "ts",
     event_id: str = "event_id",
     maxspan_s: float | None = None,
+    until: str | Column | None = None,
 ) -> DataFrame:
-    """ES EQL ``sequence by <by> with maxspan [steps...]`` over ``df``.
+    """ES EQL ``sequence by <by> with maxspan [steps...] until [...]``.
 
     ``steps`` are boolean predicates (SQL strings or Columns), one per
     sequence step, length >= 2. ``on`` is the event-time column
     (timestamp or numeric), ``event_id`` a unique orderable id column
     used for deterministic tie-breaks and for naming the matched events.
+
+    ``until`` (EQL's expiration clause) kills open partial sequences: a
+    partial whose last matched step is strictly OLDER than a subsequent
+    until-event's timestamp is dead when the next step tries to consume
+    it (a time tie does not kill — the deterministic reading of "until
+    ends sequences that haven't completed"). Until events are evaluated
+    independently of the step predicates and are never part of a match.
 
     Returns one row per completed sequence: the key column(s), ``e1`` ..
     ``eK`` (the matched events' ids, in step order) and ``span_s`` (the
@@ -58,6 +66,9 @@ def eql_sequence(
     keys = [by] if isinstance(by, str) else list(by)
     preds = [F.expr(s) if isinstance(s, str) else s for s in steps]
     k = len(preds)
+    until_pred = (
+        F.expr(until) if isinstance(until, str) else until
+    )
 
     # cast via timestamp keeps microsecond precision as fractional epoch
     # seconds (TIMESTAMP_NTZ can't cast straight to double; the constant
@@ -76,6 +87,22 @@ def eql_sequence(
         "_s1",
         F.when(preds[0], F.struct(t.alias("t1"), eid.alias("e1"))),
     )
+    if until_pred is not None:
+        # most recent until-event time strictly before this row — one more
+        # column over the SAME window spec, still one shuffle + one sort
+        out = out.withColumn(
+            "_u", F.last(F.when(until_pred, t), ignorenulls=True).over(wprev)
+        )
+
+    def _alive(i: int) -> Column:
+        """Partial _p{i} is consumable: exists, and no until-event fired
+        strictly after its last matched step."""
+        exists = F.col(f"_p{i}").isNotNull()
+        if until_pred is None:
+            return exists
+        u = F.col("_u")
+        return exists & (u.isNull() | (u <= F.col(f"_p{i}.t{i}")))
+
     for i in range(2, k + 1):
         prev = F.last(f"_s{i - 1}", ignorenulls=True).over(wprev)
         out = out.withColumn(f"_p{i - 1}", prev)
@@ -88,13 +115,13 @@ def eql_sequence(
             out = out.withColumn(
                 f"_s{i}",
                 F.when(
-                    preds[i - 1] & F.col(f"_p{i - 1}").isNotNull(),
+                    preds[i - 1] & _alive(i - 1),
                     F.struct(*carry, t.alias(f"t{i}"), eid.alias(f"e{i}")),
                 ),
             )
 
     last_p = F.col(f"_p{k - 1}")
-    done = out.filter(preds[k - 1] & last_p.isNotNull())
+    done = out.filter(preds[k - 1] & _alive(k - 1))
     if maxspan_s is not None:
         done = done.filter(t - last_p["t1"] <= F.lit(float(maxspan_s)))
     sel = (

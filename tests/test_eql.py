@@ -25,28 +25,36 @@ def events_df(spark):
     )
 
 
-def _pandas_oracle(pdf: pd.DataFrame, steps, maxspan):
-    """Single-slot state machine per key, literally."""
+def _pandas_oracle(pdf: pd.DataFrame, steps, maxspan, until=None):
+    """Single-slot state machine per key, literally. partial[i] =
+    (t1, last_t, ids); a partial is consumable iff no until-event fired
+    strictly after its last matched step (time ties survive)."""
     out = []
     for k, g in pdf.sort_values(["t", "event_id"]).groupby("k"):
-        partial = [None] * len(steps)  # partial[i] = tuple of ids+t1
+        partial = [None] * len(steps)
+        last_until = None
         for r in g.itertuples(index=False):
             # evaluate completions BEFORE opening a new partial with the
-            # same event (strictly-preceding frame: no self-pairing)
+            # same event (strictly-preceding frame: no self-pairing) and
+            # BEFORE registering this row as an until-event
             nxt = list(partial)
             for i, pred in enumerate(steps):
                 if not pred(r):
                     continue
                 if i == 0:
-                    nxt[0] = (r.t, [r.event_id])
+                    nxt[0] = (r.t, r.t, [r.event_id])
                 elif partial[i - 1] is not None:
-                    t1, ids = partial[i - 1]
+                    t1, last_t, ids = partial[i - 1]
+                    if last_until is not None and last_until > last_t:
+                        continue  # killed by until
                     if i == len(steps) - 1:
                         if r.t - t1 <= maxspan:
                             out.append((k, *ids, r.event_id, (r.t - t1)))
                     else:
-                        nxt[i] = (t1, ids + [r.event_id])
+                        nxt[i] = (t1, r.t, ids + [r.event_id])
             partial = nxt
+            if until is not None and until(r):
+                last_until = r.t
     return sorted(out)
 
 
@@ -98,6 +106,58 @@ def test_latest_partial_wins(spark):
     r = eql_sequence(df, "k", ["etype = 'a'", "etype = 'b'"],
                      on="t", maxspan_s=100)
     assert [tuple(x) for x in r.collect()] == [(1, 2, 3, 4)]
+
+
+def test_until_matches_pandas_state_machine(spark):
+    # pattern chosen so the until clause prunes SOME but not all matches
+    pat = ["c", "b", "x", "c", "x", "c", "x", "b", "b", "a", "b"]
+    rows, eid = [], 0
+    for key in range(3):
+        for i in range(40):
+            rows.append((key, eid, pat[(i + key) % len(pat)], 100 * i + key))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "k int, event_id long, etype string, t long"
+    )
+    res = eql_sequence(
+        df, "k",
+        ["etype = 'a'", "etype = 'b'", "etype = 'c'"],
+        on="t", maxspan_s=500, until="etype = 'x'",
+    )
+    got = sorted(tuple(r) for r in res.collect())
+    import pandas as pd  # noqa: F811
+
+    pdf = pd.DataFrame(rows, columns=["k", "event_id", "etype", "t"])
+    steps = [lambda r: r.etype == "a", lambda r: r.etype == "b",
+             lambda r: r.etype == "c"]
+    want = _pandas_oracle(pdf, steps, 500, until=lambda r: r.etype == "x")
+    assert got == want
+    # the until clause must actually prune something on this corpus
+    no_until = len(_pandas_oracle(pdf, steps, 500))
+    assert 0 < len(got) < no_until
+
+
+def test_until_kills_open_partial(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0), (1, 2, "kill", 5), (1, 3, "b", 9),
+         (1, 4, "a", 20), (1, 5, "b", 30)],
+        "k int, event_id long, etype string, t long",
+    )
+    r = eql_sequence(df, "k", ["etype = 'a'", "etype = 'b'"],
+                     on="t", maxspan_s=100, until="etype = 'kill'")
+    # first partial (t=0) is killed at t=5; the second (t=20) completes
+    assert [tuple(x) for x in r.collect()] == [(1, 4, 5, 10)]
+
+
+def test_until_time_tie_survives(spark):
+    # until at the SAME timestamp as the partial's last step: tie survives
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0), (1, 2, "kill", 0), (1, 3, "b", 5)],
+        "k int, event_id long, etype string, t long",
+    )
+    r = eql_sequence(df, "k", ["etype = 'a'", "etype = 'b'"],
+                     on="t", maxspan_s=100, until="etype = 'kill'")
+    assert [tuple(x) for x in r.collect()] == [(1, 1, 3, 5)]
 
 
 def test_requires_two_steps(spark, events_df):
