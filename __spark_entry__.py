@@ -1352,6 +1352,42 @@ def q_eql_until(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "e3")
 
 
+def q_eql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EQL sample: unordered — one (earliest) event per filter for keys
+    # matching ALL filters. One hash agg, K null-skipping struct mins.
+    from dart_importer_spark.operators.eql import eql_sample
+
+    ev = _load(spark, sf_dir, "events")
+    return eql_sample(
+        ev,
+        "user_id",
+        [
+            "event_type = 'view'",
+            "event_type = 'signup'",
+            "event_type = 'error'",
+        ],
+    ).orderBy("user_id")
+
+
+def q_etl_pivot_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES transform checkpoint step: recompute ONLY entities touched by the
+    # late batch, splice into the previous pivot materialization — the
+    # gate proves incremental ≡ full recompute (the oracle aggregates the
+    # whole table)
+    from dart_importer_spark.operators.transforms import (
+        transform_pivot,
+        transform_pivot_incremental,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    aggs = {"n": ("count", "event_id"), "emax": ("max", "event_id")}
+    cut = F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz")
+    prev = transform_pivot(ev.filter(cut), "user_id", aggs)
+    return transform_pivot_incremental(
+        prev, ev, ev.filter(~cut), "user_id", aggs
+    ).orderBy("user_id")
+
+
 def q_etl_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR-style distribution-matched data selection: top-20 documents by
     # smoothed 1+2-gram log-likelihood ratio against the lang='en' slice
@@ -2527,6 +2563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dh_filled": q_ft_dh_filled,
         "ft_dsl_aggs": q_ft_dsl_aggs,
         "eql_until": q_eql_until,
+        "eql_sample": q_eql_sample,
+        "etl_pivot_incr": q_etl_pivot_incr,
         "ft_hybrid_linear": q_ft_hybrid_linear,
         "ft_has_parent": q_ft_has_parent,
         "ft_auto_dh": q_ft_auto_dh,
@@ -5355,6 +5393,26 @@ SELECT doc_id, round(sum(dfc.c * ratio.lr), 6) AS log_w
 FROM dfc JOIN ratio USING (f)
 GROUP BY doc_id
 ORDER BY log_w DESC, doc_id ASC LIMIT 20
+""",
+        "eql_sample": """
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('view', 'signup', 'error')),
+p AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'view' THEN event_id END) AS e1,
+         max(CASE WHEN event_type = 'signup' THEN event_id END) AS e2,
+         max(CASE WHEN event_type = 'error' THEN event_id END) AS e3
+  FROM r WHERE rn = 1 GROUP BY user_id)
+SELECT user_id, e1, e2, e3 FROM p
+WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+ORDER BY user_id
+""",
+        "etl_pivot_incr": """
+SELECT user_id, count(event_id)::BIGINT AS n, max(event_id) AS emax
+FROM events GROUP BY user_id ORDER BY user_id
 """,
         "etl_latest": """
 SELECT user_id, event_id, event_type FROM (

@@ -133,3 +133,55 @@ def eql_sequence(
         ]
     )
     return done.select(*sel)
+
+
+def eql_sample(
+    df: DataFrame,
+    by: str | list[str],
+    filters: list[str | Column],
+    on: str = "ts",
+    event_id: str = "event_id",
+) -> DataFrame:
+    """ES EQL ``sample by <by> [filter1] [filter2] ...`` — the UNORDERED
+    sibling of ``sequence``: for every key where each filter matches at
+    least one event (in any order, no time window), return one sample
+    event per filter. Deterministic sampling contract: the EARLIEST
+    matching event per filter by (``on``, ``event_id``).
+
+    Returns the key column(s) plus ``e1`` .. ``eK`` (the sampled events'
+    ids, one per filter).
+
+    Scale shape: one hash aggregate — each filter becomes a
+    null-skipping ``min(when(pred, struct(t, id)))``, so partial
+    aggregation combines map-side and the shuffle carries K small
+    structs per (key x input-partition). No windows, no sort, no join.
+    """
+    if not filters:
+        raise ValueError("eql_sample: need >= 1 filters")
+    keys = [by] if isinstance(by, str) else list(by)
+    preds = [F.expr(s) if isinstance(s, str) else s for s in filters]
+    dtype = dict(df.dtypes).get(on, "")
+    t = (
+        F.col(on).cast("timestamp").cast("double")
+        if "timestamp" in dtype or "date" in dtype
+        else F.col(on).cast("double")
+    )
+    eid = F.col(event_id)
+    aggs = [
+        F.min(F.when(p, F.struct(t.alias("t"), eid.alias("e")))).alias(
+            f"_m{i}"
+        )
+        for i, p in enumerate(preds, start=1)
+    ]
+    out = df.groupBy(*keys).agg(*aggs)
+    cond = None
+    for i in range(1, len(preds) + 1):
+        c = F.col(f"_m{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return out.filter(cond).select(
+        *keys,
+        *[
+            F.col(f"_m{i}.e").alias(f"e{i}")
+            for i in range(1, len(preds) + 1)
+        ],
+    )

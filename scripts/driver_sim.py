@@ -69,7 +69,7 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     return None
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list[str] | None = None):
     spark = get_spark("driver-sim", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -77,6 +77,8 @@ def main(sf_dir: str):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -107,4 +109,7 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        only=sys.argv[2:] or None,
+    )

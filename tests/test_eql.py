@@ -178,3 +178,47 @@ def test_plan_one_shuffle_no_join(spark, events_df):
     # both chained Window nodes share the ONE sort
     assert plan.count("Window") == 2
     assert plan.count("Sort [k#") <= 1 or plan.count("+- *(2) Sort") <= 1
+
+
+def test_sample_matches_pandas(spark, events_df):
+    from dart_importer_spark.operators.eql import eql_sample
+
+    got = sorted(
+        tuple(r)
+        for r in eql_sample(
+            events_df, "k", ["etype = 'a'", "etype = 'b'", "etype = 'x'"],
+            on="t",
+        ).collect()
+    )
+    pdf = events_df.toPandas().sort_values(["t", "event_id"])
+    want = []
+    for k, g in pdf.groupby("k"):
+        picks = []
+        for et in ("a", "b", "x"):
+            m = g[g.etype == et]
+            picks.append(int(m.event_id.iloc[0]) if len(m) else None)
+        if all(p is not None for p in picks):
+            want.append((k, *picks))
+    assert got == sorted(want)
+    assert len(got) > 0
+
+
+def test_sample_requires_all_filters(spark):
+    from dart_importer_spark.operators.eql import eql_sample
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", 0), (2, 2, "a", 0), (2, 3, "b", 5)],
+        "k int, event_id long, etype string, t long",
+    )
+    got = eql_sample(df, "k", ["etype = 'a'", "etype = 'b'"], on="t")
+    # key 1 has no 'b' event -> excluded
+    assert [tuple(r) for r in got.collect()] == [(2, 2, 3)]
+
+
+def test_sample_plan_single_agg(spark, events_df):
+    from dart_importer_spark.operators.eql import eql_sample
+
+    r = eql_sample(events_df, "k", ["etype = 'a'", "etype = 'b'"], on="t")
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
