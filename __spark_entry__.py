@@ -1388,6 +1388,62 @@ def q_etl_pivot_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+_GEO_RT = {
+    # geo_point as two runtime fields derived from the stored src_id —
+    # the geo family composes with the runtime-field machinery, and the
+    # oracle derives identical coordinates from documents.doc_id
+    "lat": "CAST(-59.5 + (src_id*7 % 120) AS DOUBLE)",
+    "lon": "CAST(-169.5 + (src_id*13 % 340) AS DOUBLE)",
+}
+
+
+def q_ft_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES geo_distance query + nearest-first geo_distance sort: docs whose
+    # geo_point (runtime fields) lies within 3000 km of the origin.
+    # Membership tests the 6-dp-rounded haversine so engine and oracle
+    # agree at the boundary regardless of libm ulps.
+    ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
+    return ix.geo_distance((10.0, 20.0), 3000.0, query="data")
+
+
+def q_ft_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES geotile_grid agg at zoom 3: Web Mercator slippy-map tile keys
+    # "z/x/y" over the match set, count desc (the Kibana maps request)
+    ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
+    return ix.geotile_grid(3, query="data", k=20)
+
+
+def q_ft_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_script + bucket_selector pipeline aggs over a terms
+    # parent: per-lang n_chars stats, a computed per-doc ratio, buckets
+    # dropped by a selector AFTER top-k selection (ES order of ops)
+    ix = _documents_index(spark, sf_dir)
+    return ix.bucket_script(
+        "data",
+        by="lang",
+        aggs={"nc_sum": ("sum", "n_chars"), "nc_max": ("max", "n_chars")},
+        scripts={"per_doc": "nc_sum / doc_count"},
+        having="doc_count > 3",
+        k=10,
+    )
+
+
+def q_ft_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES rate agg inside a month date_histogram, normalized per day —
+    # calendar-aware: each bucket divides by THAT month's day count
+    # (Feb 2024 = 29, the leap case is in the data)
+    ix = _documents_index(spark, sf_dir)
+    return ix.rate_agg("data", on="ts", interval="month", unit="day")
+
+
+def q_ft_cum_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES cumulative_cardinality pipeline agg: distinct sources seen up to
+    # each day bucket (exact; one distributed min-bucket-per-entity agg,
+    # the running sum over the reduced axis)
+    ix = _documents_index(spark, sf_dir)
+    return ix.cumulative_cardinality("data", on="ts", entity="source", interval="day")
+
+
 def q_etl_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR-style distribution-matched data selection: top-20 documents by
     # smoothed 1+2-gram log-likelihood ratio against the lang='en' slice
@@ -2556,6 +2612,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": q_dd_clusters,
         "ft_runtime_fields": q_ft_runtime_fields,
         "ft_scripted_metric": q_ft_scripted_metric,
+        "ft_geo_distance": q_ft_geo_distance,
+        "ft_geotile": q_ft_geotile,
+        "ft_bucket_script": q_ft_bucket_script,
+        "ft_rate": q_ft_rate,
+        "ft_cum_cardinality": q_ft_cum_cardinality,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -3971,6 +4032,107 @@ SELECT count(*) AS n,
        CAST(coalesce(sum(CASE WHEN lang <> 'en'
                           THEN n_chars END), 0) AS BIGINT) AS other_chars
 FROM hits JOIN docs USING (did)
+""",
+        "ft_geo_distance": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+geo AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CAST(-59.5 + (doc_id*7 % 120) AS DOUBLE) AS lat,
+         CAST(-169.5 + (doc_id*13 % 340) AS DOUBLE) AS lon
+  FROM documents
+),
+d AS (
+  SELECT did AS doc_id,
+         round(2.0 * 6371.0 * asin(sqrt(
+           sin(radians(lat - 10.0)/2) * sin(radians(lat - 10.0)/2)
+           + cos(radians(10.0)) * cos(radians(lat))
+             * sin(radians(lon - 20.0)/2) * sin(radians(lon - 20.0)/2)
+         )), 6) AS distance_km
+  FROM hits JOIN geo USING (did)
+)
+SELECT doc_id, distance_km FROM d
+WHERE distance_km <= 3000.0
+ORDER BY distance_km ASC, doc_id ASC
+""",
+        "ft_geotile": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+geo AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CAST(-59.5 + (doc_id*7 % 120) AS DOUBLE) AS lat,
+         CAST(-169.5 + (doc_id*13 % 340) AS DOUBLE) AS lon
+  FROM documents
+),
+t AS (
+  SELECT '3/'
+    || CAST(greatest(0, least(7, CAST(floor((lon + 180.0) / 360.0 * 8) AS BIGINT))) AS VARCHAR)
+    || '/'
+    || CAST(greatest(0, least(7, CAST(floor(
+         (1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat))) / pi()) / 2.0 * 8
+       ) AS BIGINT))) AS VARCHAR) AS tile
+  FROM hits JOIN geo USING (did)
+  WHERE abs(lat) <= 85.05112878
+)
+SELECT tile, count(*) AS doc_count FROM t
+GROUP BY tile ORDER BY doc_count DESC, tile ASC LIMIT 20
+""",
+        "ft_bucket_script": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+b AS (
+  SELECT lang, count(*) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS nc_sum,
+         max(n_chars) AS nc_max
+  FROM hits JOIN docs USING (did)
+  GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10
+)
+SELECT lang, doc_count, nc_sum, nc_max,
+       round(CAST(nc_sum AS DOUBLE) / doc_count, 6) AS per_doc
+FROM b WHERE doc_count > 3
+ORDER BY doc_count DESC, lang ASC
+""",
+        "ft_rate": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+)
+SELECT strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       count(*) AS doc_count,
+       round(CAST(count(*) AS DOUBLE)
+             / date_part('day', last_day(date_trunc('month', ts))), 6) AS rate
+FROM hits JOIN meta USING (did)
+GROUP BY date_trunc('month', ts) ORDER BY bucket ASC
+""",
+        "ft_cum_cardinality": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, d.source,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents d
+),
+hm AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         source
+  FROM hits JOIN meta USING (did)
+),
+axis AS (SELECT bucket, count(*) AS doc_count FROM hm GROUP BY bucket),
+news AS (
+  SELECT bucket, count(*) AS n
+  FROM (SELECT source, min(bucket) AS bucket FROM hm GROUP BY source)
+  GROUP BY bucket
+)
+SELECT a.bucket, a.doc_count,
+       CAST(sum(coalesce(n.n, 0)) OVER (ORDER BY a.bucket) AS BIGINT)
+         AS cum_cardinality
+FROM axis a LEFT JOIN news n ON n.bucket = a.bucket
+ORDER BY a.bucket ASC
 """,
         "ft_scan": _DOCS_CTE
         + """

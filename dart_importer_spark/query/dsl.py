@@ -32,6 +32,7 @@ alternative spelled out, never a silently-wrong result:
 """
 from __future__ import annotations
 
+import re
 from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -124,6 +125,42 @@ class _Compiler:
                     raise DslError(f"terms: expected a list for {f!r}")
                 return F.col(f).isin(list(v))
             return self._range_col(f, v)
+        if typ == "geo_distance":
+            f = [k for k in spec if k not in ("distance",)]
+            if len(f) != 1 or "distance" not in spec:
+                raise DslError(
+                    "geo_distance: need {'distance': ..., '<geo_field>': "
+                    "{'lat': ..., 'lon': ...}}"
+                )
+            latc, lonc = self._geo_cols(typ, f[0], cols)
+            pt = spec[f[0]]
+            km = _parse_distance_km(spec["distance"])
+            from ..query.engine import InvertedIndex
+
+            d = F.round(
+                InvertedIndex._haversine_km(
+                    F.lit(float(pt["lat"])), F.lit(float(pt["lon"])),
+                    F.col(latc), F.col(lonc),
+                ),
+                6,
+            )
+            return d <= F.lit(km)
+        if typ == "geo_bounding_box":
+            ((f, box),) = spec.items()
+            latc, lonc = self._geo_cols(typ, f, cols)
+            tl, br = box.get("top_left"), box.get("bottom_right")
+            if not (isinstance(tl, dict) and isinstance(br, dict)):
+                raise DslError(
+                    "geo_bounding_box: need top_left/bottom_right "
+                    "{'lat': ..., 'lon': ...}"
+                )
+            if float(tl["lon"]) > float(br["lon"]):
+                raise DslError(
+                    "geo_bounding_box: dateline-crossing boxes unsupported"
+                )
+            return F.col(latc).between(
+                float(br["lat"]), float(tl["lat"])
+            ) & F.col(lonc).between(float(tl["lon"]), float(br["lon"]))
         if typ in ("match", "match_phrase", "wildcard", "prefix", "fuzzy"):
             raise DslError(
                 f"{typ} in filter context: full-text clauses belong in "
@@ -131,6 +168,21 @@ class _Compiler:
                 f"the must spelling is equivalent)"
             )
         raise DslError(f"unsupported clause in filter context: {typ!r}")
+
+    def _geo_cols(self, typ: str, f: str, cols: set | None) -> tuple[str, str]:
+        """ES geo_point field -> the engine's two-numeric-column
+        representation: ``<f>_lat``/``<f>_lon`` if stored (or runtime),
+        else the bare ``lat``/``lon`` pair."""
+        for pair in ((f"{f}_lat", f"{f}_lon"), ("lat", "lon")):
+            if all(self.is_meta(c) for c in pair):
+                if cols is not None:
+                    cols.update(pair)
+                return pair
+        raise DslError(
+            f"{typ}: geo field {f!r} needs doc_stats columns "
+            f"'{f}_lat'/'{f}_lon' (or 'lat'/'lon') — stored meta columns "
+            f"or runtime_mappings"
+        )
 
     def _meta_field(self, typ: str, f, cols: set | None) -> None:
         if not isinstance(f, str) or not self.is_meta(f):
@@ -2009,6 +2061,16 @@ def _one_agg(
             sources=sources, size=int(spec.get("size", 10)),
             after=after_t, **base,
         )
+    if typ == "geotile_grid":
+        f = spec.get("field")
+        latc, lonc = cp._geo_cols(typ, f, None)
+        return ix.geotile_grid(
+            int(spec.get("precision", 7)), lat=latc, lon=lonc,
+            k=int(spec.get("size", 10)), **base,
+        )
+    if typ == "geo_centroid":
+        latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
+        return ix.geo_centroid(lat=latc, lon=lonc, **base)
     if typ == "scripted_metric":
         # ES ships Painless source strings here; there is no Painless
         # runtime on Spark, and silently mis-running a script would be
@@ -2025,10 +2087,113 @@ def _one_agg(
     raise DslError(f"unsupported aggregation type: {typ!r}")
 
 
+def _parse_distance_km(d) -> float:
+    """ES distance strings -> km. Bare numbers are meters (ES default)."""
+    if isinstance(d, (int, float)):
+        return float(d) / 1000.0
+    s = str(d).strip().lower()
+    for suffix, factor in (
+        ("km", 1.0), ("kilometers", 1.0), ("mi", 1.609344),
+        ("miles", 1.609344), ("m", 0.001), ("meters", 0.001),
+    ):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * factor
+    return float(s) / 1000.0
+
+
+_PARAMS_RE = re.compile(r"params\.([A-Za-z_][A-Za-z0-9_]*)")
+
+
+def _pipeline_script(spec: dict, agg_names: set, what: str) -> str:
+    """ES bucket_script/bucket_selector spec -> a Spark SQL expression:
+    buckets_path vars validated against the sibling agg names ('_count'
+    -> doc_count), then each ``params.X`` in the script source replaced
+    by its mapped column. Simple-arithmetic Painless sources run
+    verbatim; anything beyond stays the engine's Spark SQL dialect."""
+    paths = spec.get("buckets_path") or {}
+    mapped = {}
+    for var, path in paths.items():
+        col = "doc_count" if path == "_count" else str(path)
+        if col != "doc_count" and col not in agg_names:
+            raise DslError(
+                f"{what}: buckets_path {path!r} names no sibling "
+                f"aggregation (have: {sorted(agg_names)})"
+            )
+        mapped[var] = col
+    src = spec.get("script")
+    if isinstance(src, dict):
+        src = src.get("source")
+    if not isinstance(src, str) or not src:
+        raise DslError(f"{what}: need a script source")
+
+    def repl(m):
+        var = m.group(1)
+        if var not in mapped:
+            raise DslError(
+                f"{what}: script references params.{var} but buckets_path "
+                f"defines {sorted(mapped)}"
+            )
+        return mapped[var]
+
+    return _PARAMS_RE.sub(repl, src)
+
+
+def _terms_pipeline(cp, name, by, size, sub, base) -> DataFrame:
+    """terms parent whose sub-aggs include bucket_script /
+    bucket_selector: metric siblings become the engine's named aggs,
+    pipeline siblings become computed columns / the having filter."""
+    ix = cp.ix
+    metric_fns = {"sum", "avg", "min", "max"}
+    aggs: dict = {}
+    script_specs: list[tuple[str, dict]] = []
+    having = None
+    for sname, sspec in sub.items():
+        stypes = [kk for kk in sspec if kk not in ("aggs", "aggregations")]
+        if len(stypes) != 1:
+            raise DslError(f"sub-agg {sname!r}: expected one type")
+        st, ss = stypes[0], sspec[stypes[0]] or {}
+        if st in metric_fns:
+            aggs[sname] = (st, _metric_on(cp, st, ss))
+        elif st == "value_count":
+            _metric_on(cp, st, ss)
+            aggs[sname] = ("count", ss.get("field"))
+        elif st == "bucket_script":
+            script_specs.append((sname, ss))
+        elif st == "bucket_selector":
+            if having is not None:
+                raise DslError("one bucket_selector per terms agg")
+            having = ss
+        else:
+            raise DslError(
+                f"sub-agg {sname!r}: {st!r} cannot combine with "
+                f"bucket_script/bucket_selector here"
+            )
+    names = set(aggs)
+    scripts: dict = {}
+    for sname, ss in script_specs:
+        scripts[sname] = _pipeline_script(ss, names, "bucket_script")
+        names.add(sname)
+    hav = (
+        _pipeline_script(having, names, "bucket_selector")
+        if having is not None else None
+    )
+    return ix.bucket_script(
+        by=by, aggs=aggs, scripts=scripts or None, having=hav,
+        k=size, **base,
+    )
+
+
 def _terms_sub(cp, name, by, size, sub, base) -> DataFrame:
     """terms agg with ONE sub-agg: stats-family -> facet_stats,
-    top_hits -> top_hits, bucket_sort -> bucket_sort."""
+    top_hits -> top_hits, bucket_sort -> bucket_sort. Sub-agg sets
+    containing bucket_script/bucket_selector take the pipeline path."""
     ix = cp.ix
+    all_types = {
+        st for a in sub.values()
+        for st in a if st not in ("aggs", "aggregations")
+    }
+    if all_types & {"bucket_script", "bucket_selector"}:
+        return _terms_pipeline(cp, name, by, size, sub, base)
     if len(sub) != 1:
         raise DslError(f"agg {name!r}: one sub-agg under terms supported")
     ((sname, sspec),) = sub.items()
@@ -2089,6 +2254,36 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         ((_, a),) = sub.items()
         lag = int((a.get("serial_diff") or {}).get("lag", 1))
         return ix.serial_diff(on=on, interval=interval, lag=lag, **base)
+    if stypes == {"rate"}:
+        ((_, a),) = sub.items()
+        ss = a.get("rate") or {}
+        value = ss.get("field")
+        if value is not None:
+            cp._meta_field("rate", value, None)
+        return ix.rate_agg(
+            on=on, interval=interval,
+            unit=str(ss.get("unit", interval)), value=value, **base,
+        )
+    if stypes == {"cumulative_cardinality"} or stypes == {
+        "cumulative_cardinality", "cardinality"
+    }:
+        # ES shape: a cardinality sibling + cumulative_cardinality
+        # referencing it via buckets_path; the entity field comes from
+        # either the sibling or a direct 'field'
+        entity = None
+        for a in sub.values():
+            for st, ss in a.items():
+                if st in ("cardinality", "cumulative_cardinality"):
+                    entity = (ss or {}).get("field", entity)
+        if not entity:
+            raise DslError(
+                "cumulative_cardinality: need the entity field (a "
+                "cardinality sibling with 'field', or 'field' directly)"
+            )
+        cp._meta_field("cumulative_cardinality", entity, None)
+        return ix.cumulative_cardinality(
+            on=on, entity=entity, interval=interval, **base
+        )
     if stypes <= {"avg_bucket", "min_bucket", "max_bucket", "sum_bucket"}:
         return ix.bucket_stats_pipeline(on=on, interval=interval, **base)
     raise DslError(

@@ -3426,6 +3426,316 @@ class InvertedIndex:
             .orderBy(F.asc("bucket"))
         )
 
+    def bucket_script(
+        self,
+        query: str | None,
+        by: str,
+        aggs: dict[str, tuple[str, str]],
+        scripts: dict[str, str] | None = None,
+        having: str | None = None,
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+        round_script: int | None = 6,
+    ) -> DataFrame:
+        """ES ``bucket_script`` + ``bucket_selector`` pipeline aggs over a
+        terms parent: buckets of a doc_stats column with named metric
+        sub-aggs (``aggs``: name -> (fn, col), fn in count/sum/avg/min/
+        max), then per-bucket computed columns (``scripts``: name -> Spark
+        SQL expression over the sibling agg names — the engine's scripting
+        dialect, same as runtime fields) and an optional boolean
+        ``having`` expression that drops buckets (bucket_selector). ES
+        order of operations preserved: the terms agg selects its top-k
+        buckets FIRST (doc_count desc, key asc), pipelines run on that
+        reduced table — so a selector never promotes bucket k+1.
+
+        Scale note: scripts/selector are projections/filters over the
+        ≤k-row reduced bucket table (coordinator-side in ES terms); the
+        one distributed pass is the partial-aggregated groupBy."""
+        fns = {
+            "count": lambda c: F.count("*"),
+            "sum": lambda c: F.sum(c),
+            "avg": lambda c: F.avg(c),
+            "min": lambda c: F.min(c),
+            "max": lambda c: F.max(c),
+        }
+        bad = [f for f, _ in aggs.values() if f not in fns]
+        if bad:
+            raise ValueError(f"bucket_script: unsupported agg fns {bad}")
+        cols = sorted({c for f, c in aggs.values() if f != "count"})
+        joined = self._match_meta(query, field, [by, *cols], filters)
+        buckets = (
+            joined.groupBy(by)
+            .agg(
+                F.count("*").alias("doc_count"),
+                *[fns[f](c).alias(name) for name, (f, c) in aggs.items()],
+            )
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+        for name, expr in (scripts or {}).items():
+            col = F.expr(expr).cast("double")
+            if round_script is not None:
+                col = F.round(col, round_script)
+            buckets = buckets.withColumn(name, col)
+        if having is not None:
+            buckets = buckets.filter(F.expr(having))
+        return buckets.orderBy(F.desc("doc_count"), F.asc(by))
+
+    def rate_agg(
+        self,
+        query: str | None,
+        on: str,
+        interval: str = "day",
+        unit: str = "hour",
+        value: str | None = None,
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``rate`` aggregation inside a date_histogram: per-bucket
+        document (or ``value``-sum) rate normalized to ``unit`` — rate =
+        bucket_total / (bucket length in units). Fixed conversions for
+        fixed-length pairs (day->hour 24, week->day 7, hour->minute 60);
+        calendar-aware for month->day (the actual day count of THAT
+        month, what the calendar bucket really spans). Unit must not
+        exceed the interval, as in ES."""
+        factors: dict[tuple[str, str], Column] = {
+            ("day", "hour"): F.lit(24.0),
+            ("day", "day"): F.lit(1.0),
+            ("week", "day"): F.lit(7.0),
+            ("hour", "minute"): F.lit(60.0),
+            ("hour", "hour"): F.lit(1.0),
+            ("week", "week"): F.lit(1.0),
+            ("month", "month"): F.lit(1.0),
+            ("month", "day"): F.dayofmonth(
+                F.last_day(F.col("bucket").cast("timestamp"))
+            ).cast("double"),
+        }
+        key = (interval, unit)
+        if key not in factors:
+            raise ValueError(
+                f"rate_agg: unsupported interval/unit pair {key}; "
+                f"supported: {sorted(factors)}"
+            )
+        joined = self._match_meta(
+            query, field, [on, value] if value else [on], filters
+        )
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        total = F.sum(value) if value else F.count("*")
+        buckets = (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                total.cast("double").alias("_total"),
+            )
+            .limit(k)
+        )
+        return (
+            buckets.select(
+                "bucket",
+                "doc_count",
+                F.round(F.col("_total") / factors[key], 6).alias("rate"),
+            )
+            .orderBy(F.asc("bucket"))
+        )
+
+    def cumulative_cardinality(
+        self,
+        query: str | None,
+        on: str,
+        entity: str,
+        interval: str = "day",
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``cumulative_cardinality`` pipeline agg: for each
+        date_histogram bucket, the number of DISTINCT ``entity`` values
+        seen in all buckets up to and including it (the "new users over
+        time" Kibana chart). Exact, not HLL.
+
+        Scale shape: ONE distributed aggregate assigns every entity its
+        first bucket (min over the bucketed axis, partial agg map-side);
+        the per-bucket first-appearance counts and the running sum are
+        windows over the ≤k-row reduced table — never a per-doc shuffle,
+        and no cross-bucket distinct blowup (each entity is counted in
+        exactly one bucket's partial)."""
+        from pyspark.sql.window import Window
+
+        joined = self._match_meta(query, field, [on, entity], filters)
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        axis = (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .limit(k)
+        )
+        firsts = (
+            joined.select(bucket.alias("bucket"), F.col(entity).alias("_e"))
+            .groupBy("_e")
+            .agg(F.min("bucket").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_new"))
+        )
+        w = Window.orderBy("bucket")
+        return (
+            axis.join(firsts, "bucket", "left")
+            .withColumn(
+                "cum_cardinality",
+                F.sum(F.coalesce("_new", F.lit(0))).over(w),
+            )
+            .select("bucket", "doc_count", "cum_cardinality")
+            .orderBy(F.asc("bucket"))
+        )
+
+    # -- geo family ----------------------------------------------------
+    # ES geo_point fields map to two numeric doc_stats columns (lat, lon)
+    # — stored meta columns or runtime fields (the gate rows derive them
+    # from src_id via with_runtime_fields, so the family composes with
+    # the runtime-field machinery). All four are filter-context doc_stats
+    # work: predicate/projection inside the pruned scan, never a UDF.
+
+    @staticmethod
+    def _haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+        """Great-circle distance, R=6371.0 km — the asin form, written
+        with the same primitive calls the DuckDB oracles use so both
+        sides agree to float ulps (gate rows additionally round)."""
+        dphi = F.radians(lat2 - lat1) / 2
+        dlmb = F.radians(lon2 - lon1) / 2
+        a = (
+            F.sin(dphi) * F.sin(dphi)
+            + F.cos(F.radians(lat1))
+            * F.cos(F.radians(lat2))
+            * F.sin(dlmb) * F.sin(dlmb)
+        )
+        return F.lit(2.0 * 6371.0) * F.asin(F.sqrt(a))
+
+    def geo_distance(
+        self,
+        origin: tuple[float, float],
+        distance_km: float,
+        lat: str = "lat",
+        lon: str = "lon",
+        query: str | None = None,
+        k: int | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geo_distance`` query: docs whose geo_point lies within
+        ``distance_km`` of ``origin`` (lat, lon). Returns (doc_id,
+        distance_km) sorted nearest-first — the geo_distance sort ES
+        pairs with the filter. Membership tests the ROUNDED (6 dp)
+        distance so engine and oracle agree at the boundary regardless
+        of libm ulps."""
+        j = self._match_meta(query, field, [lat, lon], filters)
+        d = F.round(
+            self._haversine_km(
+                F.lit(float(origin[0])), F.lit(float(origin[1])),
+                F.col(lat), F.col(lon),
+            ),
+            6,
+        )
+        out = (
+            j.select("doc_id", d.alias("distance_km"))
+            .filter(F.col("distance_km") <= float(distance_km))
+            .orderBy(F.asc("distance_km"), F.asc("doc_id"))
+        )
+        return out.limit(k) if k is not None else out
+
+    def geo_bounding_box(
+        self,
+        top_left: tuple[float, float],
+        bottom_right: tuple[float, float],
+        lat: str = "lat",
+        lon: str = "lon",
+        query: str | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geo_bounding_box`` query: docs inside the box (edges
+        inclusive, like ES). No dateline wrap — a box whose left edge is
+        east of its right edge raises rather than silently matching
+        nothing."""
+        top, left = float(top_left[0]), float(top_left[1])
+        bottom, right = float(bottom_right[0]), float(bottom_right[1])
+        if left > right:
+            raise ValueError(
+                "geo_bounding_box: dateline-crossing boxes unsupported "
+                f"(left {left} > right {right}); split into two boxes"
+            )
+        if bottom > top:
+            raise ValueError(f"geo_bounding_box: bottom {bottom} > top {top}")
+        j = self._match_meta(query, field, [lat, lon], filters)
+        return (
+            j.filter(
+                F.col(lat).between(bottom, top)
+                & F.col(lon).between(left, right)
+            )
+            .select("doc_id", F.col(lat).alias("lat"), F.col(lon).alias("lon"))
+            .orderBy(F.asc("doc_id"))
+        )
+
+    def geotile_grid(
+        self,
+        zoom: int,
+        lat: str = "lat",
+        lon: str = "lon",
+        k: int = 10,
+        query: str | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geotile_grid`` aggregation: bucket the match set by Web
+        Mercator map tile at ``zoom`` (keys "z/x/y", the slippy-map
+        scheme Kibana maps request), count desc. Points outside the
+        Mercator latitude range (|lat| > 85.05112878) are excluded, as
+        ES's geotile cells cannot represent them."""
+        if not (0 <= zoom <= 29):
+            raise ValueError(f"geotile_grid: zoom must be 0..29, got {zoom}")
+        n = float(2 ** zoom)
+        j = self._match_meta(query, field, [lat, lon], filters)
+        j = j.filter(F.abs(F.col(lat)) <= 85.05112878)
+        phi = F.radians(F.col(lat))
+        x = F.floor((F.col(lon) + 180.0) / 360.0 * n)
+        y = F.floor(
+            (1.0 - F.log(F.tan(phi) + 1.0 / F.cos(phi)) / math.pi) / 2.0 * n
+        )
+        clamp = lambda c: F.greatest(  # noqa: E731 — tile indexes clamp to the edge cells
+            F.lit(0).cast("long"),
+            F.least(F.lit(int(n) - 1).cast("long"), c.cast("long")),
+        )
+        key = F.concat_ws(
+            "/", F.lit(str(zoom)), clamp(x).cast("string"), clamp(y).cast("string")
+        )
+        return (
+            j.groupBy(key.alias("tile"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("tile"))
+            .limit(k)
+        )
+
+    def geo_centroid(
+        self,
+        lat: str = "lat",
+        lon: str = "lon",
+        query: str | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geo_centroid`` aggregation: arithmetic mean of lat/lon
+        over the match set (ES's own centroid is the same planar mean of
+        the stored coordinates). One partial-aggregated pass."""
+        j = self._match_meta(query, field, [lat, lon], filters)
+        return j.agg(
+            F.round(F.avg(lat), 6).alias("lat"),
+            F.round(F.avg(lon), 6).alias("lon"),
+            F.count("*").alias("doc_count"),
+        )
+
     def histogram_filled(
         self,
         query: str,
