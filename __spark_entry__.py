@@ -1444,6 +1444,15 @@ def q_ft_cum_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.cumulative_cardinality("data", on="ts", entity="source", interval="day")
 
 
+def q_ft_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms agg ordered by a SUB-METRIC (order: {stats.avg: desc}) with
+    # min_doc_count — ordering and threshold applied before the size cut
+    ix = _documents_index(spark, sf_dir)
+    return ix.facet_stats(
+        "data", by="lang", on="n_chars", order=("avg", "desc"), k=5
+    )
+
+
 def q_etl_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR-style distribution-matched data selection: top-20 documents by
     # smoothed 1+2-gram log-likelihood ratio against the lang='en' slice
@@ -2617,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_script": q_ft_bucket_script,
         "ft_rate": q_ft_rate,
         "ft_cum_cardinality": q_ft_cum_cardinality,
+        "ft_terms_order": q_ft_terms_order,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -4107,6 +4117,16 @@ SELECT strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
              / date_part('day', last_day(date_trunc('month', ts))), 6) AS rate
 FROM hits JOIN meta USING (did)
 GROUP BY date_trunc('month', ts) ORDER BY bucket ASC
+""",
+        "ft_terms_order": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data'))
+SELECT lang, count(*) AS doc_count,
+       min(n_chars) AS min, max(n_chars) AS max,
+       CAST(sum(n_chars) AS BIGINT) AS sum,
+       round(avg(n_chars), 6) AS avg
+FROM hits JOIN docs USING (did)
+GROUP BY lang ORDER BY avg DESC, lang ASC LIMIT 5
 """,
         "ft_cum_cardinality": _DOCS_CTE
         + """

@@ -1837,9 +1837,14 @@ def _one_agg(
     if typ == "terms":
         by = _metric_on(cp, typ, spec)
         size = int(spec.get("size", 10))
+        order = _terms_order_spec(spec.get("order"))
         if not sub:
-            return ix.facet(by=by, k=size, **base)
-        return _terms_sub(cp, name, by, size, sub, base)
+            return ix.facet(
+                by=by, k=size, order=order,
+                missing=spec.get("missing"),
+                min_doc_count=int(spec.get("min_doc_count", 1)), **base,
+            )
+        return _terms_sub(cp, name, by, size, sub, base, order=order)
     if typ == "multi_terms":
         by = [t["field"] for t in spec.get("terms", [])]
         for f in by:
@@ -2183,7 +2188,21 @@ def _terms_pipeline(cp, name, by, size, sub, base) -> DataFrame:
     )
 
 
-def _terms_sub(cp, name, by, size, sub, base) -> DataFrame:
+def _terms_order_spec(o) -> tuple[str, str] | None:
+    """ES order spec ({key: dir} or [{key: dir}]) -> (key, dir)."""
+    if o is None:
+        return None
+    if isinstance(o, (list, tuple)):
+        if len(o) != 1:
+            raise DslError("terms order: one order key supported")
+        o = o[0]
+    if not isinstance(o, dict) or len(o) != 1:
+        raise DslError("terms order: expected {key: 'asc'|'desc'}")
+    ((key, direction),) = o.items()
+    return str(key), str(direction)
+
+
+def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
     """terms agg with ONE sub-agg: stats-family -> facet_stats,
     top_hits -> top_hits, bucket_sort -> bucket_sort. Sub-agg sets
     containing bucket_script/bucket_selector take the pipeline path."""
@@ -2193,6 +2212,10 @@ def _terms_sub(cp, name, by, size, sub, base) -> DataFrame:
         for st in a if st not in ("aggs", "aggregations")
     }
     if all_types & {"bucket_script", "bucket_selector"}:
+        if order is not None:
+            raise DslError(
+                "terms order: unsupported with bucket_script/bucket_selector"
+            )
         return _terms_pipeline(cp, name, by, size, sub, base)
     if len(sub) != 1:
         raise DslError(f"agg {name!r}: one sub-agg under terms supported")
@@ -2203,8 +2226,23 @@ def _terms_sub(cp, name, by, size, sub, base) -> DataFrame:
     st = stypes[0]
     ss = sspec[st] or {}
     if st in ("stats", "avg", "min", "max", "sum"):
+        if order is not None:
+            key, direction = order
+            if key == sname and st != "stats":
+                key = st  # order: {<single-value sub name>: dir}
+            elif key.startswith(f"{sname}."):
+                sm = key.split(".", 1)[1]
+                if sm not in ("min", "max", "sum", "avg", "count"):
+                    raise DslError(f"terms order: unknown sub-metric {key!r}")
+                key = "doc_count" if sm == "count" else sm
+            elif key not in ("_count", "_key"):
+                raise DslError(
+                    f"terms order: {key!r} names no sub-aggregation "
+                    f"(have {sname!r})"
+                )
+            order = (key, direction)
         return ix.facet_stats(
-            by=by, on=_metric_on(cp, st, ss), k=size, **base
+            by=by, on=_metric_on(cp, st, ss), k=size, order=order, **base
         )
     if st == "top_hits":
         if base["filters"] is not None:

@@ -77,6 +77,21 @@ def _idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _terms_order(order: tuple[str, str] | None, by: str) -> list[Column]:
+    """ES terms-agg ``order`` -> sort columns. '_count' and '_key' are the
+    ES builtins; any other key names a sibling metric column (facet_stats).
+    The bucket key always breaks ties ascending, so output order is total
+    and oracle-reproducible."""
+    if order is None:
+        return [F.desc("doc_count"), F.asc(by)]
+    key, direction = order
+    if direction not in ("asc", "desc"):
+        raise ValueError(f"terms order: direction must be asc|desc, got {direction!r}")
+    col = {"_count": "doc_count", "_key": by}.get(key, key)
+    lead = F.asc(col) if direction == "asc" else F.desc(col)
+    return [lead, F.asc(by)] if col != by else [lead]
+
+
 def _tfn(tf, dl, avgdl: float):
     return tf / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
 
@@ -2591,18 +2606,30 @@ class InvertedIndex:
         k: int = 10,
         field: str | int | None = None,
         filters: Column | None = None,
+        order: tuple[str, str] | None = None,
+        missing=None,
+        min_doc_count: int = 1,
     ) -> DataFrame:
         """ES terms aggregation over the match set: docs containing ANY query
         term (constant-score match), bucketed by a doc_stats column, count
         desc. The ES `aggs: {terms: {field: ...}}` shape the reference's
-        Kibana dashboards use over these indexes."""
+        Kibana dashboards use over these indexes.
+
+        ES knobs: ``order`` = (key, 'asc'|'desc') where key is '_count'
+        or '_key' (sub-metric ordering lives on facet_stats); ``missing``
+        buckets null values under the given stand-in instead of dropping
+        them; ``min_doc_count`` hides buckets below the threshold (both
+        applied BEFORE the top-k cut, like ES)."""
         joined = self._match_meta(query, field, [by], filters)
-        return (
-            joined.groupBy(by)
-            .agg(F.count("*").alias("doc_count"))
-            .orderBy(F.desc("doc_count"), F.asc(by))
-            .limit(k)
+        col = F.col(by)
+        if missing is not None:
+            col = F.coalesce(col, F.lit(missing))
+        grouped = joined.groupBy(col.alias(by)).agg(
+            F.count("*").alias("doc_count")
         )
+        if min_doc_count > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_doc_count)
+        return grouped.orderBy(*_terms_order(order, by)).limit(k)
 
     def histogram(
         self,
@@ -4175,11 +4202,15 @@ class InvertedIndex:
         field: str | int | None = None,
         round_avg: int | None = 6,
         filters: Column | None = None,
+        order: tuple[str, str] | None = None,
     ) -> DataFrame:
         """ES terms aggregation WITH a stats sub-aggregation: buckets of a
         doc_stats column over the match set, each carrying count/min/max/
         sum/avg of a numeric column — the nested-agg shape Kibana builds
-        (terms: {field: by, aggs: {stats: {field: on}}})."""
+        (terms: {field: by, aggs: {stats: {field: on}}}). ``order`` may
+        name a sub-metric ('min'/'max'/'sum'/'avg') as well as the
+        '_count'/'_key' builtins — ES's order-by-sub-aggregation, the
+        top-k cut applied AFTER that ordering like ES."""
         joined = self._match_meta(query, field, [by, on], filters)
         avg = F.avg(on)
         if round_avg is not None:
@@ -4193,7 +4224,7 @@ class InvertedIndex:
                 F.sum(on).alias("sum"),
                 avg.alias("avg"),
             )
-            .orderBy(F.desc("doc_count"), F.asc(by))
+            .orderBy(*_terms_order(order, by))
             .limit(k)
         )
 

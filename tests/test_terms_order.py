@@ -1,0 +1,138 @@
+"""ES terms-agg knobs: order (builtins + sub-metric), missing,
+min_doc_count — engine behavior vs pandas, DSL bodies vs direct calls."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dart_importer_spark.query import dsl
+from dart_importer_spark.query.dsl import DslError
+from tests.oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def src(transcripts_pdf):
+    s = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    s["doc_id"] = np.arange(len(s), dtype=np.int64)
+    return s
+
+
+@pytest.fixture(scope="module")
+def oracle(src):
+    return BM25Oracle(src)
+
+
+def _match_set(oracle, terms):
+    return {
+        int(did)
+        for did, toks in zip(oracle.doc_ids, oracle.tokens)
+        if any(t in toks for t in terms)
+    }
+
+
+def _buckets(src, oracle, terms):
+    hits = _match_set(oracle, terms)
+    return src[src["doc_id"].isin(hits)].groupby("role").size()
+
+
+def test_order_key_asc(built_index, src, oracle):
+    got = built_index.facet("the", by="role", order=("_key", "asc")).toPandas()
+    want = _buckets(src, oracle, ["the"]).sort_index()
+    assert list(got["role"]) == list(want.index)
+    assert list(got["doc_count"]) == list(want.values)
+
+
+def test_order_count_asc_applies_before_topk(built_index, src, oracle):
+    # ES: ordering happens BEFORE the size cut — count asc k=1 returns
+    # the SMALLEST bucket, not the largest
+    got = built_index.facet(
+        "the", by="role", k=1, order=("_count", "asc")
+    ).collect()[0]
+    want = _buckets(src, oracle, ["the"]).sort_values()
+    assert got["doc_count"] == int(want.iloc[0])
+
+
+def test_min_doc_count_and_missing(built_index, spark, src, oracle):
+    all_b = _buckets(src, oracle, ["the"])
+    thresh = int(all_b.max())
+    got = built_index.facet("the", by="role", min_doc_count=thresh).toPandas()
+    assert list(got["doc_count"]) == [v for v in all_b.values if v >= thresh]
+    # missing: nulls bucket under the stand-in (tool column is sparse)
+    got = built_index.facet("the", by="tool", missing="__none__", k=100).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    n_null = int(sub["tool"].isna().sum())
+    assert int(got.set_index("tool").loc["__none__", "doc_count"]) == n_null
+    # without missing, the null bucket is the engine's previous behavior
+    # (grouped under NULL) — stand-in only appears when asked
+    got2 = built_index.facet("the", by="tool", k=100).toPandas()
+    assert "__none__" not in set(got2["tool"].dropna())
+
+
+def test_facet_stats_order_by_submetric(built_index, src, oracle):
+    got = built_index.facet_stats(
+        "the", by="role", on="turn_idx", order=("avg", "desc")
+    ).toPandas()
+    assert list(got["avg"]) == sorted(got["avg"], reverse=True)
+    # same buckets as the default ordering, different order
+    base = built_index.facet_stats("the", by="role", on="turn_idx").toPandas()
+    assert set(got["role"]) == set(base["role"])
+
+
+def test_order_rejects_bad_direction(built_index):
+    with pytest.raises(ValueError, match="asc\\|desc"):
+        built_index.facet("the", by="role", order=("_count", "up"))
+
+
+def test_dsl_terms_order_missing_mdc(built_index):
+    def rows(df):
+        return [tuple(r) for r in df.collect()]
+
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {"terms": {
+            "field": "role", "order": {"_key": "desc"},
+            "min_doc_count": 2, "missing": "__none__",
+        }}},
+    })
+    want = built_index.facet(
+        "the", by="role", order=("_key", "desc"),
+        min_doc_count=2, missing="__none__",
+    )
+    assert rows(out["roles"]) == rows(want)
+    # sub-metric ordering: order: {"ti.avg": "asc"} over a stats sub
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {
+            "terms": {"field": "role", "order": {"ti.avg": "asc"}},
+            "aggs": {"ti": {"stats": {"field": "turn_idx"}}},
+        }},
+    })
+    want = built_index.facet_stats(
+        "the", by="role", on="turn_idx", order=("avg", "asc")
+    )
+    assert rows(out["roles"]) == rows(want)
+    # single-value sub named directly
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {
+            "terms": {"field": "role", "order": {"m": "desc"}},
+            "aggs": {"m": {"max": {"field": "turn_idx"}}},
+        }},
+    })
+    want = built_index.facet_stats(
+        "the", by="role", on="turn_idx", order=("max", "desc")
+    )
+    assert rows(out["roles"]) == rows(want)
+
+
+def test_dsl_order_unknown_sub_raises(built_index):
+    with pytest.raises(DslError, match="names no sub-aggregation"):
+        dsl.aggs(built_index, {
+            "query": {"match": {"text": "the"}},
+            "aggs": {"roles": {
+                "terms": {"field": "role", "order": {"zz": "desc"}},
+                "aggs": {"m": {"max": {"field": "turn_idx"}}},
+            }},
+        })
