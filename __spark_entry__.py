@@ -1444,6 +1444,26 @@ def q_ft_cum_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.cumulative_cardinality("data", on="ts", entity="source", interval="day")
 
 
+def q_eql_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EQL result pipe: `sequence ... | head 25` — the 25 earliest completed
+    # sequences by (completion time, completing event id); a
+    # TakeOrderedAndProject over the matched set, no extra shuffle
+    from dart_importer_spark.operators.eql import eql_sequence
+
+    ev = _load(spark, sf_dir, "events")
+    return eql_sequence(
+        ev,
+        "user_id",
+        [
+            "event_type = 'view'",
+            "event_type = 'click'",
+            "event_type = 'purchase'",
+        ],
+        maxspan_s=86400,
+        pipe=("head", 25),
+    ).orderBy("user_id", "e3")
+
+
 def q_ft_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms agg ordered by a SUB-METRIC (order: {stats.avg: desc}) with
     # min_doc_count — ordering and threshold applied before the size cut
@@ -2627,6 +2647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_rate": q_ft_rate,
         "ft_cum_cardinality": q_ft_cum_cardinality,
         "ft_terms_order": q_ft_terms_order,
+        "eql_head": q_eql_head,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -5497,6 +5518,29 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "eql_head": """
+WITH e AS (SELECT user_id, event_id, event_type, ts, epoch(ts) AS t FROM events),
+w1 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view'
+                            THEN {'t1': t, 'e1': event_id} END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p1
+  FROM e),
+w2 AS (
+  SELECT *, last_value(CASE WHEN event_type = 'click' AND p1 IS NOT NULL
+                            THEN {'t1': p1.t1, 'e1': p1.e1,
+                                  't2': t, 'e2': event_id} END IGNORE NULLS)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p2
+  FROM w1),
+seq AS (
+  SELECT user_id, p2.e1 AS e1, p2.e2 AS e2, event_id AS e3, t,
+         CAST(floor(t - p2.t1) AS BIGINT) AS span_s
+  FROM w2
+  WHERE event_type = 'purchase' AND p2 IS NOT NULL AND t - p2.t1 <= 86400)
+SELECT user_id, e1, e2, e3, span_s FROM seq
+ORDER BY t ASC, e3 ASC LIMIT 25
 """,
         "eql_sequence": """
 WITH e AS (SELECT user_id, event_id, event_type, ts, epoch(ts) AS t FROM events),

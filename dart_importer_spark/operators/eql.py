@@ -40,6 +40,7 @@ def eql_sequence(
     event_id: str = "event_id",
     maxspan_s: float | None = None,
     until: str | Column | None = None,
+    pipe: tuple[str, int] | None = None,
 ) -> DataFrame:
     """ES EQL ``sequence by <by> with maxspan [steps...] until [...]``.
 
@@ -60,6 +61,13 @@ def eql_sequence(
     floor of last-minus-first event time in seconds, bigint). Only the
     maxspan filter uses event time, so the output is integer-typed and
     engine-portable.
+
+    ``pipe`` implements EQL's result pipes — the two ES supports:
+    ``("head", n)`` keeps the n EARLIEST completed sequences,
+    ``("tail", n)`` the n LATEST, both by (completion time, completing
+    event id) so selection is deterministic; output rows are the same
+    columns either way. A pipe is a TakeOrderedAndProject over the
+    already-matched sequences — no extra shuffle.
     """
     if len(steps) < 2:
         raise ValueError(f"eql_sequence: need >= 2 steps, got {len(steps)}")
@@ -132,6 +140,16 @@ def eql_sequence(
             F.floor(t - last_p["t1"]).cast("long").alias("span_s"),
         ]
     )
+    if pipe is not None:
+        op, n = pipe
+        if op not in ("head", "tail") or int(n) < 1:
+            raise ValueError(
+                f"eql_sequence: pipe must be ('head'|'tail', n>=1), got {pipe!r}"
+            )
+        order = (
+            [t.asc(), eid.asc()] if op == "head" else [t.desc(), eid.desc()]
+        )
+        return done.orderBy(*order).limit(int(n)).select(*sel)
     return done.select(*sel)
 
 

@@ -222,3 +222,35 @@ def test_sample_plan_single_agg(spark, events_df):
     plan = r._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pipe_head_tail(spark, events_df):
+    from dart_importer_spark.operators.eql import eql_sequence
+
+    args = dict(
+        by="k",
+        steps=["etype = 'a'", "etype = 'b'"],
+        on="t",
+    )
+    full = eql_sequence(events_df, **args).toPandas()
+    # completion time of a sequence = the t of its completing event (e2)
+    ev = events_df.toPandas().set_index("event_id")["t"]
+    full["t_done"] = full["e2"].map(ev)
+    full = full.sort_values(["t_done", "e2"]).reset_index(drop=True)
+    n = max(1, len(full) // 3)
+    head = eql_sequence(events_df, **args, pipe=("head", n)).toPandas()
+    tail = eql_sequence(events_df, **args, pipe=("tail", n)).toPandas()
+    assert sorted(head["e2"]) == sorted(full.head(n)["e2"])
+    assert sorted(tail["e2"]) == sorted(full.tail(n)["e2"])
+    assert list(head.columns) == [c for c in full.columns if c != "t_done"]
+
+
+def test_pipe_validation(spark, events_df):
+    from dart_importer_spark.operators.eql import eql_sequence
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pipe must be"):
+        eql_sequence(
+            events_df, "k", ["etype = 'a'", "etype = 'b'"], on="t",
+            pipe=("middle", 5),
+        )
