@@ -1464,6 +1464,29 @@ def q_eql_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "e3")
 
 
+def q_etl_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deterministic reproducible corpus shuffle + train/val/test split:
+    # md5(seed:id) is the shuffle position AND the split assignment (hex
+    # string boundaries), identical across engines/reruns/appends — one
+    # projection, zero shuffle. The gate checks per-split membership via
+    # counts + content sums.
+    from dart_importer_spark.operators.sampling import shuffle_split
+
+    docs = _load(spark, sf_dir, "documents")
+    out = shuffle_split(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, id_col="doc_id"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.min("shuffle_key").alias("first_key"),
+        )
+        .orderBy("split")
+    )
+
+
 def q_ft_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms agg ordered by a SUB-METRIC (order: {stats.avg: desc}) with
     # min_doc_count — ordering and threshold applied before the size cut
@@ -2648,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_cum_cardinality": q_ft_cum_cardinality,
         "ft_terms_order": q_ft_terms_order,
         "eql_head": q_eql_head,
+        "etl_shuffle_split": q_etl_shuffle_split,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -5518,6 +5542,21 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "etl_shuffle_split": """
+WITH s AS (
+  SELECT n_chars,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents),
+t AS (
+  SELECT n_chars, shuffle_key,
+         CASE WHEN shuffle_key < 'e6666666666668000000000000000000' THEN 'train'
+              WHEN shuffle_key < 'f3333333333330000000000000000000' THEN 'val'
+              ELSE 'test' END AS split
+  FROM s)
+SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+       min(shuffle_key) AS first_key
+FROM t GROUP BY split ORDER BY split
 """,
         "eql_head": """
 WITH e AS (SELECT user_id, event_id, event_type, ts, epoch(ts) AS t FROM events),

@@ -101,3 +101,47 @@ def pack_chunks(
         .withColumn("chunk_id", F.floor(F.col("offset") / budget))
         .orderBy("stream", "offset")
     )
+
+
+def shuffle_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+) -> DataFrame:
+    """Deterministic corpus shuffle + train/val/test split — the two
+    bookkeeping steps every pretraining pipeline needs to be reproducible
+    across reruns AND across engines.
+
+    Each row gets ``shuffle_key`` = md5(seed ":" id): a uniform,
+    engine-portable pseudo-random position (md5 hex is identical in
+    Spark, DuckDB, Python — no RNG, no nondeterminism under retries or
+    partition reshuffles). ``split`` assigns the row to the first named
+    split whose cumulative weight threshold (a 32-hex-digit string
+    boundary) exceeds its key — so splits are exact-by-construction
+    disjoint, stable under appends (a new doc never moves an old one),
+    and any engine recomputes the same assignment. A new epoch order is
+    just a new ``seed``.
+
+    Scale shape: ONE projection — no shuffle, no RNG state, no driver
+    work; ordering by shuffle_key (when the caller wants physical
+    shuffle order) is the only sort, and it's the final write's sort.
+    """
+    if not weights:
+        raise ValueError("shuffle_split: need at least one split weight")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("shuffle_split: weights must sum > 0")
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        # cumulative fraction -> a 32-hex boundary; string comparison on
+        # fixed-length lowercase hex == numeric comparison on the 128-bit key
+        bound = format(int(cum * (1 << 128)), "032x")
+        cond = h < F.lit(bound)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("shuffle_key", h).withColumn("split", split)

@@ -2066,6 +2066,27 @@ def _one_agg(
             sources=sources, size=int(spec.get("size", 10)),
             after=after_t, **base,
         )
+    if typ == "filter":
+        # ES single-filter bucket: narrow the aggregation context with one
+        # more filter clause, then run the (single) sub-agg inside it —
+        # compiles to the same pruned scan with one more pushed predicate
+        extra = cp.compile_filter(spec)
+        narrowed = dict(base)
+        narrowed["filters"] = (
+            extra if base["filters"] is None else (base["filters"] & extra)
+        )
+        if not sub:
+            j = ix._match_meta(
+                narrowed["query"], narrowed["field"], [], narrowed["filters"]
+            )
+            return j.agg(F.count("*").alias("doc_count"))
+        if len(sub) != 1:
+            raise DslError("filter agg: one sub-aggregation supported")
+        ((sname, sspec),) = sub.items()
+        return _one_agg(
+            cp, sname, sspec, narrowed["query"], narrowed["field"],
+            narrowed["filters"],
+        )
     if typ == "geotile_grid":
         f = spec.get("field")
         latc, lonc = cp._geo_cols(typ, f, None)

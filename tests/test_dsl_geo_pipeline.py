@@ -176,3 +176,30 @@ def test_cumulative_cardinality_body(built_index):
         "the", on="ts", entity="conv_id", interval="day"
     )
     assert rows(out["daily"]) == rows(want)
+
+
+def test_filter_agg_single(built_index):
+    from pyspark.sql import functions as F
+
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"assistant_only": {
+            "filter": {"term": {"role": "assistant"}},
+            "aggs": {"s": {"stats": {"field": "turn_idx"}}},
+        }},
+    })
+    want = built_index.stats_agg(
+        "the", on="turn_idx", filters=F.col("role") == "assistant"
+    )
+    assert rows(out["assistant_only"]) == rows(want)
+    # bare filter agg (no sub): a doc_count row
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"n": {"filter": {"term": {"role": "assistant"}}}},
+    })
+    got = out["n"].collect()[0]["doc_count"]
+    want_n = built_index.search({"query": {"bool": {
+        "must": [{"match": {"text": "the"}}],
+        "filter": [{"term": {"role": "assistant"}}]}},
+        "size": 100000}).count()
+    assert got == want_n and got > 0

@@ -162,3 +162,56 @@ def test_pack_chunks_single_stream(spark):
     df = spark.createDataFrame([(i, 100) for i in range(10)], "id long, n long")
     got = pack_chunks(df, "id", "n", budget=250).toPandas()
     assert list(got["chunk_id"]) == [math.floor(i * 100 / 250) for i in range(10)]
+
+
+def test_shuffle_split_deterministic_and_disjoint(spark):
+    import hashlib
+
+    from dart_importer_spark.operators.sampling import shuffle_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    out = shuffle_split(df, w, id_col="doc_id").toPandas()
+    # engine-portable: python recomputes identical keys and assignments
+    b1 = format(int(0.9 * (1 << 128)), "032x")
+    b2 = format(int(0.95 * (1 << 128)), "032x")
+    for r in out.itertuples():
+        key = hashlib.md5(f"epoch0:{r.doc_id}".encode()).hexdigest()
+        assert key == r.shuffle_key
+        want = "train" if key < b1 else ("val" if key < b2 else "test")
+        assert want == r.split
+    # split sizes near the weights; every row in exactly one split
+    sizes = out.groupby("split").size()
+    assert abs(sizes["train"] / 2000 - 0.9) < 0.03
+    assert sizes.sum() == 2000
+    # new seed permutes order but keeps corpus identical
+    out2 = shuffle_split(df, w, id_col="doc_id", seed="epoch1").toPandas()
+    assert set(out2.doc_id) == set(out.doc_id)
+    assert list(out2.sort_values("shuffle_key").doc_id) != list(
+        out.sort_values("shuffle_key").doc_id
+    )
+
+
+def test_shuffle_split_stable_under_append(spark):
+    from dart_importer_spark.operators.sampling import shuffle_split
+
+    w = {"train": 0.8, "val": 0.2}
+    old = shuffle_split(
+        spark.range(500).withColumnRenamed("id", "doc_id"), w
+    ).toPandas()
+    grown = shuffle_split(
+        spark.range(800).withColumnRenamed("id", "doc_id"), w
+    ).toPandas()
+    merged = old.merge(grown, on="doc_id", suffixes=("_old", "_new"))
+    assert (merged.split_old == merged.split_new).all()
+
+
+def test_shuffle_split_no_exchange(spark):
+    from dart_importer_spark.operators.sampling import shuffle_split
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = (
+        shuffle_split(df, {"a": 0.5, "b": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
