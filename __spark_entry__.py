@@ -1487,6 +1487,23 @@ def q_etl_shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_composite_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES composite agg with a date_histogram source (+ a terms source):
+    # keyset-paginated buckets, after-key = previous page's last tuple —
+    # page 2 requested here to exercise the lexicographic after filter
+    ix = _documents_index(spark, sf_dir)
+    first = ix.composite_agg(
+        "data", sources=[("day", "ts", "day"), "lang"], size=10
+    ).collect()
+    last = first[-1]
+    return ix.composite_agg(
+        "data",
+        sources=[("day", "ts", "day"), "lang"],
+        size=10,
+        after=(last["day"], last["lang"]),
+    )
+
+
 def q_ft_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms agg ordered by a SUB-METRIC (order: {stats.avg: desc}) with
     # min_doc_count — ordering and threshold applied before the size cut
@@ -2672,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_order": q_ft_terms_order,
         "eql_head": q_eql_head,
         "etl_shuffle_split": q_etl_shuffle_split,
+        "ft_composite_dh": q_ft_composite_dh,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -5542,6 +5560,27 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "ft_composite_dh": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, d.lang,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents d
+),
+b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day,
+         lang, count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1, 2
+),
+p1 AS (SELECT * FROM b ORDER BY day ASC, lang ASC LIMIT 10),
+k AS (SELECT day AS ad, lang AS al FROM p1 ORDER BY day DESC, lang DESC LIMIT 1)
+SELECT day, lang, doc_count FROM b, k
+WHERE day > ad OR (day = ad AND lang > al)
+ORDER BY day ASC, lang ASC LIMIT 10
 """,
         "etl_shuffle_split": """
 WITH s AS (

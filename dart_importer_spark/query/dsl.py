@@ -1106,6 +1106,11 @@ def _vector_search(
         src, [float(x) for x in qv], k=min(k, size),
         id_col=id_col, vec_col=vec_col,
     ).select(F.col(id_col).alias("doc_id"), F.col("cosine").alias("score"))
+    if spec.get("similarity") is not None:
+        # ES 8.8 knn similarity cutoff: drop neighbours below the
+        # threshold AFTER the k cut (ES documents exactly this order —
+        # it can return fewer than k, never different ones)
+        hits = hits.filter(F.col("score") >= float(spec["similarity"]))
     if round_scores is not None:
         hits = hits.withColumn("score", F.round("score", round_scores))
     return hits.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2052,14 +2057,34 @@ def _one_agg(
         return ix.matrix_stats(col_a=fl[0], col_b=fl[1], **base)
     if typ == "composite":
         sources = []
+        names = []
         for s in spec.get("sources", []):
             ((nm, sdef),) = s.items()
-            src_f = (sdef.get("terms") or {}).get("field")
-            cp._meta_field(typ, src_f, None)
-            sources.append(src_f)
+            if "date_histogram" in sdef:
+                dh = sdef["date_histogram"]
+                src_f = dh.get("field")
+                cp._meta_field(typ, src_f, None)
+                sources.append((nm, src_f, _dh_interval(dh)))
+                names.append(nm)
+            else:
+                src_f = (sdef.get("terms") or {}).get("field")
+                cp._meta_field(typ, src_f, None)
+                sources.append(src_f)
+                names.append((nm, src_f))
         after = spec.get("after")
+
+        def _after_key(n):
+            # ES keys after by the SOURCE NAME; bodies in the wild (and
+            # this repo's r03 gate row) often name sources by the field
+            nm_, f_ = n if isinstance(n, tuple) else (n, n)
+            if nm_ in after:
+                return after[nm_]
+            if f_ in after:
+                return after[f_]
+            raise DslError(f"composite after: missing key {nm_!r}")
+
         after_t = (
-            tuple(after[s] for s in sources) if isinstance(after, dict)
+            tuple(_after_key(n) for n in names) if isinstance(after, dict)
             else tuple(after) if after is not None else None
         )
         return ix.composite_agg(

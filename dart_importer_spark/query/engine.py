@@ -5403,9 +5403,34 @@ class InvertedIndex:
         range-filter, never a deepening offset). Docs with a NULL in any
         source column are omitted (ES's ``missing_bucket: false``
         default) — this also keeps every emitted key usable as an
-        after-key."""
-        cols = list(sources)
-        joined = self._match_meta(query, field, cols, filters).na.drop(subset=cols)
+        after-key.
+
+        A source is either a doc_stats column name (ES terms source) or
+        a ``(name, column, interval)`` tuple (ES date_histogram source):
+        the bucket is date_trunc(interval) formatted
+        'yyyy-MM-dd HH:mm:ss', so after-key string comparison IS
+        chronological order and the key round-trips through any engine."""
+        exprs, cols, needed = [], [], []
+        for s in sources:
+            if isinstance(s, str):
+                exprs.append(F.col(s))
+                cols.append(s)
+                needed.append(s)
+            else:
+                name, on, interval = s
+                exprs.append(
+                    F.date_format(
+                        F.date_trunc(interval, F.col(on)),
+                        "yyyy-MM-dd HH:mm:ss",
+                    ).alias(name)
+                )
+                cols.append(name)
+                needed.append(on)
+        joined = (
+            self._match_meta(query, field, needed, filters)
+            .select(*exprs)
+            .na.drop(subset=cols)
+        )
         agg = joined.groupBy(*cols).agg(F.count("*").alias("doc_count"))
         if after is not None:
             if len(after) != len(cols):

@@ -1073,3 +1073,23 @@ def test_multi_match_cross_fields_body(built_index):
             "query": "x", "fields": ["text"],
             "type": "best_fields", "operator": "and",
         }}})
+
+
+def test_knn_similarity_cutoff(built_index, emb_table):
+    # ES 8.8: 'similarity' drops below-threshold neighbours AFTER the k
+    # cut — fewer hits, never different ones
+    full = built_index.search(
+        {"knn": {"field": "embedding", "query_vector": QVEC, "k": 7}},
+        emb=emb_table,
+    ).collect()
+    cut = sorted(r.score for r in full)[len(full) // 2]
+    got = built_index.search(
+        {"knn": {"field": "embedding", "query_vector": QVEC, "k": 7,
+                 "similarity": cut}},
+        emb=emb_table,
+    ).collect()
+    want = [r for r in full if r.score >= cut]
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, r.score) for r in want
+    ]
+    assert 0 < len(got) < len(full)

@@ -203,3 +203,37 @@ def test_filter_agg_single(built_index):
         "filter": [{"term": {"role": "assistant"}}]}},
         "size": 100000}).count()
     assert got == want_n and got > 0
+
+
+def test_composite_date_histogram_source(built_index):
+    body = {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"c": {"composite": {
+            "size": 1000,
+            "sources": [
+                {"hr": {"date_histogram": {"field": "ts",
+                                           "calendar_interval": "hour"}}},
+                {"role": {"terms": {"field": "role"}}},
+            ],
+        }}},
+    }
+    full = dsl.aggs(built_index, body)["c"].toPandas()
+    assert list(full.columns) == ["hr", "role", "doc_count"]
+    keys = list(zip(full["hr"], full["role"]))
+    assert keys == sorted(keys) and len(keys) > 6
+    # keyset pagination: pages of 5 via after reassemble the full run
+    pages = []
+    comp = body["aggs"]["c"]["composite"]
+    comp["size"] = 5
+    comp.pop("after", None)
+    while True:
+        page = dsl.aggs(built_index, body)["c"].toPandas()
+        if len(page) == 0:
+            break
+        pages.append(page)
+        comp["after"] = {"hr": page["hr"].iloc[-1],
+                         "role": page["role"].iloc[-1]}
+    import pandas as pd
+
+    got = pd.concat(pages, ignore_index=True)
+    assert got.values.tolist() == full.values.tolist()
