@@ -1016,7 +1016,7 @@ def _bool_query(
 # --------------------------------------------------------------------------
 def _vector_search(
     cp: _Compiler, body: dict, size: int, round_scores,
-    emb: DataFrame | None, id_col: str, vec_col: str,
+    emb: DataFrame | None, id_col: str, vec_col: str, ann=None,
 ) -> DataFrame:
     """ES 8 vector request forms: a top-level ``knn`` section (pure kNN
     with optional metadata ``filter``) or ``retriever: {rrf: ...}``
@@ -1027,10 +1027,11 @@ def _vector_search(
     column. ``num_candidates`` is accepted and ignored: the leg here is
     exact brute-force (swap an ANN index probe in for the 100-TB path)."""
     ix = cp.ix
-    if emb is None:
+    if emb is None and not (ann is not None and "retriever" not in body):
         raise DslError(
             "knn/retriever bodies need the embedding table: "
-            "search(body, emb=<DataFrame>, emb_id_col=..., emb_vec_col=...)"
+            "search(body, emb=<DataFrame>, emb_id_col=..., emb_vec_col=...) "
+            "— or an ANN index via ann= for pure-knn bodies"
         )
     if "retriever" in body:
         r = body["retriever"]
@@ -1085,27 +1086,63 @@ def _vector_search(
             f"knn: field {fld!r} is not the embedding column ({vec_col!r})"
         )
     k = int(spec.get("k", size))
-    src = emb
-    tomb = ix._tombstones()
-    if tomb is not None:
-        # deleted docs must not hold neighbour slots (same live-set rule
-        # as hybrid_rrf's vector leg)
-        src = src.join(
-            tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-        )
-    if spec.get("filter") is not None:
-        allowed = (
-            ix.doc_stats()
-            .filter(cp.compile_filter(spec["filter"]))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        src = src.join(allowed, id_col, "left_semi")
-    from ..operators.similarity import brute_force_cosine_topk
+    if ann is not None:
+        # true ANN probe (IvfAnnIndex / LshAnnIndex over the same
+        # embedding table) — the 100-TB knn leg. Filter + tombstones
+        # compose into ONE allowed set, pre-filtering candidates BEFORE
+        # the exact rerank (ES 8 filtered-kNN order).
+        aid = ann.id_col
+        allowed = None
+        if spec.get("filter") is not None:
+            allowed = (
+                ix.doc_stats()
+                .filter(cp.compile_filter(spec["filter"]))
+                .select(F.col("doc_id").alias(aid))
+            )
+        tomb = ix._tombstones()
+        if tomb is not None:
+            base = (
+                allowed if allowed is not None
+                else ann.table.select(aid)
+            )
+            allowed = base.join(
+                tomb.withColumnRenamed("doc_id", aid), aid, "left_anti"
+            )
+        import inspect
 
-    hits = brute_force_cosine_topk(
-        src, [float(x) for x in qv], k=min(k, size),
-        id_col=id_col, vec_col=vec_col,
-    ).select(F.col(id_col).alias("doc_id"), F.col("cosine").alias("score"))
+        kwargs = {}
+        params = inspect.signature(ann.topk).parameters
+        for knob in ("nprobe", "multiprobe"):
+            if knob in spec and knob in params:
+                kwargs[knob] = int(spec[knob])
+        hits = ann.topk(
+            [float(x) for x in qv], k=min(k, size), allowed=allowed,
+            **kwargs,
+        ).select(F.col(aid).alias("doc_id"), F.col("cosine").alias("score"))
+    else:
+        src = emb
+        tomb = ix._tombstones()
+        if tomb is not None:
+            # deleted docs must not hold neighbour slots (same live-set
+            # rule as hybrid_rrf's vector leg)
+            src = src.join(
+                tomb.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+            )
+        if spec.get("filter") is not None:
+            allowed = (
+                ix.doc_stats()
+                .filter(cp.compile_filter(spec["filter"]))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            src = src.join(allowed, id_col, "left_semi")
+        from ..operators.similarity import brute_force_cosine_topk
+
+        hits = brute_force_cosine_topk(
+            src, [float(x) for x in qv], k=min(k, size),
+            id_col=id_col, vec_col=vec_col,
+        ).select(
+            F.col(id_col).alias("doc_id"), F.col("cosine").alias("score")
+        )
     if spec.get("similarity") is not None:
         # ES 8.8 knn similarity cutoff: drop neighbours below the
         # threshold AFTER the k cut (ES documents exactly this order —
@@ -1137,14 +1174,17 @@ def _apply_pit(ix, body: dict, default_pin: bool = False):
 def search(
     ix, body: dict, round_scores: int | None = None,
     emb: DataFrame | None = None, emb_id_col: str = "vec_id",
-    emb_vec_col: str = "embedding",
+    emb_vec_col: str = "embedding", ann=None,
 ) -> DataFrame:
     """Run an ES ``_search`` request body, returning the hits DataFrame
     (doc_id, score). Top-level keys: ``query`` (default match_all),
     ``size`` / ``from``, ``search_after``, ``min_score``, ``sort``,
     ``collapse``, ``highlight``, ``rescore``, ``_source``, ``knn``,
     ``retriever`` (vector forms need ``emb``). Aggregations run through
-    :func:`aggs`."""
+    :func:`aggs`. ``ann`` (an IvfAnnIndex / LshAnnIndex built over the
+    same embedding table) makes the ``knn`` section a true ANN probe —
+    the 100-TB path — with ``nprobe``/``multiprobe`` accepted as body
+    knobs next to ES's ``num_candidates``."""
     if not isinstance(body, dict):
         raise DslError("body must be a dict")
     ix = _apply_runtime(ix, body)
@@ -1153,7 +1193,8 @@ def search(
     size = int(body.get("size", 10))
     if "retriever" in body or "knn" in body:
         return _vector_search(
-            cp, body, size, round_scores, emb, emb_id_col, emb_vec_col
+            cp, body, size, round_scores, emb, emb_id_col, emb_vec_col,
+            ann=ann,
         )
     offset = int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})

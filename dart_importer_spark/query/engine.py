@@ -6813,18 +6813,20 @@ class InvertedIndex:
     def search(
         self, body: dict, round_scores: int | None = None,
         emb: DataFrame | None = None, emb_id_col: str = "vec_id",
-        emb_vec_col: str = "embedding",
+        emb_vec_col: str = "embedding", ann=None,
     ) -> DataFrame:
         """Run an ES ``_search`` request body verbatim (the reference's
         documented query surface, Running-ELK.md:110-293) — hits
         DataFrame. Vector forms (top-level ``knn``, ``retriever: rrf``)
-        take the aligned embedding table via ``emb``. See
+        take the aligned embedding table via ``emb``; pass ``ann`` (an
+        IvfAnnIndex / LshAnnIndex over the same table) to serve the
+        ``knn`` section from a true ANN probe. See
         :mod:`dart_importer_spark.query.dsl`."""
         from .dsl import search as _dsl_search
 
         return _dsl_search(
             self, body, round_scores=round_scores, emb=emb,
-            emb_id_col=emb_id_col, emb_vec_col=emb_vec_col,
+            emb_id_col=emb_id_col, emb_vec_col=emb_vec_col, ann=ann,
         )
 
     def search_aggs(self, body: dict) -> dict[str, DataFrame]:

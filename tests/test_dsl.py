@@ -1093,3 +1093,39 @@ def test_knn_similarity_cutoff(built_index, emb_table):
         (r.doc_id, r.score) for r in want
     ]
     assert 0 < len(got) < len(full)
+
+
+def test_knn_body_ann_probe(built_index, emb_table):
+    # ann= serves the knn section from a true ANN probe; full probe
+    # (nprobe = n_lists) must equal the brute-force leg exactly
+    from dart_importer_spark.operators import similarity
+
+    ivf = similarity.IvfAnnIndex(emb_table, n_lists=6, seed=3, persist=False)
+    body = {"knn": {"field": "embedding", "query_vector": QVEC, "k": 7,
+                    "nprobe": 6}}
+    got = built_index.search(dict(body), emb=emb_table, ann=ivf)
+    want = built_index.search(dict(body), emb=emb_table)
+    same(got, want)
+    # filtered kNN through the ANN path: pre-filter before the rerank
+    body["knn"]["filter"] = {"term": {"role": "user"}}
+    got = built_index.search(dict(body), emb=emb_table, ann=ivf)
+    want = built_index.search(dict(body), emb=emb_table)
+    same(got, want)
+    # narrow probe returns a subset of candidate lists — k hits, each a
+    # real corpus vector with the exact cosine
+    body["knn"].pop("filter")
+    body["knn"]["nprobe"] = 1
+    rows_narrow = built_index.search(
+        dict(body), emb=emb_table, ann=ivf
+    ).collect()
+    full = {r.doc_id: r.score for r in want.collect()}
+    exact = {
+        r.doc_id: r.score
+        for r in built_index.search(
+            {"size": 100000,
+             "knn": {"field": "embedding", "query_vector": QVEC,
+                     "k": 100000}}, emb=emb_table).collect()
+    }
+    assert rows_narrow
+    for r in rows_narrow:
+        assert r.score == exact[r.doc_id]
