@@ -1504,6 +1504,13 @@ def q_ft_composite_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES random_sampler agg: terms sub-agg over a deterministic-hash half
+    # of the match set, doc_counts scaled back by 1/p (rounded to long)
+    ix = _documents_index(spark, sf_dir)
+    return ix.random_sampler_agg("data", by="lang", probability=0.5, seed=11)
+
+
 def q_ft_terms_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES terms agg ordered by a SUB-METRIC (order: {stats.avg: desc}) with
     # min_doc_count — ordering and threshold applied before the size cut
@@ -2690,6 +2697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eql_head": q_eql_head,
         "etl_shuffle_split": q_etl_shuffle_split,
         "ft_composite_dh": q_ft_composite_dh,
+        "ft_random_sampler": q_ft_random_sampler,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
@@ -5560,6 +5568,18 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "ft_random_sampler": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+s AS (
+  SELECT lang FROM hits JOIN docs USING (did)
+  WHERE ((did + 11) % 1000003) * 7919 % 1000003 < 500001
+),
+b AS (SELECT lang, count(*) AS sampled_count FROM s GROUP BY lang)
+SELECT lang, sampled_count,
+       CAST(round(sampled_count / 0.5) AS BIGINT) AS doc_count
+FROM b ORDER BY doc_count DESC, lang ASC LIMIT 10
 """,
         "ft_composite_dh": _DOCS_CTE
         + """

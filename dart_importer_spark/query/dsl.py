@@ -1927,6 +1927,22 @@ def _one_agg(
                 int(spec["sample_size"]) if "sample_size" in spec else None
             ),
         )
+    if typ == "random_sampler":
+        if len(sub or {}) != 1:
+            raise DslError("random_sampler needs exactly one terms sub-agg")
+        sub_spec = next(iter(sub.values()))
+        if list(sub_spec.keys()) != ["terms"]:
+            raise DslError(
+                "random_sampler: only a terms sub-aggregation is supported"
+            )
+        by = _metric_on(cp, typ, sub_spec["terms"])
+        return ix.random_sampler_agg(
+            by=by,
+            probability=float(spec.get("probability", 0.1)),
+            seed=int(spec.get("seed", 0)),
+            k=int(sub_spec["terms"].get("size", 10)),
+            **base,
+        )
     if typ in ("sampler", "diversified_sampler"):
         if filters is not None:
             raise DslError(f"{typ}: filtered context unsupported")

@@ -5205,6 +5205,52 @@ class InvertedIndex:
             .orderBy(F.desc("score"), F.asc("src"), F.asc("dst"))
         )
 
+    def random_sampler_agg(
+        self,
+        query: str | None,
+        by: str,
+        probability: float,
+        seed: int = 0,
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``random_sampler`` aggregation: run the (terms) sub-agg on
+        a random ``probability`` fraction of the match set and scale
+        doc_counts back by 1/p — ES 8.2's cheap-aggs-over-huge-indexes
+        primitive. Sampling is the repo's deterministic affine hash of
+        (doc_id + seed) — reproducible across engines/retries (ES's
+        sampling is seed-stable per shard for the same reason), and the
+        scan does a fraction of the agg work, which is the entire point
+        at 100 TB. Scaled counts are rounded to long like ES reports
+        them."""
+        if not (0 < probability <= 1):
+            raise ValueError(
+                f"random_sampler: probability in (0, 1], got {probability}"
+            )
+        from ..operators.sampling import _A, _P
+
+        joined = self._match_meta(query, field, [by], filters)
+        u = F.pmod(
+            F.pmod(F.col("doc_id") + F.lit(int(seed)), F.lit(_P)) * _A,
+            F.lit(_P),
+        )
+        cut = int(probability * _P)
+        sampled = joined.filter(u < cut)
+        return (
+            sampled.groupBy(by)
+            .agg(F.count("*").alias("sampled_count"))
+            .select(
+                by,
+                "sampled_count",
+                F.round(F.col("sampled_count") / F.lit(float(probability)))
+                .cast("long")
+                .alias("doc_count"),
+            )
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+
     def sampler_agg(
         self,
         query: str,

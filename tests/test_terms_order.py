@@ -136,3 +136,41 @@ def test_dsl_order_unknown_sub_raises(built_index):
                 "aggs": {"m": {"max": {"field": "turn_idx"}}},
             }},
         })
+
+
+def test_random_sampler(built_index, src, oracle):
+    p, seed = 0.5, 11
+    got = built_index.random_sampler_agg(
+        "the", by="role", probability=p, seed=seed
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    P, A = 1_000_003, 7_919
+    cut = int(p * P)
+    sub = src[src["doc_id"].isin(hits)]
+    sampled = sub[((sub["doc_id"] + seed) % P * A % P) < cut]
+    want = sampled.groupby("role").size()
+    got_i = got.set_index("role")["sampled_count"]
+    assert got_i.to_dict() == want.to_dict()
+    assert (got["doc_count"] == (got["sampled_count"] / p).round()).all()
+    # fraction sampled is near p
+    assert abs(len(sampled) / len(sub) - p) < 0.05
+    with pytest.raises(ValueError, match="probability"):
+        built_index.random_sampler_agg("the", by="role", probability=0.0)
+
+
+def test_random_sampler_dsl(built_index):
+    from dart_importer_spark.query import dsl as _dsl
+
+    out = _dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"s": {
+            "random_sampler": {"probability": 0.5, "seed": 11},
+            "aggs": {"roles": {"terms": {"field": "role"}}},
+        }},
+    })
+    want = built_index.random_sampler_agg(
+        "the", by="role", probability=0.5, seed=11
+    )
+    assert [tuple(r) for r in out["s"].collect()] == [
+        tuple(r) for r in want.collect()
+    ]
