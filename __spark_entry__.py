@@ -2688,6 +2688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_clusters": q_dd_clusters,
         "ft_runtime_fields": q_ft_runtime_fields,
         "ft_scripted_metric": q_ft_scripted_metric,
+        # --- position 50+: replica+pytest evidence (outside the driver's
+        # --- first-50 sample window; ft_scripted_metric above is #50) ---
         "ft_geo_distance": q_ft_geo_distance,
         "ft_geotile": q_ft_geotile,
         "ft_bucket_script": q_ft_bucket_script,
@@ -2698,8 +2700,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_shuffle_split": q_etl_shuffle_split,
         "ft_composite_dh": q_ft_composite_dh,
         "ft_random_sampler": q_ft_random_sampler,
-        # --- position 50+: replica+pytest evidence (outside the driver's
-        # --- first-50 sample window) ---
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5610,7 +5610,7 @@ WITH s AS (
 t AS (
   SELECT n_chars, shuffle_key,
          CASE WHEN shuffle_key < 'e6666666666668000000000000000000' THEN 'train'
-              WHEN shuffle_key < 'f3333333333330000000000000000000' THEN 'val'
+              WHEN shuffle_key < 'f3333333333338000000000000000000' THEN 'val'
               ELSE 'test' END AS split
   FROM s)
 SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -127,21 +127,37 @@ def shuffle_split(
     work; ordering by shuffle_key (when the caller wants physical
     shuffle order) is the only sort, and it's the final write's sort.
     """
-    if not weights:
-        raise ValueError("shuffle_split: need at least one split weight")
-    total = float(sum(weights.values()))
-    if total <= 0:
-        raise ValueError("shuffle_split: weights must sum > 0")
+    bounds = split_bounds(weights)
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     names = list(weights)
-    cum = 0.0
     expr = None
-    for name in names[:-1]:
-        cum += float(weights[name]) / total
-        # cumulative fraction -> a 32-hex boundary; string comparison on
-        # fixed-length lowercase hex == numeric comparison on the 128-bit key
-        bound = format(int(cum * (1 << 128)), "032x")
+    for name, bound in zip(names[:-1], bounds):
         cond = h < F.lit(bound)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
     return df.withColumn("shuffle_key", h).withColumn("split", split)
+
+
+def split_bounds(weights: dict[str, float]) -> list[str]:
+    """The CANONICAL boundary recipe for :func:`shuffle_split` — one
+    32-hex-digit upper bound per split except the last. Exported so an
+    external recomputation (a DuckDB oracle, an audit script) uses the
+    exact same float accumulation instead of re-deriving boundaries from
+    scratch: int(0.9*2**128) and int((0.9+0.05)/1.0*2**128) differ in
+    the low bits, and two 'obviously equivalent' derivations would
+    disagree on ~2^-53 of keys. String comparison on fixed-length
+    lowercase hex == numeric comparison on the 128-bit key; bounds are
+    clamped below 2**128 so they stay 32 chars."""
+    if not weights:
+        raise ValueError("shuffle_split: need at least one split weight")
+    if any(float(w) <= 0 for w in weights.values()):
+        raise ValueError("shuffle_split: every weight must be > 0")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    bounds, cum = [], 0.0
+    for name in names[:-1]:
+        cum += float(weights[name]) / total
+        bounds.append(
+            format(min(int(cum * (1 << 128)), (1 << 128) - 1), "032x")
+        )
+    return bounds

@@ -1113,7 +1113,14 @@ def _vector_search(
         kwargs = {}
         params = inspect.signature(ann.topk).parameters
         for knob in ("nprobe", "multiprobe"):
-            if knob in spec and knob in params:
+            if knob in spec:
+                if knob not in params:
+                    # an explicit tuning knob the index cannot honor must
+                    # raise, not silently run with defaults
+                    raise DslError(
+                        f"knn: {knob!r} is not a knob of "
+                        f"{type(ann).__name__}.topk"
+                    )
                 kwargs[knob] = int(spec[knob])
         hits = ann.topk(
             [float(x) for x in qv], k=min(k, size), allowed=allowed,
@@ -1885,10 +1892,23 @@ def _one_agg(
         size = int(spec.get("size", 10))
         order = _terms_order_spec(spec.get("order"))
         if not sub:
+            if order is not None and order[0] not in ("_count", "_key"):
+                raise DslError(
+                    f"terms order: {order[0]!r} names no sub-aggregation "
+                    f"(this terms agg has none — use _count or _key)"
+                )
             return ix.facet(
                 by=by, k=size, order=order,
                 missing=spec.get("missing"),
                 min_doc_count=int(spec.get("min_doc_count", 1)), **base,
+            )
+        if "missing" in spec or "min_doc_count" in spec:
+            # refusing beats silently-different buckets: the sub-agg
+            # paths (facet_stats/top_hits/bucket pipelines) don't thread
+            # these knobs yet
+            raise DslError(
+                "terms missing/min_doc_count: unsupported together with "
+                "sub-aggregations"
             )
         return _terms_sub(cp, name, by, size, sub, base, order=order)
     if typ == "multi_terms":
@@ -1935,10 +1955,15 @@ def _one_agg(
             raise DslError(
                 "random_sampler: only a terms sub-aggregation is supported"
             )
+        if "probability" not in spec:
+            # ES rejects a random_sampler without probability; silently
+            # sampling at some default would return approximate counts
+            # the caller never asked for
+            raise DslError("random_sampler: 'probability' is required")
         by = _metric_on(cp, typ, sub_spec["terms"])
         return ix.random_sampler_agg(
             by=by,
-            probability=float(spec.get("probability", 0.1)),
+            probability=float(spec["probability"]),
             seed=int(spec.get("seed", 0)),
             k=int(sub_spec["terms"].get("size", 10)),
             **base,
@@ -2335,9 +2360,18 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
                 key = st  # order: {<single-value sub name>: dir}
             elif key.startswith(f"{sname}."):
                 sm = key.split(".", 1)[1]
-                if sm not in ("min", "max", "sum", "avg", "count"):
+                if sm == "count":
+                    # ES stats.count is the VALUE count (non-null); our
+                    # bucket table carries doc_count — refusing beats a
+                    # silently different order on sparse columns
+                    raise DslError(
+                        "terms order: '<stats>.count' orders by value "
+                        "count in ES, which this bucket table does not "
+                        "carry — order by _count for document count"
+                    )
+                if sm not in ("min", "max", "sum", "avg"):
                     raise DslError(f"terms order: unknown sub-metric {key!r}")
-                key = "doc_count" if sm == "count" else sm
+                key = sm
             elif key not in ("_count", "_key"):
                 raise DslError(
                     f"terms order: {key!r} names no sub-aggregation "
@@ -2348,6 +2382,8 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
             by=by, on=_metric_on(cp, st, ss), k=size, order=order, **base
         )
     if st == "top_hits":
+        if order is not None:
+            raise DslError("terms order: unsupported with a top_hits sub-agg")
         if base["filters"] is not None:
             raise DslError("top_hits: filtered context unsupported")
         if base["query"] is None:
@@ -2357,6 +2393,11 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
             field=base["field"],
         )
     if st == "bucket_sort":
+        if order is not None:
+            raise DslError(
+                "terms order: unsupported with a bucket_sort sub-agg "
+                "(bucket_sort IS the ordering)"
+            )
         s = _as_list(ss.get("sort"))
         sort_on, asc = "doc_count", False
         if s:

@@ -5228,13 +5228,10 @@ class InvertedIndex:
             raise ValueError(
                 f"random_sampler: probability in (0, 1], got {probability}"
             )
-        from ..operators.sampling import _A, _P
+        from ..operators.sampling import _P, sample_hash
 
         joined = self._match_meta(query, field, [by], filters)
-        u = F.pmod(
-            F.pmod(F.col("doc_id") + F.lit(int(seed)), F.lit(_P)) * _A,
-            F.lit(_P),
-        )
+        u = sample_hash(F.col("doc_id") + F.lit(int(seed)))
         cut = int(probability * _P)
         sampled = joined.filter(u < cut)
         return (

@@ -173,8 +173,12 @@ def test_shuffle_split_deterministic_and_disjoint(spark):
     w = {"train": 0.9, "val": 0.05, "test": 0.05}
     out = shuffle_split(df, w, id_col="doc_id").toPandas()
     # engine-portable: python recomputes identical keys and assignments
-    b1 = format(int(0.9 * (1 << 128)), "032x")
-    b2 = format(int(0.95 * (1 << 128)), "032x")
+    # via the exported canonical boundary recipe (int(0.95 * 2**128)
+    # computed directly would differ in the low bits — the helper IS the
+    # contract)
+    from dart_importer_spark.operators.sampling import split_bounds
+
+    b1, b2 = split_bounds(w)
     for r in out.itertuples():
         key = hashlib.md5(f"epoch0:{r.doc_id}".encode()).hexdigest()
         assert key == r.shuffle_key
@@ -215,3 +219,21 @@ def test_shuffle_split_no_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_shuffle_split_validates_weights(spark):
+    import pytest as _pt
+
+    from dart_importer_spark.operators.sampling import (
+        shuffle_split, split_bounds,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with _pt.raises(ValueError, match="> 0"):
+        shuffle_split(df, {"train": 1.0, "bad": -0.2})
+    with _pt.raises(ValueError, match="> 0"):
+        shuffle_split(df, {"train": 0.0})
+    # float-rounding a cum fraction to >= 1.0 must not grow the bound to
+    # 33 hex chars (which would lexically dwarf every md5 key)
+    bs = split_bounds({"a": 1.0, "b": 5e-17})
+    assert all(len(b) == 32 for b in bs)
