@@ -1504,6 +1504,17 @@ def q_ft_composite_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_moving_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES moving_percentiles pipeline agg, EXACT: trailing-3-day median of
+    # n_chars per day bucket (ES merges t-digests; this recomputes the
+    # interpolated percentile over the window's raw values)
+    ix = _documents_index(spark, sf_dir)
+    return ix.moving_percentiles(
+        "data", on="ts", value="n_chars", percent=50.0, interval="day",
+        window=3,
+    )
+
+
 def q_ft_random_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES random_sampler agg: terms sub-agg over a deterministic-hash half
     # of the match set, doc_counts scaled back by 1/p (rounded to long)
@@ -2700,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_shuffle_split": q_etl_shuffle_split,
         "ft_composite_dh": q_ft_composite_dh,
         "ft_random_sampler": q_ft_random_sampler,
+        "ft_moving_pct": q_ft_moving_pct,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5568,6 +5580,33 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "ft_moving_pct": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+hm AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         n_chars AS v
+  FROM hits JOIN meta USING (did)
+),
+axis AS (
+  SELECT bucket, count(*) AS doc_count,
+         row_number() OVER (ORDER BY bucket) AS i
+  FROM hm GROUP BY bucket
+),
+vi AS (SELECT a.i AS vi, h.v FROM hm h JOIN axis a USING (bucket)),
+wj AS (
+  SELECT a.bucket, a.doc_count, v.v
+  FROM axis a JOIN vi v ON v.vi <= a.i AND v.vi > a.i - 3
+)
+SELECT bucket, doc_count, round(quantile_cont(v, 0.5), 6) AS value
+FROM wj GROUP BY bucket, doc_count ORDER BY bucket ASC
 """,
         "ft_random_sampler": _DOCS_CTE
         + """

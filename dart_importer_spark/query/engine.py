@@ -3763,6 +3763,74 @@ class InvertedIndex:
             F.count("*").alias("doc_count"),
         )
 
+    def moving_percentiles(
+        self,
+        query: str | None,
+        on: str,
+        value: str,
+        percent: float = 50.0,
+        interval: str = "day",
+        window: int = 3,
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``moving_percentiles`` pipeline agg, EXACT: for each
+        date_histogram bucket, the linearly-interpolated ``percent``-ile
+        of ``value`` over the trailing ``window`` buckets (current
+        included; partial leading windows included, like moving_fn). ES
+        moves merged t-digests; this recomputes exactly over the window's
+        raw values — the same exact-beats-sketch call percentiles() makes.
+
+        Scale shape: the axis is the reduced ≤k-row bucket table; each
+        value row joins to at most ``window`` axis rows via a BROADCAST
+        range join on bucket index (the axis is tiny by construction), so
+        the one real shuffle is the final per-(axis-bucket) aggregate of
+        O(matchset × window) rows — the honest cost of exact windowed
+        percentiles."""
+        if window < 1:
+            raise ValueError(f"moving_percentiles: window >= 1, got {window}")
+        if not 0.0 <= float(percent) <= 100.0:
+            raise ValueError(f"moving_percentiles: bad percent {percent}")
+        joined = self._match_meta(query, field, [on, value], filters)
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        rows = joined.select(bucket.alias("bucket"), F.col(value).alias("_v"))
+        axis = (
+            rows.groupBy("bucket")
+            .agg(F.count("*").alias("doc_count"))
+            .limit(k)
+        )
+        w = Window.orderBy("bucket")
+        axis_idx = axis.withColumn("_i", F.row_number().over(w))
+        val_idx = rows.join(
+            F.broadcast(axis_idx.select("bucket", F.col("_i").alias("_vi"))),
+            "bucket",
+        ).select("_vi", "_v")
+        windowed = val_idx.join(
+            F.broadcast(
+                axis_idx.select(
+                    F.col("bucket").alias("_b"),
+                    F.col("doc_count"),
+                    F.col("_i"),
+                )
+            ),
+            (F.col("_vi") <= F.col("_i"))
+            & (F.col("_vi") > F.col("_i") - window),
+        )
+        frac = float(percent) / 100.0
+        return (
+            windowed.groupBy("_b", "doc_count")
+            .agg(
+                F.round(
+                    F.expr(f"percentile(_v, {frac!r})"), 6
+                ).alias("value")
+            )
+            .select(F.col("_b").alias("bucket"), "doc_count", "value")
+            .orderBy(F.asc("bucket"))
+        )
+
     def histogram_filled(
         self,
         query: str,

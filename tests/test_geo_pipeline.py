@@ -240,3 +240,26 @@ def test_geo_pushdown_no_python(spark, geo_index):
         (0.0, 0.0), 5000.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_moving_percentiles(built_index, src, oracle):
+    import numpy as np
+
+    got = built_index.moving_percentiles(
+        "the", on="ts", value="turn_idx", percent=50.0, interval="day",
+        window=2,
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)].copy()
+    sub["bucket"] = sub["ts"].dt.floor("D").dt.strftime("%Y-%m-%d %H:%M:%S")
+    buckets = sorted(sub["bucket"].unique())
+    for r in got.itertuples():
+        i = buckets.index(r.bucket)
+        win = buckets[max(0, i - 1): i + 1]
+        vals = sub[sub["bucket"].isin(win)]["turn_idx"].to_numpy(dtype=float)
+        want = round(float(np.percentile(vals, 50.0)), 6)
+        assert r.value == pytest.approx(want)
+        assert r.doc_count == int((sub["bucket"] == r.bucket).sum())
+    assert list(got["bucket"]) == buckets
+    with pytest.raises(ValueError, match="window"):
+        built_index.moving_percentiles("the", on="ts", value="turn_idx", window=0)
