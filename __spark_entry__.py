@@ -1504,6 +1504,21 @@ def q_ft_composite_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_terms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES terms-inside-terms drill-down: top-5 langs, each with its top-3
+    # sources, inner counts scoped per parent — ONE two-key aggregate,
+    # outer totals recovered by window sum (no second match-set pass)
+    ix = _documents_index(spark, sf_dir)
+    return ix.facet_nested("data", by="lang", then_by="source", k=5, k_inner=3)
+
+
+def q_ft_bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_correlation pipeline agg: Pearson corr between the daily
+    # doc_count series and the daily sum(n_chars) series
+    ix = _documents_index(spark, sf_dir)
+    return ix.bucket_correlation("data", on="ts", value="n_chars", interval="day")
+
+
 def q_ft_moving_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES moving_percentiles pipeline agg, EXACT: trailing-3-day median of
     # n_chars per day bucket (ES merges t-digests; this recomputes the
@@ -2712,6 +2727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_composite_dh": q_ft_composite_dh,
         "ft_random_sampler": q_ft_random_sampler,
         "ft_moving_pct": q_ft_moving_pct,
+        "ft_terms_nested": q_ft_terms_nested,
+        "ft_bucket_corr": q_ft_bucket_corr,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5580,6 +5597,48 @@ SELECT items, size, support_count,
 FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
 WHERE support_count >= (SELECT m FROM mc)
 ORDER BY size ASC, support_count DESC, items ASC
+""",
+        "ft_terms_nested": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+pairs AS (
+  SELECT lang, source, count(*) AS doc_count
+  FROM hits JOIN docs USING (did)
+  GROUP BY lang, source
+),
+tot AS (
+  SELECT *, sum(doc_count) OVER (PARTITION BY lang) AS outer_count
+  FROM pairs
+),
+ranked AS (
+  SELECT lang, CAST(outer_count AS BIGINT) AS outer_count, source, doc_count,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY doc_count DESC, source ASC) AS ri,
+         dense_rank() OVER (ORDER BY outer_count DESC, lang ASC) AS ro
+  FROM tot
+)
+SELECT lang, outer_count, source, doc_count FROM ranked
+WHERE ri <= 3 AND ro <= 5
+ORDER BY outer_count DESC, lang ASC, doc_count DESC, source ASC
+""",
+        "ft_bucket_corr": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count,
+         sum(n_chars) AS m
+  FROM hits JOIN meta USING (did) GROUP BY 1
+)
+SELECT round(corr(CAST(doc_count AS DOUBLE), CAST(m AS DOUBLE)), 6)
+         AS correlation,
+       count(*) AS n_buckets
+FROM b
 """,
         "ft_moving_pct": _DOCS_CTE
         + """

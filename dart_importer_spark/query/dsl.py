@@ -2353,6 +2353,18 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
         raise DslError(f"sub-agg {sname!r}: expected one type")
     st = stypes[0]
     ss = sspec[st] or {}
+    if st == "terms":
+        if order is not None:
+            raise DslError(
+                "terms order: unsupported with a nested terms sub-agg"
+            )
+        return ix.facet_nested(
+            by=by,
+            then_by=_metric_on(cp, st, ss),
+            k=size,
+            k_inner=int(ss.get("size", 5)),
+            **base,
+        )
     if st in ("stats", "avg", "min", "max", "sum"):
         if order is not None:
             key, direction = order
@@ -2445,6 +2457,25 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         return ix.rate_agg(
             on=on, interval=interval,
             unit=str(ss.get("unit", interval)), value=value, **base,
+        )
+    if stypes == {"bucket_correlation", "sum"} or stypes == {
+        "bucket_correlation"
+    }:
+        value = None
+        for a in sub.values():
+            for st, ss in a.items():
+                if st == "sum":
+                    value = (ss or {}).get("field")
+                elif st == "bucket_correlation":
+                    value = (ss or {}).get("field", value)
+        if not value:
+            raise DslError(
+                "bucket_correlation: need the metric field (a sum sibling "
+                "with 'field', or 'field' directly)"
+            )
+        cp._meta_field("bucket_correlation", value, None)
+        return ix.bucket_correlation(
+            on=on, value=value, interval=interval, **base
         )
     if stypes == {"cumulative_cardinality"} or stypes == {
         "cumulative_cardinality", "cardinality"

@@ -3453,6 +3453,89 @@ class InvertedIndex:
             .orderBy(F.asc("bucket"))
         )
 
+    def facet_nested(
+        self,
+        query: str | None,
+        by: str,
+        then_by: str,
+        k: int = 10,
+        k_inner: int = 5,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES terms-inside-terms drill-down (the two-level Kibana table):
+        top-``k`` outer buckets by doc_count, each holding its own
+        top-``k_inner`` inner buckets — both levels ordered count desc /
+        key asc, inner counts scoped to their outer bucket.
+
+        Plan: ONE two-key hash aggregate (partial map-side), the outer
+        totals recovered from the pair counts with a window sum instead
+        of a second scan; the per-parent inner cut is a row_number window
+        over the ≤(outer×inner) reduced pair table. Never a second pass
+        over the match set."""
+        joined = self._match_meta(query, field, [by, then_by], filters)
+        pairs = joined.groupBy(by, then_by).agg(
+            F.count("*").alias("doc_count")
+        )
+        wtot = Window.partitionBy(by)
+        pairs = pairs.withColumn(
+            "outer_count", F.sum("doc_count").over(wtot)
+        )
+        wout = Window.orderBy(F.desc("outer_count"), F.asc(by))
+        win = Window.partitionBy(by).orderBy(
+            F.desc("doc_count"), F.asc(then_by)
+        )
+        ranked = (
+            pairs.withColumn("_ri", F.row_number().over(win))
+            .filter(F.col("_ri") <= int(k_inner))
+            .withColumn("_ro", F.dense_rank().over(wout))
+            .filter(F.col("_ro") <= int(k))
+        )
+        return ranked.select(
+            by, "outer_count", then_by, "doc_count"
+        ).orderBy(
+            F.desc("outer_count"), F.asc(by),
+            F.desc("doc_count"), F.asc(then_by),
+        )
+
+    def bucket_correlation(
+        self,
+        query: str | None,
+        on: str,
+        value: str,
+        interval: str = "day",
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``bucket_correlation`` pipeline agg (the useful core):
+        Pearson correlation between the date_histogram's doc_count
+        series and a per-bucket metric (sum of ``value``) — "does volume
+        track the metric over time". One two-metric bucket aggregate,
+        then corr() over the ≤k-row reduced table. Returns one row."""
+        joined = self._match_meta(query, field, [on, value], filters)
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        buckets = (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.sum(value).alias("_m"),
+            )
+            .limit(k)
+        )
+        return buckets.agg(
+            F.round(
+                F.corr(
+                    F.col("doc_count").cast("double"),
+                    F.col("_m").cast("double"),
+                ),
+                6,
+            ).alias("correlation"),
+            F.count("*").alias("n_buckets"),
+        )
+
     def bucket_script(
         self,
         query: str | None,

@@ -174,3 +174,74 @@ def test_random_sampler_dsl(built_index):
     assert [tuple(r) for r in out["s"].collect()] == [
         tuple(r) for r in want.collect()
     ]
+
+
+def test_facet_nested(built_index, src, oracle):
+    got = built_index.facet_nested(
+        "the", by="role", then_by="tool", k=3, k_inner=2
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    pairs = sub.groupby(["role", "tool"], dropna=False).size().reset_index(name="n")
+    outer = sub.groupby("role").size().sort_values(ascending=False)
+    want = []
+    for role in sorted(outer.index, key=lambda r: (-outer[r], r))[:3]:
+        inner = pairs[pairs.role == role].sort_values(
+            ["n", "tool"], ascending=[False, True], na_position="last"
+        ).head(2)
+        for r in inner.itertuples():
+            want.append((role, int(outer[role]),
+                         None if r.tool != r.tool else r.tool, int(r.n)))
+    got_t = [
+        (r.role, int(r.outer_count), r.tool, int(r.doc_count))
+        for r in got.itertuples()
+    ]
+    assert got_t == want
+    # inner counts sum to <= outer count; each parent has <= k_inner rows
+    per = got.groupby("role").size()
+    assert (per <= 2).all()
+
+
+def test_facet_nested_dsl_and_bucket_corr(built_index):
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {
+            "terms": {"field": "role", "size": 3},
+            "aggs": {"tools": {"terms": {"field": "tool", "size": 2}}},
+        }},
+    })
+    want = built_index.facet_nested("the", by="role", then_by="tool", k=3, k_inner=2)
+    assert [tuple(r) for r in out["roles"].collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    out = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {
+                "m": {"sum": {"field": "turn_idx"}},
+                "c": {"bucket_correlation": {"buckets_path": "m"}},
+            },
+        }},
+    })
+    want = built_index.bucket_correlation(
+        "the", on="ts", value="turn_idx", interval="hour"
+    )
+    assert [tuple(r) for r in out["daily"].collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_bucket_correlation_value(built_index, src, oracle):
+    import numpy as np
+
+    got = built_index.bucket_correlation(
+        "the", on="ts", value="turn_idx", interval="hour"
+    ).collect()[0]
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)].copy()
+    sub["bucket"] = sub["ts"].dt.floor("h")
+    g = sub.groupby("bucket").agg(n=("doc_id", "size"), m=("turn_idx", "sum"))
+    want = round(float(np.corrcoef(g["n"], g["m"])[0, 1]), 6)
+    assert got["correlation"] == pytest.approx(want)
+    assert got["n_buckets"] == len(g)
