@@ -1678,6 +1678,7 @@ def _decorated(
     if kind == "sort":
         s = body["sort"]
         s = s[0] if isinstance(s, (list, tuple)) and s else s
+        o = None
         if isinstance(s, str):
             by, order = s, "desc"
         elif isinstance(s, dict) and len(s) == 1:
@@ -1687,6 +1688,31 @@ def _decorated(
             )
         else:
             raise DslError(f"sort: unsupported spec {body['sort']!r}")
+        if by == "_geo_distance":
+            # ES geo_distance sort: nearest-first hits with the distance
+            # as the sort value — the engine's geo_distance() IS this
+            # (origin + an unbounded radius), so map onto it
+            if not isinstance(o, dict):
+                raise DslError(
+                    "_geo_distance sort: need {<geo_field>: {lat, lon}}"
+                )
+            gf = [kk for kk in o if kk not in ("order", "unit")]
+            if len(gf) != 1:
+                raise DslError(
+                    "_geo_distance sort: exactly one geo field expected"
+                )
+            if o.get("order", "asc") != "asc" or o.get("unit", "km") != "km":
+                raise DslError(
+                    "_geo_distance sort: only order=asc, unit=km supported"
+                )
+            latc, lonc = cp._geo_cols("_geo_distance", gf[0], None)
+            pt = o[gf[0]]
+            return ix.geo_distance(
+                (float(pt["lat"]), float(pt["lon"])),
+                float("inf"),
+                lat=latc, lon=lonc, query=query, k=size,
+                field=field, filters=filters,
+            )
         if by == "_score":
             raise DslError("sort by _score is the default — omit 'sort'")
         if by not in cp.meta_cols:

@@ -237,3 +237,26 @@ def test_composite_date_histogram_source(built_index):
 
     got = pd.concat(pages, ignore_index=True)
     assert got.values.tolist() == full.values.tolist()
+
+
+def test_geo_distance_sort(built_index, geo_index):
+    got = built_index.search({
+        "runtime_mappings": RM,
+        "query": {"match": {"text": "the"}},
+        "sort": [{"_geo_distance": {
+            "location": {"lat": 10.0, "lon": 20.0},
+            "order": "asc", "unit": "km",
+        }}],
+        "size": 5,
+    })
+    want = geo_index.geo_distance((10.0, 20.0), float("inf"), query="the", k=5)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.count() == 5
+    with pytest.raises(DslError, match="order=asc"):
+        built_index.search({
+            "runtime_mappings": RM,
+            "query": {"match": {"text": "the"}},
+            "sort": [{"_geo_distance": {
+                "location": {"lat": 0.0, "lon": 0.0}, "order": "desc",
+            }}],
+        })
