@@ -182,3 +182,126 @@ def create_index(
             {"mappings": mappings, "settings": settings or {}}, fh, indent=1
         )
     return metrics
+
+
+# --------------------------------------------------------------------------
+# index templates (ES _index_template): mapping bodies auto-applied to new
+# indexes whose name matches a registered pattern — the reference creates a
+# fresh dart-* index per corp/data-type, which is exactly the workflow
+# templates exist for. One JSON registry file (atomic tmp+rename), like the
+# alias registry: template metadata is driver-side bookkeeping, never data.
+# --------------------------------------------------------------------------
+
+
+class TemplateError(ValueError):
+    pass
+
+
+class TemplateRegistry:
+    """File-backed ES index-template registry under a base directory that
+    holds one index per subdirectory."""
+
+    def __init__(self, base_dir: str):
+        self.base_dir = base_dir
+        self.path = os.path.join(base_dir, "_index_templates.json")
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as fh:
+            return json.load(fh)
+
+    def _save(self, data: dict) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(data, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def put(
+        self,
+        name: str,
+        index_patterns: list[str],
+        mappings: dict,
+        settings: dict | None = None,
+        priority: int = 0,
+    ) -> None:
+        """PUT _index_template/{name}. The mapping body is validated NOW
+        (compile_mappings dry-run against its own declared fields) so a
+        broken template fails at registration, not at first index
+        creation."""
+        if not index_patterns:
+            raise TemplateError("index template: need index_patterns")
+        compile_mappings(
+            mappings, list((mappings.get("properties") or {}).keys())
+        )
+        data = self._load()
+        data[name] = {
+            "index_patterns": list(index_patterns),
+            "mappings": mappings,
+            "settings": settings or {},
+            "priority": int(priority),
+        }
+        self._save(data)
+
+    def delete(self, name: str) -> None:
+        data = self._load()
+        if name not in data:
+            raise TemplateError(f"no index template {name!r}")
+        del data[name]
+        self._save(data)
+
+    def get(self) -> dict:
+        return self._load()
+
+    def resolve(self, index_name: str) -> dict | None:
+        """The highest-priority template whose pattern matches — ES's
+        composition rule for non-composable templates (ties raise, as ES
+        rejects ambiguous priorities at create time)."""
+        import fnmatch
+
+        hits = [
+            (t["priority"], nm, t)
+            for nm, t in self._load().items()
+            if any(fnmatch.fnmatch(index_name, p) for p in t["index_patterns"])
+        ]
+        if not hits:
+            return None
+        hits.sort(key=lambda h: (-h[0], h[1]))
+        if len(hits) > 1 and hits[0][0] == hits[1][0]:
+            raise TemplateError(
+                f"index {index_name!r} matches templates "
+                f"{hits[0][1]!r} and {hits[1][1]!r} at equal priority "
+                f"{hits[0][0]} — set distinct priorities"
+            )
+        return hits[0][2]
+
+    def create_index(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        index_name: str,
+        doc_key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        config: BuildConfig | None = None,
+        force: bool = False,
+    ) -> dict:
+        """Create ``{base_dir}/{index_name}`` with the matching template's
+        mappings+settings applied — ES's create-with-template flow. No
+        matching template raises (an untemplated create should go through
+        create_index explicitly, not silently build a default layout)."""
+        t = self.resolve(index_name)
+        if t is None:
+            raise TemplateError(
+                f"no index template matches {index_name!r} — register one "
+                "or call create_index() with explicit mappings"
+            )
+        return create_index(
+            spark,
+            df,
+            os.path.join(self.base_dir, index_name),
+            t["mappings"],
+            settings=t["settings"],
+            doc_key_cols=doc_key_cols,
+            config=config,
+            force=force,
+        )

@@ -129,3 +129,36 @@ def test_cli_create_and_mapping(spark, transcripts_df, tmp_path, capsys):
     assert main(["mapping", "--index", idx]) == 0
     got = json.loads(capsys.readouterr().out)
     assert got["mappings"] == REF_STYLE_MAPPINGS
+
+
+def test_index_templates(spark, transcripts_df, tmp_path):
+    from dart_importer_spark.index.ddl import TemplateError, TemplateRegistry
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    reg = TemplateRegistry(str(tmp_path / "indexes"))
+    reg.put("dart", ["dart-*"], REF_STYLE_MAPPINGS,
+            settings={"number_of_shards": 2}, priority=10)
+    reg.put("catchall", ["*"], REF_STYLE_MAPPINGS, priority=0)
+    # registry round-trips through its file
+    reg2 = TemplateRegistry(str(tmp_path / "indexes"))
+    assert set(reg2.get()) == {"dart", "catchall"}
+    # highest priority wins; create applies its mappings + settings
+    m = reg2.create_index(spark, transcripts_df, "dart-2024")
+    assert m["n_docs"] > 0
+    ix = InvertedIndex(spark, str(tmp_path / "indexes" / "dart-2024"))
+    assert ix.mapping()["mappings"] == REF_STYLE_MAPPINGS
+    assert ix.mapping()["settings"]["number_of_shards"] == 2
+    # sayt subfields from the template really exist
+    assert ix.search_as_you_type("th").count() >= 0
+    # equal-priority ambiguity raises (ES rejects it too)
+    reg2.put("dup", ["dart-*"], REF_STYLE_MAPPINGS, priority=10)
+    with pytest.raises(TemplateError, match="equal priority"):
+        reg2.resolve("dart-2025")
+    reg2.delete("dup")
+    # no match -> explicit error, never a silent default layout
+    regx = TemplateRegistry(str(tmp_path / "empty"))
+    with pytest.raises(TemplateError, match="no index template matches"):
+        regx.create_index(spark, transcripts_df, "other-1")
+    # broken template body fails at PUT, not at create
+    with pytest.raises(ValueError):
+        reg2.put("bad", ["b-*"], {"properties": {"x": {"type": "nope"}}})
