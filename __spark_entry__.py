@@ -1519,6 +1519,15 @@ def q_ft_bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.bucket_correlation("data", on="ts", value="n_chars", interval="day")
 
 
+def q_ft_dh_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_histogram with a terms sub-agg — the Kibana stacked-bar
+    # shape: per day bucket, the top-2 langs with scoped counts
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_terms_nested(
+        "data", on="ts", then_by="lang", interval="day", k_inner=2
+    )
+
+
 def q_ft_moving_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES moving_percentiles pipeline agg, EXACT: trailing-3-day median of
     # n_chars per day bucket (ES merges t-digests; this recomputes the
@@ -2729,6 +2738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_moving_pct": q_ft_moving_pct,
         "ft_terms_nested": q_ft_terms_nested,
         "ft_bucket_corr": q_ft_bucket_corr,
+        "ft_dh_terms": q_ft_dh_terms,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5620,6 +5630,32 @@ ranked AS (
 SELECT lang, outer_count, source, doc_count FROM ranked
 WHERE ri <= 3 AND ro <= 5
 ORDER BY outer_count DESC, lang ASC, doc_count DESC, source ASC
+""",
+        "ft_dh_terms": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, d.lang,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents d
+),
+pairs AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         lang, count(*) AS doc_count
+  FROM hits JOIN meta USING (did)
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, CAST(sum(doc_count) OVER (PARTITION BY bucket) AS BIGINT)
+              AS outer_count,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY doc_count DESC, lang ASC) AS ri
+  FROM pairs
+)
+SELECT bucket, outer_count, lang, doc_count FROM tot
+WHERE ri <= 2
+ORDER BY bucket ASC, doc_count DESC, lang ASC
 """,
         "ft_bucket_corr": _DOCS_CTE
         + """

@@ -2474,6 +2474,16 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         ((_, a),) = sub.items()
         lag = int((a.get("serial_diff") or {}).get("lag", 1))
         return ix.serial_diff(on=on, interval=interval, lag=lag, **base)
+    if stypes == {"terms"}:
+        ((_, a),) = sub.items()
+        ss = a.get("terms") or {}
+        return ix.date_terms_nested(
+            on=on,
+            then_by=_metric_on(cp, "terms", ss),
+            interval=interval,
+            k_inner=int(ss.get("size", 5)),
+            **base,
+        )
     if stypes == {"rate"}:
         ((_, a),) = sub.items()
         ss = a.get("rate") or {}

@@ -3474,14 +3474,51 @@ class InvertedIndex:
         over the ≤(outer×inner) reduced pair table. Never a second pass
         over the match set."""
         joined = self._match_meta(query, field, [by, then_by], filters)
-        pairs = joined.groupBy(by, then_by).agg(
+        return self._nested_pairs(joined, F.col(by).alias(by), by, then_by, k, k_inner)
+
+    def date_terms_nested(
+        self,
+        query: str | None,
+        on: str,
+        then_by: str,
+        interval: str = "day",
+        k: int = 10000,
+        k_inner: int = 5,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """date_histogram with a terms sub-aggregation — the stacked-bar
+        Kibana chart (per time bucket, the top ``k_inner`` terms with
+        counts). Same single two-key aggregate as facet_nested, the outer
+        key being the calendar bucket; outer ordering is the time axis
+        (bucket asc), inner is count desc / key asc like ES."""
+        joined = self._match_meta(query, field, [on, then_by], filters)
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        ).alias("bucket")
+        out = self._nested_pairs(
+            joined, bucket, "bucket", then_by, k, k_inner, outer_by_key=True
+        )
+        return out.orderBy(
+            F.asc("bucket"), F.desc("doc_count"), F.asc(then_by)
+        )
+
+    def _nested_pairs(
+        self, joined, outer_expr, outer_name, then_by, k, k_inner,
+        outer_by_key: bool = False,
+    ) -> DataFrame:
+        by = outer_name
+        pairs = joined.groupBy(outer_expr, then_by).agg(
             F.count("*").alias("doc_count")
         )
         wtot = Window.partitionBy(by)
         pairs = pairs.withColumn(
             "outer_count", F.sum("doc_count").over(wtot)
         )
-        wout = Window.orderBy(F.desc("outer_count"), F.asc(by))
+        wout = (
+            Window.orderBy(F.asc(by)) if outer_by_key
+            else Window.orderBy(F.desc("outer_count"), F.asc(by))
+        )
         win = Window.partitionBy(by).orderBy(
             F.desc("doc_count"), F.asc(then_by)
         )

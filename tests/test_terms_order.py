@@ -245,3 +245,36 @@ def test_bucket_correlation_value(built_index, src, oracle):
     want = round(float(np.corrcoef(g["n"], g["m"])[0, 1]), 6)
     assert got["correlation"] == pytest.approx(want)
     assert got["n_buckets"] == len(g)
+
+
+def test_date_terms_nested(built_index, src, oracle):
+    got = built_index.date_terms_nested(
+        "the", on="ts", then_by="role", interval="hour", k_inner=2
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)].copy()
+    sub["bucket"] = sub["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    want = []
+    for b in sorted(sub["bucket"].unique()):
+        g = sub[sub["bucket"] == b]
+        inner = g.groupby("role").size().reset_index(name="n").sort_values(
+            ["n", "role"], ascending=[False, True]
+        ).head(2)
+        for r in inner.itertuples():
+            want.append((b, len(g), r.role, int(r.n)))
+    got_t = [
+        (r.bucket, int(r.outer_count), r.role, int(r.doc_count))
+        for r in got.itertuples()
+    ]
+    assert got_t == want
+
+    from dart_importer_spark.query import dsl as _dsl
+
+    out = _dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"hourly": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"roles": {"terms": {"field": "role", "size": 2}}},
+        }},
+    })
+    assert [tuple(r) for r in out["hourly"].collect()] == got_t
