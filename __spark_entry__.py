@@ -1519,6 +1519,16 @@ def q_ft_bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.bucket_correlation("data", on="ts", value="n_chars", interval="day")
 
 
+def q_ft_pipeline_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pipeline aggs over a METRIC series (ES buckets_path to a sum
+    # sibling): running total / derivative / trailing avg of
+    # sum(n_chars) per day
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_histogram_pipeline(
+        "data", on="ts", interval="day", window=3, value="n_chars"
+    )
+
+
 def q_ft_dh_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES date_histogram with a terms sub-agg — the Kibana stacked-bar
     # shape: per day bucket, the top-2 langs with scoped counts
@@ -2739,6 +2749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_terms_nested": q_ft_terms_nested,
         "ft_bucket_corr": q_ft_bucket_corr,
         "ft_dh_terms": q_ft_dh_terms,
+        "ft_pipeline_metric": q_ft_pipeline_metric,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5630,6 +5641,29 @@ ranked AS (
 SELECT lang, outer_count, source, doc_count FROM ranked
 WHERE ri <= 3 AND ro <= 5
 ORDER BY outer_count DESC, lang ASC, doc_count DESC, source ASC
+""",
+        "ft_pipeline_metric": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, n_chars,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+b AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS metric
+  FROM hits JOIN meta USING (did) GROUP BY 1
+)
+SELECT bucket, doc_count, metric,
+       CAST(sum(metric) OVER (ORDER BY bucket) AS BIGINT) AS cum_count,
+       CAST(metric - lag(metric) OVER (ORDER BY bucket) AS DOUBLE)
+         AS derivative,
+       round(avg(CAST(metric AS DOUBLE)) OVER (
+         ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS moving_avg
+FROM b ORDER BY bucket ASC
 """,
         "ft_dh_terms": _DOCS_CTE
         + """

@@ -2461,14 +2461,21 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         st for a in sub.values()
         for st in a if st not in ("aggs", "aggregations")
     }
-    if stypes <= {"cumulative_sum", "derivative", "moving_fn", "moving_avg"}:
-        window = 3
+    if stypes <= {
+        "cumulative_sum", "derivative", "moving_fn", "moving_avg", "sum"
+    } and stypes - {"sum"}:
+        window, value = 3, None
         for a in sub.values():
             for st, ss in a.items():
                 if st in ("moving_fn", "moving_avg") and ss.get("window"):
                     window = int(ss["window"])
+                elif st == "sum":
+                    # a sum sibling = the buckets_path target: pipelines
+                    # run over the metric series instead of doc_count
+                    value = (ss or {}).get("field")
+                    cp._meta_field("sum", value, None)
         return ix.date_histogram_pipeline(
-            on=on, interval=interval, window=window, **base
+            on=on, interval=interval, window=window, value=value, **base
         )
     if stypes == {"serial_diff"}:
         ((_, a),) = sub.items()

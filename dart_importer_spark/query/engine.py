@@ -3409,6 +3409,7 @@ class InvertedIndex:
         k: int = 10000,
         field: str | int | None = None,
         filters: Column | None = None,
+        value: str | None = None,
     ) -> DataFrame:
         """ES pipeline aggregations over a date_histogram's buckets:
         ``cumulative_sum`` (running doc_count), ``derivative``
@@ -3419,6 +3420,11 @@ class InvertedIndex:
         The Kibana time-series shapes (rate-of-change, running total,
         smoothing) over the reference's time axis
         (import_dart_data.py:436-440).
+
+        ``value``: pipeline over a METRIC series instead of doc_count —
+        ES's buckets_path to a sum sibling: each bucket carries
+        sum(value) as ``metric`` and the pipelines read that column
+        (cum_count stays the running metric total).
 
         Scale note: pipeline aggs reduce the ALREADY-AGGREGATED bucket
         table (≤k rows by construction) — the single-partition window
@@ -3431,23 +3437,38 @@ class InvertedIndex:
             raise ValueError(f"pipeline: window must be >= 1, got {window}")
         from pyspark.sql.window import Window
 
-        buckets = self.date_histogram(
-            query, on, interval, k=k, field=field, filters=filters
-        )
+        if value is None:
+            buckets = self.date_histogram(
+                query, on, interval, k=k, field=field, filters=filters
+            )
+            series = "doc_count"
+        else:
+            joined = self._match_meta(query, field, [on, value], filters)
+            bucket = F.date_format(
+                F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+            )
+            buckets = (
+                joined.groupBy(bucket.alias("bucket"))
+                .agg(
+                    F.count("*").alias("doc_count"),
+                    F.sum(value).alias("metric"),
+                )
+                .orderBy(F.asc("bucket"))
+                .limit(k)
+            )
+            series = "metric"
         w = Window.orderBy("bucket")
         wmov = w.rowsBetween(-(window - 1), 0)
         return (
-            buckets.withColumn("cum_count", F.sum("doc_count").over(w))
+            buckets.withColumn("cum_count", F.sum(series).over(w))
             .withColumn(
                 "derivative",
-                (F.col("doc_count") - F.lag("doc_count").over(w)).cast(
-                    "double"
-                ),
+                (F.col(series) - F.lag(series).over(w)).cast("double"),
             )
             .withColumn(
                 "moving_avg",
                 F.round(
-                    F.avg(F.col("doc_count").cast("double")).over(wmov), 6
+                    F.avg(F.col(series).cast("double")).over(wmov), 6
                 ),
             )
             .orderBy(F.asc("bucket"))

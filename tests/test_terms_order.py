@@ -278,3 +278,41 @@ def test_date_terms_nested(built_index, src, oracle):
         }},
     })
     assert [tuple(r) for r in out["hourly"].collect()] == got_t
+
+
+def test_pipeline_over_metric_series(built_index, src, oracle):
+    got = built_index.date_histogram_pipeline(
+        "the", on="ts", interval="hour", window=2, value="turn_idx"
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)].copy()
+    sub["bucket"] = sub["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    g = sub.groupby("bucket")["turn_idx"].sum().sort_index()
+    assert list(got["metric"]) == list(g.values)
+    assert list(got["cum_count"]) == list(g.cumsum().values)
+    deriv = [None] + [float(b - a) for a, b in zip(g.values, g.values[1:])]
+    got_d = [None if d != d else d for d in got["derivative"]]
+    assert got_d == pytest.approx(deriv)
+    mov = [round(float(sum(g.values[max(0, i - 1): i + 1]) /
+                       len(g.values[max(0, i - 1): i + 1])), 6)
+           for i in range(len(g))]
+    assert list(got["moving_avg"]) == pytest.approx(mov)
+
+    from dart_importer_spark.query import dsl as _dsl
+
+    out = _dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"hourly": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {
+                "m": {"sum": {"field": "turn_idx"}},
+                "d": {"derivative": {"buckets_path": "m"}},
+                "mv": {"moving_fn": {"buckets_path": "m", "window": 2}},
+            },
+        }},
+    })
+    assert [tuple(r) for r in out["hourly"].collect()] == [
+        tuple(r) for r in built_index.date_histogram_pipeline(
+            "the", on="ts", interval="hour", window=2, value="turn_idx"
+        ).collect()
+    ]
