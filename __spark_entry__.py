@@ -1519,6 +1519,14 @@ def q_ft_bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.bucket_correlation("data", on="ts", value="n_chars", interval="day")
 
 
+def q_ft_top_hits_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date_histogram + top_hits: the 2 best BM25 hits per day bucket
+    ix = _documents_index(spark, sf_dir)
+    return ix.top_hits(
+        "data merge", by="ts", size=2, interval="day", round_scores=6
+    )
+
+
 def q_ft_pipeline_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pipeline aggs over a METRIC series (ES buckets_path to a sum
     # sibling): running total / derivative / trailing avg of
@@ -2750,6 +2758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_corr": q_ft_bucket_corr,
         "ft_dh_terms": q_ft_dh_terms,
         "ft_pipeline_metric": q_ft_pipeline_metric,
+        "ft_top_hits_dh": q_ft_top_hits_dh,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5641,6 +5650,44 @@ ranked AS (
 SELECT lang, outer_count, source, doc_count FROM ranked
 WHERE ri <= 3 AND ro <= 5
 ORDER BY outer_count DESC, lang ASC, doc_count DESC, source ASC
+""",
+        "ft_top_hits_dh": """
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, regexp_extract_all(lower(text), '[0-9a-z_]+|[ㄱ-ퟝ一-鿿]+') AS lst FROM docs),
+tf AS (SELECT did, unnest(lst) AS term FROM t),
+tfc AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tf GROUP BY 1, 2),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tfc GROUP BY 1),
+bm AS (
+  SELECT tfc.did, tfc.term,
+         ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+         * tfc.tf / (tfc.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+  FROM tfc JOIN dft USING (term) JOIN dl ON dl.did = tfc.did CROSS JOIN st s
+),
+scored AS (
+  SELECT did, round(sum(sc), 6) AS score FROM bm
+  WHERE term IN ('data', 'merge') GROUP BY did
+),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         strftime(date_trunc('day',
+           TIMESTAMP '2024-01-01 00:00:00'
+             + (doc_id % 1000) * INTERVAL 1 HOUR), '%Y-%m-%d %H:%M:%S')
+           AS bucket
+  FROM documents
+),
+ranked AS (
+  SELECT meta.bucket, scored.did AS doc_id, scored.score,
+         row_number() OVER (
+           PARTITION BY meta.bucket ORDER BY scored.score DESC, scored.did ASC
+         ) AS rank
+  FROM scored JOIN meta ON meta.did = scored.did
+)
+SELECT bucket, doc_id, score, rank::INT AS rank FROM ranked
+WHERE rank <= 2 ORDER BY bucket, rank
 """,
         "ft_pipeline_metric": _DOCS_CTE
         + """

@@ -2481,6 +2481,17 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         ((_, a),) = sub.items()
         lag = int((a.get("serial_diff") or {}).get("lag", 1))
         return ix.serial_diff(on=on, interval=interval, lag=lag, **base)
+    if stypes == {"top_hits"}:
+        ((_, a),) = sub.items()
+        ss = a.get("top_hits") or {}
+        if base["filters"] is not None:
+            raise DslError("top_hits: filtered context unsupported")
+        if base["query"] is None:
+            raise DslError("top_hits needs a match query context")
+        return ix.top_hits(
+            base["query"], by=on, size=int(ss.get("size", 3)),
+            field=base["field"], interval=interval,
+        )
     if stypes == {"terms"}:
         ((_, a),) = sub.items()
         ss = a.get("terms") or {}

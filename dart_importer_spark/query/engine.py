@@ -5714,24 +5714,40 @@ class InvertedIndex:
         size: int = 3,
         field: str | int | None = None,
         round_scores: int | None = None,
+        interval: str | None = None,
     ) -> DataFrame:
         """ES terms aggregation with a top_hits sub-aggregation: the
         ``size`` best BM25 hits per bucket of a doc_stats column. One
         scoring pass (unpruned — every bucket needs its own top ranks, so
         a global θ is invalid) + one window shuffle partitioned by
-        bucket."""
+        bucket.
+
+        ``interval``: bucket a TIMESTAMP column by calendar interval
+        instead (date_histogram + top_hits — "the best hit per day");
+        the output key column is named ``bucket``."""
         fid = self._fid(field)
         terms = sorted(set(self._analyze(query, field)))
         terms = [t for t in terms if t]
         sc = self._bm25_scores(terms, fid)
         if sc is None:
+            name = "bucket" if interval is not None else by
             return self.spark.createDataFrame(
-                [], f"{by} string, doc_id long, score double, rank int"
+                [], f"{name} string, doc_id long, score double, rank int"
             )
         sc = self._live(sc)
         if round_scores is not None:
             sc = sc.withColumn("score", F.round("score", round_scores))
-        joined = sc.join(self.doc_stats().select("doc_id", by), "doc_id")
+        ds = self.doc_stats().select("doc_id", by)
+        if interval is not None:
+            ds = ds.select(
+                "doc_id",
+                F.date_format(
+                    F.date_trunc(interval, F.col(by)),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("bucket"),
+            )
+            by = "bucket"
+        joined = sc.join(ds, "doc_id")
         from pyspark.sql.window import Window
 
         w = (

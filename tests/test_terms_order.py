@@ -316,3 +316,36 @@ def test_pipeline_over_metric_series(built_index, src, oracle):
             "the", on="ts", interval="hour", window=2, value="turn_idx"
         ).collect()
     ]
+
+
+def test_top_hits_per_date_bucket(built_index, src, oracle):
+    got = built_index.top_hits(
+        "the", by="ts", size=2, interval="hour", round_scores=6
+    ).toPandas()
+    # per-bucket membership: each bucket's hits are the 2 best-scoring
+    # docs whose ts falls in it (scores from the engine's own topk)
+    all_hits = built_index.topk("the", k=100000, round_scores=6).toPandas()
+    m = src.set_index("doc_id")["ts"]
+    all_hits["bucket"] = (
+        all_hits["doc_id"].map(m).dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    )
+    for b, g in all_hits.groupby("bucket"):
+        want = g.sort_values(["score", "doc_id"], ascending=[False, True]).head(2)
+        gb = got[got["bucket"] == b]
+        assert list(gb["doc_id"]) == list(want["doc_id"])
+        assert list(gb["rank"]) == list(range(1, len(want) + 1))
+
+    from dart_importer_spark.query import dsl as _dsl
+
+    out = _dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"daily": {
+            "date_histogram": {"field": "ts", "calendar_interval": "hour"},
+            "aggs": {"best": {"top_hits": {"size": 2}}},
+        }},
+    })
+    assert sorted(tuple(r) for r in out["daily"].collect()) == sorted(
+        tuple(r) for r in built_index.top_hits(
+            "the", by="ts", size=2, interval="hour"
+        ).collect()
+    )
