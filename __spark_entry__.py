@@ -1519,6 +1519,15 @@ def q_ft_bucket_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.bucket_correlation("data", on="ts", value="n_chars", interval="day")
 
 
+def q_ft_facet_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # terms + percentiles sub-agg: per-lang exact interpolated quartiles
+    # of n_chars over the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.facet_percentiles(
+        "data", by="lang", on="n_chars", percents=(25.0, 50.0, 75.0), k=5
+    )
+
+
 def q_ft_top_hits_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # date_histogram + top_hits: the 2 best BM25 hits per day bucket
     ix = _documents_index(spark, sf_dir)
@@ -2759,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dh_terms": q_ft_dh_terms,
         "ft_pipeline_metric": q_ft_pipeline_metric,
         "ft_top_hits_dh": q_ft_top_hits_dh,
+        "ft_facet_pct": q_ft_facet_pct,
         "ft_sort_field": q_ft_sort_field,
         "ft_suggest_phrase": q_ft_suggest_phrase,
         "ft_dh_filled": q_ft_dh_filled,
@@ -5650,6 +5660,24 @@ ranked AS (
 SELECT lang, outer_count, source, doc_count FROM ranked
 WHERE ri <= 3 AND ro <= 5
 ORDER BY outer_count DESC, lang ASC, doc_count DESC, source ASC
+""",
+        "ft_facet_pct": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+b AS (
+  SELECT lang, count(*) AS doc_count,
+         quantile_cont(n_chars, [0.25, 0.50, 0.75]) AS q
+  FROM hits JOIN docs USING (did)
+  GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 5
+),
+e AS (
+  SELECT lang, doc_count,
+         unnest([25.0, 50.0, 75.0]) AS percent,
+         unnest(q) AS value
+  FROM b
+)
+SELECT lang, doc_count, percent, round(value, 6) AS value FROM e
+ORDER BY doc_count DESC, lang ASC, percent ASC
 """,
         "ft_top_hits_dh": """
 WITH docs AS (

@@ -2391,6 +2391,17 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
             k_inner=int(ss.get("size", 5)),
             **base,
         )
+    if st == "percentiles":
+        if order is not None:
+            raise DslError(
+                "terms order: unsupported with a percentiles sub-agg"
+            )
+        kwargs = {}
+        if ss.get("percents"):
+            kwargs["percents"] = [float(x) for x in ss["percents"]]
+        return ix.facet_percentiles(
+            by=by, on=_metric_on(cp, st, ss), k=size, **kwargs, **base
+        )
     if st in ("stats", "avg", "min", "max", "sum"):
         if order is not None:
             key, direction = order

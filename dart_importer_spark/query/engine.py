@@ -3556,6 +3556,55 @@ class InvertedIndex:
             F.desc("doc_count"), F.asc(then_by),
         )
 
+    def facet_percentiles(
+        self,
+        query: str | None,
+        by: str,
+        on: str,
+        percents: Sequence[float] = (25.0, 50.0, 75.0),
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES terms aggregation with a percentiles sub-aggregation (the
+        per-category latency-distribution dashboard): top-``k`` buckets
+        by doc_count, each with EXACT linearly-interpolated percentiles
+        of ``on`` (the same exact-beats-t-digest call percentiles()
+        makes). One hash aggregate computing all percents per bucket,
+        exploded to (bucket, doc_count, percent, value) rows."""
+        if not percents:
+            raise ValueError("facet_percentiles: need at least one percent")
+        for p in percents:
+            if not 0.0 <= float(p) <= 100.0:
+                raise ValueError(f"facet_percentiles: bad percent {p}")
+        joined = self._match_meta(query, field, [by, on], filters)
+        fracs = ", ".join(str(float(p) / 100.0) for p in percents)
+        plist = ", ".join(str(float(p)) for p in percents)
+        buckets = (
+            joined.groupBy(by)
+            .agg(
+                F.count("*").alias("doc_count"),
+                F.expr(f"percentile({on}, array({fracs}))").alias("_q"),
+            )
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+        pair = F.explode(
+            F.arrays_zip(
+                F.expr(f"array({plist})").alias("percent"),
+                F.transform("_q", lambda v: F.round(v, 6)).alias("value"),
+            )
+        )
+        return (
+            buckets.select(by, "doc_count", pair.alias("_p"))
+            .select(
+                by, "doc_count",
+                F.col("_p.percent").alias("percent"),
+                F.col("_p.value").alias("value"),
+            )
+            .orderBy(F.desc("doc_count"), F.asc(by), F.asc("percent"))
+        )
+
     def bucket_correlation(
         self,
         query: str | None,

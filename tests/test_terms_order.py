@@ -349,3 +349,41 @@ def test_top_hits_per_date_bucket(built_index, src, oracle):
             "the", by="ts", size=2, interval="hour"
         ).collect()
     )
+
+
+def test_facet_percentiles(built_index, src, oracle):
+    import numpy as np
+
+    got = built_index.facet_percentiles(
+        "the", by="role", on="turn_idx", percents=(25.0, 50.0, 90.0)
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    outer = sub.groupby("role").size().sort_values(ascending=False)
+    want = []
+    for role in sorted(outer.index, key=lambda r: (-outer[r], r)):
+        vals = sub[sub["role"] == role]["turn_idx"].to_numpy(dtype=float)
+        for p in (25.0, 50.0, 90.0):
+            want.append((role, int(outer[role]), p,
+                         round(float(np.percentile(vals, p)), 6)))
+    got_t = [
+        (r.role, int(r.doc_count), float(r.percent), float(r.value))
+        for r in got.itertuples()
+    ]
+    assert got_t == pytest.approx(want)
+
+    from dart_importer_spark.query import dsl as _dsl
+
+    out = _dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"roles": {
+            "terms": {"field": "role"},
+            "aggs": {"lat": {"percentiles": {
+                "field": "turn_idx", "percents": [25, 50, 90]}}},
+        }},
+    })
+    assert [tuple(r) for r in out["roles"].collect()] == [
+        tuple(r) for r in built_index.facet_percentiles(
+            "the", by="role", on="turn_idx", percents=(25.0, 50.0, 90.0)
+        ).collect()
+    ]
