@@ -2646,6 +2646,80 @@ def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(docs, "doc_id", "text", n=5, min_df=2)
 
 
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL (the modern _query surface, query/esql.py): STATS ... BY over
+    # the raw table — WHERE/EVAL/STATS compile to one Catalyst plan
+    from dart_importer_spark.query.esql import esql
+
+    docs = _load(spark, sf_dir, "documents")
+    return esql(
+        spark,
+        "FROM documents | WHERE n_chars >= 100 "
+        "| STATS cnt = COUNT(*), avg_chars = ROUND(AVG(n_chars), 6) BY lang "
+        "| SORT cnt DESC, lang ASC | LIMIT 10",
+        {"documents": docs},
+    )
+
+
+def q_esql_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL EVAL/KEEP/SORT/LIMIT: projections stay pure Catalyst, the
+    # WHERE on a derived column still prunes via the scan filter
+    from dart_importer_spark.query.esql import esql
+
+    docs = _load(spark, sf_dir, "documents")
+    return esql(
+        spark,
+        "FROM documents "
+        "| EVAL bucket = FLOOR(n_chars / 100) * 100, src = TO_UPPER(source) "
+        "| WHERE bucket >= 200 | KEEP doc_id, bucket, src "
+        "| SORT doc_id ASC | LIMIT 100",
+        {"documents": docs},
+    )
+
+
+def q_esql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL full-text: MATCH() + METADATA _score over the inverted index —
+    # the postings-scan doc set joins back as a doc_id semi-join, score-
+    # identical to InvertedIndex.topk (tests/test_esql.py rank-identity)
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    return eng.query(
+        "FROM documents METADATA _score\n"
+        '| WHERE MATCH(text, "data merge") AND lang == "en"\n'
+        "| EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 15"
+    )
+
+
+def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL QSTR(): the full query_string boolean grammar as a filter-
+    # context doc set, then STATS BY on stored meta columns
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    return eng.query(
+        'FROM documents | WHERE QSTR("data AND (merge OR scan)")\n'
+        "| STATS n = COUNT(*), med = MEDIAN(n_chars) BY lang | SORT lang ASC"
+    )
+
+
+def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL DISSECT: the pattern compiles to ONE anchored regex evaluated
+    # JVM-side (regexp_extract per key), no Python row path
+    from dart_importer_spark.query.esql import esql
+
+    docs = _load(spark, sf_dir, "documents")
+    return esql(
+        spark,
+        'FROM documents | DISSECT source "src%{num}" | EVAL n = num::LONG '
+        "| STATS cnt = COUNT(*) BY n | SORT n ASC | LIMIT 25",
+        {"documents": docs},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-sampled before r04 — evidence priority ---
@@ -2918,6 +2992,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy": q_ft_fuzzy,
         "ft_suggest": q_ft_suggest,
         "ft_histogram": q_ft_histogram,
+        "esql_stats": q_esql_stats,
+        "esql_eval": q_esql_eval,
+        "esql_match": q_esql_match,
+        "esql_qstr": q_esql_qstr,
+        "esql_dissect": q_esql_dissect,
     }
 
 
@@ -6272,5 +6351,35 @@ SELECT id, count(*) AS n_ngrams,
              / count(*), 6) AS dup_fraction
 FROM g JOIN d USING (ng)
 GROUP BY id ORDER BY id
+""",
+        "esql_stats": """
+SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars
+FROM documents WHERE n_chars >= 100
+GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10
+""",
+        "esql_eval": """
+SELECT doc_id, CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,
+       upper(source) AS src
+FROM documents
+WHERE CAST(floor(n_chars / 100.0) * 100 AS BIGINT) >= 200
+ORDER BY doc_id ASC LIMIT 100
+""",
+        "esql_match": _bm25_oracle(
+            ["data", "merge"], 15, doc_filter="d.lang = 'en'"
+        ),
+        "esql_qstr": _DOCS_CTE
+        + """
+, h_data AS (SELECT DISTINCT did FROM tok WHERE term = 'data'),
+h_ms AS (SELECT DISTINCT did FROM tok WHERE term IN ('merge', 'scan')),
+hits AS (SELECT did FROM h_data INTERSECT SELECT did FROM h_ms)
+SELECT lang, count(*) AS n, median(n_chars) AS med
+FROM hits JOIN docs USING (did)
+GROUP BY lang ORDER BY lang ASC
+""",
+        "esql_dissect": """
+SELECT CAST(NULLIF(regexp_extract(source, '^src(.*)$', 1), '') AS BIGINT)
+         AS n,
+       count(*) AS cnt
+FROM documents GROUP BY n ORDER BY n ASC LIMIT 25
 """,
     }

@@ -1,0 +1,1185 @@
+"""ES|QL — Elasticsearch's ``_query`` pipe language — compiled to Spark.
+
+The reference's users query Elasticsearch; since 8.11 the primary ad-hoc
+surface there is ES|QL (``POST /_query {"query": "FROM idx | WHERE ... |
+STATS ... BY ..."}``).  This module gives the engine that surface: a
+recursive-descent parser for the public ES|QL grammar and a compiler that
+turns each pipe command into DataFrame transformations, so the WHOLE query
+becomes one Catalyst plan (filter pushdown, column pruning and partial
+aggregation all apply — nothing is evaluated driver-side).
+
+Spark-first mapping, command by command:
+
+===============  ==========================================================
+``FROM``         named table (or index pattern) -> the relation; an
+                 ``InvertedIndex`` source exposes ``doc_id`` + its stored
+                 meta columns (the ES ``_source`` model)
+``WHERE``        ``df.filter(<Column>)``; full-text predicates
+                 (``MATCH``/``QSTR``) are extracted from the top-level AND
+                 chain and become bucket-pruned postings scans joined back
+                 as doc_id semi/anti-joins — the 100-TB shape: the posting
+                 scan touches only the query terms' buckets, never the
+                 corpus
+``EVAL``         sequential ``withColumn`` projections (pure Catalyst)
+``STATS .. BY``  ``groupBy(keys).agg(...)`` — map-side partial agg for free
+``SORT/LIMIT``   ``orderBy`` + ``limit`` -> TakeOrderedAndProject
+``KEEP/DROP``    column pruning, wildcard patterns expanded in order
+``RENAME``       ``withColumnRenamed``
+``MV_EXPAND``    ``explode_outer`` (null-preserving, like ES|QL)
+``DISSECT``      one anchored regex compiled from the dissect pattern;
+                 per-key ``regexp_extract`` (no Python row path)
+``ENRICH``       broadcast left join against the registered policy table
+``ROW``          single-row literal relation (``spark.range(1)`` + select)
+===============  ==========================================================
+
+``METADATA _score`` attaches the BM25 score of the positive ``MATCH``
+predicates (sum over multiple, like ES|QL) via the engine's scored match
+path — rank- and score-identical to :meth:`InvertedIndex.topk`.
+
+Deviations from ES|QL, documented rather than silent (the repo rule: raise
+on divergence, never return different-from-ES results quietly):
+
+- integer ``/`` follows Spark/SQL double division (ES|QL truncates INT/INT);
+  cast explicitly (``::LONG``) where it matters.
+- ``PERCENTILE``/``MEDIAN`` are EXACT (ES|QL uses t-digest approximations);
+  exactness is what the DuckDB gate oracles verify.
+- full-text functions must be top-level AND conjuncts of a ``WHERE`` on the
+  index source (ES|QL has the same placement restriction; we additionally
+  reject OR-composition with relational predicates instead of mis-scoring).
+
+Reference parity: the reference exposes its data through Elasticsearch
+queries (QueryDART.md; Running-ELK.md:112-294); ES|QL is the modern form of
+that surface.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class EsqlError(ValueError):
+    """Parse or compile error for an ES|QL query."""
+
+
+# --------------------------------------------------------------------------
+# Lexer
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<bq>`[^`]*`)
+  | (?P<ident>[A-Za-z_@][A-Za-z0-9_.]*)
+  | (?P<op>==|!=|<=|>=|::|[|,()\[\]+\-*/%<>=])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\"}
+
+
+@dataclass
+class _Tok:
+    typ: str  # num / str / ident / op / eof
+    val: str
+    pos: int
+
+
+def _lex(text: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise EsqlError(f"ES|QL: cannot tokenize at {text[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        v = m.group()
+        if kind == "str":
+            body = v[1:-1]
+            out, j = [], 0
+            while j < len(body):
+                if body[j] == "\\" and j + 1 < len(body):
+                    out.append(_ESCAPES.get(body[j + 1], body[j + 1]))
+                    j += 2
+                else:
+                    out.append(body[j])
+                    j += 1
+            toks.append(_Tok("str", "".join(out), m.start()))
+        elif kind == "bq":
+            toks.append(_Tok("ident", v[1:-1], m.start()))
+        else:
+            toks.append(_Tok(kind, v, m.start()))
+    toks.append(_Tok("eof", "", len(text)))
+    return toks
+
+
+# --------------------------------------------------------------------------
+# Parser -> AST (plain tuples; first element is the node kind)
+# --------------------------------------------------------------------------
+
+_DUR_UNITS = {
+    "millisecond": "millisecond", "milliseconds": "millisecond", "ms": "millisecond",
+    "second": "second", "seconds": "second", "sec": "second", "s": "second",
+    "minute": "minute", "minutes": "minute", "min": "minute",
+    "hour": "hour", "hours": "hour", "h": "hour",
+    "day": "day", "days": "day", "d": "day",
+    "week": "week", "weeks": "week", "w": "week",
+    "month": "month", "months": "month", "mo": "month",
+    "quarter": "quarter", "quarters": "quarter", "q": "quarter",
+    "year": "year", "years": "year", "yr": "year", "y": "year",
+}
+
+_CAST_TYPES = {
+    "integer": "int", "int": "int", "long": "long", "double": "double",
+    "keyword": "string", "string": "string", "text": "string",
+    "boolean": "boolean", "bool": "boolean", "datetime": "timestamp",
+    "date": "date", "float": "float", "unsigned_long": "long",
+}
+
+_COMMANDS = {
+    "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
+    "mv_expand", "dissect", "enrich", "grok",
+}
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _lex(text)
+        self.i = 0
+
+    # -- token helpers -----------------------------------------------------
+    def peek(self, off: int = 0) -> _Tok:
+        return self.toks[min(self.i + off, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        if t.typ != "eof":
+            self.i += 1
+        return t
+
+    def kw(self, word: str) -> bool:
+        t = self.peek()
+        if t.typ == "ident" and t.val.lower() == word:
+            self.i += 1
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.kw(word):
+            raise EsqlError(f"ES|QL: expected {word.upper()} at {self._at()}")
+
+    def op(self, sym: str) -> bool:
+        t = self.peek()
+        if t.typ == "op" and t.val == sym:
+            self.i += 1
+            return True
+        return False
+
+    def expect_op(self, sym: str) -> None:
+        if not self.op(sym):
+            raise EsqlError(f"ES|QL: expected {sym!r} at {self._at()}")
+
+    def _at(self) -> str:
+        t = self.peek()
+        return f"position {t.pos} ({self.text[t.pos:t.pos+20]!r})"
+
+    # -- query := source (| command)* --------------------------------------
+    def parse(self) -> list[tuple]:
+        cmds = [self.parse_source()]
+        while self.op("|"):
+            cmds.append(self.parse_command())
+        if self.peek().typ != "eof":
+            raise EsqlError(f"ES|QL: trailing input at {self._at()}")
+        return cmds
+
+    def parse_source(self) -> tuple:
+        if self.kw("from"):
+            names = [self.ident("index name")]
+            while self.op(","):
+                names.append(self.ident("index name"))
+            meta: list[str] = []
+            if self.kw("metadata"):
+                meta.append(self.ident("metadata field"))
+                while self.op(","):
+                    meta.append(self.ident("metadata field"))
+            return ("from", names, meta)
+        if self.kw("row"):
+            items = self.parse_assignments(require_name=True)
+            return ("row", items)
+        raise EsqlError(f"ES|QL: query must start with FROM or ROW, at {self._at()}")
+
+    def ident(self, what: str) -> str:
+        t = self.peek()
+        if t.typ != "ident":
+            raise EsqlError(f"ES|QL: expected {what} at {self._at()}")
+        self.i += 1
+        # index patterns may continue with '*' / '-' glued on (logs-*)
+        name = t.val
+        end = t.pos + len(t.val)
+        while True:
+            nt = self.peek()
+            if nt.pos != end:
+                break
+            if nt.typ == "op" and nt.val in ("*", "-"):
+                name += nt.val
+            elif nt.typ in ("ident", "num"):
+                name += nt.val
+            else:
+                break
+            end = nt.pos + len(nt.val)
+            self.i += 1
+        return name
+
+    def parse_command(self) -> tuple:
+        t = self.peek()
+        if t.typ != "ident" or t.val.lower() not in _COMMANDS:
+            raise EsqlError(f"ES|QL: expected a command at {self._at()}")
+        cmd = self.next().val.lower()
+        if cmd == "where":
+            return ("where", self.parse_expr())
+        if cmd == "eval":
+            return ("eval", self.parse_assignments(require_name=False))
+        if cmd == "stats":
+            items = self.parse_assignments(require_name=False)
+            by: list[tuple[str | None, tuple]] = []
+            if self.kw("by"):
+                by = self.parse_assignments(require_name=False)
+            return ("stats", items, by)
+        if cmd == "sort":
+            keys = [self.parse_sort_key()]
+            while self.op(","):
+                keys.append(self.parse_sort_key())
+            return ("sort", keys)
+        if cmd == "limit":
+            t = self.next()
+            if t.typ != "num" or "." in t.val:
+                raise EsqlError("ES|QL: LIMIT takes an integer")
+            return ("limit", int(t.val))
+        if cmd in ("keep", "drop"):
+            pats = [self.parse_name_pattern()]
+            while self.op(","):
+                pats.append(self.parse_name_pattern())
+            return (cmd, pats)
+        if cmd == "rename":
+            pairs = []
+            while True:
+                old = self.ident("column")
+                self.expect_kw("as")
+                new = self.ident("column")
+                pairs.append((old, new))
+                if not self.op(","):
+                    break
+            return ("rename", pairs)
+        if cmd == "mv_expand":
+            return ("mv_expand", self.ident("column"))
+        if cmd == "dissect":
+            col = self.ident("column")
+            t = self.next()
+            if t.typ != "str":
+                raise EsqlError("ES|QL: DISSECT needs a quoted pattern")
+            return ("dissect", col, t.val)
+        if cmd == "enrich":
+            policy = self.ident("policy")
+            on = None
+            if self.kw("on"):
+                on = self.ident("match field")
+            withs: list[tuple[str, str]] = []
+            if self.kw("with"):
+                while True:
+                    a = self.ident("field")
+                    if self.op("="):
+                        withs.append((a, self.ident("field")))
+                    else:
+                        withs.append((a, a))
+                    if not self.op(","):
+                        break
+            return ("enrich", policy, on, withs)
+        raise EsqlError(f"ES|QL: {cmd.upper()} is not supported")
+
+    def parse_name_pattern(self) -> str:
+        # KEEP/DROP patterns: identifiers and '*' glued together (a.b*, *)
+        parts: list[str] = []
+        last_end = None
+        while True:
+            t = self.peek()
+            glued = last_end is None or t.pos == last_end
+            if t.typ == "ident" and glued:
+                parts.append(t.val)
+            elif t.typ == "op" and t.val == "*" and glued:
+                parts.append("*")
+            else:
+                break
+            last_end = t.pos + len(t.val)
+            self.i += 1
+        if not parts:
+            raise EsqlError(f"ES|QL: expected a column pattern at {self._at()}")
+        return "".join(parts)
+
+    def parse_sort_key(self) -> tuple:
+        e = self.parse_expr()
+        asc = True
+        if self.kw("desc"):
+            asc = False
+        else:
+            self.kw("asc")
+        nulls = None
+        if self.kw("nulls"):
+            if self.kw("first"):
+                nulls = "first"
+            elif self.kw("last"):
+                nulls = "last"
+            else:
+                raise EsqlError("ES|QL: NULLS must be FIRST or LAST")
+        return (e, asc, nulls)
+
+    def parse_assignments(self, require_name: bool) -> list[tuple[str | None, tuple]]:
+        items: list[tuple[str | None, tuple]] = []
+        while True:
+            start = self.peek().pos
+            name = None
+            if (
+                self.peek().typ == "ident"
+                and self.peek(1).typ == "op"
+                and self.peek(1).val == "="
+            ):
+                name = self.next().val
+                self.next()  # '='
+                start = self.peek().pos
+            elif require_name:
+                raise EsqlError(f"ES|QL: expected name = expr at {self._at()}")
+            e = self.parse_expr()
+            if name is None:
+                # ES|QL default column name = the expression's source text
+                name = self.text[start:self.peek().pos].strip()
+            items.append((name, e))
+            if not self.op(","):
+                break
+        return items
+
+    # -- expressions --------------------------------------------------------
+    def parse_expr(self) -> tuple:
+        return self.parse_or()
+
+    def parse_or(self) -> tuple:
+        e = self.parse_and()
+        while self.kw("or"):
+            e = ("or", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> tuple:
+        e = self.parse_not()
+        while self.kw("and"):
+            e = ("and", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> tuple:
+        if self.kw("not"):
+            return ("not", self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> tuple:
+        e = self.parse_additive()
+        t = self.peek()
+        if t.typ == "op" and t.val in ("==", "!=", "<", "<=", ">", ">="):
+            self.i += 1
+            return ("bin", t.val, e, self.parse_additive())
+        neg = False
+        if t.typ == "ident" and t.val.lower() == "not" and self.peek(1).typ == "ident" \
+                and self.peek(1).val.lower() in ("in", "like", "rlike"):
+            self.i += 1
+            neg = True
+            t = self.peek()
+        if t.typ == "ident" and t.val.lower() == "in":
+            self.i += 1
+            self.expect_op("(")
+            vals = [self.parse_expr()]
+            while self.op(","):
+                vals.append(self.parse_expr())
+            self.expect_op(")")
+            return ("in", e, vals, neg)
+        if t.typ == "ident" and t.val.lower() in ("like", "rlike"):
+            kind = t.val.lower()
+            self.i += 1
+            pt = self.next()
+            if pt.typ != "str":
+                raise EsqlError(f"ES|QL: {kind.upper()} needs a quoted pattern")
+            return (kind, e, pt.val, neg)
+        if t.typ == "ident" and t.val.lower() == "is":
+            self.i += 1
+            isneg = self.kw("not")
+            if not self.kw("null"):
+                raise EsqlError("ES|QL: IS must be followed by [NOT] NULL")
+            return ("isnull", e, isneg)
+        return e
+
+    def parse_additive(self) -> tuple:
+        e = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.typ == "op" and t.val in ("+", "-"):
+                self.i += 1
+                e = ("bin", t.val, e, self.parse_multiplicative())
+            else:
+                return e
+
+    def parse_multiplicative(self) -> tuple:
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.typ == "op" and t.val in ("*", "/", "%"):
+                self.i += 1
+                e = ("bin", t.val, e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self) -> tuple:
+        if self.op("-"):
+            return ("neg", self.parse_unary())
+        if self.op("+"):
+            return self.parse_unary()
+        e = self.parse_primary()
+        while self.op("::"):
+            ty = self.ident("type").lower()
+            if ty not in _CAST_TYPES:
+                raise EsqlError(f"ES|QL: unknown cast type {ty!r}")
+            e = ("cast", e, _CAST_TYPES[ty])
+        return e
+
+    def parse_primary(self) -> tuple:
+        t = self.peek()
+        if t.typ == "num":
+            self.i += 1
+            nxt = self.peek()
+            if nxt.typ == "ident" and nxt.val.lower() in _DUR_UNITS and "." not in t.val:
+                self.i += 1
+                return ("dur", int(t.val), _DUR_UNITS[nxt.val.lower()])
+            return ("num", float(t.val) if "." in t.val or "e" in t.val.lower()
+                    else int(t.val))
+        if t.typ == "str":
+            self.i += 1
+            return ("str", t.val)
+        if self.op("("):
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.typ == "ident":
+            low = t.val.lower()
+            if low in ("true", "false"):
+                self.i += 1
+                return ("bool", low == "true")
+            if low == "null":
+                self.i += 1
+                return ("null",)
+            # function call?
+            if self.peek(1).typ == "op" and self.peek(1).val == "(":
+                name = self.next().val.lower()
+                self.next()  # '('
+                args: list[tuple] = []
+                if not self.op(")"):
+                    if name == "count" and self.peek().typ == "op" \
+                            and self.peek().val == "*":
+                        self.next()
+                        args.append(("star",))
+                    else:
+                        args.append(self.parse_expr())
+                    while self.op(","):
+                        args.append(self.parse_expr())
+                    self.expect_op(")")
+                return ("call", name, args)
+            self.i += 1
+            return ("col", t.val)
+        raise EsqlError(f"ES|QL: unexpected token at {self._at()}")
+
+
+# --------------------------------------------------------------------------
+# Compiler
+# --------------------------------------------------------------------------
+
+def _like_to_regex(pat: str) -> str:
+    """ES|QL LIKE: '*' any chars, '?' one char, full-string anchored."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^(?:" + "".join(out) + ")$"
+
+
+def _interval(n: int, unit: str) -> Column:
+    kw = {
+        "year": dict(years=n), "quarter": dict(months=3 * n),
+        "month": dict(months=n), "week": dict(weeks=n), "day": dict(days=n),
+        "hour": dict(hours=n), "minute": dict(mins=n), "second": dict(secs=n),
+        "millisecond": dict(secs=n / 1000.0),
+    }[unit]
+    args = {k: F.lit(v) for k, v in kw.items()}
+    return F.make_interval(**args)
+
+
+_AGG_FNS = {
+    "count", "count_distinct", "sum", "avg", "min", "max", "median",
+    "median_absolute_deviation", "percentile", "std_dev", "weighted_avg",
+    "values",
+}
+
+_FT_FNS = {"match", "qstr"}
+
+
+def _contains_agg(node: tuple) -> bool:
+    if node[0] == "call" and node[1] in _AGG_FNS:
+        return True
+    return any(
+        _contains_agg(c) for c in node[1:] if isinstance(c, tuple)
+    ) or any(
+        _contains_agg(c)
+        for part in node[1:] if isinstance(part, list)
+        for c in part if isinstance(c, tuple)
+    )
+
+
+def _contains_ft(node: tuple) -> bool:
+    if node[0] == "call" and node[1] in _FT_FNS:
+        return True
+    return any(
+        _contains_ft(c) for c in node[1:] if isinstance(c, tuple)
+    ) or any(
+        _contains_ft(c)
+        for part in node[1:] if isinstance(part, list)
+        for c in part if isinstance(c, tuple)
+    )
+
+
+class _Compiler:
+    """Expression AST -> pyspark Column. ``allow_agg`` gates STATS items."""
+
+    def __init__(self, allow_agg: bool = False):
+        self.allow_agg = allow_agg
+
+    def col(self, node: tuple) -> Column:
+        kind = node[0]
+        if kind == "num":
+            return F.lit(node[1])
+        if kind == "str":
+            return F.lit(node[1])
+        if kind == "bool":
+            return F.lit(node[1])
+        if kind == "null":
+            return F.lit(None)
+        if kind == "col":
+            return F.col(node[1])
+        if kind == "dur":
+            return _interval(node[1], node[2])
+        if kind == "neg":
+            return -self.col(node[1])
+        if kind == "not":
+            return ~self.col(node[1])
+        if kind == "and":
+            return self.col(node[1]) & self.col(node[2])
+        if kind == "or":
+            return self.col(node[1]) | self.col(node[2])
+        if kind == "isnull":
+            c = self.col(node[1])
+            return c.isNotNull() if node[2] else c.isNull()
+        if kind == "in":
+            c = self.col(node[1])
+            vals = [self.col(v) for v in node[2]]
+            r = c.isin(*vals)
+            return ~r if node[3] else r
+        if kind == "like":
+            r = self.col(node[1]).rlike(_like_to_regex(node[2]))
+            return ~r if node[3] else r
+        if kind == "rlike":
+            r = self.col(node[1]).rlike("^(?:" + node[2] + ")$")
+            return ~r if node[3] else r
+        if kind == "cast":
+            return self.col(node[1]).cast(node[2])
+        if kind == "bin":
+            op, lhs, rhs = node[1], node[2], node[3]
+            # timestamp +/- duration
+            if op in ("+", "-") and rhs[0] == "dur":
+                iv = _interval(rhs[1], rhs[2])
+                base = self.col(lhs)
+                return base + iv if op == "+" else base - iv
+            le, rc = self.col(lhs), self.col(rhs)
+            return {
+                "+": lambda: le + rc, "-": lambda: le - rc,
+                "*": lambda: le * rc, "/": lambda: le / rc,
+                "%": lambda: le % rc,
+                "==": lambda: le == rc, "!=": lambda: le != rc,
+                "<": lambda: le < rc, "<=": lambda: le <= rc,
+                ">": lambda: le > rc, ">=": lambda: le >= rc,
+            }[op]()
+        if kind == "call":
+            return self.call(node[1], node[2])
+        if kind == "star":
+            raise EsqlError("ES|QL: '*' only valid inside COUNT(*)")
+        raise EsqlError(f"ES|QL: cannot compile node {kind!r}")
+
+    # -- functions ----------------------------------------------------------
+    def call(self, name: str, args: list[tuple]) -> Column:
+        if name in _FT_FNS:
+            raise EsqlError(
+                f"ES|QL: {name.upper()}() must be a top-level AND conjunct of "
+                "a WHERE on the index source (it compiles to a postings scan,"
+                " not a per-row predicate)"
+            )
+        if name in _AGG_FNS:
+            if not self.allow_agg:
+                raise EsqlError(
+                    f"ES|QL: aggregate {name.upper()}() only valid in STATS"
+                )
+            return self.agg(name, args)
+        a = [self.col(x) for x in args]
+        n = len(a)
+
+        def arity(*ok: int) -> None:
+            if n not in ok:
+                raise EsqlError(f"ES|QL: {name.upper()} takes {ok} args, got {n}")
+
+        if name == "abs":
+            arity(1); return F.abs(a[0])
+        if name == "round":
+            arity(1, 2)
+            if n == 1:
+                return F.round(a[0], 0)
+            d = args[1]
+            if d[0] != "num" or not float(d[1]).is_integer():
+                raise EsqlError("ES|QL: ROUND decimals must be an integer literal")
+            return F.round(a[0], int(d[1]))
+        if name == "floor":
+            arity(1); return F.floor(a[0])
+        if name in ("ceil", "ceiling"):
+            arity(1); return F.ceil(a[0])
+        if name == "sqrt":
+            arity(1); return F.sqrt(a[0])
+        if name == "pow":
+            arity(2); return F.pow(a[0], a[1])
+        if name == "exp":
+            arity(1); return F.exp(a[0])
+        if name == "log":
+            arity(1, 2)
+            return F.log(a[0]) if n == 1 else F.log(a[1]) / F.log(a[0])
+        if name == "log10":
+            arity(1); return F.log10(a[0])
+        if name == "signum":
+            arity(1); return F.signum(a[0])
+        if name == "length":
+            arity(1); return F.length(a[0])
+        if name == "concat":
+            return F.concat(*a)
+        if name == "to_lower":
+            arity(1); return F.lower(a[0])
+        if name == "to_upper":
+            arity(1); return F.upper(a[0])
+        if name == "trim":
+            arity(1); return F.trim(a[0])
+        if name == "ltrim":
+            arity(1); return F.ltrim(a[0])
+        if name == "rtrim":
+            arity(1); return F.rtrim(a[0])
+        if name == "substring":
+            arity(2, 3)
+            ln = a[2] if n == 3 else F.length(a[0])
+            return F.substring(a[0], a[1], ln)
+        if name == "left":
+            arity(2); return F.substring(a[0], F.lit(1), a[1])
+        if name == "right":
+            arity(2)
+            return F.when(
+                F.length(a[0]) <= a[1], a[0]
+            ).otherwise(F.substring(a[0], -a[1].cast("int"), a[1]))
+        if name == "starts_with":
+            arity(2); return a[0].startswith(a[1])
+        if name == "ends_with":
+            arity(2); return a[0].endswith(a[1])
+        if name == "replace":
+            arity(3); return F.regexp_replace(a[0], a[1], a[2])
+        if name == "split":
+            arity(2)
+            d = args[1]
+            if d[0] != "str":
+                raise EsqlError("ES|QL: SPLIT delimiter must be a string literal")
+            return F.split(a[0], re.escape(d[1]))
+        if name == "locate":
+            arity(2)
+            s = args[1]
+            if s[0] != "str":
+                raise EsqlError("ES|QL: LOCATE substring must be a literal")
+            return F.locate(s[1], a[0])
+        if name == "coalesce":
+            return F.coalesce(*a)
+        if name == "greatest":
+            return F.greatest(*a)
+        if name == "least":
+            return F.least(*a)
+        if name == "case":
+            if n < 2:
+                raise EsqlError("ES|QL: CASE needs cond, value pairs")
+            pairs, default = a, None
+            if n % 2 == 1:
+                pairs, default = a[:-1], a[-1]
+            c = F.when(pairs[0], pairs[1])
+            for j in range(2, len(pairs), 2):
+                c = c.when(pairs[j], pairs[j + 1])
+            return c.otherwise(default) if default is not None else c
+        if name == "date_trunc":
+            arity(2)
+            d = args[0]
+            if d[0] != "dur" or d[1] != 1:
+                raise EsqlError("ES|QL: DATE_TRUNC needs a unit span like 1 day")
+            return F.date_trunc(d[2], a[1])
+        if name == "date_format":
+            arity(2)
+            f0 = args[0]
+            if f0[0] != "str":
+                raise EsqlError("ES|QL: DATE_FORMAT pattern must be a literal")
+            return F.date_format(a[1], f0[1])
+        if name == "date_extract":
+            arity(2)
+            f0 = args[0]
+            if f0[0] != "str":
+                raise EsqlError("ES|QL: DATE_EXTRACT part must be a literal")
+            part = f0[1].lower()
+            parts = {
+                "year": F.year, "month_of_year": F.month, "day_of_month":
+                F.dayofmonth, "hour_of_day": F.hour, "minute_of_hour":
+                F.minute, "second_of_minute": F.second,
+                "day_of_week": F.dayofweek, "day_of_year": F.dayofyear,
+            }
+            if part not in parts:
+                raise EsqlError(f"ES|QL: unknown DATE_EXTRACT part {part!r}")
+            return parts[part](a[1]).cast("long")
+        if name == "to_datetime":
+            arity(1); return a[0].cast("timestamp")
+        if name == "to_string":
+            arity(1); return a[0].cast("string")
+        if name in ("to_integer", "to_int"):
+            arity(1); return a[0].cast("int")
+        if name == "to_long":
+            arity(1); return a[0].cast("long")
+        if name == "to_double":
+            arity(1); return a[0].cast("double")
+        if name == "to_boolean":
+            arity(1); return a[0].cast("boolean")
+        if name == "mv_count":
+            arity(1); return F.size(a[0])
+        if name == "mv_min":
+            arity(1); return F.array_min(a[0])
+        if name == "mv_max":
+            arity(1); return F.array_max(a[0])
+        if name == "mv_sum":
+            arity(1); return F.aggregate(
+                a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        if name == "mv_avg":
+            arity(1)
+            return F.aggregate(
+                a[0], F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ) / F.size(a[0])
+        if name == "mv_dedupe":
+            arity(1); return F.array_distinct(a[0])
+        if name == "mv_sort":
+            arity(1); return F.sort_array(a[0])
+        if name == "mv_join":
+            arity(2)
+            d = args[1]
+            if d[0] != "str":
+                raise EsqlError("ES|QL: MV_JOIN delimiter must be a literal")
+            return F.array_join(a[0], d[1])
+        raise EsqlError(f"ES|QL: unknown function {name.upper()}()")
+
+    # -- aggregates (STATS items) -------------------------------------------
+    def agg(self, name: str, args: list[tuple]) -> Column:
+        if name == "count":
+            if len(args) == 0 or args[0][0] == "star":
+                return F.count(F.lit(1))
+            return F.count(self.col(args[0]))
+        a = [self.col(x) for x in args]
+        n = len(a)
+        if name == "count_distinct":
+            return F.countDistinct(*a)
+        if name == "sum":
+            return F.sum(a[0])
+        if name == "avg":
+            return F.avg(a[0])
+        if name == "min":
+            return F.min(a[0])
+        if name == "max":
+            return F.max(a[0])
+        if name == "median":
+            return F.median(a[0])
+        if name == "median_absolute_deviation":
+            raise EsqlError(
+                "ES|QL: MEDIAN_ABSOLUTE_DEVIATION needs two passes — use the "
+                "engine's median_absolute_deviation agg"
+            )
+        if name == "percentile":
+            if n != 2 or args[1][0] != "num":
+                raise EsqlError("ES|QL: PERCENTILE(field, p) with literal p")
+            return F.percentile(a[0], F.lit(float(args[1][1]) / 100.0))
+        if name == "std_dev":
+            return F.stddev_pop(a[0])
+        if name == "weighted_avg":
+            if n != 2:
+                raise EsqlError("ES|QL: WEIGHTED_AVG(value, weight)")
+            return F.sum(a[0] * a[1]) / F.sum(a[1])
+        if name == "values":
+            return F.sort_array(F.collect_set(a[0]))
+        raise EsqlError(f"ES|QL: unknown aggregate {name.upper()}()")
+
+
+# --------------------------------------------------------------------------
+# Full-text predicate extraction
+# --------------------------------------------------------------------------
+
+def _split_ft(node: tuple) -> tuple[list[tuple], tuple | None]:
+    """Split a WHERE expression's top-level AND chain into full-text
+    predicates (('ft', call_node, negated)) and the residual relational
+    expression (None when everything was full-text). MATCH/QSTR anywhere
+    else (under OR, inside arithmetic) raises — ES|QL has the same
+    placement restriction, and silently mis-composing scores is worse
+    than refusing."""
+    fts: list[tuple] = []
+
+    def walk_and(n: tuple) -> tuple | None:
+        if n[0] == "and":
+            l = walk_and(n[1])
+            r = walk_and(n[2])
+            if l is None:
+                return r
+            if r is None:
+                return l
+            return ("and", l, r)
+        if n[0] == "call" and n[1] in _FT_FNS:
+            fts.append(("ft", n, False))
+            return None
+        if n[0] == "not" and n[1][0] == "call" and n[1][1] in _FT_FNS:
+            fts.append(("ft", n[1], True))
+            return None
+        if _contains_ft(n):
+            raise EsqlError(
+                "ES|QL: MATCH()/QSTR() must be top-level AND conjuncts of "
+                "WHERE (cannot appear under OR or inside expressions)"
+            )
+        return n
+
+    residual = walk_and(node)
+    return fts, residual
+
+
+# --------------------------------------------------------------------------
+# Engine
+# --------------------------------------------------------------------------
+
+@dataclass
+class _Rel:
+    df: DataFrame
+    index: object | None = None  # InvertedIndex when the source is an index
+    score_requested: bool = False
+    score_attached: bool = False
+    where_seen: bool = False
+
+
+class EsqlEngine:
+    """Run ES|QL text against registered tables / inverted indexes.
+
+    ``sources`` maps index names to either a DataFrame or an
+    ``InvertedIndex`` (whose relation is ``doc_id`` + stored meta columns,
+    the ES ``_source`` view). ``enrich`` maps ENRICH policy names to
+    ``(table, match_field)`` — applied as a BROADCAST left join (ES|QL's
+    enrich is exactly a small-dimension lookup; at 100 TB the policy table
+    is the broadcastable side by construction)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sources: dict[str, object],
+        enrich: dict[str, tuple[DataFrame, str]] | None = None,
+    ):
+        self.spark = spark
+        self.sources = sources
+        self.enrich = enrich or {}
+
+    # -- public -------------------------------------------------------------
+    def query(self, text: str) -> DataFrame:
+        cmds = _Parser(text).parse()
+        rel = self._source(cmds[0])
+        for cmd in cmds[1:]:
+            rel = self._apply(rel, cmd)
+        if rel.score_requested and not rel.score_attached:
+            rel.df = rel.df.withColumn("_score", F.lit(0.0))
+            rel.score_attached = True
+        return rel.df
+
+    # -- source -------------------------------------------------------------
+    def _resolve(self, pattern: str) -> list[str]:
+        if pattern in self.sources:
+            return [pattern]
+        names = sorted(n for n in self.sources if fnmatch.fnmatch(n, pattern))
+        if not names:
+            raise EsqlError(f"ES|QL: unknown index {pattern!r}")
+        return names
+
+    def _relation(self, name: str) -> tuple[DataFrame, object | None]:
+        src = self.sources[name]
+        if isinstance(src, DataFrame):
+            return src, None
+        # InvertedIndex: doc_id + key + stored meta columns, tombstones out
+        ds = src.doc_stats()
+        meta = src.meta
+        cols = list(
+            dict.fromkeys(
+                ["doc_id", *meta.get("doc_key_cols", []),
+                 *meta.get("meta_cols", [])]
+            )
+        )
+        return ds.select(*[c for c in cols if c in ds.columns]), src
+
+    def _source(self, cmd: tuple) -> _Rel:
+        if cmd[0] == "row":
+            df = self.spark.range(1)
+            comp = _Compiler()
+            cols = [comp.col(e).alias(nm) for nm, e in cmd[1]]
+            return _Rel(df.select(*cols))
+        _, patterns, metadata = cmd
+        for m in metadata:
+            if m != "_score":
+                raise EsqlError(f"ES|QL: unsupported METADATA field {m!r}")
+        names = [n for p in patterns for n in self._resolve(p)]
+        rels = [self._relation(n) for n in names]
+        if len(rels) == 1:
+            df, idx = rels[0]
+        else:
+            idx = None  # cross-index MATCH would need merged stats; refuse
+            df = rels[0][0]
+            for other, _ in rels[1:]:
+                df = df.unionByName(other, allowMissingColumns=True)
+        return _Rel(df, index=idx, score_requested=bool(metadata))
+
+    # -- commands -----------------------------------------------------------
+    def _apply(self, rel: _Rel, cmd: tuple) -> _Rel:
+        kind = cmd[0]
+        if kind == "where":
+            return self._where(rel, cmd[1])
+        if kind == "eval":
+            comp = _Compiler()
+            df = rel.df
+            for nm, e in cmd[1]:
+                df = df.withColumn(nm, comp.col(e))
+            rel.df = df
+            return rel
+        if kind == "stats":
+            return self._stats(rel, cmd[1], cmd[2])
+        if kind == "sort":
+            comp = _Compiler()
+            keys = []
+            for e, asc, nulls in cmd[1]:
+                c = comp.col(e)
+                if asc:
+                    c = c.asc_nulls_first() if nulls == "first" else \
+                        c.asc_nulls_last() if nulls == "last" else c.asc()
+                else:
+                    c = c.desc_nulls_first() if nulls == "first" else \
+                        c.desc_nulls_last() if nulls == "last" else c.desc()
+                keys.append(c)
+            rel.df = rel.df.orderBy(*keys)
+            return rel
+        if kind == "limit":
+            rel.df = rel.df.limit(cmd[1])
+            return rel
+        if kind in ("keep", "drop"):
+            cols = rel.df.columns
+            hit: list[str] = []
+            for pat in cmd[1]:
+                matched = [c for c in cols if fnmatch.fnmatch(c, pat)]
+                if not matched and "*" not in pat and "?" not in pat:
+                    raise EsqlError(f"ES|QL: unknown column {pat!r}")
+                hit.extend(m for m in matched if m not in hit)
+            if kind == "keep":
+                rel.df = rel.df.select(*hit)
+            else:
+                rel.df = rel.df.drop(*hit)
+            return rel
+        if kind == "rename":
+            df = rel.df
+            for old, new in cmd[1]:
+                if old not in df.columns:
+                    raise EsqlError(f"ES|QL: unknown column {old!r}")
+                df = df.withColumnRenamed(old, new)
+            rel.df = df
+            return rel
+        if kind == "mv_expand":
+            col = cmd[1]
+            if col not in rel.df.columns:
+                raise EsqlError(f"ES|QL: unknown column {col!r}")
+            rel.df = rel.df.withColumn(col, F.explode_outer(col))
+            return rel
+        if kind == "dissect":
+            return self._dissect(rel, cmd[1], cmd[2])
+        if kind == "enrich":
+            return self._enrich(rel, cmd[1], cmd[2], cmd[3])
+        raise EsqlError(f"ES|QL: unhandled command {kind!r}")
+
+    # -- WHERE with full-text extraction --------------------------------------
+    def _where(self, rel: _Rel, expr: tuple) -> _Rel:
+        fts, residual = _split_ft(expr)
+        if fts and rel.index is None:
+            raise EsqlError(
+                "ES|QL: MATCH()/QSTR() need a single index source "
+                "(FROM one registered InvertedIndex)"
+            )
+        if fts and rel.where_seen:
+            raise EsqlError(
+                "ES|QL: full-text WHERE must be the first command after FROM"
+            )
+        idx = rel.index
+        for _, call, negated in fts:
+            name, args = call[1], call[2]
+            if name == "match":
+                if len(args) != 2 or args[0][0] != "col" or args[1][0] != "str":
+                    raise EsqlError('ES|QL: MATCH(field, "query text")')
+                fieldname, qtext = args[0][1], args[1][1]
+                if negated:
+                    docs = idx.match_docs(qtext, mode="or", field=fieldname)
+                    rel.df = rel.df.join(docs, "doc_id", "left_anti")
+                elif rel.score_requested:
+                    scored = idx.topk(
+                        qtext, k=None, prune=False, field=fieldname
+                    ).select("doc_id", F.col("score").alias("__s"))
+                    rel.df = rel.df.join(scored, "doc_id")
+                    if rel.score_attached:
+                        rel.df = rel.df.withColumn(
+                            "_score", F.col("_score") + F.col("__s")
+                        ).drop("__s")
+                    else:
+                        rel.df = rel.df.withColumnRenamed("__s", "_score")
+                        rel.score_attached = True
+                else:
+                    docs = idx.match_docs(qtext, mode="or", field=fieldname)
+                    rel.df = rel.df.join(docs, "doc_id", "left_semi")
+            else:  # qstr
+                if len(args) != 1 or args[0][0] != "str":
+                    raise EsqlError('ES|QL: QSTR("query string")')
+                ast = idx.parse_query_string(args[0][1], "or")
+                if ast is None:
+                    docs = self.spark.createDataFrame([], "doc_id long")
+                else:
+                    docs = idx._qs_doc_set(ast, idx._fid(None), 50)
+                how = "left_anti" if negated else "left_semi"
+                rel.df = rel.df.join(docs, "doc_id", how)
+                if rel.score_requested and not negated and not rel.score_attached:
+                    # ES|QL scores QSTR too; we pin filter-context 0.0 and
+                    # raise only when the caller will read a misleading score
+                    raise EsqlError(
+                        "ES|QL: METADATA _score with QSTR is not supported "
+                        "(use MATCH for scored retrieval)"
+                    )
+        if residual is not None:
+            rel.df = rel.df.filter(_Compiler().col(residual))
+        rel.where_seen = True
+        return rel
+
+    # -- STATS ----------------------------------------------------------------
+    def _stats(
+        self,
+        rel: _Rel,
+        items: list[tuple[str | None, tuple]],
+        by: list[tuple[str | None, tuple]],
+    ) -> _Rel:
+        comp = _Compiler(allow_agg=True)
+        aggs = []
+        for nm, e in items:
+            if not _contains_agg(e):
+                raise EsqlError(
+                    f"ES|QL: STATS item {nm!r} has no aggregate function"
+                )
+            aggs.append(comp.col(e).alias(nm))
+        key_comp = _Compiler()
+        keys = [key_comp.col(e).alias(nm) for nm, e in by]
+        if keys:
+            rel.df = rel.df.groupBy(*keys).agg(*aggs)
+        else:
+            rel.df = rel.df.agg(*aggs)
+        rel.score_attached = "_score" in rel.df.columns
+        return rel
+
+    # -- DISSECT ---------------------------------------------------------------
+    def _dissect(self, rel: _Rel, col: str, pattern: str) -> _Rel:
+        if col not in rel.df.columns:
+            raise EsqlError(f"ES|QL: unknown column {col!r}")
+        # %{name} keys; %{} skip; modifiers (+, ->) unsupported -> raise
+        parts = re.split(r"(%\{[^}]*\})", pattern)
+        regex, keys = [], []
+        for p in parts:
+            if not p:
+                continue
+            if p.startswith("%{") and p.endswith("}"):
+                key = p[2:-1]
+                if any(ch in key for ch in "+/->*&?"):
+                    raise EsqlError(
+                        f"ES|QL: dissect modifier in {p!r} not supported"
+                    )
+                if key:
+                    keys.append(key)
+                    regex.append("(.*?)")
+                else:
+                    regex.append(".*?")
+            else:
+                regex.append(re.escape(p))
+        rx = "^" + "".join(regex) + "$"
+        matched = F.col(col).rlike(rx)
+        df = rel.df
+        for gi, key in enumerate(keys, start=1):
+            df = df.withColumn(
+                key,
+                F.when(matched, F.regexp_extract(F.col(col), rx, gi)),
+            )
+        rel.df = df
+        return rel
+
+    # -- ENRICH ------------------------------------------------------------------
+    def _enrich(
+        self, rel: _Rel, policy: str, on: str | None, withs: list[tuple[str, str]]
+    ) -> _Rel:
+        if policy not in self.enrich:
+            raise EsqlError(f"ES|QL: unknown enrich policy {policy!r}")
+        table, match_field = self.enrich[policy]
+        key = on or match_field
+        if key not in rel.df.columns:
+            raise EsqlError(f"ES|QL: enrich match field {key!r} not in input")
+        picked = withs or [
+            (c, c) for c in table.columns if c != match_field
+        ]
+        proj = table.select(
+            F.col(match_field).alias("__ek"),
+            *[F.col(src).alias(dst) for dst, src in picked],
+        )
+        rel.df = (
+            rel.df.join(
+                F.broadcast(proj), rel.df[key] == proj["__ek"], "left"
+            ).drop("__ek")
+        )
+        return rel
+
+
+def esql(
+    spark: SparkSession,
+    text: str,
+    sources: dict[str, object],
+    enrich: dict[str, tuple[DataFrame, str]] | None = None,
+) -> DataFrame:
+    """One-shot helper: ``esql(spark, "FROM t | ...", {"t": df})``."""
+    return EsqlEngine(spark, sources, enrich).query(text)

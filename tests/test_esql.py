@@ -1,0 +1,237 @@
+"""ES|QL surface: parser, relational commands, full-text predicates.
+
+The compiled plan must agree with hand-built DataFrame ops (relational
+commands) and with the engine's own scored path (MATCH + METADATA _score
+rank/score-identical to InvertedIndex.topk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.query.esql import EsqlEngine, EsqlError, esql
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    rows = [
+        (0, "en", "src0-a", 120, ["x", "y"]),
+        (1, "en", "src1-b", 250, ["x"]),
+        (2, "fr", "src2-c", 310, None),
+        (3, "de", "src3-d", 80, []),
+        (4, "en", "plain", 410, ["z"]),
+        (5, None, "src5-e", 150, ["y", "z"]),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, lang string, source string, n int, tags array<string>"
+    )
+
+
+def test_stats_by(spark, tbl):
+    out = esql(
+        spark,
+        'FROM t | WHERE n >= 100 | STATS cnt = COUNT(*), avg_n = ROUND(AVG(n), 2)'
+        " BY lang | SORT cnt DESC, lang ASC",
+        {"t": tbl},
+    ).collect()
+    assert [(r["lang"], r["cnt"], r["avg_n"]) for r in out] == [
+        ("en", 3, 260.0),
+        (None, 1, 150.0),
+        ("fr", 1, 310.0),
+    ]
+
+
+def test_stats_no_by_and_median_percentile(spark, tbl):
+    r = esql(
+        spark,
+        "FROM t | STATS med = MEDIAN(n), p50 = PERCENTILE(n, 50), "
+        "sd = ROUND(STD_DEV(n), 4), wa = WEIGHTED_AVG(n, id)",
+        {"t": tbl},
+    ).collect()[0]
+    assert r["med"] == r["p50"] == 200.0
+    # population stddev of [120,250,310,80,410,150]
+    import statistics
+
+    assert r["sd"] == round(statistics.pstdev([120, 250, 310, 80, 410, 150]), 4)
+    vals = [(120, 0), (250, 1), (310, 2), (80, 3), (410, 4), (150, 5)]
+    assert r["wa"] == pytest.approx(
+        sum(v * w for v, w in vals) / sum(w for _, w in vals)
+    )
+
+
+def test_eval_keep_drop_rename_limit(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | EVAL bucket = FLOOR(n / 100) * 100, up = TO_UPPER(lang) "
+        "| KEEP id, b*, up | RENAME up AS lang_up | SORT id | LIMIT 3",
+        {"t": tbl},
+    )
+    assert out.columns == ["id", "bucket", "lang_up"]
+    rows = out.collect()
+    assert [(r["id"], r["bucket"], r["lang_up"]) for r in rows] == [
+        (0, 100, "EN"), (1, 200, "EN"), (2, 300, "FR"),
+    ]
+
+
+def test_where_operators(spark, tbl):
+    q = (
+        'FROM t | WHERE lang IN ("en", "fr") AND source LIKE "src*" '
+        'AND NOT source RLIKE ".*-c" AND n % 2 == 0 | KEEP id | SORT id'
+    )
+    assert [r["id"] for r in esql(spark, q, {"t": tbl}).collect()] == [0, 1]
+
+
+def test_is_null_and_case(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | WHERE lang IS NULL | EVAL k = CASE(n > 100, \"big\", \"small\")"
+        " | KEEP id, k",
+        {"t": tbl},
+    ).collect()
+    assert [(r["id"], r["k"]) for r in out] == [(5, "big")]
+
+
+def test_string_functions(spark, tbl):
+    r = esql(
+        spark,
+        "FROM t | WHERE id == 0 | EVAL a = SUBSTRING(source, 1, 4), "
+        'b = LEFT(source, 3), c = RIGHT(source, 1), d = REPLACE(source, "-", "+"), '
+        "e = LENGTH(source), f = STARTS_WITH(source, \"src\") | "
+        "KEEP a, b, c, d, e, f",
+        {"t": tbl},
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        "src0", "src", "a", "src0+a", 6, True)
+
+
+def test_mv_expand_preserves_null_and_empty(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | MV_EXPAND tags | STATS n = COUNT(*), nn = COUNT(tags)",
+        {"t": tbl},
+    ).collect()[0]
+    # 6 tag values + null row (id=2) + empty-array row (id=3) -> 8 rows
+    assert out["n"] == 8 and out["nn"] == 6
+
+
+def test_dissect(spark, tbl):
+    out = esql(
+        spark,
+        'FROM t | DISSECT source "%{base}-%{suffix}" | KEEP id, base, suffix '
+        "| SORT id",
+        {"t": tbl},
+    ).collect()
+    assert (out[0]["base"], out[0]["suffix"]) == ("src0", "a")
+    # non-matching row ("plain") -> nulls, not empty strings
+    assert out[4]["base"] is None and out[4]["suffix"] is None
+
+
+def test_enrich_broadcast(spark, tbl):
+    policy = spark.createDataFrame(
+        [("en", "English", 1), ("fr", "French", 2)],
+        "code string, label string, rank int",
+    )
+    out = esql(
+        spark,
+        "FROM t | ENRICH langs ON lang WITH name = label | KEEP id, name | SORT id",
+        {"t": tbl},
+        enrich={"langs": (policy, "code")},
+    ).collect()
+    assert [r["name"] for r in out] == [
+        "English", "English", "French", None, "English", None]
+
+
+def test_row_source_and_durations(spark):
+    r = esql(
+        spark,
+        'ROW ts = TO_DATETIME("2024-03-05 10:30:00")'
+        " | EVAL d = DATE_TRUNC(1 day, ts), h = ts + 2 hours, "
+        'm = DATE_EXTRACT("month_of_year", ts)',
+        {},
+    ).collect()[0]
+    assert str(r["d"]) == "2024-03-05 00:00:00"
+    assert str(r["h"]) == "2024-03-05 12:30:00"
+    assert r["m"] == 3
+
+
+def test_sort_nulls_and_cast(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | EVAL half = (n / 2)::LONG | SORT lang ASC NULLS FIRST, id "
+        "| KEEP id, half | LIMIT 2",
+        {"t": tbl},
+    ).collect()
+    assert out[0]["id"] == 5 and out[0]["half"] == 75
+
+
+def test_match_score_rank_identity(spark, built_index):
+    eng = EsqlEngine(spark, {"transcripts": built_index})
+    got = eng.query(
+        "FROM transcripts METADATA _score\n"
+        '| WHERE MATCH(text, "the w00100")\n'
+        "| EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 10"
+    ).collect()
+    want = built_index.topk("the w00100", k=10, round_scores=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_match_filter_context_and_negation(spark, built_index):
+    eng = EsqlEngine(spark, {"transcripts": built_index})
+    n_match = eng.query(
+        'FROM transcripts | WHERE MATCH(text, "w00100") | STATS n = COUNT(*)'
+    ).collect()[0]["n"]
+    n_not = eng.query(
+        'FROM transcripts | WHERE NOT MATCH(text, "w00100") | STATS n = COUNT(*)'
+    ).collect()[0]["n"]
+    total = built_index.doc_stats().count()
+    assert n_match > 0 and n_match + n_not == total
+    assert n_match == built_index.match_docs("w00100").count()
+
+
+def test_qstr(spark, built_index):
+    eng = EsqlEngine(spark, {"transcripts": built_index})
+    got = eng.query(
+        'FROM transcripts | WHERE QSTR("the AND w00100") | STATS n = COUNT(*)'
+    ).collect()[0]["n"]
+    want = built_index.match_docs("the w00100", mode="and").count()
+    assert got == want
+
+
+def test_index_source_projects_meta_columns(spark, built_index):
+    eng = EsqlEngine(spark, {"transcripts": built_index})
+    cols = eng.query("FROM transcripts | LIMIT 1").columns
+    assert "doc_id" in cols and "role" in cols and "conv_id" in cols
+    # internal columns never leak
+    assert "dl" not in cols and "seg" not in cols
+
+
+def test_errors(spark, tbl, built_index):
+    with pytest.raises(EsqlError, match="top-level AND"):
+        esql(spark, 'FROM t | WHERE lang == "en" OR MATCH(lang, "x")',
+             {"t": tbl})
+    with pytest.raises(EsqlError, match="only valid in STATS"):
+        esql(spark, "FROM t | EVAL x = SUM(n)", {"t": tbl})
+    with pytest.raises(EsqlError, match="no aggregate"):
+        esql(spark, "FROM t | STATS x = n + 1", {"t": tbl})
+    with pytest.raises(EsqlError, match="unknown index"):
+        esql(spark, "FROM nope", {"t": tbl})
+    with pytest.raises(EsqlError, match="unknown column"):
+        esql(spark, "FROM t | KEEP nope", {"t": tbl})
+    with pytest.raises(EsqlError, match="need a single index source"):
+        esql(spark, 'FROM t | WHERE MATCH(text, "x")', {"t": tbl})
+    with pytest.raises(EsqlError, match="expected a command"):
+        esql(spark, "FROM t | FROBNICATE x", {"t": tbl})
+    with pytest.raises(EsqlError, match="first command after FROM"):
+        EsqlEngine(spark, {"i": built_index}).query(
+            'FROM i | WHERE doc_id > 0 | WHERE MATCH(text, "x")'
+        )
+
+
+def test_index_patterns_union(spark, tbl):
+    out = esql(spark, "FROM t*, t1 | STATS n = COUNT(*)",
+               {"t0": tbl, "t1": tbl}).collect()[0]["n"]
+    # t* resolves to both, plus t1 again -> 3x the table
+    assert out == 3 * tbl.count()
