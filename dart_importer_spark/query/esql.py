@@ -28,7 +28,10 @@ Spark-first mapping, command by command:
 ``MV_EXPAND``    ``explode_outer`` (null-preserving, like ES|QL)
 ``DISSECT``      one anchored regex compiled from the dissect pattern;
                  per-key ``regexp_extract`` (no Python row path)
+``GROK``         same machinery over ``%{SYNTAX:name:type}`` patterns
 ``ENRICH``       broadcast left join against the registered policy table
+``LOOKUP JOIN``  broadcast left join on field equality (lookup columns
+                 replace same-named input columns, as in ES|QL)
 ``ROW``          single-row literal relation (``spark.range(1)`` + select)
 ===============  ==========================================================
 
@@ -148,7 +151,7 @@ _CAST_TYPES = {
 
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
-    "mv_expand", "dissect", "enrich", "grok",
+    "mv_expand", "dissect", "enrich", "grok", "lookup",
 }
 
 
@@ -283,12 +286,18 @@ class _Parser:
             return ("rename", pairs)
         if cmd == "mv_expand":
             return ("mv_expand", self.ident("column"))
-        if cmd == "dissect":
+        if cmd in ("dissect", "grok"):
             col = self.ident("column")
             t = self.next()
             if t.typ != "str":
-                raise EsqlError("ES|QL: DISSECT needs a quoted pattern")
-            return ("dissect", col, t.val)
+                raise EsqlError(f"ES|QL: {cmd.upper()} needs a quoted pattern")
+            return (cmd, col, t.val)
+        if cmd == "lookup":
+            self.expect_kw("join")
+            table = self.ident("lookup index")
+            self.expect_kw("on")
+            key = self.ident("join field")
+            return ("lookup", table, key)
         if cmd == "enrich":
             policy = self.ident("policy")
             on = None
@@ -736,6 +745,25 @@ class _Compiler:
             for j in range(2, len(pairs), 2):
                 c = c.when(pairs[j], pairs[j + 1])
             return c.otherwise(default) if default is not None else c
+        if name == "bucket":
+            # ES|QL BUCKET: the histogram idiom of STATS ... BY.
+            # BUCKET(ts, 1 day) -> date_trunc; BUCKET(n, 50) -> floor-align.
+            # The 4-arg "nice width from a target bucket count" form picks
+            # widths heuristically — refuse rather than silently diverge.
+            if n == 4:
+                raise EsqlError(
+                    "ES|QL: 4-arg BUCKET (target count + range) picks "
+                    "human-nice widths; use the explicit-span 2-arg form"
+                )
+            arity(2)
+            span = args[1]
+            if span[0] == "dur":
+                if span[1] != 1:
+                    raise EsqlError(
+                        "ES|QL: BUCKET time span must be a unit span (1 day)"
+                    )
+                return F.date_trunc(span[2], a[0])
+            return F.floor(a[0] / a[1]) * a[1]
         if name == "date_trunc":
             arity(2)
             d = args[0]
@@ -1029,6 +1057,10 @@ class EsqlEngine:
             return rel
         if kind == "dissect":
             return self._dissect(rel, cmd[1], cmd[2])
+        if kind == "grok":
+            return self._grok(rel, cmd[1], cmd[2])
+        if kind == "lookup":
+            return self._lookup(rel, cmd[1], cmd[2])
         if kind == "enrich":
             return self._enrich(rel, cmd[1], cmd[2], cmd[3])
         raise EsqlError(f"ES|QL: unhandled command {kind!r}")
@@ -1148,6 +1180,97 @@ class EsqlEngine:
                 F.when(matched, F.regexp_extract(F.col(col), rx, gi)),
             )
         rel.df = df
+        return rel
+
+    # -- GROK --------------------------------------------------------------------
+    _GROK_PATTERNS = {
+        "WORD": r"\w+",
+        "NOTSPACE": r"\S+",
+        "SPACE": r"\s+",
+        "DATA": r".*?",
+        "GREEDYDATA": r".*",
+        "INT": r"[+-]?\d+",
+        "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+        "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+        "LOGLEVEL": r"TRACE|DEBUG|INFO|WARN|ERROR|FATAL",
+        "USERNAME": r"[a-zA-Z0-9._-]+",
+    }
+    _GROK_TYPES = {"int": "long", "long": "long", "float": "double",
+                   "double": "double", "boolean": "boolean",
+                   "keyword": "string", "string": "string"}
+
+    def _grok(self, rel: _Rel, col: str, pattern: str) -> _Rel:
+        """ES|QL GROK: one anchor-matched regex built from the %{SYNTAX:
+        name[:type]} pattern; per-key regexp_extract, null on non-match
+        (like DISSECT — all JVM-side)."""
+        if col not in rel.df.columns:
+            raise EsqlError(f"ES|QL: unknown column {col!r}")
+        parts = re.split(r"(%\{[^}]*\})", pattern)
+        regex: list[str] = []
+        keys: list[tuple[str, str | None]] = []  # (name, cast type)
+        n_groups = 0
+        group_of: dict[str, int] = {}
+        for p in parts:
+            if not p:
+                continue
+            if p.startswith("%{") and p.endswith("}"):
+                body = p[2:-1].split(":")
+                syntax = body[0]
+                if syntax not in self._GROK_PATTERNS:
+                    raise EsqlError(
+                        f"ES|QL: unknown grok pattern %{{{syntax}}} "
+                        f"(known: {sorted(self._GROK_PATTERNS)})"
+                    )
+                sub = self._GROK_PATTERNS[syntax]
+                if len(body) >= 2 and body[1]:
+                    name = body[1]
+                    typ = None
+                    if len(body) >= 3:
+                        if body[2] not in self._GROK_TYPES:
+                            raise EsqlError(
+                                f"ES|QL: unknown grok type {body[2]!r}"
+                            )
+                        typ = self._GROK_TYPES[body[2]]
+                    n_groups += 1
+                    group_of[name] = n_groups
+                    keys.append((name, typ))
+                    regex.append(f"({sub})")
+                else:
+                    regex.append(f"(?:{sub})")
+            else:
+                regex.append(re.escape(p))
+        rx = "^" + "".join(regex) + "$"
+        matched = F.col(col).rlike(rx)
+        df = rel.df
+        for name, typ in keys:
+            c = F.when(matched, F.regexp_extract(F.col(col), rx, group_of[name]))
+            if typ and typ != "string":
+                c = c.cast(typ)
+            df = df.withColumn(name, c)
+        rel.df = df
+        return rel
+
+    # -- LOOKUP JOIN -------------------------------------------------------------
+    def _lookup(self, rel: _Rel, table: str, key: str) -> _Rel:
+        """ES|QL LOOKUP JOIN: left join against a registered lookup index
+        on field equality. The lookup side is broadcast — ES restricts
+        lookup indexes to one shard for the same reason (small dimension
+        by construction)."""
+        if table not in self.sources or not isinstance(
+            self.sources[table], DataFrame
+        ):
+            raise EsqlError(
+                f"ES|QL: LOOKUP JOIN needs a registered TABLE source "
+                f"named {table!r}"
+            )
+        if key not in rel.df.columns:
+            raise EsqlError(f"ES|QL: join field {key!r} not in input")
+        lk = self.sources[table]
+        if key not in lk.columns:
+            raise EsqlError(f"ES|QL: join field {key!r} not in {table!r}")
+        # ES|QL semantics: lookup columns REPLACE same-named input columns
+        clobbered = [c for c in lk.columns if c != key and c in rel.df.columns]
+        rel.df = rel.df.drop(*clobbered).join(F.broadcast(lk), key, "left")
         return rel
 
     # -- ENRICH ------------------------------------------------------------------

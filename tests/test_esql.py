@@ -230,8 +230,93 @@ def test_errors(spark, tbl, built_index):
         )
 
 
+def test_bucket_numeric_and_time(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | STATS n = COUNT(*) BY b = BUCKET(n, 100) | SORT b",
+        {"t": tbl},
+    ).collect()
+    assert [(r["b"], r["n"]) for r in out] == [
+        (0, 1), (100, 2), (200, 1), (300, 1), (400, 1)]
+    r = esql(
+        spark,
+        'ROW ts = TO_DATETIME("2024-03-05 10:30:00")'
+        " | EVAL w = BUCKET(ts, 1 hour)",
+        {},
+    ).collect()[0]
+    assert str(r["w"]) == "2024-03-05 10:00:00"
+    with pytest.raises(EsqlError, match="4-arg BUCKET"):
+        esql(spark, "FROM t | STATS n = COUNT(*) BY BUCKET(n, 10, 0, 500)",
+             {"t": tbl})
+
+
+def test_grok(spark):
+    df = spark.createDataFrame(
+        [("alpha 42 10.0.0.1",), ("beta 7 192.168.0.9",), ("nope",)],
+        "line string",
+    )
+    out = esql(
+        spark,
+        'FROM t | GROK line "%{WORD:name} %{INT:num:int} %{IP:addr}" '
+        "| KEEP name, num, addr",
+        {"t": df},
+    ).collect()
+    assert (out[0]["name"], out[0]["num"], out[0]["addr"]) == (
+        "alpha", 42, "10.0.0.1")
+    assert out[2]["name"] is None and out[2]["num"] is None
+    with pytest.raises(EsqlError, match="unknown grok pattern"):
+        esql(spark, 'FROM t | GROK line "%{NOPE:x}"', {"t": df})
+
+
+def test_lookup_join(spark, tbl):
+    lk = spark.createDataFrame(
+        [("en", "English"), ("fr", "French")], "lang string, label string"
+    )
+    out = esql(
+        spark,
+        "FROM t | LOOKUP JOIN langs ON lang | KEEP id, label | SORT id",
+        {"t": tbl, "langs": lk},
+    ).collect()
+    assert [r["label"] for r in out] == [
+        "English", "English", "French", None, "English", None]
+    # lookup columns replace same-named input columns
+    lk2 = spark.createDataFrame([("en", 999)], "lang string, n int")
+    out2 = esql(
+        spark,
+        "FROM t | LOOKUP JOIN langs ON lang | WHERE id == 0 | KEEP n",
+        {"t": tbl, "langs": lk2},
+    ).collect()
+    assert out2[0]["n"] == 999
+
+
 def test_index_patterns_union(spark, tbl):
     out = esql(spark, "FROM t*, t1 | STATS n = COUNT(*)",
                {"t0": tbl, "t1": tbl}).collect()[0]["n"]
     # t* resolves to both, plus t1 again -> 3x the table
     assert out == 3 * tbl.count()
+
+
+def test_plan_pushdown_and_no_python(spark, tmp_path):
+    """The compiled ES|QL pipeline is ONE Catalyst plan: the WHERE
+    predicate reaches the parquet scan as a pushed filter, projection
+    prunes unread columns (ReadSchema), and nothing falls back to
+    row-wise Python."""
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        [(i, f"s{i}", i * 10) for i in range(100)],
+        "id long, s string, n long",
+    ).write.parquet(p)
+    df = esql(
+        spark,
+        "FROM t | WHERE n >= 500 | EVAL b = FLOOR(n / 100) * 100 "
+        "| STATS c = COUNT(*) BY b",
+        {"t": spark.read.parquet(p)},
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(n,500)" in plan
+    # the unused string column never leaves the scan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n" in read_schema and '"s"' not in read_schema and "s:" not in read_schema
