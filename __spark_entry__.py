@@ -2706,6 +2706,19 @@ def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES script_score: the Painless expression compiles to a Catalyst
+    # Column (query/painless.py) — JVM-side rescore of the full match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.script_score(
+        "data merge",
+        "_score * Math.log1p(doc['n_chars'].value / params.d)",
+        params={"d": 100.0},
+        k=20,
+        round_scores=6,
+    )
+
+
 def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL DISSECT: the pattern compiles to ONE anchored regex evaluated
     # JVM-side (regexp_extract per key), no Python row path
@@ -2997,6 +3010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_match": q_esql_match,
         "esql_qstr": q_esql_qstr,
         "esql_dissect": q_esql_dissect,
+        "ft_script_score": q_ft_script_score,
     }
 
 
@@ -6381,5 +6395,13 @@ SELECT CAST(NULLIF(regexp_extract(source, '^src(.*)$', 1), '') AS BIGINT)
          AS n,
        count(*) AS cnt
 FROM documents GROUP BY n ORDER BY n ASC LIMIT 25
+""",
+        "ft_script_score": _SCORED_CTE("'data', 'merge'")
+        + """
+SELECT sc.did AS doc_id,
+       round(sc.s * ln(1 + d.n_chars / 100.0), 6) AS score
+FROM scored sc JOIN docs d ON d.did = sc.did
+ORDER BY round(sc.s * ln(1 + d.n_chars / 100.0), 6) DESC, sc.did ASC
+LIMIT 20
 """,
     }

@@ -743,6 +743,22 @@ def _dispatch_leaf(
         plain(typ)
         _require_no_filters(typ, filters)
         return _function_score(cp, spec, k, round_scores)
+    if typ == "script_score":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        inner_t, inner_s = cp._clause(spec.get("query", {"match_all": {}}))
+        if inner_t != "match":
+            raise DslError("script_score: inner query must be a match clause")
+        f, v, _ = _field_spec("match", inner_s)
+        p = cp._match_params("match", v)
+        script = spec.get("script") or {}
+        if "source" not in script:
+            raise DslError("script_score: script.source is required")
+        return cp.ix.script_score(
+            p["query"], script["source"], params=script.get("params"),
+            k=k, min_score=spec.get("min_score"),
+            field=cp._text_field("match", f), round_scores=round_scores,
+        )
     if typ == "pinned":
         plain(typ)
         _require_no_filters(typ, filters)

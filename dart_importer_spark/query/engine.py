@@ -4532,6 +4532,48 @@ class InvertedIndex:
             out = out.withColumn("score", F.round("score", round_scores))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def script_score(
+        self,
+        query: str,
+        source: str,
+        params: dict | None = None,
+        k: int = 10,
+        min_score: float | None = None,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``script_score``: final = painless(source) over ``_score``,
+        ``doc['f'].value`` and ``params.x``. The script compiles to a
+        Catalyst Column (query/painless.py) — it runs JVM-side inside the
+        scoring plan, no UDF. Like function_score, an arbitrary rescore
+        invalidates θ-pruning, so the full match set is scored (ES pays
+        the same: script_score runs per hit). ``min_score`` drops hits
+        below the threshold AFTER the script (ES semantics)."""
+        from dart_importer_spark.query.painless import compile_script
+
+        expr, doc_fields = compile_script(source, params)
+        fid = self._fid(field)
+        terms = sorted(set(self._analyze(query, field)))
+        sc = self._bm25_scores(terms, fid)
+        if sc is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        sc = self._live(sc)
+        if doc_fields:
+            ds = self.doc_stats()
+            missing = [f for f in doc_fields if f not in ds.columns]
+            if missing:
+                raise ValueError(
+                    f"script_score: unknown doc field(s) {sorted(missing)}"
+                )
+            sc = sc.join(ds.select("doc_id", *sorted(doc_fields)), "doc_id")
+        out = sc.select("doc_id", expr.cast("double").alias("__final"))
+        out = out.select("doc_id", F.col("__final").alias("score"))
+        if min_score is not None:
+            out = out.filter(F.col("score") >= float(min_score))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def decay_score(
         self,
         query: str,
