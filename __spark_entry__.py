@@ -216,6 +216,33 @@ tok AS (
 """
 
 
+def _geohash_interleave_sql(precision: int) -> str:
+    """Bit-interleave H of the quantized (x, y) cell ids — the same
+    formula engine.geohash_col builds as Catalyst expressions, emitted as
+    DuckDB integer arithmetic (lon bits at even stream positions, MSB
+    first). Caller quantizes x/y to ceil(5p/2)/floor(5p/2) bits."""
+    n = 5 * precision
+    lonb, latb = (n + 1) // 2, n // 2
+    parts = [
+        f"(((x >> {lonb - 1 - j}) & 1) * {1 << (n - 1 - 2 * j)})"
+        for j in range(lonb)
+    ] + [
+        f"(((y >> {latb - 1 - j}) & 1) * {1 << (n - 2 - 2 * j)})"
+        for j in range(latb)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _geohash_chars_sql(precision: int) -> str:
+    """Base32 chars of the interleaved key column ``h`` (5 bits/char)."""
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    return " || ".join(
+        f"substr('{alpha}', CAST(((h >> {5 * (precision - 1 - c)}) & 31)"
+        " AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -2706,6 +2733,34 @@ def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES geohash_grid agg at precision 2: base32 cell keys from a pure
+    # Catalyst bit-interleave encode (engine.geohash_col), count desc
+    ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
+    return ix.geohash_grid(2, query="data", k=20)
+
+
+def q_ft_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES geo_bounds agg: the tight bounding box of the match set's points
+    ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
+    return ix.geo_bounds(query="data")
+
+
+def q_ft_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES date_range agg: timestamp-bounded buckets (from incl, to excl,
+    # None unbounded), one conditional-count pass over the match set
+    ix = _documents_index(spark, sf_dir)
+    return ix.date_range_agg(
+        "data",
+        on="ts",
+        ranges=[
+            (None, "2024-01-10 00:00:00"),
+            ("2024-01-10 00:00:00", "2024-01-25 00:00:00"),
+            ("2024-01-25 00:00:00", None),
+        ],
+    )
+
+
 def q_ft_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES script_score: the Painless expression compiles to a Catalyst
     # Column (query/painless.py) — JVM-side rescore of the full match set
@@ -3011,6 +3066,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_qstr": q_esql_qstr,
         "esql_dissect": q_esql_dissect,
         "ft_script_score": q_ft_script_score,
+        "ft_geohash": q_ft_geohash,
+        "ft_geo_bounds": q_ft_geo_bounds,
+        "ft_date_range": q_ft_date_range,
     }
 
 
@@ -6403,5 +6461,65 @@ SELECT sc.did AS doc_id,
 FROM scored sc JOIN docs d ON d.did = sc.did
 ORDER BY round(sc.s * ln(1 + d.n_chars / 100.0), 6) DESC, sc.did ASC
 LIMIT 20
+""",
+        "ft_geohash": _DOCS_CTE
+        + f"""
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+geo AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CAST(-59.5 + (doc_id*7 % 120) AS DOUBLE) AS lat,
+         CAST(-169.5 + (doc_id*13 % 340) AS DOUBLE) AS lon
+  FROM documents
+),
+cells AS (
+  SELECT did,
+         least(CAST(floor((lon + 180.0) / 360.0 * 32) AS BIGINT), 31) AS x,
+         least(CAST(floor((lat + 90.0) / 180.0 * 32) AS BIGINT), 31) AS y
+  FROM geo
+),
+ih AS (SELECT did, {_geohash_interleave_sql(2)} AS h FROM cells),
+gk AS (
+  SELECT did, {_geohash_chars_sql(2)} AS geohash FROM ih
+)
+SELECT geohash, count(*) AS doc_count
+FROM hits JOIN gk USING (did)
+GROUP BY geohash ORDER BY doc_count DESC, geohash ASC LIMIT 20
+""",
+        "ft_geo_bounds": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+geo AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         CAST(-59.5 + (doc_id*7 % 120) AS DOUBLE) AS lat,
+         CAST(-169.5 + (doc_id*13 % 340) AS DOUBLE) AS lon
+  FROM documents
+)
+SELECT max(lat) AS top_left_lat, min(lon) AS top_left_lon,
+       min(lat) AS bottom_right_lat, max(lon) AS bottom_right_lon,
+       count(*) AS doc_count
+FROM hits JOIN geo USING (did)
+""",
+        "ft_date_range": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+m AS (SELECT ts FROM hits JOIN meta USING (did)),
+b(key, doc_count) AS (
+  SELECT '*-2024-01-10 00:00:00',
+         count(*) FILTER (ts < TIMESTAMP '2024-01-10 00:00:00') FROM m
+  UNION ALL
+  SELECT '2024-01-10 00:00:00-2024-01-25 00:00:00',
+         count(*) FILTER (ts >= TIMESTAMP '2024-01-10 00:00:00'
+                          AND ts < TIMESTAMP '2024-01-25 00:00:00') FROM m
+  UNION ALL
+  SELECT '2024-01-25 00:00:00-*',
+         count(*) FILTER (ts >= TIMESTAMP '2024-01-25 00:00:00') FROM m
+)
+SELECT key, doc_count FROM b
 """,
     }

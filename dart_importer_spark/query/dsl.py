@@ -2071,6 +2071,13 @@ def _one_agg(
             (r.get("from"), r.get("to")) for r in spec.get("ranges", [])
         ]
         return ix.range_agg(on=_metric_on(cp, typ, spec), ranges=rs, **base)
+    if typ == "date_range":
+        rs = [
+            (r.get("from"), r.get("to")) for r in spec.get("ranges", [])
+        ]
+        return ix.date_range_agg(
+            on=_metric_on(cp, typ, spec), ranges=rs, **base
+        )
     if typ == "filters":
         named = spec.get("filters")
         if not isinstance(named, dict) or not named:
@@ -2246,6 +2253,20 @@ def _one_agg(
     if typ == "geo_centroid":
         latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
         return ix.geo_centroid(lat=latc, lon=lonc, **base)
+    if typ == "geo_bounds":
+        if spec.get("wrap_longitude"):
+            raise DslError(
+                "geo_bounds: wrap_longitude (dateline-crossing minimal "
+                "boxes) is not supported — the box would differ from ES"
+            )
+        latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
+        return ix.geo_bounds(lat=latc, lon=lonc, **base)
+    if typ == "geohash_grid":
+        latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
+        return ix.geohash_grid(
+            int(spec.get("precision", 5)), lat=latc, lon=lonc,
+            k=int(spec.get("size", 10)), **base,
+        )
     if typ == "scripted_metric":
         # ES ships Painless source strings here; there is no Painless
         # runtime on Spark, and silently mis-running a script would be

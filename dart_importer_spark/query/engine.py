@@ -3953,6 +3953,133 @@ class InvertedIndex:
             F.count("*").alias("doc_count"),
         )
 
+    def geo_bounds(
+        self,
+        lat: str = "lat",
+        lon: str = "lon",
+        query: str | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geo_bounds`` aggregation: the tight bounding box of the
+        match set's points — top_left = (max lat, min lon), bottom_right
+        = (min lat, max lon). One partial-aggregated pass (four
+        min/max accumulators); ``wrap_longitude`` (dateline-crossing
+        minimal boxes) is not supported — refuse rather than return a
+        different box than ES would."""
+        j = self._match_meta(query, field, [lat, lon], filters)
+        return j.agg(
+            F.max(lat).alias("top_left_lat"),
+            F.min(lon).alias("top_left_lon"),
+            F.min(lat).alias("bottom_right_lat"),
+            F.max(lon).alias("bottom_right_lon"),
+            F.count("*").alias("doc_count"),
+        )
+
+    _GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    @classmethod
+    def geohash_col(cls, lat_col: Column, lon_col: Column, precision: int) -> Column:
+        """Geohash of (lat, lon) at ``precision`` chars as a pure Catalyst
+        expression: quantize lon/lat to ceil(5p/2)/floor(5p/2)-bit cells,
+        interleave the bits (lon first, MSB first) into one long, then
+        emit base32 chars by 5-bit groups. No UDF — the whole encode is
+        shifts/masks/substrings inside codegen. p<=12 keeps the
+        interleaved key in 60 bits."""
+        if not (1 <= precision <= 12):
+            raise ValueError(f"geohash: precision must be 1..12, got {precision}")
+        n = 5 * precision
+        lonbits = (n + 1) // 2
+        latbits = n // 2
+        x = F.floor((lon_col + 180.0) / 360.0 * float(1 << lonbits)).cast("long")
+        y = F.floor((lat_col + 90.0) / 180.0 * float(1 << latbits)).cast("long")
+        # lon=180 / lat=90 land exactly on the upper edge — clamp into the
+        # last cell (standard geohash behavior)
+        x = F.least(x, F.lit((1 << lonbits) - 1))
+        y = F.least(y, F.lit((1 << latbits) - 1))
+        h = F.lit(0).cast("long")
+        for j in range(lonbits):  # stream position 2j (even) = lon bit j
+            bit = F.shiftright(x, lonbits - 1 - j).bitwiseAND(F.lit(1))
+            h = h + bit * F.lit(1 << (n - 1 - 2 * j))
+        for j in range(latbits):  # stream position 2j+1 (odd) = lat bit j
+            bit = F.shiftright(y, latbits - 1 - j).bitwiseAND(F.lit(1))
+            h = h + bit * F.lit(1 << (n - 2 - 2 * j))
+        chars = [
+            F.substring(
+                F.lit(cls._GEOHASH_ALPHABET),
+                F.shiftright(h, 5 * (precision - 1 - c))
+                .bitwiseAND(F.lit(31))
+                .cast("int")
+                + F.lit(1),
+                F.lit(1),
+            )
+            for c in range(precision)
+        ]
+        return F.concat(*chars)
+
+    def geohash_grid(
+        self,
+        precision: int,
+        lat: str = "lat",
+        lon: str = "lon",
+        k: int = 10,
+        query: str | None = None,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geohash_grid`` aggregation: bucket the match set by
+        geohash cell at ``precision`` (1..12 chars), count desc. The
+        encode is :meth:`geohash_col` — one JVM-side expression, so the
+        whole agg is one scan + one hash aggregate."""
+        j = self._match_meta(query, field, [lat, lon], filters)
+        key = self.geohash_col(F.col(lat), F.col(lon), precision)
+        return (
+            j.groupBy(key.alias("geohash"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("geohash"))
+            .limit(k)
+        )
+
+    def date_range_agg(
+        self,
+        query: str | None,
+        on: str,
+        ranges: Sequence[tuple[str | None, str | None]],
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``date_range`` aggregation: like :meth:`range_agg` but the
+        bounds are timestamp literals ('yyyy-MM-dd[ HH:mm:ss]'), from
+        inclusive / to exclusive, None unbounded, overlap allowed. One
+        pass, one conditional-count aggregation row, exploded to the ES
+        bucket shape."""
+        if not ranges:
+            raise ValueError("date_range_agg: at least one (from, to) range")
+        joined = self._match_meta(query, field, [on], filters)
+        aggs = []
+        keys = []
+        for i, (lo, hi) in enumerate(ranges):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(on) >= F.to_timestamp(F.lit(lo)))
+            if hi is not None:
+                cond = cond & (F.col(on) < F.to_timestamp(F.lit(hi)))
+            keys.append(f"{lo or '*'}-{hi or '*'}")
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}"))
+        row = joined.agg(*aggs)
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kk).alias("key"),
+                        F.col(f"_b{i}").cast("long").alias("doc_count"),
+                    )
+                    for i, kk in enumerate(keys)
+                ]
+            )
+        ).alias("b")
+        return row.select(buckets).select("b.key", "b.doc_count")
+
     def moving_percentiles(
         self,
         query: str | None,

@@ -263,3 +263,148 @@ def test_moving_percentiles(built_index, src, oracle):
     assert list(got["bucket"]) == buckets
     with pytest.raises(ValueError, match="window"):
         built_index.moving_percentiles("the", on="ts", value="turn_idx", window=0)
+
+
+# -- geohash_grid / geo_bounds / date_range ------------------------------
+
+_GH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_py(lat, lon, precision):
+    """Classic bisection geohash — the independent reference encoder."""
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    bits, out, even = 0, [], True
+    bit_count = 0
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                bits = (bits << 1) | 1
+                lon_lo = mid
+            else:
+                bits <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                bits = (bits << 1) | 1
+                lat_lo = mid
+            else:
+                bits <<= 1
+                lat_hi = mid
+        even = not even
+        bit_count += 1
+        if bit_count == 5:
+            out.append(_GH32[bits])
+            bits, bit_count = 0, 0
+    return "".join(out)
+
+
+def test_geohash_col_matches_reference_encoder(spark):
+    from dart_importer_spark.query.engine import InvertedIndex
+    from pyspark.sql import functions as F
+
+    pts = [
+        (57.64911, 10.40744),   # the canonical u4pruydqqvj example
+        (0.0, 0.0),
+        (-89.9, -179.9),
+        (89.9, 179.9),
+        (37.7749, -122.4194),
+        (-33.8688, 151.2093),
+    ]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    for p in (1, 3, 5, 11):
+        got = [
+            r["g"]
+            for r in df.select(
+                InvertedIndex.geohash_col(F.col("lat"), F.col("lon"), p).alias("g")
+            ).collect()
+        ]
+        want = [_geohash_py(la, lo, p) for la, lo in pts]
+        assert got == want, f"precision {p}"
+    assert _geohash_py(57.64911, 10.40744, 11) == "u4pruydqqvj"
+
+
+def test_geohash_grid(geo_index, src, oracle):
+    from collections import Counter
+
+    got = geo_index.geohash_grid(2, query="the", k=1000).toPandas()
+    hits = _match_set(oracle, ["the"])
+    c: Counter = Counter()
+    for d, (la, lo) in _coords(hits).items():
+        c[_geohash_py(la, lo, 2)] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(r.geohash, r.doc_count) for r in got.itertuples()] == want
+
+
+def test_geo_bounds(geo_index, src, oracle):
+    got = geo_index.geo_bounds(query="the").collect()[0]
+    hits = _match_set(oracle, ["the"])
+    lats = [la for la, _ in _coords(hits).values()]
+    lons = [lo for _, lo in _coords(hits).values()]
+    assert got["top_left_lat"] == max(lats)
+    assert got["top_left_lon"] == min(lons)
+    assert got["bottom_right_lat"] == min(lats)
+    assert got["bottom_right_lon"] == max(lons)
+    assert got["doc_count"] == len(hits)
+
+
+def test_date_range_agg(built_index, src, oracle):
+    got = built_index.date_range_agg(
+        "the",
+        on="ts",
+        ranges=[
+            (None, "2024-01-01 03:00:00"),
+            ("2024-01-01 03:00:00", "2024-01-01 06:00:00"),
+            ("2024-01-01 06:00:00", None),
+        ],
+    ).toPandas()
+    hits = _match_set(oracle, ["the"])
+    sub = src[src["doc_id"].isin(hits)]
+    import pandas as pd
+
+    lo1 = pd.Timestamp("2024-01-01 03:00:00")
+    lo2 = pd.Timestamp("2024-01-01 06:00:00")
+    want = [
+        int((sub["ts"] < lo1).sum()),
+        int(((sub["ts"] >= lo1) & (sub["ts"] < lo2)).sum()),
+        int((sub["ts"] >= lo2).sum()),
+    ]
+    assert list(got["doc_count"]) == want
+    assert sum(want) == len(sub)  # partition: ranges cover the axis
+
+
+def test_geo_and_range_dsl_bodies(geo_index, built_index):
+    from dart_importer_spark.query import dsl
+    from dart_importer_spark.query.dsl import DslError
+
+    out = dsl.aggs(geo_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {
+            "box": {"geo_bounds": {"field": "location"}},
+            "grid": {"geohash_grid": {"field": "location",
+                                      "precision": 2, "size": 5}},
+        },
+    })
+    box = out["box"].collect()[0]
+    assert box["top_left_lat"] >= box["bottom_right_lat"]
+    gh = out["grid"].toPandas()
+    assert len(gh) == 5 and gh["doc_count"].is_monotonic_decreasing
+    dr = dsl.aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"spans": {"date_range": {
+            "field": "ts",
+            "ranges": [{"to": "2024-01-01 03:00:00"},
+                       {"from": "2024-01-01 03:00:00"}],
+        }}},
+    })["spans"].toPandas()
+    assert len(dr) == 2 and dr["doc_count"].sum() > 0
+    import pytest as _pt
+
+    with _pt.raises(DslError, match="wrap_longitude"):
+        dsl.aggs(geo_index, {
+            "query": {"match": {"text": "the"}},
+            "aggs": {"box": {"geo_bounds": {"field": "location",
+                                            "wrap_longitude": True}}},
+        })
