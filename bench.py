@@ -150,6 +150,12 @@ HEADLINE = [
     "etl_latest",
     "ft_graph_explore",
     "etl_importance",
+    # seventh-continuation additions: ES|QL pipe queries, script_score,
+    # geohash_grid
+    "esql_match",
+    "esql_stats",
+    "ft_script_score",
+    "ft_geohash",
 ]
 
 

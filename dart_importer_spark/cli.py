@@ -346,6 +346,30 @@ def main(argv: list[str] | None = None) -> int:
                    help="round SCORE() to this many decimals")
 
     p = sub.add_parser(
+        "esql",
+        help="ES|QL _query: pipe queries over the index "
+             '(FROM idx | WHERE MATCH(text, "...") | STATS ... BY ...)',
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--query", required=True)
+    p.add_argument("--table", default="idx",
+                   help="name the index resolves to in FROM")
+
+    p = sub.add_parser(
+        "script-score",
+        help="ES script_score: Painless expression rescore "
+             "(_score, doc['f'].value, params.x, Math.*)",
+    )
+    p.add_argument("--index", required=True)
+    p.add_argument("--q", required=True)
+    p.add_argument("--script", required=True)
+    p.add_argument("--params", default=None, help="JSON params object")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--min-score", type=float, default=None)
+    p.add_argument("--field", default=None)
+    p.add_argument("--round", type=int, default=6)
+
+    p = sub.add_parser(
         "snapshot",
         help="ES _snapshot: create/list/delete incremental file-level "
              "backups in a repository directory",
@@ -784,6 +808,25 @@ def main(argv: list[str] | None = None) -> int:
         ix = InvertedIndex(spark, args.index)
         for r in ix.sql(args.query, table=args.table,
                         round_scores=args.round).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "esql":
+        from .query.engine import InvertedIndex
+        from .query.esql import EsqlEngine
+
+        ix = InvertedIndex(spark, args.index)
+        eng = EsqlEngine(spark, {args.table: ix})
+        for r in eng.query(args.query).collect():
+            print(json.dumps(r.asDict(), default=str))
+    elif args.cmd == "script-score":
+        from .query.engine import InvertedIndex
+
+        ix = InvertedIndex(spark, args.index)
+        params = json.loads(args.params) if args.params else None
+        for r in ix.script_score(
+            args.q, args.script, params=params, k=args.k,
+            min_score=args.min_score, field=args.field,
+            round_scores=args.round,
+        ).collect():
             print(json.dumps(r.asDict(), default=str))
     elif args.cmd == "snapshot":
         from .index.snapshot import SnapshotRepo

@@ -259,3 +259,37 @@ def test_cli_msearch_ndjson(spark, transcripts_df, tmp_path, capsys):
     assert len(by_q["s0"]) == 3 and len(by_q["s1"]) == 2
     scores = [r["score"] for r in by_q["s0"]]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_esql_and_script_score(spark, transcripts_df, tmp_path, capsys):
+    inp = str(tmp_path / "tx_parquet")
+    transcripts_df.write.parquet(inp)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--input", inp, "--index", idx,
+                 "--segments", "2", "--buckets", "4"]) == 0
+    capsys.readouterr()
+
+    assert main([
+        "esql", "--index", idx, "--query",
+        'FROM idx METADATA _score | WHERE MATCH(text, "the w00100") '
+        "| EVAL s = ROUND(_score, 6) | KEEP doc_id, s, role "
+        "| SORT s DESC, doc_id ASC | LIMIT 3",
+    ]) == 0
+    hits = _lines(capsys)
+    assert len(hits) == 3 and hits[0]["s"] >= hits[-1]["s"]
+    assert {"doc_id", "s", "role"} == set(hits[0])
+
+    assert main([
+        "esql", "--index", idx, "--query",
+        "FROM idx | STATS n = COUNT(*) BY role | SORT n DESC",
+    ]) == 0
+    rows = _lines(capsys)
+    assert sum(r["n"] for r in rows) > 0
+
+    assert main([
+        "script-score", "--index", idx, "--q", "the w00100",
+        "--script", "_score * Math.log1p(doc['dl'].value / params.d)",
+        "--params", '{"d": 10.0}', "--k", "3",
+    ]) == 0
+    ss = _lines(capsys)
+    assert len(ss) == 3 and ss[0]["score"] >= ss[-1]["score"]
