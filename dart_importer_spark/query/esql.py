@@ -22,6 +22,10 @@ Spark-first mapping, command by command:
                  corpus
 ``EVAL``         sequential ``withColumn`` projections (pure Catalyst)
 ``STATS .. BY``  ``groupBy(keys).agg(...)`` — map-side partial agg for free
+``INLINESTATS``  window aggregate partitioned by the BY keys (appends the
+                 aggregate without collapsing rows)
+``CHANGE_POINT`` step-change split via cumulative window sums (marks the
+                 max-SSE-gain boundary; no driver loop)
 ``SORT/LIMIT``   ``orderBy`` + ``limit`` -> TakeOrderedAndProject
 ``KEEP/DROP``    column pruning, wildcard patterns expanded in order
 ``RENAME``       ``withColumnRenamed``
@@ -151,7 +155,8 @@ _CAST_TYPES = {
 
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
-    "mv_expand", "dissect", "enrich", "grok", "lookup",
+    "mv_expand", "dissect", "enrich", "grok", "lookup", "inlinestats",
+    "change_point",
 }
 
 
@@ -253,12 +258,23 @@ class _Parser:
             return ("where", self.parse_expr())
         if cmd == "eval":
             return ("eval", self.parse_assignments(require_name=False))
-        if cmd == "stats":
+        if cmd in ("stats", "inlinestats"):
             items = self.parse_assignments(require_name=False)
             by: list[tuple[str | None, tuple]] = []
             if self.kw("by"):
                 by = self.parse_assignments(require_name=False)
-            return ("stats", items, by)
+            return (cmd, items, by)
+        if cmd == "change_point":
+            value = self.ident("value column")
+            self.expect_kw("on")
+            key = self.ident("key column")
+            names = ("type", "gain")
+            if self.kw("as"):
+                a = self.ident("type column")
+                self.expect_op(",")
+                b = self.ident("gain column")
+                names = (a, b)
+            return ("change_point", value, key, names)
         if cmd == "sort":
             keys = [self.parse_sort_key()]
             while self.op(","):
@@ -1011,6 +1027,10 @@ class EsqlEngine:
             return rel
         if kind == "stats":
             return self._stats(rel, cmd[1], cmd[2])
+        if kind == "inlinestats":
+            return self._inlinestats(rel, cmd[1], cmd[2])
+        if kind == "change_point":
+            return self._change_point(rel, cmd[1], cmd[2], cmd[3])
         if kind == "sort":
             comp = _Compiler()
             keys = []
@@ -1146,6 +1166,93 @@ class EsqlEngine:
         else:
             rel.df = rel.df.agg(*aggs)
         rel.score_attached = "_score" in rel.df.columns
+        return rel
+
+    # -- INLINESTATS -------------------------------------------------------------
+    def _inlinestats(
+        self,
+        rel: _Rel,
+        items: list[tuple[str | None, tuple]],
+        by: list[tuple[str | None, tuple]],
+    ) -> _Rel:
+        """ES|QL INLINESTATS: STATS that APPENDS the aggregate as a column
+        instead of collapsing rows — a window aggregate partitioned by the
+        BY keys (map-side partial agg + one broadcast-back per partition
+        key; no row explosion). Each item must be a bare aggregate call —
+        wrap it with EVAL afterwards (``.over()`` binds to the aggregate,
+        not to scalar wrappers)."""
+        from pyspark.sql.window import Window
+
+        key_comp = _Compiler()
+        if by:
+            w = Window.partitionBy(*[key_comp.col(e) for _, e in by])
+        else:
+            w = Window.partitionBy()
+        comp = _Compiler(allow_agg=True)
+        df = rel.df
+        for nm, e in items:
+            if e[0] != "call" or e[1] not in _AGG_FNS:
+                raise EsqlError(
+                    "ES|QL: INLINESTATS items must be bare aggregates "
+                    f"(got {nm!r}); apply scalar functions in a following EVAL"
+                )
+            if e[1] == "count_distinct":
+                raise EsqlError(
+                    "ES|QL: COUNT_DISTINCT is not available in INLINESTATS "
+                    "(no exact distinct window aggregate); use STATS"
+                )
+            df = df.withColumn(nm, comp.agg(e[1], e[2]).over(w))
+        rel.df = df
+        return rel
+
+    # -- CHANGE_POINT --------------------------------------------------------------
+    def _change_point(
+        self, rel: _Rel, value: str, key: str, names: tuple[str, str]
+    ) -> _Rel:
+        """ES|QL CHANGE_POINT in its deterministic core (the same framing
+        as the engine's change_point agg): order by ``key``, pick the
+        step-change boundary maximizing the between-segment sum-of-squares
+        gain via cumulative window sums — no driver loop. Appends
+        ``type`` ('step_change' on the first right-segment row, null
+        elsewhere) and ``gain`` (the SSE reduction; ES reports a p-value
+        from the same split statistic — we report the statistic itself,
+        under a different column name so the divergence is loud)."""
+        for c in (value, key):
+            if c not in rel.df.columns:
+                raise EsqlError(f"ES|QL: unknown column {c!r}")
+        from pyspark.sql.window import Window
+
+        w = Window.orderBy(key)
+        wall = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        v = F.coalesce(F.col(value).cast("double"), F.lit(0.0))
+        cand = (
+            rel.df.withColumn("__i", F.row_number().over(w))
+            .withColumn("__cum", F.sum(v).over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wall))
+            .withColumn("__tot", F.sum(v).over(wall))
+        )
+        nl = (F.col("__i") - 1).cast("double")
+        nr = (F.col("__n") - F.col("__i") + 1).cast("double")
+        suml = F.col("__cum") - v
+        sumr = F.col("__tot") - F.col("__cum") + v
+        gain = F.when(
+            (nl > 0) & (nr > 0),
+            suml * suml / nl + sumr * sumr / nr
+            - F.col("__tot") * F.col("__tot") / F.col("__n"),
+        )
+        cand = cand.withColumn("__gain", gain)
+        pick = F.row_number().over(
+            Window.orderBy(F.desc_nulls_last("__gain"), F.asc(key))
+        )
+        cand = cand.withColumn("__pick", pick)
+        tcol, gcol = names
+        rel.df = cand.withColumn(
+            tcol, F.when(F.col("__pick") == 1, F.lit("step_change"))
+        ).withColumn(
+            gcol, F.when(F.col("__pick") == 1, F.round(F.col("__gain"), 6))
+        ).drop("__i", "__cum", "__n", "__tot", "__gain", "__pick")
         return rel
 
     # -- DISSECT ---------------------------------------------------------------

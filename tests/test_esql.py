@@ -320,3 +320,43 @@ def test_plan_pushdown_and_no_python(spark, tmp_path):
     # the unused string column never leaves the scan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "n" in read_schema and '"s"' not in read_schema and "s:" not in read_schema
+
+
+def test_inlinestats(spark, tbl):
+    out = esql(
+        spark,
+        "FROM t | INLINESTATS avg_n = AVG(n) BY lang "
+        "| WHERE n > avg_n | KEEP id | SORT id",
+        {"t": tbl},
+    ).collect()
+    # en group avg = (120+250+410)/3 = 260 -> id 4 (410); singleton groups
+    # never exceed their own mean
+    assert [r["id"] for r in out] == [4]
+    # global (no BY) inlinestats
+    out2 = esql(
+        spark,
+        "FROM t | INLINESTATS m = MAX(n) | WHERE n == m | KEEP id",
+        {"t": tbl},
+    ).collect()
+    assert [r["id"] for r in out2] == [4]
+    with pytest.raises(EsqlError, match="bare aggregates"):
+        esql(spark, "FROM t | INLINESTATS x = ROUND(AVG(n), 2)", {"t": tbl})
+    with pytest.raises(EsqlError, match="COUNT_DISTINCT"):
+        esql(spark, "FROM t | INLINESTATS x = COUNT_DISTINCT(n)", {"t": tbl})
+
+
+def test_change_point(spark):
+    rows = [(k, 10.0 if k <= 12 else 100.0) for k in range(1, 25)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = esql(
+        spark,
+        "FROM t | CHANGE_POINT v ON k | WHERE type IS NOT NULL | KEEP k, type",
+        {"t": df},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["k"] == 13 and out[0]["type"] == "step_change"
+    # row count preserved, marker null elsewhere
+    all_rows = esql(spark, "FROM t | CHANGE_POINT v ON k AS cls, score",
+                    {"t": df}).collect()
+    assert len(all_rows) == len(rows)
+    assert sum(1 for r in all_rows if r["cls"] is not None) == 1
