@@ -1183,13 +1183,7 @@ class EsqlEngine:
         not to scalar wrappers)."""
         from pyspark.sql.window import Window
 
-        key_comp = _Compiler()
-        if by:
-            w = Window.partitionBy(*[key_comp.col(e) for _, e in by])
-        else:
-            w = Window.partitionBy()
         comp = _Compiler(allow_agg=True)
-        df = rel.df
         for nm, e in items:
             if e[0] != "call" or e[1] not in _AGG_FNS:
                 raise EsqlError(
@@ -1201,7 +1195,20 @@ class EsqlEngine:
                     "ES|QL: COUNT_DISTINCT is not available in INLINESTATS "
                     "(no exact distinct window aggregate); use STATS"
                 )
-            df = df.withColumn(nm, comp.agg(e[1], e[2]).over(w))
+        df = rel.df
+        if by:
+            key_comp = _Compiler()
+            w = Window.partitionBy(*[key_comp.col(e) for _, e in by])
+            for nm, e in items:
+                df = df.withColumn(nm, comp.agg(e[1], e[2]).over(w))
+        else:
+            # global INLINESTATS: an unpartitioned window would move EVERY
+            # row to one task — aggregate to one row and broadcast it back
+            # instead (partial agg + a zero-shuffle join)
+            one = df.agg(
+                *[comp.agg(e[1], e[2]).alias(nm) for nm, e in items]
+            )
+            df = df.crossJoin(F.broadcast(one))
         rel.df = df
         return rel
 

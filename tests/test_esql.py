@@ -333,12 +333,18 @@ def test_inlinestats(spark, tbl):
     # never exceed their own mean
     assert [r["id"] for r in out] == [4]
     # global (no BY) inlinestats
-    out2 = esql(
+    gdf = esql(
         spark,
         "FROM t | INLINESTATS m = MAX(n) | WHERE n == m | KEEP id",
         {"t": tbl},
-    ).collect()
-    assert [r["id"] for r in out2] == [4]
+    )
+    assert [r["id"] for r in gdf.collect()] == [4]
+    # the global (no BY) form must NOT be a single-partition window —
+    # it aggregates to one row and broadcasts it back
+    plan = gdf._sc._jvm.PythonSQLUtils.explainString(
+        gdf._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan and "Broadcast" in plan
     with pytest.raises(EsqlError, match="bare aggregates"):
         esql(spark, "FROM t | INLINESTATS x = ROUND(AVG(n), 2)", {"t": tbl})
     with pytest.raises(EsqlError, match="COUNT_DISTINCT"):
