@@ -889,6 +889,21 @@ class _Compiler:
 # Full-text predicate extraction
 # --------------------------------------------------------------------------
 
+def _collect_cols(node: tuple) -> set[str]:
+    """Bare column names referenced by an expression AST."""
+    out: set[str] = set()
+    if node[0] == "col":
+        out.add(node[1])
+    for part in node[1:]:
+        if isinstance(part, tuple):
+            out |= _collect_cols(part)
+        elif isinstance(part, list):
+            for c in part:
+                if isinstance(c, tuple):
+                    out |= _collect_cols(c)
+    return out
+
+
 def _split_ft(node: tuple) -> tuple[list[tuple], tuple | None]:
     """Split a WHERE expression's top-level AND chain into full-text
     predicates (('ft', call_node, negated)) and the residual relational
@@ -934,6 +949,7 @@ class _Rel:
     index: object | None = None  # InvertedIndex when the source is an index
     score_requested: bool = False
     score_attached: bool = False
+    score_has_match: bool = False  # a positive MATCH contributed BM25
     where_seen: bool = False
 
 
@@ -952,21 +968,115 @@ class EsqlEngine:
         spark: SparkSession,
         sources: dict[str, object],
         enrich: dict[str, tuple[DataFrame, str]] | None = None,
+        pushdown: bool = True,
     ):
         self.spark = spark
         self.sources = sources
         self.enrich = enrich or {}
+        self.pushdown = pushdown
+        # True when the last query() took the pruned top-k path —
+        # read by tests/plan audits, never by query logic
+        self.last_pushdown = False
 
     # -- public -------------------------------------------------------------
     def query(self, text: str) -> DataFrame:
         cmds = _Parser(text).parse()
-        rel = self._source(cmds[0])
-        for cmd in cmds[1:]:
+        self.last_pushdown = False
+        rewritten = self._try_topk_pushdown(cmds) if self.pushdown else None
+        if rewritten is not None:
+            rel, rest = rewritten
+            self.last_pushdown = True
+        else:
+            rel = self._source(cmds[0])
+            rest = cmds[1:]
+        for cmd in rest:
             rel = self._apply(rel, cmd)
-        if rel.score_requested and not rel.score_attached:
-            rel.df = rel.df.withColumn("_score", F.lit(0.0))
-            rel.score_attached = True
         return rel.df
+
+    # -- top-k pushdown --------------------------------------------------------
+    _ROW_PRESERVING = frozenset(
+        {"eval", "keep", "drop", "rename", "grok", "dissect", "enrich",
+         "lookup"}
+    )
+
+    def _try_topk_pushdown(self, cmds: list[tuple]):
+        """Rewrite ``FROM idx METADATA _score | WHERE MATCH(f, q) [AND
+        relational...] | <row-preserving>* | SORT _score DESC [, doc_id
+        ASC] | LIMIT n`` to the engine's PRUNED top-k: the relational
+        conjuncts become topk's doc_stats ``filters`` (gating commutes
+        with per-doc scoring, so filter-then-topk(n) is rank-identical
+        to score-all-filter-sort-limit), the LIMIT becomes ``k``, and
+        block-max pruning applies — at 100 TB this is the difference
+        between scoring the term's whole match set and the WAND-bounded
+        fraction. Returns (relation, remaining commands) or None when the
+        shape doesn't match (the general path stays correct, just
+        unpruned — the cost ES itself pays for non-top-k sorts)."""
+        if len(cmds) < 4 or cmds[0][0] != "from":
+            return None
+        _, patterns, metadata = cmds[0]
+        if metadata != ["_score"] or len(patterns) != 1:
+            return None
+        if patterns[0] not in self.sources or isinstance(
+            self.sources[patterns[0]], DataFrame
+        ):
+            return None
+        if cmds[1][0] != "where":
+            return None
+        try:
+            fts, residual = _split_ft(cmds[1][1])
+        except EsqlError:
+            return None
+        if len(fts) != 1 or fts[0][2] or fts[0][1][1] != "match":
+            return None
+        call = fts[0][1]
+        if len(call[2]) != 2 or call[2][0][0] != "col" or call[2][1][0] != "str":
+            return None
+        # locate SORT _score DESC [, doc_id ASC] immediately followed by LIMIT,
+        # with only row-preserving commands in between
+        i = 2
+        while i < len(cmds) and cmds[i][0] in self._ROW_PRESERVING:
+            # an EVAL may rebind _score/doc_id — too clever to chase; bail
+            if cmds[i][0] == "eval" and any(
+                nm in ("_score", "doc_id") for nm, _ in cmds[i][1]
+            ):
+                return None
+            if cmds[i][0] == "rename" and any(
+                old in ("_score", "doc_id") for old, _ in cmds[i][1]
+            ):
+                return None
+            i += 1
+        if i + 1 >= len(cmds) or cmds[i][0] != "sort" or cmds[i + 1][0] != "limit":
+            return None
+        keys = cmds[i][1]
+        if keys[0][0] != ("col", "_score") or keys[0][1]:  # must be _score DESC
+            return None
+        if len(keys) > 1 and (
+            len(keys) > 2 or keys[1][0] != ("col", "doc_id") or not keys[1][1]
+        ):
+            return None
+        k = cmds[i + 1][1]
+        # residual must be a pure doc_stats predicate (no _score reference)
+        rel = self._source(cmds[0])
+        idx = rel.index
+        filt = None
+        if residual is not None:
+            cols = _collect_cols(residual)
+            if "_score" in cols or not cols <= set(rel.df.columns):
+                return None
+            filt = _Compiler().col(residual)
+        scored = idx.topk(
+            call[2][1][1], k=k, filters=filt, field=call[2][0][1]
+        ).select("doc_id", F.col("score").alias("__s"))
+        rel.df = (
+            rel.df.join(F.broadcast(scored), "doc_id")
+            .withColumn("_score", F.col("_score") + F.col("__s"))
+            .drop("__s")
+        )
+        rel.score_has_match = True
+        rel.where_seen = True
+        # the original SORT/LIMIT still run (cheap: ≤k rows) so ordering
+        # and any trailing commands behave identically to the general path
+        return rel, cmds[2:]
 
     # -- source -------------------------------------------------------------
     def _resolve(self, pattern: str) -> list[str]:
@@ -1011,7 +1121,12 @@ class EsqlEngine:
             df = rels[0][0]
             for other, _ in rels[1:]:
                 df = df.unionByName(other, allowMissingColumns=True)
-        return _Rel(df, index=idx, score_requested=bool(metadata))
+        score = bool(metadata)
+        if score:
+            # filter-context base score: 0.0 (MATCH adds BM25 onto it) —
+            # attached up front so _score resolves in every later command
+            df = df.withColumn("_score", F.lit(0.0))
+        return _Rel(df, index=idx, score_requested=score, score_attached=score)
 
     # -- commands -----------------------------------------------------------
     def _apply(self, rel: _Rel, cmd: tuple) -> _Rel:
@@ -1111,14 +1226,12 @@ class EsqlEngine:
                     scored = idx.topk(
                         qtext, k=None, prune=False, field=fieldname
                     ).select("doc_id", F.col("score").alias("__s"))
-                    rel.df = rel.df.join(scored, "doc_id")
-                    if rel.score_attached:
-                        rel.df = rel.df.withColumn(
-                            "_score", F.col("_score") + F.col("__s")
-                        ).drop("__s")
-                    else:
-                        rel.df = rel.df.withColumnRenamed("__s", "_score")
-                        rel.score_attached = True
+                    rel.df = (
+                        rel.df.join(scored, "doc_id")
+                        .withColumn("_score", F.col("_score") + F.col("__s"))
+                        .drop("__s")
+                    )
+                    rel.score_has_match = True
                 else:
                     docs = idx.match_docs(qtext, mode="or", field=fieldname)
                     rel.df = rel.df.join(docs, "doc_id", "left_semi")
@@ -1132,7 +1245,7 @@ class EsqlEngine:
                     docs = idx._qs_doc_set(ast, idx._fid(None), 50)
                 how = "left_anti" if negated else "left_semi"
                 rel.df = rel.df.join(docs, "doc_id", how)
-                if rel.score_requested and not negated and not rel.score_attached:
+                if rel.score_requested and not negated and not rel.score_has_match:
                     # ES|QL scores QSTR too; we pin filter-context 0.0 and
                     # raise only when the caller will read a misleading score
                     raise EsqlError(

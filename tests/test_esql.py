@@ -366,3 +366,38 @@ def test_change_point(spark):
                     {"t": df}).collect()
     assert len(all_rows) == len(rows)
     assert sum(1 for r in all_rows if r["cls"] is not None) == 1
+
+
+def test_topk_pushdown_rank_identity(spark, built_index):
+    """The narrow SORT _score DESC | LIMIT k rewrite must fire AND be
+    rank/score-identical to the general (unpruned) path, with and
+    without a relational conjunct."""
+    q = (
+        "FROM transcripts METADATA _score\n"
+        '| WHERE MATCH(text, "the w00100") AND role == "assistant"\n'
+        "| EVAL s = ROUND(_score, 6)\n"
+        "| SORT _score DESC, doc_id ASC | LIMIT 10 | KEEP doc_id, s"
+    )
+    fast = EsqlEngine(spark, {"transcripts": built_index})
+    slow = EsqlEngine(spark, {"transcripts": built_index}, pushdown=False)
+    got = fast.query(q)
+    assert fast.last_pushdown is True
+    want = slow.query(q)
+    assert slow.last_pushdown is False
+    assert [(r["doc_id"], r["s"]) for r in got.collect()] == [
+        (r["doc_id"], r["s"]) for r in want.collect()
+    ]
+    # shapes the rewrite must NOT claim: sort not on _score; extra sort
+    # key; negated match; QSTR; no limit
+    for nq in (
+        'FROM transcripts METADATA _score | WHERE MATCH(text, "the") '
+        "| SORT doc_id ASC | LIMIT 5",
+        'FROM transcripts METADATA _score | WHERE MATCH(text, "the") '
+        "| SORT _score DESC, ts ASC | LIMIT 5",
+        'FROM transcripts METADATA _score | WHERE NOT MATCH(text, "the") '
+        "| SORT _score DESC | LIMIT 5",
+        'FROM transcripts METADATA _score | WHERE MATCH(text, "the") '
+        "| SORT _score DESC",
+    ):
+        fast.query(nq)
+        assert fast.last_pushdown is False, nq
