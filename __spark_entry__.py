@@ -2733,6 +2733,20 @@ def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_etl_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-based corpus mixing (mT5/XLM-R rule): sample strata
+    # ∝ p^(1/T); T=0.5 sharpens toward the big languages. One tiny
+    # count groupBy -> driver rates -> zero-shuffle hash filter. The
+    # oracle replays the SAME float ops in the same order (sorted-lang
+    # accumulation), so thresholds agree bit-for-bit.
+    from dart_importer_spark.operators.sampling import temperature_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    target = int(docs.count() * 0.4)
+    out = temperature_mix(docs, "lang", "doc_id", 0.5, target)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_ft_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES geohash_grid agg at precision 2: base32 cell keys from a pure
     # Catalyst bit-interleave encode (engine.geohash_col), count desc
@@ -3069,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_geohash": q_ft_geohash,
         "ft_geo_bounds": q_ft_geo_bounds,
         "ft_date_range": q_ft_date_range,
+        "etl_temperature_mix": q_etl_temperature_mix,
     }
 
 
@@ -6521,5 +6536,33 @@ b(key, doc_count) AS (
          count(*) FILTER (ts >= TIMESTAMP '2024-01-25 00:00:00') FROM m
 )
 SELECT key, doc_count FROM b
+""",
+        # replays temperature_rates(T=0.5) float-op-for-float-op:
+        # q = n², z accumulated in sorted-lang order, rate = t*q/z/n,
+        # threshold = trunc(rate * P) — bit-identical to the driver's
+        # computation (squares and the z sum are exact in doubles here)
+        "etl_temperature_mix": """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+t AS (
+  SELECT CAST(CAST(trunc((SELECT count(*) FROM documents) * 0.4) AS BIGINT)
+              AS DOUBLE) AS t
+),
+z AS (
+  SELECT (((((SELECT n*n FROM c WHERE lang='de')
+    + (SELECT n*n FROM c WHERE lang='en'))
+    + (SELECT n*n FROM c WHERE lang='es'))
+    + (SELECT n*n FROM c WHERE lang='fr'))
+    + (SELECT n*n FROM c WHERE lang='zh')) AS z
+),
+r AS (
+  SELECT c.lang,
+         CAST(trunc(t.t * (c.n * c.n) / z.z / c.n * 1000003) AS BIGINT)
+           AS thr
+  FROM c, z, t
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE (d.doc_id % 1000003) * 7919 % 1000003 < r.thr
+ORDER BY d.doc_id
 """,
     }

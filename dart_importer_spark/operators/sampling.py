@@ -63,6 +63,76 @@ def stratified_sample(
     return df.filter(h < expr)
 
 
+def temperature_rates(
+    counts: dict[str, int], temperature: float, target_rows: int
+) -> dict[str, float]:
+    """Multinomial temperature-sampling rates (the mT5/XLM-R corpus-mix
+    rule): sample stratum s proportionally to p_s^(1/T), p_s = n_s / N.
+    Returns the per-stratum KEEP RATE for a without-replacement sample of
+    ~``target_rows`` rows: rate_s = target · q_s / n_s with q ∝ p^(1/T),
+    iteratively renormalized when a stratum saturates at rate 1 (a small
+    stratum can't contribute more rows than it has; its shortfall is
+    redistributed over the unsaturated strata, fixpoint over the ≤#strata
+    iterations).
+
+    T=1 reproduces the natural distribution, T→∞ approaches uniform over
+    strata, T<1 sharpens toward the big strata. Pure driver-side
+    arithmetic over the (tiny) per-stratum count dict; accumulation runs
+    in sorted-stratum order so the float result is bit-reproducible by
+    any engine that replays the same op order (the DuckDB gate oracle
+    does exactly that)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature_rates: temperature must be > 0, got {temperature}")
+    if target_rows < 0:
+        raise ValueError("temperature_rates: target_rows must be >= 0")
+    total = sum(counts.values())
+    if total == 0:
+        return {s: 0.0 for s in counts}
+    inv_t = 1.0 / float(temperature)
+    q_raw = {s: float(n) ** inv_t for s, n in counts.items() if n > 0}
+    rates = {s: 0.0 for s in counts}
+    active = sorted(q_raw)
+    remaining = float(target_rows)
+    while active and remaining > 0:
+        z = 0.0
+        for s in active:  # sorted order — reproducible accumulation
+            z = z + q_raw[s]
+        saturated = []
+        for s in active:
+            want = remaining * q_raw[s] / z
+            if want >= counts[s]:
+                rates[s] = 1.0
+                saturated.append(s)
+        if not saturated:
+            for s in active:
+                rates[s] = remaining * q_raw[s] / z / counts[s]
+            break
+        remaining -= sum(counts[s] for s in saturated)
+        active = [s for s in active if s not in saturated]
+    return rates
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    temperature: float,
+    target_rows: int,
+) -> DataFrame:
+    """Temperature-based corpus mixing: ONE tiny groupBy for the stratum
+    counts (collected — #strata rows), :func:`temperature_rates` on the
+    driver, then the :func:`stratified_sample` zero-shuffle hash filter.
+    Deterministic end to end: same input → same sample, appends keep old
+    verdicts (a row's membership never depends on other rows except
+    through the published rates — re-pin the rates for a frozen mix)."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, temperature, target_rows)
+    return stratified_sample(df, strata_col, rates, id_col)
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,

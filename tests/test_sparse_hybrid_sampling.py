@@ -237,3 +237,45 @@ def test_shuffle_split_validates_weights(spark):
     # 33 hex chars (which would lexically dwarf every md5 key)
     bs = split_bounds({"a": 1.0, "b": 5e-17})
     assert all(len(b) == 32 for b in bs)
+
+
+def test_temperature_rates_t1_and_saturation():
+    from dart_importer_spark.operators.sampling import temperature_rates
+
+    counts = {"a": 800, "b": 150, "c": 50}
+    # T=1: natural distribution -> uniform keep rate target/N everywhere
+    r = temperature_rates(counts, 1.0, 500)
+    for s in counts:
+        assert r[s] == pytest.approx(0.5)
+    # high T flattens: the small stratum's rate rises toward saturation
+    r2 = temperature_rates(counts, 100.0, 500)
+    assert r2["c"] > r2["a"]
+    # saturation + redistribution: uniform q over 3 strata wants ~167 each,
+    # c has only 50 -> c pinned at 1.0, shortfall redistributed
+    r3 = temperature_rates(counts, 1e9, 500)
+    assert r3["c"] == 1.0
+    kept = sum(r3[s] * counts[s] for s in counts)
+    assert kept == pytest.approx(500, rel=1e-9)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_rates(counts, 0.0, 10)
+
+
+def test_temperature_mix_exact_membership(spark):
+    from dart_importer_spark.operators.sampling import (
+        _A, _P, temperature_mix, temperature_rates,
+    )
+
+    rows = [(i, "a" if i % 10 < 7 else ("b" if i % 10 < 9 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    counts = {"a": 700, "b": 200, "c": 100}
+    got = {r["id"] for r in temperature_mix(df, "s", "id", 0.5, 400).collect()}
+    rates = temperature_rates(counts, 0.5, 400)
+    want = {
+        i for i, s in rows
+        if (i % _P) * _A % _P < int(rates[s] * _P)
+    }
+    assert got == want and len(got) > 0
+    # T<1 sharpens toward the big stratum: 'a' dominates the sample
+    frac_a = sum(1 for i in got if i % 10 < 7) / len(got)
+    assert frac_a > 0.75
