@@ -1517,11 +1517,16 @@ class EsqlEngine:
             F.col(match_field).alias("__ek"),
             *[F.col(src).alias(dst) for dst, src in picked],
         )
-        rel.df = (
-            rel.df.join(
-                F.broadcast(proj), rel.df[key] == proj["__ek"], "left"
-            ).drop("__ek")
-        )
+        # ES enrich fields REPLACE same-named input columns (same contract
+        # as LOOKUP JOIN) — drop collisions before the join so the output
+        # never carries ambiguous duplicate names
+        clobbered = [
+            dst for dst, _ in picked if dst in rel.df.columns and dst != key
+        ]
+        base = rel.df.drop(*clobbered)
+        rel.df = base.join(
+            F.broadcast(proj), base[key] == proj["__ek"], "left"
+        ).drop("__ek")
         return rel
 
 

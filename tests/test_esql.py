@@ -401,3 +401,16 @@ def test_topk_pushdown_rank_identity(spark, built_index):
     ):
         fast.query(nq)
         assert fast.last_pushdown is False, nq
+
+
+def test_enrich_replaces_colliding_columns(spark, tbl):
+    policy = spark.createDataFrame(
+        [("en", 777)], "code string, n int"  # collides with input 'n'
+    )
+    out = esql(
+        spark,
+        "FROM t | ENRICH langs ON lang | WHERE id == 0 | KEEP id, n",
+        {"t": tbl},
+        enrich={"langs": (policy, "code")},
+    ).collect()
+    assert out[0]["n"] == 777
