@@ -843,6 +843,37 @@ class _Compiler:
             if d[0] != "str":
                 raise EsqlError("ES|QL: MV_JOIN delimiter must be a literal")
             return F.array_join(a[0], d[1])
+        if name == "mv_first":
+            arity(1); return F.element_at(a[0], 1)
+        if name == "mv_last":
+            arity(1); return F.element_at(a[0], -1)
+        if name == "mv_slice":
+            arity(3)
+            # ES|QL is 0-based inclusive; Spark slice is 1-based + length
+            s, e = args[1], args[2]
+            if s[0] != "num" or e[0] != "num":
+                raise EsqlError("ES|QL: MV_SLICE bounds must be literals")
+            start, end = int(s[1]), int(e[1])
+            if start < 0 or end < start:
+                raise EsqlError("ES|QL: MV_SLICE needs 0 <= start <= end")
+            return F.slice(a[0], start + 1, end - start + 1)
+        if name == "pi":
+            arity(0); return F.lit(3.141592653589793)
+        if name == "e":
+            arity(0); return F.lit(2.718281828459045)
+        if name == "tau":
+            arity(0); return F.lit(6.283185307179586)
+        if name == "categorize":
+            # ES|QL CATEGORIZE (STATS BY grouping fn): the same
+            # deterministic key the engine's categorize_text agg groups on
+            # (lowercase, split, drop digit-bearing tokens, first 5 stable
+            # tokens) — pure Catalyst
+            arity(1)
+            toks = F.filter(
+                F.split(F.lower(a[0]), "[^a-z0-9]+"),
+                lambda x: (x != "") & ~x.rlike("[0-9]"),
+            )
+            return F.array_join(F.slice(toks, 1, 5), " ")
         raise EsqlError(f"ES|QL: unknown function {name.upper()}()")
 
     # -- aggregates (STATS items) -------------------------------------------

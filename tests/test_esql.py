@@ -414,3 +414,32 @@ def test_enrich_replaces_colliding_columns(spark, tbl):
         enrich={"langs": (policy, "code")},
     ).collect()
     assert out[0]["n"] == 777
+
+
+def test_categorize_and_mv_functions(spark):
+    df = spark.createDataFrame(
+        [("Failed to connect to host 10.2.3.4 port 8080",),
+         ("Failed to connect to host 10.9.9.9 port 9090",),
+         ("User admin logged in",)],
+        "msg string",
+    )
+    out = esql(
+        spark,
+        "FROM t | STATS n = COUNT(*) BY c = CATEGORIZE(msg) | SORT n DESC",
+        {"t": df},
+    ).collect()
+    assert (out[0]["c"], out[0]["n"]) == ("failed to connect to host", 2)
+    r = esql(
+        spark,
+        "ROW a = 1 | EVAL p = ROUND(PI(), 4)",
+        {},
+    ).collect()[0]
+    assert r["p"] == 3.1416
+    df2 = spark.createDataFrame([([10, 20, 30, 40],)], "xs array<int>")
+    r2 = esql(
+        spark,
+        "FROM t | EVAL f = MV_FIRST(xs), l = MV_LAST(xs), "
+        "s = MV_SLICE(xs, 1, 2)",
+        {"t": df2},
+    ).collect()[0]
+    assert (r2["f"], r2["l"], r2["s"]) == (10, 40, [20, 30])
