@@ -156,7 +156,7 @@ _CAST_TYPES = {
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
     "mv_expand", "dissect", "enrich", "grok", "lookup", "inlinestats",
-    "change_point",
+    "change_point", "fork",
 }
 
 
@@ -264,6 +264,19 @@ class _Parser:
             if self.kw("by"):
                 by = self.parse_assignments(require_name=False)
             return (cmd, items, by)
+        if cmd == "fork":
+            branches: list[list[tuple]] = []
+            while self.op("("):
+                sub = [self.parse_command()]
+                while self.op("|"):
+                    sub.append(self.parse_command())
+                self.expect_op(")")
+                branches.append(sub)
+            if len(branches) < 2:
+                raise EsqlError(
+                    "ES|QL: FORK needs at least two (branch) pipelines"
+                )
+            return ("fork", branches)
         if cmd == "change_point":
             value = self.ident("value column")
             self.expect_kw("on")
@@ -1175,6 +1188,8 @@ class EsqlEngine:
             return self._stats(rel, cmd[1], cmd[2])
         if kind == "inlinestats":
             return self._inlinestats(rel, cmd[1], cmd[2])
+        if kind == "fork":
+            return self._fork(rel, cmd[1])
         if kind == "change_point":
             return self._change_point(rel, cmd[1], cmd[2], cmd[3])
         if kind == "sort":
@@ -1311,6 +1326,44 @@ class EsqlEngine:
             rel.df = rel.df.agg(*aggs)
         rel.score_attached = "_score" in rel.df.columns
         return rel
+
+    # -- FORK --------------------------------------------------------------------
+    def _fork(self, rel: _Rel, branches: list[list[tuple]]) -> _Rel:
+        """ES|QL FORK: run each (branch) sub-pipeline over the SAME input
+        relation and union the results with a ``_fork`` discriminator
+        (fork1, fork2, ... — ES's scheme). The input plan is shared; each
+        branch is its own Catalyst subtree, so Spark's common-subplan
+        reuse (and AQE) handles the fan-out. Schemas may diverge across
+        branches (a STATS branch next to a row branch); the union aligns
+        by name and null-fills."""
+        parts: list[DataFrame] = []
+        attached = []
+        for i, sub in enumerate(branches, start=1):
+            b = _Rel(
+                df=rel.df,
+                index=rel.index,
+                score_requested=rel.score_requested,
+                score_attached=rel.score_attached,
+                score_has_match=rel.score_has_match,
+                where_seen=rel.where_seen,
+            )
+            for c in sub:
+                if c[0] == "fork":
+                    raise EsqlError("ES|QL: FORK cannot nest")
+                b = self._apply(b, c)
+            parts.append(b.df.withColumn("_fork", F.lit(f"fork{i}")))
+            attached.append(b.score_attached)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p, allowMissingColumns=True)
+        return _Rel(
+            df,
+            index=None,
+            score_requested=rel.score_requested,
+            score_attached=all(attached),
+            score_has_match=rel.score_has_match,
+            where_seen=True,
+        )
 
     # -- INLINESTATS -------------------------------------------------------------
     def _inlinestats(

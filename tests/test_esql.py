@@ -443,3 +443,21 @@ def test_categorize_and_mv_functions(spark):
         {"t": df2},
     ).collect()[0]
     assert (r2["f"], r2["l"], r2["s"]) == (10, 40, [20, 30])
+
+
+def test_fork(spark, tbl):
+    out = esql(
+        spark,
+        'FROM t | FORK (WHERE lang == "en" | SORT n DESC | LIMIT 2) '
+        "(STATS total = COUNT(*)) | KEEP id, n, total, _fork",
+        {"t": tbl},
+    ).toPandas()
+    f1 = out[out["_fork"] == "fork1"]
+    f2 = out[out["_fork"] == "fork2"]
+    assert sorted(f1["n"]) == [250, 410] and f1["total"].isna().all()
+    assert list(f2["total"]) == [6] and f2["id"].isna().all()
+    with pytest.raises(EsqlError, match="at least two"):
+        esql(spark, "FROM t | FORK (LIMIT 1)", {"t": tbl})
+    with pytest.raises(EsqlError, match="cannot nest"):
+        esql(spark, "FROM t | FORK (LIMIT 1) (FORK (LIMIT 1) (LIMIT 2))",
+             {"t": tbl})
