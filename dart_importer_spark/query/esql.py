@@ -26,6 +26,8 @@ Spark-first mapping, command by command:
                  aggregate without collapsing rows)
 ``CHANGE_POINT`` step-change split via cumulative window sums (marks the
                  max-SSE-gain boundary; no driver loop)
+``FORK``         branch sub-pipelines over one shared input, unioned by
+                 name with a ``_fork`` discriminator
 ``SORT/LIMIT``   ``orderBy`` + ``limit`` -> TakeOrderedAndProject
 ``KEEP/DROP``    column pruning, wildcard patterns expanded in order
 ``RENAME``       ``withColumnRenamed``
