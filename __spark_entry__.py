@@ -2733,6 +2733,18 @@ def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_etl_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sliding-window chunking (RAG/embedding prep): 40-token windows,
+    # 10-token overlap — one Catalyst projection, explode bounded by
+    # ceil(n/stride) per doc, no shuffle
+    from dart_importer_spark.operators.sampling import chunk_text
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_text(docs, "doc_id", "text", size=40, overlap=10).orderBy(
+        "id", "chunk_id"
+    )
+
+
 def q_etl_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # temperature-based corpus mixing (mT5/XLM-R rule): sample strata
     # ∝ p^(1/T); T=0.5 sharpens toward the big languages. One tiny
@@ -3084,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_geo_bounds": q_ft_geo_bounds,
         "ft_date_range": q_ft_date_range,
         "etl_temperature_mix": q_etl_temperature_mix,
+        "etl_chunk_text": q_etl_chunk_text,
     }
 
 
@@ -6564,5 +6577,24 @@ SELECT d.doc_id, d.lang
 FROM documents d JOIN r ON r.lang = d.lang
 WHERE (d.doc_id % 1000003) * 7919 % 1000003 < r.thr
 ORDER BY d.doc_id
+""",
+        "etl_chunk_text": r"""
+WITH t AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+n AS (SELECT id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT id, tk,
+         unnest(range(0, CASE WHEN n <= 40 THEN 1
+                 ELSE 1 + CAST(ceil((n - 40) / 30.0) AS BIGINT) END))
+           AS chunk_id
+  FROM n
+)
+SELECT id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(tk[chunk_id*30 + 1 : chunk_id*30 + 40]) AS INT) AS n_tokens,
+       array_to_string(tk[chunk_id*30 + 1 : chunk_id*30 + 40], ' ') AS chunk
+FROM c ORDER BY id, chunk_id
 """,
     }

@@ -173,6 +173,71 @@ def pack_chunks(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Sliding-window document chunking (the RAG / embedding-prep step):
+    split ``text_col`` on whitespace, emit windows of ``size`` tokens
+    advancing by ``size - overlap`` (so consecutive chunks share
+    ``overlap`` tokens), each chunk re-joined with single spaces. Docs
+    with zero tokens produce zero chunks. Output: (id, chunk_id,
+    n_tokens, chunk), chunk_id 0-based in document order.
+
+    Scale shape: one projection (split → sequence → explode → slice →
+    array_join), all Catalyst — no shuffle, no Python, and the explode
+    fan-out is bounded by ceil(n_tokens/stride) per document. The last
+    window is the final partial tail only when the stride leaves one
+    (identical to the LangChain/llama-index sliding-window convention)."""
+    if size < 1:
+        raise ValueError(f"chunk_text: size must be >= 1, got {size}")
+    if not 0 <= overlap < size:
+        raise ValueError(
+            f"chunk_text: need 0 <= overlap < size, got overlap={overlap}"
+        )
+    stride = size - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    # windows start at 0, stride, 2·stride, ... while start < n; when the
+    # previous window already reached the end (start + size >= n for the
+    # PRIOR start), stop — i.e. n_chunks = 1 + max(0, ceil((n - size) / stride))
+    n = F.col("__n")
+    n_chunks = F.when(
+        n <= size, F.lit(1)
+    ).otherwise(F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(stride)).cast("int"))
+    out = (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            F.size(toks).alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .select(
+            "id",
+            "__toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.slice(
+                F.col("__toks"), F.col("chunk_id") * stride + 1, size
+            ).alias("__w"),
+        )
+        .select(
+            "id",
+            "chunk_id",
+            F.size("__w").alias("n_tokens"),
+            F.array_join("__w", " ").alias("chunk"),
+        )
+    )
+    return out
+
+
 def shuffle_split(
     df: DataFrame,
     weights: dict[str, float],

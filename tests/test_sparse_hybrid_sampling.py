@@ -279,3 +279,31 @@ def test_temperature_mix_exact_membership(spark):
     # T<1 sharpens toward the big stratum: 'a' dominates the sample
     frac_a = sum(1 for i in got if i % 10 < 7) / len(got)
     assert frac_a > 0.75
+
+
+def test_chunk_text_windows(spark):
+    from dart_importer_spark.operators.sampling import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(0, words), (1, "a b c"), (2, "   "), (3, "solo")],
+        "id long, text string",
+    )
+    out = chunk_text(df, "id", "text", size=4, overlap=1).toPandas()
+    d0 = out[out["id"] == 0].sort_values("chunk_id")
+    # stride 3: starts 0,3,6 -> windows [0:4],[3:7],[6:10]; the window at
+    # 6 reaches the end, so no degenerate overlap-only tail is emitted
+    assert list(d0["chunk"]) == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    assert list(d0["n_tokens"]) == [4, 4, 4]
+    # short doc -> one chunk; whitespace-only doc -> no rows
+    assert list(out[out["id"] == 1]["chunk"]) == ["a b c"]
+    assert (out["id"] == 2).sum() == 0
+    assert list(out[out["id"] == 3]["chunk"]) == ["solo"]
+    # every consecutive pair shares exactly `overlap` tokens
+    rows = list(d0["chunk"])
+    for a, b in zip(rows, rows[1:]):
+        assert a.split()[-1:] == b.split()[:1]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="overlap"):
+        chunk_text(df, "id", "text", size=4, overlap=4)
