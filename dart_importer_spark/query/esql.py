@@ -1081,14 +1081,34 @@ class EsqlEngine:
         # with only row-preserving commands in between
         i = 2
         while i < len(cmds) and cmds[i][0] in self._ROW_PRESERVING:
-            # an EVAL may rebind _score/doc_id — too clever to chase; bail
-            if cmds[i][0] == "eval" and any(
-                nm in ("_score", "doc_id") for nm, _ in cmds[i][1]
-            ):
-                return None
-            if cmds[i][0] == "rename" and any(
-                old in ("_score", "doc_id") for old, _ in cmds[i][1]
-            ):
+            # any command that could (re)bind _score/doc_id before the SORT
+            # makes the sort keys mean something else — too clever to
+            # chase; bail to the general path
+            introduced: set[str] = set()
+            c = cmds[i]
+            if c[0] == "eval":
+                introduced = {nm for nm, _ in c[1]}
+            elif c[0] == "rename":
+                introduced = {old for old, _ in c[1]} | {new for _, new in c[1]}
+            elif c[0] == "dissect":
+                introduced = set(re.findall(r"%\{([^}]*)\}", c[2]))
+            elif c[0] == "grok":
+                introduced = {
+                    body.split(":")[1]
+                    for body in re.findall(r"%\{([^}]*)\}", c[2])
+                    if ":" in body
+                }
+            elif c[0] == "lookup":
+                src = self.sources.get(c[1])
+                introduced = set(src.columns) if isinstance(src, DataFrame) else set()
+            elif c[0] == "enrich":
+                pol = self.enrich.get(c[1])
+                introduced = (
+                    {dst for dst, _ in c[3]}
+                    if c[3]
+                    else (set(pol[0].columns) if pol else set())
+                )
+            if introduced & {"_score", "doc_id"}:
                 return None
             i += 1
         if i + 1 >= len(cmds) or cmds[i][0] != "sort" or cmds[i + 1][0] != "limit":

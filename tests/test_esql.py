@@ -461,3 +461,22 @@ def test_fork(spark, tbl):
     with pytest.raises(EsqlError, match="cannot nest"):
         esql(spark, "FROM t | FORK (LIMIT 1) (FORK (LIMIT 1) (LIMIT 2))",
              {"t": tbl})
+
+
+def test_pushdown_bails_when_score_rebound(spark, built_index):
+    """Commands between WHERE and SORT that (re)bind _score or doc_id
+    must disable the top-k rewrite (the sort keys no longer mean the
+    BM25 score)."""
+    eng = EsqlEngine(spark, {"transcripts": built_index})
+    # DISSECT introducing a column literally named _score
+    eng.query(
+        'FROM transcripts METADATA _score | WHERE MATCH(text, "the") '
+        '| DISSECT role "%{_score}" | SORT _score DESC | LIMIT 3'
+    )
+    assert eng.last_pushdown is False
+    # the clean shape still claims
+    eng.query(
+        'FROM transcripts METADATA _score | WHERE MATCH(text, "the") '
+        '| DISSECT role "%{r2}" | SORT _score DESC | LIMIT 3'
+    )
+    assert eng.last_pushdown is True
