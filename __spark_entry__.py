@@ -2759,6 +2759,16 @@ def q_etl_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def q_ft_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query-time synonyms, Lucene SynonymQuery semantics: "data" expands
+    # to {data, merge}; df blended as the group max, member tfs summed
+    # per doc and saturated ONCE (engine.match_synonyms)
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_synonyms(
+        "data", {"data": ["merge"]}, k=20, round_scores=6
+    )
+
+
 def q_ft_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES geohash_grid agg at precision 2: base32 cell keys from a pure
     # Catalyst bit-interleave encode (engine.geohash_col), count desc
@@ -3097,6 +3107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_date_range": q_ft_date_range,
         "etl_temperature_mix": q_etl_temperature_mix,
         "etl_chunk_text": q_etl_chunk_text,
+        "ft_synonyms": q_ft_synonyms,
     }
 
 
@@ -6596,5 +6607,40 @@ SELECT id, CAST(chunk_id AS INT) AS chunk_id,
        CAST(len(tk[chunk_id*30 + 1 : chunk_id*30 + 40]) AS INT) AS n_tokens,
        array_to_string(tk[chunk_id*30 + 1 : chunk_id*30 + 40], ' ') AS chunk
 FROM c ORDER BY id, chunk_id
+""",
+        # Lucene SynonymQuery: df = max over group members, tf = per-doc
+        # SUM over members, saturated once with the group's blended idf
+        "ft_synonyms": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+tok AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM docs
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+g(term) AS (VALUES ('data'), ('merge')),
+dfm AS (SELECT max(dft.df) AS dfmax FROM dft JOIN g USING (term)),
+gt AS (
+  SELECT tf.did, sum(tf.tf) AS tf FROM tf JOIN g USING (term) GROUP BY tf.did
+),
+scored AS (
+  SELECT gt.did AS doc_id,
+         round(
+           ln(1 + (s.n - m.dfmax + 0.5) / (m.dfmax + 0.5)) * gt.tf
+           / (gt.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl)), 6
+         ) AS score
+  FROM gt
+  JOIN dl ON dl.did = gt.did
+  CROSS JOIN stats s CROSS JOIN dfm m
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
     }

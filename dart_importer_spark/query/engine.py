@@ -598,6 +598,7 @@ class InvertedIndex:
         extra_ub: float = 0.0,
         keep_term: bool = False,
         keep_tf: bool = False,
+        keep_dl: bool = False,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
         ``keep_term=True`` emits the contributing term per row (the batched
@@ -662,6 +663,8 @@ class InvertedIndex:
                         cols = {"term": row.term, **cols}
                     if keep_tf:
                         cols["tf"] = tfs
+                    if keep_dl:
+                        cols["dl"] = dls
                     outs.append(pd.DataFrame(cols))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
@@ -669,6 +672,8 @@ class InvertedIndex:
         schema = ("term string, " + SCORED_SCHEMA) if keep_term else SCORED_SCHEMA
         if keep_tf:
             schema = schema + ", tf double"
+        if keep_dl:
+            schema = schema + ", dl double"
         return cand.select(
             "term", "docs", "tfs", "dls", "block_max_tf", "block_min_dl"
         ).mapInPandas(score_batches, schema=schema)
@@ -4697,6 +4702,89 @@ class InvertedIndex:
         out = out.select("doc_id", F.col("__final").alias("score"))
         if min_score is not None:
             out = out.filter(F.col("score") >= float(min_score))
+        if round_scores is not None:
+            out = out.withColumn("score", F.round("score", round_scores))
+        return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def match_synonyms(
+        self,
+        query: str,
+        synonyms: dict[str, Sequence[str]],
+        k: int = 10,
+        field: str | int | None = None,
+        round_scores: int | None = None,
+    ) -> DataFrame:
+        """ES ``match`` over a query-time synonym set — Lucene
+        SynonymQuery semantics, which is what a ``synonym_graph`` search
+        analyzer produces: each analyzed query token expands to its
+        synonym group, and the GROUP scores as one pseudo-term — document
+        frequency blended as the max over members (one idf per group),
+        term frequency SUMMED across members per document, saturated
+        once. A doc matching two members of one group is one strong match
+        of one concept, not two independent matches (the documented
+        reason ES doesn't just OR the synonyms).
+
+        Scale shape: one postings pass over the union of member terms
+        (bucket-pruned, decode kernel emits per-posting tf AND dl), a
+        broadcast term→group map, one (doc, group) partial aggregate, one
+        (doc) partial aggregate → TakeOrderedAndProject. θ-pruning is off
+        (a group's bound needs member co-occurrence statistics the index
+        doesn't store — same reason ES scores SynonymQuery unpruned)."""
+        fid = self._fid(field)
+        tokens = sorted(set(self._analyze(query, field)))
+        if not tokens:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        groups: dict[str, list[str]] = {}
+        for tok in tokens:
+            members = {tok}
+            for phrase in synonyms.get(tok, []):
+                members.update(self._analyze(str(phrase), field))
+            groups[tok] = sorted(members)
+        all_terms = sorted({m for ms in groups.values() for m in ms})
+        dfs = self.term_stats(all_terms, field)
+        live_terms = [t for t in all_terms if t in dfs]
+        if not live_terms:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        avgdl = self.avgdl_by_field[fid]
+        # decode once with idf=1: rows carry raw (term, doc, tf, dl)
+        raw = self._live(
+            self._score_terms(
+                live_terms,
+                {t: 1.0 for t in live_terms},
+                fid=fid,
+                keep_term=True,
+                keep_tf=True,
+                keep_dl=True,
+            )
+        )
+        group_idf = {
+            g: _idf(self.n_docs, max(dfs.get(m, 0) for m in ms))
+            for g, ms in groups.items()
+            if any(m in dfs for m in ms)
+        }
+        mapping = [
+            (m, g) for g, ms in groups.items() for m in ms if g in group_idf
+        ]
+        map_df = F.broadcast(
+            self.spark.createDataFrame(mapping, "term string, grp string")
+        )
+        per_group = (
+            raw.join(map_df, "term")
+            .groupBy("doc_id", "grp")
+            .agg(F.sum("tf").alias("tf"), F.first("dl").alias("dl"))
+        )
+        idf_expr = F.lit(0.0)
+        for g, v in sorted(group_idf.items()):
+            idf_expr = F.when(F.col("grp") == g, F.lit(v)).otherwise(idf_expr)
+        contrib = idf_expr * F.col("tf") / (
+            F.col("tf")
+            + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl)))
+        )
+        out = (
+            per_group.select("doc_id", contrib.alias("c"))
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("score"))
+        )
         if round_scores is not None:
             out = out.withColumn("score", F.round("score", round_scores))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
