@@ -2720,6 +2720,27 @@ def q_esql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the PRUNED ES|QL path: WHERE MATCH | SORT _score DESC | LIMIT k
+    # rewrites to the engine's block-max topk(k) with the lang conjunct
+    # as a doc_stats filter (EsqlEngine._try_topk_pushdown; asserted to
+    # fire). LIMIT exceeds the match set, so the row SET is tie-proof —
+    # the driver's order-insensitive hash checks values, the pytest
+    # rank-identity test checks ordering.
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    out = eng.query(
+        "FROM documents METADATA _score\n"
+        '| WHERE MATCH(text, "merge") AND lang == "de"\n'
+        "| SORT _score DESC, doc_id ASC | LIMIT 100000\n"
+        "| EVAL score = ROUND(_score, 6) | KEEP doc_id, score"
+    )
+    assert eng.last_pushdown, "expected the pruned top-k rewrite to fire"
+    return out
+
+
 def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL QSTR(): the full query_string boolean grammar as a filter-
     # context doc set, then STATS BY on stored meta columns
@@ -3108,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_temperature_mix": q_etl_temperature_mix,
         "etl_chunk_text": q_etl_chunk_text,
         "ft_synonyms": q_ft_synonyms,
+        "esql_match_topk": q_esql_match_topk,
     }
 
 
@@ -6477,6 +6499,9 @@ ORDER BY doc_id ASC LIMIT 100
 """,
         "esql_match": _bm25_oracle(
             ["data", "merge"], 15, doc_filter="d.lang = 'en'"
+        ),
+        "esql_match_topk": _bm25_oracle(
+            ["merge"], 100000, doc_filter="d.lang = 'de'"
         ),
         "esql_qstr": _DOCS_CTE
         + """
