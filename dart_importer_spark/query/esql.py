@@ -158,7 +158,7 @@ _CAST_TYPES = {
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
     "mv_expand", "dissect", "enrich", "grok", "lookup", "inlinestats",
-    "change_point", "fork",
+    "change_point", "fork", "sample",
 }
 
 
@@ -300,6 +300,20 @@ class _Parser:
             if t.typ != "num" or "." in t.val:
                 raise EsqlError("ES|QL: LIMIT takes an integer")
             return ("limit", int(t.val))
+        if cmd == "sample":
+            t = self.next()
+            if t.typ != "num":
+                raise EsqlError("ES|QL: SAMPLE takes a probability")
+            p = float(t.val)
+            if not 0.0 < p < 1.0:
+                raise EsqlError("ES|QL: SAMPLE probability must be in (0, 1)")
+            seed = 0
+            if self.op(","):
+                st = self.next()
+                if st.typ != "num" or "." in st.val:
+                    raise EsqlError("ES|QL: SAMPLE seed must be an integer")
+                seed = int(st.val)
+            return ("sample", p, seed)
         if cmd in ("keep", "drop"):
             pats = [self.parse_name_pattern()]
             while self.op(","):
@@ -1230,6 +1244,20 @@ class EsqlEngine:
             return rel
         if kind == "limit":
             rel.df = rel.df.limit(cmd[1])
+            return rel
+        if kind == "sample":
+            # ES|QL SAMPLE keeps each row with probability p (random per
+            # shard in ES). Here membership is a content hash with the
+            # seed mixed in — same distribution, but deterministic and
+            # partitioning-independent (reruns and resumes agree), zero
+            # shuffle. Identical rows share a verdict, the one honest
+            # deviation from iid sampling.
+            p, seed = cmd[1], cmd[2]
+            h = F.pmod(
+                F.xxhash64(F.lit(seed), *[F.col(c) for c in rel.df.columns]),
+                F.lit(1_000_003),
+            )
+            rel.df = rel.df.filter(h < int(p * 1_000_003))
             return rel
         if kind in ("keep", "drop"):
             cols = rel.df.columns

@@ -480,3 +480,20 @@ def test_pushdown_bails_when_score_rebound(spark, built_index):
         '| DISSECT role "%{r2}" | SORT _score DESC | LIMIT 3'
     )
     assert eng.last_pushdown is True
+
+
+def test_sample(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    a = esql(spark, "FROM t | SAMPLE 0.3 | STATS n = COUNT(*)",
+             {"t": df}).collect()[0]["n"]
+    b = esql(spark, "FROM t | SAMPLE 0.3 | STATS n = COUNT(*)",
+             {"t": df}).collect()[0]["n"]
+    assert a == b  # deterministic
+    assert 0.2 * 2000 < a < 0.4 * 2000  # near the target probability
+    ids0 = {r["id"] for r in esql(
+        spark, "FROM t | SAMPLE 0.3", {"t": df}).collect()}
+    ids7 = {r["id"] for r in esql(
+        spark, "FROM t | SAMPLE 0.3, 7", {"t": df}).collect()}
+    assert ids0 != ids7  # different seed -> different membership
+    with pytest.raises(EsqlError, match="probability"):
+        esql(spark, "FROM t | SAMPLE 1.5", {"t": df})
