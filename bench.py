@@ -151,11 +151,16 @@ HEADLINE = [
     "ft_graph_explore",
     "etl_importance",
     # seventh-continuation additions: ES|QL pipe queries, script_score,
-    # geohash_grid
+    # geohash_grid; esql_match (general, full-scoring) vs esql_match_topk
+    # (pruned rewrite) is the deliberate A/B
     "esql_match",
+    "esql_match_topk",
     "esql_stats",
     "ft_script_score",
     "ft_geohash",
+    "ft_synonyms",
+    "etl_chunk_text",
+    "etl_temperature_mix",
 ]
 
 
