@@ -2741,6 +2741,47 @@ def q_esql_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_esql_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL FUSE (8.19): RRF fusion of two FORK MATCH branches — per-branch
+    # rank window on ROUND(_score, 6) with doc_id tie-break (the engine's
+    # cross-engine rank-identity convention), fused score = sum of
+    # 1/(60 + rank). Branches are unbounded (whole match sets), so the
+    # branch row sets are cut-free; the final LIMIT 20 orders by the
+    # ROUNDED fused score + doc_id on both sides.
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    return eng.query(
+        "FROM documents METADATA _score\n"
+        '| FORK (WHERE MATCH(text, "data")) (WHERE MATCH(text, "merge scan"))\n'
+        "| FUSE\n"
+        "| EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 20"
+    )
+
+
+def q_esql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL KNN() in WHERE: exact cosine k-nearest as a predicate over a
+    # plain DataFrame source. Two-pass threshold plan — per-partition
+    # top-k merge (TakeOrderedAndProject; k rows to the driver) yields the
+    # k-th similarity, then one narrow sim >= threshold filter; boundary
+    # TIES ARE INCLUDED (rank() <= k), which is what makes the row set
+    # deterministic and oracle-checkable. METADATA _score carries the
+    # similarity (ES's knn scoring).
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    vec = ", ".join(repr(float(x)) for x in qv)
+    eng = EsqlEngine(spark, {"embeddings": emb})
+    return eng.query(
+        f"FROM embeddings METADATA _score | WHERE KNN(embedding, [{vec}], 12)\n"
+        "| EVAL sim = ROUND(_score, 4) | KEEP vec_id, sim\n"
+        "| SORT sim DESC, vec_id ASC"
+    )
+
+
 def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL QSTR(): the full query_string boolean grammar as a filter-
     # context doc set, then STATS BY on stored meta columns
@@ -3130,6 +3171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_chunk_text": q_etl_chunk_text,
         "ft_synonyms": q_ft_synonyms,
         "esql_match_topk": q_esql_match_topk,
+        "esql_fuse": q_esql_fuse,
+        "esql_knn": q_esql_knn,
     }
 
 
@@ -6503,6 +6546,70 @@ ORDER BY doc_id ASC LIMIT 100
         "esql_match_topk": _bm25_oracle(
             ["merge"], 100000, doc_filter="d.lang = 'de'"
         ),
+        # FUSE: two unbounded BM25 branches, each ranked by
+        # (round(score,6) desc, doc_id asc) — the same rounded-rank
+        # convention the Spark FUSE window uses — then RRF-summed.
+        "esql_fuse": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text
+  FROM documents
+),
+tok AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM docs
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q1(term) AS (VALUES ('data')),
+q2(term) AS (VALUES ('merge'), ('scan')),
+s1 AS (
+  SELECT tf.did AS doc_id,
+         sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+  FROM tf JOIN q1 USING (term) JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did CROSS JOIN stats s
+  GROUP BY tf.did
+),
+s2 AS (
+  SELECT tf.did AS doc_id,
+         sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+  FROM tf JOIN q2 USING (term) JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did CROSS JOIN stats s
+  GROUP BY tf.did
+),
+r1 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+       FROM s1),
+r2 AS (SELECT doc_id,
+              row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rnk
+       FROM s2),
+fused AS (
+  SELECT doc_id, sum(1.0 / (60 + rnk)) AS f
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+  GROUP BY doc_id
+)
+SELECT doc_id, round(f, 6) AS score
+FROM fused ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        # KNN: same threshold rule as the Spark plan — k-th cosine from the
+        # top-12, boundary ties included; values compared after round(4).
+        "esql_knn": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+s AS (
+  SELECT e.vec_id, list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+  FROM embeddings e, q
+),
+thr AS (SELECT min(c) AS t FROM (SELECT c FROM s ORDER BY c DESC LIMIT 12))
+SELECT s.vec_id, round(s.c, 4) AS sim
+FROM s, thr WHERE s.c >= thr.t
+ORDER BY sim DESC, vec_id ASC
+""",
         "esql_qstr": _DOCS_CTE
         + """
 , h_data AS (SELECT DISTINCT did FROM tok WHERE term = 'data'),

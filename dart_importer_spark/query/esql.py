@@ -28,6 +28,9 @@ Spark-first mapping, command by command:
                  max-SSE-gain boundary; no driver loop)
 ``FORK``         branch sub-pipelines over one shared input, unioned by
                  name with a ``_fork`` discriminator
+``FUSE``         rank fusion of FORK branches (ES 8.19): per-branch rank
+                 window on the rounded ``_score``, one groupBy(doc_id) —
+                 RRF (``1/(60+rank)`` summed) or ``linear`` (score sum)
 ``SORT/LIMIT``   ``orderBy`` + ``limit`` -> TakeOrderedAndProject
 ``KEEP/DROP``    column pruning, wildcard patterns expanded in order
 ``RENAME``       ``withColumnRenamed``
@@ -44,6 +47,16 @@ Spark-first mapping, command by command:
 ``METADATA _score`` attaches the BM25 score of the positive ``MATCH``
 predicates (sum over multiple, like ES|QL) via the engine's scored match
 path — rank- and score-identical to :meth:`InvertedIndex.topk`.
+
+``KNN(field, [q...], k)`` in WHERE keeps the rows whose ``array<float>``
+column is among the k nearest to the query vector by exact cosine — the
+ES|QL KNN function (the 3rd argument replaces ES's options map, which
+this grammar has no ``{...}`` literal for). Two-pass plan, never a global
+sort: per-partition top-k merge (TakeOrderedAndProject, k rows to the
+driver) yields the k-th similarity, then one narrow ``sim >= threshold``
+filter — boundary TIES ARE INCLUDED (rank() <= k semantics; determinism
+over ES's arbitrary k-cut). With ``METADATA _score`` the similarity is
+added to ``_score``, like ES.
 
 Deviations from ES|QL, documented rather than silent (the repo rule: raise
 on divergence, never return different-from-ES results quietly):
@@ -158,7 +171,7 @@ _CAST_TYPES = {
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
     "mv_expand", "dissect", "enrich", "grok", "lookup", "inlinestats",
-    "change_point", "fork", "sample",
+    "change_point", "fork", "sample", "fuse",
 }
 
 
@@ -343,6 +356,19 @@ class _Parser:
             self.expect_kw("on")
             key = self.ident("join field")
             return ("lookup", table, key)
+        if cmd == "fuse":
+            method = "rrf"
+            t = self.peek()
+            if t.typ == "ident" and t.val.lower() not in _COMMANDS:
+                method = self.next().val.lower()
+                if method not in ("rrf", "linear"):
+                    raise EsqlError(
+                        f"ES|QL: FUSE method {method!r} (rrf or linear); "
+                        "SCORE/KEY/GROUP BY and WITH options are not "
+                        "supported — defaults are score _score, key doc_id, "
+                        "group _fork, rank_constant 60"
+                    )
+            return ("fuse", method)
         if cmd == "enrich":
             policy = self.ident("policy")
             on = None
@@ -527,6 +553,12 @@ class _Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e
+        if self.op("["):
+            elems = [self.parse_expr()]
+            while self.op(","):
+                elems.append(self.parse_expr())
+            self.expect_op("]")
+            return ("list", elems)
         if t.typ == "ident":
             low = t.val.lower()
             if low in ("true", "false"):
@@ -590,7 +622,7 @@ _AGG_FNS = {
     "values",
 }
 
-_FT_FNS = {"match", "qstr"}
+_FT_FNS = {"match", "qstr", "knn"}
 
 
 def _contains_agg(node: tuple) -> bool:
@@ -635,6 +667,8 @@ class _Compiler:
             return F.lit(None)
         if kind == "col":
             return F.col(node[1])
+        if kind == "list":
+            return F.array(*[self.col(c) for c in node[1]])
         if kind == "dur":
             return _interval(node[1], node[2])
         if kind == "neg":
@@ -1226,6 +1260,8 @@ class EsqlEngine:
             return self._inlinestats(rel, cmd[1], cmd[2])
         if kind == "fork":
             return self._fork(rel, cmd[1])
+        if kind == "fuse":
+            return self._fuse(rel, cmd[1])
         if kind == "change_point":
             return self._change_point(rel, cmd[1], cmd[2], cmd[3])
         if kind == "sort":
@@ -1299,6 +1335,18 @@ class EsqlEngine:
     # -- WHERE with full-text extraction --------------------------------------
     def _where(self, rel: _Rel, expr: tuple) -> _Rel:
         fts, residual = _split_ft(expr)
+        knns = [f for f in fts if f[1][1] == "knn"]
+        fts = [f for f in fts if f[1][1] != "knn"]
+        if knns and fts:
+            # a pre-filtered knn (k nearest AMONG the lexical matches) and
+            # ES's global-knn-then-intersect give different row sets; the
+            # honest hybrid is FORK (lexical) (knn) | FUSE
+            raise EsqlError(
+                "ES|QL: KNN cannot share a WHERE with MATCH/QSTR — "
+                "use FORK branches + FUSE for hybrid retrieval"
+            )
+        for _, call, negated in knns:
+            rel = self._knn(rel, call[2], negated)
         if fts and rel.index is None:
             raise EsqlError(
                 "ES|QL: MATCH()/QSTR() need a single index source "
@@ -1351,6 +1399,114 @@ class EsqlEngine:
         if residual is not None:
             rel.df = rel.df.filter(_Compiler().col(residual))
         rel.where_seen = True
+        return rel
+
+    # -- KNN ----------------------------------------------------------------
+    def _knn(self, rel: _Rel, args: list[tuple], negated: bool) -> _Rel:
+        """``KNN(field, [floats...], k)``: keep rows whose vector is among
+        the k nearest to the query by exact cosine (boundary ties
+        included — rank() <= k, so the row set is deterministic).
+
+        Scale shape: similarity is a narrow JVM expression (zip_with +
+        aggregate, no UDF); the k-th similarity comes from a per-partition
+        top-k merge (TakeOrderedAndProject — k rows reach the driver, no
+        global sort), then one ``sim >= threshold`` filter streams the
+        relation once more. Swap in an ANN-index probe (IvfAnnIndex /
+        LshAnnIndex serve the DSL knn body) where an index exists; this
+        function is the exact path."""
+        if (
+            len(args) != 3
+            or args[0][0] != "col"
+            or args[1][0] != "list"
+            or args[2][0] != "num"
+            or not isinstance(args[2][1], int)
+        ):
+            raise EsqlError("ES|QL: KNN(field, [v0, v1, ...], k)")
+        field = args[0][1]
+        if field not in rel.df.columns:
+            raise EsqlError(f"ES|QL: unknown column {field!r}")
+        qv: list[float] = []
+        for e in args[1][1]:
+            if e[0] == "num":
+                qv.append(float(e[1]))
+            elif e[0] == "neg" and e[1][0] == "num":
+                qv.append(-float(e[1][1]))
+            else:
+                raise EsqlError("ES|QL: KNN query vector must be numeric literals")
+        k = args[2][1]
+        if k <= 0:
+            raise EsqlError("ES|QL: KNN k must be positive")
+        from ..operators.similarity import _cosine
+
+        sim = _cosine(F.col(field), F.array(*[F.lit(x) for x in qv]))
+        thr = (
+            rel.df.select(sim.alias("__knn_sim"))
+            .orderBy(F.desc("__knn_sim"))
+            .limit(k)
+            .agg(F.min("__knn_sim"))
+            .first()[0]
+        )
+        if thr is None:  # empty relation or all-null vectors: nothing is near
+            rel.df = rel.df.filter(F.lit(negated) & F.col(field).isNotNull())
+            return rel
+        matched = sim >= F.lit(float(thr))
+        if negated:
+            rel.df = rel.df.filter(~F.coalesce(matched, F.lit(False)))
+        else:
+            rel.df = rel.df.filter(matched)
+            if rel.score_requested:
+                rel.df = rel.df.withColumn("_score", F.col("_score") + sim)
+                rel.score_has_match = True
+        return rel
+
+    # -- FUSE ---------------------------------------------------------------
+    def _fuse(self, rel: _Rel, method: str) -> _Rel:
+        """ES|QL FUSE (8.19): merge FORK branches into one ranked result.
+        Per-branch rank = row_number over (ROUND(_score, 6) desc, doc_id
+        asc) — ranking on the rounded score pins rank identity across
+        engines, exactly like :meth:`InvertedIndex.hybrid_rrf`. Fused
+        score: ``rrf`` sums 1/(60 + rank); ``linear`` sums the raw branch
+        scores. Non-score columns keep the values of each doc's first
+        (branch-order, rank) row; ``_fork`` is consumed. Rows a branch
+        left unscored (null ``_score``, e.g. a STATS branch) are refused.
+
+        Scale shape: ES fuses on the coordinator over each branch's top-k;
+        here the rank window partitions by ``_fork`` (few partitions, so
+        bound branch size with SORT/LIMIT exactly as ES's ``size`` does),
+        then ONE groupBy(doc_id) — no self-joins, no per-branch jobs."""
+        df = rel.df
+        for need in ("_fork", "_score", "doc_id"):
+            if need not in df.columns:
+                hint = (
+                    "FUSE must follow FORK"
+                    if need == "_fork"
+                    else "FUSE needs METADATA _score and a doc_id column"
+                )
+                raise EsqlError(f"ES|QL: missing {need!r} — {hint}")
+        if df.filter(F.col("_score").isNull() | F.col("doc_id").isNull()).limit(1).count():
+            raise EsqlError(
+                "ES|QL: FUSE branches must all carry non-null _score and "
+                "doc_id (a STATS/unscored branch cannot be fused)"
+            )
+        from pyspark.sql.window import Window
+
+        branch = F.regexp_extract("_fork", r"(\d+)", 1).cast("int")
+        w = Window.partitionBy("_fork").orderBy(
+            F.desc(F.round("_score", 6)), F.asc("doc_id")
+        )
+        rank = F.row_number().over(w)
+        contrib = (
+            F.lit(1.0) / (F.lit(60) + rank) if method == "rrf" else F.col("_score")
+        )
+        ranked = df.withColumn("__c", contrib).withColumn(
+            "__ord", F.struct(branch.alias("b"), rank.alias("r"))
+        )
+        others = [c for c in df.columns if c not in ("_score", "_fork", "doc_id")]
+        rel.df = ranked.groupBy("doc_id").agg(
+            F.sum("__c").alias("_score"),
+            *[F.min_by(c, "__ord").alias(c) for c in others],
+        ).select(*[c for c in df.columns if c != "_fork"])
+        rel.score_attached = True
         return rel
 
     # -- STATS ----------------------------------------------------------------

@@ -497,3 +497,107 @@ def test_sample(spark):
     assert ids0 != ids7  # different seed -> different membership
     with pytest.raises(EsqlError, match="probability"):
         esql(spark, "FROM t | SAMPLE 1.5", {"t": df})
+
+
+def test_knn_threshold_ties_and_negation(spark):
+    """KNN(field, [q], k): exact cosine k-nearest with boundary TIES
+    INCLUDED (rank() <= k — the deterministic contract); NOT KNN keeps
+    the complement plus null-vector rows (ES must_not keeps docs missing
+    the field)."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),        # exact duplicate of 0: ties at cos=1
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+        (4, [0.5, 0.5]),
+        (5, None),              # missing vector
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = [r["id"] for r in esql(
+        spark, "FROM t | WHERE KNN(v, [1.0, 0.0], 3) | KEEP id | SORT id",
+        {"t": df}).collect()]
+    assert got == [0, 1, 2]
+    # k=1 boundary cuts through the 0/1 tie: both stay
+    tied = [r["id"] for r in esql(
+        spark, "FROM t | WHERE KNN(v, [1.0, 0.0], 1) | KEEP id | SORT id",
+        {"t": df}).collect()]
+    assert tied == [0, 1]
+    # negation = complement + the null-vector row
+    anti = [r["id"] for r in esql(
+        spark, "FROM t | WHERE NOT KNN(v, [1.0, 0.0], 3) | KEEP id | SORT id",
+        {"t": df}).collect()]
+    assert anti == [3, 4, 5]
+    # METADATA _score carries the similarity
+    s = esql(
+        spark,
+        "FROM t METADATA _score | WHERE KNN(v, [0.0, 1.0], 1) "
+        "| EVAL s = ROUND(_score, 4) | KEEP id, s",
+        {"t": df}).collect()
+    assert [(r["id"], r["s"]) for r in s] == [(3, 1.0)]
+    with pytest.raises(EsqlError, match="KNN cannot share"):
+        esql(spark, 'FROM t | WHERE KNN(v, [1.0, 0.0], 2) AND MATCH(x, "y")',
+             {"t": df})
+    with pytest.raises(EsqlError, match="numeric literals"):
+        esql(spark, "FROM t | WHERE KNN(v, [1.0, id], 2)", {"t": df})
+
+
+def test_fuse_rrf_matches_hybrid_rrf(spark, built_index):
+    """FORK (lexical MATCH) (LOOKUP-joined KNN) | FUSE must reproduce the
+    engine's hybrid_rrf exactly: same rounded-rank convention, same
+    1/(60+rank) sum. Branches are unbounded (window >= corpus) so there
+    is no cut boundary and the identity is exact."""
+    ds = built_index.doc_stats().select("doc_id")
+    n = ds.count()
+    emb = ds.select(
+        "doc_id",
+        F.array(
+            (F.pmod(F.col("doc_id") * 2654435761, F.lit(1000)).cast("double") / 500.0) - 1.0,
+            (F.pmod(F.col("doc_id") * 40503, F.lit(997)).cast("double") / 498.5) - 1.0,
+            (F.pmod(F.col("doc_id") * 97, F.lit(89)).cast("double") / 44.5) - 1.0,
+        ).alias("embedding"),
+    )
+    qvec = [0.25, -0.5, 0.75]
+    eng = EsqlEngine(spark, {"transcripts": built_index, "emb": emb})
+    got = eng.query(
+        "FROM transcripts METADATA _score\n"
+        '| FORK (WHERE MATCH(text, "the w00100"))\n'
+        f"       (LOOKUP JOIN emb ON doc_id | WHERE KNN(embedding, "
+        f"[{', '.join(map(str, qvec))}], {n}))\n"
+        "| FUSE | EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 10"
+    ).collect()
+    want = built_index.hybrid_rrf(
+        "the w00100", qvec, emb, k=10, window=n, id_col="doc_id"
+    ).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_fuse_linear_and_errors(spark):
+    rows = [(0, 10.0, "a"), (1, 9.0, "a"), (2, 8.0, "b"), (3, 7.0, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, w double, g string")
+    out = esql(
+        spark,
+        'FROM t METADATA _score\n'
+        '| FORK (WHERE g == "a" | EVAL _score = w)'
+        ' (WHERE doc_id < 2 | EVAL _score = 100.0)\n'
+        "| FUSE linear | KEEP doc_id, _score | SORT doc_id",
+        {"t": df},
+    ).collect()
+    assert [(r["doc_id"], r["_score"]) for r in out] == [
+        (0, 110.0), (1, 109.0)
+    ]
+    with pytest.raises(EsqlError, match="must follow FORK"):
+        esql(spark, "FROM t METADATA _score | FUSE", {"t": df})
+    with pytest.raises(EsqlError, match="rrf or linear"):
+        esql(spark, "FROM t METADATA _score | FUSE dbsf", {"t": df})
+    with pytest.raises(EsqlError, match="non-null _score"):
+        # branch 2 collapses to a STATS row with null doc_id/_score slots
+        esql(
+            spark,
+            "FROM t METADATA _score\n"
+            "| FORK (EVAL _score = w) (STATS n = COUNT(*))\n"
+            "| FUSE",
+            {"t": df},
+        )
