@@ -2782,6 +2782,44 @@ def q_esql_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL RERANK: BM25 retrieve -> LIMIT window -> second-stage rescore.
+    # No inference id registered, so the DETERMINISTIC builtin scorer runs
+    # (pinned-tokenizer distinct-overlap ratio, pure Catalyst) — standing
+    # in for Elastic's default rerank model; the registered-callable path
+    # is the Arrow-batched pandas UDF, pytest-covered. The window cut uses
+    # (rounded score, doc_id), the cross-engine rank convention.
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    return eng.query(
+        "FROM documents METADATA _score\n"
+        '| WHERE MATCH(text, "data merge")\n'
+        "| EVAL s1 = ROUND(_score, 6)\n"
+        "| SORT s1 DESC, doc_id ASC | LIMIT 50\n"
+        '| RERANK "data merge scan filter" ON text\n'
+        "| EVAL rr = ROUND(_score, 6)\n"
+        "| KEEP doc_id, rr | SORT rr DESC, doc_id ASC"
+    )
+
+
+def q_esql_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL COMPLETION plumbing with the builtin deterministic "stub"
+    # inference id (declared stand-in — no LLM in this environment): the
+    # prompt expression is a Catalyst column, the stub echoes its first
+    # 64 chars. A real client drops in via EsqlEngine(inference={id: fn})
+    # as an Arrow-batched pandas UDF (pytest-covered).
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    eng = EsqlEngine(spark, {"documents": _load(spark, sf_dir, "documents")})
+    return eng.query(
+        'FROM documents | WHERE lang == "zh"\n'
+        '| COMPLETION head = CONCAT("sum: ", text) WITH stub\n'
+        "| KEEP doc_id, head | SORT doc_id ASC | LIMIT 30"
+    )
+
+
 def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL QSTR(): the full query_string boolean grammar as a filter-
     # context doc set, then STATS BY on stored meta columns
@@ -3173,6 +3211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_match_topk": q_esql_match_topk,
         "esql_fuse": q_esql_fuse,
         "esql_knn": q_esql_knn,
+        "esql_rerank": q_esql_rerank,
+        "esql_completion": q_esql_completion,
     }
 
 
@@ -6596,6 +6636,52 @@ fused AS (
 )
 SELECT doc_id, round(f, 6) AS score
 FROM fused ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        # RERANK: BM25 top-50 window (rounded-rank cut), then the builtin
+        # deterministic overlap rescore |q ∩ doc| / |q| over DISTINCT
+        # pinned-tokenizer tokens.
+        "esql_rerank": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text
+  FROM documents
+),
+tok AS (
+  SELECT did, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM docs
+),
+tf AS (SELECT did, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (
+  SELECT did, len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))::DOUBLE AS dl
+  FROM docs
+),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES ('data'), ('merge')),
+scored AS (
+  SELECT tf.did,
+         sum(ln(1 + (s.n - dft.df + 0.5) / (dft.df + 0.5))
+             * tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / s.avgdl))) AS raw
+  FROM tf JOIN q USING (term) JOIN dft USING (term)
+  JOIN dl ON dl.did = tf.did CROSS JOIN stats s
+  GROUP BY tf.did
+),
+win AS (
+  SELECT did FROM scored
+  ORDER BY round(raw, 6) DESC, did ASC LIMIT 50
+)
+SELECT w.did AS doc_id,
+       round(len(list_intersect(
+               list_distinct(regexp_extract_all(lower(d.text), '{TOKEN_PATTERN}')),
+               ['data', 'filter', 'merge', 'scan'])) / 4.0, 6) AS rr
+FROM win w JOIN docs d ON d.did = w.did
+ORDER BY rr DESC, doc_id ASC
+""",
+        # COMPLETION: the builtin deterministic stub — '[stub] ' + first 64
+        # chars of the prompt expression (character semantics both sides).
+        "esql_completion": """
+SELECT doc_id, '[stub] ' || substr('sum: ' || text, 1, 64) AS head
+FROM documents WHERE lang = 'zh'
+ORDER BY doc_id ASC LIMIT 30
 """,
         # KNN: same threshold rule as the Spark plan — k-th cosine from the
         # top-12, boundary ties included; values compared after round(4).

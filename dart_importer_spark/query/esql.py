@@ -31,6 +31,13 @@ Spark-first mapping, command by command:
 ``FUSE``         rank fusion of FORK branches (ES 8.19): per-branch rank
                  window on the rounded ``_score``, one groupBy(doc_id) —
                  RRF (``1/(60+rank)`` summed) or ``linear`` (score sum)
+``RERANK``       second-stage scoring (ES 8.18): a registered inference
+                 callable runs as an Arrow-batched pandas UDF; without one
+                 a DETERMINISTIC token-overlap scorer (pure Catalyst)
+                 stands in for Elastic's default rerank model
+``COMPLETION``   prompt -> text column (ES 8.18): registered callable via
+                 Arrow-batched pandas UDF; the builtin ``stub`` id echoes
+                 deterministically (declared stand-in — no LLM here)
 ``SORT/LIMIT``   ``orderBy`` + ``limit`` -> TakeOrderedAndProject
 ``KEEP/DROP``    column pruning, wildcard patterns expanded in order
 ``RENAME``       ``withColumnRenamed``
@@ -171,7 +178,7 @@ _CAST_TYPES = {
 _COMMANDS = {
     "where", "eval", "stats", "sort", "limit", "keep", "drop", "rename",
     "mv_expand", "dissect", "enrich", "grok", "lookup", "inlinestats",
-    "change_point", "fork", "sample", "fuse",
+    "change_point", "fork", "sample", "fuse", "rerank", "completion",
 }
 
 
@@ -356,6 +363,50 @@ class _Parser:
             self.expect_kw("on")
             key = self.ident("join field")
             return ("lookup", table, key)
+        if cmd == "rerank":
+            # RERANK [target =] "query" ON field [WITH inference_id]
+            target = "_score"
+            if (
+                self.peek().typ == "ident"
+                and self.peek(1).typ == "op"
+                and self.peek(1).val == "="
+            ):
+                target = self.next().val
+                self.next()  # '='
+            t = self.next()
+            if t.typ != "str":
+                raise EsqlError('ES|QL: RERANK [target =] "query text" ON field')
+            query = t.val
+            self.expect_kw("on")
+            field = self.ident("rerank field")
+            if self.op(","):
+                raise EsqlError(
+                    "ES|QL: RERANK supports a single ON field "
+                    "(concatenate with EVAL first)"
+                )
+            iid = None
+            if self.kw("with"):
+                w = self.next()
+                if w.typ not in ("ident", "str"):
+                    raise EsqlError("ES|QL: RERANK WITH <inference_id>")
+                iid = w.val
+            return ("rerank", target, query, field, iid)
+        if cmd == "completion":
+            # COMPLETION [target =] prompt_expr WITH inference_id
+            target = "completion"
+            if (
+                self.peek().typ == "ident"
+                and self.peek(1).typ == "op"
+                and self.peek(1).val == "="
+            ):
+                target = self.next().val
+                self.next()  # '='
+            prompt = self.parse_expr()
+            self.expect_kw("with")
+            w = self.next()
+            if w.typ not in ("ident", "str"):
+                raise EsqlError("ES|QL: COMPLETION ... WITH <inference_id>")
+            return ("completion", target, prompt, w.val)
         if cmd == "fuse":
             method = "rrf"
             t = self.peek()
@@ -1063,11 +1114,18 @@ class EsqlEngine:
         sources: dict[str, object],
         enrich: dict[str, tuple[DataFrame, str]] | None = None,
         pushdown: bool = True,
+        inference: dict[str, object] | None = None,
     ):
         self.spark = spark
         self.sources = sources
         self.enrich = enrich or {}
         self.pushdown = pushdown
+        # inference endpoints (ES _inference API analogue) for RERANK /
+        # COMPLETION: id -> callable. rerank: (query: str, texts:
+        # pd.Series) -> pd.Series[float]; completion: (prompts:
+        # pd.Series) -> pd.Series[str]. Applied as Arrow-batched pandas
+        # UDFs — the shape a real cross-encoder/LLM client needs.
+        self.inference = inference or {}
         # True when the last query() took the pruned top-k path —
         # read by tests/plan audits, never by query logic
         self.last_pushdown = False
@@ -1262,6 +1320,10 @@ class EsqlEngine:
             return self._fork(rel, cmd[1])
         if kind == "fuse":
             return self._fuse(rel, cmd[1])
+        if kind == "rerank":
+            return self._rerank(rel, cmd[1], cmd[2], cmd[3], cmd[4])
+        if kind == "completion":
+            return self._completion(rel, cmd[1], cmd[2], cmd[3])
         if kind == "change_point":
             return self._change_point(rel, cmd[1], cmd[2], cmd[3])
         if kind == "sort":
@@ -1507,6 +1569,83 @@ class EsqlEngine:
             *[F.min_by(c, "__ord").alias(c) for c in others],
         ).select(*[c for c in df.columns if c != "_fork"])
         rel.score_attached = True
+        return rel
+
+    # -- RERANK / COMPLETION --------------------------------------------------
+    def _rerank(
+        self, rel: _Rel, target: str, query: str, field: str, iid: str | None
+    ) -> _Rel:
+        """ES|QL RERANK (8.18): second-stage scoring of the current rows.
+
+        With a registered inference id the callable scores (query, texts)
+        in Arrow batches — the real cross-encoder plumbing (batch size =
+        Arrow batch, executor-parallel, never a driver loop). Without one,
+        a DETERMINISTIC stand-in for Elastic's default rerank model: the
+        pinned-tokenizer overlap ratio |q ∩ doc| / |q| over DISTINCT
+        tokens, pure Catalyst. The new score lands in ``target`` (default
+        ``_score``, like ES); ordering is left to an explicit SORT —
+        deterministic beats ES's implicit resort.
+
+        ES parity: RERANK runs on the fetched window in ES too (rerank
+        after retrieval + LIMIT) — apply it after a topk cut, not on the
+        corpus."""
+        if field not in rel.df.columns:
+            raise EsqlError(f"ES|QL: unknown column {field!r}")
+        if iid is not None and iid in self.inference:
+            fn = self.inference[iid]
+            scorer = F.pandas_udf(
+                lambda s: fn(query, s), "double"
+            )
+            rel.df = rel.df.withColumn(target, scorer(F.col(field)))
+        elif iid is not None:
+            raise EsqlError(
+                f"ES|QL: inference id {iid!r} is not registered "
+                "(pass EsqlEngine(..., inference={id: callable}))"
+            )
+        else:
+            from ..functions.tokenizer import tokenize_col, tokenize_text
+
+            qtoks = sorted(set(tokenize_text(query)))
+            if not qtoks:
+                raise EsqlError("ES|QL: RERANK query analyzes to no tokens")
+            overlap = F.size(
+                F.array_intersect(
+                    F.array_distinct(tokenize_col(F.col(field))),
+                    F.array(*[F.lit(t) for t in qtoks]),
+                )
+            )
+            rel.df = rel.df.withColumn(
+                target, overlap.cast("double") / F.lit(float(len(qtoks)))
+            )
+        if target == "_score":
+            rel.score_attached = True
+        return rel
+
+    def _completion(
+        self, rel: _Rel, target: str, prompt: tuple, iid: str
+    ) -> _Rel:
+        """ES|QL COMPLETION (8.18): prompt expression -> generated text
+        column. A registered inference callable runs as an Arrow-batched
+        pandas UDF (the LLM-client shape: one RPC per Arrow batch, not per
+        row). The builtin ``stub`` id is a DECLARED deterministic
+        stand-in (no model in this environment): ``[stub] `` + the first
+        64 chars of the prompt, pure Catalyst — swap a real client in via
+        ``inference={"my-llm": fn}``."""
+        pcol = _Compiler().col(prompt)
+        if iid in self.inference:
+            fn = self.inference[iid]
+            gen = F.pandas_udf(lambda s: fn(s), "string")
+            rel.df = rel.df.withColumn(target, gen(pcol))
+        elif iid == "stub":
+            rel.df = rel.df.withColumn(
+                target,
+                F.concat(F.lit("[stub] "), F.substring(pcol, 1, 64)),
+            )
+        else:
+            raise EsqlError(
+                f"ES|QL: inference id {iid!r} is not registered "
+                '(builtin: "stub"; or EsqlEngine(..., inference={id: fn}))'
+            )
         return rel
 
     # -- STATS ----------------------------------------------------------------
@@ -1825,6 +1964,7 @@ def esql(
     text: str,
     sources: dict[str, object],
     enrich: dict[str, tuple[DataFrame, str]] | None = None,
+    inference: dict[str, object] | None = None,
 ) -> DataFrame:
     """One-shot helper: ``esql(spark, "FROM t | ...", {"t": df})``."""
-    return EsqlEngine(spark, sources, enrich).query(text)
+    return EsqlEngine(spark, sources, enrich, inference=inference).query(text)

@@ -601,3 +601,62 @@ def test_fuse_linear_and_errors(spark):
             "| FUSE",
             {"t": df},
         )
+
+
+def test_rerank_builtin_and_registered(spark):
+    """RERANK: builtin deterministic overlap scorer (no inference id) and
+    the registered-callable path (Arrow-batched pandas UDF); target
+    defaults to _score, named targets work; unknown ids raise."""
+    df = spark.createDataFrame(
+        [(0, "data merge filter window"), (1, "data scan"), (2, "none here")],
+        "id long, text string",
+    )
+    got = esql(
+        spark,
+        'FROM t METADATA _score | RERANK "data merge" ON text\n'
+        "| EVAL s = ROUND(_score, 3) | KEEP id, s | SORT s DESC, id ASC",
+        {"t": df},
+    ).collect()
+    assert [(r["id"], r["s"]) for r in got] == [(0, 1.0), (1, 0.5), (2, 0.0)]
+
+    def length_scorer(query, texts):
+        return texts.str.len().astype("float64")
+
+    got2 = esql(
+        spark,
+        'FROM t | RERANK sc = "x" ON text WITH len_model | KEEP id, sc | SORT id',
+        {"t": df},
+        inference={"len_model": length_scorer},
+    ).collect()
+    assert [(r["id"], r["sc"]) for r in got2] == [
+        (0, 24.0), (1, 9.0), (2, 9.0)
+    ]
+    with pytest.raises(EsqlError, match="not registered"):
+        esql(spark, 'FROM t | RERANK "q" ON text WITH nope', {"t": df})
+    with pytest.raises(EsqlError, match="no tokens"):
+        esql(spark, 'FROM t | RERANK "," ON text', {"t": df})
+
+
+def test_completion_stub_and_registered(spark):
+    df = spark.createDataFrame([(0, "alpha beta"), (1, "gamma")],
+                               "id long, text string")
+    got = esql(
+        spark,
+        'FROM t | COMPLETION head = CONCAT("sum: ", text) WITH stub\n'
+        "| KEEP id, head | SORT id",
+        {"t": df},
+    ).collect()
+    assert [r["head"] for r in got] == ["[stub] sum: alpha beta", "[stub] sum: gamma"]
+
+    def echo4(prompts):
+        return prompts.str.slice(0, 4) + "!"
+
+    got2 = esql(
+        spark,
+        "FROM t | COMPLETION o = text WITH g | KEEP id, o | SORT id",
+        {"t": df},
+        inference={"g": echo4},
+    ).collect()
+    assert [r["o"] for r in got2] == ["alph!", "gamm!"]
+    with pytest.raises(EsqlError, match="not registered"):
+        esql(spark, "FROM t | COMPLETION text WITH nope", {"t": df})
