@@ -2820,6 +2820,24 @@ def q_esql_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL 8.16 per-aggregate WHERE filters: each aggregate's input is
+    # wrapped F.when(cond, x) — aggregates skip nulls, which is exactly
+    # SQL's FILTER (WHERE ...), so the whole STATS stays ONE map-side
+    # partial agg (no per-condition scans).
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    eng = EsqlEngine(spark, {"documents": _load(spark, sf_dir, "documents")})
+    return eng.query(
+        "FROM documents\n"
+        "| STATS n = COUNT(*),\n"
+        "        n_long = COUNT(*) WHERE n_chars > 500,\n"
+        "        avg_long = ROUND(AVG(n_chars), 2) WHERE n_chars > 500,\n"
+        '        n_en = COUNT(*) WHERE lang == "en"\n'
+        "  BY source | SORT source ASC"
+    )
+
+
 def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL QSTR(): the full query_string boolean grammar as a filter-
     # context doc set, then STATS BY on stored meta columns
@@ -3213,6 +3231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_knn": q_esql_knn,
         "esql_rerank": q_esql_rerank,
         "esql_completion": q_esql_completion,
+        "esql_stats_where": q_esql_stats_where,
     }
 
 
@@ -6675,6 +6694,16 @@ SELECT w.did AS doc_id,
                ['data', 'filter', 'merge', 'scan'])) / 4.0, 6) AS rr
 FROM win w JOIN docs d ON d.did = w.did
 ORDER BY rr DESC, doc_id ASC
+""",
+        # STATS WHERE: SQL FILTER clauses — the exact semantics the Spark
+        # side expresses via F.when(cond, input) inside each aggregate.
+        "esql_stats_where": """
+SELECT source,
+       count(*) AS n,
+       count(*) FILTER (WHERE n_chars > 500) AS n_long,
+       round(avg(n_chars) FILTER (WHERE n_chars > 500), 2) AS avg_long,
+       count(*) FILTER (WHERE lang = 'en') AS n_en
+FROM documents GROUP BY source ORDER BY source ASC
 """,
         # COMPLETION: the builtin deterministic stub — '[stub] ' + first 64
         # chars of the prompt expression (character semantics both sides).

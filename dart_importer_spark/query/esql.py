@@ -21,7 +21,9 @@ Spark-first mapping, command by command:
                  scan touches only the query terms' buckets, never the
                  corpus
 ``EVAL``         sequential ``withColumn`` projections (pure Catalyst)
-``STATS .. BY``  ``groupBy(keys).agg(...)`` — map-side partial agg for free
+``STATS .. BY``  ``groupBy(keys).agg(...)`` — map-side partial agg for
+                 free; per-aggregate ``WHERE`` filters (8.16) become
+                 ``F.when(cond, input)`` inside the same single agg
 ``INLINESTATS``  window aggregate partitioned by the BY keys (appends the
                  aggregate without collapsing rows)
 ``CHANGE_POINT`` step-change split via cumulative window sums (marks the
@@ -281,7 +283,7 @@ class _Parser:
         if cmd == "eval":
             return ("eval", self.parse_assignments(require_name=False))
         if cmd in ("stats", "inlinestats"):
-            items = self.parse_assignments(require_name=False)
+            items = self.parse_assignments(require_name=False, allow_where=True)
             by: list[tuple[str | None, tuple]] = []
             if self.kw("by"):
                 by = self.parse_assignments(require_name=False)
@@ -474,8 +476,13 @@ class _Parser:
                 raise EsqlError("ES|QL: NULLS must be FIRST or LAST")
         return (e, asc, nulls)
 
-    def parse_assignments(self, require_name: bool) -> list[tuple[str | None, tuple]]:
-        items: list[tuple[str | None, tuple]] = []
+    def parse_assignments(
+        self, require_name: bool, allow_where: bool = False
+    ) -> list[tuple]:
+        """(name, expr) pairs; with ``allow_where`` (STATS/INLINESTATS),
+        (name, expr, cond|None) triples — ES|QL 8.16 per-aggregate
+        ``WHERE`` filters."""
+        items: list[tuple] = []
         while True:
             start = self.peek().pos
             name = None
@@ -493,7 +500,11 @@ class _Parser:
             if name is None:
                 # ES|QL default column name = the expression's source text
                 name = self.text[start:self.peek().pos].strip()
-            items.append((name, e))
+            if allow_where:
+                cond = self.parse_expr() if self.kw("where") else None
+                items.append((name, e, cond))
+            else:
+                items.append((name, e))
             if not self.op(","):
                 break
         return items
@@ -701,10 +712,14 @@ def _contains_ft(node: tuple) -> bool:
 
 
 class _Compiler:
-    """Expression AST -> pyspark Column. ``allow_agg`` gates STATS items."""
+    """Expression AST -> pyspark Column. ``allow_agg`` gates STATS items;
+    ``agg_filter`` is a STATS ``WHERE`` condition applied to every
+    aggregate INPUT (``F.when(cond, x)`` — aggregates skip nulls, which is
+    exactly SQL's ``FILTER (WHERE ...)``)."""
 
-    def __init__(self, allow_agg: bool = False):
+    def __init__(self, allow_agg: bool = False, agg_filter: Column | None = None):
         self.allow_agg = allow_agg
+        self.agg_filter = agg_filter
 
     def col(self, node: tuple) -> Column:
         kind = node[0]
@@ -992,11 +1007,16 @@ class _Compiler:
 
     # -- aggregates (STATS items) -------------------------------------------
     def agg(self, name: str, args: list[tuple]) -> Column:
+        gf = self.agg_filter
+
+        def g(c: Column) -> Column:
+            return F.when(gf, c) if gf is not None else c
+
         if name == "count":
             if len(args) == 0 or args[0][0] == "star":
-                return F.count(F.lit(1))
-            return F.count(self.col(args[0]))
-        a = [self.col(x) for x in args]
+                return F.count(g(F.lit(1)))
+            return F.count(g(self.col(args[0])))
+        a = [g(self.col(x)) for x in args]
         n = len(a)
         if name == "count_distinct":
             return F.countDistinct(*a)
@@ -1655,13 +1675,14 @@ class EsqlEngine:
         items: list[tuple[str | None, tuple]],
         by: list[tuple[str | None, tuple]],
     ) -> _Rel:
-        comp = _Compiler(allow_agg=True)
         aggs = []
-        for nm, e in items:
+        for nm, e, cond in items:
             if not _contains_agg(e):
                 raise EsqlError(
                     f"ES|QL: STATS item {nm!r} has no aggregate function"
                 )
+            fcol = _Compiler().col(cond) if cond is not None else None
+            comp = _Compiler(allow_agg=True, agg_filter=fcol)
             aggs.append(comp.col(e).alias(nm))
         key_comp = _Compiler()
         keys = [key_comp.col(e).alias(nm) for nm, e in by]
@@ -1725,8 +1746,7 @@ class EsqlEngine:
         not to scalar wrappers)."""
         from pyspark.sql.window import Window
 
-        comp = _Compiler(allow_agg=True)
-        for nm, e in items:
+        for nm, e, _ in items:
             if e[0] != "call" or e[1] not in _AGG_FNS:
                 raise EsqlError(
                     "ES|QL: INLINESTATS items must be bare aggregates "
@@ -1737,18 +1757,24 @@ class EsqlEngine:
                     "ES|QL: COUNT_DISTINCT is not available in INLINESTATS "
                     "(no exact distinct window aggregate); use STATS"
                 )
+
+        def comp_for(cond: tuple | None) -> _Compiler:
+            fcol = _Compiler().col(cond) if cond is not None else None
+            return _Compiler(allow_agg=True, agg_filter=fcol)
+
         df = rel.df
         if by:
             key_comp = _Compiler()
             w = Window.partitionBy(*[key_comp.col(e) for _, e in by])
-            for nm, e in items:
-                df = df.withColumn(nm, comp.agg(e[1], e[2]).over(w))
+            for nm, e, cond in items:
+                df = df.withColumn(nm, comp_for(cond).agg(e[1], e[2]).over(w))
         else:
             # global INLINESTATS: an unpartitioned window would move EVERY
             # row to one task — aggregate to one row and broadcast it back
             # instead (partial agg + a zero-shuffle join)
             one = df.agg(
-                *[comp.agg(e[1], e[2]).alias(nm) for nm, e in items]
+                *[comp_for(cond).agg(e[1], e[2]).alias(nm)
+                  for nm, e, cond in items]
             )
             df = df.crossJoin(F.broadcast(one))
         rel.df = df

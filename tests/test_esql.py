@@ -660,3 +660,39 @@ def test_completion_stub_and_registered(spark):
     assert [r["o"] for r in got2] == ["alph!", "gamm!"]
     with pytest.raises(EsqlError, match="not registered"):
         esql(spark, "FROM t | COMPLETION text WITH nope", {"t": df})
+
+
+def test_stats_where_filters(spark):
+    """ES|QL 8.16 per-aggregate WHERE: each condition filters only its own
+    aggregate's input, inside ONE groupBy (no per-condition scans); also
+    valid on INLINESTATS window aggregates."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 600), (3, "b", 700), (4, "b", 20), (5, "b", 900)],
+        "id long, g string, n int",
+    )
+    r = esql(
+        spark,
+        "FROM t | STATS c = COUNT(*), cl = COUNT(*) WHERE n > 500,\n"
+        "  al = ROUND(AVG(n), 2) WHERE n > 500, s = SUM(n) WHERE n < 100\n"
+        "  BY g | SORT g",
+        {"t": df},
+    ).collect()
+    assert [(x["g"], x["c"], x["cl"], x["al"], x["s"]) for x in r] == [
+        ("a", 2, 1, 600.0, 10),
+        ("b", 3, 2, 800.0, 20),
+    ]
+    # empty filter group -> null aggregate, zero count (SQL FILTER semantics)
+    r2 = esql(
+        spark,
+        'FROM t | STATS m = MAX(n) WHERE g == "zzz", c = COUNT(*) WHERE g == "zzz"',
+        {"t": df},
+    ).collect()[0]
+    assert r2["m"] is None and r2["c"] == 0
+    r3 = esql(
+        spark,
+        "FROM t | INLINESTATS m = MAX(n) WHERE n < 800 BY g | KEEP id, m | SORT id",
+        {"t": df},
+    ).collect()
+    assert [(x["id"], x["m"]) for x in r3] == [
+        (1, 600), (2, 600), (3, 700), (4, 700), (5, 700)
+    ]
