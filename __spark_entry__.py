@@ -2045,6 +2045,25 @@ def q_tx_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.with_langid(docs).select("doc_id", "lang_pred")
 
 
+def q_tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/Gopher-style quality signal: add-0.5-smoothed unigram LM
+    # fitted on the corpus, per-doc cross-entropy/perplexity, worst 20
+    # docs. Fit = one explode + groupBy(term); score = one term hash-join
+    # + one groupBy(doc_id) — all JVM. (In production the LM is fitted on
+    # a REFERENCE corpus and persisted as parquet; fitting on the scored
+    # corpus here keeps the oracle self-contained.)
+    docs = _load(spark, sf_dir, "documents")
+    lm = textops.fit_unigram_lm(docs)
+    out = textops.perplexity_scores(docs, lm)
+    return (
+        out.select(
+            "doc_id", "n_tokens", F.round("ppl", 4).alias("ppl_r")
+        )
+        .orderBy(F.desc("ppl_r"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing-style min-k fingerprint, exploded to scalar rows so the gate
     # can canonicalize, and DuckDB-checkable via the portable md5-60 hash
@@ -3232,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_rerank": q_esql_rerank,
         "esql_completion": q_esql_completion,
         "esql_stats_where": q_esql_stats_where,
+        "tx_perplexity": q_tx_perplexity,
     }
 
 
@@ -6694,6 +6714,26 @@ SELECT w.did AS doc_id,
                ['data', 'filter', 'merge', 'scan'])) / 4.0, 6) AS rr
 FROM win w JOIN docs d ON d.did = w.did
 ORDER BY rr DESC, doc_id ASC
+""",
+        # Unigram-LM perplexity: identical add-0.5 smoothing, OOV reserved
+        # via V+1; sums cast to DOUBLE up front (HUGEINT trap).
+        "tx_perplexity": f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents
+),
+counts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+m AS (SELECT sum(cnt)::DOUBLE AS total, count(*)::DOUBLE AS v FROM counts),
+scored AS (
+  SELECT t.doc_id,
+         avg(-ln((coalesce(c.cnt, 0) + 0.5) / (m.total + 0.5 * (m.v + 1)))) AS xent,
+         count(*) AS n_tokens
+  FROM tok t LEFT JOIN counts c USING (term) CROSS JOIN m
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, round(exp(xent), 4) AS ppl_r
+FROM scored ORDER BY ppl_r DESC, doc_id ASC LIMIT 20
 """,
         # STATS WHERE: SQL FILTER clauses — the exact semantics the Spark
         # side expresses via F.when(cond, input) inside each aggregate.

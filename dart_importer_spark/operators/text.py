@@ -127,3 +127,74 @@ def with_fingerprint(
         F.transform(shingles_of(toks, 3, ""), hash_fn),
     ).otherwise(F.array(hash_fn(F.concat_ws("", toks))))
     return df.withColumn(out, F.slice(F.array_sort(F.array_distinct(shingles)), 1, k))
+
+
+class UnigramLM:
+    """Add-α-smoothed unigram language model fitted on a reference corpus —
+    the CCNet/Gopher-style quality signal: documents whose token
+    distribution diverges from the reference get high perplexity and are
+    filtered/bucketed before LLM training.
+
+    ``counts`` is a (term, cnt) DataFrame; ``total``/``vocab`` are the
+    reference token count and vocabulary size. log p(term) =
+    ln((cnt + α) / (total + α·(V + 1))); unseen terms take cnt = 0 (the
+    ``+ 1`` reserves the OOV mass).
+
+    Scale shape: the fit is one explode + one groupBy(term) — the same
+    token-count aggregation every index build already does; the model
+    lives as a DataFrame (persist it as parquet next to the corpus, like
+    the IVF centroid table — never driver-side JSON at 10^8-term vocab).
+    """
+
+    def __init__(self, counts: DataFrame, total: int, vocab: int, alpha: float):
+        self.counts = counts
+        self.total = total
+        self.vocab = vocab
+        self.alpha = alpha
+
+    @property
+    def denom(self) -> float:
+        return float(self.total) + self.alpha * (self.vocab + 1)
+
+
+def fit_unigram_lm(
+    ref: DataFrame, text_col: str = "text", alpha: float = 0.5
+) -> UnigramLM:
+    toks = ref.select(F.explode(tokenize_col(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total, vocab = counts.agg(
+        F.sum("cnt"), F.count(F.lit(1))
+    ).first()
+    return UnigramLM(counts, int(total or 0), int(vocab or 0), alpha)
+
+
+def perplexity_scores(
+    df: DataFrame,
+    model: UnigramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document cross-entropy and perplexity under ``model``:
+    xent = mean over tokens of -ln p(token), ppl = exp(xent). Documents
+    with zero tokens produce no row (no distribution to score — filter
+    them with the length gates first).
+
+    Scale shape: one explode, one shuffle join on ``term`` against the
+    model table (hash join; the model is the smaller, often broadcastable
+    side), one groupBy(``id_col``) — all JVM, no UDFs."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize_col(F.col(text_col))).alias("term")
+    )
+    j = toks.join(model.counts, "term", "left")
+    logp = F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(model.alpha))
+        / F.lit(model.denom)
+    )
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.avg(-logp).alias("xent"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .withColumn("ppl", F.exp(F.col("xent")))
+    )

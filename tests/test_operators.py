@@ -486,3 +486,35 @@ def test_ivf_sq8_quantized_probe(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         ivf2.topk_sq(q, k=5)
+
+
+def test_unigram_lm_perplexity(spark):
+    """Hand-computed add-α unigram LM: corpus 'a a b' + 'a c' gives
+    counts a=3, b=1, c=1, total=5, V=3, denom = 5 + 0.5*4 = 7.
+    p(a)=3.5/7=.5, p(b)=p(c)=1.5/7, p(OOV)=0.5/7. Zero-token docs
+    produce no row."""
+    import math
+
+    from dart_importer_spark.operators.text import (
+        fit_unigram_lm,
+        perplexity_scores,
+    )
+
+    ref = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    lm = fit_unigram_lm(ref, alpha=0.5)
+    assert (lm.total, lm.vocab, lm.denom) == (5, 3, 7.0)
+    tgt = spark.createDataFrame(
+        [(10, "a a"), (11, "a zzz"), (12, "???")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity_scores(tgt, lm).collect()}
+    assert set(rows) == {10, 11}  # doc 12 tokenizes to nothing
+    assert rows[10]["n_tokens"] == 2
+    assert rows[10]["xent"] == pytest.approx(-math.log(0.5))
+    assert rows[10]["ppl"] == pytest.approx(2.0)
+    # doc 11: a (3.5/7) and OOV zzz (0.5/7)
+    want = -(math.log(3.5 / 7) + math.log(0.5 / 7)) / 2
+    assert rows[11]["xent"] == pytest.approx(want)
+    assert rows[11]["ppl"] == pytest.approx(math.exp(want))
