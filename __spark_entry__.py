@@ -2531,6 +2531,46 @@ def q_ft_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_dsl_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8.18 retriever tree THROUGH THE DSL: {"retriever": {"linear":
+    # {"retrievers": [{standard leg, weight, minmax}, {knn leg, weight,
+    # minmax}]}}} compiles to the same hybrid_linear plan the engine-level
+    # ft_hybrid_linear row checks — one oracle, two surfaces.
+    from dart_importer_spark.query.dsl import search
+
+    ix = _documents_index(spark, sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    body = {
+        "size": 20,
+        "retriever": {
+            "linear": {
+                "rank_window_size": 100,
+                "retrievers": [
+                    {
+                        "retriever": {
+                            "standard": {
+                                "query": {"match": {"text": "data merge"}}
+                            }
+                        },
+                        "weight": 0.7,
+                        "normalizer": "minmax",
+                    },
+                    {
+                        "retriever": {"knn": {"query_vector": qvec}},
+                        "weight": 0.3,
+                        "normalizer": "minmax",
+                    },
+                ],
+            }
+        },
+    }
+    return search(ix, body, emb=emb)
+
+
 def q_etl_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus mixing: deterministic per-stratum downsampling — affine hash
     # of doc_id mod prime, no RNG, exactly reproducible by any engine
@@ -3252,6 +3292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_completion": q_esql_completion,
         "esql_stats_where": q_esql_stats_where,
         "tx_perplexity": q_tx_perplexity,
+        "ft_dsl_retriever": q_ft_dsl_retriever,
     }
 
 
@@ -3632,7 +3673,7 @@ scored AS (
 SELECT did AS doc_id, round(raw, 6) AS score FROM scored
 ORDER BY round(raw, 6) DESC, did ASC LIMIT 20
 """
-    return {
+    d = {
         "tx_fingerprint": fingerprint_sql,
         "dd_simhash_pairs": simhash_sql,
         "ft_multi_match": multi_match_sql,
@@ -6931,3 +6972,7 @@ SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 20
 """,
     }
+    # the DSL retriever:{linear} tree compiles to the SAME hybrid_linear
+    # plan — one oracle text, two surfaces
+    d["ft_dsl_retriever"] = d["ft_hybrid_linear"]
+    return d

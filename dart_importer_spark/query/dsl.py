@@ -1051,40 +1051,66 @@ def _vector_search(
         )
     if "retriever" in body:
         r = body["retriever"]
-        if not isinstance(r, dict) or set(r) != {"rrf"}:
+        if (
+            not isinstance(r, dict)
+            or len(r) != 1
+            or next(iter(r)) not in ("rrf", "linear")
+        ):
             raise DslError(
-                f"retriever: only 'rrf' is supported "
-                f"(got {sorted(r) if isinstance(r, dict) else r!r})"
+                f"retriever: only 'standard', 'rrf' and 'linear' are "
+                f"supported (got {sorted(r) if isinstance(r, dict) else r!r})"
             )
-        rr = r["rrf"]
+        kind, rr = next(iter(r.items()))
         std = knn = None
+        wstd = wknn = 1.0
         for sub in _as_list(rr.get("retrievers")):
-            if "standard" in sub:
-                std = sub["standard"].get("query", {})
-            elif "knn" in sub:
-                knn = sub["knn"]
+            # rrf entries are bare {"standard": ...} / {"knn": ...};
+            # linear (8.18) wraps them: {"retriever": {...}, "weight",
+            # "normalizer"}
+            entry = sub.get("retriever", sub)
+            if kind == "linear":
+                norm = sub.get("normalizer", "none")
+                if norm != "minmax":
+                    # ES defaults to 'none' (raw-score sum); only the
+                    # minmax form is implemented — require it spelled out
+                    # rather than silently mis-ranking
+                    raise DslError(
+                        f"linear: normalizer {norm!r} is not supported — "
+                        "set normalizer='minmax' on every leg"
+                    )
+            if "standard" in entry:
+                std = entry["standard"].get("query", {})
+                wstd = float(sub.get("weight", 1.0))
+            elif "knn" in entry:
+                knn = entry["knn"]
+                wknn = float(sub.get("weight", 1.0))
             else:
-                raise DslError(f"rrf: unsupported retriever {sorted(sub)}")
+                raise DslError(
+                    f"{kind}: unsupported retriever {sorted(entry)}"
+                )
         if std is None or knn is None:
             raise DslError(
-                "rrf: need exactly one standard and one knn retriever"
+                f"{kind}: need exactly one standard and one knn retriever"
             )
         t, s = cp._clause(std)
         if t not in _MATCHISH:
             raise DslError(
-                f"rrf: the standard retriever must be match/term (got {t!r})"
+                f"{kind}: the standard retriever must be match/term (got {t!r})"
             )
         f, v, _ = _field_spec(t, s)
-        return ix.hybrid_rrf(
-            str(cp._match_params(t, v)["query"]),
-            [float(x) for x in knn["query_vector"]],
-            emb,
-            k=size,
-            window=int(rr.get("rank_window_size", 100)),
-            rank_constant=int(rr.get("rank_constant", 60)),
-            field=cp._text_field(t, f),
-            id_col=id_col,
-            vec_col=vec_col,
+        qtext = str(cp._match_params(t, v)["query"])
+        qvec = [float(x) for x in knn["query_vector"]]
+        window = int(rr.get("rank_window_size", 100))
+        if kind == "rrf":
+            return ix.hybrid_rrf(
+                qtext, qvec, emb, k=size, window=window,
+                rank_constant=int(rr.get("rank_constant", 60)),
+                field=cp._text_field(t, f), id_col=id_col, vec_col=vec_col,
+            )
+        return ix.hybrid_linear(
+            qtext, qvec, emb, k=size, window=window,
+            lex_weight=wstd, vec_weight=wknn,
+            field=cp._text_field(t, f), id_col=id_col, vec_col=vec_col,
         )
     # ---- top-level knn section
     if body.get("query") not in (None, {}, {"match_all": {}}):
@@ -1214,6 +1240,16 @@ def search(
     ix = _apply_pit(ix, body)
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
+    r0 = body.get("retriever")
+    if isinstance(r0, dict) and set(r0) == {"standard"}:
+        # ES 8.14 standard retriever = a plain query (+ optional filter) —
+        # unwrap and take the ordinary search path, no embedding needed
+        inner = r0["standard"]
+        body = {k: v for k, v in body.items() if k != "retriever"}
+        q0 = inner.get("query", {"match_all": {}})
+        if inner.get("filter") is not None:
+            q0 = {"bool": {"must": [q0], "filter": _as_list(inner["filter"])}}
+        body["query"] = q0
     if "retriever" in body or "knn" in body:
         return _vector_search(
             cp, body, size, round_scores, emb, emb_id_col, emb_vec_col,

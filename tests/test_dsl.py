@@ -1129,3 +1129,47 @@ def test_knn_body_ann_probe(built_index, emb_table):
     assert rows_narrow
     for r in rows_narrow:
         assert r.score == exact[r.doc_id]
+
+
+def test_retriever_linear_body(built_index, emb_table):
+    """ES 8.18 retriever: linear — wrapped legs with weights and explicit
+    minmax normalizers compile to the engine's hybrid_linear; the bare
+    'standard' retriever unwraps to a plain query; 'none' normalizer and
+    unknown retriever kinds raise."""
+    got = built_index.search(
+        {"retriever": {"linear": {
+            "retrievers": [
+                {"retriever": {"standard": {
+                    "query": {"match": {"text": "the data"}}}},
+                 "weight": 0.7, "normalizer": "minmax"},
+                {"retriever": {"knn": {"query_vector": QVEC}},
+                 "weight": 0.3, "normalizer": "minmax"},
+            ],
+            "rank_window_size": 40,
+        }}, "size": 12},
+        emb=emb_table,
+    )
+    want = built_index.hybrid_linear(
+        "the data", QVEC, emb_table, k=12, window=40,
+        lex_weight=0.7, vec_weight=0.3,
+    )
+    same(got, want)
+    # standard-only retriever == the plain query body (no emb needed)
+    got2 = built_index.search(
+        {"retriever": {"standard": {
+            "query": {"match": {"text": "the data"}}}}, "size": 7})
+    want2 = built_index.search(
+        {"query": {"match": {"text": "the data"}}, "size": 7})
+    same(got2, want2)
+    with pytest.raises(DslError, match="normalizer"):
+        built_index.search(
+            {"retriever": {"linear": {"retrievers": [
+                {"retriever": {"standard": {
+                    "query": {"match": {"text": "the"}}}}, "weight": 1.0},
+                {"retriever": {"knn": {"query_vector": QVEC}},
+                 "normalizer": "minmax"},
+            ]}}},
+            emb=emb_table,
+        )
+    with pytest.raises(DslError, match="only 'standard', 'rrf' and 'linear'"):
+        built_index.search({"retriever": {"dbsf": {}}}, emb=emb_table)
