@@ -2897,6 +2897,23 @@ def q_esql_stats_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scalar-function fill-in batch (trig, hashing, string, byte lengths,
+    # date_diff) — every one a Catalyst built-in, value-checked vs DuckDB
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    eng = EsqlEngine(spark, {"documents": _load(spark, sf_dir, "documents")})
+    return eng.query(
+        "FROM documents | WHERE doc_id < 50\n"
+        "| EVAL r = ROUND(SIN(n_chars / 1000.0), 6),\n"
+        '       h = HASH("md5", lang),\n'
+        "       rv = REVERSE(lang),\n"
+        "       bl = BYTE_LENGTH(SUBSTRING(text, 1, 10)),\n"
+        "       hy = ROUND(HYPOT(n_chars, 100.0), 4)\n"
+        "| KEEP doc_id, r, h, rv, bl, hy | SORT doc_id ASC"
+    )
+
+
 def q_esql_qstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL QSTR(): the full query_string boolean grammar as a filter-
     # context doc set, then STATS BY on stored meta columns
@@ -3293,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_where": q_esql_stats_where,
         "tx_perplexity": q_tx_perplexity,
         "ft_dsl_retriever": q_ft_dsl_retriever,
+        "esql_functions": q_esql_functions,
     }
 
 
@@ -6755,6 +6773,18 @@ SELECT w.did AS doc_id,
                ['data', 'filter', 'merge', 'scan'])) / 4.0, 6) AS rr
 FROM win w JOIN docs d ON d.did = w.did
 ORDER BY rr DESC, doc_id ASC
+""",
+        # scalar-function batch: sin/hypot rounded (libm ULP), md5 hex is
+        # lowercase on both engines, substr is character-based on both so
+        # BYTE_LENGTH sees identical UTF-8 slices.
+        "esql_functions": """
+SELECT doc_id,
+       round(sin(n_chars / 1000.0), 6) AS r,
+       md5(lang) AS h,
+       reverse(lang) AS rv,
+       octet_length(encode(substr(text, 1, 10))) AS bl,
+       round(sqrt(n_chars * n_chars + 100.0 * 100.0), 4) AS hy
+FROM documents WHERE doc_id < 50 ORDER BY doc_id ASC
 """,
         # Unigram-LM perplexity: identical add-0.5 smoothing, OOV reserved
         # via V+1; sums cast to DOUBLE up front (HUGEINT trap).

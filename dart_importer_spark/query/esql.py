@@ -831,6 +831,93 @@ class _Compiler:
             arity(1); return F.log10(a[0])
         if name == "signum":
             arity(1); return F.signum(a[0])
+        if name in ("sin", "cos", "tan", "asin", "acos", "atan",
+                    "sinh", "cosh", "tanh", "cbrt"):
+            arity(1); return getattr(F, name)(a[0])
+        if name == "atan2":
+            arity(2); return F.atan2(a[0], a[1])
+        if name == "hypot":
+            arity(2); return F.hypot(a[0], a[1])
+        if name == "to_radians":
+            arity(1); return F.radians(a[0])
+        if name == "to_degrees":
+            arity(1); return F.degrees(a[0])
+        if name == "now":
+            # query-time constant, like ES|QL NOW() — non-deterministic
+            # across runs, so keep it out of oracle-checked entries
+            arity(0); return F.current_timestamp()
+        if name == "date_diff":
+            # DATE_DIFF("unit", start, end) — ES|QL argument order
+            arity(3)
+            if args[0][0] != "str":
+                raise EsqlError('ES|QL: DATE_DIFF("unit", start, end)')
+            unit = args[0][1].lower()
+            secs = {
+                "seconds": 1, "second": 1, "s": 1,
+                "minutes": 60, "minute": 60, "m": 60,
+                "hours": 3600, "hour": 3600, "h": 3600,
+                "days": 86400, "day": 86400, "d": 86400,
+            }.get(unit)
+            if secs is None:
+                raise EsqlError(
+                    f"ES|QL: DATE_DIFF unit {unit!r} (seconds/minutes/"
+                    "hours/days; calendar units need DATE_TRUNC arithmetic)"
+                )
+            return (
+                (a[2].cast("timestamp").cast("double")
+                 - a[1].cast("timestamp").cast("double")) / F.lit(secs)
+            ).cast("long")
+        if name == "reverse":
+            arity(1); return F.reverse(a[0])
+        if name == "repeat":
+            arity(2); return F.repeat(a[0], a[1].cast("int"))
+        if name == "space":
+            arity(1); return F.repeat(F.lit(" "), a[0].cast("int"))
+        if name == "to_integer":
+            arity(1); return a[0].cast("int")
+        if name == "bit_length":
+            arity(1); return F.bit_length(a[0])
+        if name == "byte_length":
+            arity(1); return F.octet_length(a[0])
+        if name == "md5":
+            arity(1); return F.md5(a[0])
+        if name == "sha1":
+            arity(1); return F.sha1(a[0])
+        if name == "sha256":
+            arity(1); return F.sha2(a[0], 256)
+        if name == "hash":
+            # HASH("algorithm", input), ES|QL 8.17
+            arity(2)
+            if args[0][0] != "str":
+                raise EsqlError('ES|QL: HASH("md5|sha1|sha256", input)')
+            alg = args[0][1].lower()
+            if alg == "md5":
+                return F.md5(a[1])
+            if alg == "sha1":
+                return F.sha1(a[1])
+            if alg == "sha256":
+                return F.sha2(a[1], 256)
+            raise EsqlError(f"ES|QL: HASH algorithm {alg!r} not supported")
+        if name == "mv_median":
+            arity(1)
+            s = F.array_sort(a[0])
+            sz = F.size(a[0])
+            lo = F.try_element_at(s, ((sz + 1) / 2).cast("int")).cast("double")
+            hi = F.try_element_at(s, (sz / 2 + 1).cast("int")).cast("double")
+            return F.when(sz % 2 == 1, lo).otherwise((lo + hi) / 2)
+        if name == "mv_append":
+            arity(2); return F.concat(a[0], a[1])
+        if name == "mv_zip":
+            arity(2, 3)
+            sep = a[2] if n == 3 else F.lit(",")
+            # ES: when one side runs out, the longer side's value stands
+            # alone (no separator)
+            return F.zip_with(
+                a[0], a[1],
+                lambda x, y: F.when(x.isNull(), y)
+                .when(y.isNull(), x)
+                .otherwise(F.concat(x, sep, y)),
+            )
         if name == "length":
             arity(1); return F.length(a[0])
         if name == "concat":

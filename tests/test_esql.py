@@ -696,3 +696,37 @@ def test_stats_where_filters(spark):
     assert [(x["id"], x["m"]) for x in r3] == [
         (1, 600), (2, 600), (3, 700), (4, 700), (5, 700)
     ]
+
+
+def test_scalar_function_batch(spark, tbl):
+    """Part-16 scalar fill-in: trig/cbrt/hypot, DATE_DIFF fixed units,
+    string reverse/repeat/space, byte/bit lengths, HASH dispatch, and the
+    mv_median / mv_zip ES edge semantics (even-count average; dangling
+    element stands alone)."""
+    r = esql(
+        spark,
+        'ROW s = "abc", t1 = "2024-01-01"::DATETIME, t2 = "2024-01-03"::DATETIME\n'
+        '| EVAL a = ROUND(SIN(PI() / 2), 6), b = ROUND(ATAN2(1.0, 1.0), 6),\n'
+        "  c = CBRT(27.0), hy = HYPOT(3.0, 4.0), deg = TO_DEGREES(PI()),\n"
+        '  dd = DATE_DIFF("days", t1, t2), rev = REVERSE(s), rep = REPEAT(s, 2),\n'
+        '  sp = LENGTH(SPACE(3)), ti = TO_INTEGER("42"), bl = BIT_LENGTH("ab"),\n'
+        '  byl = BYTE_LENGTH("가"), hq = HASH("sha256", "x") == SHA256("x"),\n'
+        "  mm = MV_MEDIAN([1, 2, 3, 10]), modd = MV_MEDIAN([1, 2, 50]),\n"
+        "  ma = MV_COUNT(MV_APPEND([1, 2], [3])),\n"
+        '  mz = MV_JOIN(MV_ZIP(["a", "b", "c"], ["1", "2"], "-"), "|")',
+        {"t": spark.range(1)},
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["hy"], r["deg"]) == (
+        1.0, 0.785398, 3.0, 5.0, 180.0
+    )
+    assert (r["dd"], r["rev"], r["rep"], r["sp"], r["ti"]) == (
+        2, "cba", "abcabc", 3, 42
+    )
+    assert (r["bl"], r["byl"], r["hq"]) == (16, 3, True)
+    assert (r["mm"], r["modd"], r["ma"], r["mz"]) == (2.5, 2.0, 3, "a-1|b-2|c")
+    with pytest.raises(EsqlError, match="DATE_DIFF unit"):
+        esql(spark, 'ROW x = 1 | EVAL d = DATE_DIFF("months", x, x)',
+             {"t": spark.range(1)})
+    with pytest.raises(EsqlError, match="HASH algorithm"):
+        esql(spark, 'ROW x = "a" | EVAL h = HASH("crc99", x)',
+             {"t": spark.range(1)})
