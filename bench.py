@@ -161,6 +161,14 @@ HEADLINE = [
     "ft_synonyms",
     "etl_chunk_text",
     "etl_temperature_mix",
+    # eighth-continuation additions: FUSE/KNN/RERANK/COMPLETION/STATS-WHERE
+    # pipe surfaces and the unigram-LM quality scorer
+    "esql_fuse",
+    "esql_knn",
+    "esql_rerank",
+    "esql_completion",
+    "esql_stats_where",
+    "tx_perplexity",
 ]
 
 
