@@ -1241,10 +1241,19 @@ def search(
     cp = _Compiler(ix)
     size = int(body.get("size", 10))
     r0 = body.get("retriever")
+    if r0 is not None and "query" in body:
+        # ES rejects the combination with a 400
+        raise DslError("[retriever] and [query] cannot be used together")
     if isinstance(r0, dict) and set(r0) == {"standard"}:
         # ES 8.14 standard retriever = a plain query (+ optional filter) —
         # unwrap and take the ordinary search path, no embedding needed
         inner = r0["standard"]
+        unsupported = set(inner) - {"query", "filter"}
+        if unsupported:
+            raise DslError(
+                f"standard retriever: unsupported fields {sorted(unsupported)} "
+                "(query/filter only)"
+            )
         body = {k: v for k, v in body.items() if k != "retriever"}
         q0 = inner.get("query", {"match_all": {}})
         if inner.get("filter") is not None:

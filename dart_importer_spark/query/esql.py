@@ -77,6 +77,9 @@ on divergence, never return different-from-ES results quietly):
 - full-text functions must be top-level AND conjuncts of a ``WHERE`` on the
   index source (ES|QL has the same placement restriction; we additionally
   reject OR-composition with relational predicates instead of mis-scoring).
+- ``MV_MEDIAN`` matches ES values (even-count integral inputs round the
+  middle-pair average DOWN) but always returns double — ES preserves the
+  input's integer type; a static output type can't depend on it here.
 
 Reference parity: the reference exposes its data through Elasticsearch
 queries (QueryDART.md; Running-ELK.md:112-294); ES|QL is the modern form of
@@ -497,13 +500,18 @@ class _Parser:
             elif require_name:
                 raise EsqlError(f"ES|QL: expected name = expr at {self._at()}")
             e = self.parse_expr()
-            if name is None:
-                # ES|QL default column name = the expression's source text
-                name = self.text[start:self.peek().pos].strip()
             if allow_where:
                 cond = self.parse_expr() if self.kw("where") else None
+                if name is None:
+                    # ES|QL default column name = the item's full source
+                    # text INCLUDING any per-aggregate WHERE, so two
+                    # filtered copies of the same aggregate stay distinct
+                    name = self.text[start:self.peek().pos].strip()
                 items.append((name, e, cond))
             else:
+                if name is None:
+                    # ES|QL default column name = the expression's source text
+                    name = self.text[start:self.peek().pos].strip()
                 items.append((name, e))
             if not self.op(","):
                 break
@@ -873,8 +881,6 @@ class _Compiler:
             arity(2); return F.repeat(a[0], a[1].cast("int"))
         if name == "space":
             arity(1); return F.repeat(F.lit(" "), a[0].cast("int"))
-        if name == "to_integer":
-            arity(1); return a[0].cast("int")
         if name == "bit_length":
             arity(1); return F.bit_length(a[0])
         if name == "byte_length":
@@ -902,9 +908,15 @@ class _Compiler:
             arity(1)
             s = F.array_sort(a[0])
             sz = F.size(a[0])
-            lo = F.try_element_at(s, ((sz + 1) / 2).cast("int")).cast("double")
-            hi = F.try_element_at(s, (sz / 2 + 1).cast("int")).cast("double")
-            return F.when(sz % 2 == 1, lo).otherwise((lo + hi) / 2)
+            lo = F.try_element_at(s, ((sz + 1) / 2).cast("int"))
+            hi = F.try_element_at(s, (sz / 2 + 1).cast("int"))
+            # ES: even-count median = average of the middle two, rounded
+            # DOWN when the input type is integral (value parity; the
+            # output is widened to double — documented deviation)
+            avg = (lo.cast("double") + hi.cast("double")) / 2
+            is_int = F.typeof(lo).isin("tinyint", "smallint", "int", "bigint")
+            even = F.when(is_int, F.floor(avg).cast("double")).otherwise(avg)
+            return F.when(sz % 2 == 1, lo.cast("double")).otherwise(even)
         if name == "mv_append":
             arity(2); return F.concat(a[0], a[1])
         if name == "mv_zip":
@@ -1514,6 +1526,12 @@ class EsqlEngine:
                 "ES|QL: KNN cannot share a WHERE with MATCH/QSTR — "
                 "use FORK branches + FUSE for hybrid retrieval"
             )
+        if knns and residual is not None:
+            # ES|QL applies same-clause conjuncts as PRE-filters to the knn
+            # search (k nearest AMONG the filtered rows), not as a post-
+            # intersection with the global k-nearest — so filter first
+            rel.df = rel.df.filter(_Compiler().col(residual))
+            residual = None
         for _, call, negated in knns:
             rel = self._knn(rel, call[2], negated)
         if fts and rel.index is None:
@@ -1616,7 +1634,9 @@ class EsqlEngine:
             .first()[0]
         )
         if thr is None:  # empty relation or all-null vectors: nothing is near
-            rel.df = rel.df.filter(F.lit(negated) & F.col(field).isNotNull())
+            # negated keeps every row (incl. null vectors — same contract as
+            # the main path's ~coalesce(matched, false)); positive keeps none
+            rel.df = rel.df.filter(F.lit(negated))
             return rel
         matched = sim >= F.lit(float(thr))
         if negated:
@@ -1652,11 +1672,6 @@ class EsqlEngine:
                     else "FUSE needs METADATA _score and a doc_id column"
                 )
                 raise EsqlError(f"ES|QL: missing {need!r} — {hint}")
-        if df.filter(F.col("_score").isNull() | F.col("doc_id").isNull()).limit(1).count():
-            raise EsqlError(
-                "ES|QL: FUSE branches must all carry non-null _score and "
-                "doc_id (a STATS/unscored branch cannot be fused)"
-            )
         from pyspark.sql.window import Window
 
         branch = F.regexp_extract("_fork", r"(\d+)", 1).cast("int")
@@ -1667,6 +1682,16 @@ class EsqlEngine:
         contrib = (
             F.lit(1.0) / (F.lit(60) + rank) if method == "rrf" else F.col("_score")
         )
+        # lazy in-plan guard (an eager count() here would execute the whole
+        # FORK pipeline twice): any null _score/doc_id row — a STATS or
+        # otherwise unscored branch — fails the job when evaluated
+        contrib = F.when(
+            F.col("_score").isNull() | F.col("doc_id").isNull(),
+            F.raise_error(F.lit(
+                "ES|QL: FUSE branches must all carry non-null _score and "
+                "doc_id (a STATS/unscored branch cannot be fused)"
+            )).cast("double"),
+        ).otherwise(contrib)
         ranked = df.withColumn("__c", contrib).withColumn(
             "__ord", F.struct(branch.alias("b"), rank.alias("r"))
         )

@@ -1173,3 +1173,15 @@ def test_retriever_linear_body(built_index, emb_table):
         )
     with pytest.raises(DslError, match="only 'standard', 'rrf' and 'linear'"):
         built_index.search({"retriever": {"dbsf": {}}}, emb=emb_table)
+    # ES rejects retriever + top-level query (400) — so do we, instead of
+    # silently overwriting one with the other
+    with pytest.raises(DslError, match="cannot be used together"):
+        built_index.search({
+            "query": {"term": {"role": "user"}},
+            "retriever": {"standard": {
+                "query": {"match": {"text": "the data"}}}},
+        })
+    # unsupported standard-retriever fields raise instead of being dropped
+    with pytest.raises(DslError, match="unsupported fields"):
+        built_index.search({"retriever": {"standard": {
+            "query": {"match": {"text": "the"}}, "min_score": 5}}})

@@ -534,6 +534,19 @@ def test_knn_threshold_ties_and_negation(spark):
         "| EVAL s = ROUND(_score, 4) | KEEP id, s",
         {"t": df}).collect()
     assert [(r["id"], r["s"]) for r in s] == [(3, 1.0)]
+    # same-clause relational conjuncts PRE-filter the knn (ES|QL): the k
+    # nearest among id >= 3 is id 4 (cos .707 beats id 3's 0) — a global
+    # top-k-then-intersect would return nothing
+    pre = [r["id"] for r in esql(
+        spark, "FROM t | WHERE KNN(v, [1.0, 0.0], 1) AND id >= 3 "
+        "| KEEP id | SORT id", {"t": df}).collect()]
+    assert pre == [4]
+    # degenerate pre-filtered relation (only the null-vector row): nothing
+    # is near, so NOT KNN keeps the row
+    deg = [r["id"] for r in esql(
+        spark, "FROM t | WHERE NOT KNN(v, [1.0, 0.0], 2) AND id == 5 "
+        "| KEEP id", {"t": df}).collect()]
+    assert deg == [5]
     with pytest.raises(EsqlError, match="KNN cannot share"):
         esql(spark, 'FROM t | WHERE KNN(v, [1.0, 0.0], 2) AND MATCH(x, "y")',
              {"t": df})
@@ -592,15 +605,17 @@ def test_fuse_linear_and_errors(spark):
         esql(spark, "FROM t METADATA _score | FUSE", {"t": df})
     with pytest.raises(EsqlError, match="rrf or linear"):
         esql(spark, "FROM t METADATA _score | FUSE dbsf", {"t": df})
-    with pytest.raises(EsqlError, match="non-null _score"):
-        # branch 2 collapses to a STATS row with null doc_id/_score slots
+    with pytest.raises(Exception, match="non-null _score"):
+        # branch 2 collapses to a STATS row with null doc_id/_score slots;
+        # the guard is a lazy in-plan raise_error (an eager count() would
+        # run the whole FORK pipeline twice), so it fires at the action
         esql(
             spark,
             "FROM t METADATA _score\n"
             "| FORK (EVAL _score = w) (STATS n = COUNT(*))\n"
             "| FUSE",
             {"t": df},
-        )
+        ).collect()
 
 
 def test_rerank_builtin_and_registered(spark):
@@ -681,6 +696,15 @@ def test_stats_where_filters(spark):
         ("a", 2, 1, 600.0, 10),
         ("b", 3, 2, 800.0, 20),
     ]
+    # unnamed filtered aggregates default-name from the FULL item text
+    # (incl. the WHERE), so two filtered copies stay distinct columns
+    rn = esql(
+        spark,
+        "FROM t | STATS COUNT(*) WHERE n > 500, COUNT(*) WHERE n < 100",
+        {"t": df},
+    )
+    assert rn.columns == ["COUNT(*) WHERE n > 500", "COUNT(*) WHERE n < 100"]
+    assert [tuple(x) for x in rn.collect()] == [(3, 2)]
     # empty filter group -> null aggregate, zero count (SQL FILTER semantics)
     r2 = esql(
         spark,
@@ -701,8 +725,9 @@ def test_stats_where_filters(spark):
 def test_scalar_function_batch(spark, tbl):
     """Part-16 scalar fill-in: trig/cbrt/hypot, DATE_DIFF fixed units,
     string reverse/repeat/space, byte/bit lengths, HASH dispatch, and the
-    mv_median / mv_zip ES edge semantics (even-count average; dangling
-    element stands alone)."""
+    mv_median / mv_zip ES edge semantics (even-count integral inputs round
+    the middle-pair average down, floats keep the true average; dangling
+    mv_zip element stands alone)."""
     r = esql(
         spark,
         'ROW s = "abc", t1 = "2024-01-01"::DATETIME, t2 = "2024-01-03"::DATETIME\n'
@@ -712,6 +737,7 @@ def test_scalar_function_batch(spark, tbl):
         '  sp = LENGTH(SPACE(3)), ti = TO_INTEGER("42"), bl = BIT_LENGTH("ab"),\n'
         '  byl = BYTE_LENGTH("가"), hq = HASH("sha256", "x") == SHA256("x"),\n'
         "  mm = MV_MEDIAN([1, 2, 3, 10]), modd = MV_MEDIAN([1, 2, 50]),\n"
+        "  mmf = MV_MEDIAN([1.0, 2.0]),\n"
         "  ma = MV_COUNT(MV_APPEND([1, 2], [3])),\n"
         '  mz = MV_JOIN(MV_ZIP(["a", "b", "c"], ["1", "2"], "-"), "|")',
         {"t": spark.range(1)},
@@ -723,7 +749,8 @@ def test_scalar_function_batch(spark, tbl):
         2, "cba", "abcabc", 3, 42
     )
     assert (r["bl"], r["byl"], r["hq"]) == (16, 3, True)
-    assert (r["mm"], r["modd"], r["ma"], r["mz"]) == (2.5, 2.0, 3, "a-1|b-2|c")
+    assert (r["mm"], r["modd"], r["ma"], r["mz"]) == (2.0, 2.0, 3, "a-1|b-2|c")
+    assert r["mmf"] == 1.5
     with pytest.raises(EsqlError, match="DATE_DIFF unit"):
         esql(spark, 'ROW x = 1 | EVAL d = DATE_DIFF("months", x, x)',
              {"t": spark.range(1)})
