@@ -1275,6 +1275,21 @@ def q_ft_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES t_test metric agg: Welch (heteroscedastic, the ES default)
+    # two-sample t of n_chars over the match set, populations split by
+    # lang (the body's per-side term filters). One distributed moment
+    # pass; t/df are closed-form driver scalars. p_value is excluded
+    # from the gate row (the t-CDF needs the incomplete beta, which
+    # DuckDB lacks) — it is pytest-pinned against an independent numeric
+    # integration of the t-density instead (tests/test_aggs.py).
+    ix = _documents_index(spark, sf_dir)
+    out = ix.t_test(
+        "data", on="n_chars", by="lang", group_a="en", group_b="zh"
+    )
+    return out.select("t_stat", "deg_f", "n_a", "n_b")
+
+
 def _sm_map(state, pdf):
     # vectorized map phase: fold one Arrow batch of (lang, n_chars) rows
     n, en_sq, oth = state
@@ -3311,6 +3326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_perplexity": q_tx_perplexity,
         "ft_dsl_retriever": q_ft_dsl_retriever,
         "esql_functions": q_esql_functions,
+        "ft_t_test": q_ft_t_test,
     }
 
 
@@ -7000,6 +7016,38 @@ scored AS (
 )
 SELECT doc_id, score FROM scored
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        # t_test: Welch t / Welch–Satterthwaite df are closed-form over
+        # the two groups' (n, mean, var_samp) moments; p_value excluded
+        # (needs the t-CDF special function DuckDB lacks; pytest-pinned
+        # against an independent numeric integration instead)
+        "ft_t_test": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
+j AS (
+  SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v
+  FROM hits JOIN docs d USING (did)
+  WHERE d.lang IN ('en', 'zh')
+),
+m AS (
+  SELECT lang, count(*) AS n, avg(v) AS mean, var_samp(v) AS var
+  FROM j GROUP BY lang
+),
+ab AS (
+  SELECT
+    (SELECT n FROM m WHERE lang = 'en') AS na,
+    (SELECT mean FROM m WHERE lang = 'en') AS ma,
+    (SELECT var FROM m WHERE lang = 'en') AS va,
+    (SELECT n FROM m WHERE lang = 'zh') AS nb,
+    (SELECT mean FROM m WHERE lang = 'zh') AS mb,
+    (SELECT var FROM m WHERE lang = 'zh') AS vb
+)
+SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(pow(va / na + vb / nb, 2)
+             / (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)),
+             6) AS deg_f,
+       na AS n_a, nb AS n_b
+FROM ab
 """,
     }
     # the DSL retriever:{linear} tree compiles to the SAME hybrid_linear

@@ -169,6 +169,7 @@ HEADLINE = [
     "esql_completion",
     "esql_stats_where",
     "tx_perplexity",
+    "ft_t_test",
 ]
 
 

@@ -2224,6 +2224,54 @@ def _one_agg(
         cp._meta_field(typ, m, None)
         cp._meta_field(typ, sf, None)
         return ix.top_metrics(metric=m, sort=sf, ascending=asc, **base)
+    if typ == "t_test":
+        a, b = spec.get("a") or {}, spec.get("b") or {}
+        ttype = str(spec.get("type", "heteroscedastic"))
+        fa, fb = a.get("field"), b.get("field")
+        if not fa or not fb:
+            raise DslError("t_test: both a.field and b.field are required")
+        cp._meta_field(typ, fa, None)
+        if fa != fb:
+            # two-field form: two numeric columns on the same docs, no
+            # per-side filters allowed; only the paired type is served
+            # (ES also allows unpaired across two fields — refusing beats
+            # silently treating it as paired)
+            cp._meta_field(typ, fb, None)
+            if a.get("filter") or b.get("filter"):
+                raise DslError(
+                    "t_test: per-side filters need a.field == b.field "
+                    "(paired compares two fields on the same docs)"
+                )
+            if ttype != "paired":
+                raise DslError(
+                    "t_test: two different fields need type: 'paired' "
+                    "(unpaired two-field tests are unsupported)"
+                )
+            return ix.t_test(
+                on=fa, on_b=fb, test_type="paired", **base
+            )
+        ta, tb = a.get("filter") or {}, b.get("filter") or {}
+        if list(ta) != ["term"] or list(tb) != ["term"]:
+            raise DslError(
+                "t_test unpaired: each side needs a term filter "
+                "({a: {field, filter: {term: {col: v}}}, b: ...})"
+            )
+        ((ca, va),) = ta["term"].items()
+        ((cb, vb),) = tb["term"].items()
+        if ca != cb:
+            raise DslError(
+                f"t_test: side filters must split ONE column ({ca!r} vs "
+                f"{cb!r})"
+            )
+        cp._meta_field(typ, ca, None)
+        if ttype not in ("heteroscedastic", "homoscedastic"):
+            raise DslError(
+                f"t_test type {ttype!r}: heteroscedastic/homoscedastic/"
+                "paired"
+            )
+        return ix.t_test(
+            on=fa, by=ca, group_a=va, group_b=vb, test_type=ttype, **base
+        )
     if typ == "matrix_stats":
         fl = spec.get("fields") or []
         if len(fl) != 2:
@@ -2644,7 +2692,12 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         return ix.cumulative_cardinality(
             on=on, entity=entity, interval=interval, **base
         )
-    if stypes <= {"avg_bucket", "min_bucket", "max_bucket", "sum_bucket"}:
+    if stypes <= {
+        "avg_bucket", "min_bucket", "max_bucket", "sum_bucket",
+        "stats_bucket",
+    }:
+        # stats_bucket = the whole bundle in one sibling agg (ES returns
+        # min/max/avg/sum/count of the bucket series — exactly these cols)
         return ix.bucket_stats_pipeline(on=on, interval=interval, **base)
     raise DslError(
         f"unsupported date_histogram sub-aggs: {sorted(stypes)}"

@@ -92,6 +92,69 @@ def _terms_order(order: tuple[str, str] | None, by: str) -> list[Column]:
     return [lead, F.asc(by)] if col != by else [lead]
 
 
+def _betainc_cf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta (modified
+    Lentz evaluation of the standard even/odd coefficient recurrence
+    d_{2m} = m(b-m)x / ((a+2m-1)(a+2m)),
+    d_{2m+1} = -(a+m)(a+b+m)x / ((a+2m)(a+2m+1)))."""
+    tiny, eps = 1e-300, 3e-14
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        coef = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + coef * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + coef / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        coef = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + coef * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + coef / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < eps:
+            break
+    return h
+
+
+def _betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b), the t/F-distribution CDF
+    kernel. Symmetry I_x(a,b) = 1 - I_{1-x}(b,a) keeps the continued
+    fraction in its fast-convergence region."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log1p(-x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betainc_cf(a, b, x) / a
+    return 1.0 - front * _betainc_cf(b, a, 1.0 - x) / b
+
+
+def _student_t_sf2(t: float, df: float) -> float:
+    """Two-tailed Student's t p-value: P(|T_df| >= |t|) =
+    I_{df/(df+t^2)}(df/2, 1/2)."""
+    return _betainc_reg(df / 2.0, 0.5, df / (df + t * t))
+
+
 def _tfn(tf, dl, avgdl: float):
     return tf / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
 
@@ -3403,6 +3466,120 @@ class InvertedIndex:
             F.round(F.corr(a, b), 6).alias("correlation"),
             F.round(F.covar_samp(a, b), 6).alias("covariance"),
             F.count("*").alias("doc_count"),
+        )
+
+    def t_test(
+        self,
+        query: str,
+        on: str,
+        by: str | None = None,
+        group_a: str | None = None,
+        group_b: str | None = None,
+        on_b: str | None = None,
+        test_type: str = "heteroscedastic",
+        field: str | int | None = None,
+        filters: Column | None = None,
+        round_to: int | None = 6,
+    ) -> DataFrame:
+        """ES ``t_test`` metric aggregation: two-sample Student's t over a
+        numeric doc column across the match set. Unpaired forms split the
+        population by a categorical column (``by`` + ``group_a``/
+        ``group_b`` — the ES body's per-side ``filter`` terms):
+        ``heteroscedastic`` (Welch, the ES default) and ``homoscedastic``
+        (pooled variance). ``paired`` compares two numeric columns on the
+        SAME docs (``on`` vs ``on_b`` — the ES body's two ``field``\\ s
+        with no filters). One row: t_stat, deg_f, p_value (two-tailed),
+        n_a, n_b.
+
+        Scale shape: ONE distributed partial-aggregated pass computes the
+        per-group moments (count/avg/var_samp — the same streaming
+        updates ES runs per shard); only the ≤2-row moment table reaches
+        the driver, where t/df are closed-form scalars and the p-value is
+        the regularized incomplete beta ``I_x(df/2, 1/2)`` at
+        ``x = df/(df+t²)`` (pure-Python continued fraction — no SciPy).
+
+        Oracle note: t_stat/deg_f/n are exactly replayable in SQL
+        (var_samp is standard); p_value needs the special function, so
+        gate rows compare the former and pytest pins p against an
+        independent numeric integration of the t-density."""
+        if test_type == "paired":
+            if on_b is None:
+                raise ValueError("t_test paired: need the second column on_b")
+            j = self._match_meta(query, field, [on, on_b], filters)
+            d = (F.col(on).cast("double") - F.col(on_b).cast("double"))
+            m = j.agg(
+                F.count("*").alias("n"),
+                F.avg(d).alias("mean"),
+                F.var_samp(d).alias("var"),
+            ).first()
+            n, mean_d, var_d = m["n"], m["mean"], m["var"]
+            if n < 2 or not var_d or var_d <= 0.0:
+                raise ValueError(
+                    "t_test paired: need >= 2 docs and non-zero difference "
+                    f"variance (n={n})"
+                )
+            t = mean_d / math.sqrt(var_d / n)
+            df = float(n - 1)
+            n_a = n_b = n
+        elif test_type in ("heteroscedastic", "homoscedastic"):
+            if by is None or group_a is None or group_b is None:
+                raise ValueError(
+                    "t_test unpaired: need by= and group_a=/group_b= "
+                    "(the ES body's per-side filter terms)"
+                )
+            j = self._match_meta(query, field, [by, on], filters)
+            rows = {
+                r[by]: r
+                for r in (
+                    j.filter(F.col(by).isin(group_a, group_b))
+                    .groupBy(by)
+                    .agg(
+                        F.count("*").alias("n"),
+                        F.avg(F.col(on).cast("double")).alias("mean"),
+                        F.var_samp(F.col(on).cast("double")).alias("var"),
+                    )
+                    .collect()
+                )
+            }
+            if group_a not in rows or group_b not in rows:
+                missing = [g for g in (group_a, group_b) if g not in rows]
+                raise ValueError(f"t_test: empty population(s) {missing}")
+            ra, rb = rows[group_a], rows[group_b]
+            n_a, n_b = ra["n"], rb["n"]
+            if n_a < 2 or n_b < 2:
+                raise ValueError(
+                    f"t_test: both sides need >= 2 docs (n_a={n_a}, n_b={n_b})"
+                )
+            va, vb = ra["var"] or 0.0, rb["var"] or 0.0
+            if test_type == "heteroscedastic":
+                se2 = va / n_a + vb / n_b
+                if se2 <= 0.0:
+                    raise ValueError("t_test: zero variance on both sides")
+                t = (ra["mean"] - rb["mean"]) / math.sqrt(se2)
+                # Welch–Satterthwaite effective degrees of freedom
+                df = se2 * se2 / (
+                    (va / n_a) ** 2 / (n_a - 1) + (vb / n_b) ** 2 / (n_b - 1)
+                )
+            else:
+                sp2 = ((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2)
+                if sp2 <= 0.0:
+                    raise ValueError("t_test: zero pooled variance")
+                t = (ra["mean"] - rb["mean"]) / math.sqrt(
+                    sp2 * (1.0 / n_a + 1.0 / n_b)
+                )
+                df = float(n_a + n_b - 2)
+        else:
+            raise ValueError(
+                f"t_test type {test_type!r}: heteroscedastic / "
+                "homoscedastic / paired"
+            )
+        p = _student_t_sf2(t, df)
+        rnd = (lambda v: round(v, round_to)) if round_to is not None else (
+            lambda v: v
+        )
+        return self.spark.createDataFrame(
+            [(rnd(float(t)), rnd(float(df)), rnd(float(p)), n_a, n_b)],
+            "t_stat double, deg_f double, p_value double, n_a long, n_b long",
         )
 
     def date_histogram_pipeline(

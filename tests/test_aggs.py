@@ -963,3 +963,98 @@ def test_sliced_scan_rejects_bad_slice(built_index):
         built_index.scan_df({"slice": {"id": 0}})
     with pytest.raises(DslError, match="slice"):
         built_index.scan_df({"slice": {"id": 0, "max": 2, "field": "nope"}})
+
+
+def _welch(a, b):
+    import statistics
+
+    na, nb = len(a), len(b)
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / se2 ** 0.5
+    df = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    return t, df
+
+
+def _p_two_tailed_numeric(t, df):
+    """Independent check of the engine's incomplete-beta p-value: midpoint
+    integration of the t-density over [|t|, inf) via x = |t| + u/(1-u)."""
+    import math
+
+    a = abs(t)
+    c = math.exp(
+        math.lgamma((df + 1) / 2) - math.lgamma(df / 2)
+    ) / math.sqrt(df * math.pi)
+    n = 20000
+    h = 1.0 / n
+    s = 0.0
+    for i in range(n):
+        u = (i + 0.5) * h
+        x = a + u / (1.0 - u)
+        s += c * (1.0 + x * x / df) ** (-(df + 1) / 2.0) / (1.0 - u) ** 2
+    return 2.0 * s * h
+
+
+def test_t_test_unpaired_and_dsl(built_index, src, oracle):
+    """t_test over the match set: Welch (ES default) and pooled t/df vs a
+    statistics-module recomputation; p-value vs an independent numeric
+    integration of the t-density; the ES body form must equal the engine
+    call; degenerate inputs raise."""
+    import statistics
+
+    hits = _match_set(oracle, ["the"])
+    dl = {int(d): len(t) for d, t in zip(oracle.doc_ids, oracle.tokens)}
+    sub = src[src["doc_id"].isin(hits)]
+    a = [dl[d] for d in sub[sub["role"] == "user"]["doc_id"]]
+    b = [dl[d] for d in sub[sub["role"] == "assistant"]["doc_id"]]
+    t, df = _welch(a, b)
+    got = built_index.t_test(
+        "the", on="dl", by="role", group_a="user", group_b="assistant"
+    ).collect()[0]
+    assert got["t_stat"] == round(t, 6)
+    assert got["deg_f"] == round(df, 6)
+    assert (got["n_a"], got["n_b"]) == (len(a), len(b))
+    assert abs(got["p_value"] - _p_two_tailed_numeric(t, df)) < 2e-6
+
+    na, nb = len(a), len(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    tp = (statistics.fmean(a) - statistics.fmean(b)) / (
+        sp2 * (1 / na + 1 / nb)
+    ) ** 0.5
+    gp = built_index.t_test(
+        "the", on="dl", by="role", group_a="user", group_b="assistant",
+        test_type="homoscedastic",
+    ).collect()[0]
+    assert gp["t_stat"] == round(tp, 6)
+    assert gp["deg_f"] == float(na + nb - 2)
+    assert abs(
+        gp["p_value"] - _p_two_tailed_numeric(tp, na + nb - 2)
+    ) < 2e-6
+
+    # ES body form == the engine call
+    from dart_importer_spark.query.dsl import aggs
+
+    out = aggs(built_index, {
+        "query": {"match": {"text": "the"}},
+        "aggs": {"tt": {"t_test": {
+            "a": {"field": "dl", "filter": {"term": {"role": "user"}}},
+            "b": {"field": "dl", "filter": {"term": {"role": "assistant"}}},
+            "type": "heteroscedastic",
+        }}},
+    })["tt"].collect()[0]
+    assert out == got
+
+    # paired on identical columns: zero difference variance must raise
+    with pytest.raises(ValueError, match="non-zero difference"):
+        built_index.t_test("the", on="dl", on_b="dl", test_type="paired")
+    with pytest.raises(ValueError, match="empty population"):
+        built_index.t_test(
+            "the", on="dl", by="role", group_a="user", group_b="nope"
+        )
+    with pytest.raises(ValueError, match="t_test type"):
+        built_index.t_test(
+            "the", on="dl", by="role", group_a="user", group_b="assistant",
+            test_type="zzz",
+        )

@@ -575,6 +575,17 @@ def test_aggs_date_histogram_and_pipeline(built_index):
     same(out["smooth"],
          built_index.date_histogram_pipeline("the", on="ts", interval="day",
                                              window=4))
+    # stats_bucket sibling = the whole min/max/avg/sum bundle in one agg
+    out2 = built_index.search_aggs({
+        "query": {"match": {"text": "the"}},
+        "aggs": {"sb": {
+            "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+            "aggs": {"s": {"stats_bucket": {
+                "buckets_path": "sb>_count"}}},
+        }},
+    })
+    same(out2["sb"],
+         built_index.bucket_stats_pipeline("the", "ts", "day"))
 
 
 def test_aggs_misc(built_index):

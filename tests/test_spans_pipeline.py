@@ -628,6 +628,28 @@ def test_metric_aggs(span_index):
     assert ms["correlation"] == round(cov / (var_x ** 0.5 * var_y ** 0.5), 6)
     assert ms["doc_count"] == 7
 
+    # paired t_test: per-doc differences nc - dl, df = n - 1
+    import statistics
+
+    d = [x - y for x, y in zip(nc, dl)]
+    t_want = statistics.fmean(d) / (statistics.variance(d) / len(d)) ** 0.5
+    (tt,) = span_index.t_test(
+        "a", on="nc", on_b="dl", test_type="paired"
+    ).collect()
+    assert tt["t_stat"] == round(t_want, 6)
+    assert tt["deg_f"] == float(len(d) - 1)
+    assert (tt["n_a"], tt["n_b"]) == (7, 7)
+    # ES paired body form: two different fields, no per-side filters
+    from dart_importer_spark.query.dsl import aggs
+
+    (dtt,) = aggs(span_index, {
+        "query": {"match": {"text": "a"}},
+        "aggs": {"tt": {"t_test": {
+            "a": {"field": "nc"}, "b": {"field": "dl"}, "type": "paired",
+        }}},
+    })["tt"].collect()
+    assert dtt == tt
+
 
 def test_scored_phrase_requires_positions(built_index):
     with pytest.raises(ValueError, match="store_positions"):
