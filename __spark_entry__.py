@@ -2747,6 +2747,50 @@ def q_dd_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_stats(docs, "doc_id", "text", n=5, min_df=2)
 
 
+def q_esql_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL 8.19 TS (time-series mode): *_over_time aggregate per series
+    # (the TSDB dimensions user_id+event_type, plus the BY bucket), the
+    # outer aggregate combines across series — compiled as two chained
+    # partial-aggregated groupBys (the per-_tsid reduction ES runs before
+    # the coordinator combine). COUNT(*) stays raw-row grain and joins
+    # back on the group keys.
+    from dart_importer_spark.query.esql import EsqlEngine, TsSpec
+
+    ev = _load(spark, sf_dir, "events")
+    eng = EsqlEngine(
+        spark, {"events": TsSpec(ev, ("user_id", "event_type"), "ts")}
+    )
+    return eng.query(
+        "TS events | STATS mx = MAX(MAX_OVER_TIME(value)),"
+        " av = ROUND(AVG(AVG_OVER_TIME(value)), 6), n = COUNT(*)"
+        " BY event_type, b = BUCKET(ts, 1 day)"
+        ' | EVAL day = DATE_FORMAT("yyyy-MM-dd", b)'
+        " | KEEP event_type, day, mx, av, n"
+        " | SORT day ASC, event_type ASC | LIMIT 40"
+    )
+
+
+def q_esql_ts_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL TS RATE: per series-bucket the sum of positive consecutive
+    # deltas divided by the bucket span (documented deviation: no
+    # PromQL-style extrapolation), summed across series per group. The
+    # delta chain is one window per series — distributed by the
+    # dimension keys, never a global sort.
+    from dart_importer_spark.query.esql import EsqlEngine, TsSpec
+
+    ev = _load(spark, sf_dir, "events")
+    eng = EsqlEngine(
+        spark, {"events": TsSpec(ev, ("user_id", "event_type"), "ts")}
+    )
+    return eng.query(
+        "TS events | STATS r = ROUND(SUM(RATE(value)) * 86400, 6)"
+        " BY event_type, b = BUCKET(ts, 1 day)"
+        ' | EVAL day = DATE_FORMAT("yyyy-MM-dd", b)'
+        " | KEEP event_type, day, r"
+        " | SORT day ASC, event_type ASC | LIMIT 40"
+    )
+
+
 def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES|QL (the modern _query surface, query/esql.py): STATS ... BY over
     # the raw table — WHERE/EVAL/STATS compile to one Catalyst plan
@@ -3327,6 +3371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_dsl_retriever": q_ft_dsl_retriever,
         "esql_functions": q_esql_functions,
         "ft_t_test": q_ft_t_test,
+        "esql_ts": q_esql_ts,
+        "esql_ts_rate": q_esql_ts_rate,
     }
 
 
@@ -6686,6 +6732,47 @@ GROUP BY id ORDER BY id
 SELECT lang, count(*) AS cnt, round(avg(n_chars), 6) AS avg_chars
 FROM documents WHERE n_chars >= 100
 GROUP BY lang ORDER BY cnt DESC, lang ASC LIMIT 10
+""",
+        # TS two-level aggregation: inner per-series (dims + day bucket),
+        # outer across series; COUNT(*) stays raw-row grain
+        "esql_ts": """
+WITH ser AS (
+  SELECT user_id, event_type, date_trunc('day', ts) AS b,
+         max(value) AS mx_s, avg(value) AS av_s
+  FROM events GROUP BY 1, 2, 3
+),
+outr AS (
+  SELECT event_type, b, max(mx_s) AS mx, round(avg(av_s), 6) AS av
+  FROM ser GROUP BY 1, 2
+),
+raw AS (
+  SELECT event_type, date_trunc('day', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT o.event_type, strftime(o.b, '%Y-%m-%d') AS day, o.mx, o.av, r.n
+FROM outr o JOIN raw r USING (event_type, b)
+ORDER BY day ASC, event_type ASC LIMIT 40
+""",
+        # TS RATE: per series-bucket positive-delta sum / span (the
+        # documented no-extrapolation semantics), same op order as the
+        # engine (per-series /86400 first, then the cross-series sum)
+        "esql_ts_rate": """
+WITH d AS (
+  SELECT user_id, event_type, date_trunc('day', ts) AS b, ts,
+         value - lag(value) OVER (
+           PARTITION BY user_id, event_type, date_trunc('day', ts)
+           ORDER BY ts) AS delta
+  FROM events
+),
+ser AS (
+  SELECT event_type, b,
+         sum(CASE WHEN delta > 0 THEN delta ELSE 0 END) / 86400.0 AS rate_s
+  FROM d GROUP BY user_id, event_type, b
+)
+SELECT event_type, strftime(b, '%Y-%m-%d') AS day,
+       round(sum(rate_s) * 86400, 6) AS r
+FROM ser GROUP BY event_type, b
+ORDER BY day ASC, event_type ASC LIMIT 40
 """,
         "esql_eval": """
 SELECT doc_id, CAST(floor(n_chars / 100.0) * 100 AS BIGINT) AS bucket,

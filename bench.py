@@ -170,6 +170,8 @@ HEADLINE = [
     "esql_stats_where",
     "tx_perplexity",
     "ft_t_test",
+    "esql_ts",
+    "esql_ts_rate",
 ]
 
 

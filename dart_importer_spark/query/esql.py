@@ -80,6 +80,11 @@ on divergence, never return different-from-ES results quietly):
 - ``MV_MEDIAN`` matches ES values (even-count integral inputs round the
   middle-pair average DOWN) but always returns double — ES preserves the
   input's integer type; a static output type can't depend on it here.
+- TS ``RATE`` is the sum of positive consecutive deltas within each
+  series-bucket divided by the bucket span in seconds — counter resets
+  handled via the next positive delta, no PromQL-style extrapolation
+  (ES does not publish its extrapolation rule to replication precision);
+  it requires a unit-span BUCKET on the timestamp in BY.
 
 Reference parity: the reference exposes its data through Elasticsearch
 queries (QueryDART.md; Running-ELK.md:112-294); ES|QL is the modern form of
@@ -252,7 +257,15 @@ class _Parser:
         if self.kw("row"):
             items = self.parse_assignments(require_name=True)
             return ("row", items)
-        raise EsqlError(f"ES|QL: query must start with FROM or ROW, at {self._at()}")
+        if self.kw("ts"):
+            # ES|QL 8.19 time-series mode: like FROM, but the source must
+            # be TS-registered (dimensions + timestamp) and STATS gains
+            # the *_over_time / RATE per-series aggregates
+            name = self.ident("time-series source name")
+            return ("ts", name)
+        raise EsqlError(
+            f"ES|QL: query must start with FROM, ROW or TS, at {self._at()}"
+        )
 
     def ident(self, what: str) -> str:
         t = self.peek()
@@ -693,6 +706,75 @@ _AGG_FNS = {
 }
 
 _FT_FNS = {"match", "qstr", "knn"}
+
+# time-series (TS source) per-series aggregates, ES|QL 8.19
+_TS_FNS = {
+    "max_over_time", "min_over_time", "avg_over_time", "sum_over_time",
+    "count_over_time", "first_over_time", "last_over_time", "rate",
+}
+
+_TS_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _subst_ts_calls(node: tuple, found: list) -> tuple:
+    """Replace every *_over_time / RATE call in an expression tree with a
+    placeholder column reference ('col', '__tsN'), appending (placeholder,
+    fn, args) to ``found`` — the inner per-series aggregates the TS STATS
+    path computes first."""
+    if not isinstance(node, tuple):
+        return node
+    if node[0] == "call" and node[1] in _TS_FNS:
+        ph = f"__ts{len(found)}"
+        found.append((ph, node[1], node[2]))
+        return ("col", ph)
+    out = [node[0]]
+    for part in node[1:]:
+        if isinstance(part, tuple):
+            out.append(_subst_ts_calls(part, found))
+        elif isinstance(part, list):
+            out.append([
+                _subst_ts_calls(c, found) if isinstance(c, tuple) else c
+                for c in part
+            ])
+        else:
+            out.append(part)
+    return tuple(out)
+
+
+def _contains_ts_fn(node: tuple) -> bool:
+    if not isinstance(node, tuple):
+        return False
+    if node[0] == "call" and node[1] in _TS_FNS:
+        return True
+    return any(
+        _contains_ts_fn(c) for c in node[1:] if isinstance(c, tuple)
+    ) or any(
+        _contains_ts_fn(c)
+        for part in node[1:] if isinstance(part, list)
+        for c in part if isinstance(c, tuple)
+    )
+
+
+def _agg_args_reference(node: tuple, cols: set[str]) -> bool:
+    """True when every aggregate call in the tree references at least one
+    of ``cols`` in its arguments (the TS validation: an outer aggregate
+    must consume per-series values, not raw rows)."""
+    ok = True
+    if node[0] == "call" and node[1] in _AGG_FNS:
+        refs = set()
+        for a in node[2]:
+            if isinstance(a, tuple):
+                refs |= _collect_cols(a)
+        if not (refs & cols):
+            return False
+    for part in node[1:]:
+        if isinstance(part, tuple):
+            ok = ok and _agg_args_reference(part, cols)
+        elif isinstance(part, list):
+            for c in part:
+                if isinstance(c, tuple):
+                    ok = ok and _agg_args_reference(c, cols)
+    return ok
 
 
 def _contains_agg(node: tuple) -> bool:
@@ -1215,6 +1297,20 @@ class _Rel:
     score_attached: bool = False
     score_has_match: bool = False  # a positive MATCH contributed BM25
     where_seen: bool = False
+    ts_spec: object | None = None  # TsSpec when the source command was TS
+
+
+@dataclass
+class TsSpec:
+    """A time-series-enabled source for ES|QL ``TS``: the table plus what
+    an ES TSDB index declares in its mapping — the dimension fields
+    (``time_series_dimension: true``; together they form the ``_tsid``)
+    and the ``@timestamp`` column. ``FROM`` on a TsSpec-registered name
+    reads the plain table; ``TS`` enables *_over_time / RATE in STATS."""
+
+    df: DataFrame
+    dimensions: tuple[str, ...]
+    timestamp: str = "ts"
 
 
 class EsqlEngine:
@@ -1380,6 +1476,10 @@ class EsqlEngine:
 
     def _relation(self, name: str) -> tuple[DataFrame, object | None]:
         src = self.sources[name]
+        if isinstance(src, TsSpec):
+            # FROM on a TS index reads the plain table (ES allows standard
+            # queries over TSDB indices); only TS enables the series fns
+            return src.df, None
         if isinstance(src, DataFrame):
             return src, None
         # InvertedIndex: doc_id + key + stored meta columns, tombstones out
@@ -1399,6 +1499,24 @@ class EsqlEngine:
             comp = _Compiler()
             cols = [comp.col(e).alias(nm) for nm, e in cmd[1]]
             return _Rel(df.select(*cols))
+        if cmd[0] == "ts":
+            name = cmd[1]
+            if name not in self.sources:
+                raise EsqlError(f"ES|QL: unknown source {name!r}")
+            spec = self.sources[name]
+            if not isinstance(spec, TsSpec):
+                raise EsqlError(
+                    f"ES|QL: TS needs a TsSpec-registered source "
+                    f"(dimensions + timestamp); {name!r} is a plain table "
+                    "— register EsqlEngine(sources={..: TsSpec(df, dims, ts)})"
+                )
+            missing = [
+                c for c in (*spec.dimensions, spec.timestamp)
+                if c not in spec.df.columns
+            ]
+            if missing:
+                raise EsqlError(f"ES|QL: TS source {name!r} lacks {missing}")
+            return _Rel(spec.df, ts_spec=spec)
         _, patterns, metadata = cmd
         for m in metadata:
             if m != "_score":
@@ -1787,6 +1905,13 @@ class EsqlEngine:
         items: list[tuple[str | None, tuple]],
         by: list[tuple[str | None, tuple]],
     ) -> _Rel:
+        if any(_contains_ts_fn(e) for _, e, _ in items):
+            if rel.ts_spec is None:
+                raise EsqlError(
+                    "ES|QL: *_over_time / RATE need a TS source "
+                    "(start the query with TS <name>)"
+                )
+            return self._stats_ts(rel, items, by)
         aggs = []
         for nm, e, cond in items:
             if not _contains_agg(e):
@@ -1802,6 +1927,178 @@ class EsqlEngine:
             rel.df = rel.df.groupBy(*keys).agg(*aggs)
         else:
             rel.df = rel.df.agg(*aggs)
+        rel.score_attached = "_score" in rel.df.columns
+        return rel
+
+    # -- TS STATS (time-series two-level aggregation) ------------------------
+    def _stats_ts(
+        self,
+        rel: _Rel,
+        items: list[tuple[str | None, tuple]],
+        by: list[tuple[str | None, tuple]],
+    ) -> _Rel:
+        """ES|QL 8.19 TS STATS: items containing ``*_over_time``/``RATE``
+        aggregate in TWO levels — the inner call per time series (all
+        dimension columns, plus the BY bucket when present), the outer
+        aggregate across series per BY group. Compiled as two chained
+        partial-aggregated groupBys (one extra shuffle — exactly the
+        per-``_tsid`` reduction ES runs before the coordinator combine);
+        items WITHOUT a series function aggregate over raw rows as in
+        plain STATS and join back on the group keys (a ≤|groups|-row
+        join).
+
+        RATE deviation (documented, not silent): per series-bucket it is
+        the sum of positive consecutive deltas divided by the bucket span
+        in seconds — counter resets contribute the post-reset value via
+        the next positive delta, and there is no PromQL-style window
+        extrapolation. Requires a unit-span BUCKET on the timestamp in BY
+        (the span is the denominator) and no per-aggregate WHERE."""
+        from pyspark.sql.window import Window
+
+        spec = rel.ts_spec
+        dims = list(spec.dimensions)
+        df = rel.df
+        key_comp = _Compiler()
+        by_names: list[str] = []
+        bucket_span: int | None = None
+        for nm, e in by:
+            ok_dim = e[0] == "col" and e[1] in dims
+            is_bucket = (
+                e[0] == "call" and e[1] in ("bucket", "date_trunc")
+            )
+            if not (ok_dim or is_bucket):
+                raise EsqlError(
+                    f"ES|QL: TS STATS BY key {nm!r} must be a dimension "
+                    f"column ({dims}) or a BUCKET on the timestamp"
+                )
+            if is_bucket:
+                span = e[2][1] if e[1] == "bucket" else e[2][0]
+                if span[0] == "dur" and span[2] in _TS_UNIT_SECONDS:
+                    bucket_span = _TS_UNIT_SECONDS[span[2]]
+            df = df.withColumn(nm, key_comp.col(e))
+            by_names.append(nm)
+
+        ts_items, plain_items = [], []
+        all_found: list = []  # shared: placeholder names number globally
+        for nm, e, cond in items:
+            start = len(all_found)
+            e2 = _subst_ts_calls(e, all_found)
+            found = all_found[start:]
+            if found:
+                if not _contains_agg(e2):
+                    raise EsqlError(
+                        f"ES|QL: TS STATS item {nm!r} — wrap the series "
+                        "value in an outer aggregate (e.g. "
+                        "MAX(MAX_OVER_TIME(x)))"
+                    )
+                phs = {ph for ph, _, _ in found}
+                if not _agg_args_reference(e2, phs):
+                    raise EsqlError(
+                        f"ES|QL: TS STATS item {nm!r} mixes a raw-row "
+                        "aggregate with a series function — split them "
+                        "into separate items"
+                    )
+                ts_items.append((nm, e2, cond, found))
+            else:
+                plain_items.append((nm, e, cond))
+
+        # inner per-series aggregates
+        inner_keys = list(dict.fromkeys(dims + by_names))
+        inner_aggs: list[Column] = []
+        n_rate = 0
+        tscol = F.col(spec.timestamp)
+        for nm, _, cond, found in ts_items:
+            fcol = _Compiler().col(cond) if cond is not None else None
+
+            def g(c: Column) -> Column:
+                return F.when(fcol, c) if fcol is not None else c
+
+            for ph, fn, args in found:
+                if fn == "rate":
+                    if cond is not None:
+                        raise EsqlError(
+                            "ES|QL: RATE with a per-aggregate WHERE is "
+                            "unsupported (the delta chain would change "
+                            "meaning)"
+                        )
+                    if bucket_span is None:
+                        raise EsqlError(
+                            "ES|QL: RATE needs a unit-span BUCKET on the "
+                            "timestamp in BY (second/minute/hour/day — "
+                            "the span is the rate denominator)"
+                        )
+                    if len(args) != 1:
+                        raise EsqlError("ES|QL: RATE(counter_field)")
+                    arg = _Compiler().col(args[0]).cast("double")
+                    dcol = f"__d_{ph}"
+                    w = Window.partitionBy(
+                        *[F.col(k) for k in inner_keys]
+                    ).orderBy(tscol)
+                    df = df.withColumn(
+                        dcol, arg - F.lag(arg).over(w)
+                    )
+                    n_rate += 1
+                    inner_aggs.append(
+                        (
+                            F.sum(F.greatest(F.col(dcol), F.lit(0.0)))
+                            / F.lit(float(bucket_span))
+                        ).alias(ph)
+                    )
+                    continue
+                if len(args) != 1:
+                    raise EsqlError(f"ES|QL: {fn.upper()}(field)")
+                arg = _Compiler().col(args[0])
+                if fn == "count_over_time":
+                    inner = F.count(g(arg))
+                elif fn == "first_over_time":
+                    inner = F.min_by(arg, F.when(
+                        fcol, tscol) if fcol is not None else tscol)
+                elif fn == "last_over_time":
+                    inner = F.max_by(arg, F.when(
+                        fcol, tscol) if fcol is not None else tscol)
+                else:
+                    spark_fn = {
+                        "max_over_time": F.max, "min_over_time": F.min,
+                        "avg_over_time": F.avg, "sum_over_time": F.sum,
+                    }[fn]
+                    inner = spark_fn(g(arg))
+                inner_aggs.append(inner.alias(ph))
+        series = df.groupBy(*inner_keys).agg(*inner_aggs)
+
+        # outer across-series aggregates (per-agg WHERE was consumed by
+        # the inner level; raw columns are gone here by design)
+        outer_comp = _Compiler(allow_agg=True)
+        outer_aggs = [
+            outer_comp.col(e2).alias(nm) for nm, e2, _, _ in ts_items
+        ]
+        if by_names:
+            out = series.groupBy(*by_names).agg(*outer_aggs)
+        else:
+            out = series.agg(*outer_aggs)
+
+        if plain_items:
+            paggs = []
+            for nm, e, cond in plain_items:
+                if not _contains_agg(e):
+                    raise EsqlError(
+                        f"ES|QL: STATS item {nm!r} has no aggregate function"
+                    )
+                fcol = _Compiler().col(cond) if cond is not None else None
+                comp = _Compiler(allow_agg=True, agg_filter=fcol)
+                paggs.append(comp.col(e).alias(nm))
+            if by_names:
+                praw = rel.df
+                kc = _Compiler()
+                for nm, e in by:
+                    praw = praw.withColumn(nm, kc.col(e))
+                plain = praw.groupBy(*by_names).agg(*paggs)
+                out = out.join(plain, by_names, "full_outer")
+            else:
+                out = out.crossJoin(rel.df.agg(*paggs))
+            # restore the declared item order (join appended plain cols)
+            out = out.select(*by_names, *[nm for nm, _, _ in items])
+        rel.df = out
+        rel.ts_spec = None  # aggregated: series grain is consumed
         rel.score_attached = "_score" in rel.df.columns
         return rel
 
@@ -1824,6 +2121,7 @@ class EsqlEngine:
                 score_attached=rel.score_attached,
                 score_has_match=rel.score_has_match,
                 where_seen=rel.where_seen,
+                ts_spec=rel.ts_spec,
             )
             for c in sub:
                 if c[0] == "fork":

@@ -757,3 +757,102 @@ def test_scalar_function_batch(spark, tbl):
     with pytest.raises(EsqlError, match="HASH algorithm"):
         esql(spark, 'ROW x = "a" | EVAL h = HASH("crc99", x)',
              {"t": spark.range(1)})
+
+
+# -- TS (time-series mode, 8.19) ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def ts_engine(spark):
+    import datetime as dt
+
+    from dart_importer_spark.query.esql import TsSpec
+
+    base = dt.datetime(2024, 1, 1)
+    vals1 = [1.0, 5.0, 3.0, 7.0]      # gauge, series (1, click)
+    vals2 = [10.0, 12.0, 2.0, 9.0]    # counter with a reset, series (2, click)
+    rows = []
+    for i, (v1, v2) in enumerate(zip(vals1, vals2)):
+        ts = base + dt.timedelta(hours=12 * i)
+        rows.append((1, "click", ts, v1))
+        rows.append((2, "click", ts, v2))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, value double"
+    )
+    return EsqlEngine(
+        spark, {"ev": TsSpec(df, ("user_id", "event_type"), "ts")}
+    )
+
+
+def test_ts_over_time_two_level(ts_engine):
+    """TS STATS: inner *_over_time per series (dims + bucket), outer across
+    series per BY group; plain aggregates (COUNT(*)) stay raw-row grain
+    and join back — every value hand-computed."""
+    r = ts_engine.query(
+        "TS ev | STATS mx = MAX(MAX_OVER_TIME(value)),"
+        " av = ROUND(AVG(AVG_OVER_TIME(value)), 2), n = COUNT(*),"
+        " f = SUM(FIRST_OVER_TIME(value)), l = SUM(LAST_OVER_TIME(value)),"
+        " s = SUM(SUM_OVER_TIME(value)), c = SUM(COUNT_OVER_TIME(value))"
+        " BY event_type, b = BUCKET(ts, 1 day) | SORT b"
+    ).collect()
+    got = [
+        (str(x["b"].date()), x["mx"], x["av"], x["n"], x["f"], x["l"],
+         x["s"], x["c"])
+        for x in r
+    ]
+    # day1: series (1): 1,5  (2): 10,12 -> maxes 5/12, avgs 3/11,
+    #       firsts 1/10, lasts 5/12, sums 6/22, counts 2/2
+    # day2: series (1): 3,7  (2): 2,9
+    assert got == [
+        ("2024-01-01", 12.0, 7.0, 4, 11.0, 17.0, 28.0, 4),
+        ("2024-01-02", 9.0, 5.25, 4, 5.0, 16.0, 21.0, 4),
+    ]
+    # no-bucket form: over_time spans each series' whole range
+    (g,) = ts_engine.query(
+        "TS ev | STATS mx = MAX(MAX_OVER_TIME(value)),"
+        " mn = MIN(MIN_OVER_TIME(value)) BY event_type"
+    ).collect()
+    assert (g["mx"], g["mn"]) == (12.0, 1.0)
+    # per-aggregate WHERE filters the raw rows feeding the inner agg
+    (w,) = ts_engine.query(
+        "TS ev | STATS mx = MAX(MAX_OVER_TIME(value)) WHERE user_id == 1"
+        " BY event_type"
+    ).collect()
+    assert w["mx"] == 7.0
+
+
+def test_ts_rate_and_guards(ts_engine, spark):
+    """RATE: within-bucket positive-delta sum / bucket span (documented
+    deviation: no extrapolation); cross-bucket deltas never counted.
+    Guards: over_time outside TS, bare over_time, raw+series mixing,
+    TS on a plain table, RATE without a bucket / with WHERE."""
+    rr = ts_engine.query(
+        "TS ev | STATS r = SUM(RATE(value)) BY b = BUCKET(ts, 1 day)"
+        " | SORT b"
+    ).collect()
+    # day1 deltas: (1): +4, (2): +2 -> 6/86400; day2: +4, +7 -> 11/86400
+    assert [x["r"] for x in rr] == [6 / 86400, 11 / 86400]
+    with pytest.raises(EsqlError, match="need a TS source"):
+        ts_engine.query("FROM ev | STATS MAX(MAX_OVER_TIME(value))")
+    with pytest.raises(EsqlError, match="outer aggregate"):
+        ts_engine.query("TS ev | STATS MAX_OVER_TIME(value) BY event_type")
+    with pytest.raises(EsqlError, match="mixes a raw-row"):
+        ts_engine.query(
+            "TS ev | STATS x = SUM(value) + MAX(MAX_OVER_TIME(value))"
+        )
+    with pytest.raises(EsqlError, match="unit-span BUCKET"):
+        ts_engine.query("TS ev | STATS SUM(RATE(value))")
+    with pytest.raises(EsqlError, match="WHERE is unsupported"):
+        ts_engine.query(
+            "TS ev | STATS r = SUM(RATE(value)) WHERE user_id == 1"
+            " BY b = BUCKET(ts, 1 day)"
+        )
+    with pytest.raises(EsqlError, match="must be a dimension"):
+        ts_engine.query(
+            "TS ev | STATS MAX(MAX_OVER_TIME(value)) BY value"
+        )
+    with pytest.raises(EsqlError, match="TsSpec-registered"):
+        esql(spark, "TS t | STATS MAX(MAX_OVER_TIME(x))",
+             {"t": spark.range(1)})
+    # FROM on a TS-registered source reads the plain table
+    assert ts_engine.query("FROM ev | STATS n = COUNT(*)").collect()[0][
+        "n"] == 8
