@@ -654,13 +654,6 @@ def q_ft_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.string_stats("data", on="source")
 
 
-def q_ft_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ES t_test (Welch): n_chars of en vs non-en docs in the match set;
-    # the exactly-checkable statistic + Welch–Satterthwaite dof
-    ix = _documents_index(spark, sf_dir)
-    return ix.t_test("data", on="n_chars", split=F.col("lang") == "en", cols=["lang"])
-
-
 def q_ft_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES multi_terms: (lang, source) tuple buckets, doc_count desc
     ix = _documents_index(spark, sf_dir)
@@ -2968,8 +2961,14 @@ def q_esql_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         '       h = HASH("md5", lang),\n'
         "       rv = REVERSE(lang),\n"
         "       bl = BYTE_LENGTH(SUBSTRING(text, 1, 10)),\n"
-        "       hy = ROUND(HYPOT(n_chars, 100.0), 4)\n"
-        "| KEEP doc_id, r, h, rv, bl, hy | SORT doc_id ASC"
+        "       hy = ROUND(HYPOT(n_chars, 100.0), 4),\n"
+        "       b64 = TO_BASE64(lang),\n"
+        '       ip = CONCAT("10.0.", TO_STRING(doc_id % 200), ".7"),\n'
+        '       cm = CIDR_MATCH(CONCAT("10.0.", TO_STRING(doc_id % 200),'
+        ' ".7"), "10.0.0.0/19"),\n'
+        '       pfx = IP_PREFIX(CONCAT("10.0.", TO_STRING(doc_id % 200),'
+        ' ".7"), 24, 0)\n'
+        "| KEEP doc_id, r, h, rv, bl, hy, b64, cm, pfx | SORT doc_id ASC"
     )
 
 
@@ -3370,7 +3369,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tx_perplexity": q_tx_perplexity,
         "ft_dsl_retriever": q_ft_dsl_retriever,
         "esql_functions": q_esql_functions,
-        "ft_t_test": q_ft_t_test,
         "esql_ts": q_esql_ts,
         "esql_ts_rate": q_esql_ts_rate,
     }
@@ -4314,25 +4312,6 @@ ent AS (
   FROM cc CROSS JOIN (SELECT sum(cnt) AS tot FROM cc) t
 )
 SELECT * FROM lstats CROSS JOIN ent
-""",
-        "ft_t_test": _DOCS_CTE
-        + """
-, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data')),
-vals AS (SELECT lang, n_chars::DOUBLE AS x FROM hits JOIN docs USING (did)),
-g AS (
-  SELECT avg(CASE WHEN lang = 'en' THEN x END) AS m1,
-         var_samp(CASE WHEN lang = 'en' THEN x END) AS v1,
-         count(CASE WHEN lang = 'en' THEN x END)::DOUBLE AS n1,
-         avg(CASE WHEN lang <> 'en' THEN x END) AS m2,
-         var_samp(CASE WHEN lang <> 'en' THEN x END) AS v2,
-         count(CASE WHEN lang <> 'en' THEN x END)::DOUBLE AS n2
-  FROM vals
-)
-SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t,
-       round(pow(v1 / n1 + v2 / n2, 2)
-             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 6) AS dof,
-       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2
-FROM g
 """,
         "ft_multi_terms": _DOCS_CTE
         + """
@@ -6886,7 +6865,10 @@ SELECT doc_id,
        md5(lang) AS h,
        reverse(lang) AS rv,
        octet_length(encode(substr(text, 1, 10))) AS bl,
-       round(sqrt(n_chars * n_chars + 100.0 * 100.0), 4) AS hy
+       round(sqrt(n_chars * n_chars + 100.0 * 100.0), 4) AS hy,
+       to_base64(encode(lang)) AS b64,
+       (doc_id % 200) < 32 AS cm,
+       '10.0.' || (doc_id % 200)::VARCHAR || '.0' AS pfx
 FROM documents WHERE doc_id < 50 ORDER BY doc_id ASC
 """,
         # Unigram-LM perplexity: identical add-0.5 smoothing, OOV reserved

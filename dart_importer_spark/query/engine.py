@@ -3266,44 +3266,6 @@ class InvertedIndex:
             .orderBy("percent")
         )
 
-    def t_test(
-        self,
-        query: str,
-        on: str,
-        split: Column,
-        cols: Sequence[str] = (),
-        field: str | int | None = None,
-        filters: Column | None = None,
-    ) -> DataFrame:
-        """ES t_test aggregation, heteroscedastic (Welch) flavor: the two
-        samples are the match-set docs where ``split`` is true vs false.
-        Returns the t statistic and Welch–Satterthwaite degrees of freedom
-        (ES reports the p-value; the t→p conversion needs the regularized
-        incomplete beta, which has no SQL-expressible closed form — the
-        statistic itself is the exactly-checkable part). One aggregation
-        pass; ``cols`` names extra doc_stats columns ``split`` references."""
-        joined = self._match_meta(query, field, [on, *cols], filters)
-        row = joined.agg(
-            F.avg(F.when(split, F.col(on))).alias("m1"),
-            F.var_samp(F.when(split, F.col(on))).alias("v1"),
-            F.count(F.when(split, F.col(on))).cast("double").alias("n1"),
-            F.avg(F.when(~split, F.col(on))).alias("m2"),
-            F.var_samp(F.when(~split, F.col(on))).alias("v2"),
-            F.count(F.when(~split, F.col(on))).cast("double").alias("n2"),
-        )
-        se1 = F.col("v1") / F.col("n1")
-        se2 = F.col("v2") / F.col("n2")
-        t = (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)
-        dof = (se1 + se2) * (se1 + se2) / (
-            se1 * se1 / (F.col("n1") - 1) + se2 * se2 / (F.col("n2") - 1)
-        )
-        return row.select(
-            F.round(t, 6).alias("t"),
-            F.round(dof, 6).alias("dof"),
-            F.col("n1").cast("long").alias("n1"),
-            F.col("n2").cast("long").alias("n2"),
-        )
-
     def multi_terms(
         self,
         query: str,

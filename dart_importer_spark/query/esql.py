@@ -80,6 +80,9 @@ on divergence, never return different-from-ES results quietly):
 - ``MV_MEDIAN`` matches ES values (even-count integral inputs round the
   middle-pair average DOWN) but always returns double — ES preserves the
   input's integer type; a static output type can't depend on it here.
+- IP functions (``TO_IP`` / ``CIDR_MATCH`` / ``IP_PREFIX``) are IPv4-only:
+  IPv6 input yields null (ES handles both families); ``IP_PREFIX``'s v6
+  bit-count argument is accepted for signature parity and ignored.
 - TS ``RATE`` is the sum of positive consecutive deltas within each
   series-bucket divided by the bucket span in seconds — counter resets
   handled via the next positive delta, no PromQL-style extrapolation
@@ -777,6 +780,27 @@ def _agg_args_reference(node: tuple, cols: set[str]) -> bool:
     return ok
 
 
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])$"
+)
+
+
+def _ipv4_valid(c: Column) -> Column:
+    """Strict dotted-quad IPv4 (no leading zeros), as a boolean Column."""
+    return c.rlike(_IPV4_RE)
+
+
+def _ipv4_long(c: Column) -> Column:
+    """IPv4 string -> 32-bit value as long (null when not IPv4)."""
+    p = F.split(c, r"\.")
+    val = (
+        p[0].cast("long") * 16777216 + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256 + p[3].cast("long")
+    )
+    return F.when(_ipv4_valid(c), val)
+
+
 def _contains_agg(node: tuple) -> bool:
     if node[0] == "call" and node[1] in _AGG_FNS:
         return True
@@ -986,6 +1010,67 @@ class _Compiler:
             if alg == "sha256":
                 return F.sha2(a[1], 256)
             raise EsqlError(f"ES|QL: HASH algorithm {alg!r} not supported")
+        if name == "to_base64":
+            arity(1); return F.base64(F.encode(a[0], "utf-8"))
+        if name == "from_base64":
+            arity(1); return F.decode(F.unbase64(a[0]), "utf-8")
+        if name == "to_ip":
+            # IPv4 only (documented): the strict dotted-quad or null —
+            # ES's conversion functions also yield null (+ warning) on
+            # unconvertible input
+            arity(1)
+            return F.when(_ipv4_valid(a[0]), a[0])
+        if name == "cidr_match":
+            # CIDR_MATCH(ip, "block", ...): true when the ip falls in ANY
+            # literal IPv4 block; non-IPv4 input yields null
+            if n < 2:
+                raise EsqlError('ES|QL: CIDR_MATCH(ip, "a.b.c.d/n", ...)')
+            ip_l = _ipv4_long(a[0])
+            cond = F.lit(False)
+            for blk in args[1:]:
+                if blk[0] != "str" or "/" not in blk[1]:
+                    raise EsqlError(
+                        "ES|QL: CIDR_MATCH blocks must be literal "
+                        '"a.b.c.d/n" strings (IPv4)'
+                    )
+                net_s, bits_s = blk[1].rsplit("/", 1)
+                bits = int(bits_s)
+                if not (0 <= bits <= 32):
+                    raise EsqlError(f"ES|QL: CIDR prefix /{bits_s} out of range")
+                octs = net_s.split(".")
+                if len(octs) != 4 or not all(
+                    o.isdigit() and 0 <= int(o) <= 255 for o in octs
+                ):
+                    raise EsqlError(f"ES|QL: bad CIDR network {net_s!r}")
+                net = (int(octs[0]) << 24 | int(octs[1]) << 16
+                       | int(octs[2]) << 8 | int(octs[3]))
+                shift = 32 - bits
+                cond = cond | (
+                    F.floor(ip_l / F.lit(float(1 << shift)))
+                    == F.lit(net >> shift)
+                )
+            return F.when(_ipv4_valid(a[0]), cond)
+        if name == "ip_prefix":
+            # IP_PREFIX(ip, v4_bits, v6_bits): keep the first v4_bits and
+            # zero the rest (IPv4 only; the v6 arg is accepted for ES
+            # signature parity and ignored)
+            arity(3)
+            if args[1][0] != "num" or not isinstance(args[1][1], int):
+                raise EsqlError("ES|QL: IP_PREFIX v4 bit count must be a "
+                                "literal integer")
+            bits = args[1][1]
+            if not (0 <= bits <= 32):
+                raise EsqlError(f"ES|QL: IP_PREFIX /{bits} out of range")
+            shift = 32 - bits
+            masked = F.floor(_ipv4_long(a[0]) / F.lit(float(1 << shift))) \
+                * F.lit(1 << shift) if bits < 32 else _ipv4_long(a[0])
+            parts = [
+                (F.floor(masked / F.lit(float(d))) % 256).cast("int")
+                for d in (16777216, 65536, 256, 1)
+            ]
+            return F.when(
+                _ipv4_valid(a[0]), F.concat_ws(".", *parts)
+            )
         if name == "mv_median":
             arity(1)
             s = F.array_sort(a[0])
@@ -1102,6 +1187,16 @@ class _Compiler:
             if f0[0] != "str":
                 raise EsqlError("ES|QL: DATE_FORMAT pattern must be a literal")
             return F.date_format(a[1], f0[1])
+        if name == "date_parse":
+            # same DateTimeFormatter pattern language on both engines;
+            # unparseable input yields null (ES: null + warning header)
+            arity(2)
+            f0 = args[0]
+            if f0[0] != "str":
+                raise EsqlError("ES|QL: DATE_PARSE pattern must be a literal")
+            # try_ variant: unparseable input -> null (ANSI mode would
+            # throw), matching ES's null + warning
+            return F.try_to_timestamp(a[1], F.lit(f0[1]))
         if name == "date_extract":
             arity(2)
             f0 = args[0]
@@ -1147,12 +1242,55 @@ class _Compiler:
             arity(1); return F.array_distinct(a[0])
         if name == "mv_sort":
             arity(1); return F.sort_array(a[0])
-        if name == "mv_join":
+        if name in ("mv_concat", "mv_join"):
+            # MV_CONCAT is the ES|QL name; MV_JOIN kept as an alias
             arity(2)
             d = args[1]
             if d[0] != "str":
-                raise EsqlError("ES|QL: MV_JOIN delimiter must be a literal")
+                raise EsqlError(
+                    "ES|QL: MV_CONCAT delimiter must be a literal"
+                )
             return F.array_join(a[0], d[1])
+        if name == "mv_median_absolute_deviation":
+            # per-row MAD of a multivalue: median(|x - median(xs)|), both
+            # medians with the same even-count average rule as MV_MEDIAN
+            # for double inputs (ES computes MAD over the widened values)
+            arity(1)
+
+            def _arr_median(arr: Column) -> Column:
+                s = F.array_sort(arr)
+                sz = F.size(arr)
+                lo = F.try_element_at(s, ((sz + 1) / 2).cast("int")).cast(
+                    "double")
+                hi = F.try_element_at(s, (sz / 2 + 1).cast("int")).cast(
+                    "double")
+                return F.when(sz % 2 == 1, lo).otherwise((lo + hi) / 2)
+
+            med = _arr_median(a[0])
+            dev = F.transform(
+                a[0], lambda x: F.abs(x.cast("double") - med)
+            )
+            return _arr_median(dev)
+        if name == "mv_percentile":
+            # ES|QL MV_PERCENTILE: linear interpolation over the sorted
+            # multivalue (the documented calculation)
+            arity(2)
+            if args[1][0] != "num":
+                raise EsqlError("ES|QL: MV_PERCENTILE(field, p) literal p")
+            p = float(args[1][1])
+            if not (0.0 <= p <= 100.0):
+                raise EsqlError("ES|QL: MV_PERCENTILE p must be in [0, 100]")
+            s = F.array_sort(a[0])
+            sz = F.size(a[0])
+            # rank r = p/100 * (n-1), 0-based; interpolate floor/ceil
+            r = F.lit(p / 100.0) * (sz - 1).cast("double")
+            flo = F.floor(r).cast("int")
+            frac = r - flo.cast("double")
+            lo = F.try_element_at(s, flo + 1).cast("double")
+            hi = F.try_element_at(s, flo + 2).cast("double")
+            return F.when(sz == 0, F.lit(None)).otherwise(
+                lo + frac * (F.coalesce(hi, lo) - lo)
+            )
         if name == "mv_first":
             arity(1); return F.element_at(a[0], 1)
         if name == "mv_last":

@@ -545,7 +545,9 @@ def test_t_test_welch_matches_formula(spark, tmp_path_factory):
     build_index(spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
                 meta_cols=("v", "grp"))
     ix = InvertedIndex(spark, out)
-    r = ix.t_test("alpha", on="v", split=F.col("grp") == "x", cols=["grp"]).collect()[0]
+    r = ix.t_test(
+        "alpha", on="v", by="grp", group_a="x", group_b="y"
+    ).collect()[0]
     import numpy as np
 
     A, B = np.array(a), np.array(b)
@@ -555,9 +557,9 @@ def test_t_test_welch_matches_formula(spark, tmp_path_factory):
         (A.var(ddof=1) / len(A)) ** 2 / (len(A) - 1)
         + (B.var(ddof=1) / len(B)) ** 2 / (len(B) - 1)
     )
-    assert abs(r["t"] - round(float(t), 6)) < 1e-9
-    assert abs(r["dof"] - round(float(dof), 6)) < 1e-9
-    assert r["n1"] == 4 and r["n2"] == 3
+    assert abs(r["t_stat"] - round(float(t), 6)) < 1e-9
+    assert abs(r["deg_f"] - round(float(dof), 6)) < 1e-9
+    assert r["n_a"] == 4 and r["n_b"] == 3
 
 
 def test_multi_terms_and_global(spark, tmp_path_factory):

@@ -856,3 +856,47 @@ def test_ts_rate_and_guards(ts_engine, spark):
     # FROM on a TS-registered source reads the plain table
     assert ts_engine.query("FROM ev | STATS n = COUNT(*)").collect()[0][
         "n"] == 8
+
+
+def test_scalar_batch_p17(spark):
+    """date_parse / base64 pair / mv_concat (+ the mv_join alias) /
+    mv_median_absolute_deviation / mv_percentile / IPv4 family — every
+    value hand-computed; invalid IPv4 and unparseable dates yield null
+    (ES: null + warning header)."""
+    r = esql(
+        spark,
+        'ROW s = "2024-03-05 10:30:00", ip = "10.1.2.200", bad = "10.1.2.999"\n'
+        '| EVAL d = DATE_PARSE("yyyy-MM-dd HH:mm:ss", s),\n'
+        '  dbad = DATE_PARSE("yyyy-MM-dd", "nope"),\n'
+        '  b64 = TO_BASE64("ab"), rt = FROM_BASE64(TO_BASE64("héllo")),\n'
+        '  mc = MV_CONCAT(["a", "b"], "-"), mj = MV_JOIN(["a", "b"], "-"),\n'
+        "  mad = MV_MEDIAN_ABSOLUTE_DEVIATION([1.0, 2.0, 4.0, 9.0]),\n"
+        "  p25 = MV_PERCENTILE([0.0, 10.0, 20.0, 30.0], 25),\n"
+        "  p100 = MV_PERCENTILE([0.0, 10.0], 100),\n"
+        "  okip = TO_IP(ip), badip = TO_IP(bad),\n"
+        '  cm = CIDR_MATCH(ip, "10.1.0.0/16"),\n'
+        '  cm2 = CIDR_MATCH(ip, "192.168.0.0/16", "10.1.2.192/26"),\n'
+        '  cmf = CIDR_MATCH(ip, "10.2.0.0/16"), cmb = CIDR_MATCH(bad, "0.0.0.0/0"),\n'
+        "  pf = IP_PREFIX(ip, 24, 0), pf2 = IP_PREFIX(ip, 26, 0),\n"
+        "  pfa = IP_PREFIX(ip, 32, 0), pf0 = IP_PREFIX(ip, 0, 0)",
+        {"t": spark.range(1)},
+    ).collect()[0]
+    assert str(r["d"]) == "2024-03-05 10:30:00" and r["dbad"] is None
+    assert r["b64"] == "YWI=" and r["rt"] == "héllo"
+    assert r["mc"] == "a-b" and r["mj"] == "a-b"
+    # median([1,2,4,9]) = 3; |x-3| = [2,1,1,6]; median = 1.5
+    assert r["mad"] == 1.5
+    # linear interpolation: rank 0.25*(4-1) = 0.75 -> 0 + 0.75*(10-0)
+    assert r["p25"] == 7.5 and r["p100"] == 10.0
+    assert r["okip"] == "10.1.2.200" and r["badip"] is None
+    assert (r["cm"], r["cm2"], r["cmf"], r["cmb"]) == (
+        True, True, False, None)
+    # 10.1.2.200: /24 -> 10.1.2.0; /26 -> .192; /32 identity; /0 zeroes
+    assert (r["pf"], r["pf2"], r["pfa"], r["pf0"]) == (
+        "10.1.2.0", "10.1.2.192", "10.1.2.200", "0.0.0.0")
+    with pytest.raises(EsqlError, match="CIDR"):
+        esql(spark, 'ROW x = "1.2.3.4" | EVAL c = CIDR_MATCH(x, "1.2.3.4")',
+             {"t": spark.range(1)})
+    with pytest.raises(EsqlError, match="out of range"):
+        esql(spark, 'ROW x = "1.2.3.4" | EVAL c = IP_PREFIX(x, 33, 0)',
+             {"t": spark.range(1)})
