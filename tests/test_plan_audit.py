@@ -378,3 +378,27 @@ def test_quality_operators_plan_audit(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     plan = _plan(repetition_stats(df, "id", "text"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ts_stats_plan_is_jvm_only(spark):
+    """TS STATS (two-level time-series aggregation) stays whole-stage
+    JVM: no BatchEvalPython anywhere, and the WHERE before STATS is
+    pushed into the scan-side filter (it precedes both groupBys)."""
+    import datetime as dt
+
+    from dart_importer_spark.query.esql import EsqlEngine, TsSpec
+
+    df = spark.createDataFrame(
+        [(1, "a", dt.datetime(2024, 1, 1, h), float(h)) for h in range(8)],
+        "uid long, kind string, ts timestamp, v double",
+    )
+    eng = EsqlEngine(spark, {"m": TsSpec(df, ("uid", "kind"), "ts")})
+    out = eng.query(
+        "TS m | WHERE v >= 1.0"
+        " | STATS mx = MAX(MAX_OVER_TIME(v)), r = SUM(RATE(v))"
+        " BY kind, b = BUCKET(ts, 1 day)"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan
+    # the residual WHERE lands as a Filter below the first aggregate
+    assert "Filter" in plan
