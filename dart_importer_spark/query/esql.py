@@ -2104,6 +2104,16 @@ class EsqlEngine:
             is_bucket = (
                 e[0] == "call" and e[1] in ("bucket", "date_trunc")
             )
+            if is_bucket:
+                # the bucket must be over the TS timestamp — a numeric
+                # BUCKET on a metric column would silently split series
+                # by value
+                tgt = e[2][0] if e[1] == "bucket" else e[2][1]
+                if not (tgt[0] == "col" and tgt[1] == spec.timestamp):
+                    raise EsqlError(
+                        f"ES|QL: TS STATS BY bucket must be over the "
+                        f"timestamp column {spec.timestamp!r}"
+                    )
             if not (ok_dim or is_bucket):
                 raise EsqlError(
                     f"ES|QL: TS STATS BY key {nm!r} must be a dimension "
@@ -2230,7 +2240,20 @@ class EsqlEngine:
                 for nm, e in by:
                     praw = praw.withColumn(nm, kc.col(e))
                 plain = praw.groupBy(*by_names).agg(*paggs)
-                out = out.join(plain, by_names, "full_outer")
+                # null-safe key join: a null dimension value is a real
+                # group on both sides (a plain equi-join would split it
+                # into two half-null rows)
+                cond = None
+                for k in by_names:
+                    c = out[k].eqNullSafe(plain[k])
+                    cond = c if cond is None else (cond & c)
+                joined = out.join(plain, cond, "full_outer")
+                out = joined.select(
+                    *[F.coalesce(out[k], plain[k]).alias(k)
+                      for k in by_names],
+                    *[out[nm] for nm, _, _, _ in ts_items],
+                    *[plain[nm] for nm, _, _ in plain_items],
+                )
             else:
                 out = out.crossJoin(rel.df.agg(*paggs))
             # restore the declared item order (join appended plain cols)

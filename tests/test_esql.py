@@ -853,9 +853,40 @@ def test_ts_rate_and_guards(ts_engine, spark):
     with pytest.raises(EsqlError, match="TsSpec-registered"):
         esql(spark, "TS t | STATS MAX(MAX_OVER_TIME(x))",
              {"t": spark.range(1)})
+    with pytest.raises(EsqlError, match="over the timestamp"):
+        # a numeric BUCKET on a metric column would silently split series
+        ts_engine.query(
+            "TS ev | STATS MAX(MAX_OVER_TIME(value)) BY b = BUCKET(value, 5)"
+        )
     # FROM on a TS-registered source reads the plain table
     assert ts_engine.query("FROM ev | STATS n = COUNT(*)").collect()[0][
         "n"] == 8
+
+
+def test_ts_null_dimension_group(spark):
+    """A null dimension value is ONE group: the plain-item join back onto
+    the series aggregate must be null-safe (an equi-join would split it
+    into two half-null rows)."""
+    import datetime as dt
+
+    from dart_importer_spark.query.esql import TsSpec
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "a", t0, 1.0), (1, "a", t0 + dt.timedelta(hours=1), 3.0),
+        (2, None, t0, 5.0), (2, None, t0 + dt.timedelta(hours=1), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "uid long, kind string, ts timestamp, v double"
+    )
+    eng = EsqlEngine(spark, {"m": TsSpec(df, ("uid", "kind"), "ts")})
+    out = eng.query(
+        "TS m | STATS mx = MAX(MAX_OVER_TIME(v)), n = COUNT(*) BY kind"
+        " | SORT kind"
+    ).collect()
+    assert [(x["kind"], x["mx"], x["n"]) for x in out] == [
+        (None, 9.0, 2), ("a", 3.0, 2),
+    ]
 
 
 def test_scalar_batch_p17(spark):
