@@ -377,6 +377,46 @@ def _span_clause_terms(cp: _Compiler, clause: dict, typ: str) -> str:
     raise DslError(f"{typ}: unsupported span sub-clause {t!r}")
 
 
+def _span_slot(cp: _Compiler, clause: dict, typ: str):
+    """A span_near sub-clause -> an engine span_near_slots slot:
+    span_term -> the raw string (engine analyzes it on the near's field);
+    span_multi -> the capped expansion as pre-analyzed alternatives;
+    field_masking_span -> (inner slot terms, the inner clause's own field)
+    — Lucene reads the masked clause's positions from ITS field and
+    compares them as-is, which is exactly what a (terms, field) slot does."""
+    t, spec = cp._clause(clause)
+    if t == "span_multi":
+        return cp.ix.expand_span_multi(
+            spec["match"],
+            max_expansions=int(spec.get("max_expansions", 128)),
+        )
+    if t == "field_masking_span":
+        inner_t, inner_spec = cp._clause(spec["query"])
+        if inner_t == "span_term":
+            f, v, _ = _field_spec("span_term", inner_spec)
+            cp._text_field("span_term", f)
+            if isinstance(v, dict):
+                v = v.get("value")
+            toks = cp.ix._analyze(str(v), f)
+            if len(toks) != 1:
+                raise DslError(
+                    f"field_masking_span: span_term {v!r} must analyze "
+                    f"to one term"
+                )
+            return (toks, f)
+        if inner_t == "span_multi":
+            terms = cp.ix.expand_span_multi(
+                inner_spec["match"],
+                max_expansions=int(inner_spec.get("max_expansions", 128)),
+            )
+            f = next(iter(next(iter(inner_spec["match"].values()))))
+            return (terms, f)
+        raise DslError(
+            f"field_masking_span: unsupported inner clause {inner_t!r}"
+        )
+    return _span_clause_terms(cp, clause, typ)
+
+
 def _dispatch_leaf(
     cp: _Compiler,
     typ: str,
@@ -784,12 +824,26 @@ def _dispatch_leaf(
     if typ == "span_near":
         plain(typ)
         _require_no_filters(typ, filters)
+        kinds = {cp._clause(c)[0] for c in spec.get("clauses", [])}
+        if kinds & {"span_multi", "field_masking_span"}:
+            slots = [_span_slot(cp, c, typ) for c in spec.get("clauses", [])]
+            return ix.span_near_slots(
+                slots, slop=int(spec.get("slop", 0)),
+                in_order=bool(spec.get("in_order", True)), k=k,
+            )
         terms = [
             _span_clause_terms(cp, c, typ) for c in spec.get("clauses", [])
         ]
         return ix.span_near(
             terms, slop=int(spec.get("slop", 0)),
             in_order=bool(spec.get("in_order", True)), k=k,
+        )
+    if typ == "span_multi":
+        plain(typ)
+        _require_no_filters(typ, filters)
+        return ix.span_multi(
+            spec["match"], k=k,
+            max_expansions=int(spec.get("max_expansions", 128)),
         )
     if typ == "span_or":
         plain(typ)
@@ -2123,6 +2177,11 @@ def _one_agg(
         return ix.date_range_agg(
             on=_metric_on(cp, typ, spec), ranges=rs, **base
         )
+    if typ == "ip_range":
+        return ix.ip_range_agg(
+            on=_metric_on(cp, typ, spec),
+            ranges=list(spec.get("ranges", [])), **base,
+        )
     if typ == "filters":
         named = spec.get("filters")
         if not isinstance(named, dict) or not named:
@@ -2699,6 +2758,12 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
         # stats_bucket = the whole bundle in one sibling agg (ES returns
         # min/max/avg/sum/count of the bucket series — exactly these cols)
         return ix.bucket_stats_pipeline(on=on, interval=interval, **base)
+    if stypes == {"extended_stats_bucket"}:
+        ss = next(iter(next(iter(sub.values())).values())) or {}
+        return ix.extended_stats_bucket(
+            on=on, interval=interval,
+            sigma=float(ss.get("sigma", 2.0)), **base,
+        )
     raise DslError(
         f"unsupported date_histogram sub-aggs: {sorted(stypes)}"
     )

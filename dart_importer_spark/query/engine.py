@@ -2143,6 +2143,132 @@ class InvertedIndex:
             .limit(k)
         )
 
+    def span_near_slots(
+        self,
+        slots: Sequence[Sequence[str] | str | tuple],
+        slop: int = 0,
+        in_order: bool = True,
+        k: int = 10,
+        field: str | int | None = None,
+    ) -> DataFrame:
+        """span_near where each clause slot may carry ALTERNATIVES and its
+        own field — the engine form under ES ``span_multi`` clauses inside
+        ``span_near`` (a slot = the multi-term expansion) and
+        ``field_masking_span`` (a slot = a clause read from another
+        positional field; Lucene compares the masked positions as-is).
+        Slot forms: ``"term"`` (analyzed), ``["t1", "t2", ...]``
+        (pre-analyzed alternatives), or ``(terms, field)``. Constant-score
+        hits in doc_id order, like span_near."""
+        if not self.meta.get("store_positions"):
+            raise ValueError(
+                "span_near_slots needs an index built with "
+                "store_positions=True"
+            )
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        base_fid = self._fid(field)
+        norm: list[tuple[list[str], int]] = []
+        for s in slots:
+            sfid = base_fid
+            if isinstance(s, tuple):
+                s, sf = s
+                sfid = self._fid(sf)
+            if isinstance(s, str):
+                toks = self._analyze(s, sfid)
+                if len(toks) != 1:
+                    raise ValueError(
+                        f"span_near_slots: clause {s!r} must analyze to "
+                        f"exactly one term (got {toks!r})"
+                    )
+                norm.append((toks, sfid))
+            else:
+                alts = sorted({str(t) for t in s})
+                if not alts:
+                    return empty
+                norm.append((alts, sfid))
+        if not norm:
+            return empty
+        wins = self._span_windows_slots(norm, slop, in_order)
+        if wins is None:
+            return empty
+        docs = self._live(wins.select("doc_id").distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def expand_span_multi(
+        self, match: dict, max_expansions: int = 128
+    ) -> list[str]:
+        """Expand a span_multi inner multi-term query (prefix / wildcard /
+        regexp / fuzzy) to its capped dictionary terms, ES
+        ``top_terms_N``-style (lexicographic-first, deterministic). The
+        cap is MANDATORY here (default 128 like Lucene's span rewrite
+        budget) because span composition needs the term list driver-side
+        for the per-slot positional scans — unlike the standalone
+        multi-term queries, whose expansions stay distributed."""
+        td, _ = self._span_multi_td(match, max_expansions)
+        return sorted(r["term"] for r in td.select("term").collect())
+
+    def _span_multi_td(
+        self, match: dict, max_expansions: int
+    ) -> tuple[DataFrame, int]:
+        """The expansion DataFrame (term[, bucket]) + fid for a span_multi
+        inner query — shared by the collected (span composition) and
+        distributed (standalone) forms."""
+        if len(match) != 1:
+            raise ValueError(
+                f"span_multi: exactly one inner query, got {sorted(match)}"
+            )
+        typ, spec = next(iter(match.items()))
+        f, v = next(iter(spec.items()))
+        if isinstance(v, dict):
+            v = v.get("value", v.get("wildcard"))
+        v = str(v)
+        fid = self._fid(f)
+        cap = int(max_expansions)
+        if typ == "prefix":
+            td = self.expand_prefix_df(v, fid, cap)
+        elif typ == "wildcard":
+            pat = re.escape(v).replace(r"\*", ".*").replace(r"\?", ".")
+            td = self.expand_regexp_df(pat, fid, cap)
+        elif typ == "regexp":
+            td = self.expand_regexp_df(v, fid, cap)
+        elif typ == "fuzzy":
+            toks = self._analyze(v, fid)
+            if len(toks) != 1:
+                raise ValueError(
+                    f"span_multi fuzzy: {v!r} must analyze to one term"
+                )
+            td = self.expand_fuzzy_df(
+                toks[0], self._auto_fuzziness(toks[0]), fid, cap
+            )
+        else:
+            raise ValueError(
+                f"span_multi: unsupported inner query {typ!r} "
+                f"(prefix/wildcard/regexp/fuzzy)"
+            )
+        return td, fid
+
+    def span_multi(
+        self, match: dict, k: int = 10, max_expansions: int = 128
+    ) -> DataFrame:
+        """ES ``span_multi`` standalone: wrap a multi-term query in span
+        context. Alone it matches exactly the docs the inner query matches
+        (constant score, doc_id order); its value is as a CLAUSE inside
+        span_near / span_first / span_not — see :meth:`span_near_slots`.
+
+        The standalone form keeps the expansion DISTRIBUTED (broadcast
+        semi-join like wildcard); only span composition collects the
+        capped term list."""
+        td, fid = self._span_multi_td(match, max_expansions)
+        docs = self._live(self._docs_for_terms_df(td, fid).distinct())
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy(F.asc("doc_id"))
+            .limit(k)
+        )
+
     def _span_windows(
         self, terms: list[str], slop: int, in_order: bool, fid: int
     ) -> DataFrame | None:
@@ -2151,26 +2277,81 @@ class InvertedIndex:
         distinct docs; span_containing/span_within join further spans
         against the window bounds). None when a clause term is absent from
         the dictionary (no window can match)."""
-        n = len(terms)
-        cand_ids, missing, _ = self._phrase_candidate_ids(terms, fid)
-        if missing:
-            return None
-        # one single-term positional scan PER clause: each join branch
-        # re-executes its subtree anyway, so per-term scans cost no extra
-        # reads but push term = t (hence its exact bucket) into that
-        # branch's parquet scan — n decodes total instead of n² (a shared
-        # n-term scan decodes every clause's postings in every branch)
-        bc_cand = self._bc_ids(cand_ids)
-        rows_by_term = {
-            t: self._positions_for_terms([t], fid, allowed=bc_cand)
-            for t in set(terms)
-        }
-        width = slop + n - 1  # max (last - first) inside a matching window
-        base = rows_by_term[terms[0]].select(
-            "doc_id", F.col("pos").alias("p0")
+        return self._span_windows_slots(
+            [([t], fid) for t in terms], slop, in_order
         )
-        for i, t in enumerate(terms[1:], start=1):
-            nxt = rows_by_term[t].select(
+
+    def _span_windows_slots(
+        self,
+        slots: list[tuple[list[str], int]],
+        slop: int,
+        in_order: bool,
+    ) -> DataFrame | None:
+        """Generalized span_near windows where each SLOT matches any of a
+        set of alternative single terms read from its own field id — the
+        primitive under span_multi-in-span_near (a slot is the capped
+        multi-term expansion) and field_masking_span (a slot carries a
+        different fid; Lucene compares the masked field's positions as-is,
+        and so does the join chain here). ``slots`` items are
+        (alternative_terms, fid); a slot none of whose terms exist in its
+        field's dictionary can never match -> None.
+
+        Plan: per-slot positional decode (union of that slot's terms, its
+        OWN field's buckets pruned into the scan), masked by the rarest
+        slot's doc set (a window needs one hit from EVERY slot, so the
+        slot with the fewest total postings bounds the result), then the
+        same n-1 position-band join chain as single-term span_near."""
+        n = len(slots)
+        # per-fid metadata scan: total df per slot; any empty slot -> None
+        by_fid: dict[int, set[str]] = {}
+        for terms, fid in slots:
+            by_fid.setdefault(fid, set()).update(terms)
+        df_by: dict[tuple[int, str], int] = {}
+        for fid, ts in by_fid.items():
+            rows = (
+                self._candidate_postings(sorted(ts), fid)
+                .groupBy("term")
+                .agg(F.sum("n").alias("df"))
+                .collect()
+            )
+            for r in rows:
+                df_by[(fid, r["term"])] = int(r["df"])
+        live_slots: list[tuple[list[str], int]] = []
+        totals: list[int] = []
+        for terms, fid in slots:
+            live = [t for t in terms if df_by.get((fid, t))]
+            if not live:
+                return None
+            live_slots.append((live, fid))
+            totals.append(sum(df_by[(fid, t)] for t in live))
+        # rarest-slot bootstrap: its ANY-of-terms doc set masks every decode
+        ri = min(range(n), key=totals.__getitem__)
+        bc_cand = None
+        if totals[ri] <= self.id_push_budget:
+            r_terms, r_fid = live_slots[ri]
+            bc_cand = self._bc_ids(
+                self._bounded_ids(self._docs_for_terms(r_terms, r_fid))
+            )
+        # one positional scan PER slot: each join branch re-executes its
+        # subtree anyway, so per-slot scans cost no extra reads but push
+        # term IN (...) (hence exact buckets) into that branch's parquet
+        # scan — n decodes total instead of n² for a shared scan
+        rows_by_slot: dict[tuple[int, tuple[str, ...]], DataFrame] = {}
+        for terms, fid in live_slots:
+            key = (fid, tuple(terms))
+            if key not in rows_by_slot:
+                rows_by_slot[key] = self._positions_for_terms(
+                    terms, fid, allowed=bc_cand
+                )
+
+        def slot_rows(i: int) -> DataFrame:
+            terms, fid = live_slots[i]
+            return rows_by_slot[(fid, tuple(terms))]
+
+        width = slop + n - 1  # max (last - first) inside a matching window
+        base = slot_rows(0).select("doc_id", F.col("pos").alias("p0"))
+        for i in range(1, n):
+            nxt = slot_rows(i).select(
                 F.col("doc_id").alias("_d"), F.col("pos").alias(f"p{i}")
             )
             if in_order:
@@ -4224,6 +4405,85 @@ class InvertedIndex:
         ).alias("b")
         return row.select(buckets).select("b.key", "b.doc_count")
 
+    def ip_range_agg(
+        self,
+        query: str | None,
+        on: str,
+        ranges: Sequence[dict],
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``ip_range`` aggregation over an IPv4-string metadata column:
+        each range is ``{"from": ip?, "to": ip?}`` (from inclusive, to
+        exclusive, None unbounded, overlap allowed — ES semantics) or
+        ``{"mask": "a.b.c.d/len"}`` (the CIDR's network span); optional
+        ``key`` names the bucket. Docs whose column is not a valid dotted
+        quad fall outside every range, like ES's unmapped ips.
+
+        Plan: one pass — the ip column casts to a 32-bit long INSIDE
+        Catalyst (split + digit arithmetic, no UDF), one conditional-count
+        aggregation row, exploded to the ES bucket shape."""
+        from .esql import _ipv4_long
+
+        if not ranges:
+            raise ValueError("ip_range_agg: at least one range")
+
+        def aton(ip: str) -> int:
+            parts = ip.split(".")
+            if len(parts) != 4:
+                raise ValueError(f"ip_range_agg: bad IPv4 {ip!r}")
+            val = 0
+            for p in parts:
+                o = int(p)
+                if not 0 <= o <= 255:
+                    raise ValueError(f"ip_range_agg: bad IPv4 {ip!r}")
+                val = val * 256 + o
+            return val
+
+        bounds: list[tuple[str, int | None, int | None]] = []
+        for r in ranges:
+            if "mask" in r:
+                net, _, plen = str(r["mask"]).partition("/")
+                bits = int(plen)
+                if not 0 <= bits <= 32:
+                    raise ValueError(
+                        f"ip_range_agg: bad mask length /{plen}"
+                    )
+                span = 1 << (32 - bits)
+                lo = aton(net) & ~(span - 1)
+                key = r.get("key", str(r["mask"]))
+                bounds.append((key, lo, lo + span))
+            else:
+                lo = aton(str(r["from"])) if r.get("from") else None
+                hi = aton(str(r["to"])) if r.get("to") else None
+                key = r.get(
+                    "key", f"{r.get('from') or '*'}-{r.get('to') or '*'}"
+                )
+                bounds.append((key, lo, hi))
+        joined = self._match_meta(query, field, [on], filters)
+        ipnum = _ipv4_long(F.col(on))
+        aggs = []
+        for i, (_, lo, hi) in enumerate(bounds):
+            cond = ipnum.isNotNull()
+            if lo is not None:
+                cond = cond & (ipnum >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (ipnum < F.lit(hi))
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"_b{i}"))
+        row = joined.agg(*aggs)
+        buckets = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kk).alias("key"),
+                        F.col(f"_b{i}").cast("long").alias("doc_count"),
+                    )
+                    for i, (kk, _, _) in enumerate(bounds)
+                ]
+            )
+        ).alias("b")
+        return row.select(buckets).select("b.key", "b.doc_count")
+
     def moving_percentiles(
         self,
         query: str | None,
@@ -4425,6 +4685,51 @@ class InvertedIndex:
             F.max("doc_count").alias("max_bucket"),
             F.sum("doc_count").alias("sum_bucket"),
             F.count("*").alias("n_buckets"),
+        )
+
+    def extended_stats_bucket(
+        self,
+        query: str,
+        on: str,
+        interval: str = "day",
+        sigma: float = 2.0,
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``extended_stats_bucket`` sibling pipeline agg: the extended
+        statistics OF a date_histogram's doc_counts — count / min / max /
+        avg / sum / sum_of_squares / POPULATION variance+std_deviation
+        (ES's extended_stats default) and the ±``sigma`` std-deviation
+        bounds. Aggregates the already-reduced bucket table, one row out."""
+        if sigma < 0:
+            raise ValueError(f"extended_stats_bucket: sigma >= 0, got {sigma}")
+        buckets = self.date_histogram(
+            query, on, interval, k=k, field=field, filters=filters
+        )
+        row = buckets.agg(
+            F.count("*").alias("count"),
+            F.min("doc_count").alias("min"),
+            F.max("doc_count").alias("max"),
+            F.avg("doc_count").alias("_avg"),
+            F.sum("doc_count").alias("sum"),
+            F.sum(F.col("doc_count") * F.col("doc_count")).alias(
+                "sum_of_squares"
+            ),
+            F.var_pop("doc_count").alias("_var"),
+        )
+        return row.select(
+            "count", "min", "max",
+            F.round("_avg", 6).alias("avg"),
+            "sum", "sum_of_squares",
+            F.round("_var", 6).alias("variance"),
+            F.round(F.sqrt("_var"), 6).alias("std_deviation"),
+            F.round(
+                F.col("_avg") + F.lit(float(sigma)) * F.sqrt("_var"), 6
+            ).alias("std_upper"),
+            F.round(
+                F.col("_avg") - F.lit(float(sigma)) * F.sqrt("_var"), 6
+            ).alias("std_lower"),
         )
 
     def sort_by(

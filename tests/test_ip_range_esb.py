@@ -1,0 +1,143 @@
+"""ip_range aggregation (IPv4 buckets: from/to + CIDR masks, runtime-field
+sourced) and extended_stats_bucket (extended stats OF a date_histogram's
+doc_counts) — both checked against small hand-computed oracles."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+
+from dart_importer_spark.index.build import BuildConfig, build_index
+from dart_importer_spark.query.dsl import aggs
+from dart_importer_spark.query.engine import InvertedIndex
+
+ROWS = [
+    # (conv_id, turn_idx, text, ts, ip)
+    ("c1", 0, "a b", datetime(2024, 1, 1, 5), "10.0.0.5"),
+    ("c1", 1, "a",   datetime(2024, 1, 1, 9), "10.0.0.200"),
+    ("c2", 0, "a b", datetime(2024, 1, 2, 5), "10.0.1.7"),
+    ("c2", 1, "b",   datetime(2024, 1, 2, 6), "192.168.1.1"),
+    ("c3", 0, "a",   datetime(2024, 1, 2, 7), "not-an-ip"),
+    ("c3", 1, "a b", datetime(2024, 1, 4, 1), "10.0.0.128"),
+]
+
+
+@pytest.fixture(scope="module")
+def ip_index(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        ROWS, "conv_id string, turn_idx int, text string, ts timestamp, "
+              "ip string"
+    )
+    out = str(tmp_path_factory.mktemp("iprange") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+        meta_cols=("ts", "ip"),
+    )
+    return InvertedIndex(spark, out)
+
+
+def test_ip_range_from_to_and_mask(ip_index):
+    got = {
+        r["key"]: r["doc_count"]
+        for r in ip_index.ip_range_agg(
+            None, "ip",
+            [
+                {"to": "10.0.0.128"},                      # 10.0.0.5 only
+                {"from": "10.0.0.128", "to": "10.0.2.0"},  # .200 .1.7 .128
+                {"mask": "10.0.0.0/24", "key": "net24"},   # .5 .200 .128
+                {"mask": "192.168.1.1/32", "key": "one"},  # exactly 1
+                {"from": "11.0.0.0"},                      # 192.168.1.1
+            ],
+        ).collect()
+    }
+    assert got == {
+        "*-10.0.0.128": 1,
+        "10.0.0.128-10.0.2.0": 3,
+        "net24": 3,
+        "one": 1,
+        "11.0.0.0-*": 1,
+    }
+
+
+def test_ip_range_query_scoped_and_invalid_ips(ip_index):
+    # query "b" matches docs 0,2,3,5 — the non-IP doc 4 is excluded anyway;
+    # doc 1 (10.0.0.200) leaves net24
+    got = {
+        r["key"]: r["doc_count"]
+        for r in ip_index.ip_range_agg(
+            "b", "ip", [{"mask": "10.0.0.0/24", "key": "net24"}]
+        ).collect()
+    }
+    assert got == {"net24": 2}  # 10.0.0.5 + 10.0.0.128
+
+
+def test_ip_range_mask_normalizes_host_bits(ip_index):
+    # a mask given off a host address still buckets its whole network
+    a = ip_index.ip_range_agg(
+        None, "ip", [{"mask": "10.0.0.77/24", "key": "k"}]
+    ).collect()[0]["doc_count"]
+    b = ip_index.ip_range_agg(
+        None, "ip", [{"mask": "10.0.0.0/24", "key": "k"}]
+    ).collect()[0]["doc_count"]
+    assert a == b == 3
+
+
+def test_ip_range_guards(ip_index):
+    with pytest.raises(ValueError, match="at least one range"):
+        ip_index.ip_range_agg(None, "ip", [])
+    with pytest.raises(ValueError, match="bad IPv4"):
+        ip_index.ip_range_agg(None, "ip", [{"from": "10.0.0"}])
+    with pytest.raises(ValueError, match="bad mask length"):
+        ip_index.ip_range_agg(None, "ip", [{"mask": "10.0.0.0/40"}])
+
+
+def test_ip_range_dsl_with_runtime_field(ip_index):
+    # ES runtime_mappings: derive the ip at query time, bucket on it
+    out = aggs(ip_index, {
+        "runtime_mappings": {
+            "ip2": {"type": "keyword", "script": "concat('10.0.0.', '5')"},
+        },
+        "aggs": {"nets": {"ip_range": {
+            "field": "ip2",
+            "ranges": [{"mask": "10.0.0.0/24", "key": "all"}],
+        }}},
+    })["nets"].collect()
+    assert {r["key"]: r["doc_count"] for r in out} == {"all": len(ROWS)}
+
+
+def test_extended_stats_bucket_oracle(ip_index):
+    # day buckets of match_all? extended_stats_bucket takes a query — use
+    # "a" (docs 0,1,2,4,5): days 1/1=2, 1/2=2, 1/4=1
+    row = ip_index.extended_stats_bucket("a", on="ts", interval="day").collect()[0]
+    series = [2, 2, 1]
+    n = len(series)
+    avg = sum(series) / n
+    var = sum((x - avg) ** 2 for x in series) / n  # population, like ES
+    assert row["count"] == n
+    assert row["min"] == 1 and row["max"] == 2
+    assert row["sum"] == 5 and row["sum_of_squares"] == 9
+    assert abs(row["avg"] - round(avg, 6)) < 1e-9
+    assert abs(row["variance"] - round(var, 6)) < 1e-9
+    assert abs(row["std_deviation"] - round(math.sqrt(var), 6)) < 1e-9
+    assert abs(row["std_upper"] - round(avg + 2 * math.sqrt(var), 6)) < 1e-9
+    assert abs(row["std_lower"] - round(avg - 2 * math.sqrt(var), 6)) < 1e-9
+
+
+def test_extended_stats_bucket_dsl(ip_index):
+    out = aggs(ip_index, {
+        "query": {"match": {"text": "a"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"es": {"extended_stats_bucket": {
+                "buckets_path": "per_day>_count", "sigma": 1.0,
+            }}},
+        }},
+    })["per_day"].collect()[0]
+    assert out["count"] == 3 and out["sum"] == 5
+    # sigma=1 bounds (engine rounds AFTER the bound math; avg/sd here are
+    # the already-rounded outputs, so allow their rounding slack)
+    avg, sd = out["avg"], out["std_deviation"]
+    assert abs(out["std_upper"] - (avg + sd)) < 5e-6
+    assert abs(out["std_lower"] - (avg - sd)) < 5e-6
