@@ -869,6 +869,63 @@ def q_ft_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("score").cast("double").alias("score"))
 
 
+def q_ft_span_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES span_multi inside span_near, through the DSL dispatcher: the
+    # prefix 'fil' expands to its capped dictionary terms (Lucene
+    # top_terms rewrite), each expansion is an ALTERNATIVE for slot 0,
+    # followed in order by 'value' within slop 3
+    ix = _documents_index(spark, sf_dir)
+    body = {
+        "query": {"span_near": {
+            "clauses": [
+                {"span_multi": {
+                    "match": {"prefix": {"text": "fil"}},
+                    "max_expansions": 64,
+                }},
+                {"span_term": {"text": "value"}},
+            ],
+            "slop": 3,
+            "in_order": True,
+        }},
+        "size": 500,
+    }
+    return ix.search(body).select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+def q_ft_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES ip_range aggregation over a RUNTIME IPv4 field (ES runtime
+    # mappings are the common source of ip fields in log indexes):
+    # one CIDR-mask bucket + one bounded + one open-ended range, counted
+    # in a single conditional-aggregation pass, no UDF
+    ix = _documents_index(spark, sf_dir).with_runtime_fields({
+        "ip": (
+            "concat('10.0.', cast(pmod(floor(doc_id / 256), 256) as string),"
+            " '.', cast(pmod(doc_id, 256) as string))"
+        ),
+    })
+    return ix.ip_range_agg(
+        "data merge",
+        on="ip",
+        ranges=[
+            {"mask": "10.0.0.0/28"},
+            {"from": "10.0.0.16", "to": "10.0.2.0", "key": "mid"},
+            {"from": "10.0.2.0", "key": "high"},
+        ],
+    )
+
+
+def q_ft_ext_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES extended_stats_bucket sibling pipeline agg: POPULATION
+    # variance/std-dev (+/- 2 sigma bounds) of a date_histogram's
+    # doc_count series — aggregates the already-reduced bucket table
+    ix = _documents_index(spark, sf_dir)
+    return ix.extended_stats_bucket(
+        "data merge", on="ts", interval="day", sigma=2.0
+    )
+
+
 def q_ft_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _termvectors: one doc's analyzed term -> tf vector from stored text
     ix = _documents_index(spark, sf_dir)
@@ -3371,6 +3428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_functions": q_esql_functions,
         "esql_ts": q_esql_ts,
         "esql_ts_rate": q_esql_ts_rate,
+        "ft_span_multi": q_ft_span_multi,
+        "ft_ip_range": q_ft_ip_range,
+        "ft_ext_stats_bucket": q_ft_ext_stats_bucket,
     }
 
 
@@ -7117,6 +7177,78 @@ SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
              6) AS deg_f,
        na AS n_a, nb AS n_b
 FROM ab
+""",
+        # span_near with a span_multi prefix clause: slot 0 = the capped
+        # lexicographic expansion of 'fil' (any alternative), slot 1 =
+        # 'value', in order, window width (slop + n - 1) from the first hit
+        "ft_span_multi": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+ex AS (
+  SELECT term FROM (SELECT DISTINCT term FROM tp WHERE term LIKE 'fil%')
+  ORDER BY term LIMIT 64
+),
+a AS (SELECT did, pos AS p0 FROM tp JOIN ex USING (term)),
+b AS (SELECT did, pos AS p1 FROM tp WHERE term = 'value')
+SELECT DISTINCT a.did AS doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM a JOIN b ON b.did = a.did AND b.p1 > a.p0 AND b.p1 <= a.p0 + 4
+ORDER BY doc_id ASC LIMIT 500
+""",
+        # runtime ip = '10.0.{(did//256)%256}.{did%256}' -> 32-bit value
+        # 167772160 + ((did//256)%256)*256 + did%256; mask /28 spans 16
+        # addresses from 10.0.0.0; 'from' inclusive, 'to' exclusive
+        "ft_ip_range": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+ip AS (
+  SELECT 167772160 + ((did // 256) % 256) * 256 + (did % 256) AS n FROM hits
+)
+SELECT '10.0.0.0/28' AS key,
+       CAST(count(*) FILTER (WHERE n >= 167772160 AND n < 167772176)
+            AS BIGINT) AS doc_count FROM ip
+UNION ALL
+SELECT 'mid',
+       CAST(count(*) FILTER (WHERE n >= 167772176 AND n < 167772672)
+            AS BIGINT) FROM ip
+UNION ALL
+SELECT 'high',
+       CAST(count(*) FILTER (WHERE n >= 167772672) AS BIGINT) FROM ip
+""",
+        # extended stats OF the per-day doc_count series (population
+        # variance, like ES extended_stats); sums cast to BIGINT so the
+        # HUGEINT results render like Spark longs under exact hashing
+        "ft_ext_stats_bucket": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+buckets AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS doc_count
+  FROM hits JOIN meta USING (did) GROUP BY 1
+),
+s AS (
+  SELECT count(*) AS count, min(doc_count) AS min, max(doc_count) AS max,
+         avg(doc_count) AS _avg,
+         CAST(sum(doc_count) AS BIGINT) AS sum,
+         CAST(sum(doc_count * doc_count) AS BIGINT) AS sum_of_squares,
+         var_pop(doc_count) AS _var
+  FROM buckets
+)
+SELECT count, min, max, round(_avg, 6) AS avg, sum, sum_of_squares,
+       round(_var, 6) AS variance,
+       round(sqrt(_var), 6) AS std_deviation,
+       round(_avg + 2.0 * sqrt(_var), 6) AS std_upper,
+       round(_avg - 2.0 * sqrt(_var), 6) AS std_lower
+FROM s
 """,
     }
     # the DSL retriever:{linear} tree compiles to the SAME hybrid_linear
