@@ -916,6 +916,30 @@ def q_ft_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ft_ip_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES ip_prefix aggregation over the same runtime IPv4 field: /26
+    # network buckets (64 addresses each) of the match set, ADDRESS-
+    # ordered, keys carrying the ES append_prefix_length suffix; one
+    # groupBy on the masked 8-byte long, key rendered post-agg
+    ix = _documents_index(spark, sf_dir).with_runtime_fields({
+        "ip": (
+            "concat('10.0.', cast(pmod(floor(doc_id / 256), 256) as string),"
+            " '.', cast(pmod(doc_id, 256) as string))"
+        ),
+    })
+    return ix.ip_prefix_agg(
+        "data merge", on="ip", prefix_length=26, append_prefix_length=True
+    )
+
+
+def q_ft_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES completion suggester, doc-valued: live opt_tag values (the
+    # nullable source tag) prefix-matched on 'src1', score = live doc
+    # count (the pinned unweighted model), (score desc, suggestion asc)
+    ix = _documents_index(spark, sf_dir)
+    return ix.suggest_completion("src1", on="opt_tag", k=5)
+
+
 def q_ft_ext_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES extended_stats_bucket sibling pipeline agg: POPULATION
     # variance/std-dev (+/- 2 sigma bounds) of a date_histogram's
@@ -3431,6 +3455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_span_multi": q_ft_span_multi,
         "ft_ip_range": q_ft_ip_range,
         "ft_ext_stats_bucket": q_ft_ext_stats_bucket,
+        "ft_ip_prefix": q_ft_ip_prefix,
+        "ft_completion": q_ft_completion,
     }
 
 
@@ -7218,6 +7244,35 @@ SELECT 'mid',
 UNION ALL
 SELECT 'high',
        CAST(count(*) FILTER (WHERE n >= 167772672) AS BIGINT) FROM ip
+""",
+        # /26 buckets of the runtime ip over the match set: net = (n//64)*64,
+        # address order, '/26'-suffixed dotted-quad keys
+        "ft_ip_prefix": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+ip AS (
+  SELECT 167772160 + ((did // 256) % 256) * 256 + (did % 256) AS n FROM hits
+),
+b AS (SELECT (n // 64) * 64 AS net, count(*) AS cnt FROM ip GROUP BY 1)
+SELECT concat(
+         CAST((net // 16777216) % 256 AS VARCHAR), '.',
+         CAST((net // 65536) % 256 AS VARCHAR), '.',
+         CAST((net // 256) % 256 AS VARCHAR), '.',
+         CAST(net % 256 AS VARCHAR), '/26'
+       ) AS key,
+       CAST(cnt AS BIGINT) AS doc_count
+FROM b ORDER BY net ASC LIMIT 10000
+""",
+        # completion suggester: live opt_tag values LIKE 'src1%', score =
+        # doc count (unweighted model), (score desc, suggestion asc) top 5
+        "ft_completion": """
+WITH meta AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS opt_tag
+  FROM documents
+)
+SELECT opt_tag AS suggestion, CAST(count(*) AS DOUBLE) AS score
+FROM meta WHERE opt_tag LIKE 'src1%'
+GROUP BY 1 ORDER BY score DESC, suggestion ASC LIMIT 5
 """,
         # extended stats OF the per-day doc_count series (population
         # variance, like ES extended_stats); sums cast to BIGINT so the

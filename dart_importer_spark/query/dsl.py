@@ -2182,6 +2182,18 @@ def _one_agg(
             on=_metric_on(cp, typ, spec),
             ranges=list(spec.get("ranges", [])), **base,
         )
+    if typ == "ip_prefix":
+        if "prefix_length" not in spec:
+            raise DslError("ip_prefix agg: prefix_length is required")
+        return ix.ip_prefix_agg(
+            on=_metric_on(cp, typ, spec),
+            prefix_length=int(spec["prefix_length"]),
+            min_doc_count=int(spec.get("min_doc_count", 1)),
+            append_prefix_length=bool(
+                spec.get("append_prefix_length", False)
+            ),
+            **base,
+        )
     if typ == "filters":
         named = spec.get("filters")
         if not isinstance(named, dict) or not named:

@@ -1279,6 +1279,71 @@ class InvertedIndex:
             "suggestion string, score double, n_edits int",
         )
 
+    def suggest_completion(
+        self,
+        prefix: str,
+        on: str,
+        k: int = 5,
+        weight: str | None = None,
+        fuzziness: int = 0,
+        fuzzy_prefix_length: int = 1,
+    ) -> DataFrame:
+        """ES completion suggester, doc-valued: suggestions are the live
+        values of a stored (or runtime) string column ``on`` — the
+        completion-field "input" — matched case-insensitively on
+        ``prefix`` (ES's completion analyzer lowercases) and ranked
+        (score desc, suggestion asc), top ``k`` (the request ``size``).
+        Score = the suggestion's max ``weight`` column value when given
+        (ES per-suggestion weight), else its live doc count (a pinned,
+        deterministic stand-in for ES's unweighted constant score).
+
+        ``fuzziness`` > 0 enables ES fuzzy completion: the typed prefix
+        may differ from the suggestion's leading chars by up to that many
+        Damerau edits, but the first ``fuzzy_prefix_length`` chars must
+        match exactly (ES default prefix_length=1), and exact-prefix
+        matches always survive.
+
+        Scale shape: ES serves this from a dedicated in-memory FST per
+        shard; the Spark-native reading aggregates the column to its
+        DISTINCT values first (one partial-agg groupBy — suggestion
+        dictionaries are tiny next to the corpus) and prefix-filters the
+        reduced set, so the full text never leaves the scan stage and
+        only k rows reach the driver."""
+        p = str(prefix).lower()
+        if not p:
+            raise ValueError("suggest_completion: empty prefix")
+        cols = [on] + ([weight] if weight else [])
+        ds = self.doc_stats().select(*cols).filter(F.col(on).isNotNull())
+        w = (
+            F.max(F.col(weight)).cast("double")
+            if weight
+            else F.count("*").cast("double")
+        )
+        cand = ds.groupBy(F.col(on).alias("suggestion")).agg(w.alias("score"))
+        lead = F.lower(F.substring("suggestion", 1, len(p)))
+        if int(fuzziness) <= 0:
+            cand = cand.filter(lead == p)
+        else:
+            fz = min(int(fuzziness), 2)  # ES caps completion fuzziness at 2
+            # a fuzzy prefix matches ANY leading substring of the
+            # suggestion — an insertion/deletion shifts the boundary, so
+            # the candidate prefix lengths span len(p) +/- fz
+            dists = [
+                self._dl_dist(
+                    F.lower(F.substring("suggestion", 1, length)), p, fz
+                )
+                for length in range(max(1, len(p) - fz), len(p) + fz + 1)
+            ]
+            best = F.least(*dists) if len(dists) > 1 else dists[0]
+            cond = best <= fz
+            pl = max(0, int(fuzzy_prefix_length))
+            if pl:
+                cond = cond & (
+                    F.lower(F.substring("suggestion", 1, pl)) == p[:pl]
+                )
+            cand = cand.filter(cond | (lead == p))
+        return cand.orderBy(F.desc("score"), F.asc("suggestion")).limit(k)
+
     def expand_prefix(self, prefix: str, field: str | int | None = None) -> list[str]:
         """Driver-side convenience wrapper around expand_prefix_df (NOT used
         by any query path — those stay distributed)."""
@@ -4483,6 +4548,64 @@ class InvertedIndex:
             )
         ).alias("b")
         return row.select(buckets).select("b.key", "b.doc_count")
+
+    def ip_prefix_agg(
+        self,
+        query: str | None,
+        on: str,
+        prefix_length: int,
+        field: str | int | None = None,
+        filters: Column | None = None,
+        min_doc_count: int = 1,
+        append_prefix_length: bool = False,
+        k: int = 10000,
+    ) -> DataFrame:
+        """ES ``ip_prefix`` aggregation (IPv4): bucket docs by the
+        network address of their ip column at ``prefix_length`` bits,
+        key ascending in ADDRESS order (ES sorts buckets by the netmasked
+        value, not the string). ``append_prefix_length`` suffixes
+        ``/len`` to the key like ES's option; buckets under
+        ``min_doc_count`` are hidden (ES default 1 drops empty buckets —
+        non-IPv4/null values fall outside every bucket).
+
+        Plan: ip -> 32-bit long inside Catalyst, mask to the prefix with
+        integer shifts, ONE groupBy on the masked long (a numeric shuffle
+        key), key string rendered after the aggregation — at 100 TB the
+        shuffle carries an 8-byte key and a count, nothing else."""
+        from .esql import _ipv4_long
+
+        plen = int(prefix_length)
+        if not 0 <= plen <= 32:
+            raise ValueError(
+                f"ip_prefix_agg: prefix_length in [0, 32], got {prefix_length}"
+            )
+        joined = self._match_meta(query, field, [on], filters)
+        shift = 32 - plen
+        net = F.shiftleft(
+            F.shiftright(_ipv4_long(F.col(on)), shift), shift
+        ).alias("_net")
+        grouped = (
+            joined.select(net)
+            .filter(F.col("_net").isNotNull())
+            .groupBy("_net")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        if min_doc_count > 1:
+            grouped = grouped.filter(F.col("doc_count") >= min_doc_count)
+        key = F.concat_ws(
+            ".",
+            F.shiftright(F.col("_net"), 24) % 256,
+            F.shiftright(F.col("_net"), 16) % 256,
+            F.shiftright(F.col("_net"), 8) % 256,
+            F.col("_net") % 256,
+        )
+        if append_prefix_length:
+            key = F.concat(key, F.lit(f"/{plen}"))
+        return (
+            grouped.orderBy(F.asc("_net"))
+            .select(key.alias("key"), "doc_count")
+            .limit(k)
+        )
 
     def moving_percentiles(
         self,

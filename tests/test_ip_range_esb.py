@@ -141,3 +141,51 @@ def test_extended_stats_bucket_dsl(ip_index):
     avg, sd = out["avg"], out["std_deviation"]
     assert abs(out["std_upper"] - (avg + sd)) < 5e-6
     assert abs(out["std_lower"] - (avg - sd)) < 5e-6
+
+# ---------------------------------------------------------------------------
+# ip_prefix aggregation (same fixture: 5 valid IPv4 docs + 1 invalid)
+# ---------------------------------------------------------------------------
+
+def test_ip_prefix_basic(ip_index):
+    out = ip_index.ip_prefix_agg(None, "ip", 24).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("10.0.0.0", 3), ("10.0.1.0", 1), ("192.168.1.0", 1)]
+
+
+def test_ip_prefix_options(ip_index):
+    out = ip_index.ip_prefix_agg(
+        None, "ip", 24, append_prefix_length=True, min_doc_count=2
+    ).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [("10.0.0.0/24", 3)]
+    out16 = ip_index.ip_prefix_agg(None, "ip", 16).collect()
+    assert [(r["key"], r["doc_count"]) for r in out16] == [
+        ("10.0.0.0", 4), ("192.168.0.0", 1)]
+    # /32: every distinct valid ip is its own bucket, ADDRESS-ordered
+    # (10.0.0.128 before 10.0.0.5 would be string order — must not happen)
+    out32 = ip_index.ip_prefix_agg(None, "ip", 32).collect()
+    assert [(r["key"], r["doc_count"]) for r in out32] == [
+        ("10.0.0.5", 1), ("10.0.0.128", 1), ("10.0.0.200", 1),
+        ("10.0.1.7", 1), ("192.168.1.1", 1)]
+    # /0 collapses every valid ip into 0.0.0.0; the invalid one still drops
+    out0 = ip_index.ip_prefix_agg(None, "ip", 0).collect()
+    assert [(r["key"], r["doc_count"]) for r in out0] == [("0.0.0.0", 5)]
+
+
+def test_ip_prefix_query_scoped_and_guards(ip_index):
+    out = ip_index.ip_prefix_agg("b", "ip", 24).collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("10.0.0.0", 2), ("10.0.1.0", 1), ("192.168.1.0", 1)]
+    with pytest.raises(ValueError, match="prefix_length"):
+        ip_index.ip_prefix_agg(None, "ip", 33)
+
+
+def test_ip_prefix_dsl(ip_index):
+    from dart_importer_spark.query.dsl import DslError
+
+    out = aggs(ip_index, {
+        "aggs": {"nets": {"ip_prefix": {"field": "ip", "prefix_length": 24}}},
+    })["nets"].collect()
+    assert [(r["key"], r["doc_count"]) for r in out] == [
+        ("10.0.0.0", 3), ("10.0.1.0", 1), ("192.168.1.0", 1)]
+    with pytest.raises(DslError, match="prefix_length is required"):
+        aggs(ip_index, {"aggs": {"n": {"ip_prefix": {"field": "ip"}}}})
