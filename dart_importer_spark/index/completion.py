@@ -6,6 +6,12 @@ lookup fields pinned as search_as_you_type subfields,
 import_dart_data.py:353-354,395-405; completion is the ES-native API
 for the same).
 
+(The zero-setup counterpart is
+:meth:`dart_importer_spark.query.engine.InvertedIndex.suggest_completion`
+— an ad-hoc doc-valued suggester over any stored/runtime column, the
+form the ES ``suggest`` body section drives; THIS module is the
+prebuilt structure for suggest-heavy serving.)
+
 ES backs completion with an in-memory FST per shard; the Spark-first
 equivalent turns the FST's prefix walk into storage pruning:
 

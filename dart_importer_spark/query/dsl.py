@@ -2010,6 +2010,80 @@ def aggs(ix, body: dict) -> dict[str, DataFrame]:
     return out
 
 
+def suggest(ix, body: dict) -> dict[str, DataFrame]:
+    """Run the top-level ``suggest`` section of an ES body: one DataFrame
+    per named suggester. Supported suggester kinds, mapped to the engine's
+    pinned models:
+
+    - ``term``: {"text": ..., "term": {"field", "size", "max_edits",
+      "string_distance"?}} -> :meth:`InvertedIndex.suggest_terms`
+      (Damerau by default; ``string_distance: "levenshtein"`` turns
+      transpositions off, like ES's option).
+    - ``phrase``: {"text": ..., "phrase": {"field", "size", "max_edits",
+      "collate"?}} -> :meth:`InvertedIndex.suggest_phrase` (a ``collate``
+      key — ES sends the collation query there — enables phrase-hit
+      collation).
+    - ``completion``: {"prefix": ..., "completion": {"field", "size",
+      "fuzzy": {"fuzziness", "prefix_length"}?, "weight_field"?}} ->
+      :meth:`InvertedIndex.suggest_completion` over the stored (or
+      runtime) column; ``weight_field`` is the doc-valued reading of
+      ES's index-time per-suggestion weight."""
+    ix = _apply_runtime(ix, body)
+    spec = body.get("suggest")
+    if not isinstance(spec, dict) or not spec:
+        raise DslError("body has no 'suggest' section")
+    out: dict[str, DataFrame] = {}
+    for name, s in spec.items():
+        if not isinstance(s, dict):
+            raise DslError(f"suggest {name!r}: expected an object")
+        kinds = [kk for kk in s if kk in ("term", "phrase", "completion")]
+        if len(kinds) != 1:
+            raise DslError(
+                f"suggest {name!r}: expected exactly one of "
+                f"term/phrase/completion, got {kinds}"
+            )
+        kind = kinds[0]
+        opt = s[kind] or {}
+        f = opt.get("field")
+        if not f:
+            raise DslError(f"suggest {name!r}: {kind}.field is required")
+        size = int(opt.get("size", 5))
+        if kind == "term":
+            text = s.get("text")
+            if not text:
+                raise DslError(f"suggest {name!r}: 'text' is required")
+            out[name] = ix.suggest_terms(
+                text, k=size, max_dist=int(opt.get("max_edits", 2)),
+                field=f,
+                transpositions=(
+                    opt.get("string_distance", "damerau_levenshtein")
+                    != "levenshtein"
+                ),
+            )
+        elif kind == "phrase":
+            text = s.get("text")
+            if not text:
+                raise DslError(f"suggest {name!r}: 'text' is required")
+            out[name] = ix.suggest_phrase(
+                text, k=size, max_dist=int(opt.get("max_edits", 2)),
+                field=f, collate="collate" in opt,
+            )
+        else:
+            prefix = s.get("prefix")
+            if not prefix:
+                raise DslError(f"suggest {name!r}: 'prefix' is required")
+            fz = opt.get("fuzzy") or {}
+            if fz is True:  # ES shorthand: "fuzzy": {} / true -> AUTO(=1)
+                fz = {}
+            out[name] = ix.suggest_completion(
+                prefix, on=f, k=size,
+                weight=opt.get("weight_field"),
+                fuzziness=int(fz.get("fuzziness", 1)) if "fuzzy" in opt else 0,
+                fuzzy_prefix_length=int(fz.get("prefix_length", 1)),
+            )
+    return out
+
+
 def _metric_on(cp: _Compiler, typ: str, spec: dict) -> str:
     f = spec.get("field")
     cp._meta_field(typ, f, None)

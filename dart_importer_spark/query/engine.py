@@ -1288,11 +1288,17 @@ class InvertedIndex:
         fuzziness: int = 0,
         fuzzy_prefix_length: int = 1,
     ) -> DataFrame:
-        """ES completion suggester, doc-valued: suggestions are the live
-        values of a stored (or runtime) string column ``on`` — the
-        completion-field "input" — matched case-insensitively on
+        """ES completion suggester, AD-HOC doc-valued form: suggestions
+        are the live values of a stored (or runtime) string column ``on``
+        — the completion-field "input" — matched case-insensitively on
         ``prefix`` (ES's completion analyzer lowercases) and ranked
         (score desc, suggestion asc), top ``k`` (the request ``size``).
+        This is the zero-setup path the ``suggest`` body section drives;
+        the PREBUILT scale path is
+        :mod:`dart_importer_spark.index.completion` (first-char-
+        partitioned weight-ordered suggestion table, contexts,
+        skip_duplicates) — build that when suggestions are built once
+        and queried often.
         Score = the suggestion's max ``weight`` column value when given
         (ES per-suggestion weight), else its live doc count (a pinned,
         deterministic stand-in for ES's unweighted constant score).
@@ -7976,6 +7982,14 @@ class InvertedIndex:
         from .dsl import aggs as _dsl_aggs
 
         return _dsl_aggs(self, body)
+
+    def search_suggest(self, body: dict) -> dict[str, DataFrame]:
+        """Run the top-level ``suggest`` section of an ES ``_search``
+        body: one DataFrame per named suggester (term / phrase /
+        completion)."""
+        from .dsl import suggest as _dsl_suggest
+
+        return _dsl_suggest(self, body)
 
     def count_body(self, body: dict) -> int:
         """ES ``_count`` with a request body (Running-ELK.md:214-218)."""

@@ -128,3 +128,32 @@ def test_completion_guards_and_nulls(comp_index):
         comp_index.suggest_completion("", on="title")
     # null titles never surface; a prefix with no matches returns []
     assert comp_index.suggest_completion("zzz", on="title").collect() == []
+
+
+def test_dsl_suggest_section(comp_index):
+    from dart_importer_spark.query.dsl import DslError, suggest
+
+    out = suggest(comp_index, {"suggest": {
+        "fix": {"text": "alpah", "term": {"field": "text", "size": 3}},
+        "comp": {"prefix": "sams", "completion": {
+            "field": "title", "size": 2, "weight_field": "w"}},
+    }})
+    assert set(out) == {"fix", "comp"}
+    fix = out["fix"].collect()
+    assert fix and fix[0]["term"] == "alpha"  # transposition, Damerau dist 1
+    comp = [r["suggestion"] for r in out["comp"].collect()]
+    assert comp == ["Samsung Electronics", "Samsung Display"]
+    # fuzzy completion through the body form
+    fz = suggest(comp_index, {"suggest": {"c": {
+        "prefix": "samsong",
+        "completion": {"field": "title", "size": 10,
+                       "fuzzy": {"fuzziness": 1}},
+    }}})["c"].collect()
+    assert len(fz) == 4
+    # guards
+    with pytest.raises(DslError, match="one of"):
+        suggest(comp_index, {"suggest": {"x": {"text": "a"}}})
+    with pytest.raises(DslError, match="field is required"):
+        suggest(comp_index, {"suggest": {"x": {"text": "a", "term": {}}}})
+    with pytest.raises(DslError, match="no 'suggest' section"):
+        suggest(comp_index, {"query": {"match_all": {}}})
