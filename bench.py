@@ -172,6 +172,13 @@ HEADLINE = [
     "ft_t_test",
     "esql_ts",
     "esql_ts_rate",
+    # ninth-continuation additions: span_multi-in-span_near, IPv4 agg
+    # family, extended stats pipeline, doc-valued completion
+    "ft_span_multi",
+    "ft_ip_range",
+    "ft_ip_prefix",
+    "ft_ext_stats_bucket",
+    "ft_completion",
 ]
 
 
