@@ -3109,6 +3109,18 @@ def q_ft_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.geohash_grid(2, query="data", k=20)
 
 
+def q_ft_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES geo_line agg: the match set's points as one ts-ordered
+    # LineString, ES-capped at 50 points (truncation exercised at sf0.1).
+    # Exploded to (seq, lon, lat) rows — array-of-array rendering isn't
+    # hash-portable; the exploded set pins ordering AND truncation
+    ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
+    line = ix.geo_line("ts", query="data", size=50)
+    return line.select(F.posexplode("line").alias("seq", "pt")).select(
+        "seq", F.col("pt")[0].alias("lon"), F.col("pt")[1].alias("lat")
+    )
+
+
 def q_ft_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES geo_bounds agg: the tight bounding box of the match set's points
     ix = _documents_index(spark, sf_dir).with_runtime_fields(_GEO_RT)
@@ -3457,6 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ext_stats_bucket": q_ft_ext_stats_bucket,
         "ft_ip_prefix": q_ft_ip_prefix,
         "ft_completion": q_ft_completion,
+        "ft_geo_line": q_ft_geo_line,
     }
 
 
@@ -7273,6 +7286,26 @@ WITH meta AS (
 SELECT opt_tag AS suggestion, CAST(count(*) AS DOUBLE) AS score
 FROM meta WHERE opt_tag LIKE 'src1%'
 GROUP BY 1 ORDER BY score DESC, suggestion ASC LIMIT 5
+""",
+        # ts-ordered LineString of the match set's runtime geo points,
+        # truncated to the first 50 (doc_id tie-break), exploded to rows
+        "ft_geo_line": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term = 'data'),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         doc_id AS src_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+pts AS (
+  SELECT row_number() OVER (ORDER BY ts ASC, did ASC) - 1 AS seq,
+         CAST(-169.5 + (src_id * 13 % 340) AS DOUBLE) AS lon,
+         CAST(-59.5 + (src_id * 7 % 120) AS DOUBLE) AS lat
+  FROM hits JOIN meta USING (did)
+)
+SELECT seq, lon, lat FROM pts WHERE seq < 50 ORDER BY seq
 """,
         # extended stats OF the per-day doc_count series (population
         # variance, like ES extended_stats); sums cast to BIGINT so the

@@ -2488,6 +2488,22 @@ def _one_agg(
             int(spec.get("precision", 7)), lat=latc, lon=lonc,
             k=int(spec.get("size", 10)), **base,
         )
+    if typ == "geo_line":
+        pt = (spec.get("point") or {}).get("field")
+        srt = (spec.get("sort") or {}).get("field")
+        if not pt or not srt:
+            raise DslError(
+                "geo_line: point.field and sort.field are required"
+            )
+        latc, lonc = cp._geo_cols(typ, pt, None)
+        cp._meta_field(typ, srt, None)
+        return ix.geo_line(
+            sort=srt, lat=latc, lon=lonc,
+            size=int(spec.get("size", 10000)),
+            sort_order=str(spec.get("sort_order", "asc")).lower(),
+            include_sort=bool(spec.get("include_sort", False)),
+            **base,
+        )
     if typ == "geo_centroid":
         latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
         return ix.geo_centroid(lat=latc, lon=lonc, **base)

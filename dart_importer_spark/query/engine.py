@@ -4374,6 +4374,88 @@ class InvertedIndex:
 
     _GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+    def geo_line(
+        self,
+        sort: str,
+        lat: str = "lat",
+        lon: str = "lon",
+        query: str | None = None,
+        by: str | None = None,
+        size: int = 10000,
+        sort_order: str = "asc",
+        include_sort: bool = False,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``geo_line`` aggregation: the match set's points as ONE
+        LineString per group (``by`` — ES's geo_line-under-terms shape;
+        None = one global line), ordered by the ``sort`` column
+        (``sort_order`` asc/desc, doc_id tie-break), truncated to
+        ``size`` points (ES cap 10000, keeping the points FIRST in sort
+        order). Returns ``line`` = array of [lon, lat] pairs (GeoJSON
+        coordinate order), ``point_count`` = TOTAL matched points before
+        truncation, ``complete`` = ES's truncation flag
+        (point_count <= size); ``include_sort`` adds the kept points'
+        sort values (ES include_sort).
+
+        Scale shape: points are RANKED per group first (one window) and
+        everything past ``size`` is dropped BEFORE the collect, so the
+        per-group aggregation state is bounded by the ES cap, never by
+        group size; window and groupBy share the same key, so the plan
+        carries one shuffle. A GLOBAL line (``by=None``) funnels the
+        whole match set through one partition to rank it — the same
+        single-coordinator reduction ES pays; pass ``by`` (the ES
+        geo_line-under-terms shape) for fleet-scale track building."""
+        if not 1 <= int(size) <= 10000:
+            raise ValueError(
+                f"geo_line: size must be 1..10000 (the ES cap), got {size}"
+            )
+        if sort_order not in ("asc", "desc"):
+            raise ValueError(
+                f"geo_line: sort_order must be 'asc' or 'desc', "
+                f"got {sort_order!r}"
+            )
+        part = [by] if by else []
+        cols = list(dict.fromkeys([sort, lat, lon, *part]))
+        j = self._match_meta(query, field, cols, filters).filter(
+            F.col(lat).isNotNull()
+            & F.col(lon).isNotNull()
+            & F.col(sort).isNotNull()
+        )
+        order = F.asc(sort) if sort_order == "asc" else F.desc(sort)
+        w = Window.partitionBy(*part).orderBy(order, F.asc("doc_id"))
+        wc = Window.partitionBy(*part)
+        ranked = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .withColumn("_total", F.count("*").over(wc))
+            .filter(F.col("_rn") <= size)
+        )
+        grouped = ranked.groupBy(*part).agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("_rn").alias("i"),
+                        F.col(lon).cast("double").alias("x"),
+                        F.col(lat).cast("double").alias("y"),
+                        F.col(sort).alias("s"),
+                    )
+                )
+            ).alias("_pts"),
+            F.max("_total").alias("point_count"),
+        )
+        out = part + [
+            F.transform("_pts", lambda p: F.array(p["x"], p["y"])).alias(
+                "line"
+            ),
+            F.col("point_count"),
+            (F.col("point_count") <= F.lit(int(size))).alias("complete"),
+        ]
+        if include_sort:
+            out.append(
+                F.transform("_pts", lambda p: p["s"]).alias("sort_values")
+            )
+        return grouped.select(*out)
+
     @classmethod
     def geohash_col(cls, lat_col: Column, lon_col: Column, precision: int) -> Column:
         """Geohash of (lat, lon) at ``precision`` chars as a pure Catalyst
