@@ -940,6 +940,15 @@ def q_ft_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.suggest_completion("src1", on="opt_tag", k=5)
 
 
+def q_ft_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES bucket_count_ks_test (pinned classic K-S): per-day doc_count
+    # distribution of the match set vs uniform fractions — statistic =
+    # max |cum_share - cum_uniform|, p via the 100-term asymptotic
+    # Kolmogorov series; per-doc work is ONE bucket aggregation
+    ix = _documents_index(spark, sf_dir)
+    return ix.bucket_count_ks_test("data merge", on="ts", interval="day")
+
+
 def q_ft_ext_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES extended_stats_bucket sibling pipeline agg: POPULATION
     # variance/std-dev (+/- 2 sigma bounds) of a date_histogram's
@@ -3470,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_ip_prefix": q_ft_ip_prefix,
         "ft_completion": q_ft_completion,
         "ft_geo_line": q_ft_geo_line,
+        "ft_ks_test": q_ft_ks_test,
     }
 
 
@@ -7286,6 +7296,49 @@ WITH meta AS (
 SELECT opt_tag AS suggestion, CAST(count(*) AS DOUBLE) AS score
 FROM meta WHERE opt_tag LIKE 'src1%'
 GROUP BY 1 ORDER BY score DESC, suggestion ASC LIMIT 5
+""",
+        # classic K-S of the per-day doc_count series vs uniform: the
+        # SAME float path as the engine (cum-int/total, rn/nb, 100-term
+        # series) so round-6 equality is exact
+        "ft_ks_test": _DOCS_CTE
+        + """
+, hits AS (SELECT DISTINCT did FROM tok WHERE term IN ('data', 'merge')),
+meta AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (doc_id % 1000) * INTERVAL 1 HOUR AS ts
+  FROM documents
+),
+b AS (
+  SELECT date_trunc('day', ts) AS bucket, count(*) AS c
+  FROM hits JOIN meta USING (did) GROUP BY 1
+),
+s AS (
+  SELECT sum(c) OVER (ORDER BY bucket) AS cum,
+         row_number() OVER (ORDER BY bucket) AS rn,
+         sum(c) OVER () AS total,
+         count(*) OVER () AS nb
+  FROM b
+),
+d AS (
+  SELECT max(abs(cum::DOUBLE / total - rn::DOUBLE / nb)) AS dd,
+         CAST(max(total) AS BIGINT) AS n, CAST(max(nb) AS INT) AS nb
+  FROM s
+),
+lam AS (SELECT dd, n, nb, (sqrt(n) + 0.12 + 0.11 / sqrt(n)) * dd AS l FROM d),
+psum AS (
+  SELECT dd, n, nb, l,
+         sum((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+             * exp(-2.0 * j * j * l * l)) AS ser
+  FROM lam CROSS JOIN generate_series(1, 100) AS t(j)
+  GROUP BY dd, n, nb, l
+)
+SELECT round(dd, 6) AS statistic,
+       round(CASE WHEN l <= 1e-9 THEN 1.0
+                  ELSE least(1.0, greatest(0.0, 2.0 * ser)) END, 6)
+         AS p_value,
+       nb AS n_buckets, n
+FROM psum
 """,
         # ts-ordered LineString of the match set's runtime geo points,
         # truncated to the first 50 (doc_id tie-break), exploded to rows

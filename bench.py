@@ -179,6 +179,8 @@ HEADLINE = [
     "ft_ip_prefix",
     "ft_ext_stats_bucket",
     "ft_completion",
+    "ft_geo_line",
+    "ft_ks_test",
 ]
 
 

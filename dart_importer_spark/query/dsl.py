@@ -2866,6 +2866,21 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
             on=on, interval=interval,
             sigma=float(ss.get("sigma", 2.0)), **base,
         )
+    if stypes == {"bucket_count_ks_test"}:
+        ss = next(iter(next(iter(sub.values())).values())) or {}
+        alts = ss.get("alternative", "two_sided")
+        if isinstance(alts, (list, tuple)):
+            if len(alts) != 1:
+                raise DslError(
+                    "bucket_count_ks_test: exactly one alternative "
+                    f"(one row per call), got {list(alts)}"
+                )
+            alts = alts[0]
+        return ix.bucket_count_ks_test(
+            on=on, interval=interval,
+            fractions=ss.get("fractions"),
+            alternative=str(alts), **base,
+        )
     raise DslError(
         f"unsupported date_histogram sub-aggs: {sorted(stypes)}"
     )

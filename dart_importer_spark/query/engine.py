@@ -4039,6 +4039,105 @@ class InvertedIndex:
             F.count("*").alias("n_buckets"),
         )
 
+    def bucket_count_ks_test(
+        self,
+        query: str | None,
+        on: str,
+        fractions: Sequence[float] | None = None,
+        interval: str = "day",
+        alternative: str = "two_sided",
+        k: int = 10000,
+        field: str | int | None = None,
+        filters: Column | None = None,
+    ) -> DataFrame:
+        """ES ``bucket_count_ks_test`` sibling pipeline agg, with a
+        PINNED deterministic model (ES's is Monte-Carlo-flavored; this
+        one is the classic Kolmogorov-Smirnov so the value oracle is an
+        equality): compare the date_histogram's per-bucket doc_count
+        distribution against ``fractions`` (expected per-bucket weights,
+        normalized; None = uniform, the ES default).
+
+        statistic: with e_i = cumulative doc_count share and f_i =
+        cumulative expected share over the bucket-ascending series,
+        ``two_sided`` D = max|e-f|, ``greater`` D = max(e-f),
+        ``less`` D = max(f-e). p_value: two_sided uses the asymptotic
+        Kolmogorov series 2·Σ_{j≥1}(-1)^{j-1}·exp(-2j²λ²) (λ =
+        (√n+0.12+0.11/√n)·D, n = total docs, 100 terms, clamped to
+        [0,1]); one-sided uses exp(-2nD²).
+
+        Scale shape: the per-doc work is ONE bucket aggregation; the
+        K-S fold runs on the ≤k-row reduced series at the coordinator —
+        where ES computes it too. Returns one row
+        (statistic, p_value, n_buckets, n)."""
+        if alternative not in ("two_sided", "less", "greater"):
+            raise ValueError(
+                f"bucket_count_ks_test: alternative must be two_sided/"
+                f"less/greater, got {alternative!r}"
+            )
+        joined = self._match_meta(query, field, [on], filters)
+        bucket = F.date_format(
+            F.date_trunc(interval, F.col(on)), "yyyy-MM-dd HH:mm:ss"
+        )
+        rows = (
+            joined.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(F.asc("bucket"))
+            .limit(k)
+            .collect()  # <= k reduced buckets — the pipeline-agg series
+        )
+        if not rows:
+            raise ValueError("bucket_count_ks_test: empty bucket series")
+        counts = [int(r["doc_count"]) for r in rows]
+        nb, n = len(counts), sum(counts)
+        if fractions is None:
+            fr = [1.0 / nb] * nb
+        else:
+            fr = [float(x) for x in fractions]
+            if len(fr) != nb:
+                raise ValueError(
+                    f"bucket_count_ks_test: {len(fr)} fractions for "
+                    f"{nb} buckets"
+                )
+            s = sum(fr)
+            if s <= 0 or any(x < 0 for x in fr):
+                raise ValueError(
+                    "bucket_count_ks_test: fractions must be >= 0 with a "
+                    "positive sum"
+                )
+            fr = [x / s for x in fr]
+        d = 0.0
+        ci, cf = 0, 0.0
+        for i, (c, f_) in enumerate(zip(counts, fr)):
+            ci += c
+            # uniform expected-cum = (i+1)/nb computed as ONE division (and
+            # empirical as cumulative-int / n): the float path the SQL
+            # oracle takes, so round-6 equality is exact, not ulp-lucky
+            cf = (i + 1) / nb if fractions is None else cf + f_
+            diff = ci / n - cf
+            if alternative == "two_sided":
+                d = max(d, abs(diff))
+            elif alternative == "greater":
+                d = max(d, diff)
+            else:
+                d = max(d, -diff)
+        d = max(d, 0.0)
+        if alternative == "two_sided":
+            lam = (math.sqrt(n) + 0.12 + 0.11 / math.sqrt(n)) * d
+            if lam <= 1e-9:  # the series alternates to 0 at λ=0; a perfect
+                p = 1.0      # fit must report p=1, not 0
+            else:
+                p = 2.0 * sum(
+                    (-1.0) ** (j - 1) * math.exp(-2.0 * j * j * lam * lam)
+                    for j in range(1, 101)
+                )
+                p = min(1.0, max(0.0, p))
+        else:
+            p = math.exp(-2.0 * n * d * d)
+        return self.spark.createDataFrame(
+            [(round(d, 6), round(p, 6), nb, n)],
+            "statistic double, p_value double, n_buckets int, n long",
+        )
+
     def bucket_script(
         self,
         query: str | None,

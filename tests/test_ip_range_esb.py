@@ -189,3 +189,67 @@ def test_ip_prefix_dsl(ip_index):
         ("10.0.0.0", 3), ("10.0.1.0", 1), ("192.168.1.0", 1)]
     with pytest.raises(DslError, match="prefix_length is required"):
         aggs(ip_index, {"aggs": {"n": {"ip_prefix": {"field": "ip"}}}})
+
+
+# ---------------------------------------------------------------------------
+# bucket_count_ks_test (query "a" day buckets: [2, 2, 1], n=5)
+# ---------------------------------------------------------------------------
+
+def test_ks_test_two_sided_uniform(ip_index):
+    row = ip_index.bucket_count_ks_test("a", on="ts", interval="day").collect()[0]
+    # e = [.4, .8, 1], f = [1/3, 2/3, 1] -> D = 2/15
+    assert row["n_buckets"] == 3 and row["n"] == 5
+    assert abs(row["statistic"] - round(2 / 15, 6)) < 1e-9
+    d = 2 / 15
+    lam = (math.sqrt(5) + 0.12 + 0.11 / math.sqrt(5)) * d
+    p = min(1.0, 2 * sum(
+        (-1.0) ** (j - 1) * math.exp(-2 * j * j * lam * lam)
+        for j in range(1, 101)
+    ))
+    assert abs(row["p_value"] - round(p, 6)) < 1e-9
+
+
+def test_ks_test_one_sided_and_perfect_fit(ip_index):
+    d = 2 / 15
+    row = ip_index.bucket_count_ks_test(
+        "a", on="ts", interval="day", alternative="greater"
+    ).collect()[0]
+    assert abs(row["statistic"] - round(d, 6)) < 1e-9
+    assert abs(row["p_value"] - round(math.exp(-2 * 5 * d * d), 6)) < 1e-9
+    # fractions equal to the empirical distribution (normalized): D=0, p=1
+    perfect = ip_index.bucket_count_ks_test(
+        "a", on="ts", interval="day", fractions=[2, 2, 1]
+    ).collect()[0]
+    assert perfect["statistic"] == 0.0 and perfect["p_value"] == 1.0
+
+
+def test_ks_test_guards_and_dsl(ip_index):
+    from dart_importer_spark.query.dsl import DslError
+
+    with pytest.raises(ValueError, match="alternative"):
+        ip_index.bucket_count_ks_test("a", on="ts", alternative="both")
+    with pytest.raises(ValueError, match="fractions for"):
+        ip_index.bucket_count_ks_test("a", on="ts", fractions=[0.5, 0.5])
+    with pytest.raises(ValueError, match="positive sum"):
+        ip_index.bucket_count_ks_test("a", on="ts", fractions=[0, 0, 0])
+    out = aggs(ip_index, {
+        "query": {"match": {"text": "a"}},
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"ks": {"bucket_count_ks_test": {
+                "buckets_path": "per_day>_count",
+                "alternative": ["less"],
+            }}},
+        }},
+    })["per_day"].collect()[0]
+    # less: D = max(f - e) = 0 on this series -> p = 1
+    assert out["statistic"] == 0.0 and out["p_value"] == 1.0
+    with pytest.raises(DslError, match="exactly one alternative"):
+        aggs(ip_index, {
+            "aggs": {"per_day": {
+                "date_histogram": {"field": "ts", "calendar_interval": "day"},
+                "aggs": {"ks": {"bucket_count_ks_test": {
+                    "buckets_path": "p>_count", "alternative": ["less", "greater"],
+                }}},
+            }},
+        })
