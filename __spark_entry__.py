@@ -2673,6 +2673,37 @@ def q_ft_dsl_retriever(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search(ix, body, emb=emb)
 
 
+def q_etl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES nested-document semantics: fold events into one parent row per
+    # user carrying an array<struct> of its events (deterministic
+    # sort_array order), then contrast the nested (same-element) and
+    # object (flattened, cross-element) readings of "a purchase worth
+    # >= 250" — the divergence the ES nested type exists to fix. Pure
+    # Catalyst: one groupBy + a narrow higher-order-function filter.
+    from dart_importer_spark.operators import nested as nestedops
+
+    ev = _load(spark, sf_dir, "events")
+    convs = nestedops.nest(
+        ev, keys=["user_id"], elem_cols=["event_type", "value"],
+        order_by=["ts", "event_id"], out_col="evs",
+    )
+    p_type = lambda x: x["event_type"] == "purchase"  # noqa: E731
+    p_val = lambda x: x["value"] >= 250.0  # noqa: E731
+    return (
+        convs.select(
+            "user_id",
+            nestedops.same_element("evs", p_type, p_val).alias(
+                "nested_match"
+            ),
+            nestedops.any_element("evs", p_type, p_val).alias(
+                "object_match"
+            ),
+        )
+        .filter(F.col("object_match"))
+        .orderBy("user_id")
+    )
+
+
 def q_etl_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus mixing: deterministic per-stratum downsampling — affine hash
     # of doc_id mod prime, no RNG, exactly reproducible by any engine
@@ -3239,7 +3270,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the DSL-dispatcher sentinel). eql_until is an eql-family variant
         # and sits at 50+ (eql_sequence is the in-window sentinel).
         "etl_importance": q_etl_importance,
-        "ft_bucket_stats": q_ft_bucket_stats,
+        # ES nested-document semantics (same-element matching over
+        # array<struct> columns) — a NEW operator class (per-element
+        # document model, the Lucene block-join shape); takes the slot of
+        # ft_bucket_stats (pipeline-agg family variant — ft_pipeline_aggs
+        # stays as the in-window pipeline sentinel)
+        "etl_nested": q_etl_nested,
         "ft_termvectors": q_ft_termvectors,
         "ft_multi_index": q_ft_multi_index,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
@@ -3288,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_scripted_metric": q_ft_scripted_metric,
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window; ft_scripted_metric above is #50) ---
+        "ft_bucket_stats": q_ft_bucket_stats,
         "ft_geo_distance": q_ft_geo_distance,
         "ft_geotile": q_ft_geotile,
         "ft_bucket_script": q_ft_bucket_script,
@@ -6644,6 +6681,19 @@ SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
          AS score
 FROM lexn l FULL OUTER JOIN vecn v ON l.doc_id = v.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 20
+""",
+        "etl_nested": """
+WITH o AS (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING bool_or(event_type = 'purchase') AND bool_or(value >= 250.0)
+), n AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 250.0
+)
+SELECT o.user_id, (n.user_id IS NOT NULL) AS nested_match,
+       TRUE AS object_match
+FROM o LEFT JOIN n ON o.user_id = n.user_id
+ORDER BY o.user_id
 """,
         "etl_stratified": """
 SELECT doc_id, source FROM documents

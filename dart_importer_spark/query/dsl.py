@@ -161,6 +161,8 @@ class _Compiler:
             return F.col(latc).between(
                 float(br["lat"]), float(tl["lat"])
             ) & F.col(lonc).between(float(tl["lon"]), float(br["lon"]))
+        if typ == "nested":
+            return self._nested_clause(spec, cols)
         if typ in ("match", "match_phrase", "wildcard", "prefix", "fuzzy"):
             raise DslError(
                 f"{typ} in filter context: full-text clauses belong in "
@@ -168,6 +170,100 @@ class _Compiler:
                 f"the must spelling is equivalent)"
             )
         raise DslError(f"unsupported clause in filter context: {typ!r}")
+
+    # ------------------------------------------------------- nested clause
+    def _nested_clause(self, spec: dict, cols: set | None) -> Column:
+        """ES ``nested`` query (filter context): the inner query's
+        conditions must co-match on the SAME array element — compiled to
+        ONE ``exists`` over the array<struct> doc_stats column with the
+        whole inner clause tree bound to the element variable. Pure
+        Catalyst; the predicate evaluates inside the parent scan (a
+        nested column rides the parent row group, so there is no
+        child-table join — the Lucene block-join reading)."""
+        path, q = spec.get("path"), spec.get("query")
+        if not isinstance(path, str) or not isinstance(q, dict):
+            raise DslError("nested: need {'path': ..., 'query': {...}}")
+        try:
+            elem = self.ix._nested_path(path)
+        except ValueError as e:
+            raise DslError(str(e)) from None
+        if cols is not None:
+            cols.add(path)
+        fields = set(elem.names)
+        return F.exists(
+            F.col(path), lambda x: self._nested_pred(path, fields, q, x)
+        )
+
+    def _nested_pred(
+        self, path: str, fields: set, clause: Any, x: Column
+    ) -> Column:
+        """Element-level predicate of a nested query's inner clause —
+        term / terms / range / exists / match_all and arbitrarily nested
+        bool over ``path.field`` struct fields, every leaf bound to the
+        same element ``x`` (the ES nested contract)."""
+        typ, spec = self._clause(clause)
+
+        def sub(f) -> Column:
+            name = f
+            if isinstance(name, str) and name.startswith(path + "."):
+                name = name[len(path) + 1:]
+            if not isinstance(name, str) or name not in fields:
+                raise DslError(
+                    f"nested: {f!r} is not a field of {path!r} "
+                    f"(fields: {sorted(fields)})"
+                )
+            return x[name]
+
+        if typ == "match_all":
+            return F.lit(True)
+        if typ == "bool":
+            must = [
+                self._nested_pred(path, fields, c, x)
+                for c in _as_list(spec.get("must"))
+                + _as_list(spec.get("filter"))
+            ]
+            must_not = [
+                _not_null_safe(self._nested_pred(path, fields, c, x))
+                for c in _as_list(spec.get("must_not"))
+            ]
+            should = [
+                self._nested_pred(path, fields, c, x)
+                for c in _as_list(spec.get("should"))
+            ]
+            out = F.lit(True)
+            for c in must + must_not:
+                out = out & c
+            if should:
+                msm = spec.get("minimum_should_match")
+                if msm is None:
+                    msm = 0 if (must or spec.get("filter")) else 1
+                msm = int(msm)
+                if msm > 0:
+                    n = sum(
+                        F.coalesce(c.cast("int"), F.lit(0)) for c in should
+                    )
+                    out = out & (n >= F.lit(msm))
+            return out
+        if typ == "exists":
+            return sub(spec.get("field")).isNotNull()
+        if typ in ("term", "terms", "range"):
+            f, v, _side = _field_spec(typ, spec)
+            c = sub(f)
+            if typ == "term":
+                if isinstance(v, dict):
+                    v = v.get("value")
+                return c == F.lit(v)
+            if typ == "terms":
+                if not isinstance(v, (list, tuple)):
+                    raise DslError(f"terms: expected a list for {f!r}")
+                return c.isin(list(v))
+            return self._range_pred(c, f, v)
+        raise DslError(
+            f"nested: unsupported inner clause {typ!r} (supported: term / "
+            f"terms / range / exists / match_all / bool — full-text "
+            f"clauses need an indexed field, which a nested element is "
+            f"not)"
+        )
 
     def _geo_cols(self, typ: str, f: str, cols: set | None) -> tuple[str, str]:
         """ES geo_point field -> the engine's two-numeric-column
@@ -199,19 +295,19 @@ class _Compiler:
             cols.add(f)
 
     @staticmethod
-    def _range_col(f: str, v: Any) -> Column:
+    def _range_pred(c: Column, f: str, v: Any) -> Column:
         if not isinstance(v, dict):
             raise DslError(f"range: expected bounds dict for {f!r}")
         conds = []
         for op, val in v.items():
             if op == "gte":
-                conds.append(F.col(f) >= F.lit(val))
+                conds.append(c >= F.lit(val))
             elif op == "gt":
-                conds.append(F.col(f) > F.lit(val))
+                conds.append(c > F.lit(val))
             elif op == "lte":
-                conds.append(F.col(f) <= F.lit(val))
+                conds.append(c <= F.lit(val))
             elif op == "lt":
-                conds.append(F.col(f) < F.lit(val))
+                conds.append(c < F.lit(val))
             elif op in ("boost", "format", "time_zone", "relation"):
                 continue
             else:
@@ -219,9 +315,13 @@ class _Compiler:
         if not conds:
             raise DslError(f"range: no bounds for {f!r}")
         out = conds[0]
-        for c in conds[1:]:
-            out = out & c
+        for c2 in conds[1:]:
+            out = out & c2
         return out
+
+    @classmethod
+    def _range_col(cls, f: str, v: Any) -> Column:
+        return cls._range_pred(F.col(f), f, v)
 
     def _filter_bool(self, spec: dict, cols: set | None) -> Column:
         must = [
@@ -891,6 +991,13 @@ def _dispatch_leaf(
                 big, little, slop=slop, in_order=in_order, k=k
             )
         return ix.span_within(little, big, slop=slop, in_order=in_order, k=k)
+    if typ == "nested":
+        # a VALID top-level nested clause routes through is_filterish to
+        # the constant-score filter path before scoring dispatch ever runs;
+        # reaching here means the clause is malformed — re-compile it so
+        # the precise filter-context validation error surfaces instead of
+        # a generic "unsupported clause"
+        cp.compile_filter({typ: spec})
     raise DslError(f"unsupported query clause: {typ!r}")
 
 
@@ -2126,6 +2233,53 @@ def _one_agg(
                 "sub-aggregations"
             )
         return _terms_sub(cp, name, by, size, sub, base, order=order)
+
+    if typ == "nested":
+        # ES nested agg: switch the bucket stream to the ELEMENTS of an
+        # array<struct> meta column; one terms sub-agg over `path.field`,
+        # optionally carrying a reverse_nested sub-sub-agg (parent doc
+        # counts). doc_count counts nested sub-documents, like ES.
+        path = spec.get("path")
+        if not isinstance(path, str):
+            raise DslError(f"nested agg {name!r}: 'path' is required")
+        if len(sub) != 1:
+            raise DslError(
+                f"nested agg {name!r}: expected exactly one terms "
+                f"sub-aggregation, got {sorted(sub)}"
+            )
+        ((_sname, sspec),) = sub.items()
+        stkinds = [
+            kk for kk in sspec if kk not in ("aggs", "aggregations", "meta")
+        ]
+        if stkinds != ["terms"]:
+            raise DslError(
+                f"nested agg {name!r}: only a terms sub-aggregation is "
+                f"supported (got {stkinds})"
+            )
+        tspec = sspec["terms"] or {}
+        by = tspec.get("field")
+        if isinstance(by, str) and by.startswith(path + "."):
+            by = by[len(path) + 1:]
+        ssub = sspec.get("aggs", sspec.get("aggregations")) or {}
+        reverse = False
+        if ssub:
+            rkinds = [
+                [k for k in s if k not in ("aggs", "aggregations", "meta")]
+                for s in ssub.values()
+            ]
+            if len(ssub) != 1 or rkinds[0] != ["reverse_nested"]:
+                raise DslError(
+                    f"nested agg {name!r}: the terms sub-agg supports only "
+                    f"a reverse_nested sub-aggregation (got {rkinds})"
+                )
+            reverse = True
+        try:
+            return ix.nested_terms(
+                path, by, k=int(tspec.get("size", 10)), reverse=reverse,
+                **base,
+            )
+        except ValueError as e:
+            raise DslError(str(e)) from None
     if typ == "multi_terms":
         by = [t["field"] for t in spec.get("terms", [])]
         for f in by:

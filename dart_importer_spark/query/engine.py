@@ -2951,6 +2951,76 @@ class InvertedIndex:
             grouped = grouped.filter(F.col("doc_count") >= min_doc_count)
         return grouped.orderBy(*_terms_order(order, by)).limit(k)
 
+    def _nested_path(self, path: str):
+        """Validate that ``path`` is an array<struct> doc_stats column (the
+        engine's nested-field representation) and return its element
+        StructType."""
+        from pyspark.sql.types import ArrayType, StructType
+
+        schema = self.doc_stats().schema
+        if path not in schema.names:
+            raise ValueError(
+                f"nested: {path!r} is not a doc_stats column "
+                f"(columns: {sorted(schema.names)})"
+            )
+        dt = schema[path].dataType
+        if not (isinstance(dt, ArrayType) and isinstance(dt.elementType, StructType)):
+            raise ValueError(
+                f"nested: {path!r} is not an array<struct> column "
+                f"(got {dt.simpleString()}) — nested fields are stored as "
+                f"array<struct> meta columns"
+            )
+        return dt.elementType
+
+    def nested_terms(
+        self,
+        path: str,
+        by: str,
+        query: str | None = None,
+        k: int = 10,
+        field: str | int | None = None,
+        filters: Column | None = None,
+        nested_filter=None,
+        reverse: bool = False,
+    ) -> DataFrame:
+        """ES ``nested`` aggregation with a ``terms`` sub-agg: bucket the
+        ELEMENTS of an array<struct> meta column over the match set.
+        ``doc_count`` counts nested sub-documents (ES nested-agg
+        semantics — each array element is a hidden doc); ``reverse=True``
+        adds ``parent_doc_count`` = distinct parent docs per bucket (the
+        ``reverse_nested`` sub-agg, which is how ES climbs back to parent
+        counts). ``nested_filter`` is an element-level predicate
+        ``Callable[[Column], Column]`` applied before bucketing (the
+        ``nested`` query-inside-agg filter).
+
+        Plan: match set -> one explode (narrow generator) -> one hash
+        aggregate on the element key; ``parent_doc_count`` rides the same
+        aggregate as a count(distinct doc_id). No child-table join — the
+        nested column lives in the parent's row group, exactly why ES/
+        Lucene co-locate nested docs with their parent block."""
+        elem = self._nested_path(path)
+        if by not in elem.names:
+            raise ValueError(
+                f"nested_terms: {by!r} is not a field of {path!r} "
+                f"(fields: {sorted(elem.names)})"
+            )
+        joined = self._match_meta(query, field, [path], filters)
+        arr = F.col(path)
+        if nested_filter is not None:
+            arr = F.filter(arr, nested_filter)
+        ex = joined.select("doc_id", F.explode(arr).alias("_e"))
+        out_aggs = [F.count("*").alias("doc_count")]
+        if reverse:
+            out_aggs.append(
+                F.countDistinct("doc_id").alias("parent_doc_count")
+            )
+        return (
+            ex.groupBy(F.col(f"_e.{by}").alias(by))
+            .agg(*out_aggs)
+            .orderBy(F.desc("doc_count"), F.asc(by))
+            .limit(k)
+        )
+
     def histogram(
         self,
         query: str,
