@@ -181,6 +181,8 @@ HEADLINE = [
     "ft_completion",
     "ft_geo_line",
     "ft_ks_test",
+    # tenth-continuation addition: nested-document semantics
+    "etl_nested",
 ]
 
 
