@@ -302,6 +302,33 @@ def q_sim_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES 8.18 rank_vectors / ColBERT late interaction: fold the embeddings
+    # table into multi-vector "docs" (5 chunk vectors per doc, vec_id-major
+    # order) and rank by maxSimDotProduct against a 2-vector query — sum
+    # over query vectors of the best dot product among the doc's vectors.
+    # Pure Catalyst (zip_with/aggregate/array_max), one scan, top-k via
+    # TakeOrderedAndProject.
+    emb = _load(spark, sf_dir, "embeddings")
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 2)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    docs = similarity.fold_vectors(
+        emb.withColumn(
+            "doc_id", F.floor(F.col("vec_id") / F.lit(5)).cast("long")
+        ),
+        key_col="doc_id",
+        vec_col="embedding",
+        order_col="vec_id",
+    )
+    out = similarity.max_sim_topk(docs, qvecs, k=10)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
 def q_etl_proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1: projection + rename (reference generate_corp_code_doc,
     # import_dart_data.py:114-135)
@@ -3325,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 50+: replica+pytest evidence (outside the driver's
         # --- first-50 sample window; ft_scripted_metric above is #50) ---
         "ft_bucket_stats": q_ft_bucket_stats,
+        "sim_maxsim": q_sim_maxsim,
         "ft_geo_distance": q_ft_geo_distance,
         "ft_geotile": q_ft_geotile,
         "ft_bucket_script": q_ft_bucket_script,
@@ -6038,6 +6066,22 @@ scored AS (
 )
 SELECT vec_id, round(c, 4) AS cosine FROM scored
 ORDER BY c DESC, vec_id ASC LIMIT 10
+""",
+        "sim_maxsim": """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 2
+),
+d AS (
+  SELECT vec_id // 5 AS doc_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+permax AS (
+  SELECT d.doc_id, q.qid, max(list_inner_product(d.v, q.qv)) AS m
+  FROM d CROSS JOIN q GROUP BY 1, 2
+),
+sc AS (SELECT doc_id, sum(m) AS s FROM permax GROUP BY 1)
+SELECT doc_id, round(s, 4) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT 10
 """,
         "etl_proj_rename": "SELECT r_regionkey AS _id, r_name AS name FROM region",
         "etl_filter_eq": "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'",

@@ -75,6 +75,85 @@ def brute_force_cosine_topk(
     )
 
 
+def fold_vectors(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    order_col: str,
+    out_col: str = "vecs",
+) -> DataFrame:
+    """Fold per-chunk embedding rows into ONE row per ``key_col`` carrying
+    an array-of-vectors column ordered by ``order_col`` — the ES 8.18
+    ``rank_vectors`` (multi-vector / late-interaction) document shape.
+    ``sort_array`` over an order-leading struct makes the fold
+    deterministic under any shuffle layout (``collect_list`` alone is
+    order-nondeterministic). One shuffle on the doc key; agg state is
+    bounded by the largest doc's chunk count."""
+    folded = df.groupBy(key_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("_o"), F.col(vec_col).alias("_v")
+                )
+            )
+        ).alias("_s")
+    )
+    return folded.withColumn(
+        out_col, F.transform(F.col("_s"), lambda x: x["_v"])
+    ).drop("_s")
+
+
+def max_sim_dot(vecs_col: str | Column, query_vecs) -> Column:
+    """ES ``maxSimDotProduct`` over a rank_vectors-shaped column (ColBERT
+    late interaction): sum over QUERY vectors of the max dot product
+    against any of the doc's vectors. Pure higher-order JVM expressions —
+    each query vector is unrolled as a literal array, so the expression
+    tree grows with n_query_vecs x dim; fine for interactive Q (<= ~32
+    vectors): the scan stays whole-stage-codegen'd and shuffle-free. For
+    bulk scoring of a large query SET, batch through
+    :func:`brute_force_cosine_topk_batch`-style grouped kernels instead.
+    Element math is float32 -> double cast BEFORE multiply, matching
+    DuckDB ``list_inner_product(a::DOUBLE[], b::DOUBLE[])`` exactly."""
+    col = F.col(vecs_col) if isinstance(vecs_col, str) else vecs_col
+    if not query_vecs:
+        raise ValueError("max_sim_dot: need at least one query vector")
+    # closure factory: F.transform passes (element, index) to TWO-argument
+    # callables, so the query literal must be captured, not defaulted
+    def _dot_fn(qlit: Column):
+        def dot(v: Column) -> Column:
+            return F.aggregate(
+                F.zip_with(v, qlit, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+
+        return dot
+
+    score = None
+    for q in query_vecs:
+        qlit = F.array(*[F.lit(float(x)) for x in q])
+        m = F.array_max(F.transform(col, _dot_fn(qlit)))
+        score = m if score is None else score + m
+    return score
+
+
+def max_sim_topk(
+    doc_vecs: DataFrame,
+    query_vecs,
+    k: int = 10,
+    id_col: str = "doc_id",
+    vecs_col: str = "vecs",
+) -> DataFrame:
+    """Late-interaction top-k: (id, score) by :func:`max_sim_dot`, score
+    desc / id asc. Docs with NO vectors are excluded (ES rank_vectors
+    rejects empty docs at index time). Plan: narrow projection over the
+    doc table -> TakeOrderedAndProject; no join, no shuffle."""
+    scored = doc_vecs.filter(F.size(F.col(vecs_col)) > 0).select(
+        id_col, max_sim_dot(vecs_col, query_vecs).alias("score")
+    )
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
+
+
 def _grouped_topk_kernel(kk: int):
     """mapInPandas kernel shared by the batch-kNN paths: each input row
     carries one corpus block (``cxs``: structs of i, v) and one query

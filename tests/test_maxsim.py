@@ -1,0 +1,74 @@
+"""Late-interaction (rank_vectors / maxSimDotProduct) operator tests on
+planted multi-vector fixtures — hand-computed expectations, determinism
+under repartition, and the no-Python-UDF plan contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def chunk_rows(spark):
+    # (doc, chunk_ord, vec) — doc 0 and doc 1 each carry two chunk
+    # vectors; doc 2 one vector orthogonal to both queries
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (0, 1, [0.0, 1.0, 0.0]),
+        (1, 0, [0.5, 0.5, 0.0]),
+        (1, 1, [0.0, 0.0, 1.0]),
+        (2, 0, [0.0, 0.0, -1.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, ord int, vec array<float>"
+    )
+
+
+def test_fold_vectors_deterministic_order(spark, chunk_rows):
+    # the fold must order chunks by ord regardless of partitioning
+    for parts in (1, 7):
+        out = similarity.fold_vectors(
+            chunk_rows.repartition(parts), "doc_id", "vec", "ord"
+        )
+        row = {r["doc_id"]: r["vecs"] for r in out.collect()}
+        assert [list(v) for v in row[0]] == [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        assert [list(v) for v in row[1]] == [[0.5, 0.5, 0.0], [0.0, 0.0, 1.0]]
+
+
+def test_max_sim_hand_computed(spark, chunk_rows):
+    docs = similarity.fold_vectors(chunk_rows, "doc_id", "vec", "ord")
+    # queries q1=[1,0,0], q2=[0,0,1]:
+    #   doc0: max(1, 0) + max(0, 0)     = 1.0
+    #   doc1: max(.5, 0) + max(0, 1)    = 1.5
+    #   doc2: max(0) + max(-1)          = -1.0
+    out = similarity.max_sim_topk(
+        docs, [[1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], k=10
+    )
+    got = [(r["doc_id"], r["score"]) for r in out.collect()]
+    assert got == [(1, 1.5), (0, 1.0), (2, -1.0)]
+
+
+def test_max_sim_excludes_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(0, [[1.0, 0.0]]), (1, [])],
+        "doc_id long, vecs array<array<float>>",
+    )
+    out = similarity.max_sim_topk(docs, [[1.0, 0.0]], k=10)
+    assert [r["doc_id"] for r in out.collect()] == [0]
+
+
+def test_max_sim_requires_query_vectors():
+    with pytest.raises(ValueError):
+        similarity.max_sim_dot("vecs", [])
+
+
+def test_max_sim_plan_jvm_only(spark, chunk_rows):
+    # scoring must stay in the JVM (no BatchEvalPython) and reach the
+    # top-k as a TakeOrderedAndProject
+    docs = similarity.fold_vectors(chunk_rows, "doc_id", "vec", "ord")
+    out = similarity.max_sim_topk(docs, [[1.0, 0.0, 0.0]], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
