@@ -154,6 +154,62 @@ def max_sim_topk(
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(int(k))
 
 
+def max_sim_ann(
+    ivf: "IvfAnnIndex",
+    chunk_doc: DataFrame,
+    doc_vecs: DataFrame,
+    query_vecs,
+    k: int = 10,
+    nprobe: int = 4,
+    num_candidates: int = 100,
+    id_col: str = "doc_id",
+    vecs_col: str = "vecs",
+) -> DataFrame:
+    """Late-interaction retrieval at scale — the ColBERTv2/PLAID two-stage
+    shape: an IVF index over the CHUNK vectors generates doc candidates,
+    then :func:`max_sim_dot` exact-reranks only those docs.
+
+    - ``ivf``: an :class:`IvfAnnIndex` built over the flat chunk-vector
+      table (one row per chunk; its id_col identifies a chunk).
+    - ``chunk_doc``: (chunk_id, doc_id) mapping — columns named
+      ``ivf.id_col`` and ``id_col``.
+    - ``doc_vecs``: the rank_vectors-shaped (doc_id, vecs) table for the
+      exact rerank (:func:`fold_vectors` output).
+
+    Stage 1 probes ALL query vectors in ONE job (``topk_batch``), each
+    touching ~nprobe/n_lists of the chunk table via partition-pruned list
+    directories; candidate generation ranks by cosine (the standard PLAID
+    surrogate for the dot-product rerank — documented approximation, like
+    ColBERT's). Stage 2 is a left_semi join (candidates are
+    <= n_query_vecs x num_candidates rows — broadcast-sized) plus the
+    exact maxSim projection. With ``nprobe = n_lists`` and
+    ``num_candidates >= n_chunks`` the result is EXACTLY
+    :func:`max_sim_topk` (property-tested)."""
+    spark = doc_vecs.sparkSession
+    if not query_vecs:
+        raise ValueError("max_sim_ann: need at least one query vector")
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
+        "q_id long, q_vec array<double>",
+    )
+    probed = ivf.topk_batch(
+        qdf, k=int(num_candidates), nprobe=int(nprobe)
+    )
+    cands = (
+        probed.select(ivf.id_col)
+        .join(chunk_doc, ivf.id_col)
+        .select(id_col)
+        .distinct()
+    )
+    return max_sim_topk(
+        doc_vecs.join(F.broadcast(cands), id_col, "left_semi"),
+        query_vecs,
+        k=k,
+        id_col=id_col,
+        vecs_col=vecs_col,
+    )
+
+
 def _grouped_topk_kernel(kk: int):
     """mapInPandas kernel shared by the batch-kNN paths: each input row
     carries one corpus block (``cxs``: structs of i, v) and one query

@@ -72,3 +72,79 @@ def test_max_sim_plan_jvm_only(spark, chunk_rows):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.fixture(scope="module")
+def chunk_corpus(spark):
+    # 12 docs x 5 chunks of dim 8, deterministic
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((60, 8)).astype("float32")
+    rows = [(i, int(i // 5), [float(x) for x in vecs[i]]) for i in range(60)]
+    return spark.createDataFrame(
+        rows, "vec_id long, doc_id long, embedding array<float>"
+    )
+
+
+def test_max_sim_ann_full_probe_exact(spark, chunk_corpus):
+    # nprobe = n_lists and num_candidates >= n_chunks => candidate
+    # generation is lossless, so the ANN path must equal brute maxSim
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    qvecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(3)]
+    ivf = similarity.IvfAnnIndex(
+        chunk_corpus, id_col="vec_id", vec_col="embedding", n_lists=4
+    )
+    docs = similarity.fold_vectors(
+        chunk_corpus, "doc_id", "embedding", "vec_id"
+    )
+    brute = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in similarity.max_sim_topk(docs, qvecs, k=5).collect()
+    ]
+    ann = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in similarity.max_sim_ann(
+            ivf,
+            chunk_corpus.select("vec_id", "doc_id"),
+            docs,
+            qvecs,
+            k=5,
+            nprobe=4,
+            num_candidates=60,
+        ).collect()
+    ]
+    assert ann == brute
+
+
+def test_max_sim_ann_partial_probe_scores_exact(spark, chunk_corpus):
+    # a lossy probe may MISS docs but must never misSCORE one: every
+    # returned (doc, score) matches the brute-force score for that doc
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    qvecs = [[float(x) for x in rng.standard_normal(8)] for _ in range(2)]
+    ivf = similarity.IvfAnnIndex(
+        chunk_corpus, id_col="vec_id", vec_col="embedding", n_lists=4
+    )
+    docs = similarity.fold_vectors(
+        chunk_corpus, "doc_id", "embedding", "vec_id"
+    )
+    brute = {
+        r["doc_id"]: round(r["score"], 9)
+        for r in similarity.max_sim_topk(docs, qvecs, k=12).collect()
+    }
+    ann = similarity.max_sim_ann(
+        ivf,
+        chunk_corpus.select("vec_id", "doc_id"),
+        docs,
+        qvecs,
+        k=5,
+        nprobe=1,
+        num_candidates=5,
+    ).collect()
+    assert 0 < len(ann) <= 5
+    for r in ann:
+        assert round(r["score"], 9) == brute[r["doc_id"]]
