@@ -329,6 +329,50 @@ def q_sim_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.round("score", 4).alias("score"))
 
 
+def q_sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe equivalence contract for the PLAID-style late-interaction
+    path: with nprobe = n_lists and num_candidates >= n_chunks, candidate
+    generation is lossless, so max_sim_ann must be RANK-IDENTICAL to brute
+    max_sim_topk — asserted in-query, deterministic contract row out (the
+    sim_ann_ivf oracle shape). Lossy-probe behavior (may miss docs, never
+    mis-scores one) is property-tested in tests/test_maxsim.py."""
+    emb = _load(spark, sf_dir, "embeddings")
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 2)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    chunk_doc = emb.select(
+        "vec_id", F.floor(F.col("vec_id") / F.lit(5)).cast("long").alias("doc_id")
+    )
+    docs = similarity.fold_vectors(
+        emb.withColumn(
+            "doc_id", F.floor(F.col("vec_id") / F.lit(5)).cast("long")
+        ),
+        key_col="doc_id",
+        vec_col="embedding",
+        order_col="vec_id",
+    )
+    ivf = _ivf_index(spark, sf_dir)
+    n_chunks = emb.count()
+    ann = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in similarity.max_sim_ann(
+            ivf, chunk_doc, docs, qvecs,
+            k=10, nprobe=ivf.n_lists, num_candidates=n_chunks,
+        ).collect()
+    ]
+    brute = [
+        (r["doc_id"], round(r["score"], 6))
+        for r in similarity.max_sim_topk(docs, qvecs, k=10).collect()
+    ]
+    return spark.createDataFrame(
+        [(10, ann == brute)], "k int, exact_match boolean"
+    )
+
+
 def q_etl_proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1: projection + rename (reference generate_corp_code_doc,
     # import_dart_data.py:114-135)
@@ -3353,6 +3397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- first-50 sample window; ft_scripted_metric above is #50) ---
         "ft_bucket_stats": q_ft_bucket_stats,
         "sim_maxsim": q_sim_maxsim,
+        "sim_maxsim_ann": q_sim_maxsim_ann,
         "ft_geo_distance": q_ft_geo_distance,
         "ft_geotile": q_ft_geotile,
         "ft_bucket_script": q_ft_bucket_script,
@@ -5779,6 +5824,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "ft_multi_match_boost": multi_match_boost_sql,
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",
+        "sim_maxsim_ann": "SELECT 10 AS k, true AS exact_match",
         "sim_ivf_sq": "SELECT 10 AS k, true AS recall_ok",
         "sim_ivf_batch": (
             "SELECT unnest([0, 7, 14, 21])::BIGINT AS q_id, 10 AS k, "

@@ -181,8 +181,10 @@ HEADLINE = [
     "ft_completion",
     "ft_geo_line",
     "ft_ks_test",
-    # tenth-continuation addition: nested-document semantics
+    # tenth-continuation additions: nested-document semantics,
+    # rank_vectors late interaction
     "etl_nested",
+    "sim_maxsim",
 ]
 
 
