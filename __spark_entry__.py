@@ -373,6 +373,35 @@ def q_sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sem_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_text pipeline contract (ES 8.15 semantic field + semantic
+    query): chunk -> feature-hash embed (deterministic random-projection
+    bag-of-words; swap set_embedder for a model endpoint) -> best-chunk
+    retrieval. Self-retrieval invariant, asserted in-query for 3 probe
+    docs: querying a doc's OWN leading chunk text must return a doc with
+    exactly that text at score ~1.0 (an exact duplicate doc may win the
+    id tie — text equality is the contract, like the dedup oracles)."""
+    from dart_importer_spark.operators import semantic
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    ix = semantic.semantic_index(
+        docs, "doc_id", "text", chunk_size=8, dim=32
+    ).cache()
+    text_by_id = {r["doc_id"]: r["text"] for r in docs.filter(
+        F.col("doc_id").isin([1, 11, 23])).collect()}
+    ok = True
+    for pid, ptext in sorted(text_by_id.items()):
+        probe = " ".join(str(ptext).split()[:8])
+        hit = semantic.semantic_topk(ix, probe, k=1, dim=32).collect()[0]
+        hit_text = docs.filter(F.col("doc_id") == hit["id"]).first()["text"]
+        lead = " ".join(str(hit_text).split()[:8])
+        ok = ok and (lead == probe) and abs(hit["score"] - 1.0) < 1e-4
+    ix.unpersist()
+    return spark.createDataFrame(
+        [(len(text_by_id), ok)], "n_probes int, self_retrieval_ok boolean"
+    )
+
+
 def q_etl_proj_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1: projection + rename (reference generate_corp_code_doc,
     # import_dart_data.py:114-135)
@@ -3398,6 +3427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_stats": q_ft_bucket_stats,
         "sim_maxsim": q_sim_maxsim,
         "sim_maxsim_ann": q_sim_maxsim_ann,
+        "sem_search": q_sem_search,
         "ft_geo_distance": q_ft_geo_distance,
         "ft_geotile": q_ft_geotile,
         "ft_bucket_script": q_ft_bucket_script,
@@ -5825,6 +5855,7 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
         "sim_ann_lsh": "SELECT 10 AS k, true AS recall_ok",
         "sim_ann_ivf": "SELECT 10 AS k, true AS recall_ok",
         "sim_maxsim_ann": "SELECT 10 AS k, true AS exact_match",
+        "sem_search": "SELECT 3 AS n_probes, true AS self_retrieval_ok",
         "sim_ivf_sq": "SELECT 10 AS k, true AS recall_ok",
         "sim_ivf_batch": (
             "SELECT unnest([0, 7, 14, 21])::BIGINT AS q_id, 10 AS k, "

@@ -185,6 +185,7 @@ HEADLINE = [
     # rank_vectors late interaction
     "etl_nested",
     "sim_maxsim",
+    "sem_search",
 ]
 
 
