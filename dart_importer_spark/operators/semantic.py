@@ -38,7 +38,25 @@ from pyspark.sql import DataFrame
 
 from . import sampling, similarity
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_TOKEN_RE = re.compile(r"[^\W_]+")  # unicode word runs, any script
+_CJK_RE = re.compile(r"[㐀-鿿豈-﫿]")
+
+
+def _tokens(text: str) -> list[str]:
+    """Unicode tokenization for the default embedder: word runs in any
+    script; runs containing CJK (no space boundaries) expand to character
+    bigrams (unigram for a single char) — the same convention as the
+    engine's pinned CJK tokenizer."""
+    out: list[str] = []
+    for tok in _TOKEN_RE.findall(str(text).lower()):
+        if _CJK_RE.search(tok):
+            if len(tok) == 1:
+                out.append(tok)
+            else:
+                out.extend(tok[i:i + 2] for i in range(len(tok) - 1))
+        else:
+            out.append(tok)
+    return out
 
 
 def _hash_embed(texts: pd.Series, dim: int, seed: int) -> np.ndarray:
@@ -50,7 +68,7 @@ def _hash_embed(texts: pd.Series, dim: int, seed: int) -> np.ndarray:
     cache: dict[str, np.ndarray] = {}
     out = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
-        for tok in _TOKEN_RE.findall(str(t).lower()):
+        for tok in _tokens(t):
             v = cache.get(tok)
             if v is None:
                 h = int.from_bytes(
@@ -158,6 +176,12 @@ def semantic_topk(
     call), score every doc by its best chunk's dot product — cosine,
     since all vectors are unit-normalized. Returns (id, score) top-k."""
     qv = _embed_series(pd.Series([query_text]), dim, seed)[0]
+    if not float(np.linalg.norm(qv)) > 0:
+        raise ValueError(
+            "semantic_topk: query embedded to the zero vector (no "
+            "tokens) — every doc would score 0.0, which is noise, not "
+            "a ranking"
+        )
     return similarity.max_sim_topk(
         index_df, [list(map(float, qv))], k=k,
         id_col=id_col, vecs_col=vecs_col,

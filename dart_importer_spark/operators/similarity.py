@@ -117,6 +117,12 @@ def max_sim_dot(vecs_col: str | Column, query_vecs) -> Column:
     col = F.col(vecs_col) if isinstance(vecs_col, str) else vecs_col
     if not query_vecs:
         raise ValueError("max_sim_dot: need at least one query vector")
+    dims = {len(q) for q in query_vecs}
+    if len(dims) != 1:
+        raise ValueError(
+            f"max_sim_dot: query vectors have mixed dims {sorted(dims)}"
+        )
+    (dim_q,) = dims
     # closure factory: F.transform passes (element, index) to TWO-argument
     # callables, so the query literal must be captured, not defaulted
     def _dot_fn(qlit: Column):
@@ -134,7 +140,19 @@ def max_sim_dot(vecs_col: str | Column, query_vecs) -> Column:
         qlit = F.array(*[F.lit(float(x)) for x in q])
         m = F.array_max(F.transform(col, _dot_fn(qlit)))
         score = m if score is None else score + m
-    return score
+    # dim guard: zip_with null-pads a length mismatch, which would turn
+    # every score into silent NULL — raise the way ES rejects a dim
+    # mismatch instead. assert_true is NULL on success, so folding it
+    # through a when() keeps the score expression intact.
+    guard = F.assert_true(
+        F.forall(col, lambda v: F.size(v) == F.lit(dim_q)),
+        F.lit(
+            f"max_sim_dot: document vector dim != query dim {dim_q}"
+        ),
+    )
+    return F.when(guard.isNull(), score).otherwise(
+        F.lit(None).cast("double")
+    )
 
 
 def max_sim_topk(
@@ -196,7 +214,10 @@ def max_sim_ann(
         qdf, k=int(num_candidates), nprobe=int(nprobe)
     )
     cands = (
-        probed.select(ivf.id_col)
+        # topk_batch's output schema is fixed (q_id, vec_id, cosine, rank)
+        # regardless of the index's id_col name — realias to ivf.id_col so
+        # the chunk_doc join honors the documented column contract
+        probed.select(F.col("vec_id").alias(ivf.id_col))
         .join(chunk_doc, ivf.id_col)
         .select(id_col)
         .distinct()

@@ -992,12 +992,13 @@ def _dispatch_leaf(
             )
         return ix.span_within(little, big, slop=slop, in_order=in_order, k=k)
     if typ == "nested":
-        # a VALID top-level nested clause routes through is_filterish to
-        # the constant-score filter path before scoring dispatch ever runs;
-        # reaching here means the clause is malformed — re-compile it so
-        # the precise filter-context validation error surfaces instead of
-        # a generic "unsupported clause"
-        cp.compile_filter({typ: spec})
+        # bare top-level nested query (the common ES spelling): non-scoring
+        # constant-score hits, same treatment as exists/range/ids
+        plain(typ)
+        col = cp.compile_filter({typ: spec})
+        if filters is not None:
+            col = col & filters
+        return _const_hits(ix, col, k, offset)
     raise DslError(f"unsupported query clause: {typ!r}")
 
 
@@ -2257,6 +2258,15 @@ def _one_agg(
                 f"supported (got {stkinds})"
             )
         tspec = sspec["terms"] or {}
+        unsupported = sorted(set(tspec) - {"field", "size"})
+        if unsupported:
+            # refusing beats silently-different buckets: order /
+            # min_doc_count / missing / shard_size are not implemented
+            # for the nested bucket stream
+            raise DslError(
+                f"nested agg {name!r}: unsupported terms options "
+                f"{unsupported} (supported: field, size)"
+            )
         by = tspec.get("field")
         if isinstance(by, str) and by.startswith(path + "."):
             by = by[len(path) + 1:]
@@ -2271,6 +2281,19 @@ def _one_agg(
                 raise DslError(
                     f"nested agg {name!r}: the terms sub-agg supports only "
                     f"a reverse_nested sub-aggregation (got {rkinds})"
+                )
+            ((_rname, rs),) = ssub.items()
+            rspec = rs.get("reverse_nested") or {}
+            if rspec:
+                raise DslError(
+                    f"nested agg {name!r}: reverse_nested options "
+                    f"{sorted(rspec)} unsupported (bare climb-to-parent "
+                    f"only)"
+                )
+            if rs.get("aggs") or rs.get("aggregations"):
+                raise DslError(
+                    f"nested agg {name!r}: sub-aggregations under "
+                    f"reverse_nested are unsupported"
                 )
             reverse = True
         try:

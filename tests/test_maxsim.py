@@ -148,3 +148,33 @@ def test_max_sim_ann_partial_probe_scores_exact(spark, chunk_corpus):
     assert 0 < len(ann) <= 5
     for r in ann:
         assert round(r["score"], 9) == brute[r["doc_id"]]
+
+
+def test_max_sim_dim_mismatch_raises(spark):
+    docs = spark.createDataFrame(
+        [(0, [[1.0, 0.0, 0.0]])], "doc_id long, vecs array<array<float>>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        similarity.max_sim_topk(docs, [[1.0, 0.0]], k=1).collect()
+    with pytest.raises(ValueError, match="mixed dims"):
+        similarity.max_sim_dot("vecs", [[1.0], [1.0, 2.0]])
+
+
+def test_max_sim_ann_custom_id_col(spark, chunk_corpus):
+    # regression: topk_batch's fixed (q_id, vec_id, ...) output schema
+    # must be realiased to the index's id_col before the chunk_doc join
+    renamed = chunk_corpus.withColumnRenamed("vec_id", "chunk_pk")
+    ivf = similarity.IvfAnnIndex(
+        renamed, id_col="chunk_pk", vec_col="embedding", n_lists=4
+    )
+    docs = similarity.fold_vectors(
+        chunk_corpus, "doc_id", "embedding", "vec_id"
+    )
+    qvecs = [[1.0] + [0.0] * 7]
+    out = similarity.max_sim_ann(
+        ivf, renamed.select("chunk_pk", "doc_id"), docs, qvecs,
+        k=3, nprobe=4, num_candidates=60,
+    )
+    brute = similarity.max_sim_topk(docs, qvecs, k=3)
+    assert [(r["doc_id"], round(r["score"], 9)) for r in out.collect()] == \
+        [(r["doc_id"], round(r["score"], 9)) for r in brute.collect()]

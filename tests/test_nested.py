@@ -195,3 +195,34 @@ def test_nested_plan_is_narrow(nested_index):
     )
     assert "BatchEvalPython" not in nt_plan
     assert "CartesianProduct" not in nt_plan
+
+
+def test_bare_toplevel_nested_query(nested_index, transcripts_df):
+    # the common ES spelling — {'query': {'nested': ...}} with no bool
+    # wrapper — must work as a constant-score filter query
+    tr = _pdf(transcripts_df)
+    got = dsl.search(nested_index, {
+        "query": {"nested": {"path": "turns",
+                             "query": {"term": {"turns.role": "tool"}}}},
+        "size": 1000,
+    })
+    assert got.count() == tr[tr.role == "tool"].conv_id.nunique()
+    assert set(r["score"] for r in got.select("score").distinct().collect()) == {1.0}
+
+
+def test_nested_agg_refuses_unsupported_options(nested_index):
+    # silently-different buckets are worse than refusing: unimplemented
+    # terms options and reverse_nested payloads must raise
+    with pytest.raises(DslError, match="unsupported terms options"):
+        dsl.aggs(nested_index, {"aggs": {"n": {
+            "nested": {"path": "turns"},
+            "aggs": {"r": {"terms": {"field": "turns.role",
+                                     "min_doc_count": 5}}},
+        }}})
+    with pytest.raises(DslError, match="reverse_nested options"):
+        dsl.aggs(nested_index, {"aggs": {"n": {
+            "nested": {"path": "turns"},
+            "aggs": {"r": {"terms": {"field": "turns.role"},
+                           "aggs": {"b": {"reverse_nested":
+                                          {"path": "other"}}}}},
+        }}})

@@ -44,7 +44,7 @@ def test_semantic_self_and_lexical_retrieval(spark, corpus):
     )
     # self-retrieval: a doc's opening chunk embeds to an exact stored
     # vector -> best-chunk dot == 1
-    hits = semantic_rows = semantic.semantic_topk(
+    hits = semantic.semantic_topk(
         ix, "spark shuffles partitions across", k=3, dim=32
     ).collect()
     assert hits[0]["id"] == 0
@@ -84,3 +84,21 @@ def test_plan_no_rowwise_python(spark, corpus):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # row-wise Python forbidden
     assert "MapInPandas" in plan  # the one Arrow embedder pass
+
+
+def test_unicode_query_and_zero_vector_guard(spark, corpus):
+    rows = corpus.union(
+        spark.createDataFrame([(3, "북경 날씨 北京天气 예보")],
+                              "doc_id long, text string")
+    )
+    ix = semantic.semantic_index(rows, "doc_id", "text", chunk_size=8, dim=32)
+    hits = semantic.semantic_topk(ix, "北京天气", k=1, dim=32).collect()
+    assert hits[0]["id"] == 3  # CJK bigrams carry signal, not zero vectors
+    with pytest.raises(ValueError, match="zero vector"):
+        semantic.semantic_topk(ix, "!!! ???", k=1, dim=32)
+
+
+def test_dim_mismatch_raises_not_nulls(spark, corpus):
+    ix = semantic.semantic_index(corpus, "doc_id", "text", chunk_size=8, dim=32)
+    with pytest.raises(Exception, match="dim"):
+        semantic.semantic_topk(ix, "spark", k=1, dim=16).collect()
