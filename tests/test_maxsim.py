@@ -178,3 +178,18 @@ def test_max_sim_ann_custom_id_col(spark, chunk_corpus):
     brute = similarity.max_sim_topk(docs, qvecs, k=3)
     assert [(r["doc_id"], round(r["score"], 9)) for r in out.collect()] == \
         [(r["doc_id"], round(r["score"], 9)) for r in brute.collect()]
+
+
+def test_max_sim_scan_prunes_columns(spark, tmp_path, chunk_corpus):
+    # at 100 TB the chunk table carries payload columns the scorer must
+    # not read: ReadSchema on the parquet scan stays (id, doc, vec) only
+    p = str(tmp_path / "chunks")
+    chunk_corpus.withColumn("payload", F.lit("x" * 100)).write.parquet(p)
+    emb = spark.read.parquet(p)
+    docs = similarity.fold_vectors(emb, "doc_id", "embedding", "vec_id")
+    out = similarity.max_sim_topk(docs, [[0.0] * 8], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    rs = _re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert rs and "payload" not in rs.group(1)
