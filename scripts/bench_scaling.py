@@ -360,11 +360,13 @@ def main() -> None:
     levels = tuple(int(x) for x in args.levels.split(","))
     summary = orchestrate(args.convs, levels)
     if levels == (1, 4):
-        # only the canonical N->4N protocol pair owns BENCH.md — a run at
-        # other levels (e.g. the 8->32 bandwidth-ceiling probe) must not
-        # overwrite the engine-scaling table and the appended sections
-        runs = record_run(summary)
-        write_bench_md(summary, runs)
+        # append to the jsonl ledger only. write_bench_md regenerates
+        # BENCH.md from a TEMPLATE, which clobbers every hand-curated
+        # section (run adjudications, per-part suite-validation entries) —
+        # it destroyed them once (2026-08-20, restored from git). The
+        # history table row is now added to BENCH.md by hand from the
+        # jsonl record; never call write_bench_md on a curated file.
+        record_run(summary)
     print(json.dumps(summary))
 
 
