@@ -906,7 +906,13 @@ def _documents_split_indexes(spark: SparkSession, sf_dir: str):
             out = os.path.join(base, tag)
             # skip-if-built like the other /tmp fixtures: the resume path
             # itself is bench-covered by the build entries; re-proving it
-            # here cost ~20 s of fingerprint scans per bench run
+            # here cost ~20 s of fingerprint scans per bench run.
+            # CONSCIOUS TRADEOFF: this guard keys on path only, so a
+            # REGENERATED dataset at the same sf_dir would reuse a stale
+            # index (build_index's fingerprint resume would have caught
+            # that). Safe here because the driver's testdata dirs are
+            # immutable per scale factor; bump the _v1 suffix if that
+            # assumption ever changes.
             if not os.path.exists(os.path.join(out, "meta.json")):
                 build_index(
                     spark,

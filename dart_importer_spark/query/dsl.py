@@ -486,10 +486,18 @@ def _span_slot(cp: _Compiler, clause: dict, typ: str):
     compares them as-is, which is exactly what a (terms, field) slot does."""
     t, spec = cp._clause(clause)
     if t == "span_multi":
-        return cp.ix.expand_span_multi(
+        terms = cp.ix.expand_span_multi(
             spec["match"],
             max_expansions=int(spec.get("max_expansions", 128)),
         )
+        # the inner multi-term query names its OWN field: the expansion
+        # came from that field's dictionary, so positions must be scanned
+        # there too (Lucene reads a span_multi's positions from the inner
+        # query's field) — a bare term list would scan the span_near
+        # default field instead
+        (_ityp, ispec), = spec["match"].items()
+        (ifield, _iv) = next(iter(ispec.items()))
+        return (terms, ifield)
     if t == "field_masking_span":
         inner_t, inner_spec = cp._clause(spec["query"])
         if inner_t == "span_term":
@@ -2140,10 +2148,19 @@ def suggest(ix, body: dict) -> dict[str, DataFrame]:
     spec = body.get("suggest")
     if not isinstance(spec, dict) or not spec:
         raise DslError("body has no 'suggest' section")
+    # ES global form: {"suggest": {"text": "...", "s1": {...}, ...}} —
+    # the top-level text is inherited by every suggester that does not
+    # set its own
+    spec = dict(spec)
+    global_text = spec.pop("text", None)
+    if not spec:
+        raise DslError("suggest: a global 'text' needs >= 1 suggester")
     out: dict[str, DataFrame] = {}
     for name, s in spec.items():
         if not isinstance(s, dict):
             raise DslError(f"suggest {name!r}: expected an object")
+        if global_text is not None and "text" not in s:
+            s = {**s, "text": global_text}
         kinds = [kk for kk in s if kk in ("term", "phrase", "completion")]
         if len(kinds) != 1:
             raise DslError(
@@ -2180,13 +2197,32 @@ def suggest(ix, body: dict) -> dict[str, DataFrame]:
             prefix = s.get("prefix")
             if not prefix:
                 raise DslError(f"suggest {name!r}: 'prefix' is required")
-            fz = opt.get("fuzzy") or {}
-            if fz is True:  # ES shorthand: "fuzzy": {} / true -> AUTO(=1)
+            fz = opt.get("fuzzy")
+            # ES semantics: absent or false -> no fuzziness; true / {}
+            # -> fuzzy with the defaults; "AUTO" fuzziness -> the ES
+            # AUTO ladder on the prefix length (0/1/2 at <3/<6/>=6)
+            if fz is None or fz is False:
+                fuzziness = 0
                 fz = {}
+            else:
+                if fz is True:
+                    fz = {}
+                raw = fz.get("fuzziness", 1)
+                if isinstance(raw, str) and raw.upper() == "AUTO":
+                    n = len(str(prefix))
+                    fuzziness = 0 if n < 3 else (1 if n < 6 else 2)
+                else:
+                    try:
+                        fuzziness = int(raw)
+                    except (TypeError, ValueError):
+                        raise DslError(
+                            f"suggest {name!r}: fuzzy.fuzziness must be "
+                            f"an int or 'AUTO', got {raw!r}"
+                        ) from None
             out[name] = ix.suggest_completion(
                 prefix, on=f, k=size,
                 weight=opt.get("weight_field"),
-                fuzziness=int(fz.get("fuzziness", 1)) if "fuzzy" in opt else 0,
+                fuzziness=fuzziness,
                 fuzzy_prefix_length=int(fz.get("prefix_length", 1)),
             )
     return out

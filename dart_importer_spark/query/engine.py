@@ -2293,7 +2293,11 @@ class InvertedIndex:
             )
         typ, spec = next(iter(match.items()))
         f, v = next(iter(spec.items()))
+        fuzziness: int | str | None = None
+        prefix_length = 0
         if isinstance(v, dict):
+            fuzziness = v.get("fuzziness")
+            prefix_length = int(v.get("prefix_length", 0))
             v = v.get("value", v.get("wildcard"))
         v = str(v)
         fid = self._fid(f)
@@ -2311,8 +2315,14 @@ class InvertedIndex:
                 raise ValueError(
                     f"span_multi fuzzy: {v!r} must analyze to one term"
                 )
+            # honor an explicit fuzziness/prefix_length from the inner
+            # spec (previously silently narrowed to AUTO)
+            if fuzziness is None or str(fuzziness).upper() == "AUTO":
+                dist: int = self._auto_fuzziness(toks[0])
+            else:
+                dist = int(fuzziness)
             td = self.expand_fuzzy_df(
-                toks[0], self._auto_fuzziness(toks[0]), fid, cap
+                toks[0], dist, fid, cap, prefix_length=prefix_length
             )
         else:
             raise ValueError(

@@ -2065,6 +2065,11 @@ class EsqlEngine:
             rel.df = rel.df.groupBy(*keys).agg(*aggs)
         else:
             rel.df = rel.df.agg(*aggs)
+        # a plain STATS consumes the per-series grain exactly like the TS
+        # form does — clear ts_spec so a chained STATS with *_over_time
+        # errors ("need a TS source") instead of silently running the
+        # two-level TS aggregation over already-aggregated rows
+        rel.ts_spec = None
         rel.score_attached = "_score" in rel.df.columns
         return rel
 
@@ -2123,6 +2128,16 @@ class EsqlEngine:
                 span = e[2][1] if e[1] == "bucket" else e[2][0]
                 if span[0] == "dur" and span[2] in _TS_UNIT_SECONDS:
                     bucket_span = _TS_UNIT_SECONDS[span[2]]
+            if nm == spec.timestamp:
+                # BY ts = BUCKET(ts, ...) would overwrite the raw
+                # timestamp BEFORE the RATE/FIRST/LAST windows order by
+                # it, silently randomizing the within-series order —
+                # refuse the collision instead
+                raise EsqlError(
+                    f"ES|QL: TS STATS BY key {nm!r} collides with the "
+                    f"timestamp column — alias the bucket (e.g. BY "
+                    f"b = BUCKET({nm}, ...))"
+                )
             df = df.withColumn(nm, key_comp.col(e))
             by_names.append(nm)
 

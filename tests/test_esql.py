@@ -931,3 +931,24 @@ def test_scalar_batch_p17(spark):
     with pytest.raises(EsqlError, match="out of range"):
         esql(spark, 'ROW x = "1.2.3.4" | EVAL c = IP_PREFIX(x, 33, 0)',
              {"t": spark.range(1)})
+
+
+def test_ts_grain_consumed_by_plain_stats(ts_engine):
+    # a plain STATS consumes the per-series grain: chaining *_over_time
+    # after it must error, not silently re-aggregate aggregated rows
+    with pytest.raises(EsqlError, match="need a TS source"):
+        ts_engine.query(
+            "TS ev | STATS v = MAX(value) BY user_id, event_type,"
+            " b = BUCKET(ts, 1 day)"
+            " | STATS mx = MAX(MAX_OVER_TIME(v)) BY event_type"
+        )
+
+
+def test_ts_by_key_timestamp_collision_rejected(ts_engine):
+    # BY ts = BUCKET(ts, ...) would overwrite the raw timestamp before
+    # the RATE/FIRST/LAST windows order by it — refused
+    with pytest.raises(EsqlError, match="collides with the timestamp"):
+        ts_engine.query(
+            "TS ev | STATS r = SUM(RATE(value))"
+            " BY event_type, ts = BUCKET(ts, 1 day)"
+        )

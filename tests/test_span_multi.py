@@ -254,3 +254,35 @@ def test_dsl_span_multi_and_masking(sm_index):
         )
     ]
     assert _docs(masked) == want
+
+
+def test_span_multi_slot_keeps_inner_field(sm_index):
+    # regression: the span_multi slot used to drop its inner query's
+    # field, so terms expanded from the TITLE dictionary were
+    # position-scanned on the default field (body). The slot must carry
+    # (terms, 'title') — Lucene reads a span_multi's positions from the
+    # inner query's own field (field-masking comparison vs the body
+    # span_term).
+    near = search(sm_index, {
+        "query": {"span_near": {
+            "clauses": [
+                {"span_multi": {
+                    "match": {"prefix": {"title": {"value": "al"}}}
+                }},
+                {"span_term": {"body": "beta"}},
+            ],
+            "slop": 0, "in_order": True,
+        }},
+        "size": 100,
+    })
+    alts = sm_index.expand_span_multi({"prefix": {"title": "al"}})
+    assert alts == ["alpha"]
+    want = [
+        i for i, row in enumerate(ROWS)
+        if brute_slots(
+            {"title": row[3].split(), "body": row[2].split()},
+            [(alts, "title"), (["beta"], "body")], 0, True,
+        )
+    ]
+    assert want == [3]  # the hand-computed discriminating doc
+    assert _docs(near) == want

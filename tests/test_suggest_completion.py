@@ -157,3 +157,37 @@ def test_dsl_suggest_section(comp_index):
         suggest(comp_index, {"suggest": {"x": {"text": "a", "term": {}}}})
     with pytest.raises(DslError, match="no 'suggest' section"):
         suggest(comp_index, {"query": {"match_all": {}}})
+
+
+def test_dsl_suggest_global_text_and_fuzzy_options(comp_index):
+    from dart_importer_spark.query.dsl import DslError, suggest
+
+    # ES global form: top-level "text" inherited by suggesters without
+    # their own (regression: it used to be parsed as a suggester name)
+    out = suggest(comp_index, {"suggest": {
+        "text": "alpah",
+        "fix": {"term": {"field": "text", "size": 3}},
+    }})
+    fix = out["fix"].collect()
+    assert fix and fix[0]["term"] == "alpha"
+    # "fuzzy": false must DISABLE fuzziness (it used to enable dist 1)
+    exact = suggest(comp_index, {"suggest": {"c": {
+        "prefix": "samsong",
+        "completion": {"field": "title", "size": 10, "fuzzy": False},
+    }}})["c"].collect()
+    assert [r["suggestion"] for r in exact] == ["Samsong Heavy"]
+    # "AUTO" fuzziness maps to the ES ladder (7-char prefix -> 2 edits)
+    auto = suggest(comp_index, {"suggest": {"c": {
+        "prefix": "samsong",
+        "completion": {"field": "title", "size": 10,
+                       "fuzzy": {"fuzziness": "AUTO"}},
+    }}})["c"].collect()
+    assert len(auto) >= 4
+    with pytest.raises(DslError, match="fuzziness must be"):
+        suggest(comp_index, {"suggest": {"c": {
+            "prefix": "sams",
+            "completion": {"field": "title",
+                           "fuzzy": {"fuzziness": "banana"}},
+        }}})
+    with pytest.raises(DslError, match="needs >= 1 suggester"):
+        suggest(comp_index, {"suggest": {"text": "alpah"}})
