@@ -129,6 +129,16 @@ def temperature_mix(
         r[strata_col]: r["n"]
         for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    if None in counts:
+        # a NULL stratum cannot be sampled (the equality predicate in
+        # stratified_sample never matches NULL) and breaks the sorted
+        # accumulation in temperature_rates — refuse loudly instead of
+        # crashing with a TypeError or silently dropping those rows
+        raise ValueError(
+            f"temperature_mix: {strata_col!r} contains NULLs "
+            f"({counts[None]} rows) — fill or filter them first "
+            f"(e.g. coalesce({strata_col}, 'unknown'))"
+        )
     rates = temperature_rates(counts, temperature, target_rows)
     return stratified_sample(df, strata_col, rates, id_col)
 

@@ -59,6 +59,19 @@ def _member(docs: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
     return sorted_ids[idx] == docs
 
 
+def categorize_key(col: Column, max_tokens: int = 5) -> Column:
+    """The deterministic ``ml_standard``-style categorization key shared
+    by :meth:`InvertedIndex.categorize_text` and ES|QL ``CATEGORIZE``:
+    lowercase, split on non-alphanumerics, drop digit-bearing tokens,
+    join the first ``max_tokens`` stable tokens. One shared definition so
+    the agg and the grouping function can never drift."""
+    toks = F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"),
+        lambda x: (x != "") & ~x.rlike("[0-9]"),
+    )
+    return F.array_join(F.slice(toks, 1, max_tokens), " ")
+
+
 def _wildcard_to_regexp(pattern: str) -> str:
     """ES wildcard pattern (* = any run, ? = any char) as an anchored-later
     regexp body; every other char is matched literally."""
@@ -3351,11 +3364,7 @@ class InvertedIndex:
         if max_tokens < 1:
             raise ValueError(f"categorize_text: max_tokens >= 1, got {max_tokens}")
         joined = self._match_meta(query, field, [on], filters)
-        toks = F.filter(
-            F.split(F.lower(F.col(on)), "[^a-z0-9]+"),
-            lambda x: (x != "") & ~x.rlike("[0-9]"),
-        )
-        cat = F.array_join(F.slice(toks, 1, max_tokens), " ")
+        cat = categorize_key(F.col(on), max_tokens)
         return (
             joined.filter(F.col(on).isNotNull())
             .select(cat.alias("category"))
@@ -5568,10 +5577,23 @@ class InvertedIndex:
         tokens = sorted(set(self._analyze(query, field)))
         if not tokens:
             return self.spark.createDataFrame([], "doc_id long, score double")
+        # analyze the dict KEYS too: query tokens arrive analyzed
+        # (lowercased), so a surface-form key like 'Data' would silently
+        # never expand — ES applies the synonym filter after lowercasing
+        syn_by_key: dict[str, list] = {}
+        for key, phrases in synonyms.items():
+            kt = self._analyze(str(key), field)
+            if len(kt) != 1:
+                raise ValueError(
+                    f"match_synonyms: key {key!r} must analyze to one "
+                    f"term (got {kt}) — multi-token keys need the "
+                    f"phrase-side spelling"
+                )
+            syn_by_key.setdefault(kt[0], []).extend(phrases)
         groups: dict[str, list[str]] = {}
         for tok in tokens:
             members = {tok}
-            for phrase in synonyms.get(tok, []):
+            for phrase in syn_by_key.get(tok, []):
                 members.update(self._analyze(str(phrase), field))
             groups[tok] = sorted(members)
         all_terms = sorted({m for ms in groups.values() for m in ms})

@@ -1312,16 +1312,13 @@ class _Compiler:
         if name == "tau":
             arity(0); return F.lit(6.283185307179586)
         if name == "categorize":
-            # ES|QL CATEGORIZE (STATS BY grouping fn): the same
-            # deterministic key the engine's categorize_text agg groups on
-            # (lowercase, split, drop digit-bearing tokens, first 5 stable
-            # tokens) — pure Catalyst
+            # ES|QL CATEGORIZE (STATS BY grouping fn): the SAME shared
+            # key expression the engine's categorize_text agg groups on —
+            # one definition, no drift
             arity(1)
-            toks = F.filter(
-                F.split(F.lower(a[0]), "[^a-z0-9]+"),
-                lambda x: (x != "") & ~x.rlike("[0-9]"),
-            )
-            return F.array_join(F.slice(toks, 1, 5), " ")
+            from .engine import categorize_key
+
+            return categorize_key(a[0], 5)
         raise EsqlError(f"ES|QL: unknown function {name.upper()}()")
 
     # -- aggregates (STATS items) -------------------------------------------
@@ -1487,6 +1484,7 @@ class EsqlEngine:
     def query(self, text: str) -> DataFrame:
         cmds = _Parser(text).parse()
         self.last_pushdown = False
+        self._sample_ordinal = 0
         rewritten = self._try_topk_pushdown(cmds) if self.pushdown else None
         if rewritten is not None:
             rel, rest = rewritten
@@ -1726,8 +1724,16 @@ class EsqlEngine:
             # shuffle. Identical rows share a verdict, the one honest
             # deviation from iid sampling.
             p, seed = cmd[1], cmd[2]
+            # mix the command's ordinal into the seed: two chained SAMPLE
+            # commands with the same seed must be INDEPENDENT draws (ES
+            # keeps p1*p2) — on the same hash they would be a no-op pair
+            ordinal = getattr(self, "_sample_ordinal", 0)
+            self._sample_ordinal = ordinal + 1
             h = F.pmod(
-                F.xxhash64(F.lit(seed), *[F.col(c) for c in rel.df.columns]),
+                F.xxhash64(
+                    F.lit(seed), F.lit(ordinal),
+                    *[F.col(c) for c in rel.df.columns],
+                ),
                 F.lit(1_000_003),
             )
             rel.df = rel.df.filter(h < int(p * 1_000_003))
@@ -2560,14 +2566,15 @@ class EsqlEngine:
         )
         # ES enrich fields REPLACE same-named input columns (same contract
         # as LOOKUP JOIN) — drop collisions before the join so the output
-        # never carries ambiguous duplicate names
-        clobbered = [
-            dst for dst, _ in picked if dst in rel.df.columns and dst != key
-        ]
-        base = rel.df.drop(*clobbered)
+        # never carries ambiguous duplicate names. A policy field may be
+        # named like the join key itself: join on a renamed copy of the
+        # base key so even that column can be replaced (unmatched rows get
+        # NULL, like any other enrich field)
+        clobbered = [dst for dst, _ in picked if dst in rel.df.columns]
+        base = rel.df.withColumn("__ekey", F.col(key)).drop(*clobbered)
         rel.df = base.join(
-            F.broadcast(proj), base[key] == proj["__ek"], "left"
-        ).drop("__ek")
+            F.broadcast(proj), base["__ekey"] == proj["__ek"], "left"
+        ).drop("__ek", "__ekey")
         return rel
 
 

@@ -952,3 +952,34 @@ def test_ts_by_key_timestamp_collision_rejected(ts_engine):
             "TS ev | STATS r = SUM(RATE(value))"
             " BY event_type, ts = BUCKET(ts, 1 day)"
         )
+
+
+def test_sample_chained_commands_independent(spark):
+    # two chained SAMPLE 0.5 must compose (~p1*p2 kept), not re-test the
+    # same hash (which kept ~p1) — the ordinal is mixed into the seed
+    df = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+    one = esql(spark, "FROM t | SAMPLE 0.5 | STATS n = COUNT(*)",
+               {"t": df}).collect()[0]["n"]
+    two = esql(spark, "FROM t | SAMPLE 0.5 | SAMPLE 0.5 | STATS n = COUNT(*)",
+               {"t": df}).collect()[0]["n"]
+    assert 0.4 * 4000 < one < 0.6 * 4000
+    assert 0.15 * 4000 < two < 0.35 * 4000
+    assert two < one
+
+
+def test_enrich_replaces_key_named_policy_field(spark, tbl):
+    # a policy field named like the join key must REPLACE the input
+    # column (ES enrich contract), not produce an ambiguous duplicate
+    policy = spark.createDataFrame(
+        [("en", "english-full", 1), ("fr", "french-full", 2)],
+        "code string, lang string, rank int",
+    )
+    out = esql(
+        spark,
+        "FROM t | ENRICH langs ON lang | SORT id | KEEP id, lang",
+        {"t": tbl},
+        enrich={"langs": (policy, "code")},
+    ).collect()
+    langs = [r["lang"] for r in out]
+    assert "english-full" in langs  # replaced with the policy's value
+    assert all(v in ("english-full", "french-full", None) for v in langs)

@@ -307,3 +307,13 @@ def test_chunk_text_windows(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="overlap"):
         chunk_text(df, "id", "text", size=4, overlap=4)
+
+
+def test_temperature_mix_null_strata_refused(spark):
+    from dart_importer_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(0, "en"), (1, None), (2, "fr")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="contains NULLs"):
+        temperature_mix(df, "lang", "doc_id", 1.0, 2)

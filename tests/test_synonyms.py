@@ -54,3 +54,22 @@ def test_synonym_group_sums_tf_and_blends_df(built_index, transcripts_pdf):
     got_map = {int(r.doc_id): r.score for r in got.itertuples()}
     assert got_map == pytest.approx(want)
     assert len(want) > 0
+
+
+def test_surface_form_synonym_keys_are_analyzed(built_index):
+    # dict keys arrive in surface form ('Data'); query tokens arrive
+    # analyzed ('data') — keys must be analyzed too or the group silently
+    # never expands (regression)
+    import pandas as pd
+
+    lower = built_index.match_synonyms(
+        "data", {"data": ["merge"]}, k=50
+    ).toPandas()
+    upper = built_index.match_synonyms(
+        "data", {"Data": ["merge"]}, k=50
+    ).toPandas()
+    pd.testing.assert_frame_equal(lower, upper)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one term"):
+        built_index.match_synonyms("data", {"data merge": ["x"]})
