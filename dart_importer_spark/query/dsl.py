@@ -2528,11 +2528,12 @@ def _one_agg(
     if typ == "cardinality":
         return ix.cardinality(on=_metric_on(cp, typ, spec), **base)
     if typ == "percentiles":
-        kwargs = {}
-        if spec.get("percents"):
-            kwargs["percents"] = [float(x) for x in spec["percents"]]
+        # same DSL default as the under-terms form (one body shape, one
+        # output shape at every nesting level)
+        percents = [float(x) for x in spec.get("percents") or
+                    (25.0, 50.0, 75.0, 95.0)]
         return ix.percentiles(
-            on=_metric_on(cp, typ, spec), **kwargs, **base
+            on=_metric_on(cp, typ, spec), percents=percents, **base
         )
     if typ == "percentile_ranks":
         return ix.percentile_ranks(
@@ -2699,7 +2700,8 @@ def _one_agg(
         latc, lonc = cp._geo_cols(typ, f, None)
         return ix.geotile_grid(
             int(spec.get("precision", 7)), lat=latc, lon=lonc,
-            k=int(spec.get("size", 10)), **base,
+            # ES grid aggs default to 10,000 buckets, not the terms-agg 10
+            k=int(spec.get("size", 10000)), **base,
         )
     if typ == "geo_line":
         pt = (spec.get("point") or {}).get("field")
@@ -2732,7 +2734,8 @@ def _one_agg(
         latc, lonc = cp._geo_cols(typ, spec.get("field"), None)
         return ix.geohash_grid(
             int(spec.get("precision", 5)), lat=latc, lon=lonc,
-            k=int(spec.get("size", 10)), **base,
+            # ES grid aggs default to 10,000 buckets, not the terms-agg 10
+            k=int(spec.get("size", 10000)), **base,
         )
     if typ == "scripted_metric":
         # ES ships Painless source strings here; there is no Painless
@@ -2900,11 +2903,13 @@ def _terms_sub(cp, name, by, size, sub, base, order=None) -> DataFrame:
             raise DslError(
                 "terms order: unsupported with a percentiles sub-agg"
             )
-        kwargs = {}
-        if ss.get("percents"):
-            kwargs["percents"] = [float(x) for x in ss["percents"]]
+        # one DSL default for percentiles at every nesting level —
+        # the engine methods keep their own (gate-pinned) defaults
+        percents = [float(x) for x in ss.get("percents") or
+                    (25.0, 50.0, 75.0, 95.0)]
         return ix.facet_percentiles(
-            by=by, on=_metric_on(cp, st, ss), k=size, **kwargs, **base
+            by=by, on=_metric_on(cp, st, ss), k=size,
+            percents=percents, **base
         )
     if st in ("stats", "avg", "min", "max", "sum"):
         if order is not None:
@@ -2979,16 +2984,45 @@ def _dh_sub(cp, name, on, interval, sub, base) -> DataFrame:
     if stypes <= {
         "cumulative_sum", "derivative", "moving_fn", "moving_avg", "sum"
     } and stypes - {"sum"}:
-        window, value = 3, None
-        for a in sub.values():
+        window = 3
+        sum_name, sum_field = None, None
+        paths: set = set()
+        for nm2, a in sub.items():
             for st, ss in a.items():
+                if st in ("aggs", "aggregations"):
+                    continue
                 if st in ("moving_fn", "moving_avg") and ss.get("window"):
                     window = int(ss["window"])
-                elif st == "sum":
-                    # a sum sibling = the buckets_path target: pipelines
-                    # run over the metric series instead of doc_count
-                    value = (ss or {}).get("field")
-                    cp._meta_field("sum", value, None)
+                if st == "sum":
+                    sum_name = nm2
+                    sum_field = (ss or {}).get("field")
+                    cp._meta_field("sum", sum_field, None)
+                else:
+                    bp = (ss or {}).get("buckets_path")
+                    if bp is not None:
+                        paths.add(str(bp))
+        # resolve the pipelines' series: an explicit buckets_path wins
+        # ("_count" = doc_count even when a sum sibling exists; the sum
+        # sibling's name = its metric); absent, the legacy default keeps
+        # the sum sibling (else doc_count). Disagreeing or dangling paths
+        # refuse — silently-different series are worse than an error.
+        if len(paths) > 1:
+            raise DslError(
+                f"pipeline buckets_path disagree: {sorted(paths)} — "
+                f"run them as separate aggregation requests"
+            )
+        bp = next(iter(paths)) if paths else None
+        if bp is None:
+            value = sum_field
+        elif bp == "_count":
+            value = None
+        elif sum_name is not None and bp == sum_name:
+            value = sum_field
+        else:
+            raise DslError(
+                f"buckets_path {bp!r} names no sibling here (have "
+                f"'_count'{' and %r' % sum_name if sum_name else ''})"
+            )
         return ix.date_histogram_pipeline(
             on=on, interval=interval, window=window, value=value, **base
         )

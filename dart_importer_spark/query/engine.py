@@ -4074,10 +4074,20 @@ class InvertedIndex:
             .orderBy(F.desc("doc_count"), F.asc(by))
             .limit(k)
         )
+        # a bucket whose metric is all-NULL gets percentile() = NULL;
+        # arrays_zip(NULL) is NULL and explode(NULL) would DROP the bucket
+        # from the top-k — ES keeps it with null values, so coalesce to an
+        # array of nulls first
+        null_arr = F.expr(
+            "array(" + ", ".join(["CAST(NULL AS DOUBLE)"] * len(percents)) + ")"
+        )
         pair = F.explode(
             F.arrays_zip(
                 F.expr(f"array({plist})").alias("percent"),
-                F.transform("_q", lambda v: F.round(v, 6)).alias("value"),
+                F.transform(
+                    F.coalesce(F.col("_q"), null_arr),
+                    lambda v: F.round(v, 6),
+                ).alias("value"),
             )
         )
         return (
@@ -4721,6 +4731,32 @@ class InvertedIndex:
         bucket shape."""
         if not ranges:
             raise ValueError("date_range_agg: at least one (from, to) range")
+        # validate every bound with Spark's OWN parser up front (via the
+        # non-throwing try_ variant — ANSI mode makes to_timestamp THROW
+        # mid-plan otherwise): an unparseable bound (ES date-math
+        # 'now-1d/d', epoch millis, ...) must be a clear refusal, not a
+        # NULL condition silently counting 0 / an opaque ANSI cast error
+        bounds = sorted(
+            {b for lo, hi in ranges for b in (lo, hi) if b is not None}
+        )
+        if bounds:
+            parsed = (
+                self.spark.range(1)
+                .select(
+                    *[
+                        F.try_to_timestamp(F.lit(b)).alias(f"_c{i}")
+                        for i, b in enumerate(bounds)
+                    ]
+                )
+                .first()
+            )
+            bad = [b for i, b in enumerate(bounds) if parsed[i] is None]
+            if bad:
+                raise ValueError(
+                    f"date_range_agg: unparseable bound(s) {bad} — use "
+                    f"'yyyy-MM-dd[ HH:mm:ss]' literals (ES date-math is "
+                    f"not supported; resolve it client-side)"
+                )
         joined = self._match_meta(query, field, [on], filters)
         aggs = []
         keys = []

@@ -2349,6 +2349,17 @@ class EsqlEngine:
                     "ES|QL: COUNT_DISTINCT is not available in INLINESTATS "
                     "(no exact distinct window aggregate); use STATS"
                 )
+            if by and e[1] in ("weighted_avg", "values"):
+                # these compile to composite expressions WRAPPING
+                # aggregates (sum/sum, sort_array(collect_set)) which
+                # .over() rejects — refuse instead of an opaque Spark
+                # AnalysisException (the global form works: it aggregates
+                # to one row, no window)
+                raise EsqlError(
+                    f"ES|QL: {e[1].upper()} is not available in "
+                    f"INLINESTATS ... BY (not a single window aggregate); "
+                    f"use STATS + a join, or drop the BY"
+                )
 
         def comp_for(cond: tuple | None) -> _Compiler:
             fcol = _Compiler().col(cond) if cond is not None else None
@@ -2368,7 +2379,11 @@ class EsqlEngine:
                 *[comp_for(cond).agg(e[1], e[2]).alias(nm)
                   for nm, e, cond in items]
             )
-            df = df.crossJoin(F.broadcast(one))
+            # an item named after an existing column REPLACES it (the BY
+            # branch's withColumn contract) — drop before the join or the
+            # output carries an ambiguous duplicate
+            shadowed = [nm for nm, _, _ in items if nm in df.columns]
+            df = df.drop(*shadowed).crossJoin(F.broadcast(one))
         rel.df = df
         return rel
 
@@ -2387,6 +2402,17 @@ class EsqlEngine:
         for c in (value, key):
             if c not in rel.df.columns:
                 raise EsqlError(f"ES|QL: unknown column {c!r}")
+        # ES|QL CHANGE_POINT itself refuses series over 1000 points, and
+        # that cap is what makes the global ordered windows below safe —
+        # the whole (bounded) series lands in one task, like ES's own
+        # single-node change-point pass. Enforce it instead of silently
+        # funneling an unbounded relation through one partition.
+        if len(rel.df.limit(1001).tail(1001)) > 1000:
+            raise EsqlError(
+                "ES|QL: CHANGE_POINT takes at most 1000 points (the ES "
+                "limit) — aggregate first (e.g. STATS ... BY BUCKET(ts, "
+                "...)) to reduce the series"
+            )
         from pyspark.sql.window import Window
 
         w = Window.orderBy(key)
