@@ -572,12 +572,16 @@ def dedup_clusters(
     join + map-side-combined min agg) and (2) replaces every label with
     ITS OWN current label (one self-join) — path halving, so rounds
     needed are O(log diameter) instead of O(diameter). Lineage is cut
-    every round with an eager localCheckpoint (executor-local blocks; on
+    every round with a LAZY localCheckpoint (executor-local blocks; on
     a cluster use spark.sparkContext.setCheckpointDir + .checkpoint for
     fault tolerance) so the plan never deepens. Convergence is detected
     by the sum of labels (min-propagation only ever DECREASES a label,
-    so an unchanged sum means a fixpoint); that is one cheap agg per
-    round on the just-materialized table, no diff join. For adversarially
+    so an unchanged sum means a fixpoint); because the checkpoint is
+    lazy, the convergence agg IS the action that materializes the
+    round's labels — ONE Spark job per round (join+jump+checkpoint+sum
+    fused), not a materialize job followed by a separate agg job. At toy
+    scale that halves job-scheduling overhead; on a cluster it removes
+    one barrier-synchronized stage per round. For adversarially
     chained graphs at 10^12 edges the same loop holds — near-dup cluster
     diameters are small, and the log-rounds bound caps the worst case
     (cf. Kiveris et al., "Connected Components in MapReduce and Beyond"
@@ -599,11 +603,14 @@ def dedup_clusters(
     # pair graphs are tiny next to the corpus (edges ≪ docs); keep the
     # edge list hot across rounds instead of re-shuffling it from source
     edges = edges.localCheckpoint(eager=False)
-    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
+        eager=False
+    )
     # decimal(38,0) sum: at 10^12 nodes with 10^12-scale ids an int64 sum
     # wraps (non-ANSI), and a wrapped sum could spuriously equal the
     # previous round's — the monotone-convergence argument needs exactness
     lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))
+    # this agg is the job that materializes the lazy checkpoint above
     prev_sum = labels.agg(lbl_sum).first()[0]
     converged, rounds = False, 0
     for _ in range(max_iter):
@@ -624,8 +631,10 @@ def dedup_clusters(
         new_labels = (
             stepped.join(jump, stepped.lbl == jump.jid, "left")
             .select("id", F.least("lbl", "jlbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # ONE action per round: the sum agg both materializes the lazy
+        # checkpoint (cutting lineage) and yields the convergence signal
         cur_sum = new_labels.agg(lbl_sum).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:

@@ -675,10 +675,15 @@ class InvertedIndex:
         keep_term: bool = False,
         keep_tf: bool = False,
         keep_dl: bool = False,
+        raw_decode: bool = False,
     ) -> DataFrame:
         """Vectorized decode + BM25 partial scoring with block-max skipping.
         ``keep_term=True`` emits the contributing term per row (the batched
         multi-query path joins contributions back to per-query term sets).
+        ``raw_decode=True`` skips the per-posting BM25 arithmetic and emits
+        score=0.0 — for consumers that only want the decoded (term, doc,
+        tf, dl) rows (match_synonyms re-scores per GROUP after summing tf
+        across members, so per-term contributions would be discarded).
 
         ``dead`` / ``allowed`` are sorted doc_id arrays broadcast into the
         kernel: postings for tombstoned (dead) or filtered-out (not in
@@ -729,7 +734,10 @@ class InvertedIndex:
                         docs, tfs, dls = docs[m], tfs[m], dls[m]
                     if docs.size == 0:
                         continue
-                    contrib = t_idf * _tfn(tfs, dls, avgdl)
+                    if raw_decode:
+                        contrib = np.zeros(docs.size, dtype=np.float64)
+                    else:
+                        contrib = t_idf * _tfn(tfs, dls, avgdl)
                     cols = {
                         "doc_id": docs,
                         "score": contrib,
@@ -5638,7 +5646,10 @@ class InvertedIndex:
         if not live_terms:
             return self.spark.createDataFrame([], "doc_id long, score double")
         avgdl = self.avgdl_by_field[fid]
-        # decode once with idf=1: rows carry raw (term, doc, tf, dl)
+        # decode-only pass: rows carry raw (term, doc, tf, dl); raw_decode
+        # skips the per-posting BM25 arithmetic whose contributions this
+        # path would discard (scoring happens per GROUP below, after tf
+        # is summed across synonym members)
         raw = self._live(
             self._score_terms(
                 live_terms,
@@ -5647,6 +5658,7 @@ class InvertedIndex:
                 keep_term=True,
                 keep_tf=True,
                 keep_dl=True,
+                raw_decode=True,
             )
         )
         group_idf = {
@@ -5966,7 +5978,7 @@ class InvertedIndex:
         for fid, w, _ in parsed:
             raw = self._score_terms(
                 terms, {t: 1.0 for t in terms}, fid=fid, keep_term=True,
-                keep_tf=True,
+                keep_tf=True, raw_decode=True,
             )
             legs.append(
                 raw.select(

@@ -448,6 +448,13 @@ def test_match_phrase_and_prefix(pos_index):
         ),
         pos_index.match_phrase_prefix("beta ga", k=10),
     )
+    # slop=0 in query context SCORES (Lucene PhraseQuery BM25), any field
+    same(
+        pos_index.search(
+            {"query": {"match_phrase": {"text": "alpha beta"}}, "size": 10}
+        ),
+        pos_index.match_phrase_scored("alpha beta", k=10),
+    )
 
 
 def test_span_bodies(pos_index):
