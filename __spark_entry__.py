@@ -2810,6 +2810,37 @@ def q_etl_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_etl_nested_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES nested inner_hits: not just WHETHER some element co-matched, but
+    # WHICH — the matching elements themselves, first `size` in the
+    # array's deterministic (ts, event_id) order. F.filter + F.slice over
+    # the nested column (pure Catalyst, same parent-row read as the
+    # exists predicate, no explode before the final projection).
+    from dart_importer_spark.operators import nested as nestedops
+
+    ev = _load(spark, sf_dir, "events")
+    convs = nestedops.nest(
+        ev, keys=["user_id"], elem_cols=["event_type", "value"],
+        order_by=["ts", "event_id"], out_col="evs",
+    )
+    p_type = lambda x: x["event_type"] == "purchase"  # noqa: E731
+    p_val = lambda x: x["value"] >= 250.0  # noqa: E731
+    hits = nestedops.inner_hits(convs, "evs", p_type, p_val, size=3)
+    return (
+        hits.select(
+            "user_id",
+            F.posexplode("evs_inner_hits").alias("pos", "h"),
+        )
+        .select(
+            "user_id",
+            (F.col("pos") + 1).cast("long").alias("hit_rank"),
+            F.col("h.event_type").alias("event_type"),
+            F.col("h.value").alias("value"),
+        )
+        .orderBy("user_id", "hit_rank")
+    )
+
+
 def q_etl_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus mixing: deterministic per-stratum downsampling — affine hash
     # of doc_id mod prime, no RNG, exactly reproducible by any engine
@@ -3319,7 +3350,43 @@ def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Round-5 driver window (the driver samples the FIRST 50 queries() keys):
+# VERDICT r04's #1 item — 115 of 244 entries had replica+pytest evidence
+# only; rotate them through the driver. This window is 47 first-ever
+# driver rows (the three part-18 flagships sim_maxsim / sim_maxsim_ann /
+# sem_search, the full 14-entry ES|QL layer incl. the TS time-series
+# mode, the metric-agg and pipeline-agg families, span variants,
+# ft_synonyms / ft_combined_fields — both touched by this round's
+# raw-decode change — ft_phrase_scored, tx_perplexity, ft_dsl_retriever,
+# and the new etl_nested_hits) plus 3 r04-green sentinels: dd_clusters
+# (its convergence loop changed this round — fresh evidence required),
+# ft_percolate and ft_query_string (regression cover). Every displaced
+# entry keeps its historical triple-green row (r02/r03/r04).
+_R05_WINDOW = [
+    "sim_maxsim", "sim_maxsim_ann", "sem_search", "ft_synonyms",
+    "esql_match_topk", "esql_ts", "esql_ts_rate", "esql_fuse", "esql_knn",
+    "esql_match", "esql_stats", "esql_eval", "esql_qstr", "esql_dissect",
+    "esql_stats_where", "esql_functions", "esql_rerank", "esql_completion",
+    "ft_span_multi", "ft_completion", "ft_geo_line", "ft_ks_test",
+    "ft_t_test", "ft_weighted_avg", "ft_value_count", "ft_boxplot",
+    "ft_mad", "ft_top_metrics", "ft_matrix_stats", "ft_extended_stats",
+    "ft_string_stats", "ft_percentile_ranks", "ft_bucket_stats",
+    "ft_ext_stats_bucket", "ft_bucket_script", "ft_bucket_sort",
+    "ft_serial_diff", "ft_pct_bucket", "ft_rate", "ft_cum_cardinality",
+    "ft_phrase_scored", "etl_nested_hits", "dd_clusters", "ft_percolate",
+    "ft_query_string", "ft_span_first", "ft_span_not",
+    "ft_combined_fields", "ft_dsl_retriever", "tx_perplexity",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    all_q = _all_queries()
+    out = {name: all_q[name] for name in _R05_WINDOW}
+    out.update({k: v for k, v in all_q.items() if k not in out})
+    return out
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- never driver-sampled before r04 — evidence priority ---
         "ft_query_string": q_ft_query_string,
@@ -3382,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ft_bucket_stats (pipeline-agg family variant — ft_pipeline_aggs
         # stays as the in-window pipeline sentinel)
         "etl_nested": q_etl_nested,
+        "etl_nested_hits": q_etl_nested_hits,
         "ft_termvectors": q_ft_termvectors,
         "ft_multi_index": q_ft_multi_index,
         "ft_hybrid_rrf": q_ft_hybrid_rrf,
@@ -6821,6 +6889,19 @@ SELECT o.user_id, (n.user_id IS NOT NULL) AS nested_match,
        TRUE AS object_match
 FROM o LEFT JOIN n ON o.user_id = n.user_id
 ORDER BY o.user_id
+""",
+        "etl_nested_hits": """
+SELECT user_id, hit_rank, event_type, value FROM (
+  SELECT user_id,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS hit_rank,
+         event_type, value
+  FROM events
+  WHERE event_type = 'purchase' AND value >= 250.0
+)
+WHERE hit_rank <= 3
+ORDER BY user_id, hit_rank
 """,
         "etl_stratified": """
 SELECT doc_id, source FROM documents

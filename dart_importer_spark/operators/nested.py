@@ -105,6 +105,42 @@ def any_element(
     return out
 
 
+def inner_hits(
+    df: DataFrame,
+    path: str,
+    *preds: Callable[[Column], Column],
+    size: int = 3,
+    out_col: str | None = None,
+) -> DataFrame:
+    """ES nested ``inner_hits``: the parents some element of whose
+    ``path`` array satisfies ALL predicates (the :func:`same_element`
+    match set), each carrying the MATCHING elements themselves — the
+    first ``size`` in array order (ES's inner_hits ``size``, default 3;
+    the arrays :func:`nest` builds are deterministically sorted, so
+    "first" is stable). This is the debugging view ES users reach for
+    the moment a nested query matches: WHICH element matched, not just
+    that one did.
+
+    Pure Catalyst — ``filter`` + ``slice`` over the array column, a
+    narrow projection with no explode, join, or shuffle; at 100 TB the
+    matching elements come out of the same parent-row parquet row-group
+    read that evaluated the predicate (the Lucene block-join locality
+    argument, unchanged)."""
+    if not preds:
+        raise ValueError("inner_hits: need at least one predicate")
+    out_col = out_col or f"{path}_inner_hits"
+
+    def _all(x: Column) -> Column:
+        out = preds[0](x)
+        for p in preds[1:]:
+            out = out & p(x)
+        return out
+
+    return df.filter(F.exists(F.col(path), _all)).withColumn(
+        out_col, F.slice(F.filter(F.col(path), _all), 1, size)
+    )
+
+
 def explode_nested(
     df: DataFrame, path: str, parent_cols: Sequence[str] = ()
 ) -> DataFrame:

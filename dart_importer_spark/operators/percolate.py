@@ -54,13 +54,31 @@ def percolate(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "or",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """Match every stored query against every doc of the batch.
 
     Returns (query_id, id_col, n_matched) with one row per (matching
     query, doc); ``n_matched`` counts the distinct positive terms the doc
     matched (must + should; phrase-only or pure-negative matches report
-    0). See the module docstring for the stored-query forms."""
+    0). See the module docstring for the stored-query forms.
+
+    Rule-set scale: ES indexes its percolator queries; here the analyzed
+    clause table is broadcast by default (``broadcast_rules=True``) —
+    right for alerting rule sets (10^2..10^5 rules, a few MB), where it
+    keeps the match a map-side join with zero shuffle of the clause
+    table. For rule sets past the broadcast comfort zone
+    (~spark.sql.autoBroadcastJoinThreshold, or when the driver-side
+    clause list itself is the bound) pass ``broadcast_rules=False``: the
+    clause joins become ordinary shuffle hash joins on ``term`` —
+    results identical (equivalence-tested), cost one shuffle of the
+    (small) clause table and one of the batch's distinct (doc, term)
+    pairs. Beyond ~10^6 rules the dict-shaped ``queries`` argument is
+    itself the limit; at that scale store rules as a table and feed
+    term_rows/reqs as DataFrames (same join graph — the documented
+    growth path). Pure-negative rules keep a broadcast of their (tiny)
+    id list either way: their semantics need the batch universe, and
+    universe × pure-neg-ids is bounded by #docs · #pure_neg rows."""
     if mode not in ("or", "and"):
         raise ValueError(f"percolate: unknown mode {mode!r}")
     term_rows: list[tuple[str, str, str, int]] = []  # qid, term, clause, slot
@@ -111,7 +129,10 @@ def percolate(
     qdf = spark.createDataFrame(
         term_rows, "query_id string, term string, clause string, slot int"
     )
-    req = F.broadcast(
+    # rule-side join hint: broadcast (default) or plain shuffle join for
+    # rule sets past broadcast size — identical results either way
+    _rules = F.broadcast if broadcast_rules else (lambda df: df)
+    req = _rules(
         spark.createDataFrame(
             reqs, "query_id string, need_must int, msm int, plen int"
         )
@@ -126,7 +147,7 @@ def percolate(
     flat = (
         toks.select(id_col, "term")
         .distinct()
-        .join(F.broadcast(qdf.filter(F.col("clause") != "phrase")), "term")
+        .join(_rules(qdf.filter(F.col("clause") != "phrase")), "term")
         .groupBy("query_id", id_col)
         .agg(
             F.count_distinct(
@@ -143,7 +164,7 @@ def percolate(
     # phrase hits: realign every slot to the phrase start; a start where
     # all slots land means the exact sequence occurs
     ph = (
-        toks.join(F.broadcast(qdf.filter(F.col("clause") == "phrase")), "term")
+        toks.join(_rules(qdf.filter(F.col("clause") == "phrase")), "term")
         .select("query_id", id_col, (F.col("pos") - F.col("slot")).alias("base"),
                 "slot")
         .groupBy("query_id", id_col, "base")
@@ -187,7 +208,7 @@ def percolate(
         banned = (
             toks.select(id_col, "term").distinct()
             .join(
-                F.broadcast(
+                _rules(
                     qdf.filter(
                         (F.col("clause") == "not")
                         & F.col("query_id").isin(pure_neg)

@@ -1012,10 +1012,35 @@ def _dispatch_leaf(
         # bare top-level nested query (the common ES spelling): non-scoring
         # constant-score hits, same treatment as exists/range/ids
         plain(typ)
+        ih = spec.get("inner_hits")
         col = cp.compile_filter({typ: spec})
         if filters is not None:
             col = col & filters
-        return _const_hits(ix, col, k, offset)
+        if ih is None:
+            return _const_hits(ix, col, k, offset)
+        # inner_hits: attach the MATCHING elements (first `size` in array
+        # order) to each hit — F.filter over the same array column the
+        # exists predicate scanned, still one parent-row read, no explode
+        if not isinstance(ih, dict):
+            raise DslError("nested inner_hits: expected an object")
+        size = int(ih.get("size", 3))
+        path, q = spec["path"], spec["query"]
+        fields = set(ix._nested_path(path).names)
+        matches = F.filter(
+            F.col(path), lambda x: cp._nested_pred(path, fields, q, x)
+        )
+        out = (
+            ix.doc_stats()
+            .filter(col)
+            .select(
+                "doc_id",
+                F.lit(1.0).alias("score"),
+                F.slice(matches, 1, size).alias("inner_hits"),
+            )
+            .orderBy(F.asc("doc_id"))
+            .limit(k + offset)
+        )
+        return _apply_offset(out, offset, by_score=False) if offset else out
     raise DslError(f"unsupported query clause: {typ!r}")
 
 

@@ -59,6 +59,23 @@ def test_same_element_vs_any_element(parents):
         N.same_element("kids")
 
 
+def test_inner_hits_operator(parents):
+    p_tag = lambda x: x["tag"] == "x"  # noqa: E731
+    p_val = lambda x: x["val"] >= 50  # noqa: E731
+    out = N.inner_hits(parents, "kids", p_tag, p_val, size=2)
+    got = {r["pid"]: r["kids_inner_hits"] for r in out.collect()}
+    # only A has a same-element match; the hit is the element itself
+    assert set(got) == {"A"}
+    assert [(h["idx"], h["tag"], h["val"]) for h in got["A"]] == [(2, "x", 99)]
+    # size caps the returned elements, array order preserved
+    many = N.inner_hits(parents, "kids", lambda x: x["val"] >= 0, size=2)
+    m = {r["pid"]: [h["idx"] for h in r["kids_inner_hits"]]
+         for r in many.collect()}
+    assert m["A"] == [0, 1] and m["B"] == [0, 1] and m["C"] == [0]
+    with pytest.raises(ValueError):
+        N.inner_hits(parents, "kids")
+
+
 def test_explode_nested(parents):
     ex = N.explode_nested(parents, "kids", parent_cols=["pid"])
     assert set(ex.columns) == {"pid", "kids.idx", "kids.tag", "kids.val"}
@@ -133,6 +150,29 @@ def test_nested_query_through_dsl(nested_index, transcripts_df):
     have_early = set(tr[tr.turn_idx < 3].conv_id)
     assert obj == len(have_tool & have_early)
     assert obj > got  # the divergence that motivates the nested type
+
+
+def test_nested_inner_hits_through_dsl(nested_index, transcripts_df):
+    tr = _pdf(transcripts_df)
+    body = {
+        "query": {"nested": {
+            "path": "turns",
+            "query": {"bool": {"must": [
+                {"term": {"turns.role": "tool"}},
+                {"range": {"turns.turn_idx": {"lt": 3}}},
+            ]}},
+            "inner_hits": {"size": 2},
+        }},
+        "size": 1000,
+    }
+    out = dsl.search(nested_index, body).collect()
+    per = tr[(tr.role == "tool") & (tr.turn_idx < 3)]
+    assert len(out) == per.conv_id.nunique()
+    for r in out:
+        hits = r["inner_hits"]
+        assert 1 <= len(hits) <= 2
+        for h in hits:
+            assert h["role"] == "tool" and h["turn_idx"] < 3
 
 
 def test_nested_agg_and_reverse_nested(nested_index, transcripts_df):

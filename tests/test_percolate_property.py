@@ -77,3 +77,13 @@ def test_percolate_matches_python_oracle(spark, seed):
             if ok:
                 want[(qid, did)] = nm
     assert got == want
+    # the shuffle-join rule path (rule sets past broadcast size) must be
+    # result-identical to the broadcast default
+    if seed == 0:
+        shuffled = {
+            (r["query_id"], r["doc_id"]): r["n_matched"]
+            for r in percolate(
+                spark, queries, df, broadcast_rules=False
+            ).collect()
+        }
+        assert shuffled == want
