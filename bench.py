@@ -296,7 +296,11 @@ def main() -> None:
     # single samples on this multi-tenant host swing 3-8x, so one sample
     # cannot distinguish a plan regression from interference.
     best_of_3 = {"ft_match_and", "ft_wildcard_prefix", "ft_multi_match",
-                 "ft_phrase"}
+                 "ft_phrase",
+                 # heavy (>3 s) single-sample entries — one sample on this
+                 # host is unattributable (VERDICT r04 item #6)
+                 "dd_clusters", "ft_graph_explore", "sem_search",
+                 "ft_rank_eval", "ft_synonyms"}
     query_samples: dict[str, list[float]] = {}
     qs = entry.queries()
     for name in HEADLINE:
