@@ -1513,6 +1513,35 @@ def search(
             cp, typ, spec, k=size, filters=None, round_scores=round_scores,
             offset=offset, search_after=search_after,
         )
+    ih_reqs = _collect_inner_hits(q) if typ == "bool" else []
+    if ih_reqs:
+        # nested inner_hits inside a bool tree: attach the matching
+        # elements per request as a column (F.filter + F.slice over the
+        # same array column the exists predicate scanned — one doc_stats
+        # join for all requests, no explode). Column naming: ES names
+        # inner_hits sections by `name` (default: the path) —
+        # `inner_hits_<name>` here. A hit that matched via OTHER bool
+        # legs gets an empty array, like ES's empty inner_hits block.
+        seen: set[str] = set()
+        proj = [F.col("doc_id")]
+        for col_name, path, iq, sz in ih_reqs:
+            if col_name in seen:
+                raise DslError(
+                    f"inner_hits: duplicate section name {col_name!r} — "
+                    "give each nested inner_hits a distinct 'name'"
+                )
+            seen.add(col_name)
+            fields = set(ix._nested_path(path).names)
+
+            def _pred(p, flds, q_):
+                # bind loop vars per request (HOF lambdas must be unary)
+                return lambda x: cp._nested_pred(p, flds, q_, x)
+
+            matches = F.filter(F.col(path), _pred(path, fields, iq))
+            proj.append(F.slice(matches, 1, sz).alias(col_name))
+        hits = hits.join(
+            ix.doc_stats().select(*proj), "doc_id", "left"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
     ms = body.get("min_score")
     if ms is not None:
         hits = hits.filter(F.col("score") >= F.lit(float(ms)))
@@ -1546,6 +1575,41 @@ def search(
             ix.doc_stats().select("doc_id", *src), "doc_id", "left"
         ).orderBy(F.desc("score"), F.asc("doc_id"))
     return hits
+
+
+def _collect_inner_hits(q) -> list[tuple[str, str, dict, int]]:
+    """Walk a query tree for ``nested`` clauses carrying an ``inner_hits``
+    object → ``(column_name, path, inner_query, size)`` per request.
+    Name defaults to the path (the ES default section name)."""
+    out: list[tuple[str, str, dict, int]] = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            nv = node.get("nested")
+            if (
+                isinstance(nv, dict)
+                and isinstance(nv.get("inner_hits"), dict)
+                and isinstance(nv.get("path"), str)
+                and isinstance(nv.get("query"), dict)
+            ):
+                ih = nv["inner_hits"]
+                name = str(ih.get("name") or nv["path"])
+                out.append(
+                    (
+                        f"inner_hits_{name}",
+                        nv["path"],
+                        nv["query"],
+                        int(ih.get("size", 3)),
+                    )
+                )
+            for vv in node.values():
+                walk(vv)
+        elif isinstance(node, (list, tuple)):
+            for vv in node:
+                walk(vv)
+
+    walk(q)
+    return out
 
 
 def _scan_docs(cp: _Compiler, q: dict, op: str = "scan") -> DataFrame:

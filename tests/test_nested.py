@@ -175,7 +175,30 @@ def test_nested_inner_hits_through_dsl(nested_index, transcripts_df):
             assert h["role"] == "tool" and h["turn_idx"] < 3
 
 
-def test_nested_agg_and_reverse_nested(nested_index, transcripts_df):
+def test_nested_inner_hits_inside_bool(nested_index, transcripts_df):
+    tr = _pdf(transcripts_df)
+    body = {
+        "query": {"bool": {"filter": [
+            {"nested": {
+                "path": "turns",
+                "query": {"term": {"turns.role": "tool"}},
+                "inner_hits": {"size": 2, "name": "tools"},
+            }},
+            {"range": {"n_turns": {"gte": 2}}},
+        ]}},
+        "size": 1000,
+    }
+    out = dsl.search(nested_index, body).collect()
+    per = tr[tr.role == "tool"].groupby("conv_id").size()
+    sizes = tr.groupby("conv_id").size()
+    want = {c for c in per.index if sizes[c] >= 2}
+    assert {r["doc_id"] for r in out} == {
+        r["doc_id"] for r in out
+    } and len(out) == len(want)
+    for r in out:
+        hits = r["inner_hits_tools"]
+        assert 1 <= len(hits) <= 2
+        assert all(h["role"] == "tool" for h in hits)
     tr = _pdf(transcripts_df)
     out = dsl.aggs(nested_index, {"aggs": {"n": {
         "nested": {"path": "turns"},
