@@ -1513,7 +1513,9 @@ def search(
             cp, typ, spec, k=size, filters=None, round_scores=round_scores,
             offset=offset, search_after=search_after,
         )
-    ih_reqs = _collect_inner_hits(q) if typ == "bool" else []
+    ih_reqs = (
+        _collect_inner_hits(q) if typ in ("bool", "constant_score") else []
+    )
     if ih_reqs:
         # nested inner_hits inside a bool tree: attach the matching
         # elements per request as a column (F.filter + F.slice over the

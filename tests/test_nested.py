@@ -199,6 +199,27 @@ def test_nested_inner_hits_inside_bool(nested_index, transcripts_df):
         hits = r["inner_hits_tools"]
         assert 1 <= len(hits) <= 2
         assert all(h["role"] == "tool" for h in hits)
+
+
+def test_nested_inner_hits_inside_constant_score(nested_index, transcripts_df):
+    tr = _pdf(transcripts_df)
+    body = {
+        "query": {"constant_score": {"filter": {"nested": {
+            "path": "turns",
+            "query": {"term": {"turns.role": "tool"}},
+            "inner_hits": {"size": 1},
+        }}, "boost": 2.0}},
+        "size": 1000,
+    }
+    out = dsl.search(nested_index, body).collect()
+    assert len(out) == tr[tr.role == "tool"].conv_id.nunique()
+    for r in out:
+        assert r["score"] == 2.0
+        assert len(r["inner_hits_turns"]) == 1
+        assert r["inner_hits_turns"][0]["role"] == "tool"
+
+
+def test_nested_agg_and_reverse_nested(nested_index, transcripts_df):
     tr = _pdf(transcripts_df)
     out = dsl.aggs(nested_index, {"aggs": {"n": {
         "nested": {"path": "turns"},
