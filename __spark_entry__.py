@@ -826,6 +826,18 @@ def q_ft_phrase_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.match_phrase_scored("part filter", k=100, round_scores=6)
 
 
+def q_ft_phrase_slop_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sloppy phrase in QUERY context: anchored-window matches weighted
+    # 1/(1+cost) — cost = sum of minimal per-slot displacements from the
+    # anchor (Lucene SloppyPhraseScorer's 1/(1+matchLength) shape applied
+    # to this engine's documented window semantics); the weighted anchor
+    # sum replaces the integer phrase tf in the same BM25 formula
+    ix = _documents_index(spark, sf_dir)
+    return ix.match_phrase_scored(
+        "part filter", k=100, slop=2, round_scores=6
+    )
+
+
 def q_ft_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES span_near, in_order: one position per clause, strictly increasing,
     # total window (max-min+1)-n <= slop — Lucene proximity beyond phrase
@@ -3543,6 +3555,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bucket_sort": q_ft_bucket_sort,
         "ft_histogram_filled": q_ft_histogram_filled,
         "ft_phrase_scored": q_ft_phrase_scored,
+        "ft_phrase_slop_scored": q_ft_phrase_slop_scored,
         "ft_serial_diff": q_ft_serial_diff,
         "ft_adjacency": q_ft_adjacency,
         "ft_terms_enum": q_ft_terms_enum,
@@ -4708,6 +4721,42 @@ combos AS (
 )
 SELECT suggestion, score, CAST(n_edits AS INTEGER) AS n_edits
 FROM combos ORDER BY score DESC, suggestion ASC LIMIT 3
+""",
+        "ft_phrase_slop_scored": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tp GROUP BY 1),
+idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM (VALUES ('part'), ('filter')) q(term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos FROM tp WHERE term = 'filter'),
+anch AS (
+  SELECT p0.did, p0.pos, min(abs(p1.pos - (p0.pos + 1))) AS cost
+  FROM p0 JOIN p1 ON p1.did = p0.did
+    AND abs(p1.pos - (p0.pos + 1)) <= 2
+  GROUP BY 1, 2
+),
+ptf AS (SELECT did, sum(1.0 / (1 + cost)) AS ptf FROM anch GROUP BY 1)
+SELECT ptf.did AS doc_id,
+       round(i.isum * ptf.ptf
+             / (ptf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS score
+FROM ptf
+JOIN dl ON dl.did = ptf.did
+CROSS JOIN stats s
+CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 100
 """,
         "ft_phrase_scored": f"""
 WITH docs AS (

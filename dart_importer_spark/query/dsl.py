@@ -719,18 +719,15 @@ def _dispatch_leaf(
         field = cp._text_field(typ, f)
         plain(typ)
         _require_no_filters(typ, filters)
-        slop = int(p.get("slop", 0))
-        if slop == 0:
-            # query context scores (Lucene PhraseQuery BM25) — any
-            # analyzed field: non-primary dl decodes from the rarest
-            # phrase term's posting runs (engine._phrase_scores)
-            return ix.match_phrase_scored(
-                p["query"], k=k, field=field, round_scores=round_scores
-            )
-        # sloppy phrase in query context stays constant-score (documented:
-        # the engine's anchored-window slop matcher has no weighted-tf
-        # scoring; put slop phrases in filter context for identical hits)
-        return ix.match_phrase(p["query"], k=k, field=field, slop=slop)
+        # query context scores (Lucene PhraseQuery BM25) — any analyzed
+        # field: non-primary dl decodes from the rarest phrase term's
+        # posting runs. slop>0 scores the anchored-window sloppy phrase
+        # with 1/(1+cost)-weighted anchors (engine._phrase_scores).
+        # Filter-context phrases (bool.filter) stay constant-score.
+        return ix.match_phrase_scored(
+            p["query"], k=k, field=field, round_scores=round_scores,
+            slop=int(p.get("slop", 0)),
+        )
     if typ == "match_phrase_prefix":
         f, v, _side = _field_spec(typ, spec)
         p = cp._match_params(typ, v)

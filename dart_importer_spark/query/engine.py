@@ -2040,7 +2040,9 @@ class InvertedIndex:
             "docs", "dls"
         ).mapInPandas(decode, schema="doc_id long, dl double")
 
-    def _phrase_scores(self, query: str, fid: int) -> DataFrame | None:
+    def _phrase_scores(
+        self, query: str, fid: int, slop: int = 0
+    ) -> DataFrame | None:
         """Full (doc_id, score) Lucene-PhraseQuery-BM25 frame for ONE
         field — unlimited and live-filtered, the shared kernel under
         match_phrase_scored and multi_match(type=phrase). Returns None
@@ -2052,7 +2054,21 @@ class InvertedIndex:
         group-count is the phrase tf. dl: fid 0 broadcast-joins
         doc_stats; other fields decode (doc_id, dl) from the rarest
         phrase term's postings (every phrase hit contains it), so no
-        per-field dl table is ever materialized."""
+        per-field dl table is ever materialized.
+
+        ``slop>0`` scores the ANCHORED-window sloppy phrase (same window
+        semantics as match_phrase's documented matcher): an anchor is a
+        first-term occurrence p0 where every later slot i has some
+        position within ±slop of p0+i; its cost is the sum over slots of
+        the minimal |p_i − (p0+i)|, and it contributes weight
+        1/(1+cost) — Lucene's SloppyPhraseScorer shape (matches weighted
+        by 1/(1+matchLength)), applied to this engine's documented
+        window semantics. The weighted anchor sum replaces the integer
+        phrase tf in the same BM25 formula; an exact match costs 0 and
+        weighs 1, so slop=0 and slop>0 agree on exact-only docs
+        (property-tested). One inner join + one (doc, anchor) min-agg
+        per later slot — same join count as the filter-context matcher,
+        aggregation keyed on (doc_id, p0) so no cross-anchor blowup."""
         if not self.meta.get("store_positions"):
             raise ValueError(
                 "phrase scoring needs an index built with "
@@ -2067,10 +2083,43 @@ class InvertedIndex:
             return None
         idf_sum = sum(_idf(self.n_docs, dfs[t]) for t in terms)
         bc_cand = self._bc_ids(cand_ids)
-        starts = self._phrase_starts(terms, fid, bc_cand)
-        ptf = starts.groupBy("doc_id").agg(
-            F.count("*").cast("double").alias("ptf")
-        )
+        if slop == 0:
+            starts = self._phrase_starts(terms, fid, bc_cand)
+            ptf = starts.groupBy("doc_id").agg(
+                F.count("*").cast("double").alias("ptf")
+            )
+        else:
+            rows_by_term = {
+                t: self._positions_for_terms([t], fid, allowed=bc_cand)
+                for t in set(terms)
+            }
+            anchors = rows_by_term[terms[0]].select(
+                "doc_id", F.col("pos").alias("p0")
+            ).withColumn("cost", F.lit(0))
+            for i, t in enumerate(terms[1:], start=1):
+                nxt = rows_by_term[t].select(
+                    F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+                )
+                disp = F.abs(F.col("p2") - (F.col("p0") + i))
+                anchors = (
+                    anchors.join(
+                        nxt,
+                        (F.col("doc_id") == F.col("d2")) & (disp <= slop),
+                        "inner",
+                    )
+                    .groupBy("doc_id", "p0")
+                    .agg(
+                        F.first("cost").alias("cost"),
+                        F.min(disp).alias("d"),
+                    )
+                    .select(
+                        "doc_id", "p0",
+                        (F.col("cost") + F.col("d")).alias("cost"),
+                    )
+                )
+            ptf = anchors.groupBy("doc_id").agg(
+                F.sum(1.0 / (1.0 + F.col("cost"))).alias("ptf")
+            )
         avgdl = self.avgdl_by_field[fid]
         if fid == 0:
             dl = self.doc_stats().select("doc_id", "dl")
@@ -2098,6 +2147,7 @@ class InvertedIndex:
         k: int = 10,
         field: str | int | None = None,
         round_scores: int | None = None,
+        slop: int = 0,
     ) -> DataFrame:
         """ES match_phrase in QUERY context — Lucene PhraseQuery BM25:
         tf is the document's exact-phrase occurrence count (overlapping
@@ -2107,8 +2157,10 @@ class InvertedIndex:
         ``match_phrase()`` remains the filter-context constant-score
         variant (ES scores phrases only when the clause sits in query
         context). Any analyzed field: non-primary dl comes from the
-        rarest phrase term's posting runs (see _phrase_scores)."""
-        out = self._phrase_scores(query, self._fid(field))
+        rarest phrase term's posting runs (see _phrase_scores).
+        ``slop>0`` scores the anchored-window sloppy phrase with
+        1/(1+cost)-weighted anchors (see _phrase_scores)."""
+        out = self._phrase_scores(query, self._fid(field), slop=slop)
         if out is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         if round_scores is not None:

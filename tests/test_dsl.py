@@ -434,12 +434,23 @@ def pos_index(spark, tmp_path_factory):
 
 
 def test_match_phrase_and_prefix(pos_index):
+    # query context scores at ANY slop (anchored-window weighted anchors)
     same(
         pos_index.search(
             {"query": {"match_phrase": {"text": {
                 "query": "alpha beta", "slop": 1}}}, "size": 10}
         ),
-        pos_index.match_phrase("alpha beta", k=10, slop=1),
+        pos_index.match_phrase_scored("alpha beta", k=10, slop=1),
+    )
+    # same doc set as the filter-context matcher (scores differ)
+    assert sorted(
+        r["doc_id"] for r in pos_index.search(
+            {"query": {"match_phrase": {"text": {
+                "query": "alpha beta", "slop": 1}}}, "size": 10}
+        ).collect()
+    ) == sorted(
+        r["doc_id"]
+        for r in pos_index.match_phrase("alpha beta", k=10, slop=1).collect()
     )
     same(
         pos_index.search(

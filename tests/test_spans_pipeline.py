@@ -556,6 +556,56 @@ def test_match_phrase_scored(spark, tmp_path_factory):
     assert got2 == {0: pytest.approx(expect(isum2, 1, 2, 2.0), rel=1e-9)}
 
 
+def test_match_phrase_scored_sloppy(spark, tmp_path_factory):
+    """Anchored-window sloppy scoring: anchors weighted 1/(1+cost),
+    cost = sum of minimal per-slot displacements; slop=0 and slop>0
+    agree exactly on docs whose matches are all exact."""
+    import math
+
+    rows = [("p", 0, "x y"), ("p", 1, "x y z x y"),
+            ("p", 2, "b b b"), ("p", 3, "y x")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("psloppy") / "idx")
+    build_index(spark, df, out,
+                BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
+                meta_cols=())
+    ix = InvertedIndex(spark, out)
+
+    def idf(n, dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def expect(isum, tf, dl, avgdl):
+        return isum * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+    avgdl = (2 + 5 + 3 + 2) / 4.0
+    isum = 2 * idf(4, 3)
+    got0 = {r["doc_id"]: r["score"]
+            for r in ix.match_phrase_scored("x y", k=10).collect()}
+    got1 = {r["doc_id"]: r["score"]
+            for r in ix.match_phrase_scored("x y", k=10, slop=1).collect()}
+    # slop 1 admits no extra doc here and every match is exact -> identical
+    assert got1 == {k: pytest.approx(v, rel=1e-9) for k, v in got0.items()}
+
+    # slop 2 admits the transposed "y x": anchor x@1, y@0, cost 2, w=1/3
+    got2 = {r["doc_id"]: r["score"]
+            for r in ix.match_phrase_scored("x y", k=10, slop=2).collect()}
+    assert set(got2) == {0, 1, 3}
+    assert got2[0] == pytest.approx(expect(isum, 1.0, 2, avgdl), rel=1e-9)
+    assert got2[1] == pytest.approx(expect(isum, 2.0, 5, avgdl), rel=1e-9)
+    assert got2[3] == pytest.approx(
+        expect(isum, 1.0 / 3.0, 2, avgdl), rel=1e-9
+    )
+
+    # DSL query-context parity at slop>0
+    from dart_importer_spark.query import dsl as _dsl
+
+    via_dsl = {r["doc_id"]: r["score"]
+               for r in _dsl.search(ix, {"query": {"match_phrase": {
+                   "text": {"query": "x y", "slop": 2}}}, "size": 10}
+               ).collect()}
+    assert via_dsl == {k: pytest.approx(v, rel=1e-9) for k, v in got2.items()}
+
+
 def test_suggest_phrase(spark, tmp_path_factory):
     """Phrase suggester: per-token Damerau candidates -> whole-phrase
     rewrites under score = sum(ln(1+df)) - penalty*sum(dist); collation
