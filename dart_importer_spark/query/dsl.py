@@ -762,17 +762,16 @@ def _dispatch_leaf(
                 spec["query"], k=k, round_scores=round_scores
             )
         if mt in ("phrase", "phrase_prefix"):
-            if int(spec.get("slop", 0)) != 0:
+            slop = int(spec.get("slop", 0))
+            if slop and mt != "phrase":
                 raise DslError(
-                    "multi_match: slop != 0 is unsupported for "
-                    "type=phrase (scored phrases are exact, see "
-                    "match_phrase_scored)"
+                    "multi_match: slop only applies to type=phrase"
                 )
             return ix.multi_match_phrase(
                 spec["query"], fields=list(fields), k=k, match_type=mt,
                 tie_breaker=float(spec.get("tie_breaker", 0.0)),
                 max_expansions=int(spec.get("max_expansions", 50)),
-                round_scores=round_scores,
+                round_scores=round_scores, slop=slop,
             )
         if mt not in ("most_fields", "best_fields", "cross_fields"):
             raise DslError(f"multi_match: unsupported type {mt!r}")

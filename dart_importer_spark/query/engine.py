@@ -7198,6 +7198,7 @@ class InvertedIndex:
         tie_breaker: float = 0.0,
         round_scores: int | None = None,
         max_expansions: int | None = 50,
+        slop: int = 0,
     ) -> DataFrame:
         """ES ``multi_match`` type=phrase / type=phrase_prefix: the phrase
         (or phrase-prefix) query runs against EACH named field and the
@@ -7224,6 +7225,12 @@ class InvertedIndex:
             )
         if not 0.0 <= tie_breaker <= 1.0:
             raise ValueError("multi_match_phrase: tie_breaker must be in [0, 1]")
+        if slop < 0:
+            raise ValueError("multi_match_phrase: slop must be >= 0")
+        if slop and match_type != "phrase":
+            raise ValueError(
+                "multi_match_phrase: slop only applies to type=phrase"
+            )
         legs: list[DataFrame] = []
         for f in fields:
             boost = 1.0
@@ -7242,7 +7249,7 @@ class InvertedIndex:
                     )
             fid = self._fid(f)
             if match_type == "phrase":
-                sc = self._phrase_scores(query, fid)
+                sc = self._phrase_scores(query, fid, slop=slop)
                 if sc is None:
                     continue
                 legs.append(

@@ -159,6 +159,63 @@ def test_multi_match_phrase_validation(mm_index):
         mm_index.multi_match_phrase("a b", ["body^-1"])
     with pytest.raises(ValueError, match="malformed"):
         mm_index.multi_match_phrase("a b", ["body^x"])
+    with pytest.raises(ValueError, match="slop"):
+        mm_index.multi_match_phrase(
+            "a b", ["body"], match_type="phrase_prefix", slop=1
+        )
+    with pytest.raises(ValueError, match="slop"):
+        mm_index.multi_match_phrase("a b", ["body"], slop=-1)
+
+
+def test_multi_match_phrase_slop(mm_index):
+    # slop=0 exactly equals the default path on every doc; slop>0 admits
+    # transposed/gapped matches per leg with the 1/(1+cost) anchor weight
+    # (leg-level identity to match_phrase_scored(slop) under dis_max)
+    base = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.multi_match_phrase(
+            "alpha beta", fields=["body^2", "title"], k=10, tie_breaker=0.4
+        ).collect()
+    }
+    zero = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.multi_match_phrase(
+            "alpha beta", fields=["body^2", "title"], k=10, tie_breaker=0.4,
+            slop=0,
+        ).collect()
+    }
+    assert zero == {k: pytest.approx(v, abs=1e-9) for k, v in base.items()}
+    tie = 0.4
+    body = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.match_phrase_scored(
+            "alpha beta", k=100, field="body", slop=2
+        ).collect()
+    }
+    title = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.match_phrase_scored(
+            "alpha beta", k=100, field="title", slop=2
+        ).collect()
+    }
+    want = {}
+    for d in set(body) | set(title):
+        legs = ([2.0 * body[d]] if d in body else []) + (
+            [title[d]] if d in title else []
+        )
+        want[d] = max(legs) + tie * (sum(legs) - max(legs))
+    got = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.multi_match_phrase(
+            "alpha beta", fields=["body^2", "title"], k=10, tie_breaker=tie,
+            slop=2,
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == pytest.approx(want[d], abs=1e-9)
+    # slop=2 admits "beta alpha" (doc 2 body) — a leg slop=0 never had
+    assert 2 in body
 
 
 def test_dsl_multi_match_phrase(mm_index):
@@ -183,6 +240,26 @@ def test_dsl_multi_match_phrase(mm_index):
         ).collect()
     }
     assert via_dsl == direct
+    # type=phrase carries slop through to the sloppy-scored legs
+    via_slop = {
+        r["doc_id"]: r["score"]
+        for r in dsl.search(
+            mm_index,
+            {"query": {"multi_match": {
+                "query": "alpha beta", "fields": ["body^2", "title"],
+                "type": "phrase", "tie_breaker": 0.4, "slop": 2,
+            }}, "size": 10},
+        ).collect()
+    }
+    direct_slop = {
+        r["doc_id"]: r["score"]
+        for r in mm_index.multi_match_phrase(
+            "alpha beta", fields=["body^2", "title"], k=10,
+            tie_breaker=0.4, slop=2,
+        ).collect()
+    }
+    assert via_slop == direct_slop and 2 in via_slop
+    # slop stays refused for type=phrase_prefix
     with pytest.raises(dsl.DslError, match="slop"):
         dsl.search(
             mm_index,
@@ -191,7 +268,7 @@ def test_dsl_multi_match_phrase(mm_index):
                     "multi_match": {
                         "query": "a b",
                         "fields": ["body"],
-                        "type": "phrase",
+                        "type": "phrase_prefix",
                         "slop": 2,
                     }
                 }
