@@ -15,7 +15,8 @@ Spark-first mapping, command by command:
                  ``InvertedIndex`` source exposes ``doc_id`` + its stored
                  meta columns (the ES ``_source`` model)
 ``WHERE``        ``df.filter(<Column>)``; full-text predicates
-                 (``MATCH``/``QSTR``) are extracted from the top-level AND
+                 (``MATCH``/``MATCH_PHRASE``/``QSTR``) are extracted from
+                 the top-level AND
                  chain and become bucket-pruned postings scans joined back
                  as doc_id semi/anti-joins — the 100-TB shape: the posting
                  scan touches only the query terms' buckets, never the
@@ -708,7 +709,7 @@ _AGG_FNS = {
     "values",
 }
 
-_FT_FNS = {"match", "qstr", "knn"}
+_FT_FNS = {"match", "match_phrase", "qstr", "knn"}
 
 # time-series (TS source) per-series aggregates, ES|QL 8.19
 _TS_FNS = {
@@ -1808,7 +1809,40 @@ class EsqlEngine:
         idx = rel.index
         for _, call, negated in fts:
             name, args = call[1], call[2]
-            if name == "match":
+            if name == "match_phrase":
+                # ES|QL MATCH_PHRASE (8.18): exact-phrase filter; with
+                # METADATA _score, the Lucene PhraseQuery BM25 frame
+                if len(args) != 2 or args[0][0] != "col" or args[1][0] != "str":
+                    raise EsqlError('ES|QL: MATCH_PHRASE(field, "text")')
+                fieldname, qtext = args[0][1], args[1][1]
+                terms = idx._analyze(qtext, fieldname)
+                if negated:
+                    docs = idx._live(
+                        idx._phrase_doc_set(terms, idx._fid(fieldname), 0)
+                    )
+                    rel.df = rel.df.join(docs, "doc_id", "left_anti")
+                elif rel.score_requested:
+                    sc = idx._phrase_scores(qtext, idx._fid(fieldname))
+                    if sc is None:
+                        rel.df = rel.df.limit(0)
+                    else:
+                        scored = idx._live(sc).select(
+                            "doc_id", F.col("score").alias("__s")
+                        )
+                        rel.df = (
+                            rel.df.join(scored, "doc_id")
+                            .withColumn(
+                                "_score", F.col("_score") + F.col("__s")
+                            )
+                            .drop("__s")
+                        )
+                    rel.score_has_match = True
+                else:
+                    docs = idx._live(
+                        idx._phrase_doc_set(terms, idx._fid(fieldname), 0)
+                    )
+                    rel.df = rel.df.join(docs, "doc_id", "left_semi")
+            elif name == "match":
                 if len(args) != 2 or args[0][0] != "col" or args[1][0] != "str":
                     raise EsqlError('ES|QL: MATCH(field, "query text")')
                 fieldname, qtext = args[0][1], args[1][1]

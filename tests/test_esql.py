@@ -191,6 +191,49 @@ def test_match_filter_context_and_negation(spark, built_index):
     assert n_match == built_index.match_docs("w00100").count()
 
 
+def test_match_phrase(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [("p", 0, "x y"), ("p", 1, "x y z x y"),
+            ("p", 2, "y x"), ("p", 3, "x z y")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = str(tmp_path_factory.mktemp("esql_mp") / "idx")
+    build_index(spark, df, out,
+                BuildConfig(n_segments=1, n_buckets=2, store_positions=True),
+                meta_cols=())
+    ix = InvertedIndex(spark, out)
+    eng = EsqlEngine(spark, {"t": ix})
+    # filter context: exact-phrase doc set
+    n = eng.query(
+        'FROM t | WHERE MATCH_PHRASE(text, "x y") | STATS n = COUNT(*)'
+    ).collect()[0]["n"]
+    assert n == 2  # docs 0 and 1
+    n_not = eng.query(
+        'FROM t | WHERE NOT MATCH_PHRASE(text, "x y") | STATS n = COUNT(*)'
+    ).collect()[0]["n"]
+    assert n + n_not == 4
+    # METADATA _score: the PhraseQuery BM25 frame, rank-identical to
+    # match_phrase_scored
+    got = eng.query(
+        "FROM t METADATA _score\n"
+        '| WHERE MATCH_PHRASE(text, "x y")\n'
+        "| EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 10"
+    ).collect()
+    want = ix.match_phrase_scored("x y", k=10, round_scores=6).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+    # absent phrase term -> empty scored result, not an error
+    empty = eng.query(
+        "FROM t METADATA _score\n"
+        '| WHERE MATCH_PHRASE(text, "x nope")\n'
+        "| STATS n = COUNT(*)"
+    ).collect()[0]["n"]
+    assert empty == 0
+
+
 def test_qstr(spark, built_index):
     eng = EsqlEngine(spark, {"transcripts": built_index})
     got = eng.query(
