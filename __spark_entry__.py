@@ -3105,6 +3105,22 @@ def q_esql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES|QL MATCH_PHRASE (8.18) with METADATA _score: the Lucene
+    # PhraseQuery BM25 frame over positional postings — score-identical
+    # to match_phrase_scored (same oracle as ft_phrase_scored)
+    from dart_importer_spark.query.esql import EsqlEngine
+
+    ix = _documents_index(spark, sf_dir)
+    eng = EsqlEngine(spark, {"documents": ix})
+    return eng.query(
+        "FROM documents METADATA _score\n"
+        '| WHERE MATCH_PHRASE(text, "part filter")\n'
+        "| EVAL score = ROUND(_score, 6)\n"
+        "| KEEP doc_id, score | SORT score DESC, doc_id ASC | LIMIT 100"
+    )
+
+
 def q_esql_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the PRUNED ES|QL path: WHERE MATCH | SORT _score DESC | LIMIT k
     # rewrites to the engine's block-max topk(k) with the lang conjunct
@@ -3694,6 +3710,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "etl_chunk_text": q_etl_chunk_text,
         "ft_synonyms": q_ft_synonyms,
         "esql_match_topk": q_esql_match_topk,
+        "esql_match_phrase": q_esql_match_phrase,
         "esql_fuse": q_esql_fuse,
         "esql_knn": q_esql_knn,
         "esql_rerank": q_esql_rerank,
@@ -4721,6 +4738,37 @@ combos AS (
 )
 SELECT suggestion, score, CAST(n_edits AS INTEGER) AS n_edits
 FROM combos ORDER BY score DESC, suggestion ASC LIMIT 3
+""",
+        "esql_match_phrase": f"""
+WITH docs AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS did, text FROM documents
+),
+t AS (SELECT did, {tok} AS lst FROM docs),
+tp AS (
+  SELECT did, unnest(lst) AS term, generate_subscripts(lst, 1) AS pos FROM t
+),
+dl AS (SELECT did, len(lst)::DOUBLE AS dl FROM t),
+stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+dft AS (SELECT term, count(DISTINCT did)::DOUBLE AS df FROM tp GROUP BY 1),
+idf AS (
+  SELECT sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))) AS isum
+  FROM (VALUES ('part'), ('filter')) q(term)
+  JOIN dft d USING (term)
+  CROSS JOIN stats s
+),
+p0 AS (SELECT did, pos FROM tp WHERE term = 'part'),
+p1 AS (SELECT did, pos - 1 AS pos FROM tp WHERE term = 'filter'),
+starts AS (SELECT p0.did, p0.pos FROM p0 JOIN p1 USING (did, pos)),
+ptf AS (SELECT did, count(*)::DOUBLE AS ptf FROM starts GROUP BY 1)
+SELECT ptf.did AS doc_id,
+       round(i.isum * ptf.ptf
+             / (ptf.ptf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 6)
+         AS score
+FROM ptf
+JOIN dl ON dl.did = ptf.did
+CROSS JOIN stats s
+CROSS JOIN idf i
+ORDER BY score DESC, doc_id ASC LIMIT 100
 """,
         "ft_phrase_slop_scored": f"""
 WITH docs AS (
