@@ -77,6 +77,7 @@ HEADLINE = [
     "ft_match_bool_prefix",
     "ft_span_not",
     "ft_phrase_scored",
+    "ft_phrase_slop_scored",
     "ft_suggest_phrase",
     "ft_multi_index",
     "ft_hybrid_rrf",
@@ -155,6 +156,7 @@ HEADLINE = [
     # (pruned rewrite) is the deliberate A/B
     "esql_match",
     "esql_match_topk",
+    "esql_match_phrase",
     "esql_stats",
     "ft_script_score",
     "ft_geohash",
