@@ -133,22 +133,28 @@ def assign_doc_ids(
         acc += counts[pid]
     if stats_out is not None:
         stats_out["n_total"] = acc - int(base)
-    bc = spark.sparkContext.broadcast(offsets)
 
-    out_schema = df.schema.add("doc_id", "long", False)
-
-    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            start = bc.value[int(pdf["_pid"].iloc[0])]
-            pdf = pdf.drop(columns=["_pid"])
-            pdf["doc_id"] = np.arange(local, local + len(pdf), dtype=np.int64) + start
-            local += len(pdf)
-            yield pdf
-
-    return ranged.mapInPandas(number, schema=out_schema)
+    # numbering stays PURE JVM: doc_id = offset[_pid] + row-ordinal-within-
+    # partition, where the ordinal is the low 33 bits of
+    # monotonically_increasing_id() (its counter starts at pid<<33 and
+    # increments per row in task order — exactly the cached sorted order).
+    # The previous mapInPandas numbering shipped every column of every row
+    # (including the full text) JVM->Arrow->Python->JVM once PER DOWNSTREAM
+    # BRANCH just to add one column; both the doc_stats and the encode
+    # branch re-ran that crossing. The broadcast hash join on the tiny
+    # offsets table adds no exchange and preserves row order.
+    offs_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in sorted(offsets.items())],
+        "_pid int, _off long",
+    )
+    local_ord = F.monotonically_increasing_id().bitwiseAND(
+        F.lit((1 << 33) - 1)
+    )
+    return (
+        ranged.join(F.broadcast(offs_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + local_ord).cast("long"))
+        .select(*df.columns, "doc_id")
+    )
 
 
 def pack_runs_bulk(
@@ -793,12 +799,8 @@ def _build_segments(
         stats_w.repartition(1).write.mode("overwrite").parquet(
             f"{out_dir}/doc_stats"
         )
-    else:
-        stats_w.write.mode("overwrite").partitionBy("seg").parquet(
-            f"{out_dir}/doc_stats"
-        )
-    phases["doc_stats_write"] = round(time.time() - tp, 3)
-    tp = time.time()
+        phases["doc_stats_write"] = round(time.time() - tp, 3)
+        tp = time.time()
 
     # --- local segment encode: NO token-level shuffle at all ---
     # This is the Lucene/ES ingest model made distributed: every doc-range
@@ -822,18 +824,40 @@ def _build_segments(
         encoded.repartition(1).write.mode("overwrite").parquet(
             f"{out_dir}/postings"
         )
+        phases["encode_write"] = round(time.time() - tp, 3)
+        tp = time.time()
     else:
-        (
-            # term-sorted files: parquet row-group min/max stats on `term`
-            # make the pushed In(term, ...) predicate skip whole row groups
-            encoded.repartition("seg", "field", "bucket")
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("seg", "field", "bucket")
-            .parquet(f"{out_dir}/postings")
-        )
-    phases["encode_write"] = round(time.time() - tp, 3)
-    tp = time.time()
+        # doc_stats and postings both derive from the SAME cached ranged
+        # input and are independent of each other: submit them from a small
+        # thread pool so the second job's tasks back-fill executors freed by
+        # the first job's tail (guide §2.6 — actions are only sequential
+        # because driver code calls them sequentially).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_doc_stats():
+            stats_w.write.mode("overwrite").partitionBy("seg").parquet(
+                f"{out_dir}/doc_stats"
+            )
+
+        def _write_postings():
+            (
+                # term-sorted files: parquet row-group min/max stats on
+                # `term` make the pushed In(term, ...) predicate skip whole
+                # row groups
+                encoded.repartition("seg", "field", "bucket")
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("seg", "field", "bucket")
+                .parquet(f"{out_dir}/postings")
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stats = pool.submit(_write_doc_stats)
+            f_post = pool.submit(_write_postings)
+            f_stats.result()
+            f_post.result()
+        phases["doc_stats_and_encode_write"] = round(time.time() - tp, 3)
+        tp = time.time()
 
     # --- exact per-segment df, derived from the encoded postings (tiny:
     # one row per run) — feeds resume stats and the published term_dict ---
@@ -847,16 +871,53 @@ def _build_segments(
         seg_df.repartition(1).write.mode("overwrite").parquet(
             f"{out_dir}/term_seg_df"
         )
+        # --- publish global term_dict + corpus_stats from per-seg partials
+        publish_stats(spark, out_dir, cfg.n_buckets, n_fields=len(field_sources))
     else:
-        (
-            seg_df.repartition("seg")
-            .write.mode("overwrite")
-            .partitionBy("seg")
-            .parquet(f"{out_dir}/term_seg_df")
-        )
+        from concurrent.futures import ThreadPoolExecutor
 
-    # --- publish global term_dict + corpus_stats from per-seg partials ---
-    publish_stats(spark, out_dir, cfg.n_buckets, n_fields=len(field_sources))
+        # the in-memory partials are the WHOLE dictionary only when no
+        # segment was skipped AND no prior build left partials on disk
+        # (a force-rebuild over an existing dir may leave orphan seg=
+        # partitions that dynamic overwrite never touches — those must
+        # keep flowing into term_dict exactly as before)
+        tsd_dir = os.path.join(out_dir, "term_seg_df")
+        had_prior_partials = os.path.isdir(tsd_dir) and any(
+            e.startswith("seg=") for e in os.listdir(tsd_dir)
+        )
+        full_build = not done and not had_prior_partials
+
+        def _write_seg_df():
+            (
+                seg_df.repartition("seg")
+                .write.mode("overwrite")
+                .partitionBy("seg")
+                .parquet(f"{out_dir}/term_seg_df")
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            fs = [
+                pool.submit(_write_seg_df),
+                # corpus_stats reads the already-written doc_stats
+                pool.submit(
+                    write_corpus_stats, spark, out_dir, len(field_sources)
+                ),
+            ]
+            if full_build:
+                # the persisted partials ARE the whole dictionary — publish
+                # straight from memory, concurrently with the partial write
+                fs.append(
+                    pool.submit(
+                        publish_term_dict, spark, out_dir, cfg.n_buckets,
+                        seg_df=seg_df,
+                    )
+                )
+            for f in fs:
+                f.result()
+            if not full_build:
+                # resume keeps skipped segments' partials on disk — the
+                # dictionary must union them, so publish AFTER the write
+                publish_term_dict(spark, out_dir, cfg.n_buckets)
     _write_meta(out_dir, cfg, doc_key_cols, meta_cols, fields)
     phases["publish_stats"] = round(time.time() - tp, 3)
     tp = time.time()
@@ -947,12 +1008,20 @@ def write_corpus_stats(spark: SparkSession, out_dir: str, n_fields: int) -> None
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/corpus_stats")
 
 
-def publish_term_dict(spark: SparkSession, out_dir: str, n_buckets: int) -> None:
+def publish_term_dict(
+    spark: SparkSession,
+    out_dir: str,
+    n_buckets: int,
+    seg_df: DataFrame | None = None,
+) -> None:
     """Re-derive the global (field, term, df) dictionary from per-segment
     partials. term_dict is directory-partitioned by the same crc32 term
     bucket as the postings, so a query's df lookup prunes to the buckets its
-    terms hash to instead of scanning the whole dictionary."""
-    seg_df = spark.read.parquet(f"{out_dir}/term_seg_df")
+    terms hash to instead of scanning the whole dictionary. ``seg_df``
+    short-circuits the disk round-trip when the caller already holds ALL
+    partials in memory (the fresh full-build path)."""
+    if seg_df is None:
+        seg_df = spark.read.parquet(f"{out_dir}/term_seg_df")
     if "field" not in seg_df.columns:  # pre-fielded layout
         seg_df = seg_df.withColumn("field", F.lit(0))
     (

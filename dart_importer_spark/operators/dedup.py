@@ -90,9 +90,19 @@ def ngram_jaccard_pairs(
     )
     # hashed shingle keys: 8-byte shuffle keys instead of ~20-byte strings;
     # with ~10^5..10^9 distinct shingles the 64-bit collision odds are
-    # <= n^2/2^65 — far below any other failure mode of the pipeline
-    ex = sh.select("_id", F.explode("s").alias("shs")).select(
-        "_id", "shs", F.xxhash64("shs").alias("h")
+    # <= n^2/2^65 — far below any other failure mode of the pipeline.
+    #
+    # The exploded table feeds sizes, dfs, the prefix window, both
+    # candidate sides and both verify sides — 6+ plan branches that would
+    # each re-run the tokenizer + shingle build. Materialize the hashed
+    # spine ONCE, before anything branches (lazy local checkpoint: computed
+    # at the first action, executor-local blocks, auto-cleaned on
+    # dereference); everything downstream — including the pre-cap sizes —
+    # derives from it.
+    ex = (
+        sh.select("_id", F.explode("s").alias("shs"))
+        .select("_id", F.xxhash64("shs").alias("h"))
+        .localCheckpoint(eager=False)
     )
     # set sizes from the PRE-cap sets: the jaccard denominator must keep
     # the true union, or a capped pair's reported value could EXCEED the
@@ -100,22 +110,22 @@ def ngram_jaccard_pairs(
     # makes the reported jaccard a lower bound)
     sizes = ex.groupBy("_id").agg(F.count("*").alias("sz"))
     if max_shingle_df is not None:
-        dfs_all = ex.groupBy("h").agg(
-            F.count("*").alias("df"), F.first("shs").alias("sh")
-        )
+        dfs_all = ex.groupBy("h").agg(F.count("*").alias("df"))
         if metrics_out is not None:
-            metrics_out["capped_shingles"] = dfs_all.filter(
-                F.col("df") > max_shingle_df
-            ).select("sh", "df")
+            # shingle STRINGS only exist pre-hash; re-derive them lazily for
+            # just the oversized hashes (metrics consumer only)
+            over = dfs_all.filter(F.col("df") > max_shingle_df)
+            strs = (
+                sh.select(F.explode("s").alias("shs"))
+                .select("shs", F.xxhash64("shs").alias("h"))
+                .distinct()
+            )
+            metrics_out["capped_shingles"] = over.join(strs, "h").select(
+                F.col("shs").alias("sh"), "df"
+            )
         ex = ex.join(
             dfs_all.filter(F.col("df") <= max_shingle_df).select("h"), "h"
-        )
-    # the exploded shingle table feeds sizes, dfs, the prefix window, both
-    # candidate sides and both verify sides — 6 plan branches that would
-    # each re-run the tokenizer + shingle build. Materialize it once
-    # (lazy local checkpoint: computed at the first action, executor-local
-    # blocks, auto-cleaned when the DataFrame is dereferenced).
-    ex = ex.select("_id", "h").localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False)
     if prefix_filter:
         # AllPairs/SSJoin prefix filtering (Bayardo et al., WWW'07;
         # Chaudhuri et al., ICDE'06): order every set by a global total
@@ -591,11 +601,15 @@ def dedup_clusters(
     nodes: every id appears in the output, singletons as their own
     cluster. Without it the node set is derived from the pairs alone.
     """
-    edges = pairs.select(
+    # materialize the caller's pair pipeline BEFORE the symmetric union:
+    # both union branches reference it, so without the marker the whole
+    # upstream pair generation (e.g. the exact-Jaccard join) runs TWICE
+    # inside the first action (measured 2× the jaccard wall at sf0.1)
+    base_edges = pairs.select(
         F.col(left_col).alias("src"), F.col(right_col).alias("dst")
-    )
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    edges = base_edges.union(
+        base_edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     nodes = edges.select(F.col("src").alias("id")).distinct()
     if ids is not None:
@@ -603,8 +617,24 @@ def dedup_clusters(
     # pair graphs are tiny next to the corpus (edges ≪ docs); keep the
     # edge list hot across rounds instead of re-shuffling it from source
     edges = edges.localCheckpoint(eager=False)
-    labels = nodes.select("id", F.col("id").alias("lbl")).localCheckpoint(
-        eager=False
+    # Size the propagation working set from the DATA, not from whatever
+    # partitioning the pair generator happened to leave behind: the count
+    # materializes the checkpoint (the first action would have anyway), and
+    # the working set is then laid out at ~rows_per_task rows per task —
+    # one task per stage at toy scale, thousands of tasks at 10^12 edges.
+    # Every round otherwise launches 32+ near-empty map tasks per join
+    # stage, and the per-stage scheduling overhead dominates the round.
+    import os as _os
+
+    n_edges = edges.count()
+    rows_per_task = int(_os.environ.get("DIS_CC_ROWS_PER_TASK", "4000000"))
+    p = max(1, -(-n_edges // rows_per_task))
+    if p < edges.rdd.getNumPartitions():
+        edges = edges.repartition(p, "src").localCheckpoint(eager=False)
+    labels = (
+        nodes.select("id", F.col("id").alias("lbl"))
+        .repartition(p, "id")
+        .localCheckpoint(eager=False)
     )
     # decimal(38,0) sum: at 10^12 nodes with 10^12-scale ids an int64 sum
     # wraps (non-ANSI), and a wrapped sum could spuriously equal the
@@ -613,34 +643,42 @@ def dedup_clusters(
     # this agg is the job that materializes the lazy checkpoint above
     prev_sum = labels.agg(lbl_sum).first()[0]
     converged, rounds = False, 0
-    for _ in range(max_iter):
-        rounds += 1
-        nbr = (
-            edges.join(labels, edges.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        stepped = (
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("lbl", "nlbl").alias("lbl"))
-        )
-        # pointer jumping: lbl <- label-of-lbl (path halving)
-        jump = stepped.select(
-            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
-        )
-        new_labels = (
-            stepped.join(jump, stepped.lbl == jump.jid, "left")
-            .select("id", F.least("lbl", "jlbl").alias("lbl"))
-            .localCheckpoint(eager=False)
-        )
-        # ONE action per round: the sum agg both materializes the lazy
-        # checkpoint (cutting lineage) and yields the convergence signal
+
+    while rounds < max_iter and not converged:
+        # TWO propagation rounds per action (convergence checked every 2nd
+        # round): min-propagation is monotone and idempotent at fixpoint,
+        # so an extra round past convergence cannot change any label —
+        # assignments are identical, with half the barrier-synchronized
+        # convergence aggs. The lazy checkpoint still cuts lineage once
+        # per action, and the sum agg is still the materializing action.
+        steps = min(2, max_iter - rounds)
+        new_labels = labels
+        for _ in range(steps):
+            rounds += 1
+            nbr = (
+                edges.join(new_labels, edges.src == new_labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("lbl").alias("nlbl"))
+            )
+            stepped = (
+                new_labels.join(nbr, "id", "left")
+                .select("id", F.least("lbl", "nlbl").alias("lbl"))
+            )
+            # pointer jumping: lbl <- label-of-lbl (path halving)
+            jump = stepped.select(
+                F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+            )
+            new_labels = (
+                stepped.join(jump, stepped.lbl == jump.jid, "left")
+                .select("id", F.least("lbl", "jlbl").alias("lbl"))
+            )
+        new_labels = new_labels.localCheckpoint(eager=False)
         cur_sum = new_labels.agg(lbl_sum).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
             converged = True
-            break
-        prev_sum = cur_sum
+        else:
+            prev_sum = cur_sum
     if metrics_out is not None:
         metrics_out["rounds"] = rounds
         metrics_out["converged"] = converged

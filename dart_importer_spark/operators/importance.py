@@ -70,7 +70,15 @@ def importance_weights(
     the same n-gram feature space; smoothing is add-``alpha`` over the
     UNION vocabulary of both corpora, so a feature unseen in the target
     contributes a finite negative ratio instead of -inf."""
-    dfc = ngram_feature_counts(raw, text_col, id_col, n_max)
+    # dfc feeds BOTH the raw model and the final per-doc weight join, and
+    # joined feeds BOTH the totals agg and the ratio table — without a
+    # materialization marker each consumer re-runs the tokenizer + explode
+    # + hash-agg from the corpus (3 full passes instead of 1). The lazy
+    # localCheckpoint computes each once at its first action and keeps
+    # executor-local blocks (auto-freed on dereference).
+    dfc = ngram_feature_counts(raw, text_col, id_col, n_max).localCheckpoint(
+        eager=False
+    )
     raw_m = dfc.groupBy("f").agg(F.sum("c").alias("cr"))
     tgt_m = (
         ngram_feature_counts(target, text_col, id_col, n_max)
@@ -81,7 +89,7 @@ def importance_weights(
         "f",
         F.coalesce("cr", F.lit(0.0)).alias("cr"),
         F.coalesce("ct", F.lit(0.0)).alias("ct"),
-    )
+    ).localCheckpoint(eager=False)
     tot = joined.agg(
         F.sum("cr").alias("tr"),
         F.sum("ct").alias("tt"),

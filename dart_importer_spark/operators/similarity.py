@@ -612,6 +612,64 @@ class LshAnnIndex:
         )
 
 
+def _lloyd_kmeans(
+    X: np.ndarray,
+    k: int,
+    seed: int,
+    max_iter: int = 25,
+    tol: float = 1e-4,
+    n_init: int = 4,
+) -> np.ndarray:
+    """Deterministic in-process Lloyd k-means for the bounded IVF training
+    sample — the FAISS model: quantizer training is small enough to run
+    where the coordinator is. ``n_init`` seeded k-means++ restarts, keep
+    the lowest-inertia run (the scikit-learn discipline — a single init is
+    noticeably luck-sensitive on tiny corpora). ``X`` must be row-sorted by
+    a stable key so the result is independent of partition order. Empty
+    clusters are re-seeded from the point farthest from its centroid
+    (deterministic)."""
+    n = len(X)
+    if n == 0:
+        raise ValueError("_lloyd_kmeans: empty training set")
+    k = min(int(k), n)
+    x2 = (X**2).sum(axis=1)
+    best, best_inertia = None, np.inf
+    for trial in range(max(1, int(n_init))):
+        rng = np.random.default_rng(seed + 104729 * trial)
+        # k-means++ seeding
+        centers = np.empty((k, X.shape[1]), dtype=np.float64)
+        centers[0] = X[rng.integers(n)]
+        d2 = ((X - centers[0]) ** 2).sum(axis=1)
+        for i in range(1, k):
+            tot = d2.sum()
+            if tot <= 0:
+                centers[i:] = X[rng.integers(n, size=k - i)]
+                break
+            centers[i] = X[rng.choice(n, p=d2 / tot)]
+            d2 = np.minimum(d2, ((X - centers[i]) ** 2).sum(axis=1))
+        for _ in range(max_iter):
+            # argmin over |x−c|² = x² − 2x·c + c²; x² is rank-constant
+            d = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+            assign = d.argmin(axis=1)
+            new_centers = centers.copy()
+            for j in range(k):
+                members = assign == j
+                if members.any():
+                    new_centers[j] = X[members].mean(axis=0)
+                else:  # deterministic empty-cluster repair: farthest point
+                    far = (x2 + d[np.arange(n), assign]).argmax()
+                    new_centers[j] = X[far]
+            shift = float(((new_centers - centers) ** 2).sum())
+            centers = new_centers
+            if shift < tol * tol:
+                break
+        d = (centers**2).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        inertia = float((x2 + d.min(axis=1)).sum())
+        if inertia < best_inertia:
+            best, best_inertia = centers, inertia
+    return best
+
+
 class IvfAnnIndex:
     """IVF-Flat ANN: a k-means coarse quantizer (pyspark.ml KMeans over
     L2-NORMALIZED vectors — on the unit sphere euclidean order ≡ cosine
@@ -645,8 +703,8 @@ class IvfAnnIndex:
         train_target: int = 10_000,
         persist: bool = True,
     ):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
+        import math
+        import os
 
         self.id_col, self.vec_col = id_col, vec_col
         self.n_lists, self.seed = int(n_lists), int(seed)
@@ -662,38 +720,88 @@ class IvfAnnIndex:
             lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
         )
         base = emb.select(id_col, vec_col, unit.alias("_unit"))
-        featured = base.withColumn("_features", array_to_vector("_unit"))
+        # count the RAW input (metadata-only for parquet sources — the
+        # projected/vectorized plan would execute the projection)
+        n = emb.count()
         if train_fraction is None:
             # default: sampled fit above the training target (256 points
             # per centroid, floored at train_target) — never the full
             # corpus once it outgrows what k-means needs
             target = max(256 * self.n_lists, int(train_target))
-            # count the RAW input (metadata-only for parquet sources — the
-            # projected/vectorized plan would execute the projection)
-            n = emb.count()
             train_fraction = min(1.0, target / n) if n > target else 1.0
         self.train_fraction = float(train_fraction)
-        train = (
-            featured.sample(fraction=train_fraction, seed=seed)
-            if train_fraction < 1.0
-            else featured
+        # The k-means fit itself runs DRIVER-SIDE whenever the training set
+        # is bounded (it is by construction: the FAISS sampling rule keeps
+        # it at ~256·n_lists rows regardless of corpus size): a distributed
+        # Lloyd pass costs one barrier-synchronized job per iteration
+        # (20 jobs of pure scheduling overhead for a ~10^4-row fit), while
+        # the in-process fit is milliseconds. Above the row cap the
+        # pyspark.ml distributed fit takes over unchanged — quantizer
+        # TRAINING is bounded work, quantizer ASSIGNMENT below stays a
+        # single distributed Arrow pass either way.
+        driver_rows_cap = int(
+            os.environ.get("DIS_IVF_DRIVER_FIT_MAX_ROWS", "200000")
         )
-        model = KMeans(
-            k=self.n_lists, seed=self.seed, featuresCol="_features",
-            predictionCol="_list",
-        ).fit(train)
+        est_train_rows = (
+            n if self.train_fraction >= 1.0
+            else int(math.ceil(n * self.train_fraction))
+        )
+        if est_train_rows <= driver_rows_cap:
+            sample = base.select(id_col, "_unit")
+            if self.train_fraction < 1.0:
+                sample = sample.sample(
+                    fraction=self.train_fraction, seed=seed
+                )
+            pdf = sample.toPandas()
+            order = np.argsort(pdf[id_col].to_numpy())  # partition-order-free
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_unit"].to_numpy()[order]]
+            )
+            self.centroids = _lloyd_kmeans(X, self.n_lists, self.seed)
+        else:
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            featured = base.withColumn("_features", array_to_vector("_unit"))
+            train = (
+                featured.sample(fraction=self.train_fraction, seed=seed)
+                if self.train_fraction < 1.0
+                else featured
+            )
+            model = KMeans(
+                k=self.n_lists, seed=self.seed, featuresCol="_features",
+                predictionCol="_list",
+            ).fit(train)
+            self.centroids = np.array(
+                [np.asarray(c) for c in model.clusterCenters()],
+                dtype=np.float64,
+            )
         self._centroid_df = None
         self.quant = None
         self._path = None
-        self.centroids = np.array(
-            [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+        # assignment: ONE distributed Arrow pass — argmin |c|² − 2c·v over
+        # unit vectors (the euclidean order KMeans.transform would use);
+        # the vec column rides through the batch untouched
+        from pyspark.sql.types import IntegerType
+
+        cents, c2 = self.centroids, (self.centroids**2).sum(axis=1)
+        out_schema = base.select(id_col, vec_col).schema.add(
+            "list_id", IntegerType()
         )
-        self.table = (
-            model.transform(featured)
-            .select(
-                id_col, vec_col, F.col("_list").cast("int").alias("list_id")
-            )
-        )
+
+        def _assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vm = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_unit"]]
+                )
+                d2 = c2[None, :] - 2.0 * (vm @ cents.T)
+                out = pdf[[id_col, vec_col]].copy()
+                out["list_id"] = d2.argmin(axis=1).astype("int32")
+                yield out
+
+        self.table = base.mapInPandas(_assign, out_schema)
         if persist:
             self.table = self.table.persist()
 
@@ -716,55 +824,88 @@ class IvfAnnIndex:
         import os
 
         spark = self.table.sparkSession
-        self.table.write.mode("overwrite").partitionBy("list_id").parquet(
-            f"{path}/lists"
-        )
-        if quantize:
-            id_col, vec_col = self.id_col, self.vec_col
-            norm = F.sqrt(
-                F.aggregate(
-                    F.col(vec_col),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        # the list table feeds up to three actions below (lists write,
+        # min/max agg, SQ8 codes write) — without a cache each would re-run
+        # the whole assignment pass from the source
+        release = False
+        if not self.table.is_cached:
+            self.table = self.table.persist()
+            release = True
+        try:
+            if quantize:
+                from concurrent.futures import ThreadPoolExecutor
+
+                id_col, vec_col = self.id_col, self.vec_col
+                norm = F.sqrt(
+                    F.aggregate(
+                        F.col(vec_col),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                    )
                 )
-            )
-            unit = F.transform(
-                F.col(vec_col),
-                lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
-            )
-            based = self.table.select(id_col, "list_id", unit.alias("_u"))
-            # per-dimension min/max over the corpus: one explode + agg
-            # (build-time only; the probe path never pays this)
-            mm = (
-                based.select(F.posexplode("_u").alias("pos", "x"))
-                .groupBy("pos")
-                .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
-                .orderBy("pos")
-            )
-            rows = mm.collect()
-            vmin = [float(r["vmin"]) for r in rows]
-            vmax = [float(r["vmax"]) for r in rows]
-            self.quant = (
-                np.asarray(vmin, dtype=np.float64),
-                np.asarray(vmax, dtype=np.float64),
-            )
-            lo = F.array(*[F.lit(v) for v in vmin])
-            step = F.array(
-                *[F.lit(max(vmax[i] - vmin[i], 1e-12) / 255.0)
-                  for i in range(len(vmin))]
-            )
-            codes = F.zip_with(
-                F.col("_u"),
-                F.arrays_zip(lo, step),
-                lambda x, z: F.round(
-                    (x - z["0"]) / z["1"]
-                ).cast("int") - 128,
-            ).cast("array<tinyint>")
-            based.select(id_col, codes.alias("vec_q"), "list_id").write.mode(
-                "overwrite"
-            ).partitionBy("list_id").parquet(f"{path}/lists_q")
-            mm.coalesce(1).write.mode("overwrite").parquet(f"{path}/quant")
-            self._path = path
+                unit = F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-12)),
+                )
+                based = self.table.select(id_col, "list_id", unit.alias("_u"))
+
+                def _write_lists():
+                    self.table.write.mode("overwrite").partitionBy(
+                        "list_id"
+                    ).parquet(f"{path}/lists")
+
+                def _write_quantized():
+                    # per-dimension min/max over the corpus: one explode +
+                    # agg (build-time only; probes never pay this)
+                    mm = (
+                        based.select(F.posexplode("_u").alias("pos", "x"))
+                        .groupBy("pos")
+                        .agg(F.min("x").alias("vmin"), F.max("x").alias("vmax"))
+                        .orderBy("pos")
+                    )
+                    rows = mm.collect()
+                    vmin = [float(r["vmin"]) for r in rows]
+                    vmax = [float(r["vmax"]) for r in rows]
+                    self.quant = (
+                        np.asarray(vmin, dtype=np.float64),
+                        np.asarray(vmax, dtype=np.float64),
+                    )
+                    lo = F.array(*[F.lit(v) for v in vmin])
+                    step = F.array(
+                        *[F.lit(max(vmax[i] - vmin[i], 1e-12) / 255.0)
+                          for i in range(len(vmin))]
+                    )
+                    codes = F.zip_with(
+                        F.col("_u"),
+                        F.arrays_zip(lo, step),
+                        lambda x, z: F.round(
+                            (x - z["0"]) / z["1"]
+                        ).cast("int") - 128,
+                    ).cast("array<tinyint>")
+                    based.select(
+                        id_col, codes.alias("vec_q"), "list_id"
+                    ).write.mode("overwrite").partitionBy("list_id").parquet(
+                        f"{path}/lists_q"
+                    )
+                    mm.coalesce(1).write.mode("overwrite").parquet(
+                        f"{path}/quant"
+                    )
+
+                # both branches read the cached list table and write
+                # disjoint directories — overlap them (guide §2.6)
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fl = pool.submit(_write_lists)
+                    fq = pool.submit(_write_quantized)
+                    fl.result()
+                    fq.result()
+                self._path = path
+            else:
+                self.table.write.mode("overwrite").partitionBy(
+                    "list_id"
+                ).parquet(f"{path}/lists")
+        finally:
+            if release:
+                self.table.unpersist()
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
             "list_id int, centroid array<double>",

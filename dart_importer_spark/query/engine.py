@@ -187,6 +187,20 @@ class InvertedIndex:
         self.spark = spark
         self.dir = index_dir
         self.id_push_budget = id_push_budget
+        # θ-bootstrap pruning pays one extra Spark job (fully scoring the
+        # rarest term) to skip decode work on the other terms' blocks; when
+        # the candidate postings are smaller than this, exhaustive decode is
+        # cheaper than the job itself, so the bootstrap is skipped (θ=0 —
+        # pruned ≡ exhaustive, so results are unchanged either way). The
+        # default is scale-adaptive by construction: big corpora exceed it.
+        self.prune_min_postings = int(
+            os.environ.get("DIS_PRUNE_MIN_POSTINGS", "65536")
+        )
+        # lazy DataFrame handles for the immutable segment tables: reusing
+        # the resolved reader skips re-listing the table's files and
+        # re-reading parquet footers on every query against this handle
+        # (plan-level only — every action still scans parquet)
+        self._df_cache: dict[str, DataFrame] = {}
         with open(os.path.join(index_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self.n_buckets = int(self.meta["n_buckets"])
@@ -293,10 +307,20 @@ class InvertedIndex:
             return df
         return df.join(tomb, "doc_id", "left_anti")
 
+    def _read_table(self, name: str) -> DataFrame:
+        """Memoized reader for the index's immutable tables (postings /
+        doc_stats / term_dict). Tombstones are NOT cached — they are the
+        one table queries may append to between calls."""
+        df = self._df_cache.get(name)
+        if df is None:
+            df = self.spark.read.parquet(f"{self.dir}/{name}")
+            self._df_cache[name] = df
+        return df
+
     def _doc_stats_raw(self) -> DataFrame:
         """doc_stats WITHOUT the tombstone anti-join (callers that manage
         dead docs themselves), runtime fields applied."""
-        ds = self.spark.read.parquet(f"{self.dir}/doc_stats")
+        ds = self._read_table("doc_stats")
         for name, expr in getattr(self, "_runtime", {}).items():
             ds = ds.withColumn(name, F.expr(expr))
         return ds
@@ -354,10 +378,10 @@ class InvertedIndex:
         return view
 
     def term_dict(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.dir}/term_dict")
+        return self._read_table("term_dict")
 
     def postings(self) -> DataFrame:
-        post = self.spark.read.parquet(f"{self.dir}/postings")
+        post = self._read_table("postings")
         if "field" not in post.columns:  # pre-fielded layout
             post = post.withColumn("field", F.lit(0))
         if "poss" not in post.columns:  # pre-positions layout
@@ -643,6 +667,10 @@ class InvertedIndex:
         the driver, postings never do. Masks keep θ valid: a tombstoned or
         filtered-out doc must not inflate θ above the true need-th live
         score (which would prune blocks holding real top-k docs)."""
+        # tiny candidate sets: the bootstrap job costs more than the decode
+        # work it could skip — exhaustive scoring (θ=0) is rank-identical
+        if sum(dfs[t] for t in terms) < self.prune_min_postings:
+            return 0.0
         rarest = min(terms, key=lambda t: dfs[t])
         if dfs[rarest] < need:
             return 0.0
@@ -1775,11 +1803,16 @@ class InvertedIndex:
         doc's total, so the need-th best partial lower-bounds the need-th
         best total. legs = [(fid, terms, dfs, idf, ubs), ...]."""
         best = None
+        total_postings = 0
         for fid, terms, dfs, idf, _ in legs:
             for t in terms:
+                total_postings += dfs[t]
                 if best is None or dfs[t] < best[2]:
                     best = (fid, t, dfs[t], idf[t])
         if best is None:
+            return 0.0
+        # tiny candidate sets: skip the bootstrap job (θ=0 ≡ exhaustive)
+        if total_postings < self.prune_min_postings:
             return 0.0
         fid, t, d, w = best
         if d < need:
@@ -6641,10 +6674,18 @@ class InvertedIndex:
         )
         if not seeds:
             return self.spark.createDataFrame([], out_schema)
+        # seed_pairs feeds the JLH pass, the vertex semi-join AND the edge
+        # join; fg_docs feeds two of those. Materialize each once (lazy
+        # executor-local blocks) instead of re-decoding the seed postings
+        # per consumer.
         seed_pairs = self._term_doc_pairs(
             self._candidate_postings(seeds, fid)
-        ).select(F.col("term").alias("src"), "doc_id")
-        fg_docs = seed_pairs.select("doc_id").distinct()
+        ).select(F.col("term").alias("src"), "doc_id").localCheckpoint(
+            eager=False
+        )
+        fg_docs = seed_pairs.select("doc_id").distinct().localCheckpoint(
+            eager=False
+        )
         verts = (
             self._jlh_scores(
                 fg_docs, fid, size + len(seeds), min_doc_count, round_scores
