@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from dart_importer_spark.functions.localrel import local_df  # noqa: E402
 from dart_importer_spark.functions.tokenizer import TOKEN_PATTERN  # noqa: E402
 from dart_importer_spark.operators.text import BPE_PRETOKEN_PATTERN  # noqa: E402
 
@@ -274,7 +275,7 @@ def _ft(query: str, k: int = 20, mode: str = "or", filters=None):
 
 def q_ft_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ix = _documents_index(spark, sf_dir)
-    return spark.createDataFrame([(ix.count(),)], "n long")
+    return local_df(spark, [(ix.count(),)], "n long")
 
 
 def q_ft_get_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,7 +386,7 @@ def q_sim_maxsim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["doc_id"], round(r["score"], 6))
         for r in similarity.max_sim_topk(docs, qvecs, k=10).collect()
     ]
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(10, ann == brute)], "k int, exact_match boolean"
     )
 
@@ -424,7 +425,7 @@ def q_sem_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             _check, [text_by_id[p] for p in sorted(text_by_id)]
         ))
     ix.unpersist()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(len(text_by_id), ok)], "n_probes int, self_retrieval_ok boolean"
     )
 
@@ -588,7 +589,7 @@ def q_ft_delete_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_before = mx.count()
         n_deleted = mx.delete_by_query(F.col("lang") == "de")
         n_after = mx.count()
-        return spark.createDataFrame(
+        return local_df(spark, 
             [(n_before, n_deleted, n_after)],
             "n_before long, n_deleted long, n_after long",
         )
@@ -1205,7 +1206,7 @@ def q_ft_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ES _count with a query body: OR match-set size, AND match-set size,
     # and a filtered count in one row
     ix = _documents_index(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(
             ix.count_query("data merge"),
             ix.count_query("data merge", mode="and"),
@@ -1585,7 +1586,7 @@ def q_ft_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
         combine_fn=lambda s: s,
         reduce_fn=lambda ps: tuple(int(sum(x)) for x in zip(*ps)),
     )
-    return spark.createDataFrame(
+    return local_df(spark, 
         [result], "n long, en_sq long, other_chars long"
     )
 
@@ -2071,7 +2072,7 @@ def q_etl_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", ev_sec.alias("ev_ts")
     )
     users = ev.select("user_id").distinct()
-    days = spark.createDataFrame([(d,) for d in range(1, 8)], "d int")
+    days = local_df(spark, [(d,) for d in range(1, 8)], "d int")
     base = F.unix_timestamp(F.lit("2024-01-01 00:00:00")).cast("double")
     snaps = users.crossJoin(days).select(
         "user_id",
@@ -2226,7 +2227,7 @@ def q_etl_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev_sec.alias("ev_start"),
         (ev_sec + 7200.0).alias("ev_end"),
     )
-    days = spark.createDataFrame(
+    days = local_df(spark, 
         [(d,) for d in range(1, 8)], "day int"
     ).select(
         "day",
@@ -2523,7 +2524,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in similarity.brute_force_cosine_topk(emb, list(qvec), k=10).collect()
     }
     recall = len(got & exact) / 10.0
-    return spark.createDataFrame([(10, recall >= 0.7)], "k int, recall_ok boolean")
+    return local_df(spark, [(10, recall >= 0.7)], "k int, recall_ok boolean")
 
 
 _IVF_CACHE: dict[str, str] = {}
@@ -2578,7 +2579,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in similarity.brute_force_cosine_topk(emb, list(qvec), k=10).collect()
     }
     recall = len(got & exact) / 10.0
-    return spark.createDataFrame([(10, recall >= 0.7)], "k int, recall_ok boolean")
+    return local_df(spark, [(10, recall >= 0.7)], "k int, recall_ok boolean")
 
 
 def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2602,7 +2603,7 @@ def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = set(got[got["q_id"] == qid]["vec_id"])
         e = set(exact[exact["q_id"] == qid]["vec_id"])
         rows.append((int(qid), 10, len(g & e) / 10.0 >= 0.7))
-    return spark.createDataFrame(rows, "q_id long, k int, recall_ok boolean")
+    return local_df(spark, rows, "q_id long, k int, recall_ok boolean")
 
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3032,7 +3033,7 @@ def q_sim_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["vec_id"] for r in ann.topk(qvec, k=10, nprobe=nprobe).collect()
     }
     recall = len(got & flat) / 10.0
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(10, recall >= 0.9)], "k int, recall_ok boolean"
     )
 

@@ -344,8 +344,12 @@ def jaccard_verify(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only (never all-pairs):
-    broadcast-friendly double join to attach shingle sets, JVM set ops."""
-    sh = df.select(F.col(id_col), _shingles(text_col, shingle_n).alias("sh"))
+    broadcast-friendly double join to attach shingle sets, JVM set ops.
+    The shingle table feeds BOTH join sides — materialize it once (lazy
+    executor-local blocks) instead of re-running tokenize+shingle per side."""
+    sh = df.select(
+        F.col(id_col), _shingles(text_col, shingle_n).alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     joined = pairs.join(a, "a").join(b, "b")

@@ -56,7 +56,9 @@ def frequent_item_sets(
     )
     n_groups = items.select("g").distinct().count()
     if n_groups == 0:
-        return items.sparkSession.createDataFrame(
+        from ..functions.localrel import local_df
+        return local_df(
+            items.sparkSession,
             [], "items string, size int, support_count long, support double"
         )
     min_count = max(1, math.ceil(min_support * n_groups))

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenizer import tokenize_col, tokenize_text
+from ..functions.localrel import local_df
 
 _CLAUSE_KEYS = {"must", "should", "must_not", "phrase", "minimum_should_match"}
 
@@ -125,24 +126,26 @@ def percolate(
 
     out_schema = f"query_id string, {id_col} long, n_matched long"
     if not term_rows:
-        return spark.createDataFrame([], out_schema)
-    qdf = spark.createDataFrame(
+        return local_df(spark, [], out_schema)
+    qdf = local_df(spark, 
         term_rows, "query_id string, term string, clause string, slot int"
     )
     # rule-side join hint: broadcast (default) or plain shuffle join for
     # rule sets past broadcast size — identical results either way
     _rules = F.broadcast if broadcast_rules else (lambda df: df)
     req = _rules(
-        spark.createDataFrame(
+        local_df(spark, 
             reqs, "query_id string, need_must int, msm int, plen int"
         )
     )
 
-    # ONE tokenize of the batch; positions only feed the phrase leg, and
-    # Catalyst prunes the posexplode into both branches from the same scan
+    # ONE tokenize of the batch — materialized: the flat leg, the phrase
+    # leg and the pure-negative leg each consume this stream, and without
+    # the marker each branch re-runs tokenize+posexplode over the whole
+    # batch (lazy executor-local blocks, batch-bounded by construction)
     toks = docs.select(
         id_col, F.posexplode(tokenize_col(text_col)).alias("pos", "term")
-    )
+    ).localCheckpoint(eager=False)
 
     flat = (
         toks.select(id_col, "term")
@@ -201,7 +204,7 @@ def percolate(
     if pure_neg:
         universe = docs.select(id_col).distinct().crossJoin(
             F.broadcast(
-                spark.createDataFrame([(q,) for q in pure_neg],
+                local_df(spark, [(q,) for q in pure_neg],
                                       "query_id string")
             )
         )

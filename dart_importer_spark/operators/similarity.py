@@ -206,7 +206,10 @@ def max_sim_ann(
     spark = doc_vecs.sparkSession
     if not query_vecs:
         raise ValueError("max_sim_ann: need at least one query vector")
-    qdf = spark.createDataFrame(
+    from ..functions.localrel import local_df
+
+    qdf = local_df(
+        spark,
         [(i, [float(x) for x in v]) for i, v in enumerate(query_vecs)],
         "q_id long, q_vec array<double>",
     )
@@ -906,8 +909,20 @@ class IvfAnnIndex:
         finally:
             if release:
                 self.table.unpersist()
+        import pandas as _pd
+
+        # pandas-backed local relation (Arrow): the plain-list path pickles
+        # defaultParallelism slices and costs ~4 s per tiny write at
+        # local[32]
         spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)],
+            _pd.DataFrame(
+                {
+                    "list_id": list(range(len(self.centroids))),
+                    "centroid": [
+                        [float(x) for x in c] for c in self.centroids
+                    ],
+                }
+            ),
             "list_id int, centroid array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
         with open(os.path.join(path, "meta.json"), "w") as f:

@@ -845,7 +845,8 @@ def _dispatch_leaf(
         )
     if typ == "match_none":
         plain(typ)
-        return ix.spark.createDataFrame([], "doc_id long, score double")
+        from ..functions.localrel import local_df
+        return local_df(ix.spark, [], "doc_id long, score double")
     if typ == "wrapper":
         # ES wrapper query: a base64-encoded JSON query, dispatched as if
         # it appeared inline (clients that must smuggle queries through

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.codec import delta_decode, varbyte_decode
+from ..functions.localrel import local_df
 from ..functions.tokenizer import tokenize_text
 from ..index.build import B, BLOCK_SIZE, K1, bucket_of
 
@@ -636,7 +637,7 @@ class InvertedIndex:
         return top
 
     def _empty_scored(self, with_meta: bool) -> DataFrame:
-        base = self.spark.createDataFrame([], "doc_id long, score double")
+        base = local_df(self.spark, [], "doc_id long, score double")
         if with_meta:
             return base.join(self.doc_stats(), "doc_id", "inner")
         return base
@@ -809,7 +810,7 @@ class InvertedIndex:
         analyzer emits for ``text`` — the pinned standard tokenizer, or
         the field's shingle analyzer for ``*._Ngram`` subfields."""
         toks = self._analyze(text, field)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(t, i) for i, t in enumerate(toks)], "token string, position int"
         )
 
@@ -877,13 +878,13 @@ class InvertedIndex:
             fid = self._fid(field)
             terms = sorted(set(self._analyze(query, field)))
             if not terms:
-                return self.spark.createDataFrame([], "doc_id long")
+                return local_df(self.spark, [], "doc_id long")
             if mode == "or":
                 docs = self._docs_for_terms(terms, fid)
             else:  # and: every term present
                 dfs = self.term_stats(terms, field)
                 if len(dfs) < len(terms):
-                    return self.spark.createDataFrame([], "doc_id long")
+                    return local_df(self.spark, [], "doc_id long")
                 idf = {t: 1.0 for t in terms}
                 scored = self._live(self._score_terms(terms, idf, fid=fid))
                 docs = (
@@ -956,7 +957,7 @@ class InvertedIndex:
                 {zlib.crc32(str(k[0]).encode("utf-8")) % n_segments for k in keys}
             )
             ds = ds.filter(F.col("seg").isin(segs))
-        kdf = self.spark.createDataFrame(keys, list(key_cols[:arity]))
+        kdf = local_df(self.spark, keys, list(key_cols[:arity]))
         return ds.join(F.broadcast(kdf), list(kdf.columns), "left_semi")
 
     def stats(self) -> dict:
@@ -1275,7 +1276,7 @@ class InvertedIndex:
         import itertools
         import math
 
-        empty = self.spark.createDataFrame(
+        empty = local_df(self.spark, 
             [], "suggestion string, score double, n_edits int"
         )
         toks = self._analyze(text, field)
@@ -1323,7 +1324,7 @@ class InvertedIndex:
             ranked = kept
         else:
             ranked = ranked[:k]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(sug, s, ned) for s, sug, ned in ranked],
             "suggestion string, score double, n_edits int",
         )
@@ -1447,7 +1448,7 @@ class InvertedIndex:
         """Distinct doc_ids containing any of ``terms`` (constant score) —
         for DRIVER-KNOWN term lists (query tokens), never expansions."""
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long")
+            return local_df(self.spark, [], "doc_id long")
         return self._decode_doc_ids(self._candidate_postings(terms, fid))
 
     def _docs_for_terms_df(self, terms_df: DataFrame, fid: int = 0) -> DataFrame:
@@ -1547,7 +1548,7 @@ class InvertedIndex:
         if isinstance(fuzziness, str) and fuzziness.isdigit():
             fuzziness = int(fuzziness)  # ES accepts "1" as well as 1
         fid = self._fid(field)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         src_terms = sorted(set(self._analyze(query, fid)))
         if not src_terms:
             return empty
@@ -1587,7 +1588,7 @@ class InvertedIndex:
         per_exp = scored.groupBy("doc_id", "term").agg(
             F.sum("score").alias("tfn")
         )
-        mapping = self.spark.createDataFrame(
+        mapping = local_df(self.spark, 
             [
                 (e, t, _idf(self.n_docs, bdf[t]))
                 for e in all_exp
@@ -1627,7 +1628,7 @@ class InvertedIndex:
         fid = self._fid(field)
         vals = sorted({str(t).lower() for t in terms if str(t)})
         if not vals:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         docs = self._docs_for_terms(vals, fid)
         out = docs.withColumn("score", F.lit(1.0))
         if filters is not None:
@@ -1699,7 +1700,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(positive, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         sc = self._live(sc)
         neg_terms = sorted(set(self._analyze(negative, field)))
         neg = self._docs_for_terms(neg_terms, fid).select(
@@ -1731,7 +1732,7 @@ class InvertedIndex:
         fid = self._fid(field)
         vals = sorted({str(t).lower() for t in terms if str(t)})
         if not vals:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "doc_id long, n_matched long"
             )
         scored = self._score_terms(vals, {t: 1.0 for t in vals}, fid=fid)
@@ -1794,6 +1795,53 @@ class InvertedIndex:
             for r in rows
         }
         return dfs, idf, ubs
+
+    def _legs_stats(
+        self, specs: list[tuple[int, list[str]]]
+    ) -> list[tuple[dict, dict, dict]]:
+        """Batched :meth:`_leg_stats`: ONE bucket-pruned metadata job for
+        ALL scoring legs (multi_match / search_as_you_type run one leg per
+        field — a per-leg collect is a per-field driver round trip). The
+        scan filter is the union over legs of (field, bucket, term); rows a
+        leg did not request are dropped when its dicts are built, so the
+        per-leg stats are identical to the per-leg job's."""
+        specs = [(int(fid), list(terms)) for fid, terms in specs]
+        all_terms = sorted({t for _, ts in specs for t in ts})
+        fids = sorted({fid for fid, _ in specs})
+        if not all_terms:
+            return [({}, {}, {}) for _ in specs]
+        buckets = sorted({bucket_of(t, self.n_buckets) for t in all_terms})
+        rows = (
+            self.postings()
+            .filter(
+                F.col("field").isin(fids)
+                & F.col("bucket").isin(buckets)
+                & F.col("term").isin(all_terms)
+            )
+            .groupBy("field", "term")
+            .agg(
+                F.sum("n").alias("df"),
+                F.max(F.array_max("block_max_tf")).alias("mtf"),
+                F.min(F.array_min("block_min_dl")).alias("mdl"),
+            )
+            .collect()
+        )
+        by_key = {(int(r["field"]), r["term"]): r for r in rows}
+        out = []
+        for fid, terms in specs:
+            avgdl = self.avgdl_by_field[fid]
+            dfs: dict = {}
+            idf: dict = {}
+            ubs: dict = {}
+            for t in terms:
+                r = by_key.get((fid, t))
+                if r is None:
+                    continue
+                dfs[t] = int(r["df"])
+                idf[t] = _idf(self.n_docs, dfs[t])
+                ubs[t] = idf[t] * _tfn(float(r["mtf"]), float(r["mdl"]), avgdl)
+            out.append((dfs, idf, ubs))
+        return out
 
     def _multi_leg_theta(self, legs: list[tuple], need: int) -> float:
         """θ bootstrap across scoring legs (WAND's lower bound on the
@@ -1970,7 +2018,7 @@ class InvertedIndex:
             raise ValueError(
                 "phrase matching needs an index built with store_positions=True"
             )
-        empty = self.spark.createDataFrame([], "doc_id long")
+        empty = local_df(self.spark, [], "doc_id long")
         if not terms:
             return empty
         cand_ids, missing, _ = self._phrase_candidate_ids(terms, fid)
@@ -2029,7 +2077,7 @@ class InvertedIndex:
         fid = self._fid(field)
         terms = self._analyze(query, field)  # keep order and duplicates
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         docs = self._live(self._phrase_doc_set(terms, fid, slop))
         return (
             docs.withColumn("score", F.lit(1.0))
@@ -2195,7 +2243,7 @@ class InvertedIndex:
         1/(1+cost)-weighted anchors (see _phrase_scores)."""
         out = self._phrase_scores(query, self._fid(field), slop=slop)
         if out is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         if round_scores is not None:
             out = out.withColumn("score", F.round("score", round_scores))
         return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -2220,7 +2268,7 @@ class InvertedIndex:
         fid = self._fid(field)
         docs = self._phrase_prefix_docs(query, fid, max_expansions)
         if docs is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         return (
             docs.withColumn("score", F.lit(1.0))
             .orderBy(F.asc("doc_id"))
@@ -2297,7 +2345,7 @@ class InvertedIndex:
             raise ValueError(
                 "span_near needs an index built with store_positions=True"
             )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         terms: list[str] = []
         for c in clauses:
             toks = self._analyze(c, field)
@@ -2341,7 +2389,7 @@ class InvertedIndex:
                 "span_near_slots needs an index built with "
                 "store_positions=True"
             )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         base_fid = self._fid(field)
         norm: list[tuple[list[str], int]] = []
         for s in slots:
@@ -2595,7 +2643,7 @@ class InvertedIndex:
                 legs.append(self._docs_for_terms(toks, fid))
             else:
                 legs.append(self._phrase_doc_set(toks, fid))
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         if not legs:
             return empty
         union = legs[0]
@@ -2632,7 +2680,7 @@ class InvertedIndex:
                 "span_containing needs an index built with "
                 "store_positions=True"
             )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         big_terms: list[str] = []
         for c in big:
             toks = self._analyze(c, field)
@@ -2707,7 +2755,7 @@ class InvertedIndex:
             raise ValueError(
                 "span_first needs an index built with store_positions=True"
             )
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         terms = self._analyze(query, field)
         if len(terms) != 1:
             raise ValueError(
@@ -2823,7 +2871,7 @@ class InvertedIndex:
             )
         fid = self._fid(field)
         wins = self._intervals_windows(source, field, fid)
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         if wins is None:
             return empty
         docs = self._live(wins.select("doc_id").distinct())
@@ -3630,7 +3678,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         fid = self._fid(field)
         ds = self.doc_stats()
-        empty = self.spark.createDataFrame([], "key string, doc_count long")
+        empty = local_df(self.spark, [], "key string, doc_count long")
         if not terms:
             return empty
         matched = self._docs_for_terms(terms, fid)
@@ -3973,7 +4021,7 @@ class InvertedIndex:
         rnd = (lambda v: round(v, round_to)) if round_to is not None else (
             lambda v: v
         )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(rnd(float(t)), rnd(float(df)), rnd(float(p)), n_a, n_b)],
             "t_stat double, deg_f double, p_value double, n_a long, n_b long",
         )
@@ -4325,7 +4373,7 @@ class InvertedIndex:
                 p = min(1.0, max(0.0, p))
         else:
             p = math.exp(-2.0 * n * d * d)
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             [(round(d, 6), round(p, 6), nb, n)],
             "statistic double, p_value double, n_buckets int, n long",
         )
@@ -5326,7 +5374,7 @@ class InvertedIndex:
             ]
         ).collect()[0]
         if sizes["year"] is None:  # empty match set
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "bucket string, doc_count long, interval string"
             )
         pick = next(
@@ -5620,7 +5668,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         sc = self._live(sc)
         joined = sc.join(
             self.doc_stats().select("doc_id", factor_col), "doc_id"
@@ -5660,7 +5708,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         sc = self._live(sc)
         if doc_fields:
             ds = self.doc_stats()
@@ -5705,7 +5753,7 @@ class InvertedIndex:
         fid = self._fid(field)
         tokens = sorted(set(self._analyze(query, field)))
         if not tokens:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         # analyze the dict KEYS too: query tokens arrive analyzed
         # (lowercased), so a surface-form key like 'Data' would silently
         # never expand — ES applies the synonym filter after lowercasing
@@ -5729,7 +5777,7 @@ class InvertedIndex:
         dfs = self.term_stats(all_terms, field)
         live_terms = [t for t in all_terms if t in dfs]
         if not live_terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         avgdl = self.avgdl_by_field[fid]
         # decode-only pass: rows carry raw (term, doc, tf, dl); raw_decode
         # skips the per-posting BM25 arithmetic whose contributions this
@@ -5755,7 +5803,7 @@ class InvertedIndex:
             (m, g) for g, ms in groups.items() for m in ms if g in group_idf
         ]
         map_df = F.broadcast(
-            self.spark.createDataFrame(mapping, "term string, grp string")
+            local_df(self.spark, mapping, "term string, grp string")
         )
         per_group = (
             raw.join(map_df, "term")
@@ -5822,7 +5870,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         sc = self._live(sc)
         joined = sc.join(self.doc_stats().select("doc_id", on), "doc_id")
         d = F.greatest(
@@ -5884,7 +5932,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         if pivot is None and fn in ("saturation", "sigmoid"):
             row = (
                 self.doc_stats()
@@ -5934,7 +5982,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         sc = self._live(sc)
         stats = self.doc_stats().select("doc_id", on)
         dtype = stats.schema[on].dataType.simpleString()
@@ -5971,7 +6019,7 @@ class InvertedIndex:
         construction, not a data-scale shuffle."""
         if not ids:
             raise ValueError("pinned: at least one pinned doc id")
-        pin = self.spark.createDataFrame(
+        pin = local_df(self.spark, 
             [(int(d), i) for i, d in enumerate(ids)], "doc_id long, pin_ord int"
         )
         live_pin = pin.join(self.doc_stats().select("doc_id"), "doc_id")
@@ -6058,7 +6106,7 @@ class InvertedIndex:
             parsed.append((self._fid(name), float(b) if b else 1.0, name))
         terms = sorted(set(self._analyze(query, None)))
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         legs = []
         for fid, w, _ in parsed:
             raw = self._score_terms(
@@ -6096,7 +6144,7 @@ class InvertedIndex:
             .collect()
         }
         if not dfs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         idf_map = F.create_map(
             *[
                 x
@@ -6180,10 +6228,10 @@ class InvertedIndex:
         sc = self._bm25_scores(terms, fid)
         if sc is None:
             if inner_hits == 1:
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [], f"{by} string, doc_id long, score double"
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], f"{by} string, doc_id long, score double, hit_rank int"
             )
         sc = self._live(sc)
@@ -6271,7 +6319,7 @@ class InvertedIndex:
         terms = sorted(set(self._analyze(query, field)))
         sc = self._bm25_scores(terms, fid)
         if sc is None:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "parent string, score double, n_children long"
             )
         sc = self._live(sc)
@@ -6395,7 +6443,7 @@ class InvertedIndex:
             )
         terms = sorted(set(self._analyze(query, field)))
         if not terms:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "doc_id long, score double, highlighted string"
             )
         top = self.topk(query, k=k, field=field, round_scores=round_scores)
@@ -6498,7 +6546,7 @@ class InvertedIndex:
         qterms = sorted(set(self._analyze(query, field)))
         out_schema = "term string, score double"
         if not qterms:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         docs = self._docs_for_terms(qterms, fid)
         return self._jlh_scores(docs, fid, k, min_doc_count, round_scores)
 
@@ -6518,7 +6566,7 @@ class InvertedIndex:
         out_schema = "term string, score double"
         fg_n = docs.count()
         if fg_n == 0:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         allowed = self._bounded_ids(docs)
 
         cand = self.postings().filter(F.col("field") == fid)
@@ -6588,7 +6636,7 @@ class InvertedIndex:
         qterms = sorted(set(self._analyze(query, field)))
         out_schema = "term string, score double"
         if not qterms:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         if sample_size is not None:
             docs = self.topk(
                 query, k=int(sample_size), field=field
@@ -6673,7 +6721,7 @@ class InvertedIndex:
             "src string, dst string, doc_count long, score double"
         )
         if not seeds:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         # seed_pairs feeds the JLH pass, the vertex semi-join AND the edge
         # join; fg_docs feeds two of those. Materialize each once (lazy
         # executor-local blocks) instead of re-decoding the seed postings
@@ -6698,7 +6746,7 @@ class InvertedIndex:
         )
         vterms = [r["term"] for r in verts.select("term").collect()]
         if not vterms:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         vert_pairs = (
             self._term_doc_pairs(self._candidate_postings(vterms, fid))
             .join(fg_docs, "doc_id", "left_semi")
@@ -6868,11 +6916,11 @@ class InvertedIndex:
             for did, rating in dict(req.get("ratings", {})).items():
                 rating_rows.append((rid, int(did), int(rating)))
         if not hit_parts:
-            return self.spark.createDataFrame([], "req_id string, score double")
+            return local_df(self.spark, [], "req_id string, score double")
         all_hits = hit_parts[0]
         for h in hit_parts[1:]:
             all_hits = all_hits.unionByName(h)
-        ratings = self.spark.createDataFrame(
+        ratings = local_df(self.spark, 
             rating_rows or [("", -1, 0)],
             "req string, doc_id long, rating int",
         )
@@ -6926,7 +6974,7 @@ class InvertedIndex:
                     .alias("score"),
                 )
         # requests whose query matched nothing: ES scores them 0
-        req_ids = self.spark.createDataFrame(
+        req_ids = local_df(self.spark, 
             [(str(r["id"]),) for r in requests], "req string"
         )
         per = req_ids.join(per, "req", "left").withColumn(
@@ -7034,7 +7082,7 @@ class InvertedIndex:
         sc = self._bm25_scores(terms, fid)
         if sc is None:
             name = "bucket" if interval is not None else by
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], f"{name} string, doc_id long, score double, rank int"
             )
         sc = self._live(sc)
@@ -7119,6 +7167,7 @@ class InvertedIndex:
             )
         legs: list[tuple] = []
         analyzed_all: set[str] = set()
+        leg_specs: list[tuple[float, int, list[str]]] = []
         for f in fields:
             boost = 1.0
             if isinstance(f, str) and "^" in f:  # ES "field^2.5" boost syntax
@@ -7141,7 +7190,12 @@ class InvertedIndex:
             analyzed_all.update(terms)
             if not terms:
                 continue
-            dfs, idf, ubs = self._leg_stats(terms, fid)
+            leg_specs.append((boost, fid, terms))
+        # ONE metadata job for every leg instead of one per field
+        for (boost, fid, terms), (dfs, idf, ubs) in zip(
+            leg_specs,
+            self._legs_stats([(fid, ts) for _, fid, ts in leg_specs]),
+        ):
             terms = [t for t in terms if t in dfs]
             if terms:
                 if boost != 1.0:
@@ -7151,7 +7205,7 @@ class InvertedIndex:
                     ubs = {t: u * boost for t, u in ubs.items()}
                 legs.append((fid, terms, dfs, idf, ubs))
         if not legs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         if match_type == "cross_fields":
             # blend df to the MAX across legs; rescale each leg's idf AND
             # ubs by the blended/local idf ratio (ubs are idf-proportional:
@@ -7163,7 +7217,7 @@ class InvertedIndex:
                     bdf[t] = max(bdf.get(t, 0), dfs[t])
             if operator == "and" and not analyzed_all <= set(bdf):
                 # some query term matches NO field: cross_fields AND is empty
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [], "doc_id long, score double"
                 )
             legs = [
@@ -7309,7 +7363,7 @@ class InvertedIndex:
                     )
                 )
         if not legs:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         allp = legs[0]
         for p in legs[1:]:
             allp = allp.unionByName(p)
@@ -7349,7 +7403,7 @@ class InvertedIndex:
         base_name = self.fields[fid]
         terms = tokenize_text(query)
         if not terms:
-            return self.spark.createDataFrame([], "doc_id long, score double")
+            return local_df(self.spark, [], "doc_id long, score double")
         complete, last = terms[:-1], terms[-1]
 
         from ..functions.tokenizer import shingle_text
@@ -7362,10 +7416,11 @@ class InvertedIndex:
                     (gid, sorted(set(shingle_text(query, int(m.group(1))))))
                 )
         legs: list[tuple] = []
-        for gid, lterms in leg_specs:
-            if not lterms:
-                continue
-            dfs, idf, ubs = self._leg_stats(lterms, gid)
+        live_specs = [(gid, lterms) for gid, lterms in leg_specs if lterms]
+        # ONE metadata job for every leg instead of one per subfield
+        for (gid, lterms), (dfs, idf, ubs) in zip(
+            live_specs, self._legs_stats(live_specs)
+        ):
             lterms = [t for t in lterms if t in dfs]
             if lterms:
                 legs.append((gid, lterms, dfs, idf, ubs))
@@ -7624,7 +7679,7 @@ class InvertedIndex:
         term-dict prefix scan unioned in — no new machinery, no driver
         collect. θ-pruning stays off (should-sum semantics, every
         contribution must survive — same argument as bool_should)."""
-        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        empty = local_df(self.spark, [], "doc_id long, score double")
         fid = self._fid(field)
         toks = self._analyze(query, field)
         if not toks:
@@ -7668,7 +7723,7 @@ class InvertedIndex:
         fid = self._fid(field)
         rows = self.get_by_key(*key_values).select("doc_id").collect()
         if not rows:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "term string, df long, idf double, contribution double"
             )
         doc_id = int(rows[0]["doc_id"])
@@ -7676,7 +7731,7 @@ class InvertedIndex:
         dfs = self.term_stats(terms, field)
         present = [t for t in terms if t in dfs]
         if not present:
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [], "term string, df long, idf double, contribution double"
             )
         idf = {t: _idf(self.n_docs, dfs[t]) for t in present}
@@ -7728,8 +7783,8 @@ class InvertedIndex:
             query, k=window_size, field=field, round_scores=round_scores
         ).collect()  # the window is small by definition (ES default 10/shard)
         if not win_rows:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        window = self.spark.createDataFrame(
+            return local_df(self.spark, [], "doc_id long, score double")
+        window = local_df(self.spark, 
             [(int(r["doc_id"]), float(r["score"])) for r in win_rows],
             "doc_id long, score double",
         )
@@ -7777,11 +7832,11 @@ class InvertedIndex:
         all_terms = sorted({t for ts in per_q.values() for t in ts})
         out_schema = "query_id string, doc_id long, score double"
         if not all_terms:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         dfs = self.term_stats(all_terms, field)
         present = [t for t in all_terms if t in dfs]
         if not present:
-            return self.spark.createDataFrame([], out_schema)
+            return local_df(self.spark, [], out_schema)
         idf = {t: _idf(self.n_docs, dfs[t]) for t in present}
 
         # one decode+score pass over the union of terms, term kept per row
@@ -7793,8 +7848,8 @@ class InvertedIndex:
             if t in idf
         ]
         if not pairs:
-            return self.spark.createDataFrame([], out_schema)
-        qterms = self.spark.createDataFrame(
+            return local_df(self.spark, [], out_schema)
+        qterms = local_df(self.spark, 
             pairs, "query_id string, term string"
         )
         joined = scored.join(F.broadcast(qterms), "term")
@@ -8066,7 +8121,7 @@ class InvertedIndex:
         if kind == "term":
             toks = self._analyze(node[1], fid)
             if not toks:
-                return self.spark.createDataFrame([], "doc_id long")
+                return local_df(self.spark, [], "doc_id long")
             if len(toks) == 1:
                 return self._docs_for_terms(toks, fid).select("doc_id")
             return self._qs_doc_set(
@@ -8077,7 +8132,7 @@ class InvertedIndex:
         if kind == "prefix":
             toks = self._analyze(node[1], fid)
             if not toks:
-                return self.spark.createDataFrame([], "doc_id long")
+                return local_df(self.spark, [], "doc_id long")
             return self._prefix_clause_docs(
                 toks[:-1], toks[-1], fid, max_expansions
             )
@@ -8101,7 +8156,7 @@ class InvertedIndex:
                 else:
                     others.append(c)
             if unmatchable:
-                return self.spark.createDataFrame([], "doc_id long")
+                return local_df(self.spark, [], "doc_id long")
             children = []
             if term_toks:
                 uniq = sorted(set(term_toks))

@@ -1867,7 +1867,8 @@ class EsqlEngine:
                     raise EsqlError('ES|QL: QSTR("query string")')
                 ast = idx.parse_query_string(args[0][1], "or")
                 if ast is None:
-                    docs = self.spark.createDataFrame([], "doc_id long")
+                    from ..functions.localrel import local_df
+                    docs = local_df(self.spark, [], "doc_id long")
                 else:
                     docs = idx._qs_doc_set(ast, idx._fid(None), 50)
                 how = "left_anti" if negated else "left_semi"
