@@ -631,9 +631,16 @@ def dedup_clusters(
     import os as _os
 
     n_edges = edges.count()
-    rows_per_task = int(_os.environ.get("DIS_CC_ROWS_PER_TASK", "4000000"))
-    p = max(1, -(-n_edges // rows_per_task))
-    if p < edges.rdd.getNumPartitions():
+    rows_per_task = int(_os.environ.get("DIS_CC_ROWS_PER_TASK", "65536"))
+    # SHRINK-only, and only for genuinely tiny graphs (one join task per
+    # ~64k edges): below that, per-task scheduling overhead dominates each
+    # propagation round; above it the inherited parallelism stands — the
+    # cap is the data's own partitioning, never a core-count constant
+    # (measured: collapsing a 1.75M-edge graph to 7 tasks on 32 cores cost
+    # ~2× per round)
+    cur_p = edges.rdd.getNumPartitions()
+    p = max(1, min(-(-n_edges // rows_per_task), cur_p))
+    if p < cur_p:
         edges = edges.repartition(p, "src").localCheckpoint(eager=False)
     labels = (
         nodes.select("id", F.col("id").alias("lbl"))
@@ -648,35 +655,33 @@ def dedup_clusters(
     prev_sum = labels.agg(lbl_sum).first()[0]
     converged, rounds = False, 0
 
+    # ONE propagation round per action (a 2-rounds-per-check variant was
+    # measured: it halves the convergence aggs but does up to two WASTED
+    # join-rounds past the fixpoint — on realistic low-diameter near-dup
+    # graphs that converge in 1-2 rounds, the wasted full-graph joins cost
+    # far more at scale than the saved tiny sum-aggs)
     while rounds < max_iter and not converged:
-        # TWO propagation rounds per action (convergence checked every 2nd
-        # round): min-propagation is monotone and idempotent at fixpoint,
-        # so an extra round past convergence cannot change any label —
-        # assignments are identical, with half the barrier-synchronized
-        # convergence aggs. The lazy checkpoint still cuts lineage once
-        # per action, and the sum agg is still the materializing action.
-        steps = min(2, max_iter - rounds)
-        new_labels = labels
-        for _ in range(steps):
-            rounds += 1
-            nbr = (
-                edges.join(new_labels, edges.src == new_labels.id)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("lbl").alias("nlbl"))
-            )
-            stepped = (
-                new_labels.join(nbr, "id", "left")
-                .select("id", F.least("lbl", "nlbl").alias("lbl"))
-            )
-            # pointer jumping: lbl <- label-of-lbl (path halving)
-            jump = stepped.select(
-                F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
-            )
-            new_labels = (
-                stepped.join(jump, stepped.lbl == jump.jid, "left")
-                .select("id", F.least("lbl", "jlbl").alias("lbl"))
-            )
-        new_labels = new_labels.localCheckpoint(eager=False)
+        rounds += 1
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        stepped = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("lbl", "nlbl").alias("lbl"))
+        )
+        # pointer jumping: lbl <- label-of-lbl (path halving)
+        jump = stepped.select(
+            F.col("id").alias("jid"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped.lbl == jump.jid, "left")
+            .select("id", F.least("lbl", "jlbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        # ONE action per round: the sum agg both materializes the lazy
+        # checkpoint (cutting lineage) and yields the convergence signal
         cur_sum = new_labels.agg(lbl_sum).first()[0]
         labels = new_labels
         if cur_sum == prev_sum:
