@@ -1,0 +1,124 @@
+"""Focused tests for the round-6 optimization internals: each change that
+altered HOW an operator computes (never WHAT) gets a pin here —
+equivalence against the straightforward form, plus determinism where the
+optimization introduced a driver-side component."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dart_importer_spark.functions.localrel import local_df
+from dart_importer_spark.index.build import assign_doc_ids
+from dart_importer_spark.operators.similarity import _lloyd_kmeans
+
+
+def test_local_df_matches_classic_createdataframe(spark):
+    rows = [(1, "a", [1.0, 2.0], None), (2, "b", [], 3.5), (3, None, [0.0], -1.0)]
+    schema = "k long, s string, v array<double>, x double"
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_local_df_empty_and_single_partition(spark):
+    empty = local_df(spark, [], "a int, b string")
+    assert empty.collect() == [] and [f.name for f in empty.schema] == ["a", "b"]
+    # the point of the helper: ONE partition instead of defaultParallelism
+    assert local_df(spark, [(1, "x")], "a int, b string").rdd.getNumPartitions() == 1
+
+
+def test_local_df_falls_back_on_unsplittable_schema(spark):
+    # list-of-names schema (get_by_keys form): .split fails -> classic path
+    got = local_df(spark, [(1, 2)], ["a", "b"])
+    assert sorted(got.columns) == ["a", "b"] and got.count() == 1
+
+
+def test_assign_doc_ids_is_dense_rank_over_keys(spark):
+    # ids must be exactly the global rank under ORDER BY key, regardless of
+    # input partitioning — the JVM numbering (offset + monotonic ordinal)
+    # must agree with a plain window-rank reference
+    rows = [(f"c{i % 7:02d}", i // 7, f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string").repartition(13)
+    out = assign_doc_ids(df, partitions=5)
+    got = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in out.collect()}
+    ref = sorted(rows)
+    for rank, (c, t, _) in enumerate(ref):
+        assert got[(c, t)] == rank
+    # append path: base offsets every id
+    out2 = assign_doc_ids(df, partitions=3, base=1000)
+    got2 = {(r["conv_id"], r["turn_idx"]): r["doc_id"] for r in out2.collect()}
+    assert all(got2[k] == got[k] + 1000 for k in got)
+
+
+@pytest.fixture(scope="module")
+def fielded_index(spark, tmp_path_factory):
+    from dart_importer_spark.index.build import BuildConfig, build_index
+    from dart_importer_spark.query.engine import InvertedIndex
+
+    rows = [
+        ("c1", 0, "alpha beta gamma beta", "news one"),
+        ("c1", 1, "beta delta", "blog two"),
+        ("c2", 0, "alpha alpha epsilon", "news three"),
+        ("c2", 1, "zeta eta theta iota", "wiki four"),
+        ("c3", 0, "beta gamma", "news five"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, body string, title string"
+    )
+    out = str(tmp_path_factory.mktemp("r06_fielded") / "idx")
+    build_index(
+        spark, df, out, BuildConfig(n_segments=2, n_buckets=4),
+        text_cols=("body", "title"), shingle_fields=(("body", 2),),
+        meta_cols=(),
+    )
+    return InvertedIndex(spark, out)
+
+
+def test_legs_stats_matches_per_leg_stats(fielded_index):
+    ix = fielded_index
+    specs = []
+    for fid in range(len(ix.fields)):
+        terms = sorted({t for t in ("beta", "news", "alpha", "two", "zeta")})
+        specs.append((fid, terms))
+    batched = ix._legs_stats(specs)
+    for (fid, terms), (dfs_b, idf_b, ubs_b) in zip(specs, batched):
+        dfs, idf, ubs = ix._leg_stats(terms, fid)
+        assert dfs_b == dfs
+        assert idf_b == pytest.approx(idf)
+        assert ubs_b == pytest.approx(ubs)
+
+
+def test_lloyd_kmeans_deterministic_and_partitions_data():
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((300, 16))
+    a = _lloyd_kmeans(X, 8, seed=42)
+    b = _lloyd_kmeans(X, 8, seed=42)
+    assert np.array_equal(a, b)  # bit-identical across calls
+    assert a.shape == (8, 16)
+    # every point is closest to SOME center with finite distance and the
+    # clustering is non-degenerate (more than one center used)
+    d = ((X[:, None, :] - a[None, :, :]) ** 2).sum(-1)
+    assert np.isfinite(d).all()
+    assert len(set(d.argmin(1))) > 1
+    # k > n degenerates to n centers, no crash
+    small = _lloyd_kmeans(X[:3], 8, seed=1)
+    assert small.shape[0] == 3
+
+
+def test_theta_gate_preserves_ranks(built_index):
+    """The adaptive θ skip must be invisible in results: forced-bootstrap
+    (prune_min_postings=0) and gated (huge) plans return identical runs."""
+    old = built_index.prune_min_postings
+    try:
+        built_index.prune_min_postings = 0
+        forced = [(r["doc_id"], round(r["score"], 9))
+                  for r in built_index.topk("the and of", k=10).collect()]
+        built_index.prune_min_postings = 1 << 60
+        gated = [(r["doc_id"], round(r["score"], 9))
+                 for r in built_index.topk("the and of", k=10).collect()]
+    finally:
+        built_index.prune_min_postings = old
+    assert forced == gated
