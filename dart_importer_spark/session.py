@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Engine daemon module: stock pyspark.daemon minus ~150 ms of
+        # per-task worker CPU (zipimport cache re-read + full-heap gc) —
+        # see dart_importer_spark/pydaemon.py. Public conf, any scale.
+        .config("spark.python.daemon.module", "dart_importer_spark.pydaemon")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

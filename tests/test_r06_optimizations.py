@@ -122,3 +122,58 @@ def test_theta_gate_preserves_ranks(built_index):
     finally:
         built_index.prune_min_postings = old
     assert forced == gated
+
+
+def test_pydaemon_path_aware_importlib():
+    """The engine daemon's importlib facade must invalidate exactly when
+    sys.path changes (the sc.addPyFile contract) and no-op otherwise."""
+    import sys
+
+    from dart_importer_spark.pydaemon import _PathAwareImportlib
+
+    calls = []
+    shim = _PathAwareImportlib()
+    real = sys.modules["importlib"].invalidate_caches
+    sys.modules["importlib"].invalidate_caches = lambda: calls.append(1)
+    try:
+        shim.invalidate_caches()  # first call: path unseen -> invalidate
+        shim.invalidate_caches()  # unchanged path -> no-op
+        assert len(calls) == 1
+        sys.path.append("/tmp/_pydaemon_test_sentinel")
+        try:
+            shim.invalidate_caches()  # path changed -> invalidate
+        finally:
+            sys.path.remove("/tmp/_pydaemon_test_sentinel")
+        assert len(calls) == 2
+        shim.invalidate_caches()  # changed back -> invalidate again
+        assert len(calls) == 3
+    finally:
+        sys.modules["importlib"].invalidate_caches = real
+    # delegation for everything else
+    assert shim.import_module("json").dumps({"a": 1}) == '{"a": 1}'
+
+
+def test_pydaemon_active_and_python_path_round_trips(spark):
+    """The session must point Spark at the engine daemon, and a Python-
+    worker stage must round-trip correctly under it (the conf only takes
+    effect at JVM start, but the module itself must patch cleanly)."""
+    import pandas as pd
+
+    assert (
+        spark.sparkContext.getConf().get("spark.python.daemon.module")
+        == "dart_importer_spark.pydaemon"
+    )
+    import dart_importer_spark.pydaemon as pdm
+
+    # the daemon wrapper kept the stock manager and patched the worker fn
+    assert pdm.manager is not None
+    assert pdm._daemon.worker.__name__ == "_freezing_worker"
+
+    df = spark.range(0, 100, 1, 4)
+
+    def double(batches):
+        for b in batches:
+            yield pd.DataFrame({"v": b["id"] * 2})
+
+    got = sorted(r["v"] for r in df.mapInPandas(double, "v long").collect())
+    assert got == [2 * i for i in range(100)]
