@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.partitioning import widen_for_python
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -73,9 +75,11 @@ def extract_features(media: DataFrame, batch_limit: int = 1024) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
-        run, schema=FEATURE_SCHEMA
-    )
+    # media often arrives as one file -> one scan partition; widen so the
+    # decode pass uses every core (no-op at scale)
+    return widen_for_python(
+        media.select("media_id", "kind", "payload"), "media_id"
+    ).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

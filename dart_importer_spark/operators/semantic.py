@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from . import sampling, similarity
+from ..functions.partitioning import widen_for_python
 
 _TOKEN_RE = re.compile(r"[^\W_]+")  # unicode word runs, any script
 _CJK_RE = re.compile(r"[㐀-鿿豈-﫿]")
@@ -140,7 +141,9 @@ def embed_chunks(
             )
 
     id_type = dict(chunks.dtypes)["id"]
-    return chunks.mapInPandas(
+    # single-file corpora scan as one partition; widen so the embedder
+    # pass uses every core (no-op at scale — see partitioning module)
+    return widen_for_python(chunks, "id").mapInPandas(
         kernel, f"id {id_type}, chunk_id int, vec array<float>"
     )
 

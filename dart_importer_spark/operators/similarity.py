@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import widen_for_python
+
 
 def _cosine(a: Column, b: Column) -> Column:
     """Exact cosine similarity between two array<float/double> columns —
@@ -373,7 +375,7 @@ def hyperplane_sigs_pandas(
                     }
                 )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return widen_for_python(emb.select(id_col, vec_col), id_col).mapInPandas(
         comp,
         schema=f"{id_col} long, {vec_col} array<double>, t int, sig long",
     )
@@ -522,7 +524,12 @@ class LshAnnIndex:
             list(emb.schema.fields)
             + [StructField(f"sig{t}", LongType()) for t in range(n_tables)]
         )
-        self.table = emb.mapInPandas(_sig_batches, schema=schema)
+        # a single-file corpus scans as ONE partition — widen so the
+        # signature pass (and every action over the persisted table)
+        # uses the session's cores; no-op at scale
+        self.table = widen_for_python(emb, id_col).mapInPandas(
+            _sig_batches, schema=schema
+        )
         if persist:
             self.table = self.table.persist()
 
@@ -804,7 +811,14 @@ class IvfAnnIndex:
                 out["list_id"] = d2.argmin(axis=1).astype("int32")
                 yield out
 
-        self.table = base.mapInPandas(_assign, out_schema)
+        # widen the ASSIGNMENT input only (the k-means sample above must
+        # keep the raw scan's partitioning — sample(fraction) draws are
+        # partition-dependent): a single-file corpus would otherwise run
+        # the assignment, the lists write, the min/max agg and the SQ8
+        # write all on one core, serialized on the single cached block
+        self.table = widen_for_python(base, id_col).mapInPandas(
+            _assign, out_schema
+        )
         if persist:
             self.table = self.table.persist()
 
@@ -853,9 +867,13 @@ class IvfAnnIndex:
                 based = self.table.select(id_col, "list_id", unit.alias("_u"))
 
                 def _write_lists():
-                    self.table.write.mode("overwrite").partitionBy(
-                        "list_id"
-                    ).parquet(f"{path}/lists")
+                    # cluster by list before the partitioned write: without
+                    # it every task holding rows of a list opens a file in
+                    # that list's directory — tasks × lists tiny files
+                    # (guide §6). One exchange of keys+vecs, one file/list.
+                    self.table.repartition(F.col("list_id")).write.mode(
+                        "overwrite"
+                    ).partitionBy("list_id").parquet(f"{path}/lists")
 
                 def _write_quantized():
                     # per-dimension min/max over the corpus: one explode +
@@ -887,9 +905,9 @@ class IvfAnnIndex:
                     ).cast("array<tinyint>")
                     based.select(
                         id_col, codes.alias("vec_q"), "list_id"
-                    ).write.mode("overwrite").partitionBy("list_id").parquet(
-                        f"{path}/lists_q"
-                    )
+                    ).repartition(F.col("list_id")).write.mode(
+                        "overwrite"
+                    ).partitionBy("list_id").parquet(f"{path}/lists_q")
                     mm.coalesce(1).write.mode("overwrite").parquet(
                         f"{path}/quant"
                     )
@@ -903,9 +921,9 @@ class IvfAnnIndex:
                     fq.result()
                 self._path = path
             else:
-                self.table.write.mode("overwrite").partitionBy(
-                    "list_id"
-                ).parquet(f"{path}/lists")
+                self.table.repartition(F.col("list_id")).write.mode(
+                    "overwrite"
+                ).partitionBy("list_id").parquet(f"{path}/lists")
         finally:
             if release:
                 self.table.unpersist()

@@ -177,3 +177,18 @@ def test_pydaemon_active_and_python_path_round_trips(spark):
 
     got = sorted(r["v"] for r in df.mapInPandas(double, "v long").collect())
     assert got == [2 * i for i in range(100)]
+
+
+def test_widen_for_python_scale_adaptive(spark):
+    """widen_for_python must widen narrow plans to the session parallelism,
+    leave already-wide plans untouched, and never change values."""
+    from dart_importer_spark.functions.partitioning import widen_for_python
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 100, 1, 1)
+    wide = widen_for_python(narrow, "id")
+    assert wide.rdd.getNumPartitions() == par
+    assert sorted(r["id"] for r in wide.collect()) == list(range(100))
+    # a plan at/above parallelism passes through object-identical
+    already = spark.range(0, 100, 1, par)
+    assert widen_for_python(already, "id") is already
