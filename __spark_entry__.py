@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dart_importer_spark.functions.localrel import local_df  # noqa: E402
+from dart_importer_spark.functions.partitioning import widen_for_python  # noqa: E402
 from dart_importer_spark.functions.tokenizer import TOKEN_PATTERN  # noqa: E402
 from dart_importer_spark.operators.text import BPE_PRETOKEN_PATTERN  # noqa: E402
 
@@ -2323,8 +2324,11 @@ def q_tx_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # winnowing-style min-k fingerprint, exploded to scalar rows so the gate
-    # can canonicalize, and DuckDB-checkable via the portable md5-60 hash
-    docs = _load(spark, sf_dir, "documents")
+    # can canonicalize, and DuckDB-checkable via the portable md5-60 hash.
+    # The md5-per-shingle projection is CPU-dense and the one-file corpus
+    # scans as a single partition — widen so it uses every core (row-wise
+    # values, partition-free; no-op at scale)
+    docs = widen_for_python(_load(spark, sf_dir, "documents"), "doc_id")
     return textops.with_fingerprint(docs).select(
         "doc_id", F.explode("fingerprint").alias("fp_hash")
     )

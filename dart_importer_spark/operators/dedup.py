@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_60
+from ..functions.partitioning import widen_for_python
 from ..functions.tokenizer import shingles_of, tokenize_col
 
 
@@ -203,7 +204,9 @@ def minhash_signatures(
     One explode + one groupBy(doc) shuffle; the n_perm hash family is
     xxhash64(shingle, seed_i) computed as JVM expressions (no UDF).
     """
-    ex = df.select(
+    # widen: tokenize+shingle+n_perm hash aggs are CPU-dense; a one-file
+    # corpus otherwise runs the whole map side on a single core
+    ex = widen_for_python(df, id_col).select(
         F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_n)).alias("sh")
     )
     aggs = [
@@ -347,7 +350,9 @@ def jaccard_verify(
     broadcast-friendly double join to attach shingle sets, JVM set ops.
     The shingle table feeds BOTH join sides — materialize it once (lazy
     executor-local blocks) instead of re-running tokenize+shingle per side."""
-    sh = df.select(
+    # widen: the tokenize+shingle projection is CPU-dense and a one-file
+    # corpus scans as a single partition (no-op at scale)
+    sh = widen_for_python(df, id_col).select(
         F.col(id_col), _shingles(text_col, shingle_n).alias("sh")
     ).localCheckpoint(eager=False)
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))

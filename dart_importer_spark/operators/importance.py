@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dart_importer_spark.functions.partitioning import widen_for_python
 from dart_importer_spark.functions.tokenizer import shingles_of, tokenize_col
 
 
@@ -47,8 +48,11 @@ def ngram_feature_counts(
     feats = toks
     for n in range(2, n_max + 1):
         feats = F.concat(feats, shingles_of(toks, n, " "))
+    # widen: tokenize + n-gram explode is CPU-dense and a one-file corpus
+    # scans as a single partition (no-op at scale)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(feats).alias("f"))
+        widen_for_python(df, id_col)
+        .select(F.col(id_col).alias("id"), F.explode(feats).alias("f"))
         .groupBy("id", "f")
         .agg(F.count("*").cast("double").alias("c"))
     )
