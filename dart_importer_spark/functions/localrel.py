@@ -31,3 +31,23 @@ def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
         return spark.createDataFrame(pdf, schema)
     except Exception:
         return spark.createDataFrame(rows, schema)
+
+
+def lit_double_array(values):
+    """array<double> literal column from a Python sequence in ONE py4j
+    round trip. ``F.array(*[F.lit(float(x)) for x in vec])`` costs dim+1
+    py4j calls (~0.13 s of driver time for a 64-dim vector, paid at every
+    query construction); rendering the repr of each double into a single
+    SQL ``array(...)`` expression is one call and bit-exact — Python repr
+    is the shortest round-trip decimal form and the SQL parser reads it
+    back with Double.parseDouble, which recovers the identical IEEE value.
+    Non-finite values (no SQL literal form) fall back to the classic path.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    vals = [float(v) for v in values]
+    if not vals or not all(math.isfinite(v) for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")

@@ -392,15 +392,21 @@ def simhash(
         .agg(F.count("*").alias("tf"))
         .withColumn("h", hash_fn(F.col("tok")))
     )
-    bit_aggs = []
-    for i in range(n_bits):
-        bit = F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))
-        contrib = F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))
-        bit_aggs.append((F.sum(contrib) > 0).cast("long").alias(f"b{i}"))
+    # one F.expr per aggregate instead of ~10 chained Column calls: the
+    # n_bits-wide agg otherwise costs ~600 py4j round trips (~1.2 s of
+    # driver time PER QUERY CONSTRUCTION at n_bits=60) before Spark ever
+    # sees the plan. Identical operators, just parsed server-side.
+    bit_aggs = [
+        F.expr(
+            f"cast(sum(case when (shiftrightunsigned(h, {i}) & 1) = 1 "
+            f"then tf else -tf end) > 0 as long)"
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
     bits = ex.groupBy("_id").agg(*bit_aggs)
-    acc = F.lit(0).cast("long")
-    for i in range(n_bits):
-        acc = acc.bitwiseOR(F.shiftleft(F.col(f"b{i}"), i))
+    acc = F.expr(
+        " | ".join(f"shiftleft(b{i}, {i})" for i in range(n_bits))
+    )
     return bits.select(F.col("_id").alias(id_col), acc.alias(out))
 
 
@@ -439,24 +445,26 @@ def simhash_candidate_pairs(
     cw = (n_bits + n_chunks - 1) // n_chunks  # chunk width
     mask = (1 << cw) - 1
 
-    def chunk(i):
-        return F.shiftrightunsigned(F.col(hash_col), cw * i).bitwiseAND(
-            F.lit(mask)
-        )
+    def chunk_sql(i):
+        return f"(shiftrightunsigned(`{hash_col}`, {cw * i}) & {mask}L)"
 
     # one exploded (id, hash, band, key) table and ONE self-join on
     # (band, key) — NOT a join per subset: N unioned joins would recompute
     # the upstream simhash aggregation 2N times and shuffle N times; this
     # shape computes it once per side and shuffles once (the minhash-LSH
-    # banding shape, reused)
-    bands = []
+    # banding shape, reused). The C(n_chunks, n_chunks-h) band structs are
+    # built as ONE SQL string — the chained-Column form cost hundreds of
+    # py4j round trips per query construction (see simhash above).
+    band_terms = []
     for si, subset in enumerate(combinations(range(n_chunks), n_chunks - h)):
-        key = F.lit(0).cast("long")
-        for rank, i in enumerate(subset):
-            key = key.bitwiseOR(F.shiftleft(chunk(i), cw * rank))
-        bands.append(F.struct(F.lit(si).alias("band"), key.alias("bk")))
+        key = " | ".join(
+            f"shiftleft({chunk_sql(i)}, {cw * rank})"
+            for rank, i in enumerate(subset)
+        )
+        band_terms.append(f"struct({si} as band, ({key}) as bk)")
+    bands = F.expr("array(" + ", ".join(band_terms) + ")")
     banded = sim.select(
-        id_col, hash_col, F.explode(F.array(*bands)).alias("b")
+        id_col, hash_col, F.explode(bands).alias("b")
     ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.bk").alias("bk"))
     a = banded.select(
         F.col(id_col).alias("a"), F.col(hash_col).alias("ha"), "band", "bk"

@@ -15,6 +15,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localrel import lit_double_array
 from ..functions.partitioning import widen_for_python
 
 
@@ -51,7 +52,7 @@ def _hyperplane_sig(vec_col: str | Column, dim: int, n_planes: int, seed: int) -
         dot = F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(float(x)) for x in row]),
+                lit_double_array(row),
                 lambda x, y: (x * y).cast("double"),
             ),
             F.lit(0.0),
@@ -69,7 +70,7 @@ def brute_force_cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: (id, cosine) ordered desc, id-asc tie-break."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return (
         emb.select(id_col, _cosine(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -139,7 +140,7 @@ def max_sim_dot(vecs_col: str | Column, query_vecs) -> Column:
 
     score = None
     for q in query_vecs:
-        qlit = F.array(*[F.lit(float(x)) for x in q])
+        qlit = lit_double_array(q)
         m = F.array_max(F.transform(col, _dot_fn(qlit)))
         score = m if score is None else score + m
     # dim guard: zip_with null-pads a length mismatch, which would turn
@@ -609,7 +610,7 @@ class LshAnnIndex:
                 probes |= {sig ^ (1 << i) for i in range(self.n_planes)}
             c = F.col(f"sig{t}").isin(list(probes))
             cond = c if cond is None else (cond | c)
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        q = lit_double_array(query_vec)
         cand = self.table.filter(cond)
         if allowed is not None:
             cand = cand.join(
@@ -891,7 +892,7 @@ class IvfAnnIndex:
                         np.asarray(vmin, dtype=np.float64),
                         np.asarray(vmax, dtype=np.float64),
                     )
-                    lo = F.array(*[F.lit(v) for v in vmin])
+                    lo = lit_double_array(vmin)
                     step = F.array(
                         *[F.lit(max(vmax[i] - vmin[i], 1e-12) / 255.0)
                           for i in range(len(vmin))]
@@ -1113,7 +1114,7 @@ class IvfAnnIndex:
         codes = spark.read.parquet(f"{self._path}/lists_q").filter(
             F.col("list_id").isin(lists)
         )
-        wcol = F.array(*[F.lit(float(x)) for x in w])
+        wcol = lit_double_array(w)
         approx = F.lit(bias) + F.aggregate(
             F.zip_with(
                 F.col("vec_q"),
@@ -1128,7 +1129,7 @@ class IvfAnnIndex:
             .orderBy(F.desc("approx"), F.asc(self.id_col))
             .limit(window)
         )
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        q = lit_double_array(query_vec)
         floats = self.table.filter(F.col("list_id").isin(lists))
         return (
             floats.join(F.broadcast(cand.select(self.id_col)), self.id_col)
@@ -1148,7 +1149,7 @@ class IvfAnnIndex:
             return [int(i) for i in order[: max(1, int(nprobe))]]
         # big quantizer (n_lists > DRIVER_RANK_MAX): one tiny distributed
         # top-nprobe over the centroid table — only nprobe ints come back
-        q = F.array(*[F.lit(float(x)) for x in v])
+        q = lit_double_array(v)
         d2c = F.aggregate(
             F.zip_with(F.col("centroid"), q, lambda c, x: (c - x) * (c - x)),
             F.lit(0.0),
@@ -1172,7 +1173,7 @@ class IvfAnnIndex:
         """``allowed`` pre-filters candidates before the exact rerank
         (filtered kNN — see LshAnnIndex.topk)."""
         lists = self._probe_lists(query_vec, nprobe)
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        q = lit_double_array(query_vec)
         cand = self.table.filter(F.col("list_id").isin(lists))
         if allowed is not None:
             cand = cand.join(

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.codec import delta_decode, varbyte_decode
-from ..functions.localrel import local_df
+from ..functions.localrel import lit_double_array, local_df
 from ..functions.tokenizer import tokenize_text
 from ..index.build import B, BLOCK_SIZE, K1, bucket_of
 
@@ -7489,7 +7489,7 @@ class InvertedIndex:
         lexr = lex.select(
             "doc_id", F.row_number().over(wl).alias("lrank")
         )
-        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        qcol = lit_double_array(qvec)
         tomb = self._tombstones()
         vec_src = emb
         if tomb is not None:
@@ -7574,7 +7574,7 @@ class InvertedIndex:
         lex = _minmax(
             self.topk(query, k=window, field=field, round_scores=6), "score"
         )
-        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        qcol = lit_double_array(qvec)
         tomb = self._tombstones()
         vec_src = emb
         if tomb is not None:

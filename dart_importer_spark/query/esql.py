@@ -1920,9 +1920,10 @@ class EsqlEngine:
         k = args[2][1]
         if k <= 0:
             raise EsqlError("ES|QL: KNN k must be positive")
+        from ..functions.localrel import lit_double_array
         from ..operators.similarity import _cosine
 
-        sim = _cosine(F.col(field), F.array(*[F.lit(x) for x in qv]))
+        sim = _cosine(F.col(field), lit_double_array(qv))
         thr = (
             rel.df.select(sim.alias("__knn_sim"))
             .orderBy(F.desc("__knn_sim"))

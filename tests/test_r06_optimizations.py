@@ -192,3 +192,31 @@ def test_widen_for_python_scale_adaptive(spark):
     # a plan at/above parallelism passes through object-identical
     already = spark.range(0, 100, 1, par)
     assert widen_for_python(already, "id") is already
+
+
+def test_lit_double_array_bit_exact(spark):
+    """The single-expr double-array literal must be bit-identical to the
+    classic F.array(F.lit(...)) form, including denormals and -0.0, and
+    fall back cleanly for empty/non-finite input."""
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from dart_importer_spark.functions.localrel import lit_double_array
+
+    vec = [1.0, -0.0, 2**-1074, 1e-300, -1e308, 3.141592653589793, 0.1]
+    classic = spark.range(1).select(
+        F.array(*[F.lit(float(x)) for x in vec]).alias("a")
+    ).first()["a"]
+    fast = spark.range(1).select(lit_double_array(vec).alias("a")).first()["a"]
+    assert [struct.pack("d", x) for x in classic] == [
+        struct.pack("d", x) for x in fast
+    ]
+    assert spark.range(1).select(
+        lit_double_array([]).alias("a")
+    ).first()["a"] == []
+    nan_row = spark.range(1).select(
+        lit_double_array([1.0, float("nan")]).alias("a")
+    ).first()["a"]
+    assert nan_row[0] == 1.0 and math.isnan(nan_row[1])
