@@ -86,7 +86,11 @@ def ngram_jaccard_pairs(
     oracle for the approximate path)."""
     from pyspark.sql.window import Window
 
-    sh = df.select(
+    # widen the RAW input before attaching the shingle projection, so the
+    # CPU-dense tokenize+shingle compute lands ABOVE the exchange (a
+    # projection attached first would run below it, on the one-file scan's
+    # 1-2 partitions); no-op at scale
+    sh = widen_for_python(df, id_col).select(
         F.col(id_col).alias("_id"), _shingles(text_col, shingle_n).alias("s")
     )
     # hashed shingle keys: 8-byte shuffle keys instead of ~20-byte strings;
@@ -209,13 +213,19 @@ def minhash_signatures(
     ex = widen_for_python(df, id_col).select(
         F.col(id_col).alias("_id"), F.explode(_shingles(text_col, shingle_n)).alias("sh")
     )
+    # one F.expr per aggregate (and one for the pack): the chained-Column
+    # form costs ~4 py4j round trips x n_perm per query construction —
+    # identical xxhash64(sh, seed_i) operators, parsed server-side
     aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(n_perm)
+        F.expr(f"min(xxhash64(sh, {i}))").alias(f"h{i}")
+        for i in range(n_perm)
     ]
     sigs = ex.groupBy("_id").agg(*aggs)
     return sigs.select(
         F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(n_perm)]).alias("sig"),
+        F.expr(
+            "array(" + ",".join(f"h{i}" for i in range(n_perm)) + ")"
+        ).alias("sig"),
     )
 
 
