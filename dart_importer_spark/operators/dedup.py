@@ -151,14 +151,43 @@ def ngram_jaccard_pairs(
                 - F.ceil(F.col("sz") * F.lit(float(threshold)) - 1e-9)
                 + 1
             )
-            .select("_id", "h")
+            .select("_id", "h", "rn", "sz")
+        )
+        # PPJoin-style pruning inside the collision join (Xiao et al.,
+        # WWW'08), both EXACT — every filter errs toward KEEPING (the
+        # same -1e-9 float bias as the prefix length):
+        # - length filter: J >= t needs min(|A|,|B|) >= t/(1+t)*(|A|+|B|)
+        #   (since |A∩B| <= min);
+        # - positional filter: at a pair's FIRST common prefix element
+        #   (rank rn_x in A's global df-asc order, rn_y in B's) the
+        #   intersection is that element plus a subset of both suffixes,
+        #   so |A∩B| <= 1 + min(|A|-rn_x, |B|-rn_y) — a qualifying pair
+        #   always passes at its first collision, and distinct() keeps a
+        #   pair if ANY collision row survives, so recall is untouched
+        #   while the hot-shingle collision stream shrinks before the
+        #   distinct and the intersection recount.
+        minov = F.ceil(
+            (F.col("x.sz") + F.col("y.sz"))
+            * F.lit(float(threshold) / (1.0 + float(threshold)))
+            - 1e-9
         )
         cand = (
             pref.alias("x")
             .join(
                 pref.alias("y"),
                 (F.col("x.h") == F.col("y.h"))
-                & (F.col("x._id") < F.col("y._id")),
+                & (F.col("x._id") < F.col("y._id"))
+                & (
+                    F.least(F.col("x.sz"), F.col("y.sz")) >= minov
+                )
+                & (
+                    1
+                    + F.least(
+                        F.col("x.sz") - F.col("x.rn"),
+                        F.col("y.sz") - F.col("y.rn"),
+                    )
+                    >= minov
+                ),
             )
             .select(F.col("x._id").alias("a"), F.col("y._id").alias("b"))
             .distinct()

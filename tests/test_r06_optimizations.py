@@ -220,3 +220,39 @@ def test_lit_double_array_bit_exact(spark):
         lit_double_array([1.0, float("nan")]).alias("a")
     ).first()["a"]
     assert nan_row[0] == 1.0 and math.isnan(nan_row[1])
+
+
+def test_ppjoin_filters_lossless_vs_unfiltered(spark):
+    """The PPJoin positional + length filters added to the AllPairs prefix
+    join must be invisible in results: prefix_filter=True (with the new
+    filters) and prefix_filter=False (exhaustive inverted join) must emit
+    the IDENTICAL pair set at several thresholds, on a corpus mixing sizes,
+    near-dups, exact dups, and sub-shingle docs."""
+    import random
+
+    from dart_importer_spark.operators import dedup
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(1, 18)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dups and exact dups
+    rows.append((100, rows[0][1] + " extra token here"))
+    rows.append((101, rows[1][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8, 0.95, 0.999999):
+        a = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True
+            ).collect()
+        }
+        b = {
+            (r["a"], r["b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert a == b, f"threshold {t}: prefix+ppjoin diverged"
