@@ -57,6 +57,11 @@ def get_spark(
         # per-task worker CPU (zipimport cache re-read + full-heap gc) —
         # see dart_importer_spark/pydaemon.py. Public conf, any scale.
         .config("spark.python.daemon.module", "dart_importer_spark.pydaemon")
+        # JVM<->Python-worker transport over unix domain sockets (Spark
+        # 4.1): workers are always executor-host-local, so this is a pure
+        # IPC choice — measured ~40 ms less per Python-stage job (79->38
+        # ms trivial-job floor, -13..-33% on positional/Arrow queries).
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

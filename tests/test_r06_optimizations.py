@@ -163,6 +163,13 @@ def test_pydaemon_active_and_python_path_round_trips(spark):
         spark.sparkContext.getConf().get("spark.python.daemon.module")
         == "dart_importer_spark.pydaemon"
     )
+    # worker transport: unix domain sockets (host-local IPC at any scale)
+    assert (
+        spark.sparkContext.getConf().get(
+            "spark.python.unix.domain.socket.enabled"
+        )
+        == "true"
+    )
     import dart_importer_spark.pydaemon as pdm
 
     # the daemon wrapper kept the stock manager and patched the worker fn
